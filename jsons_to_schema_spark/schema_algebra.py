@@ -1,0 +1,446 @@
+"""Pure-Python JSON Schema (Draft 4) generation + unification algebra.
+
+This is the semantic kernel of the engine: a from-scratch re-expression of the
+capabilities of the reference library ``garetht/jsons-to-schema`` (Haskell,
+``src/JSONSchema/Draft4/SchemaConverter.hs`` and
+``src/JSONSchema/Draft4/SchemaUnification.hs`` upstream; the local checkout at
+/root/reference was empty at build time — see SURVEY.md §0 — so every corner
+case the survey marks (LC) is PINNED here, each in its own small function, so a
+future session can flip any single decision in one place).
+
+Design constraints that matter for the Spark engine built on top:
+
+*   ``unify`` is **idempotent, commutative and associative** (property-tested in
+    ``tests/test_algebra_laws.py``).  That is the license for folding
+    per-partition draft schemas with ``RDD.treeAggregate`` — partial merges may
+    arrive in any grouping/order and must give a byte-identical result.
+*   ``canonical_json`` is a pinned, bit-for-bit stable encoding (sorted keys,
+    ``separators=(',', ':')``, no float drift — ints stay ints).  Fixture
+    comparison and cross-partition equality checks use this encoding.
+*   No Spark imports here.  The module is plain Python + stdlib so the algebra
+    is unit-testable in microseconds and shippable to executors via --py-files.
+
+Public API (mirrors the reference's exported surface 1:1):
+
+===============================  ==================================================
+reference (Haskell)              this module
+===============================  ==================================================
+``jsonToSchema``                 :func:`json_to_schema`
+``jsonToSchemaWithConfig``       :func:`json_to_schema` (``config=`` kwarg)
+``jsonsToSchema``                :func:`jsons_to_schema`
+``jsonsToSchemaWithConfig``      :func:`jsons_to_schema` (``config=`` kwarg)
+``schemasToSchema``              :func:`schemas_to_schema`
+``unifySchemas``                 :func:`unify`
+``SchemaGenerationConfig(..)``   :class:`SchemaGenerationConfig`
+``defaultSchemaGenerationConfig``  ``SchemaGenerationConfig()``
+===============================  ==================================================
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional
+
+Schema = dict  # a Draft-4 schema fragment as a plain dict
+
+# Canonical order of JSON type names (Draft 4 primitive types).
+_TYPE_ORDER = ("array", "boolean", "integer", "null", "number", "object", "string")
+
+
+@dataclass(frozen=True)
+class SchemaGenerationConfig:
+    """The reference's only two knobs (upstream
+    ``src/JSONSchema/Draft4/SchemaGenerationConfig.hs``): both default False.
+
+    type_arrays_as_tuples: positional ``items`` list instead of unified items.
+    seal_object_properties: emit ``additionalProperties: false`` on every
+        generated object schema.
+    """
+
+    type_arrays_as_tuples: bool = False
+    seal_object_properties: bool = False
+
+
+DEFAULT_CONFIG = SchemaGenerationConfig()
+
+
+# ---------------------------------------------------------------------------
+# Generation (reference G1–G5)
+# ---------------------------------------------------------------------------
+
+def _number_type(x: float) -> str:
+    """G2 — integral numbers are "integer", others "number".
+
+    PINNED: integrality is a property of the *value* (7.0 → integer), matching
+    the reference's ``Scientific`` integrality test.  The Spark front-end must
+    therefore classify from raw tokens / Arrow physical types, never after a
+    lossy double round-trip (SURVEY.md §7 hard part 1).
+    """
+    if isinstance(x, int):
+        return "integer"
+    return "integer" if float(x).is_integer() else "number"
+
+
+def json_to_schema(value: Any, config: SchemaGenerationConfig = DEFAULT_CONFIG) -> Schema:
+    """G1–G5 — generate a Draft-4 schema for one JSON value (one document)."""
+    if value is None:
+        return {"type": "null"}
+    if isinstance(value, bool):  # bool before int: bool is an int subclass
+        return {"type": "boolean"}
+    if isinstance(value, (int, float)):
+        return {"type": _number_type(value)}
+    if isinstance(value, str):
+        return {"type": "string"}
+    if isinstance(value, (list, tuple)):
+        return _array_to_schema(list(value), config)
+    if isinstance(value, dict):
+        return _object_to_schema(value, config)
+    raise TypeError(f"not a JSON value: {type(value)!r}")
+
+
+def _object_to_schema(obj: dict, config: SchemaGenerationConfig) -> Schema:
+    """G3 — properties = recursive gen per key; required = ALL present keys."""
+    schema: Schema = {"type": "object"}
+    if obj:
+        schema["properties"] = {k: json_to_schema(v, config) for k, v in obj.items()}
+        schema["required"] = sorted(obj.keys())
+    if config.seal_object_properties:
+        schema["additionalProperties"] = False
+    return schema
+
+
+def _array_to_schema(arr: list, config: SchemaGenerationConfig) -> Schema:
+    """G4/G5 — unified (default) vs positional-tuple items; empty ⇒ no items."""
+    schema: Schema = {"type": "array"}
+    if not arr:
+        return schema
+    if config.type_arrays_as_tuples:
+        schema["items"] = [json_to_schema(v, config) for v in arr]
+    else:
+        item = json_to_schema(arr[0], config)
+        for v in arr[1:]:
+            item = unify(item, json_to_schema(v, config))
+        schema["items"] = item
+    return schema
+
+
+# ---------------------------------------------------------------------------
+# Unification (reference U0–U8) — a join-semilattice up to canonicalization
+# ---------------------------------------------------------------------------
+
+def _type_set(schema: Schema) -> frozenset:
+    t = schema.get("type")
+    if t is None:
+        return frozenset()
+    if isinstance(t, str):
+        return frozenset((t,))
+    return frozenset(t)
+
+
+def _unify_type(a: Schema, b: Schema, out: Schema) -> None:
+    """U1 — union of type-name sets; singleton stays a scalar string.
+
+    PINNED (LC corner, fixture A7): "integer" and "number" BOTH stay in the
+    set — no absorption of integer into number.  Flip in one place here if a
+    populated reference checkout ever shows absorption.
+    """
+    ts = _type_set(a) | _type_set(b)
+    if not ts:
+        return
+    if len(ts) == 1:
+        out["type"] = next(iter(ts))
+    else:
+        out["type"] = sorted(
+            ts, key=lambda t: (_TYPE_ORDER.index(t) if t in _TYPE_ORDER else len(_TYPE_ORDER), t)
+        )
+
+
+def _unify_properties(a: Schema, b: Schema, out: Schema) -> None:
+    """U2 — key-wise union; shared keys unify recursively."""
+    pa, pb = a.get("properties"), b.get("properties")
+    if pa is None and pb is None:
+        return
+    pa = pa or {}
+    pb = pb or {}
+    merged = {}
+    for k in pa.keys() | pb.keys():
+        if k in pa and k in pb:
+            merged[k] = unify(pa[k], pb[k])
+        else:
+            merged[k] = pa.get(k, pb.get(k))
+    out["properties"] = merged
+
+
+def _unify_required(a: Schema, b: Schema, out: Schema) -> None:
+    """U3 — set INTERSECTION; absent treated as the empty set; empty ⇒ omitted.
+
+    PINNED: intersecting with an absent ``required`` drops the keyword.  This
+    is the sound direction (an object generated from ``{}`` has no required
+    keys; keeping the other side's list would reject it).
+    """
+    ra, rb = a.get("required"), b.get("required")
+    if ra is None or rb is None:
+        return
+    inter = sorted(set(ra) & set(rb))
+    if inter:
+        out["required"] = inter
+
+
+def _unify_items(a: Schema, b: Schema, out: Schema) -> None:
+    """U4 — items merge.
+
+    dict × dict  → recursive unify.
+    list × list  → positional zip-unify; the longer tail is kept as-is.
+    dict × list  → PINNED (LC): widen — fold the list positions into the dict
+                   (collapse tuple typing to unified form).
+    one side absent → PINNED: keep the present side.  Sound for generated
+                   schemas: an empty array vacuously satisfies any ``items``.
+    """
+    ia, ib = a.get("items"), b.get("items")
+    if ia is None and ib is None:
+        return
+    if ia is None or ib is None:
+        out["items"] = ia if ia is not None else ib
+        return
+    if isinstance(ia, dict) and isinstance(ib, dict):
+        out["items"] = unify(ia, ib)
+    elif isinstance(ia, list) and isinstance(ib, list):
+        short, long_ = (ia, ib) if len(ia) <= len(ib) else (ib, ia)
+        merged = [unify(x, y) for x, y in zip(ia, ib)]
+        merged.extend(long_[len(short):])
+        out["items"] = merged
+    else:
+        lst, dct = (ia, ib) if isinstance(ia, list) else (ib, ia)
+        folded = dct
+        for s in lst:
+            folded = unify(folded, s)
+        out["items"] = folded
+
+
+def _unify_additional(a: Schema, b: Schema, out: Schema, key: str) -> None:
+    """U5 — permissive-OR: ``false`` survives only if BOTH sides are sealed.
+
+    PINNED (LC): sealed ∪ unsealed → keyword omitted (permissive).
+    """
+    if a.get(key) is False and b.get(key) is False:
+        out[key] = False
+
+
+def _unify_range(a: Schema, b: Schema, out: Schema) -> None:
+    """U6 — range union: min of minimums / max of maximums; a bound absent on
+    either side is widened away.  Exclusive flags (PINNED, LC): the surviving
+    bound carries its own flag; on a tie both sides must be exclusive.
+    """
+    for key, excl_key, pick in (
+        ("minimum", "exclusiveMinimum", min),
+        ("maximum", "exclusiveMaximum", max),
+    ):
+        va, vb = a.get(key), b.get(key)
+        if va is None or vb is None:
+            continue
+        winner = pick(va, vb)
+        out[key] = winner
+        if va == vb:
+            excl = bool(a.get(excl_key)) and bool(b.get(excl_key))
+        elif winner == va:
+            excl = bool(a.get(excl_key))
+        else:
+            excl = bool(b.get(excl_key))
+        if excl:
+            out[excl_key] = True
+
+
+def _enum_sort_key(v: Any):
+    return canonical_json_value(v)
+
+
+def _unify_enum(a: Schema, b: Schema, out: Schema) -> None:
+    """U7 — union of enum value lists, deduped.
+
+    PINNED (LC) ordering: sorted by canonical JSON encoding — order-of-appearance
+    would break commutativity, which treeAggregate requires.
+    Absent on either side ⇒ omitted (absent = "anything", which absorbs).
+    """
+    ea, eb = a.get("enum"), b.get("enum")
+    if ea is None or eb is None:
+        return
+    seen = {}
+    for v in list(ea) + list(eb):
+        seen.setdefault(canonical_json_value(v), v)
+    out["enum"] = [seen[k] for k in sorted(seen)]
+
+
+def _unify_unique_items(a: Schema, b: Schema, out: Schema) -> None:
+    """uniqueItems — true survives only if both sides assert it (join)."""
+    if a.get("uniqueItems") is True and b.get("uniqueItems") is True:
+        out["uniqueItems"] = True
+
+
+def unify(a: Schema, b: Schema) -> Schema:
+    """U0 — binary schema unification (the reference's ``unifySchemas``).
+
+    Associative + commutative + idempotent up to canonical encoding; this is
+    the combiner of the engine's ``treeAggregate`` and the reducer of the
+    grouped applyInPandas fallback.
+    """
+    out: Schema = {}
+    _unify_type(a, b, out)
+    _unify_properties(a, b, out)
+    _unify_required(a, b, out)
+    _unify_items(a, b, out)
+    _unify_additional(a, b, out, "additionalProperties")
+    _unify_additional(a, b, out, "additionalItems")
+    _unify_range(a, b, out)
+    _unify_enum(a, b, out)
+    _unify_unique_items(a, b, out)
+    return out
+
+
+def schemas_to_schema(schemas: Iterable[Schema]) -> Schema:
+    """U8 — n-ary fold (``foldr1 unifySchemas``); input must be non-empty."""
+    it = iter(schemas)
+    try:
+        acc = next(it)
+    except StopIteration:
+        raise ValueError("schemas_to_schema: empty input (reference takes NonEmpty)")
+    for s in it:
+        acc = unify(acc, s)
+    return acc
+
+
+def jsons_to_schema(
+    values: Iterable[Any], config: SchemaGenerationConfig = DEFAULT_CONFIG
+) -> Schema:
+    """gen ∘ fold — the reference's flagship ``jsonsToSchema``."""
+    return schemas_to_schema(json_to_schema(v, config) for v in values)
+
+
+# ---------------------------------------------------------------------------
+# Canonical encoding (bit-for-bit fixture comparisons, BASELINE.json:6)
+# ---------------------------------------------------------------------------
+
+def _canonicalize_numbers(x: Any) -> Any:
+    """Pin number formatting: integral floats encode as ints (7.0 → 7)."""
+    if isinstance(x, bool):
+        return x
+    if isinstance(x, float) and x.is_integer():
+        return int(x)
+    if isinstance(x, dict):
+        return {k: _canonicalize_numbers(v) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_canonicalize_numbers(v) for v in x]
+    return x
+
+
+def canonical_json_value(value: Any) -> str:
+    """Pinned canonical encoding of any JSON value."""
+    return json.dumps(
+        _canonicalize_numbers(value),
+        sort_keys=True,
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+
+
+def canonical_json(schema: Schema) -> str:
+    """Pinned canonical encoding of a schema (what fixtures compare against)."""
+    return canonical_json_value(schema)
+
+
+def parse_schema(text: str) -> Schema:
+    return json.loads(text)
+
+
+# ---------------------------------------------------------------------------
+# Validation (reference V1 — upstream checks generated schemas with the
+# hjsonschema validator in its test loop; here it is a first-class operator)
+# ---------------------------------------------------------------------------
+
+def validate(value: Any, schema: Schema) -> list[str]:
+    """Validate one JSON value against the Draft-4 subset this engine emits.
+
+    Returns a list of violation strings (empty = valid).  Only the keywords
+    the algebra produces are checked; paths use JSON-pointer-ish syntax.
+    """
+    errors: list[str] = []
+    _validate_at(value, schema, "$", errors)
+    return errors
+
+
+def _json_type_of(value: Any) -> str:
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "integer"
+    if isinstance(value, float):
+        return "integer" if value.is_integer() else "number"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, (list, tuple)):
+        return "array"
+    return "object"
+
+
+def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> None:
+    ts = _type_set(schema)
+    if ts:
+        vt = _json_type_of(value)
+        ok = vt in ts or (vt == "integer" and "number" in ts)
+        if not ok:
+            errors.append(f"{path}: type {vt} not in {sorted(ts)}")
+            return
+    if isinstance(value, bool):
+        pass
+    elif isinstance(value, (int, float)):
+        mn, mx = schema.get("minimum"), schema.get("maximum")
+        if mn is not None:
+            if value < mn or (value == mn and schema.get("exclusiveMinimum")):
+                errors.append(f"{path}: {value} < minimum {mn}")
+        if mx is not None:
+            if value > mx or (value == mx and schema.get("exclusiveMaximum")):
+                errors.append(f"{path}: {value} > maximum {mx}")
+    elif isinstance(value, dict):
+        props = schema.get("properties", {})
+        for k in schema.get("required", []):
+            if k not in value:
+                errors.append(f"{path}: missing required key {k!r}")
+        if schema.get("additionalProperties") is False:
+            for k in value:
+                if k not in props:
+                    errors.append(f"{path}: additional property {k!r} not allowed")
+        for k, v in value.items():
+            if k in props:
+                _validate_at(v, props[k], f"{path}.{k}", errors)
+    elif isinstance(value, (list, tuple)):
+        items = schema.get("items")
+        if isinstance(items, dict):
+            for i, v in enumerate(value):
+                _validate_at(v, items, f"{path}[{i}]", errors)
+        elif isinstance(items, list):
+            for i, (v, s) in enumerate(zip(value, items)):
+                _validate_at(v, s, f"{path}[{i}]", errors)
+            if schema.get("additionalItems") is False and len(value) > len(items):
+                errors.append(f"{path}: {len(value) - len(items)} additional items not allowed")
+    if "enum" in schema:
+        cv = canonical_json_value(value)
+        if cv not in {canonical_json_value(e) for e in schema["enum"]}:
+            errors.append(f"{path}: value not in enum")
+
+
+# NOTE: {} is NOT a unify identity — ``required``/``minimum``/``enum`` treat
+# an absent keyword as absorbing (absent ∪ x = absent), so unify({}, s)
+# widens s.  The reference sidesteps this with a NonEmpty input type; the
+# engine's distributed folds use ``None`` as the true identity via unify_opt
+# (empty partitions contribute None, never {}).
+
+
+def unify_opt(a: Optional[Schema], b: Optional[Schema]) -> Optional[Schema]:
+    """Unify where None is the fold identity (empty partitions)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return unify(a, b)
