@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship run: unified-schema inference over the sf0.001
+``events.props`` JSON column (the reference's ``jsonsToSchema`` re-expressed
+as mapInArrow + treeAggregate).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, DuckDB-oracled at sf0.01 where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +14,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jsons_to_schema_spark.operators.infer import (
+    infer_as_dataframe,
+    infer_from_json_column,
+)
+from jsons_to_schema_spark.sources.tables import load_table
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    schema, n = infer_from_json_column(events, "props")
+    return infer_as_dataframe(spark, schema, n)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jsons_to_schema_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsons_to_schema_spark.queries import ORACLES
+
+    return dict(ORACLES)

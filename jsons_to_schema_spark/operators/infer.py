@@ -1,0 +1,314 @@
+"""Distributed schema inference — the engine's flagship operator.
+
+Re-expresses the reference's ``jsonsToSchema`` fold (upstream
+``SchemaConverter.hs::jsonsToSchema`` = per-doc generation + ``foldr1
+unifySchemas``) as idiomatic Spark:
+
+1.  ``df.mapInArrow`` — Arrow record batches cross the JVM→Python boundary
+    once; inside, generation (G1-G5) + unification (U0-U8) run per batch and
+    fold to ONE draft-schema accumulator per partition.  Output: a tiny
+    DataFrame of (draft json, doc count) — one row per non-empty partition.
+2.  ``RDD.treeAggregate`` over those partials — a logarithmic merge tree so
+    the driver never sees more than a handful of accumulators at once.  Legal
+    because unify is associative + commutative (property-tested); this is the
+    direct analog of the reference's fold, parallelized.
+
+Two front-ends:
+
+* ``infer_from_json_column`` — a StringType column of JSON documents.  The
+  unavoidable ``json.loads`` runs inside the Arrow batch (batched transfer,
+  no per-row Python UDF in the Spark sense).
+* ``infer_from_struct`` — structured (parquet/Iceberg) rows.  Fully
+  vectorized: the draft schema is derived from the Arrow *type* plus
+  per-batch validity bitmaps and integrality checks — no per-row Python at
+  all.  A null Spark value is treated as "key absent from the document"
+  (PINNED), so ``required`` = never-null fields, matching the reference's
+  required = keys-present-in-every-doc.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from ..schema_algebra import (
+    SchemaGenerationConfig,
+    DEFAULT_CONFIG,
+    Schema,
+    canonical_json,
+    json_to_schema,
+    parse_schema,
+    unify,
+    unify_opt,
+)
+
+PARTIAL_SCHEMA = "draft string, n_docs long"
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native draft derivation (structured front-end) — vectorized
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = (
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+)
+
+
+def _arrow_array_to_draft(arr: pa.Array, config: SchemaGenerationConfig) -> Optional[Schema]:
+    """Draft schema of the *present* (non-null) values of one Arrow array.
+
+    Returns None when every value is null (key absent from all docs).
+    Vectorized: type from the Arrow type; integer-vs-number from a whole-array
+    integrality check on the raw values (never through pandas float coercion —
+    SURVEY.md §7 hard part 1).
+    """
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n_valid = len(arr) - arr.null_count
+    if n_valid == 0:
+        return None
+    t = arr.type
+    if pa.types.is_boolean(t):
+        return {"type": "boolean"}
+    if pa.types.is_integer(t):
+        return {"type": "integer"}
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        return {"type": "integer" if np.all(vals == np.floor(vals)) else "number"}
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        # timestamps/dates/binary are strings to the reference's data model
+        return {"type": "string"}
+    if pa.types.is_null(t):
+        return {"type": "null"}
+    if pa.types.is_struct(t):
+        return _arrow_struct_to_draft(arr, config)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        values = arr.flatten()  # child values of the non-null lists
+        schema: Schema = {"type": "array"}
+        item = _arrow_array_to_draft(values, config)
+        if item is not None:
+            items_schema = item
+            # lists whose elements include nulls: element type gains "null"
+            if values.null_count > 0:
+                items_schema = unify(item, {"type": "null"})
+            schema["items"] = items_schema
+        elif len(values) > 0:
+            schema["items"] = {"type": "null"}
+        return schema
+    if pa.types.is_map(t):
+        # map<string, V> — JSON object with data-dependent keys: type object,
+        # no stable properties (PINNED: properties omitted, keys are data)
+        return {"type": "object"}
+    raise TypeError(f"unsupported arrow type for inference: {t}")
+
+
+def _arrow_struct_to_draft(arr: pa.Array, config: SchemaGenerationConfig) -> Schema:
+    """Struct array → object draft.  required = fields non-null in every
+    present (non-null) struct row; a field null in some rows is optional."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count > 0:
+        arr = arr.drop_null()
+    n = len(arr)
+    schema: Schema = {"type": "object"}
+    props = {}
+    required = []
+    for i, field in enumerate(arr.type):
+        child = arr.field(i)
+        sub = _arrow_array_to_draft(child, config)
+        if sub is None:
+            continue  # field never present
+        props[field.name] = sub
+        if child.null_count == 0 and n > 0:
+            required.append(field.name)
+    if props:
+        schema["properties"] = props
+        if required:
+            schema["required"] = sorted(required)
+    if config.seal_object_properties:
+        schema["additionalProperties"] = False
+    return schema
+
+
+def _batch_to_draft_struct(batch: pa.RecordBatch, config: SchemaGenerationConfig) -> Optional[Schema]:
+    if batch.num_rows == 0:
+        return None
+    struct = pa.StructArray.from_arrays(
+        [batch.column(i) for i in range(batch.num_columns)],
+        names=batch.schema.names,
+    )
+    return _arrow_struct_to_draft(struct, config)
+
+
+# ---------------------------------------------------------------------------
+# JSON front-end batch accumulation
+# ---------------------------------------------------------------------------
+
+def _batch_to_draft_json(
+    batch: pa.RecordBatch, col: str, config: SchemaGenerationConfig, on_error: str
+) -> tuple[Optional[Schema], int]:
+    texts = batch.column(col).drop_null()
+    acc: Optional[Schema] = None
+    n = 0
+    for s in texts.to_pylist():
+        try:
+            doc = json.loads(s)
+        except json.JSONDecodeError as exc:
+            if on_error == "skip":
+                continue
+            raise ValueError(
+                f"malformed JSON document (set on_error='skip' to drop): "
+                f"{s[:120]!r} — {exc}"
+            ) from None
+        acc = unify_opt(acc, json_to_schema(doc, config))
+        n += 1
+    return acc, n
+
+
+# ---------------------------------------------------------------------------
+# Partition accumulators (run on executors inside mapInArrow)
+# ---------------------------------------------------------------------------
+
+def _partial_batch(draft: Optional[Schema], n: int) -> Iterator[pa.RecordBatch]:
+    if draft is None:
+        return
+    yield pa.RecordBatch.from_pydict(
+        {"draft": [canonical_json(draft)], "n_docs": [n]},
+        schema=pa.schema([("draft", pa.string()), ("n_docs", pa.int64())]),
+    )
+
+
+def _make_json_accumulator(col: str, config: SchemaGenerationConfig, on_error: str):
+    def accumulate(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: Optional[Schema] = None
+        n = 0
+        for batch in batches:
+            d, k = _batch_to_draft_json(batch, col, config, on_error)
+            acc = unify_opt(acc, d)
+            n += k
+        yield from _partial_batch(acc, n)
+
+    return accumulate
+
+
+def _make_struct_accumulator(config: SchemaGenerationConfig):
+    def accumulate(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: Optional[Schema] = None
+        n = 0
+        for batch in batches:
+            acc = unify_opt(acc, _batch_to_draft_struct(batch, config))
+            n += batch.num_rows
+        yield from _partial_batch(acc, n)
+
+    return accumulate
+
+
+# ---------------------------------------------------------------------------
+# Merge (treeAggregate) + public API
+# ---------------------------------------------------------------------------
+
+def _tree_merge(partials: DataFrame) -> tuple[Optional[Schema], int]:
+    """Logarithmic merge of per-partition (draft, count) rows.
+
+    At 10^5+ partitions this keeps every merge fan-in bounded instead of
+    funneling all partials straight to the driver.
+    """
+    rdd = partials.rdd.map(lambda r: (r["draft"], int(r["n_docs"])))
+    n_parts = max(1, rdd.getNumPartitions())
+    depth = max(2, int(np.ceil(np.log(max(n_parts, 2)) / np.log(4))))
+
+    def seq(acc, item):
+        draft, n = item
+        return (unify_opt(acc[0], parse_schema(draft)), acc[1] + n)
+
+    def comb(a, b):
+        return (unify_opt(a[0], b[0]), a[1] + b[1])
+
+    schema, n_docs = rdd.treeAggregate((None, 0), seq, comb, depth=depth)
+    return schema, n_docs
+
+
+def infer_from_json_column(
+    df: DataFrame,
+    column: str,
+    config: SchemaGenerationConfig = DEFAULT_CONFIG,
+    on_error: str = "fail",
+) -> tuple[Schema, int]:
+    """Unified Draft-4 schema over a JSON-string column.  Returns
+    (schema dict, number of documents folded).
+
+    on_error: 'fail' raises a clear error naming the bad document;
+    'skip' drops undecodable documents (they are excluded from the count)."""
+    partials = df.select(column).mapInArrow(
+        _make_json_accumulator(column, config, on_error), PARTIAL_SCHEMA
+    )
+    schema, n = _tree_merge(partials)
+    if schema is None:
+        raise ValueError("infer_from_json_column: no documents (reference takes NonEmpty)")
+    return schema, n
+
+
+def infer_from_struct(
+    df: DataFrame,
+    config: SchemaGenerationConfig = DEFAULT_CONFIG,
+    columns: Optional[list[str]] = None,
+) -> tuple[Schema, int]:
+    """Unified Draft-4 schema over structured rows (each row = one JSON
+    object; null = key absent).  Fully vectorized Arrow-side."""
+    if columns:
+        df = df.select(*columns)
+    partials = df.mapInArrow(_make_struct_accumulator(config), PARTIAL_SCHEMA)
+    schema, n = _tree_merge(partials)
+    if schema is None:
+        raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")
+    return schema, n
+
+
+def infer_as_dataframe(spark: SparkSession, schema: Schema, n_docs: int) -> DataFrame:
+    """Wrap an inference result as a 1-row DataFrame (driver contract)."""
+    return spark.createDataFrame(
+        [Row(unified_schema=canonical_json(schema), n_docs=n_docs)],
+        "unified_schema string, n_docs long",
+    )
+
+
+def infer_grouped(
+    df: DataFrame,
+    group_col: str,
+    json_col: str,
+    config: SchemaGenerationConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Per-group unified schema (e.g. schema per event_type / per source).
+
+    Shuffles once on the group key, then folds each group's documents inside
+    a single applyInPandas — the grouped analog of the reference fold.
+    """
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: Optional[Schema] = None
+        n = 0
+        for s in pdf[json_col].dropna():
+            acc = unify_opt(acc, json_to_schema(json.loads(s), config))
+            n += 1
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "unified_schema": [canonical_json(acc) if acc is not None else None],
+                "n_docs": [n],
+            }
+        )
+
+    out_schema = f"{group_col} string, unified_schema string, n_docs long"
+    return df.select(group_col, json_col).groupBy(group_col).applyInPandas(fold, out_schema)
