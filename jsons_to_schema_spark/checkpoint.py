@@ -1,0 +1,186 @@
+"""Checkpoint / resume with per-split lineage + metrics (north_rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+Key design decision (SURVEY.md §4.3): merge state is keyed by **content split
+id** — the input file path from ``_metadata.file_path`` — NEVER by
+``spark_partition_id()``, which is unstable across runs/AQE re-plans.  At
+scale the split id is the Iceberg data-file path; locally it is the parquet
+part file.  One state record per split holds the split's draft schema, row
+counts, per-check failure counts and timing — the lineage/metrics table.
+
+Commit protocol: write-temp + atomic rename, idempotent (re-commit of the
+same split overwrites with identical content).  A killed run leaves only
+whole split records; the next run recomputes exactly the missing splits
+(asserted in tests/test_checkpoint.py).
+
+State store is a directory of JSON records locally; the same protocol maps
+to an Iceberg table with MERGE at cluster scale (row-level idempotent upsert
+keyed by split id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.infer import _arrow_struct_to_draft
+from .operators.validate import ROW_CHECKS, with_check_flags
+from .schema_algebra import (
+    DEFAULT_CONFIG,
+    Schema,
+    canonical_json,
+    parse_schema,
+    unify_opt,
+)
+
+SPLIT_COL = "_split"
+
+
+def _split_key(split_path: str) -> str:
+    return hashlib.sha256(split_path.encode()).hexdigest()[:24]
+
+
+class SplitStateStore:
+    """Directory-of-JSON state table; one record per committed split."""
+
+    def __init__(self, state_dir: str | Path):
+        self.dir = Path(state_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def committed(self) -> dict[str, dict]:
+        out = {}
+        for p in self.dir.glob("split-*.json"):
+            rec = json.loads(p.read_text())
+            out[rec["split"]] = rec
+        return out
+
+    def commit(self, rec: dict) -> None:
+        """Idempotent atomic commit keyed by split id."""
+        final = self.dir / f"split-{_split_key(rec['split'])}.json"
+        tmp = final.with_suffix(".tmp")
+        tmp.write_text(json.dumps(rec, sort_keys=True))
+        os.replace(tmp, final)  # atomic on POSIX
+
+
+def _fold_split_factory(check_names: list[str], config=DEFAULT_CONFIG):
+    import pyarrow.compute as pc
+
+    out_fields = (
+        [("split", pa.string()), ("draft", pa.string()), ("n_rows", pa.int64())]
+        + [(f"fail_{c}", pa.int64()) for c in check_names]
+    )
+    out_schema = pa.schema(out_fields)
+    ddl = "split string, draft string, n_rows long, " + ", ".join(
+        f"fail_{c} long" for c in check_names
+    )
+
+    def fold(table: pa.Table) -> pa.Table:
+        split = table.column(SPLIT_COL)[0].as_py()
+        data_cols = [
+            c for c in table.column_names
+            if c != SPLIT_COL and not c.startswith("ok_")
+        ]
+        struct = pa.StructArray.from_arrays(
+            [table.column(c).combine_chunks() for c in data_cols], names=data_cols
+        )
+        draft = _arrow_struct_to_draft(struct, config)
+        row = {
+            "split": [split],
+            "draft": [canonical_json(draft)],
+            "n_rows": [table.num_rows],
+        }
+        for c in check_names:
+            n_ok = pc.sum(pc.cast(table.column(f"ok_{c}"), pa.int64())).as_py() or 0
+            row[f"fail_{c}"] = [table.num_rows - n_ok]
+        return pa.Table.from_pydict(row, schema=out_schema)
+
+    return fold, ddl
+
+
+def checkpointed_validate(
+    spark: SparkSession,
+    data_path: str,
+    state_dir: str | Path,
+    max_splits: Optional[int] = None,
+) -> dict:
+    """Schema-infer + constraint-validate the spans table, resumably.
+
+    1. enumerate splits (input files) from the scan metadata;
+    2. skip splits already committed to the state store (resume);
+    3. per pending split: fold draft schema + per-check failure counts in ONE
+       grouped Arrow pass (groupBy split → applyInArrow);
+    4. commit each split record atomically (lineage+metrics);
+    5. final answer = tree-fold of ALL committed drafts + metric sums.
+
+    ``max_splits`` lets tests simulate a kill after K splits.
+    Returns {"schema", "n_rows", "fails", "splits_total", "splits_computed",
+    "lineage"}.
+    """
+    store = SplitStateStore(state_dir)
+    df = spark.read.parquet(data_path).withColumn(
+        SPLIT_COL, F.col("_metadata.file_path")
+    )
+    all_splits = [r[0] for r in df.select(SPLIT_COL).distinct().collect()]
+    done = store.committed()
+    pending = sorted(s for s in all_splits if s not in done)
+    if max_splits is not None:
+        pending = pending[:max_splits]
+
+    computed = 0
+    if pending:
+        flagged = with_check_flags(df.filter(F.col(SPLIT_COL).isin(pending))).drop(
+            "_pid"
+        )
+        check_names = list(ROW_CHECKS)
+        fold, out_ddl = _fold_split_factory(check_names)
+        t0 = time.time()
+        results = (
+            flagged.repartition(SPLIT_COL)
+            .groupBy(SPLIT_COL)
+            .applyInArrow(fold, out_ddl)
+            .collect()
+        )
+        elapsed = time.time() - t0
+        for r in results:
+            rec = r.asDict()
+            rec["committed_at"] = time.time()
+            rec["wall_s_batch"] = round(elapsed, 3)
+            store.commit(rec)
+            computed += 1
+
+    done = store.committed()
+    acc: Optional[Schema] = None
+    n_rows = 0
+    fails = {c: 0 for c in ROW_CHECKS}
+    lineage = []
+    for split in sorted(done):
+        rec = done[split]
+        acc = unify_opt(acc, parse_schema(rec["draft"]))
+        n_rows += rec["n_rows"]
+        for c in ROW_CHECKS:
+            fails[c] += rec.get(f"fail_{c}", 0)
+        lineage.append(
+            {
+                "split": rec["split"],
+                "n_rows": rec["n_rows"],
+                "passed": all(rec.get(f"fail_{c}", 0) == 0 for c in ROW_CHECKS),
+            }
+        )
+    return {
+        "schema": acc,
+        "n_rows": n_rows,
+        "fails": fails,
+        "splits_total": len(all_splits),
+        "splits_committed": len(done),
+        "splits_computed_this_run": computed,
+        "lineage": lineage,
+    }

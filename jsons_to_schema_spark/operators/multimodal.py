@@ -1,0 +1,115 @@
+"""Multimodal column handling — binary payloads with typed metadata.
+
+Images / audio / video are opaque ``binary`` columns plus a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The actual codec calls are STUBBED (image/audio
+libraries are not in this container): ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decoder so the Spark-side plumbing — schema, batch shape,
+partitioning — is real and tested end-to-end.
+
+Scale notes: binary payloads dominate row size, so stages that don't need
+bytes must select them away (column pruning) BEFORE any shuffle; the
+reference row-group size should cap ``maxRecordsPerBatch`` × avg payload to
+executor memory.  ``media_features`` repartitions by a hash of the ref so
+giant media files spread evenly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_ref string, media_kind string, n_bytes long, "
+    "content_sha256 string, width int, height int, duration_ms int"
+)
+
+
+def attach_media_metadata(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
+    """Cheap metadata derivable without decoding — pure built-ins."""
+    return df.select(
+        F.col(ref_col).alias("media_ref"),
+        F.length(F.col(bytes_col)).alias("n_bytes"),
+        F.sha2(F.col(bytes_col), 256).alias("content_sha256"),
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic fake decoder: pseudo-dimensions from the content hash —
+    stable across runs/partitions so tests can assert exact values."""
+    h = hashlib.sha256(payload or b"").digest()
+    return {
+        "width": 16 + h[0] % 240,
+        "height": 16 + h[1] % 240,
+        "duration_ms": int.from_bytes(h[2:4], "big") if kind in ("audio", "video") else 0,
+    }
+
+
+def media_features(
+    df: DataFrame,
+    ref_col: str,
+    bytes_col: str,
+    kind_col: str,
+    fake: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    Real decoders are not available in this container: with fake=False this
+    raises NotImplementedError AT EXECUTION (per batch), marking exactly
+    where a PIL/ffmpeg call plugs in; fake=True runs the deterministic stub.
+    """
+    src = df.select(
+        F.col(ref_col).alias("media_ref"),
+        F.col(kind_col).alias("media_kind"),
+        F.col(bytes_col).alias("_payload"),
+    )
+    if partitions:
+        src = src.repartition(partitions, F.xxhash64("media_ref"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires an image/audio codec library "
+                    "(not in this container); pass fake=True for the "
+                    "deterministic stub decoder"
+                )
+            feats = [
+                _fake_decode(p, k)
+                for p, k in zip(pdf["_payload"], pdf["media_kind"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "media_kind": pdf["media_kind"].values,
+                    "n_bytes": [len(p or b"") for p in pdf["_payload"]],
+                    "content_sha256": [
+                        hashlib.sha256(p or b"").hexdigest() for p in pdf["_payload"]
+                    ],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                }
+            )
+            yield out
+
+    return src.mapInPandas(extract, MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, ref_col: str, every_ms: int = 1000) -> DataFrame:
+    """Plan frame-sampling work items for video refs (timestamps to decode)
+    without touching payloads — pure built-ins; the decode itself is the
+    stubbed stage above."""
+    return df.select(
+        F.col(ref_col).alias("media_ref"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(10_000), F.lit(every_ms))
+        ).alias("sample_at_ms"),
+    )

@@ -1,0 +1,215 @@
+"""Constraint validation over the interleaved-docs table (north_rule core).
+
+Every check is expressed with built-in Catalyst expressions (higher-order
+array functions — zero Python in the hot path), producing:
+
+* per-row pass flags (one boolean column per check),
+* violation-row DataFrames (`filter(NOT pass)`), capped deterministically,
+* per-partition pass/fail verdicts (`groupBy(spark_partition_id())`).
+
+The span-sequence invariant (BASELINE.json input_hint: "(kind, text,
+media_ref, order) preserved exactly through every engine pass") holds by
+construction — checks only ever SELECT/FILTER, never rewrite `spans` — and is
+asserted by round-trip in tests/test_validate_spans.py.
+
+Schema-conformance validation of JSON documents against a broadcast unified
+schema (reference V1: the generated schema must validate its source docs)
+lives in :func:`validate_json_against_schema`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schema_algebra import Schema, validate as validate_value
+
+# ---------------------------------------------------------------------------
+# Span-level constraint checks (pure Catalyst expressions).  Column factories,
+# not module constants: Column construction needs a live SparkSession.
+# ---------------------------------------------------------------------------
+
+def _monotonic_offsets():
+    """Strictly increasing offsets: no adjacent pair with next <= prev."""
+    offs = F.transform("spans", lambda s: s["offset"])
+    n1 = F.greatest(F.size(offs) - 1, F.lit(0))
+    return ~F.exists(
+        F.zip_with(
+            F.slice(offs, 2, n1),
+            F.slice(offs, 1, n1),
+            lambda nxt, prev: nxt <= prev,
+        ),
+        lambda x: x,
+    )
+
+
+def _text_present():
+    """kind='text' spans must carry text."""
+    return ~F.exists("spans", lambda s: (s["kind"] == "text") & s["text"].isNull())
+
+
+def _media_ref_present():
+    """non-text spans must carry media_ref."""
+    return ~F.exists("spans", lambda s: (s["kind"] != "text") & s["media_ref"].isNull())
+
+
+ROW_CHECKS = {
+    "monotonic_offsets": _monotonic_offsets,
+    "text_present": _text_present,
+    "media_ref_present": _media_ref_present,
+}
+
+
+def with_check_flags(spans_df: DataFrame) -> DataFrame:
+    """Append one boolean pass-column per row-local check + the scan
+    partition id (for per-partition verdicts).  Single narrow projection —
+    no shuffle."""
+    out = spans_df.withColumn("_pid", F.spark_partition_id())
+    for name, make_expr in ROW_CHECKS.items():
+        out = out.withColumn(f"ok_{name}", make_expr())
+    return out
+
+
+def row_violations(flagged: DataFrame, cap_per_check: Optional[int] = 1000) -> DataFrame:
+    """Violation rows (doc_id, check), deterministically capped per check via
+    row_number over doc_id order — bounded output at any input scale."""
+    parts = []
+    for name in ROW_CHECKS:
+        parts.append(
+            flagged.filter(~F.col(f"ok_{name}")).select(
+                "doc_id", F.lit(name).alias("check")
+            )
+        )
+    v = parts[0]
+    for p in parts[1:]:
+        v = v.unionByName(p)
+    if cap_per_check is not None:
+        w = Window.partitionBy("check").orderBy("doc_id")
+        v = (
+            v.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap_per_check)
+            .drop("_rn")
+        )
+    return v
+
+
+def partition_verdicts(flagged: DataFrame) -> DataFrame:
+    """Per-partition pass/fail: a partition passes iff every row passes every
+    row-local check.  One aggregation over the scan — partial aggregates
+    map-side, the shuffle carries one row per (partition, check)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in ROW_CHECKS:
+        aggs.append(F.sum((~F.col(f"ok_{name}")).cast("long")).alias(f"fail_{name}"))
+    out = flagged.groupBy(F.col("_pid").alias("partition_id")).agg(*aggs)
+    fail_total = None
+    for name in ROW_CHECKS:
+        c = F.col(f"fail_{name}")
+        fail_total = c if fail_total is None else fail_total + c
+    return out.withColumn("n_failed", fail_total).withColumn(
+        "passed", F.col("n_failed") == 0
+    )
+
+
+def dangling_media_refs(
+    spans_df: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True
+) -> DataFrame:
+    """Referential check media_ref → media_catalog via ANTI JOIN.
+
+    Small catalog → broadcast (no shuffle of the exploded fact side beyond
+    the explode projection); huge catalog → sort-merge with AQE skew-join
+    splitting (the Zipf-skewed hot refs are exactly the AQE target).
+    Returns (doc_id, media_ref) of dangling references.
+    """
+    refs = spans_df.select(
+        "doc_id",
+        F.explode(
+            F.filter("spans", lambda s: s["media_ref"].isNotNull())
+        ).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    dim = catalog.select("media_ref")
+    if broadcast_catalog:
+        dim = F.broadcast(dim)
+    return refs.join(dim, "media_ref", "left_anti")
+
+
+def duplicate_doc_ids(spans_df: DataFrame) -> DataFrame:
+    """Uniqueness check on doc_id — two-stage salted aggregation.
+
+    Stage 1 pre-aggregates per (doc_id, scan-partition) — the salt is the
+    physical partition id, so a hot doc_id replicated across the table never
+    funnels all its rows to one reducer; stage 2 sums the tiny partials.
+    Returns (doc_id, cnt) with cnt > 1.
+    """
+    partial = (
+        spans_df.select("doc_id", F.spark_partition_id().alias("_salt"))
+        .groupBy("doc_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def validate_spans(
+    spans_df: DataFrame,
+    catalog: DataFrame,
+    cap_per_check: Optional[int] = 1000,
+    broadcast_catalog: bool = True,
+) -> dict[str, DataFrame]:
+    """The full constraint pass over the canonical table: row-local checks,
+    per-partition verdicts, uniqueness, referential — each returned as a
+    DataFrame so callers compose/materialize as needed."""
+    flagged = with_check_flags(spans_df)
+    return {
+        "violations": row_violations(flagged, cap_per_check),
+        "partition_verdicts": partition_verdicts(flagged),
+        "duplicate_doc_ids": duplicate_doc_ids(spans_df),
+        "dangling_media_refs": dangling_media_refs(
+            spans_df, catalog, broadcast_catalog
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Schema-conformance validation (reference V1) — broadcast schema, Arrow batch
+# ---------------------------------------------------------------------------
+
+def validate_json_against_schema(
+    df: DataFrame, column: str, schema: Schema
+) -> DataFrame:
+    """Per-document verdicts of a JSON-string column against a Draft-4
+    schema.  The schema rides to executors inside the serialized closure
+    (KB-scale — the broadcast analog); verdicts are computed batch-at-a-time
+    in Arrow.  Returns (doc json, valid boolean, errors array<string>).
+    """
+    schema_blob = json.dumps(schema)
+    out_schema = pa.schema(
+        [("doc", pa.string()), ("valid", pa.bool_()), ("errors", pa.list_(pa.string()))]
+    )
+
+    def verdicts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sch = json.loads(schema_blob)
+        for batch in batches:
+            docs, valids, errs = [], [], []
+            for s in batch.column(column).to_pylist():
+                if s is None:
+                    continue
+                errors = validate_value(json.loads(s), sch)
+                docs.append(s)
+                valids.append(not errors)
+                errs.append(errors)
+            if docs:
+                yield pa.RecordBatch.from_pydict(
+                    {"doc": docs, "valid": valids, "errors": errs}, schema=out_schema
+                )
+
+    return df.select(column).mapInArrow(
+        verdicts, "doc string, valid boolean, errors array<string>"
+    )

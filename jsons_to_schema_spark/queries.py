@@ -2,17 +2,33 @@
 
 Each entry: name → callable(spark, sf_dir) → DataFrame, with (where the
 semantics are SQL-expressible) a matching DuckDB oracle in ORACLES using
-identical output column names/aliases.  Non-SQL-expressible operators
-(schema unification, sketches, LSH) have no oracle → driver records a
-rows-only check; their correctness lives in tests/ instead.
+IDENTICAL output column names.  Non-SQL-expressible operators (schema
+unification, LSH/sketch-based dedup, multimodal stubs) have no oracle →
+the driver records a rows-only check; their correctness lives in tests/.
+
+Cross-engine value-hash hygiene (learned the hard way, keep it):
+* never compare raw double AGGREGATION results (sum order differs) — use
+  counts, min/max (no arithmetic), or round(x, 6);
+* Spark ``size``/``count`` int widths are cast to long to match DuckDB BIGINT;
+* DuckDB ``sum`` returns HUGEINT — use ``count(*) - count(col)`` for null
+  counts instead;
+* timestamps are excluded from oracled min/max (formatting ambiguity).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .operators.infer import infer_as_dataframe, infer_from_json_column
-from .sources.tables import load_table
+from .operators import dedup, drift, multimodal, similarity, stats, text, validate
+from .operators.infer import (
+    infer_as_dataframe,
+    infer_from_json_column,
+    infer_from_struct,
+    infer_grouped,
+)
+from .sources.spans import ensure_corpus
+from .sources.tables import load_media_catalog, load_spans, load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -22,19 +38,501 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = " ".join(oracle.split())
         return fn
 
     return deco
 
 
-# ---------------------------------------------------------------------------
-# Schema inference (flagship — not SQL-expressible, rows-only driver check;
-# golden/property correctness in tests/test_infer_spark.py)
-# ---------------------------------------------------------------------------
+def _spans_corpus(spark: SparkSession):
+    """Deterministic synthetic canonical table for spans-based operators
+    (not part of the driver testdata → rows-only checks)."""
+    return ensure_corpus(5000)
+
+
+# ===========================================================================
+# Schema inference (flagship; not SQL-expressible → rows-only, golden tests)
+# ===========================================================================
 
 @query("schema_infer_events_props")
-def schema_infer_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def schema_infer_events_props(spark, sf_dir) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     schema, n = infer_from_json_column(events, "props")
     return infer_as_dataframe(spark, schema, n)
+
+
+@query("schema_infer_documents_struct")
+def schema_infer_documents_struct(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    schema, n = infer_from_struct(docs)
+    return infer_as_dataframe(spark, schema, n)
+
+
+@query("schema_infer_spans_struct")
+def schema_infer_spans_struct(spark, sf_dir) -> DataFrame:
+    df = load_spans(spark, _spans_corpus(spark))
+    schema, n = infer_from_struct(df)
+    return infer_as_dataframe(spark, schema, n)
+
+
+@query("schema_infer_grouped_event_type")
+def schema_infer_grouped_event_type(spark, sf_dir) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return infer_grouped(events, "event_type", "props")
+
+
+# ===========================================================================
+# Column stats — single multi-aggregate pass (oracled)
+# ===========================================================================
+
+@query(
+    "stats_lineitem",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+           count(*) - count(l_quantity) AS nulls_l_quantity,
+           min(l_extendedprice) AS min_l_extendedprice,
+           max(l_extendedprice) AS max_l_extendedprice,
+           count(*) - count(l_extendedprice) AS nulls_l_extendedprice,
+           min(l_discount) AS min_l_discount, max(l_discount) AS max_l_discount,
+           count(*) - count(l_discount) AS nulls_l_discount,
+           min(l_returnflag) AS min_l_returnflag, max(l_returnflag) AS max_l_returnflag,
+           count(*) - count(l_returnflag) AS nulls_l_returnflag,
+           count(DISTINCT l_orderkey) AS distinct_l_orderkey,
+           count(DISTINCT l_partkey) AS distinct_l_partkey,
+           count(DISTINCT l_suppkey) AS distinct_l_suppkey
+    FROM lineitem
+    """,
+)
+def stats_lineitem(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+        ]
+    for c in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        aggs.append(F.countDistinct(c).alias(f"distinct_{c}"))
+    return li.agg(*aggs)
+
+
+@query(
+    "stats_events_by_type",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           min(value) AS min_value, max(value) AS max_value,
+           count(*) - count(value) AS nulls_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_events_by_type(spark, sf_dir) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.count(F.lit(1)) - F.count("value")).alias("nulls_value"),
+    )
+
+
+@query("stats_distinct_hll_lineitem")
+def stats_distinct_hll_lineitem(spark, sf_dir) -> DataFrame:
+    """HLL-sketch distinct counts (approximate → no equality oracle; bounded
+    relative error asserted in tests/test_operators.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.hll_sketch_estimate(F.hll_sketch_agg(c)).alias(f"distinct_{c}")
+            for c in ["l_orderkey", "l_partkey", "l_suppkey"]
+        ]
+    )
+
+
+@query(
+    "null_rate_embeddings",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(*) - count(embedding) AS nulls_embedding,
+           count(*) - count(label) AS nulls_label,
+           count(DISTINCT label) AS distinct_label
+    FROM embeddings
+    """,
+)
+def null_rate_embeddings(spark, sf_dir) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("embedding")).alias("nulls_embedding"),
+        (F.count(F.lit(1)) - F.count("label")).alias("nulls_label"),
+        F.countDistinct("label").alias("distinct_label"),
+    )
+
+
+# ===========================================================================
+# Uniqueness + referential (oracled)
+# ===========================================================================
+
+@query(
+    "uniqueness_documents_doc_id",
+    oracle="""
+    SELECT doc_id, count(*) AS cnt FROM documents
+    GROUP BY doc_id HAVING count(*) > 1
+    """,
+)
+def uniqueness_documents_doc_id(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    partial = (
+        docs.select("doc_id", F.spark_partition_id().alias("_salt"))
+        .groupBy("doc_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        partial.groupBy("doc_id").agg(F.sum("c").alias("cnt")).filter("cnt > 1")
+    )
+
+
+@query(
+    "uniqueness_events_user_event",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS cnt FROM events
+    GROUP BY user_id, event_type HAVING count(*) > 1
+    """,
+)
+def uniqueness_events_user_event(spark, sf_dir) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter("cnt > 1")
+    )
+
+
+@query(
+    "referential_customers_without_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def referential_customers_without_orders(spark, sf_dir) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti")
+
+
+@query(
+    "referential_lineitem_dangling_orders",
+    oracle="""
+    SELECT count(*) AS dangling_cnt FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def referential_lineitem_dangling_orders(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return li.join(F.broadcast(o), "l_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("dangling_cnt")
+    )
+
+
+# ===========================================================================
+# Distribution drift (oracled via exact percentiles)
+# ===========================================================================
+
+@query(
+    "drift_events_value",
+    oracle="""
+    WITH b AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) q FROM events
+               WHERE user_id % 2 = 0),
+         c AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) q FROM events
+               WHERE user_id % 2 = 1),
+         p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS p,
+                      generate_subscripts([0.25, 0.5, 0.75, 0.95], 1) AS i)
+    SELECT p.p AS p, round(b.q[p.i], 6) AS base_q, round(c.q[p.i], 6) AS cur_q,
+           round(c.q[p.i] - b.q[p.i], 6) AS delta
+    FROM p, b, c
+    """,
+)
+def drift_events_value(spark, sf_dir) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    d = drift.quantile_drift(base, cur, "value", [0.25, 0.5, 0.75, 0.95], engine="exact")
+    return d.select(
+        "p",
+        F.round("base_q", 6).alias("base_q"),
+        F.round("cur_q", 6).alias("cur_q"),
+        F.round(F.col("cur_q") - F.col("base_q"), 6).alias("delta"),
+    )
+
+
+# ===========================================================================
+# Text analysis (oracled)
+# ===========================================================================
+
+@query(
+    "token_count_documents",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "quality_documents",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_text,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           (len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5) AS length_ok
+    FROM documents
+    """,
+)
+def quality_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_features(docs, "text", "doc_id")
+    return q.select(
+        "doc_id",
+        F.col("n_chars_text").cast("long").alias("n_chars_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "digit_ratio",
+        "length_ok",
+    )
+
+
+@query(
+    "lang_id_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), best AS (
+      SELECT doc_id, list_max([
+        {'score': len(list_intersect(t, ['der','die','das','und','nicht','ist','ich','von'])), 'lang': 'de'},
+        {'score': len(list_intersect(t, ['the','and','of','to','in','is','that','for'])), 'lang': 'en'},
+        {'score': len(list_intersect(t, ['el','la','de','que','y','los','en','por'])), 'lang': 'es'},
+        {'score': len(list_intersect(t, ['le','la','les','de','et','est','que','une'])), 'lang': 'fr'},
+        {'score': len(list_intersect(t, ['il','la','di','che','e','per','non','una'])), 'lang': 'it'}
+      ]) AS b FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+           CAST(b.score AS int) AS lang_score
+    FROM best
+    """,
+)
+def lang_id_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "text", "doc_id")
+
+
+@query(
+    "fingerprint_documents",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_exact,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, fp_exact,
+           md5(list_aggregate(list_sort(list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END)), 'string_agg', chr(0))) AS fp_shingle
+    FROM sh
+    """,
+)
+def fingerprint_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "text", "doc_id")
+
+
+# ===========================================================================
+# Deduplication (exact oracled; probabilistic ones rows-only + unit tests)
+# ===========================================================================
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT fp_exact, count(*) AS cnt, min(doc_id) AS keep_id
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_exact
+          FROM documents)
+    GROUP BY fp_exact HAVING count(*) > 1
+    """,
+)
+def dedup_exact_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_clusters(docs, "text", "doc_id")
+
+
+@query("dedup_minhash_documents")
+def dedup_minhash_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+
+
+@query("dedup_simhash_documents")
+def dedup_simhash_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard_documents",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g)) AS inter,
+             len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g)) > 0
+    )
+    SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
+    FROM pairs WHERE inter * 1.0 / uni >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_documents(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.2)
+
+
+@query("dedup_embedding_near_dup")
+def dedup_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4)
+
+
+# ===========================================================================
+# Similarity search (oracled via DuckDB list_cosine_similarity)
+# ===========================================================================
+
+@query(
+    "similarity_topk_embeddings",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         ),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS int) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_embeddings(spark, sf_dir) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries_df, k=10)
+
+
+@query("similarity_lsh_topk_embeddings")
+def similarity_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries_df, k=10, bits=4, dim=64)
+
+
+# ===========================================================================
+# Canonical spans table — constraint validation (synthetic input → rows-only;
+# exact-count assertions live in tests/test_validate_spans.py)
+# ===========================================================================
+
+@query("spans_partition_verdicts")
+def spans_partition_verdicts(spark, sf_dir) -> DataFrame:
+    df = load_spans(spark, _spans_corpus(spark))
+    return validate.partition_verdicts(validate.with_check_flags(df))
+
+
+@query("spans_violation_rows")
+def spans_violation_rows(spark, sf_dir) -> DataFrame:
+    df = load_spans(spark, _spans_corpus(spark))
+    return validate.row_violations(validate.with_check_flags(df))
+
+
+@query("spans_duplicate_doc_ids")
+def spans_duplicate_doc_ids(spark, sf_dir) -> DataFrame:
+    df = load_spans(spark, _spans_corpus(spark))
+    return validate.duplicate_doc_ids(df)
+
+
+@query("spans_dangling_media_refs")
+def spans_dangling_media_refs(spark, sf_dir) -> DataFrame:
+    corpus = _spans_corpus(spark)
+    df = load_spans(spark, corpus)
+    cat = load_media_catalog(spark, corpus)
+    return validate.dangling_media_refs(df, cat)
+
+
+@query("spans_schema_validation_verdicts")
+def spans_schema_validation_verdicts(spark, sf_dir) -> DataFrame:
+    """Reference V1 loop at the engine level: infer the unified schema of the
+    events JSON docs, then validate every doc against it (verdict rows)."""
+    events = load_table(spark, sf_dir, "events")
+    schema, _ = infer_from_json_column(events, "props")
+    v = validate.validate_json_against_schema(events, "props", schema)
+    return v.groupBy("valid").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ===========================================================================
+# Multimodal plumbing (stub decoder — rows-only)
+# ===========================================================================
+
+@query("multimodal_media_features")
+def multimodal_media_features(spark, sf_dir) -> DataFrame:
+    """Fake-decode features over synthetic binary payloads derived from the
+    media catalog (deterministic), exercising the real mapInPandas plumbing."""
+    corpus = _spans_corpus(spark)
+    cat = load_media_catalog(spark, corpus).limit(500)
+    with_payload = cat.select(
+        "media_ref",
+        "media_kind",
+        F.encode(F.concat(F.col("media_ref"), F.lit(":payload")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    return multimodal.media_features(
+        with_payload, "media_ref", "payload", "media_kind", fake=True
+    )

@@ -1,0 +1,110 @@
+"""Structured-Streaming wrapper: incremental schema unification.
+
+The reference's ``schemasToSchema`` (EP2 — fold existing schemas) maps
+naturally onto a streaming merge: each micro-batch folds its documents to one
+draft schema, which is then unified with the persisted snapshot — legal
+because unify is associative and the snapshot is a left-fold prefix.
+
+``foreachBatch`` is the right tool (not a stateful operator): the state is a
+single KB-scale schema value, not per-key state, so a driver-side snapshot
+file + atomic replace beats ``applyInPandasWithState`` on every axis.  The
+micro-batch fold reuses the exact batch engine (mapInArrow + treeAggregate)
+from operators/infer.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.infer import infer_from_json_column, infer_from_struct
+from ..schema_algebra import (
+    DEFAULT_CONFIG,
+    Schema,
+    canonical_json,
+    parse_schema,
+    unify_opt,
+)
+
+
+class SchemaSnapshot:
+    """Persisted unified-schema state: {schema, n_docs, n_batches}."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    def read(self) -> tuple[Optional[Schema], int, int]:
+        if not self.path.exists():
+            return None, 0, 0
+        d = json.loads(self.path.read_text())
+        return d["schema"], d["n_docs"], d["n_batches"]
+
+    def write(self, schema: Schema, n_docs: int, n_batches: int) -> None:
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(
+            json.dumps(
+                {"schema": schema, "n_docs": n_docs, "n_batches": n_batches},
+                sort_keys=True,
+            )
+        )
+        os.replace(tmp, self.path)
+
+
+def make_schema_merge_batch_fn(
+    snapshot: SchemaSnapshot,
+    json_column: Optional[str] = None,
+    config=DEFAULT_CONFIG,
+):
+    """foreachBatch callback: fold the micro-batch, unify with the snapshot,
+    atomically persist.  json_column=None → structured (Arrow-native) mode."""
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if json_column is not None:
+            batch_schema, n = infer_from_json_column(batch_df, json_column, config)
+        else:
+            batch_schema, n = infer_from_struct(batch_df, config)
+        prev, prev_n, prev_b = snapshot.read()
+        merged = unify_opt(prev, batch_schema)
+        snapshot.write(merged, prev_n + n, prev_b + 1)
+
+    return on_batch
+
+
+def incremental_schema_stream(
+    spark: SparkSession,
+    source_dir: str,
+    snapshot_path: str | Path,
+    checkpoint_dir: str,
+    source_format: str = "parquet",
+    source_schema: Optional[str] = None,
+    json_column: Optional[str] = None,
+    available_now: bool = True,
+):
+    """readStream(source_dir) → foreachBatch schema merge → snapshot.
+
+    With available_now=True this drains existing files and stops (the batch
+    analog used in tests); on a cluster the same query tails the Iceberg/file
+    source continuously.  Spark's checkpoint_dir gives exactly-once batch ids
+    so a crash never double-folds a batch (idempotence of unify makes even a
+    replay harmless for the schema itself — only n_docs needs the guarantee).
+    """
+    reader = spark.readStream.format(source_format)
+    if source_schema:
+        reader = reader.schema(source_schema)
+    stream = reader.load(source_dir)
+    snap = SchemaSnapshot(snapshot_path)
+    writer = (
+        stream.writeStream.foreachBatch(
+            make_schema_merge_batch_fn(snap, json_column=json_column)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,64 @@
+"""Resume semantics: a killed run recomputes ZERO already-committed splits,
+and the resumed result is identical to a single-shot run (BASELINE.md resume
+cost row)."""
+
+import json
+
+import pytest
+
+from jsons_to_schema_spark.checkpoint import checkpointed_validate
+from jsons_to_schema_spark.operators.infer import infer_from_struct
+from jsons_to_schema_spark.schema_algebra import canonical_json
+from jsons_to_schema_spark.sources.spans import ensure_corpus
+from jsons_to_schema_spark.sources.tables import load_spans
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return ensure_corpus(5000)
+
+
+def test_kill_resume_zero_recompute(spark, corpus, tmp_path):
+    data = str(corpus / "documents_spans")
+    state = tmp_path / "state"
+
+    # simulated kill: only 3 of 8 splits get committed
+    r1 = checkpointed_validate(spark, data, state, max_splits=3)
+    assert r1["splits_total"] == 8
+    assert r1["splits_computed_this_run"] == 3
+    assert r1["splits_committed"] == 3
+
+    # resume: exactly the remaining 5 are computed, never the first 3
+    r2 = checkpointed_validate(spark, data, state)
+    assert r2["splits_computed_this_run"] == 5
+    assert r2["splits_committed"] == 8
+
+    # idempotent third run: zero recompute
+    r3 = checkpointed_validate(spark, data, state)
+    assert r3["splits_computed_this_run"] == 0
+    assert r3["splits_committed"] == 8
+
+    # resumed result == single-shot result (schema + metrics)
+    single = checkpointed_validate(spark, data, tmp_path / "state2")
+    assert canonical_json(r3["schema"]) == canonical_json(single["schema"])
+    assert r3["n_rows"] == single["n_rows"]
+    assert r3["fails"] == single["fails"]
+
+
+def test_checkpoint_schema_matches_direct_inference(spark, corpus, tmp_path):
+    data = str(corpus / "documents_spans")
+    res = checkpointed_validate(spark, data, tmp_path / "state")
+    direct, n = infer_from_struct(load_spans(spark, corpus))
+    assert canonical_json(res["schema"]) == canonical_json(direct)
+    assert res["n_rows"] == n
+
+
+def test_lineage_and_metrics(spark, corpus, tmp_path):
+    data = str(corpus / "documents_spans")
+    res = checkpointed_validate(spark, data, tmp_path / "state")
+    expected = json.loads((corpus / "expected_violations.json").read_text())
+    assert len(res["lineage"]) == 8
+    assert sum(l["n_rows"] for l in res["lineage"]) == expected["n_rows"]
+    assert res["fails"]["monotonic_offsets"] == expected["non_monotonic_rows"]
+    # at least one split fails, and pass/fail is recorded per split
+    assert any(not l["passed"] for l in res["lineage"])

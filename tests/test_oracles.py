@@ -1,0 +1,73 @@
+"""Mimic the driver's correctness gate: run every registered query on Spark
+at sf0.01 and its DuckDB oracle on the same parquet, compare column names +
+row counts + order-insensitive values.  Catching a mismatch here is strictly
+cheaper than waiting for CORRECTNESS_r{N}.json."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF_ORACLE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "item"):  # numpy scalars from duckdb
+        return _norm(v.item())
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, con, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_ORACLE)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ms, md = _rows_to_multiset(spark_cols, spark_rows), _rows_to_multiset(duck_cols, duck_rows)
+    mismatches = [(a, b) for a, b in zip(ms, md) if a != b][:5]
+    assert ms == md, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_all_queries_execute(spark):
+    """Every registered query (oracled or not) runs and returns ≥0 rows with
+    a stable schema at sf0.01."""
+    for name, q in entry_mod.queries().items():
+        df = q(spark, SF_ORACLE)
+        n = df.count()
+        assert n >= 0 and len(df.columns) > 0, name

@@ -1,0 +1,113 @@
+"""Constraint validation over the canonical spans table — exact counts vs the
+generator's expected_violations.json, span-sequence round-trip invariant, and
+per-partition verdict semantics."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import validate
+from jsons_to_schema_spark.sources.spans import ensure_corpus
+from jsons_to_schema_spark.sources.tables import load_media_catalog, load_spans
+
+N_DOCS = 5000
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return ensure_corpus(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def expected(corpus):
+    return json.loads((corpus / "expected_violations.json").read_text())
+
+
+@pytest.fixture(scope="module")
+def spans_df(spark, corpus):
+    return load_spans(spark, corpus)
+
+
+def test_duplicate_doc_ids_exact(spark, spans_df, expected):
+    dups = validate.duplicate_doc_ids(spans_df).collect()
+    assert len(dups) == expected["duplicate_doc_ids"]
+    assert all(r.cnt == 2 for r in dups)
+
+
+def test_dangling_media_refs_exact(spark, spans_df, corpus, expected):
+    cat = load_media_catalog(spark, corpus)
+    dang = validate.dangling_media_refs(spans_df, cat)
+    assert dang.count() == expected["dangling_media_ref_spans"]
+    # every reported ref is the injected "m-99" family
+    assert all(
+        r.media_ref.startswith("m-99") for r in dang.select("media_ref").collect()
+    )
+
+
+def test_row_checks_exact(spark, spans_df, expected):
+    flagged = validate.with_check_flags(spans_df)
+    fails = flagged.agg(
+        F.sum((~F.col("ok_monotonic_offsets")).cast("long")).alias("nonmono"),
+        F.sum((~F.col("ok_text_present")).cast("long")).alias("nulltext"),
+    ).first()
+    assert fails.nonmono == expected["non_monotonic_rows"]
+    # null_text_spans counts spans; ok_text_present flags ROWS — a row fails
+    # if it contains >=1 null-text span, so row-fails <= span count
+    assert 1 <= fails.nulltext <= expected["null_text_spans"]
+    # exact span-level count via explode
+    span_nulls = (
+        spans_df.select(F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "text") & F.col("s.text").isNull())
+        .count()
+    )
+    assert span_nulls == expected["null_text_spans"]
+
+
+def test_partition_verdicts_cover_all_rows(spark, spans_df, expected):
+    flagged = validate.with_check_flags(spans_df)
+    verdicts = validate.partition_verdicts(flagged).collect()
+    assert sum(r.n_rows for r in verdicts) == expected["n_rows"]
+    assert any(not r.passed for r in verdicts)  # injected violations exist
+    total_failed = sum(r.n_failed for r in verdicts)
+    assert total_failed >= expected["non_monotonic_rows"]
+
+
+def test_violation_rows_capped_and_labeled(spark, spans_df):
+    flagged = validate.with_check_flags(spans_df)
+    v = validate.row_violations(flagged, cap_per_check=2).collect()
+    by_check = {}
+    for r in v:
+        by_check.setdefault(r.check, []).append(r.doc_id)
+    for check, ids in by_check.items():
+        assert len(ids) <= 2, check
+
+
+def test_span_sequence_roundtrip_invariant(spark, spans_df):
+    """BASELINE.json per-row invariant: (kind, text, media_ref, order) of
+    every span survives the validation pipeline byte-for-byte."""
+    flagged = validate.with_check_flags(spans_df)
+    sample_in = (
+        spans_df.orderBy("doc_id").limit(100).select("doc_id", "spans").collect()
+    )
+    sample_out = (
+        flagged.orderBy("doc_id").limit(100).select("doc_id", "spans").collect()
+    )
+    for a, b in zip(sample_in, sample_out):
+        assert a.doc_id == b.doc_id
+        ta = [(s.kind, s.text, s.media_ref, s.offset) for s in a.spans]
+        tb = [(s.kind, s.text, s.media_ref, s.offset) for s in b.spans]
+        assert ta == tb
+
+
+def test_validate_spans_bundle(spark, spans_df, corpus):
+    cat = load_media_catalog(spark, corpus)
+    bundle = validate.validate_spans(spans_df, cat)
+    assert set(bundle) == {
+        "violations",
+        "partition_verdicts",
+        "duplicate_doc_ids",
+        "dangling_media_refs",
+    }
+    for name, df in bundle.items():
+        assert df.count() >= 0, name
