@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, tokens
+from .text import shingles, shingles_from_tokens, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -55,18 +55,36 @@ def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(col: str | Column, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature over word k-gram shingles: for seed i, the min
-    xxhash64(shingle, i) — ``num_hashes`` JVM hash/array-min expressions.
-    Empty shingle set → null signature (too short to near-dup)."""
-    sh = F.array_distinct(shingles(col, k))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature from a (cheap-to-reference) shingle-array column.
+
+    ONE aggregate pass over the shingles: the accumulator is the running
+    min per seed, merged with zip_with(least) — so the shingle array is
+    referenced exactly once.  (Building num_hashes separate
+    array_min(transform(sh, ...)) expressions instead re-evaluates the
+    shingle expression per seed: higher-order functions block codegen
+    subexpression elimination, which made that form ~50x slower.)
+    """
+    init = F.array_repeat(F.lit(_MAX_LONG), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_signature(col: str | Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature over word k-gram shingles (null when the document
+    has no shingles — too short to near-dup)."""
+    sh = F.array_distinct(shingles(col, k))
+    return F.when(F.size(sh) > 0, minhash_from_shingles(sh, num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -85,10 +103,18 @@ def minhash_lsh_pairs(
     count (8 bands × 4 rows ≈ catches J ≥ 0.7 with high probability).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(col, num_hashes, k)
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), sig.alias("_sig")
-    ).filter(F.col("_sig").isNotNull())
+    # layered selects: each expensive expression is materialized as a column
+    # before being referenced again — Catalyst's CollapseProject keeps the
+    # layers (it refuses to duplicate non-cheap expressions), so shingles and
+    # the signature are computed exactly once per row.
+    tok_df = df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t"))
+    sh_only = tok_df.select(
+        "_id",
+        F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_shd"),
+    ).filter(F.size("_shd") > 0)
+    with_sig = sh_only.select(
+        "_id", minhash_from_shingles(F.col("_shd"), num_hashes).alias("_sig")
+    )
     # band key = hash of the band's signature slice; explode to (band, key, id)
     band_keys = F.array(
         *[
@@ -115,11 +141,8 @@ def minhash_lsh_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    # verify with exact Jaccard over shingle sets
-    sh_df = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(col, k)).alias("_sh"),
-    )
+    # verify with exact Jaccard over shingle sets (reuses the sh_only stage)
+    sh_df = sh_only.withColumnRenamed("_shd", "_sh")
     verified = (
         cand.join(sh_df.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sh_df.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
@@ -140,8 +163,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs that share at least one
     shingle (inverted-index join — the non-probabilistic small/medium-scale
     path; MinHash-LSH is the 10^12-doc path)."""
-    sh_df = df.select(
-        F.col(id_col).alias("_id"), F.array_distinct(shingles(col, k)).alias("_sh")
+    tok_df = df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t"))
+    sh_df = tok_df.select(
+        "_id", F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh")
     ).filter(F.size("_sh") > 0)
     inv = sh_df.select("_id", F.explode("_sh").alias("_g"))
     cand = (
@@ -176,18 +200,19 @@ def simhash64(col: str | Column, bits: int = 64) -> Column:
     The per-bit loop is unrolled in Python (static expression tree, still
     one JVM codegen stage); bit 63 is the sign bit of the packed long.
     """
-    toks = tokens(col)
+    # hash each token ONCE (transform), then fold sign contributions over the
+    # long hashes — the per-bit expressions only touch the cheap lambda var.
+    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
     bitvec = F.aggregate(
-        toks,
+        hashes,
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                     )
                     .otherwise(F.lit(-1))
                     .cast("long")
@@ -197,16 +222,26 @@ def simhash64(col: str | Column, bits: int = 64) -> Column:
             lambda a, b: a + b,
         ),
     )
-    packed = F.lit(0).cast("long")
-    for i in range(bits):
-        # 1<<63 overflows signed long: the bit pattern with only bit 63 set
-        # is the most negative long
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        packed = packed.bitwiseOR(
-            F.when(F.element_at(bitvec, i + 1) > 0, F.lit(bit_val).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return packed
+    # pack sign bits: zip with a literal power-of-two array, OR-fold — bitvec
+    # (an expensive aggregate) is referenced exactly ONCE (element_at per bit
+    # would re-evaluate it 64x: HOFs block codegen subexpression elimination).
+    # 1<<63 overflows signed long: the pattern with only bit 63 set is the
+    # most negative long.
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            bitvec,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_near_dup_pairs(

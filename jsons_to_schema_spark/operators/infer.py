@@ -263,11 +263,30 @@ def infer_from_struct(
     df: DataFrame,
     config: SchemaGenerationConfig = DEFAULT_CONFIG,
     columns: Optional[list[str]] = None,
+    engine: str = "auto",
 ) -> tuple[Schema, int]:
     """Unified Draft-4 schema over structured rows (each row = one JSON
-    object; null = key absent).  Fully vectorized Arrow-side."""
+    object; null = key absent).
+
+    engine='native' (default via 'auto'): the inference compiles to ONE
+    whole-stage-codegen multi-aggregate — no data ever crosses into Python
+    (see infer_native.py; this is what scales).  engine='arrow': the
+    mapInArrow per-partition accumulator + treeAggregate (general fallback,
+    handles any nesting).  'auto' tries native and falls back.
+    """
+    if engine not in ("auto", "native", "arrow"):
+        raise ValueError(f"engine must be 'auto', 'native' or 'arrow', got {engine!r}")
     if columns:
         df = df.select(*columns)
+        columns = None
+    if engine in ("auto", "native"):
+        from .infer_native import UnsupportedSchema, infer_from_struct_native
+
+        try:
+            return infer_from_struct_native(df, config)
+        except UnsupportedSchema:
+            if engine == "native":
+                raise
     partials = df.mapInArrow(_make_struct_accumulator(config), PARTIAL_SCHEMA)
     schema, n = _tree_merge(partials)
     if schema is None:

@@ -1,0 +1,286 @@
+"""Native-aggregate structured schema inference — zero Python, zero
+interpreted expressions in the scan.
+
+For structured (parquet/Iceberg) inputs the draft schema's SHAPE is fixed by
+the Spark schema; only a few data-dependent facts are needed:
+
+* per-path non-null counts        → ``required`` / property presence,
+* per-float-path integrality      → integer vs number (reference G2),
+* per-array-path element counts   → ``items`` presence / element nullability.
+
+Execution strategy (measured on the 2M-doc spans corpus):
+
+1.  ONE row-level multi-aggregate for every non-array path — plain
+    count/sum(size(...)) expressions, whole-stage codegen.
+2.  Per array column, ONE ``explode → aggregate`` job for the element stats —
+    GenerateExec + HashAggregate, also fully codegen.
+
+Earlier designs that did NOT scale, kept here as a warning:
+* mapInArrow accumulators — the JVM→Arrow serialization of nested
+  list<struct> data dominated and anti-scaled with cores;
+* higher-order-function aggregates (sum(size(filter(…))), every(forall(…)))
+  — interpreted (CodegenFallback), allocation-heavy, GC-bound at high
+  parallelism (~30x slower than the codegen form per expression).
+
+The result is byte-identical to the Arrow accumulator
+(tests/test_infer_native.py) — the Arrow path remains the fallback for types
+this builder doesn't cover (arrays of arrays, maps inside arrays).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema_algebra import (
+    DEFAULT_CONFIG,
+    Schema,
+    SchemaGenerationConfig,
+    unify,
+)
+
+
+class UnsupportedSchema(Exception):
+    """Schema shape outside the native aggregate builder — use the Arrow path."""
+
+
+_STRING_LIKE = (
+    T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType, T.BinaryType,
+    T.VarcharType, T.CharType,
+)
+_INTEGER_LIKE = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+_FLOAT_LIKE = (T.DoubleType, T.FloatType, T.DecimalType)
+
+
+class _AggBuilder:
+    _counter = 0
+
+    def __init__(self):
+        self.exprs: list[Column] = []
+
+    def add(self, col: Column) -> str:
+        alias = f"_a{_AggBuilder._counter}"
+        _AggBuilder._counter += 1
+        self.exprs.append(col.alias(alias))
+        return alias
+
+
+def _scalar_tag(dt: T.DataType) -> Optional[str]:
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, _INTEGER_LIKE):
+        return "integer"
+    if isinstance(dt, _STRING_LIKE):
+        return "string"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return None
+
+
+def _plan_value(
+    dt: T.DataType, col: Column, b: _AggBuilder, exploded: list
+) -> dict:
+    """Plan aggregates for one value column.  Non-array stats go into the
+    row-level builder ``b``; each array column registers an (explode source,
+    element builder) pair in ``exploded``."""
+    tag = _scalar_tag(dt)
+    if tag is not None:
+        return {"kind": "scalar", "tag": tag, "cnt": b.add(F.count(col))}
+    if isinstance(dt, _FLOAT_LIKE):
+        return {
+            "kind": "scalar",
+            "tag": "number",
+            "cnt": b.add(F.count(col)),
+            "intg": b.add(F.every(col == F.floor(col))),
+        }
+    if isinstance(dt, T.StructType):
+        spec = {"kind": "struct", "cnt": b.add(F.count(col)), "fields": {}}
+        for f in dt.fields:
+            spec["fields"][f.name] = _plan_value(f.dataType, col[f.name], b, exploded)
+        return spec
+    if isinstance(dt, T.ArrayType):
+        return _plan_array(dt, col, b, exploded)
+    if isinstance(dt, T.MapType):
+        return {"kind": "map", "cnt": b.add(F.count(col))}
+    raise UnsupportedSchema(f"native inference: unsupported type {dt}")
+
+
+def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) -> dict:
+    et = dt.elementType
+    eb = _AggBuilder()
+    e = F.col("_e")
+    spec: dict = {
+        "kind": "array",
+        "cnt": b.add(F.count(col)),
+        # element stats come from the explode job: explode emits one row per
+        # element (nulls included), skipping null/empty arrays entirely
+        "elems": eb.add(F.count(F.lit(1))),
+        "elem_nonnull": eb.add(F.count(e)),
+    }
+    tag = _scalar_tag(et)
+    if tag is not None:
+        spec["elem"] = {"kind": "scalar", "tag": tag}
+    elif isinstance(et, _FLOAT_LIKE):
+        spec["elem"] = {
+            "kind": "scalar",
+            "tag": "number",
+            "intg": eb.add(F.every(e == F.floor(e))),
+        }
+    elif isinstance(et, T.StructType):
+        fields = {}
+        for f in et.fields:
+            fspec: dict = {"cnt": eb.add(F.count(e[f.name]))}
+            ftag = _scalar_tag(f.dataType)
+            if ftag is not None:
+                fspec["tag"] = ftag
+            elif isinstance(f.dataType, _FLOAT_LIKE):
+                fspec["tag"] = "number"
+                fspec["intg"] = eb.add(F.every(e[f.name] == F.floor(e[f.name])))
+            else:
+                raise UnsupportedSchema(
+                    f"native inference: nested non-scalar in array<struct>: {f.dataType}"
+                )
+            fields[f.name] = fspec
+        spec["elem"] = {"kind": "struct", "fields": fields}
+    else:
+        raise UnsupportedSchema(f"native inference: array element type {et}")
+    exploded.append((col, eb))
+    return spec
+
+
+def _scalar_schema(tag: str, intg_val) -> Schema:
+    if tag == "number":
+        return {"type": "integer" if intg_val in (True, None) else "number"}
+    return {"type": tag}
+
+
+def _build_value(spec: dict, row: dict, config: SchemaGenerationConfig) -> Optional[Schema]:
+    """Assemble the draft for one value column from the merged agg row; None
+    when the column is null in every (present) document — key absent."""
+    if row.get(spec["cnt"]) in (0, None):
+        return None
+    kind = spec["kind"]
+    if kind == "scalar":
+        return _scalar_schema(
+            spec["tag"], row.get(spec["intg"]) if "intg" in spec else None
+        )
+    if kind == "map":
+        return {"type": "object"}
+    if kind == "struct":
+        schema: Schema = {"type": "object"}
+        props, required = {}, []
+        cnt = row[spec["cnt"]]
+        for name, fspec in spec["fields"].items():
+            sub = _build_value(fspec, row, config)
+            if sub is None:
+                continue
+            props[name] = sub
+            if row[fspec["cnt"]] == cnt:
+                required.append(name)
+        if props:
+            schema["properties"] = props
+            if required:
+                schema["required"] = sorted(required)
+        if config.seal_object_properties:
+            schema["additionalProperties"] = False
+        return schema
+    if kind == "array":
+        schema = {"type": "array"}
+        elems = row.get(spec["elems"]) or 0
+        n_valid = row.get(spec["elem_nonnull"]) or 0
+        elem_nulls = elems - n_valid
+        item: Optional[Schema] = None
+        if n_valid > 0:
+            e = spec["elem"]
+            if e["kind"] == "scalar":
+                item = _scalar_schema(
+                    e["tag"], row.get(e["intg"]) if "intg" in e else None
+                )
+            else:  # struct element
+                item = {"type": "object"}
+                props, required = {}, []
+                for name, fspec in e["fields"].items():
+                    f_cnt = row.get(fspec["cnt"]) or 0
+                    if f_cnt == 0:
+                        continue
+                    props[name] = _scalar_schema(
+                        fspec["tag"], row.get(fspec["intg"]) if "intg" in fspec else None
+                    )
+                    if f_cnt == n_valid:
+                        required.append(name)
+                if props:
+                    item["properties"] = props
+                    if required:
+                        item["required"] = sorted(required)
+                if config.seal_object_properties:
+                    item["additionalProperties"] = False
+            if elem_nulls > 0:
+                item = unify(item, {"type": "null"})
+            schema["items"] = item
+        elif elems > 0:
+            schema["items"] = {"type": "null"}
+        return schema
+    raise AssertionError(kind)
+
+
+class NativeInferencePlan:
+    """Pre-planned inference: build once (analysis + codegen compile happen on
+    first execution), then ``run()`` per batch/snapshot — the steady-state
+    shape for a recurring validation job."""
+
+    def __init__(self, df: DataFrame, config: SchemaGenerationConfig = DEFAULT_CONFIG):
+        self.config = config
+        b = _AggBuilder()
+        exploded: list = []
+        self._n_rows_alias = b.add(F.count(F.lit(1)))
+        self.specs = {
+            f.name: _plan_value(f.dataType, F.col(f.name), b, exploded)
+            for f in df.schema.fields
+        }
+        self.row_agg = df.agg(*b.exprs)
+        self.explode_aggs = [
+            df.select(F.explode(col).alias("_e")).agg(*eb.exprs)
+            for col, eb in exploded
+            if eb.exprs
+        ]
+
+    def run(self) -> tuple[Schema, int]:
+        row = self.row_agg.first().asDict()
+        for agg in self.explode_aggs:
+            row.update(agg.first().asDict())
+        n_rows = row[self._n_rows_alias]
+        if n_rows == 0:
+            raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")
+        schema: Schema = {"type": "object"}
+        props, required = {}, []
+        for name, spec in self.specs.items():
+            sub = _build_value(spec, row, self.config)
+            if sub is None:
+                continue
+            props[name] = sub
+            if row[spec["cnt"]] == n_rows:
+                required.append(name)
+        if props:
+            schema["properties"] = props
+            if required:
+                schema["required"] = sorted(required)
+        if self.config.seal_object_properties:
+            schema["additionalProperties"] = False
+        return schema, n_rows
+
+
+def infer_from_struct_native(
+    df: DataFrame,
+    config: SchemaGenerationConfig = DEFAULT_CONFIG,
+    columns: Optional[list[str]] = None,
+) -> tuple[Schema, int]:
+    """Unified schema over structured rows via codegen-only aggregates.
+
+    Raises UnsupportedSchema for shapes the builder doesn't cover (caller
+    falls back to the Arrow accumulator)."""
+    if columns:
+        df = df.select(*columns)
+    return NativeInferencePlan(df, config).run()

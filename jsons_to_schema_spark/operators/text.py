@@ -47,20 +47,25 @@ def bpe_token_count(col: str | Column) -> Column:
 def quality_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Per-document quality scores — one narrow projection, no shuffle."""
     c = F.col(col)
-    n_chars = F.length(c)
-    toks = token_count(col)
-    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
-    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        n_chars.alias("n_chars_text"),
-        toks.alias("n_tokens"),
-        bpe_token_count(col).alias("n_bpe_tokens"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
-        F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
-        (toks >= 5).cast("boolean").alias("length_ok"),
+        F.length(c).alias("n_chars_text"),
+        token_count(col).cast("long").alias("n_tokens"),
+        bpe_token_count(col).cast("long").alias("n_bpe_tokens"),
+        F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).alias("_punct"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).alias("_digits"),
+        F.length(F.regexp_replace(c, r"[^A-Z]", "")).alias("_upper"),
+    )
+    denom = F.greatest(F.col("n_chars_text"), F.lit(1))
+    return base.select(
+        F.col(id_col),
+        "n_chars_text",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round(F.col("_punct") / denom, 6).alias("punct_ratio"),
+        F.round(F.col("_digits") / denom, 6).alias("digit_ratio"),
+        F.round(F.col("_upper") / denom, 6).alias("upper_ratio"),
+        (F.col("n_tokens") >= 5).cast("boolean").alias("length_ok"),
     )
 
 
@@ -76,19 +81,28 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
 
 def lang_id(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """n-gram/stopword heuristic language ID.  Deterministic tie-break:
-    highest score wins, ties resolve alphabetically; all-zero → 'und'."""
-    scores = lang_scores(col)
+    array_max on (score, lang) structs — ties pick the LAST language
+    alphabetically (struct comparison is field-by-field); all-zero → 'und'.
+
+    Layered selects so the tokenizer runs once per row and the best-struct
+    aggregate once, instead of once per language / per output column."""
+    toked = df.select(F.col(id_col), tokens(col).alias("_t"))
     pairs = [
-        F.struct(score.alias("score"), F.lit(lang).alias("lang"))
-        for lang, score in sorted(scores.items())
+        F.struct(
+            F.size(
+                F.array_intersect("_t", F.array(*[F.lit(w) for w in words]))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
     ]
-    best = F.array_max(F.array(*pairs))  # max by (score, lang DESC)... see note
-    # array_max on struct compares field-by-field: score first, then lang —
-    # ties pick the LAST language alphabetically; pin that and mirror in SQL.
-    return df.select(
+    scored = toked.select(F.col(id_col), F.array_max(F.array(*pairs)).alias("_best"))
+    return scored.select(
         F.col(id_col),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["score"].cast("int").alias("lang_score"),
+        F.when(F.col("_best.score") > 0, F.col("_best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.col("_best.score").cast("int").alias("lang_score"),
     )
 
 
@@ -97,29 +111,41 @@ def fingerprint(df: DataFrame, col: str, id_col: str) -> DataFrame:
     (exact-dup key) + a rolling content signature = md5 of the sorted set of
     word 3-gram shingles (order-insensitive near-dup key)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
-    sh = shingles(col, 3)
-    rolling = F.md5(F.concat_ws("\x00", F.array_sort(F.array_distinct(sh))))
-    return df.select(
+    base = df.select(F.col(id_col), F.md5(norm).alias("fp_exact"), tokens(col).alias("_t"))
+    sh = shingles_from_tokens(F.col("_t"), 3)
+    return base.select(
         F.col(id_col),
-        F.md5(norm).alias("fp_exact"),
-        rolling.alias("fp_shingle"),
+        "fp_exact",
+        F.md5(F.concat_ws("\x00", F.array_sort(F.array_distinct(sh)))).alias(
+            "fp_shingle"
+        ),
     )
 
 
-def shingles(col: str | Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (empty when fewer than k tokens).
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array from a token-array column (empty when fewer
+    than k tokens).
 
-    Built entirely from higher-order array functions — transform over a
-    sequence of start positions, concat_ws of the k-token window.
+    Built from k aligned slices zipped with concat — the token array is
+    referenced k+2 times but NEVER inside a per-element lambda.  (The naive
+    form — transform over positions with element_at(toks, i+j) — re-embeds
+    the tokenizer inside the lambda, re-evaluating it per shingle position:
+    measured ~100x slower on real documents.)  Pass an attribute column
+    (layered select) so the k+2 references are cheap reads.
     """
-    toks = tokens(col)
     n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = n - (k - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(n >= k, acc).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """Word k-gram shingles of a raw text column.  NOTE: tokenizes inline
+    (k+2 split/filter evaluations per row) — for hot paths, materialize
+    ``tokens(col)`` in a select first and use :func:`shingles_from_tokens`.
+    """
+    return shingles_from_tokens(tokens(col), k)

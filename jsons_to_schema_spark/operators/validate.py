@@ -77,17 +77,22 @@ def with_check_flags(spans_df: DataFrame) -> DataFrame:
 
 def row_violations(flagged: DataFrame, cap_per_check: Optional[int] = 1000) -> DataFrame:
     """Violation rows (doc_id, check), deterministically capped per check via
-    row_number over doc_id order — bounded output at any input scale."""
-    parts = []
-    for name in ROW_CHECKS:
-        parts.append(
-            flagged.filter(~F.col(f"ok_{name}")).select(
-                "doc_id", F.lit(name).alias("check")
-            )
-        )
-    v = parts[0]
-    for p in parts[1:]:
-        v = v.unionByName(p)
+    row_number over doc_id order — bounded output at any input scale.
+
+    ONE scan: the per-check flags are stacked into an array of (check, ok)
+    structs and the failed ones exploded out — a union of per-check filter
+    branches would re-scan the table and re-evaluate every (interpreted HOF)
+    flag expression once per branch (measured 3x slower at 2M docs)."""
+    checks_arr = F.array(
+        *[
+            F.struct(F.lit(name).alias("check"), F.col(f"ok_{name}").alias("ok"))
+            for name in ROW_CHECKS
+        ]
+    )
+    v = flagged.select(
+        "doc_id",
+        F.explode(F.filter(checks_arr, lambda c: ~c["ok"])).alias("_c"),
+    ).select("doc_id", F.col("_c.check").alias("check"))
     if cap_per_check is not None:
         w = Window.partitionBy("check").orderBy("doc_id")
         v = (
@@ -155,6 +160,29 @@ def duplicate_doc_ids(spans_df: DataFrame) -> DataFrame:
         .agg(F.sum("c").alias("cnt"))
         .filter(F.col("cnt") > 1)
     )
+
+
+def all_violations(
+    spans_df: DataFrame,
+    catalog: DataFrame,
+    cap_per_check: Optional[int] = 1000,
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """EVERY violation source as one DataFrame (doc_id, check) — row-local
+    checks ∪ duplicate doc_ids ∪ dangling media refs.  One action materializes
+    the whole violation report instead of three, which matters when fixed
+    per-job overhead competes with compute (small-batch / interactive runs);
+    the branches still share the scan via Spark's ReusedExchange where
+    eligible."""
+    flagged = with_check_flags(spans_df)
+    v = row_violations(flagged, cap_per_check)
+    dups = duplicate_doc_ids(spans_df).select(
+        "doc_id", F.lit("duplicate_doc_id").alias("check")
+    )
+    dang = dangling_media_refs(spans_df, catalog, broadcast_catalog).select(
+        "doc_id", F.lit("dangling_media_ref").alias("check")
+    )
+    return v.unionByName(dups).unionByName(dang)
 
 
 def validate_spans(

@@ -1,0 +1,88 @@
+"""Physical-plan audits — make the scale properties assertable.
+
+"Would this plan survive a 100× scale-up?" is checked here as code, not
+vibes: tests assert that filters reach the parquet scan (PushedFilters),
+projections prune columns (ReadSchema), small dims broadcast
+(BroadcastHashJoin), aggregates run partial+final (partial_ prefix /
+HashAggregate pairs), and hot loops stay in WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def scan_count(df: DataFrame, fmt: str = "parquet") -> int:
+    return executed_plan(df).count(f"Scan {fmt}")
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """fragment appears inside the scan's PushedFilters list."""
+    plan = formatted_plan(df)
+    for block in plan.split("\n\n"):
+        if "PushedFilters" in block and fragment in block.split("PushedFilters", 1)[1].split("\n")[0]:
+            return True
+    return fragment in _pushed_filters(plan)
+
+
+def _pushed_filters(plan: str) -> str:
+    out = []
+    for line in plan.splitlines():
+        if "PushedFilters" in line:
+            out.append(line)
+    return " ".join(out)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Top-level columns actually read from the scan (column pruning proof)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols = []
+            depth = 0
+            cur = ""
+            for ch in inner:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    cols.append(cur.split(":")[0].strip())
+                    cur = ""
+                    continue
+                cur += ch
+            if cur:
+                cols.append(cur.split(":")[0].strip())
+            return cols
+    return []
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages.  executedPlan().toString() marks
+    them as ``*(n)`` prefixes (the text "WholeStageCodegen" only appears in
+    the formatted explain)."""
+    import re
+
+    plan = executed_plan(df)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Partial+final hash aggregation (map-side combine before the shuffle)."""
+    plan = executed_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial_" in plan

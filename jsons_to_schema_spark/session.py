@@ -29,7 +29,19 @@ ENGINE_CONF = {
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Interpreted expressions (HOFs are CodegenFallback) and Arrow transfers
+    # allocate heavily; the default G1 young-gen sizing collapsed under
+    # 32-thread allocation pressure (measured 4-6x slowdowns).  A half-heap
+    # young gen keeps allocation-heavy stages scaling with cores.  On a real
+    # cluster pass the same via spark.executor.extraJavaOptions.
+    "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:NewRatio=1",
+    "spark.executor.extraJavaOptions": "-XX:+UseG1GC -XX:NewRatio=1",
 }
+
+# Single local JVM hosts driver+executors: size its heap for real scans.
+# Only effective for the FIRST session in a process (JVM flags are fixed at
+# launch) — bench runs each measurement in its own subprocess for this reason.
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 def get_spark(
@@ -54,6 +66,8 @@ def get_spark(
         else:
             shuffle_partitions = 2 * cpus
     b = SparkSession.builder.master(master).appName(app_name)
+    if master.startswith("local"):
+        b = b.config("spark.driver.memory", DRIVER_MEM)
     for k, v in ENGINE_CONF.items():
         b = b.config(k, v)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

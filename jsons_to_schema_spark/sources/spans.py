@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 SEED = 42
 CATALOG_SIZE = 10_000
-N_FILES = 8
+N_FILES = 32  # >= max bench cores so local[32] scaling is not file-bound
 
 VOCAB = np.array(
     [
@@ -74,10 +74,18 @@ def generate_spans_corpus(n_docs: int, out_dir: str | Path, seed: int = SEED) ->
     manifest = out / "expected_violations.json"
     if manifest.exists():
         existing = json.loads(manifest.read_text())
-        if existing.get("n_docs") == n_docs and existing.get("seed") == seed:
+        if (
+            existing.get("n_docs") == n_docs
+            and existing.get("seed") == seed
+            and existing.get("n_files") == N_FILES
+        ):
             return existing
     out.mkdir(parents=True, exist_ok=True)
-    (out / "documents_spans").mkdir(exist_ok=True)
+    spans_dir = out / "documents_spans"
+    if spans_dir.exists():
+        for old in spans_dir.glob("part-*.parquet"):
+            old.unlink()
+    spans_dir.mkdir(exist_ok=True)
 
     rng = np.random.default_rng(seed)
     idx = np.arange(n_docs)
@@ -150,32 +158,47 @@ def generate_spans_corpus(n_docs: int, out_dir: str | Path, seed: int = SEED) ->
     n_dup = max(1, int(0.001 * n_docs))
     dup_docs = np.sort(rng.choice(idx, n_dup, replace=False))
 
-    # --- assemble arrow table ----------------------------------------------
-    span_struct = pa.StructArray.from_arrays(
-        [
-            pa.array(kinds, pa.string()),
-            pa.array(texts, pa.string()),
-            pa.array(media, pa.string()),
-            pa.array(offsets, pa.int32()),
-        ],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    list_offsets = pa.array(np.concatenate(([0], np.cumsum(n_spans))), pa.int32())
-    spans_col = pa.ListArray.from_arrays(list_offsets, span_struct)
-    table = pa.Table.from_arrays(
-        [pa.array(doc_ids, pa.string()), spans_col], schema=SPANS_SCHEMA
-    )
-    dup_rows = table.take(pa.array(dup_docs, pa.int64()))
-    table = pa.concat_tables([table, dup_rows])
+    # --- assemble + write per-file slices -----------------------------------
+    # Rows (original docs + duplicated docs) are shuffled at the INDEX level
+    # and materialized one output file at a time: memory stays bounded per
+    # file and no single Arrow array crosses the 2 GB chunk limit at any
+    # corpus size.
+    final_docs = np.concatenate([idx, dup_docs])  # row i -> original doc index
+    perm = rng.permutation(len(final_docs))
+    final_docs = final_docs[perm]
+    n_rows_total = len(final_docs)
+    chunk = -(-n_rows_total // N_FILES)
 
-    # shuffle rows deterministically, then write 8 files
-    perm = rng.permutation(table.num_rows)
-    table = table.take(pa.array(perm, pa.int64()))
-    chunk = -(-table.num_rows // N_FILES)
+    def _gather_spans(doc_indices: np.ndarray) -> np.ndarray:
+        counts = n_spans[doc_indices]
+        base_pos = np.repeat(starts[doc_indices], counts)
+        within = np.arange(int(counts.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)))[:-1], counts
+        )
+        return base_pos + within
+
     for f in range(N_FILES):
-        part = table.slice(f * chunk, chunk)
-        if part.num_rows:
-            pq.write_table(part, out / "documents_spans" / f"part-{f:05d}.parquet")
+        rows = final_docs[f * chunk : (f + 1) * chunk]
+        if len(rows) == 0:
+            continue
+        sp = _gather_spans(rows)
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kinds[sp], pa.string()),
+                pa.array(texts[sp], pa.string()),
+                pa.array(media[sp], pa.string()),
+                pa.array(offsets[sp], pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        list_offsets = pa.array(
+            np.concatenate(([0], np.cumsum(n_spans[rows]))), pa.int32()
+        )
+        spans_col = pa.ListArray.from_arrays(list_offsets, span_struct)
+        part = pa.Table.from_arrays(
+            [pa.array(doc_ids[rows], pa.string()), spans_col], schema=SPANS_SCHEMA
+        )
+        pq.write_table(part, out / "documents_spans" / f"part-{f:05d}.parquet")
 
     # media catalog (small dim — broadcastable)
     cat_ids = np.char.add("m-", np.char.zfill(np.arange(CATALOG_SIZE).astype(str), 8))
@@ -192,36 +215,29 @@ def generate_spans_corpus(n_docs: int, out_dir: str | Path, seed: int = SEED) ->
         out / "media_catalog.parquet",
     )
 
-    # Expected counts are computed FROM the final table (duplicated rows copy
-    # their injected span-level violations, so pre-injection counters would
-    # undercount).
-    flat = table.column("spans").combine_chunks()
-    lo = flat.offsets.to_numpy()
-    st = flat.values
-    f_kind = st.field("kind").to_numpy(zero_copy_only=False)
-    f_text = st.field("text").to_numpy(zero_copy_only=False)
-    f_media = st.field("media_ref").to_numpy(zero_copy_only=False)
-    f_off = st.field("offset").to_numpy(zero_copy_only=False)
-    seg_start = np.zeros(len(f_off), dtype=bool)
-    seg_start[lo[:-1][np.diff(lo) > 0]] = True
-    decreasing = np.zeros(len(f_off), dtype=bool)
-    decreasing[1:] = np.diff(f_off) <= 0
-    decreasing &= ~seg_start
-    row_of_span = np.repeat(np.arange(table.num_rows), np.diff(lo))
-    nonmono_rows = np.unique(row_of_span[decreasing])
-    is_dangling = np.array(
-        [m is not None and m.startswith("m-99") for m in f_media], dtype=bool
-    )
-    null_text_final = int(((f_kind == "text") & (f_text == None)).sum())  # noqa: E711
+    # Expected counts computed over the FINAL row multiset (duplicated rows
+    # copy their injected span-level violations, so pre-injection counters
+    # would undercount): per-original-doc violation counts, summed over the
+    # final doc-index multiset.
+    ends = starts + n_spans
+    is_dangling_span = np.zeros(total, dtype=bool)
+    is_dangling_span[dang_pos] = True
+    null_text_span = np.zeros(total, dtype=bool)
+    null_text_span[null_pos] = True
+    per_doc_dangling = np.add.reduceat(is_dangling_span.astype(np.int64), starts)
+    per_doc_nulltext = np.add.reduceat(null_text_span.astype(np.int64), starts)
+    nonmono_doc = np.zeros(n_docs, dtype=bool)
+    nonmono_doc[nonmono_docs] = True
     expected = {
         "n_docs": n_docs,
         "seed": seed,
-        "n_rows": int(table.num_rows),
-        "n_spans": int(len(f_off)),
+        "n_files": N_FILES,
+        "n_rows": int(n_rows_total),
+        "n_spans": int(n_spans[final_docs].sum()),
         "duplicate_doc_ids": int(n_dup),
-        "dangling_media_ref_spans": int(is_dangling.sum()),
-        "null_text_spans": null_text_final,
-        "non_monotonic_rows": int(len(nonmono_rows)),
+        "dangling_media_ref_spans": int(per_doc_dangling[final_docs].sum()),
+        "null_text_spans": int(per_doc_nulltext[final_docs].sum()),
+        "non_monotonic_rows": int(nonmono_doc[final_docs].sum()),
         "drift_doc_threshold": int(0.9 * n_docs),
     }
     manifest.write_text(json.dumps(expected, indent=1, sort_keys=True))

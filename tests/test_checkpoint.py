@@ -22,21 +22,22 @@ def test_kill_resume_zero_recompute(spark, corpus, tmp_path):
     data = str(corpus / "documents_spans")
     state = tmp_path / "state"
 
-    # simulated kill: only 3 of 8 splits get committed
+    # simulated kill: only 3 splits get committed
     r1 = checkpointed_validate(spark, data, state, max_splits=3)
-    assert r1["splits_total"] == 8
+    total = r1["splits_total"]
+    assert total >= 8
     assert r1["splits_computed_this_run"] == 3
     assert r1["splits_committed"] == 3
 
-    # resume: exactly the remaining 5 are computed, never the first 3
+    # resume: exactly the remaining splits are computed, never the first 3
     r2 = checkpointed_validate(spark, data, state)
-    assert r2["splits_computed_this_run"] == 5
-    assert r2["splits_committed"] == 8
+    assert r2["splits_computed_this_run"] == total - 3
+    assert r2["splits_committed"] == total
 
     # idempotent third run: zero recompute
     r3 = checkpointed_validate(spark, data, state)
     assert r3["splits_computed_this_run"] == 0
-    assert r3["splits_committed"] == 8
+    assert r3["splits_committed"] == total
 
     # resumed result == single-shot result (schema + metrics)
     single = checkpointed_validate(spark, data, tmp_path / "state2")
@@ -57,7 +58,7 @@ def test_lineage_and_metrics(spark, corpus, tmp_path):
     data = str(corpus / "documents_spans")
     res = checkpointed_validate(spark, data, tmp_path / "state")
     expected = json.loads((corpus / "expected_violations.json").read_text())
-    assert len(res["lineage"]) == 8
+    assert len(res["lineage"]) == res["splits_total"]
     assert sum(l["n_rows"] for l in res["lineage"]) == expected["n_rows"]
     assert res["fails"]["monotonic_offsets"] == expected["non_monotonic_rows"]
     # at least one split fails, and pass/fail is recorded per split

@@ -1,0 +1,102 @@
+"""Native-aggregate inference must be byte-identical to the Arrow
+accumulator on every corpus, plus edge cases the builder must get right."""
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from jsons_to_schema_spark.operators.infer import infer_from_struct
+from jsons_to_schema_spark.operators.infer_native import (
+    UnsupportedSchema,
+    infer_from_struct_native,
+)
+from jsons_to_schema_spark.schema_algebra import SchemaGenerationConfig, canonical_json
+from jsons_to_schema_spark.sources.spans import ensure_corpus
+from jsons_to_schema_spark.sources.tables import load_spans, load_table
+
+from .conftest import SF_ORACLE
+
+
+def _assert_engines_agree(df, config=None):
+    cfg = config or SchemaGenerationConfig()
+    native = infer_from_struct(df, cfg, engine="native")
+    arrow = infer_from_struct(df, cfg, engine="arrow")
+    assert canonical_json(native[0]) == canonical_json(arrow[0])
+    assert native[1] == arrow[1]
+    return native[0]
+
+
+def test_agree_on_spans_corpus(spark):
+    df = load_spans(spark, ensure_corpus(5000))
+    schema = _assert_engines_agree(df)
+    assert "doc_id" in schema["required"]
+
+
+def test_agree_on_driver_tables(spark):
+    for t in ("documents", "events", "embeddings", "lineitem"):
+        _assert_engines_agree(load_table(spark, SF_ORACLE, t))
+
+
+def test_agree_sealed_config(spark):
+    df = load_spans(spark, ensure_corpus(2000))
+    _assert_engines_agree(df, SchemaGenerationConfig(seal_object_properties=True))
+
+
+def test_edge_cases(spark):
+    rows = [
+        Row(a=1.0, b=None, c=[1, None, 3], d=Row(x=None, y="s"), e=[]),
+        Row(a=2.0, b=None, c=None, d=None, e=[]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "a double, b string, c array<long>, d struct<x:long, y:string>, e array<string>",
+    )
+    schema = _assert_engines_agree(df)
+    # integral doubles → integer; all-null b → absent; null array element →
+    # items type gains null; d present once, x never → only y; empty e → no items
+    assert schema["properties"]["a"] == {"type": "integer"}
+    assert "b" not in schema["properties"]
+    assert schema["properties"]["c"]["items"]["type"] == ["integer", "null"]
+    assert schema["properties"]["d"]["properties"] == {"y": {"type": "string"}}
+    assert schema["properties"]["d"]["required"] == ["y"]
+    assert "items" not in schema["properties"]["e"]
+    assert sorted(schema["required"]) == ["a", "e"]
+
+
+def test_non_integral_floats(spark):
+    df = spark.createDataFrame([(1.5,), (2.0,)], "v double")
+    schema, _ = infer_from_struct_native(df)
+    assert schema["properties"]["v"] == {"type": "number"}
+
+
+def test_all_null_array_elements(spark):
+    df = spark.createDataFrame([([None, None],)], "v array<string>")
+    schema = _assert_engines_agree(df)
+    assert schema["properties"]["v"]["items"] == {"type": "null"}
+
+
+def test_unsupported_falls_back(spark):
+    df = spark.createDataFrame([([[1, 2], [3]],)], "v array<array<long>>")
+    with pytest.raises(UnsupportedSchema):
+        infer_from_struct_native(df)
+    schema, n = infer_from_struct(df)  # auto → arrow fallback
+    assert n == 1
+    assert schema["properties"]["v"]["items"]["type"] == "array"
+
+
+def test_native_plan_is_codegen_only(spark):
+    from jsons_to_schema_spark.operators.infer_native import NativeInferencePlan
+    from jsons_to_schema_spark.plans import audit
+
+    df = load_spans(spark, ensure_corpus(2000))
+    plan = NativeInferencePlan(df)
+    # one row-level agg + one explode-agg per array column (spans → 1)
+    assert len(plan.explode_aggs) == 1
+    for agg_df in [plan.row_agg, *plan.explode_aggs]:
+        assert audit.scan_count(agg_df) == 1
+        assert audit.has_partial_aggregate(agg_df)
+        p = audit.executed_plan(agg_df)
+        assert "EvalPython" not in p  # zero Python
+        # zero interpreted higher-order functions (the codegen killers):
+        # count/explode only, no lambdafunction nodes anywhere in the plan
+        assert "lambdafunction" not in p
