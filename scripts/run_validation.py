@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entry point: schema-infer + validate an interleaved-docs
+table, resumably, writing the unified schema + lineage + violation outputs.
+
+Cluster:
+    spark-submit --py-files dist/jsons_to_schema_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        --conf spark.sql.adaptive.skewJoin.enabled=true \\
+        --conf spark.executor.extraJavaOptions="-XX:+UseG1GC -XX:NewRatio=1" \\
+        scripts/run_validation.py \\
+        --data  <iceberg-table-or-parquet-path> \\
+        --catalog <media-catalog-path> \\
+        --state-dir /shared/state --output /shared/out
+
+Local smoke:
+    spark-submit --master local[8] --py-files dist/jsons_to_schema_spark.zip \\
+        scripts/run_validation.py --data .cache/spans_n5000_seed42/documents_spans \\
+        --catalog .cache/spans_n5000_seed42/media_catalog.parquet \\
+        --state-dir /tmp/state --output /tmp/out
+
+The session comes from spark-submit's conf (getOrCreate) — the engine does
+not override cluster settings here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="spans table (parquet dir / iceberg)")
+    ap.add_argument("--catalog", required=True, help="media catalog path")
+    ap.add_argument("--state-dir", required=True, help="resume state directory")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--cap-per-check", type=int, default=1000)
+    args = ap.parse_args()
+
+    from jsons_to_schema_spark.checkpoint import checkpointed_validate
+    from jsons_to_schema_spark.operators.validate import all_violations
+    from jsons_to_schema_spark.schema_algebra import canonical_json
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    result = checkpointed_validate(spark, args.data, args.state_dir)
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "unified_schema.json").write_text(canonical_json(result["schema"]))
+    (out / "run_summary.json").write_text(
+        json.dumps(
+            {
+                "n_rows": result["n_rows"],
+                "fails": result["fails"],
+                "splits_total": result["splits_total"],
+                "splits_computed_this_run": result["splits_computed_this_run"],
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    spark.createDataFrame(result["lineage"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(out / "lineage"))
+
+    cat = spark.read.parquet(args.catalog)
+    df = spark.read.parquet(args.data)
+    all_violations(df, cat, cap_per_check=args.cap_per_check).write.mode(
+        "overwrite"
+    ).parquet(str(out / "violations"))
+
+    print(
+        f"validated {result['n_rows']} rows across {result['splits_total']} splits "
+        f"({result['splits_computed_this_run']} computed this run); "
+        f"outputs in {out}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

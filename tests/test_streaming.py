@@ -49,3 +49,45 @@ def test_incremental_stream_merges(spark, tmp_path):
     assert canonical_json(schema2) == canonical_json(
         jsons_to_schema(DOCS_A + DOCS_B)
     )
+
+
+def test_violation_monitor_windowed_counts(spark, tmp_path):
+    """Watermarked windowed violation counts over a file-source spans stream."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.sources.spans import ensure_corpus
+    from jsons_to_schema_spark.sources.tables import load_spans
+    from jsons_to_schema_spark.streaming.monitor import violation_counts_stream
+
+    corpus = ensure_corpus(2000)
+    src = str(tmp_path / "stream_src")
+    base = datetime.datetime(2026, 1, 1)
+    batch = (
+        load_spans(spark, corpus)
+        .limit(500)
+        .withColumn(
+            "event_time",
+            F.to_timestamp(F.lit(base.isoformat()))
+            + (F.xxhash64("doc_id") % 180).cast("int").cast("interval second"),
+        )
+    )
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = violation_counts_stream(stream, "event_time", "1 minute", "2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("viol_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from viol_counts").collect()
+    assert rows, "no windows emitted"
+    checks = {r.check for r in rows}
+    assert checks == {"monotonic_offsets", "text_present", "media_ref_present"}
+    assert sum(r.n_rows for r in rows) == 500 * 3  # every row scored per check
+    assert all(r.n_failed >= 0 for r in rows)
