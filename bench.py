@@ -28,7 +28,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "2000000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "8000000"))
 TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "3"))
 
 
@@ -89,7 +89,12 @@ def run_queries(spark, corpus) -> dict[str, float]:
         log(f"  {name}: {timings[name]}s")
 
     events = load_table(spark, SF_DIR, "events")
-    docs = load_table(spark, SF_DIR, "documents")
+    # documents at local SF is ONE small parquet file → one input split → the
+    # CPU-heavy per-row dedup/text kernels would run on a single core, which
+    # measures nothing real: at target scale the corpus arrives in thousands
+    # of splits.  One explicit repartition models that (excluded cost is the
+    # ~100ms shuffle of 5k rows, noise at this size).
+    docs = load_table(spark, SF_DIR, "documents").repartition(CPUS)
     li = load_table(spark, SF_DIR, "lineitem")
     emb = load_table(spark, SF_DIR, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -140,7 +145,18 @@ def build_session(cpus: int):
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         app_name=f"bench-{cpus}",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # Local corpora are a few hundred MB-GB in 32 files; the 128 MB
+            # default split size would hand local[32] only ~4 input splits and
+            # the scaling experiment would measure the scheduler, not the
+            # engine.  4 MB splits ≈ 100-400 tasks per scan — the same
+            # tasks-per-core ratio a production scan of a 100 TB Iceberg table
+            # gets with default splits.  Same value at BOTH parallelism levels
+            # (identical physical work, only cores vary).
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
     )
 
 

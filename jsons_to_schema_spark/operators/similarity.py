@@ -141,6 +141,151 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _argmax_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-dot-product centroid, computed as ONE codegen
+    expression against centroid literals — no row amplification, no join.
+    Struct ordering compares fields left-to-right, so array_max over
+    (score, -cell) picks the best cell with deterministic ties."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(-i).alias("nc"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return -F.array_max(scored)["nc"]
+
+
+def _topcells(vec_col: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Array of the n_probe nearest cell ids (by dot product, descending)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))).alias("ns"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n_probe)["c"]
+
+
+def _l2_normalize(vec_col: Column) -> Column:
+    n = norm(vec_col)
+    return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for an IVF index.
+
+    Driver-coordinated Lloyd iterations (the MLlib k-means shape): each
+    round is one distributed pass — assign every vector to its best cell
+    with the codegen argmax above, then ``posexplode → groupBy(cell, pos)
+    → avg`` to recompute means.  Only the n_cells×dim centroid matrix ever
+    reaches the driver.  Deterministic: init picks n_cells spread vectors
+    by hash order from a bounded sample."""
+    v = corpus.select(_l2_normalize(F.col(vec_col)).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    sample = v.limit(sample_limit)
+    init = (
+        sample.select(
+            "_v", F.xxhash64(F.col("_v").cast("string"), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r._v) for r in init]
+    if len(centroids) < n_cells:
+        return centroids
+    for _ in range(iters):
+        assigned = sample.select(
+            _argmax_cell(F.col("_v"), centroids).alias("_cell"), "_v"
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r._cell, {})[r._pos] = r._m
+        new = []
+        for i, old in enumerate(centroids):
+            if i in by_cell:
+                m = [by_cell[i][p] for p in sorted(by_cell[i])]
+                s = float(np.linalg.norm(m)) or 1.0
+                new.append([x / s for x in m])
+            else:  # empty cell keeps its previous centroid
+                new.append(old)
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means cells
+    partition the corpus; each query exact-scans only its n_probe nearest
+    cells.  Candidate set shrinks ~n_probe/n_cells vs brute force.
+
+    At 10^12 rows the assignment pass is one codegen scan (write the cell id
+    as a partition column of the index table); the probe is a shuffle-free
+    equi-join on the cell id with exact cosine re-rank inside.  Recall is
+    tunable via n_probe (tests measure it vs brute force)."""
+    from pyspark.sql import Window
+
+    centroids = ivf_train_centroids(
+        corpus, vec_col, n_cells=n_cells, iters=iters, seed=seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _argmax_cell(_l2_normalize(F.col(vec_col)), centroids).alias("_cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                _topcells(_l2_normalize(F.col(vec_col)), centroids, n_probe)
+            ).alias("_cell"),
+        )
+    )
+    scored = (
+        q.join(c, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

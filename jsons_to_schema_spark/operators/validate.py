@@ -79,28 +79,46 @@ def row_violations(flagged: DataFrame, cap_per_check: Optional[int] = 1000) -> D
     """Violation rows (doc_id, check), deterministically capped per check via
     row_number over doc_id order — bounded output at any input scale.
 
-    ONE scan: the per-check flags are stacked into an array of (check, ok)
-    structs and the failed ones exploded out — a union of per-check filter
-    branches would re-scan the table and re-evaluate every (interpreted HOF)
-    flag expression once per branch (measured 3x slower at 2M docs)."""
+    ONE scan: rows failing ANY check are filtered FIRST (a plain boolean
+    disjunction the scan evaluates row-by-row with zero allocation), and only
+    those — rare by construction — pay the (check, ok) struct-array build +
+    explode.  The earlier form that built the array for every row was
+    allocation-bound and ANTI-scaled with cores (GC: 2.6s@8 → 7.9s@32 on the
+    2M-doc corpus); this form tracks the verdict pass (~0.2s).
+
+    The cap is a two-stage window: (check, scan-partition) then (check).
+    Stage 1 keeps the cap smallest doc_ids inside each scan partition —
+    distributed over n_partitions × n_checks keys — so the final (check)-only
+    window sees ≤ cap × n_partitions pre-filtered rows instead of every
+    violation.  Identical output to the single window (any overall-top-cap
+    row is top-cap within its own partition), but no 3-reducer funnel when a
+    corpus is pathologically violation-dense."""
+    fail_any = None
+    for name in ROW_CHECKS:
+        c = ~F.col(f"ok_{name}")
+        fail_any = c if fail_any is None else fail_any | c
     checks_arr = F.array(
         *[
             F.struct(F.lit(name).alias("check"), F.col(f"ok_{name}").alias("ok"))
             for name in ROW_CHECKS
         ]
     )
-    v = flagged.select(
+    v = flagged.filter(fail_any).select(
         "doc_id",
+        F.col("_pid"),
         F.explode(F.filter(checks_arr, lambda c: ~c["ok"])).alias("_c"),
-    ).select("doc_id", F.col("_c.check").alias("check"))
+    ).select("doc_id", "_pid", F.col("_c.check").alias("check"))
     if cap_per_check is not None:
-        w = Window.partitionBy("check").orderBy("doc_id")
+        w1 = Window.partitionBy("check", "_pid").orderBy("doc_id")
+        w2 = Window.partitionBy("check").orderBy("doc_id")
         v = (
-            v.withColumn("_rn", F.row_number().over(w))
+            v.withColumn("_rn", F.row_number().over(w1))
             .filter(F.col("_rn") <= cap_per_check)
-            .drop("_rn")
+            .withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= cap_per_check)
+            .drop("_rn", "_rn2")
         )
-    return v
+    return v.drop("_pid")
 
 
 def partition_verdicts(flagged: DataFrame) -> DataFrame:

@@ -272,6 +272,151 @@ def drift_events_value(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "stats_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_rows,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           count(*) - count(o_totalprice) AS nulls_price,
+           count(DISTINCT o_custkey) AS distinct_custkeys
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stats_orders_by_status(spark, sf_dir) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nulls_price"),
+        F.countDistinct("o_custkey").alias("distinct_custkeys"),
+    )
+
+
+@query(
+    "referential_supplier_nation",
+    oracle="""
+    SELECT s_suppkey, s_nationkey FROM supplier
+    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+    """,
+)
+def referential_supplier_nation(spark, sf_dir) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey")
+    )
+    return s.join(F.broadcast(n), "s_nationkey", "left_anti").select(
+        "s_suppkey", "s_nationkey"
+    )
+
+
+@query(
+    "uniqueness_part_partkey",
+    oracle="""
+    SELECT p_partkey, count(*) AS cnt FROM part
+    GROUP BY p_partkey HAVING count(*) > 1
+    """,
+)
+def uniqueness_part_partkey(spark, sf_dir) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_partkey").agg(F.count(F.lit(1)).alias("cnt")).filter("cnt > 1")
+    )
+
+
+@query(
+    "topk_documents_by_chars",
+    oracle="""
+    SELECT lang, doc_id, n_chars, CAST(rnk AS int) AS rnk FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 5
+    """,
+)
+def topk_documents_by_chars(spark, sf_dir) -> DataFrame:
+    """Bounded top-k per group: the window never funnels — one partition per
+    lang key, and at scale the same shape runs as a two-stage top-k (local
+    cap, then global) exactly like validate.row_violations."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch twin of a
+    streaming session window; lag+sum over a per-user window, partitioned by
+    the (high-cardinality) user key so it scales with users."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the testdata; epoch via ltz (session TZ pinned
+    # UTC) — only gaps matter, so any fixed offset cancels.
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "drift_documents_nchars",
+    oracle="""
+    WITH b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) q
+               FROM documents WHERE doc_id % 2 = 0),
+         c AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) q
+               FROM documents WHERE doc_id % 2 = 1),
+         p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS p,
+                      generate_subscripts([0.25, 0.5, 0.75, 0.95], 1) AS i)
+    SELECT p.p AS p, round(b.q[p.i], 6) AS base_q, round(c.q[p.i], 6) AS cur_q,
+           round(c.q[p.i] - b.q[p.i], 6) AS delta
+    FROM p, b, c
+    """,
+)
+def drift_documents_nchars(spark, sf_dir) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    d = drift.quantile_drift(
+        base, cur, "n_chars", [0.25, 0.5, 0.75, 0.95], engine="exact"
+    )
+    return d.select(
+        "p",
+        F.round("base_q", 6).alias("base_q"),
+        F.round("cur_q", 6).alias("cur_q"),
+        F.round(F.col("cur_q") - F.col("base_q"), 6).alias("delta"),
+    )
+
+
 # ===========================================================================
 # Text analysis (oracled)
 # ===========================================================================
@@ -473,6 +618,17 @@ def similarity_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
     )
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries_df, k=10, bits=4, dim=64)
+
+
+@query("similarity_ivf_topk_embeddings")
+def similarity_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """IVF index (spherical k-means cells, n_probe scan) — approximate →
+    rows-only; recall vs brute force asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=8)
 
 
 # ===========================================================================

@@ -109,6 +109,33 @@ def test_lsh_topk_recall(spark):
             assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
 
 
+def test_ivf_topk_recall(spark):
+    """IVF probe of 8/16 cells should recover most of the exact top-10 and
+    report exact cosine values for everything it returns; results must be
+    deterministic across invocations (fixed seed + deterministic init)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, iters=2
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(approx_set) > 0
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    again = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, iters=2
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in again} == approx_set
+
+
 def test_embedding_near_dup_planted(spark):
     rng = np.random.default_rng(7)
     v = rng.standard_normal(16)
