@@ -51,6 +51,45 @@ def test_incremental_stream_merges(spark, tmp_path):
     )
 
 
+def test_stateful_duplicate_doc_ids_across_batches(spark, tmp_path):
+    """Cross-micro-batch uniqueness: a duplicate arriving in a LATER batch
+    (maxFilesPerTrigger=1 forces one batch per file) must still be flagged —
+    the per-key state store carries counts across batches."""
+    from jsons_to_schema_spark.streaming.stateful import duplicate_doc_ids_stream
+
+    src = str(tmp_path / "dup_src")
+    ckpt = str(tmp_path / "dup_ckpt")
+    # batch 1: d1 d2 d3 (d3 twice in-batch); batch 2: d1 again (cross-batch dup)
+    spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",), ("d3",)], "doc_id string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([("d1",), ("d4",)], "doc_id string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = duplicate_doc_ids_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dup_docs")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dup_docs").collect()
+    got = {(r.doc_id, r.cnt) for r in rows}
+    # d3: in-batch dup (cnt 2); d1: cross-batch dup (cnt 2, emitted on batch 2)
+    assert ("d3", 2) in got
+    assert ("d1", 2) in got
+    assert not any(d in {"d2", "d4"} for d, _ in got)
+
+
 def test_violation_monitor_windowed_counts(spark, tmp_path):
     """Watermarked windowed violation counts over a file-source spans stream."""
     import datetime
