@@ -137,9 +137,7 @@ def checkpointed_validate(
 
     computed = 0
     if pending:
-        flagged = with_check_flags(df.filter(F.col(SPLIT_COL).isin(pending))).drop(
-            "_pid"
-        )
+        flagged = with_check_flags(df.filter(F.col(SPLIT_COL).isin(pending)))
         check_names = list(ROW_CHECKS)
         fold, out_ddl = _fold_split_factory(check_names)
         t0 = time.time()

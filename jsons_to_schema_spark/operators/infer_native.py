@@ -10,10 +10,13 @@ the Spark schema; only a few data-dependent facts are needed:
 
 Execution strategy (measured on the 2M-doc spans corpus):
 
-1.  ONE row-level multi-aggregate for every non-array path — plain
-    count/sum(size(...)) expressions, whole-stage codegen.
-2.  Per array column, ONE ``explode → aggregate`` job for the element stats —
-    GenerateExec + HashAggregate, also fully codegen.
+1.  ONE row-level multi-aggregate for (almost) every path — counts via
+    count/sum(size(array_compact(...))) expressions, whole-stage codegen;
+    array-element stats need no explode.
+2.  Per array column with FLOAT elements only, one ``explode → aggregate``
+    job for integer-vs-number classification (GenerateExec + HashAggregate,
+    also fully codegen).  The canonical spans table has no float elements,
+    so its inference is a single scan.
 
 Earlier designs that did NOT scale, kept here as a warning:
 * mapInArrow accumulators — the JVM→Arrow serialization of nested
@@ -60,12 +63,39 @@ class _AggBuilder:
 
     def __init__(self):
         self.exprs: list[Column] = []
+        # per-alias merge op for combining GROUPED partials driver-side:
+        # "sum" (counts) or "and" (every/bool_and) — lets the same aggregate
+        # expressions run either globally (df.agg) or per scan partition
+        # (groupBy(pid).agg) with a tiny associative driver merge.
+        self.merges: dict[str, str] = {}
 
-    def add(self, col: Column) -> str:
+    def add(self, col: Column, merge: str = "sum") -> str:
         alias = f"_a{_AggBuilder._counter}"
         _AggBuilder._counter += 1
         self.exprs.append(col.alias(alias))
+        self.merges[alias] = merge
         return alias
+
+
+def merge_partial_rows(rows: list[dict], merges: dict[str, str]) -> dict:
+    """Combine per-partition aggregate rows into one global row.  Null
+    partials are skipped exactly as the global aggregate would (count/sum
+    ignore empty groups; every over no rows is null)."""
+    out: dict = {}
+    for row in rows:
+        for alias, op in merges.items():
+            v = row.get(alias)
+            if v is None:
+                continue
+            if alias not in out:
+                out[alias] = v
+            elif op == "sum":
+                out[alias] += v
+            elif op == "and":
+                out[alias] = out[alias] and v
+            else:
+                raise AssertionError(op)
+    return out
 
 
 def _scalar_tag(dt: T.DataType) -> Optional[str]:
@@ -94,7 +124,7 @@ def _plan_value(
             "kind": "scalar",
             "tag": "number",
             "cnt": b.add(F.count(col)),
-            "intg": b.add(F.every(col == F.floor(col))),
+            "intg": b.add(F.every(col == F.floor(col)), merge="and"),
         }
     if isinstance(dt, T.StructType):
         spec = {"kind": "struct", "cnt": b.add(F.count(col)), "fields": {}}
@@ -109,16 +139,22 @@ def _plan_value(
 
 
 def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) -> dict:
+    """Element counts WITHOUT an explode job: ``sum(size(col))`` and
+    ``sum(size(array_compact(col[field])))`` are plain codegen aggregates in
+    the row-level pass (array_compact drops nulls, so its size is the
+    non-null element count; sum skips null rows, matching what per-element
+    explode counting produced).  A separate explode → aggregate job is
+    registered ONLY for float-element integrality, where a per-element
+    predicate aggregate is unavoidable and explode+HashAggregate beats an
+    interpreted HOF fold ~30x."""
     et = dt.elementType
     eb = _AggBuilder()
     e = F.col("_e")
     spec: dict = {
         "kind": "array",
         "cnt": b.add(F.count(col)),
-        # element stats come from the explode job: explode emits one row per
-        # element (nulls included), skipping null/empty arrays entirely
-        "elems": eb.add(F.count(F.lit(1))),
-        "elem_nonnull": eb.add(F.count(e)),
+        "elems": b.add(F.sum(F.size(col))),
+        "elem_nonnull": b.add(F.sum(F.size(F.array_compact(col)))),
     }
     tag = _scalar_tag(et)
     if tag is not None:
@@ -127,18 +163,20 @@ def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) ->
         spec["elem"] = {
             "kind": "scalar",
             "tag": "number",
-            "intg": eb.add(F.every(e == F.floor(e))),
+            "intg": eb.add(F.every(e == F.floor(e)), merge="and"),
         }
     elif isinstance(et, T.StructType):
         fields = {}
         for f in et.fields:
-            fspec: dict = {"cnt": eb.add(F.count(e[f.name]))}
+            fspec: dict = {
+                "cnt": b.add(F.sum(F.size(F.array_compact(col[f.name]))))
+            }
             ftag = _scalar_tag(f.dataType)
             if ftag is not None:
                 fspec["tag"] = ftag
             elif isinstance(f.dataType, _FLOAT_LIKE):
                 fspec["tag"] = "number"
-                fspec["intg"] = eb.add(F.every(e[f.name] == F.floor(e[f.name])))
+                fspec["intg"] = eb.add(F.every(e[f.name] == F.floor(e[f.name])), merge="and")
             else:
                 raise UnsupportedSchema(
                     f"native inference: nested non-scalar in array<struct>: {f.dataType}"
@@ -147,7 +185,8 @@ def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) ->
         spec["elem"] = {"kind": "struct", "fields": fields}
     else:
         raise UnsupportedSchema(f"native inference: array element type {et}")
-    exploded.append((col, eb))
+    if eb.exprs:
+        exploded.append((col, eb))
     return spec
 
 
@@ -240,6 +279,7 @@ class NativeInferencePlan:
             f.name: _plan_value(f.dataType, F.col(f.name), b, exploded)
             for f in df.schema.fields
         }
+        self.builder = b  # exposed so audit_pass can fuse these aggregates
         self.row_agg = df.agg(*b.exprs)
         self.explode_aggs = [
             df.select(F.explode(col).alias("_e")).agg(*eb.exprs)
@@ -251,6 +291,12 @@ class NativeInferencePlan:
         row = self.row_agg.first().asDict()
         for agg in self.explode_aggs:
             row.update(agg.first().asDict())
+        return self.finalize(row)
+
+    def finalize(self, row: dict) -> tuple[Schema, int]:
+        """Assemble the unified schema from a (possibly driver-merged)
+        aggregate row — shared by the global-agg run() and the fused
+        per-partition audit pass."""
         n_rows = row[self._n_rows_alias]
         if n_rows == 0:
             raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")

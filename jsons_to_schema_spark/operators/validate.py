@@ -35,21 +35,25 @@ from ..schema_algebra import Schema, validate as validate_value
 # ---------------------------------------------------------------------------
 
 def _monotonic_offsets():
-    """Strictly increasing offsets: no adjacent pair with next <= prev."""
-    offs = F.transform("spans", lambda s: s["offset"])
-    n1 = F.greatest(F.size(offs) - 1, F.lit(0))
-    return ~F.exists(
-        F.zip_with(
-            F.slice(offs, 2, n1),
-            F.slice(offs, 1, n1),
-            lambda nxt, prev: nxt <= prev,
-        ),
-        lambda x: x,
+    """Strictly increasing offsets: sorted AND all-distinct.
+
+    Expression choice is measured, not aesthetic: the lambda-HOF form
+    (transform → slice ×2 → zip_with → exists) repeated the ``transform``
+    subtree four times — HOF lambdas block codegen subexpression elimination
+    — and cost 7.9s over the 8M-doc corpus; this form (one
+    GetArrayStructFields + sort_array/array_distinct, no lambdas) costs 1.1s
+    and scales with cores.  Null offsets order nulls-first (sort_array
+    semantics) — the corpus generator never emits them."""
+    offs = F.col("spans")["offset"]
+    return (F.sort_array(offs) == offs) & (
+        F.size(F.array_distinct(offs)) == F.size(offs)
     )
 
 
 def _text_present():
-    """kind='text' spans must carry text."""
+    """kind='text' spans must carry text.  ``exists`` iterates the struct
+    array in place (no intermediate array allocation — measured faster and
+    better-scaling than zip_with over extracted field arrays)."""
     return ~F.exists("spans", lambda s: (s["kind"] == "text") & s["text"].isNull())
 
 
@@ -66,10 +70,17 @@ ROW_CHECKS = {
 
 
 def with_check_flags(spans_df: DataFrame) -> DataFrame:
-    """Append one boolean pass-column per row-local check + the scan
-    partition id (for per-partition verdicts).  Single narrow projection —
-    no shuffle."""
-    out = spans_df.withColumn("_pid", F.spark_partition_id())
+    """Append one boolean pass-column per row-local check.  Single narrow
+    projection — no shuffle.
+
+    Deliberately does NOT stamp ``spark_partition_id()`` here: that
+    expression is nondeterministic, so a projection carrying it becomes a
+    barrier Catalyst will not push filters or nested-column pruning through —
+    measured as the difference between a 0.06s pruned scan and a 10s
+    full-materialization scan on the 8M-doc corpus.  Consumers that need the
+    partition id (verdicts, capped violations) attach it themselves at the
+    point where every surviving row is about to be consumed."""
+    out = spans_df
     for name, make_expr in ROW_CHECKS.items():
         out = out.withColumn(f"ok_{name}", make_expr())
     return out
@@ -103,9 +114,12 @@ def row_violations(flagged: DataFrame, cap_per_check: Optional[int] = 1000) -> D
             for name in ROW_CHECKS
         ]
     )
+    # _pid AFTER the filter: filter/project are narrow, so the task (and
+    # therefore spark_partition_id) is the same as at the scan — and the
+    # nondeterministic column no longer blocks pushdown (see with_check_flags).
     v = flagged.filter(fail_any).select(
         "doc_id",
-        F.col("_pid"),
+        F.spark_partition_id().alias("_pid"),
         F.explode(F.filter(checks_arr, lambda c: ~c["ok"])).alias("_c"),
     ).select("doc_id", "_pid", F.col("_c.check").alias("check"))
     if cap_per_check is not None:
@@ -128,7 +142,9 @@ def partition_verdicts(flagged: DataFrame) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name in ROW_CHECKS:
         aggs.append(F.sum((~F.col(f"ok_{name}")).cast("long")).alias(f"fail_{name}"))
-    out = flagged.groupBy(F.col("_pid").alias("partition_id")).agg(*aggs)
+    out = flagged.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(*aggs)
     fail_total = None
     for name in ROW_CHECKS:
         c = F.col(f"fail_{name}")
@@ -136,6 +152,76 @@ def partition_verdicts(flagged: DataFrame) -> DataFrame:
     return out.withColumn("n_failed", fail_total).withColumn(
         "passed", F.col("n_failed") == 0
     )
+
+
+def verdict_report(
+    spans_df: DataFrame, cap_per_check: Optional[int] = 1000
+) -> DataFrame:
+    """Per-partition verdicts AND capped violation samples in ONE scan — the
+    north-star "single multi-aggregate pass" over the row-local checks.
+
+    One groupBy(scan partition): row counts, per-check fail counts, and a
+    per-check sample of the ``cap`` smallest failing doc_ids.  The sample
+    aggregate is ``collect_list(when(fail, doc_id))`` — `when` yields null on
+    passing rows and collect_list drops nulls, so only the (rare) failures
+    are ever buffered; the slice bounds partial state at cap × n_partitions
+    rows even on violation-dense data.  Output is tiny (one row per scan
+    partition) — persist it and derive both the verdict table and the
+    violation rows without rescanning 10^12 docs."""
+    flagged = with_check_flags(spans_df)
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for name in ROW_CHECKS:
+        fail = ~F.col(f"ok_{name}")
+        aggs.append(F.sum(fail.cast("long")).alias(f"fail_{name}"))
+        aggs.append(
+            F.slice(
+                F.array_sort(F.collect_list(F.when(fail, F.col("doc_id")))),
+                1,
+                cap_per_check if cap_per_check is not None else 2147483647,
+            ).alias(f"sample_{name}")
+        )
+    return flagged.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+
+
+def verdicts_from_report(report: DataFrame) -> DataFrame:
+    """partition_verdicts shape derived from the verdict_report (no rescan)."""
+    out = report.select(
+        "partition_id", "n_rows", *[f"fail_{name}" for name in ROW_CHECKS]
+    )
+    fail_total = None
+    for name in ROW_CHECKS:
+        c = F.col(f"fail_{name}")
+        fail_total = c if fail_total is None else fail_total + c
+    return out.withColumn("n_failed", fail_total).withColumn(
+        "passed", F.col("n_failed") == 0
+    )
+
+
+def violations_from_report(
+    report: DataFrame, cap_per_check: Optional[int] = 1000
+) -> DataFrame:
+    """row_violations shape derived from the verdict_report: explode the
+    per-partition samples (≤ cap × n_partitions rows — driver-scale) and
+    re-cap globally per check.  Same output as row_violations: any
+    overall-top-cap doc_id is top-cap within its own partition."""
+    per_check = [
+        report.select(
+            F.explode(f"sample_{name}").alias("doc_id"),
+            F.lit(name).alias("check"),
+        )
+        for name in ROW_CHECKS
+    ]
+    v = per_check[0]
+    for p in per_check[1:]:
+        v = v.unionByName(p)
+    if cap_per_check is not None:
+        w = Window.partitionBy("check").orderBy("doc_id")
+        v = (
+            v.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap_per_check)
+            .drop("_rn")
+        )
+    return v.select("doc_id", "check")
 
 
 def dangling_media_refs(
@@ -148,12 +234,15 @@ def dangling_media_refs(
     splitting (the Zipf-skewed hot refs are exactly the AQE target).
     Returns (doc_id, media_ref) of dangling references.
     """
-    refs = spans_df.select(
-        "doc_id",
-        F.explode(
-            F.filter("spans", lambda s: s["media_ref"].isNotNull())
-        ).alias("s"),
-    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    # explode the media_ref FIELD array (GetArrayStructFields), not a
+    # lambda-filtered struct array: nested-column pruning then reads only the
+    # media_ref subfield from parquet instead of the whole span struct.
+    refs = (
+        spans_df.select(
+            "doc_id", F.explode(F.col("spans")["media_ref"]).alias("media_ref")
+        )
+        .filter(F.col("media_ref").isNotNull())
+    )
     dim = catalog.select("media_ref")
     if broadcast_catalog:
         dim = F.broadcast(dim)
@@ -161,21 +250,19 @@ def dangling_media_refs(
 
 
 def duplicate_doc_ids(spans_df: DataFrame) -> DataFrame:
-    """Uniqueness check on doc_id — two-stage salted aggregation.
+    """Uniqueness check on doc_id.  Returns (doc_id, cnt) with cnt > 1.
 
-    Stage 1 pre-aggregates per (doc_id, scan-partition) — the salt is the
-    physical partition id, so a hot doc_id replicated across the table never
-    funnels all its rows to one reducer; stage 2 sums the tiny partials.
-    Returns (doc_id, cnt) with cnt > 1.
-    """
-    partial = (
-        spans_df.select("doc_id", F.spark_partition_id().alias("_salt"))
-        .groupBy("doc_id", "_salt")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    One groupBy: Spark's partial+final HashAggregate IS the two-stage salted
+    count — the map side pre-aggregates per (doc_id, scan partition) before
+    the shuffle, so a hot doc_id contributes one partial row per partition,
+    never a funnel.  An earlier hand-rolled salt
+    (``groupBy(doc_id, spark_partition_id())``) re-implemented exactly that,
+    and — because spark_partition_id is nondeterministic — blocked column
+    pruning, turning a ~100 MB doc_id-only scan into a full nested-table
+    read.  Let Catalyst do it."""
     return (
-        partial.groupBy("doc_id")
-        .agg(F.sum("c").alias("cnt"))
+        spans_df.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
     )
 

