@@ -44,10 +44,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def _spans_corpus(spark: SparkSession):
-    """Deterministic synthetic canonical table for spans-based operators
-    (not part of the driver testdata → rows-only checks)."""
+def _spans_corpus(spark: SparkSession = None):
+    """Deterministic synthetic canonical table for spans-based operators.
+    Generated (cached) at registry-import time so the DuckDB oracles can
+    read the same parquet regardless of which side the driver runs first."""
     return ensure_corpus(5000)
+
+
+# materialized now: the oracle SQL below embeds these paths
+_CORPUS = _spans_corpus()
+_SPANS_GLOB = f"{_CORPUS}/documents_spans/*.parquet"
+_CATALOG_PQ = f"{_CORPUS}/media_catalog.parquet"
 
 
 # ===========================================================================
@@ -639,19 +646,53 @@ def spans_partition_verdicts(spark, sf_dir) -> DataFrame:
     return validate.partition_verdicts(validate.with_check_flags(df))
 
 
-@query("spans_violation_rows")
+@query(
+    "spans_violation_rows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, spans,
+                      list_transform(spans, s -> s.offset) AS offs
+               FROM read_parquet('{_SPANS_GLOB}'))
+    SELECT doc_id, 'monotonic_offsets' AS "check" FROM t
+    WHERE NOT (offs = list_sort(offs) AND len(list_distinct(offs)) = len(offs))
+    UNION ALL
+    SELECT doc_id, 'text_present' FROM t
+    WHERE len(list_filter(spans, s -> s.kind = 'text' AND s.text IS NULL)) > 0
+    UNION ALL
+    SELECT doc_id, 'media_ref_present' FROM t
+    WHERE len(list_filter(spans, s -> s.kind <> 'text' AND s.media_ref IS NULL)) > 0
+    """,
+)
 def spans_violation_rows(spark, sf_dir) -> DataFrame:
     df = load_spans(spark, _spans_corpus(spark))
     return validate.row_violations(validate.with_check_flags(df))
 
 
-@query("spans_duplicate_doc_ids")
+@query(
+    "spans_duplicate_doc_ids",
+    oracle=f"""
+    SELECT doc_id, count(*) AS cnt
+    FROM read_parquet('{_SPANS_GLOB}')
+    GROUP BY doc_id HAVING count(*) > 1
+    """,
+)
 def spans_duplicate_doc_ids(spark, sf_dir) -> DataFrame:
     df = load_spans(spark, _spans_corpus(spark))
     return validate.duplicate_doc_ids(df)
 
 
-@query("spans_dangling_media_refs")
+@query(
+    "spans_dangling_media_refs",
+    oracle=f"""
+    WITH refs AS (
+      SELECT doc_id, unnest(spans).media_ref AS media_ref
+      FROM read_parquet('{_SPANS_GLOB}')
+    )
+    SELECT media_ref, doc_id FROM refs
+    WHERE media_ref IS NOT NULL
+      AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{_CATALOG_PQ}')
+                            WHERE media_ref IS NOT NULL)
+    """,
+)
 def spans_dangling_media_refs(spark, sf_dir) -> DataFrame:
     corpus = _spans_corpus(spark)
     df = load_spans(spark, corpus)
