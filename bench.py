@@ -9,7 +9,7 @@ operator families at $SPARK_GRAFT_SF_DIR scale.
 Env:
   SPARK_GRAFT_SF_DIR   driver tables dir   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] cores      (default 32)
-  SPARK_GRAFT_BENCH_DOCS  spans corpus size (default 500_000; cached)
+  SPARK_GRAFT_BENCH_DOCS  spans corpus size (default 2_000_000; cached)
 
 Modes:
   python bench.py               # standard bench → one JSON line
@@ -33,7 +33,7 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "8000000"))
 TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "5"))
 

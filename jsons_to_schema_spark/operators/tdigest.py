@@ -1,0 +1,170 @@
+"""Mergeable t-digest quantile sketch as an Arrow-vectorized UDAF.
+
+The third quantile engine (next to ``percentile`` exact and GK
+``percentile_approx`` in operators/drift.py): a centroid-clustering digest
+in the t-digest family (Dunning & Ertl — see PAPERS.md quantile-sketch
+refs), giving mergeable sketches whose accuracy concentrates at the tails —
+the property GK lacks and the reason production drift monitors prefer
+digests for p99/p999 comparisons.
+
+Distribution shape (the part that must scale):
+
+* per partition, a vectorized ``pandas_udf`` (Arrow batches, no per-row
+  Python) folds values into one digest and emits it as a (means, weights)
+  struct — map-side state is O(compression);
+* digests are associatively merged — here driver-side over one row per
+  partition (KBs), the same shape as the schema fold's treeAggregate.
+
+Simplifications vs the reference implementation (documented, deterministic):
+values within a batch are sorted and greedily clustered against the scale
+bound k1(q) ~ compression * (asin-based); no scale-function interpolation
+beyond linear within centroids.  Accuracy is property-tested against exact
+quantiles in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+class TDigest:
+    """Centroid list (means ascending) + weights; capped by compression."""
+
+    __slots__ = ("means", "weights", "compression")
+
+    def __init__(self, compression: int = 200):
+        self.means = np.empty(0)
+        self.weights = np.empty(0)
+        self.compression = compression
+
+    # -- building ----------------------------------------------------------
+    def add_array(self, values: np.ndarray) -> "TDigest":
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return self
+        means = np.concatenate([self.means, values])
+        weights = np.concatenate([self.weights, np.ones(len(values))])
+        self.means, self.weights = _compress(means, weights, self.compression)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.compression)
+        means = np.concatenate([self.means, other.means])
+        weights = np.concatenate([self.weights, other.weights])
+        out.means, out.weights = _compress(means, weights, self.compression)
+        return out
+
+    # -- querying ----------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        return float(np.interp(target, cum, self.means))
+
+
+def _k1(q: np.ndarray, compression: int) -> np.ndarray:
+    return compression / (2.0 * math.pi) * np.arcsin(2.0 * q - 1.0)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, compression: int):
+    """Sort by mean, then greedily merge adjacent centroids while the merged
+    centroid stays within one unit of the k1 scale function — the t-digest
+    size bound (≤ ~2*compression centroids), tail-accurate because k1 is
+    steep near q∈{0,1}."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum = 0.0
+    cur_m, cur_w = means[0], weights[0]
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = cum / total
+        q2 = (cum + cur_w + w) / total
+        lim = _k1(np.array([q2]), compression)[0] - _k1(np.array([q0]), compression)[0]
+        if lim >= 1.0 or cur_w + w > total:  # would exceed one k-unit → flush
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+        else:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+# grouped-agg pandas UDFs cannot return structs — flat encoding
+# [k, mean_1..mean_k, weight_1..weight_k]
+DIGEST_DDL = "array<double>"
+
+
+def digest_agg(compression: int = 200):
+    """GROUPED_AGG pandas UDF: fold a numeric column into one serialized
+    digest per group (Arrow transfer, vectorized numpy inside)."""
+
+    @pandas_udf(DIGEST_DDL)
+    def _agg(v: pd.Series) -> list:
+        d = TDigest(compression).add_array(v.to_numpy(dtype=float))
+        return [float(len(d.means)), *d.means.tolist(), *d.weights.tolist()]
+
+    return _agg
+
+
+def digest_from_flat(flat, compression: int = 200) -> TDigest:
+    d = TDigest(compression)
+    if flat:
+        k = int(flat[0])
+        d.means = np.asarray(flat[1 : 1 + k])
+        d.weights = np.asarray(flat[1 + k : 1 + 2 * k])
+    return d
+
+
+def digest_quantiles(
+    df: DataFrame,
+    column: str,
+    probs: list[float],
+    compression: int = 200,
+) -> list[float]:
+    """Distributed digest build: one digest per scan partition via the
+    GROUPED_AGG UDF (map-side state only), merged driver-side (one KB-scale
+    row per partition — same merge shape as the schema fold)."""
+    rows = (
+        df.select(F.spark_partition_id().alias("_pid"), F.col(column).alias("_v"))
+        .groupBy("_pid")
+        .agg(digest_agg(compression)(F.col("_v")).alias("d"))
+        .collect()
+    )
+    acc = TDigest(compression)
+    for r in rows:
+        part = digest_from_flat(r.d, compression)
+        if len(part.means) == 0:
+            continue
+        acc = acc.merge(part) if len(acc.means) else part
+    return [acc.quantile(p) for p in probs]
+
+
+def tdigest_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    probs: list[float],
+    compression: int = 200,
+):
+    """Quantile-vector drift via the digest engine; returns a list of
+    (p, base_q, cur_q, delta) tuples (driver-side — the digests are KBs)."""
+    bq = digest_quantiles(baseline, column, probs, compression)
+    cq = digest_quantiles(current, column, probs, compression)
+    return [(p, b, c, c - b) for p, b, c in zip(probs, bq, cq)]

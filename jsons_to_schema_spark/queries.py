@@ -421,6 +421,23 @@ def drift_documents_nchars(spark, sf_dir) -> DataFrame:
     )
 
 
+@query("drift_events_value_tdigest")
+def drift_events_value_tdigest(spark, sf_dir) -> DataFrame:
+    """Quantile drift via the mergeable t-digest UDAF (third engine, tail-
+    accurate) — approximate → rows-only; accuracy asserted in
+    tests/test_operators.py against exact quantiles."""
+    from jsons_to_schema_spark.operators import tdigest
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = tdigest.tdigest_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+    return spark.createDataFrame(rows, "p double, base_q double, cur_q double, delta double")
+
+
 # ===========================================================================
 # Text analysis (oracled)
 # ===========================================================================

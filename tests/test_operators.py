@@ -162,6 +162,45 @@ def test_hll_error_bounded(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05
 
 
+def test_tdigest_quantiles_accurate_and_partition_invariant(spark):
+    """Digest quantiles within tolerance of exact, and invariant to how the
+    data is partitioned (mergeability — the property that licenses the
+    per-partition build + driver merge)."""
+    from jsons_to_schema_spark.operators import tdigest
+
+    rng = np.random.default_rng(1)
+    vals = rng.normal(100.0, 15.0, 100_000)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    exact = np.quantile(vals, probs)
+    rows = [(float(v),) for v in vals]
+    ests = []
+    for parts in (2, 16):
+        df = spark.createDataFrame(rows, "x double").repartition(parts)
+        est = tdigest.digest_quantiles(df, "x", probs)
+        ests.append(est)
+        for e, x in zip(est, exact):
+            assert abs(e - x) < 1.0, (e, x)  # < 7% of sigma at the tails
+    # partition invariance is approximate (different merge order) but tight
+    for a, b in zip(*ests):
+        assert abs(a - b) < 1.0
+
+
+def test_tdigest_drift_shift(spark):
+    from jsons_to_schema_spark.operators import tdigest
+
+    rng = np.random.default_rng(2)
+    base = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 20_000)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(5, 1, 20_000)], "x double"
+    )
+    rows = tdigest.tdigest_drift(base, cur, "x", [0.5])
+    assert len(rows) == 1
+    p, b, c, delta = rows[0]
+    assert 4.5 < delta < 5.5
+
+
 def test_drift_detects_shift(spark):
     base = spark.range(0, 10000).select((F.col("id") % 100).alias("v").cast("double"))
     cur = spark.range(0, 10000).select(((F.col("id") % 100) + 50).alias("v").cast("double"))
