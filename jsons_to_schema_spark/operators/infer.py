@@ -239,6 +239,18 @@ def _tree_merge(partials: DataFrame) -> tuple[Optional[Schema], int]:
     return schema, n_docs
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """The Python fold's cost is per document, not per byte — a small input
+    file must not serialize the fold onto one worker.  If the scan yields
+    fewer partitions than default parallelism, shuffle the (already
+    column-pruned) input out to the cores; the shuffle moves only the column
+    being folded and is legal because unify is order-insensitive."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def infer_from_json_column(
     df: DataFrame,
     column: str,
@@ -250,7 +262,7 @@ def infer_from_json_column(
 
     on_error: 'fail' raises a clear error naming the bad document;
     'skip' drops undecodable documents (they are excluded from the count)."""
-    partials = df.select(column).mapInArrow(
+    partials = _ensure_parallelism(df.select(column)).mapInArrow(
         _make_json_accumulator(column, config, on_error), PARTIAL_SCHEMA
     )
     schema, n = _tree_merge(partials)
@@ -287,7 +299,9 @@ def infer_from_struct(
         except UnsupportedSchema:
             if engine == "native":
                 raise
-    partials = df.mapInArrow(_make_struct_accumulator(config), PARTIAL_SCHEMA)
+    partials = _ensure_parallelism(df).mapInArrow(
+        _make_struct_accumulator(config), PARTIAL_SCHEMA
+    )
     schema, n = _tree_merge(partials)
     if schema is None:
         raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")
