@@ -103,6 +103,47 @@ def media_features(
     return src.mapInPandas(extract, MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_ref string, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame,
+    ref_col: str,
+    bytes_col: str,
+    max_side: int = 256,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stage: binary in → binary out, Arrow-batched.  Output payload
+    stays opaque binary (the downstream contract); with fake=True the stub
+    'resizes' by truncating the payload proportionally and computing the
+    target box from the fake-decoded dimensions — deterministic, so the
+    plumbing (schema, batch shape, binary round-trip) is fully testable."""
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a codec library (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            rows = {"media_ref": [], "width": [], "height": [], "payload": []}
+            for ref, p in zip(pdf["media_ref"], pdf["_payload"]):
+                d = _fake_decode(p, "image")
+                scale = min(1.0, max_side / max(d["width"], d["height"]))
+                w, h = int(d["width"] * scale), int(d["height"] * scale)
+                keep = max(1, int(len(p or b"x") * scale))
+                rows["media_ref"].append(ref)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(bytes(p or b"")[:keep])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, ref_col: str, every_ms: int = 1000) -> DataFrame:
     """Plan frame-sampling work items for video refs (timestamps to decode)
     without touching payloads — pure built-ins; the decode itself is the

@@ -763,3 +763,20 @@ def multimodal_media_features(spark, sf_dir) -> DataFrame:
     return multimodal.media_features(
         with_payload, "media_ref", "payload", "media_kind", fake=True
     )
+
+
+@query("multimodal_resize_images")
+def multimodal_resize_images(spark, sf_dir) -> DataFrame:
+    """Resize plumbing (binary→binary mapInPandas, stub codec) over synthetic
+    payloads for the image-kind catalog entries — rows-only."""
+    corpus = _spans_corpus(spark)
+    cat = load_media_catalog(spark, corpus).filter(
+        F.col("media_kind") == "image"
+    ).limit(200)
+    with_payload = cat.select(
+        "media_ref",
+        F.encode(F.concat(F.col("media_ref"), F.lit(":img")), "utf-8").alias("payload"),
+    )
+    return multimodal.resize_images(
+        with_payload, "media_ref", "payload", max_side=128, fake=True
+    )

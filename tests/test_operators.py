@@ -224,6 +224,24 @@ def test_multimodal_fake_decode_deterministic(spark):
     assert len(by_ref["m-1"].content_sha256) == 64
 
 
+def test_multimodal_resize_stub(spark):
+    rows = [("m-1", b"x" * 1000), ("m-2", b"y" * 10)]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = multimodal.resize_images(df, "media_ref", "payload", max_side=64, fake=True)
+    got = {r.media_ref: r for r in out.collect()}
+    assert set(got) == {"m-1", "m-2"}
+    for r in got.values():
+        assert 0 < r.width <= 64 and 0 < r.height <= 64
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) >= 1
+    again = {
+        r.media_ref: (r.width, r.height, bytes(r.payload))
+        for r in multimodal.resize_images(
+            df, "media_ref", "payload", max_side=64, fake=True
+        ).collect()
+    }
+    assert again == {k: (v.width, v.height, bytes(v.payload)) for k, v in got.items()}
+
+
 def test_multimodal_stub_raises_without_fake(spark):
     rows = [("m-1", "image", b"x")]
     df = spark.createDataFrame(rows, "ref string, kind string, payload binary")

@@ -144,6 +144,28 @@ def test_single_pass_audit_matches_separate_passes(spark, spans_df):
     assert viol_fused == viol_sep and viol_fused
 
 
+def test_single_pass_audit_partition_invariant(spark, spans_df):
+    """Repartitioning must not change the audit's schema, violation set, or
+    verdict totals (partition ids/groupings change; the merged results are
+    the associative fold and must not)."""
+    from jsons_to_schema_spark.operators.audit_pass import single_pass_audit
+    from jsons_to_schema_spark.schema_algebra import canonical_json
+
+    results = []
+    for k in (1, 3, 16):
+        res = single_pass_audit(spans_df.repartition(k), cap_per_check=1000)
+        results.append(
+            (
+                canonical_json(res.schema),
+                res.n_docs,
+                frozenset((r.doc_id, r.check) for r in res.violations.collect()),
+                sum(r.n_failed for r in res.verdicts.collect()),
+                sum(r.n_rows for r in res.verdicts.collect()),
+            )
+        )
+    assert results[0] == results[1] == results[2]
+
+
 def test_span_sequence_roundtrip_invariant(spark, spans_df):
     """BASELINE.json per-row invariant: (kind, text, media_ref, order) of
     every span survives the validation pipeline byte-for-byte."""
