@@ -119,9 +119,15 @@ def run_queries(spark, corpus) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.time()
+        # warm-up (Python-worker pool spin-up, codegen compile) then min-of-2
+        # — same noise reasoning as the flagship (see bench_once)
         fn()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
         log(f"  {name}: {timings[name]}s")
 
     events = load_table(spark, SF_DIR, "events")
