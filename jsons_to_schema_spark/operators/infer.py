@@ -35,6 +35,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from ..schema_algebra import (
     SchemaGenerationConfig,
@@ -321,11 +322,16 @@ def infer_grouped(
     group_col: str,
     json_col: str,
     config: SchemaGenerationConfig = DEFAULT_CONFIG,
+    salt: int = 16,
 ) -> DataFrame:
     """Per-group unified schema (e.g. schema per event_type / per source).
 
-    Shuffles once on the group key, then folds each group's documents inside
-    a single applyInPandas — the grouped analog of the reference fold.
+    Salted two-stage fold: stage 1 groups by (key, hash(doc) % salt) so a
+    HOT group's documents fold on up to ``salt`` tasks in parallel instead
+    of funneling one reducer — exactly the skew treatment uniqueness gets,
+    legal here because unify is associative+commutative.  Stage 2 unifies
+    the ≤ salt partial drafts per group (KB-scale rows).  salt=1 degrades to
+    the single-stage fold.
     """
     import pandas as pd
 
@@ -344,4 +350,33 @@ def infer_grouped(
         )
 
     out_schema = f"{group_col} string, unified_schema string, n_docs long"
-    return df.select(group_col, json_col).groupBy(group_col).applyInPandas(fold, out_schema)
+    src = df.select(group_col, json_col)
+    if salt <= 1:
+        return src.groupBy(group_col).applyInPandas(fold, out_schema)
+
+    partials = (
+        src.withColumn("_salt", F.pmod(F.xxhash64(F.col(json_col)), F.lit(salt)))
+        .groupBy(group_col, "_salt")
+        .applyInPandas(
+            lambda pdf: fold(pdf.drop(columns=["_salt"])),
+            out_schema,
+        )
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: Optional[Schema] = None
+        n = 0
+        for s, k in zip(pdf["unified_schema"], pdf["n_docs"]):
+            if s is None:
+                continue
+            acc = unify_opt(acc, parse_schema(s))
+            n += int(k)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "unified_schema": [canonical_json(acc) if acc is not None else None],
+                "n_docs": [n],
+            }
+        )
+
+    return partials.groupBy(group_col).applyInPandas(merge, out_schema)

@@ -105,3 +105,18 @@ def test_infer_grouped_by_event_type(spark):
     for r in out:
         s = json.loads(r.unified_schema)
         assert s["properties"]["k"]["type"] == "integer"
+
+
+def test_infer_grouped_salt_invariant(spark):
+    """The salted two-stage grouped fold (skew path for hot groups) must
+    produce exactly the single-stage result — associativity in action."""
+    df = load_table(spark, SF_SMOKE, "events")
+    single = {
+        (r.event_type, r.unified_schema, r.n_docs)
+        for r in infer_grouped(df, "event_type", "props", salt=1).collect()
+    }
+    salted = {
+        (r.event_type, r.unified_schema, r.n_docs)
+        for r in infer_grouped(df, "event_type", "props", salt=16).collect()
+    }
+    assert single == salted
