@@ -106,6 +106,52 @@ def _fold_split_factory(check_names: list[str], config=DEFAULT_CONFIG):
     return fold, ddl
 
 
+def _per_split_records(df: DataFrame, flagged: DataFrame, pending: list) -> list[dict]:
+    """One (draft, n_rows, per-check fails) record per pending split.
+
+    Preferred engine: ONE groupBy(split) over the scan with the codegen
+    inference aggregates + fail counts — map-side partial aggregation means
+    only KB-scale partial rows shuffle, never the data (an earlier
+    ``repartition(split) → applyInArrow`` design shuffled every pending byte
+    AND folded in Python).  Falls back to the grouped-Arrow fold for schema
+    shapes the native builder doesn't cover.
+    """
+    from .operators.infer_native import NativeInferencePlan, UnsupportedSchema
+
+    data_cols = [c for c in df.columns if c != SPLIT_COL]
+    try:
+        plan = NativeInferencePlan(df.select(*data_cols))
+        if plan.explode_aggs:
+            raise UnsupportedSchema("float-element arrays need explode jobs")
+    except UnsupportedSchema:
+        check_names = list(ROW_CHECKS)
+        fold, out_ddl = _fold_split_factory(check_names)
+        return [
+            r.asDict()
+            for r in flagged.repartition(SPLIT_COL)
+            .groupBy(SPLIT_COL)
+            .applyInArrow(fold, out_ddl)
+            .collect()
+        ]
+
+    aggs = list(plan.builder.exprs)
+    for c in ROW_CHECKS:
+        aggs.append(F.sum((~F.col(f"ok_{c}")).cast("long")).alias(f"fail_{c}"))
+    out = []
+    for r in flagged.groupBy(SPLIT_COL).agg(*aggs).collect():
+        d = r.asDict()
+        schema, n_rows = plan.finalize(d)
+        rec = {
+            "split": d[SPLIT_COL],
+            "draft": canonical_json(schema),
+            "n_rows": n_rows,
+        }
+        for c in ROW_CHECKS:
+            rec[f"fail_{c}"] = d[f"fail_{c}"]
+        out.append(rec)
+    return out
+
+
 def checkpointed_validate(
     spark: SparkSession,
     data_path: str,
@@ -116,8 +162,9 @@ def checkpointed_validate(
 
     1. enumerate splits (input files) from the scan metadata;
     2. skip splits already committed to the state store (resume);
-    3. per pending split: fold draft schema + per-check failure counts in ONE
-       grouped Arrow pass (groupBy split → applyInArrow);
+    3. per pending split: draft schema + per-check failure counts in ONE
+       groupBy(split) codegen aggregate (map-side partials; Arrow-fold
+       fallback for exotic schemas — see _per_split_records);
     4. commit each split record atomically (lineage+metrics);
     5. final answer = tree-fold of ALL committed drafts + metric sums.
 
@@ -138,18 +185,10 @@ def checkpointed_validate(
     computed = 0
     if pending:
         flagged = with_check_flags(df.filter(F.col(SPLIT_COL).isin(pending)))
-        check_names = list(ROW_CHECKS)
-        fold, out_ddl = _fold_split_factory(check_names)
         t0 = time.time()
-        results = (
-            flagged.repartition(SPLIT_COL)
-            .groupBy(SPLIT_COL)
-            .applyInArrow(fold, out_ddl)
-            .collect()
-        )
+        results = _per_split_records(df, flagged, pending)
         elapsed = time.time() - t0
-        for r in results:
-            rec = r.asDict()
+        for rec in results:
             rec["committed_at"] = time.time()
             rec["wall_s_batch"] = round(elapsed, 3)
             store.commit(rec)

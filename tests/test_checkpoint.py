@@ -63,3 +63,23 @@ def test_lineage_and_metrics(spark, corpus, tmp_path):
     assert res["fails"]["monotonic_offsets"] == expected["non_monotonic_rows"]
     # at least one split fails, and pass/fail is recorded per split
     assert any(not l["passed"] for l in res["lineage"])
+
+
+def test_checkpoint_arrow_fallback_for_float_arrays(spark, corpus, tmp_path):
+    """A schema outside the codegen builder (float-element array → explode
+    needed) routes through the grouped-Arrow fallback and still resumes."""
+    from pyspark.sql import functions as F
+
+    src = load_spans(spark, corpus).limit(500).withColumn(
+        "scores", F.array(F.lit(1.0), F.lit(2.5))
+    )
+    data = str(tmp_path / "data")
+    src.repartition(4).write.parquet(data)
+    res = checkpointed_validate(spark, data, tmp_path / "state")
+    assert res["splits_computed_this_run"] == res["splits_total"] > 1
+    assert res["n_rows"] == 500
+    s = res["schema"]
+    assert s["properties"]["scores"]["items"]["type"] == "number"
+    # resume: nothing recomputed
+    again = checkpointed_validate(spark, data, tmp_path / "state")
+    assert again["splits_computed_this_run"] == 0
