@@ -35,6 +35,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from jsons_to_schema_spark.queries import ORACLES
+    from jsons_to_schema_spark.queries import resolve_oracles
 
-    return dict(ORACLES)
+    return resolve_oracles()

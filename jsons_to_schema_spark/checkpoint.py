@@ -99,14 +99,17 @@ def _fold_split_factory(check_names: list[str], config=DEFAULT_CONFIG):
             "n_rows": [table.num_rows],
         }
         for c in check_names:
-            n_ok = pc.sum(pc.cast(table.column(f"ok_{c}"), pa.int64())).as_py() or 0
-            row[f"fail_{c}"] = [table.num_rows - n_ok]
+            # fail = flag is exactly False; a null flag (check not evaluable)
+            # is NOT a violation — same convention as the native path's
+            # sum((~ok).cast(long)) and validate.row_violations' filter.
+            is_fail = pc.fill_null(pc.invert(table.column(f"ok_{c}")), False)
+            row[f"fail_{c}"] = [pc.sum(pc.cast(is_fail, pa.int64())).as_py() or 0]
         return pa.Table.from_pydict(row, schema=out_schema)
 
     return fold, ddl
 
 
-def _per_split_records(df: DataFrame, flagged: DataFrame, pending: list) -> list[dict]:
+def _per_split_records(df: DataFrame, flagged: DataFrame) -> list[dict]:
     """One (draft, n_rows, per-check fails) record per pending split.
 
     Preferred engine: ONE groupBy(split) over the scan with the codegen
@@ -186,7 +189,7 @@ def checkpointed_validate(
     if pending:
         flagged = with_check_flags(df.filter(F.col(SPLIT_COL).isin(pending)))
         t0 = time.time()
-        results = _per_split_records(df, flagged, pending)
+        results = _per_split_records(df, flagged)
         elapsed = time.time() - t0
         for rec in results:
             rec["committed_at"] = time.time()

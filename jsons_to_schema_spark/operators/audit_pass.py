@@ -2,15 +2,25 @@
 
 ONE full-width scan of the interleaved-docs table computes, per scan
 partition: every schema-inference aggregate (NativeInferencePlan's count /
-sum(size(array_compact(...))) / every(...) expressions), the per-check fail
-counts, AND capped violation-doc_id samples.  The per-partition output is
-tiny (one row per partition), so:
+sum(_size0(array_compact(...))) / every(...) expressions), the per-check fail
+counts, AND capped violation-doc_id samples.  The per-partition report is one
+row per partition and is PERSISTED as a DataFrame — it never funnels to the
+driver:
 
-* the unified schema is assembled by merging the partial rows driver-side —
-  legal because every aggregate is associative (counts sum, every ANDs),
-  exactly the treeAggregate argument from SURVEY.md §2 (U8);
-* per-partition verdicts are the partial rows themselves;
-* violation rows are the exploded samples, re-capped globally.
+* the unified schema is assembled by merging ONLY the inference aggregate
+  columns driver-side (a projection of the persisted report: KBs per
+  partition, no sample arrays) — legal because every aggregate is
+  associative (counts sum, every ANDs), exactly the treeAggregate argument
+  from SURVEY.md §2 (U8);
+* per-partition verdicts are derived from the report DataFrame
+  (validate.verdicts_from_report — no rescan, no driver round-trip);
+* violation rows are the exploded report samples, re-capped globally
+  (validate.violations_from_report), again as a DataFrame.
+
+At 10^5+ scan partitions the old design — ``.collect()`` of rows carrying
+cap×3 doc_ids each — put GBs of sample arrays on the driver heap; now the
+samples live in the persisted executor blocks and only flow where the caller
+actually materializes violations.
 
 The only other scans in a full audit are NARROW by construction: doc_id
 uniqueness (reads one string column) and the media_ref anti-join (reads one
@@ -27,16 +37,24 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..schema_algebra import DEFAULT_CONFIG, Schema, SchemaGenerationConfig
 from .infer_native import NativeInferencePlan, merge_partial_rows
-from .validate import ROW_CHECKS, with_check_flags
+from .validate import (
+    ROW_CHECKS,
+    verdicts_from_report,
+    violations_from_report,
+    with_check_flags,
+)
 
 
 class AuditResult:
-    """Everything one full-width scan (plus driver merge) produced."""
+    """Everything one full-width scan produced.  ``verdicts`` and
+    ``violations`` are lazy DataFrames over the persisted per-partition
+    ``report``; call :meth:`unpersist` when done with them."""
 
     def __init__(
         self,
@@ -44,11 +62,16 @@ class AuditResult:
         n_docs: int,
         verdicts: DataFrame,
         violations: DataFrame,
+        report: DataFrame,
     ):
         self.schema = schema
         self.n_docs = n_docs
         self.verdicts = verdicts
         self.violations = violations
+        self.report = report
+
+    def unpersist(self) -> None:
+        self.report.unpersist()
 
 
 def single_pass_audit(
@@ -62,8 +85,15 @@ def single_pass_audit(
     Float-element arrays would need explode jobs for integrality; the plan
     raises UnsupportedSchema there (same contract as infer_from_struct_native)
     — callers fall back to separate passes.
+
+    Note on aggregation-buffer bounds: the per-check sample aggregate is
+    ``slice(array_sort(collect_list(when(fail, doc_id))), 1, cap)`` — only
+    failing rows are buffered (when → null, collect_list drops nulls), but on
+    pathologically violation-DENSE data the pre-slice buffer grows with the
+    partition's failure count.  Callers facing that regime should use
+    validate.row_violations (two-stage window cap, bounded end-to-end)
+    instead of the fused sample.
     """
-    spark = spans_df.sparkSession
     plan = NativeInferencePlan(spans_df, config)
     if plan.explode_aggs:
         from .infer_native import UnsupportedSchema
@@ -87,41 +117,18 @@ def single_pass_audit(
             ).alias(f"sample_{name}")
         )
 
-    partials = (
+    report = (
         flagged.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(*aggs)
-        .collect()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rows = [r.asDict() for r in partials]
 
+    # Driver sees ONLY the inference aggregates — a narrow projection of the
+    # persisted report; the sample arrays stay on the executors.
+    infer_cols = list(plan.builder.merges.keys())
+    rows = [r.asDict() for r in report.select(*infer_cols).collect()]
     schema, n_docs = plan.finalize(merge_partial_rows(rows, plan.builder.merges))
 
-    verdict_rows = []
-    for r in rows:
-        n_failed = sum(r[f"fail_{name}"] for name in ROW_CHECKS)
-        verdict_rows.append(
-            (
-                r["partition_id"],
-                r["n_rows"],
-                *[r[f"fail_{name}"] for name in ROW_CHECKS],
-                n_failed,
-                n_failed == 0,
-            )
-        )
-    verdict_schema = (
-        "partition_id int, n_rows long, "
-        + ", ".join(f"fail_{name} long" for name in ROW_CHECKS)
-        + ", n_failed long, passed boolean"
-    )
-    verdicts = spark.createDataFrame(verdict_rows, verdict_schema)
-
-    viol_rows = []
-    for name in ROW_CHECKS:
-        ids = sorted(d for r in rows for d in r[f"sample_{name}"])
-        if cap_per_check is not None:
-            ids = ids[:cap_per_check]
-        viol_rows.extend((d, name) for d in ids)
-    violations = spark.createDataFrame(
-        viol_rows or [], "doc_id string, check string"
-    )
-    return AuditResult(schema, n_docs, verdicts, violations)
+    verdicts = verdicts_from_report(report)
+    violations = violations_from_report(report, cap_per_check)
+    return AuditResult(schema, n_docs, verdicts, violations, report)

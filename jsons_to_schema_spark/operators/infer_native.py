@@ -98,6 +98,19 @@ def merge_partial_rows(rows: list[dict], merges: dict[str, str]) -> dict:
     return out
 
 
+def _size0(col: Column) -> Column:
+    """``size`` that contributes 0 for null arrays under EVERY Spark config.
+
+    ``sum(size(col))`` is only correct when ``size(NULL)`` is NULL (sum skips
+    it) — true under ANSI mode (Spark 4 default) but NOT under
+    ``spark.sql.legacy.sizeOfNull=true`` (the default on any Spark 3.x
+    deployment with ANSI off), where ``size(NULL)`` is -1 and every null row
+    silently subtracts from the element count, producing a wrong schema with
+    no error.  The explicit CASE WHEN is engine-independent and stays inside
+    whole-stage codegen."""
+    return F.when(col.isNull(), F.lit(0)).otherwise(F.size(col))
+
+
 def _scalar_tag(dt: T.DataType) -> Optional[str]:
     if isinstance(dt, T.BooleanType):
         return "boolean"
@@ -139,11 +152,12 @@ def _plan_value(
 
 
 def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) -> dict:
-    """Element counts WITHOUT an explode job: ``sum(size(col))`` and
-    ``sum(size(array_compact(col[field])))`` are plain codegen aggregates in
+    """Element counts WITHOUT an explode job: ``sum(_size0(col))`` and
+    ``sum(_size0(array_compact(col[field])))`` are plain codegen aggregates in
     the row-level pass (array_compact drops nulls, so its size is the
-    non-null element count; sum skips null rows, matching what per-element
-    explode counting produced).  A separate explode → aggregate job is
+    non-null element count; _size0 maps null rows to 0 regardless of the
+    legacy sizeOfNull setting, matching what per-element explode counting
+    produced).  A separate explode → aggregate job is
     registered ONLY for float-element integrality, where a per-element
     predicate aggregate is unavoidable and explode+HashAggregate beats an
     interpreted HOF fold ~30x."""
@@ -153,8 +167,8 @@ def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) ->
     spec: dict = {
         "kind": "array",
         "cnt": b.add(F.count(col)),
-        "elems": b.add(F.sum(F.size(col))),
-        "elem_nonnull": b.add(F.sum(F.size(F.array_compact(col)))),
+        "elems": b.add(F.sum(_size0(col))),
+        "elem_nonnull": b.add(F.sum(_size0(F.array_compact(col)))),
     }
     tag = _scalar_tag(et)
     if tag is not None:
@@ -169,7 +183,7 @@ def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) ->
         fields = {}
         for f in et.fields:
             fspec: dict = {
-                "cnt": b.add(F.sum(F.size(F.array_compact(col[f.name]))))
+                "cnt": b.add(F.sum(_size0(F.array_compact(col[f.name]))))
             }
             ftag = _scalar_tag(f.dataType)
             if ftag is not None:

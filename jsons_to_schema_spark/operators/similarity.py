@@ -191,22 +191,26 @@ def ivf_train_centroids(
     round is one distributed pass — assign every vector to its best cell
     with the codegen argmax above, then ``posexplode → groupBy(cell, pos)
     → avg`` to recompute means.  Only the n_cells×dim centroid matrix ever
-    reaches the driver.  Deterministic: init picks n_cells spread vectors
-    by hash order from a bounded sample."""
+    reaches the driver.  Deterministic end-to-end: the bounded sample is the
+    sample_limit hash-SMALLEST vectors (TakeOrderedAndProject — a top-k
+    selection, not a full sort), cached before iterating; an unordered
+    ``limit()`` would be re-evaluated with Spark-unspecified scan order on
+    every Lloyd pass."""
     v = corpus.select(_l2_normalize(F.col(vec_col)).alias("_v")).filter(
         F.col("_v").isNotNull()
     )
-    sample = v.limit(sample_limit)
-    init = (
-        sample.select(
+    sample = (
+        v.select(
             "_v", F.xxhash64(F.col("_v").cast("string"), F.lit(seed)).alias("_h")
         )
         .orderBy("_h")
-        .limit(n_cells)
-        .collect()
+        .limit(sample_limit)
+        .cache()
     )
+    init = sample.orderBy("_h").limit(n_cells).collect()
     centroids = [list(r._v) for r in init]
     if len(centroids) < n_cells:
+        sample.unpersist()
         return centroids
     for _ in range(iters):
         assigned = sample.select(
@@ -230,6 +234,7 @@ def ivf_train_centroids(
             else:  # empty cell keeps its previous centroid
                 new.append(old)
         centroids = new
+    sample.unpersist()
     return centroids
 
 

@@ -163,9 +163,11 @@ def verdict_report(
     One groupBy(scan partition): row counts, per-check fail counts, and a
     per-check sample of the ``cap`` smallest failing doc_ids.  The sample
     aggregate is ``collect_list(when(fail, doc_id))`` — `when` yields null on
-    passing rows and collect_list drops nulls, so only the (rare) failures
-    are ever buffered; the slice bounds partial state at cap × n_partitions
-    rows even on violation-dense data.  Output is tiny (one row per scan
+    passing rows and collect_list drops nulls, so only the failures are ever
+    buffered.  The slice caps the OUTPUT at cap rows per (partition, check);
+    the pre-slice aggregation buffer still grows with the partition's failure
+    count, so on violation-DENSE data use row_violations (two-stage window
+    cap, bounded end-to-end) instead.  Output is tiny (one row per scan
     partition) — persist it and derive both the verdict table and the
     violation rows without rescanning 10^12 docs."""
     flagged = with_check_flags(spans_df)

@@ -46,15 +46,32 @@ def query(name: str, oracle: str | None = None):
 
 def _spans_corpus(spark: SparkSession = None):
     """Deterministic synthetic canonical table for spans-based operators.
-    Generated (cached) at registry-import time so the DuckDB oracles can
-    read the same parquet regardless of which side the driver runs first."""
+    Generation is idempotent and cached on disk; first caller pays it."""
     return ensure_corpus(5000)
 
 
-# materialized now: the oracle SQL below embeds these paths
-_CORPUS = _spans_corpus()
-_SPANS_GLOB = f"{_CORPUS}/documents_spans/*.parquet"
-_CATALOG_PQ = f"{_CORPUS}/media_catalog.parquet"
+# Oracle SQL references the corpus parquet through placeholder tokens so that
+# importing this registry never touches disk; resolve_oracles() substitutes
+# the real paths (generating the corpus if needed) only when the oracles are
+# actually consumed.  Plain str.replace — the SQL contains literal braces.
+_SPANS_GLOB_TOKEN = "__SPANS_GLOB__"
+_CATALOG_PQ_TOKEN = "__CATALOG_PQ__"
+
+
+def resolve_oracles() -> dict:
+    """ORACLES with corpus-path tokens substituted (lazy corpus creation)."""
+    out = dict(ORACLES)
+    if any(
+        _SPANS_GLOB_TOKEN in sql or _CATALOG_PQ_TOKEN in sql for sql in out.values()
+    ):
+        corpus = _spans_corpus()
+        glob = f"{corpus}/documents_spans/*.parquet"
+        cat = f"{corpus}/media_catalog.parquet"
+        out = {
+            name: sql.replace(_SPANS_GLOB_TOKEN, glob).replace(_CATALOG_PQ_TOKEN, cat)
+            for name, sql in out.items()
+        }
+    return out
 
 
 # ===========================================================================
@@ -665,10 +682,10 @@ def spans_partition_verdicts(spark, sf_dir) -> DataFrame:
 
 @query(
     "spans_violation_rows",
-    oracle=f"""
+    oracle="""
     WITH t AS (SELECT doc_id, spans,
                       list_transform(spans, s -> s.offset) AS offs
-               FROM read_parquet('{_SPANS_GLOB}'))
+               FROM read_parquet('__SPANS_GLOB__'))
     SELECT doc_id, 'monotonic_offsets' AS "check" FROM t
     WHERE NOT (offs = list_sort(offs) AND len(list_distinct(offs)) = len(offs))
     UNION ALL
@@ -686,9 +703,9 @@ def spans_violation_rows(spark, sf_dir) -> DataFrame:
 
 @query(
     "spans_duplicate_doc_ids",
-    oracle=f"""
+    oracle="""
     SELECT doc_id, count(*) AS cnt
-    FROM read_parquet('{_SPANS_GLOB}')
+    FROM read_parquet('__SPANS_GLOB__')
     GROUP BY doc_id HAVING count(*) > 1
     """,
 )
@@ -699,14 +716,14 @@ def spans_duplicate_doc_ids(spark, sf_dir) -> DataFrame:
 
 @query(
     "spans_dangling_media_refs",
-    oracle=f"""
+    oracle="""
     WITH refs AS (
       SELECT doc_id, unnest(spans).media_ref AS media_ref
-      FROM read_parquet('{_SPANS_GLOB}')
+      FROM read_parquet('__SPANS_GLOB__')
     )
     SELECT media_ref, doc_id FROM refs
     WHERE media_ref IS NOT NULL
-      AND media_ref NOT IN (SELECT media_ref FROM read_parquet('{_CATALOG_PQ}')
+      AND media_ref NOT IN (SELECT media_ref FROM read_parquet('__CATALOG_PQ__')
                             WHERE media_ref IS NOT NULL)
     """,
 )

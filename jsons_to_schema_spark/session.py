@@ -29,6 +29,11 @@ ENGINE_CONF = {
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # size(NULL) must be NULL, never -1: the native inference aggregates rely
+    # on sum() skipping null arrays.  The expressions themselves are also
+    # guarded (infer_native._size0) so a bare session stays correct on
+    # Spark 3.x defaults — this pin is belt-and-suspenders.
+    "spark.sql.legacy.sizeOfNull": "false",
     # Interpreted expressions (HOFs are CodegenFallback) and Arrow transfers
     # allocate heavily; the default G1 young-gen sizing collapsed under
     # 32-thread allocation pressure (measured 4-6x slowdowns).  A half-heap

@@ -1,8 +1,8 @@
 """Stateful streaming constraint: cross-batch doc_id uniqueness.
 
-The batch engine checks uniqueness with a salted two-stage aggregation
-(operators/validate.py::duplicate_doc_ids); on a stream that is impossible
-with windowed counts — a duplicate may arrive HOURS after the original, in a
+The batch engine checks uniqueness with one groupBy whose partial+final
+HashAggregate pre-aggregates map-side (operators/validate.py::
+duplicate_doc_ids); on a stream that is impossible with windowed counts — a duplicate may arrive HOURS after the original, in a
 different micro-batch, so the check needs durable per-key state.  This is the
 one constraint in the suite that genuinely warrants a custom stateful
 operator (``applyInPandasWithState``): per-doc_id seen-counts, stored in the

@@ -107,3 +107,25 @@ def test_native_plan_is_codegen_only(spark):
         # killed scaling must never reappear.
         for banned in ("zip_with", "transform(", "slice("):
             assert banned not in p, banned
+
+
+def test_size_of_null_legacy_conf_regression(spark):
+    """Under ansi=false + spark.sql.legacy.sizeOfNull=true (the Spark 3.x
+    default stack), size(NULL) is -1 — the element-count aggregates must not
+    let null array rows subtract from the counts (each null row would
+    otherwise silently erase one element, dropping `items` entirely on
+    [null, null, [1]])."""
+    df = spark.createDataFrame([(None,), (None,), ([1],)], "xs array<long>")
+    confs = {"spark.sql.ansi.enabled": "false", "spark.sql.legacy.sizeOfNull": "true"}
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        schema = _assert_engines_agree(df)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert schema["properties"]["xs"] == {
+        "type": "array",
+        "items": {"type": "integer"},
+    }
