@@ -78,6 +78,7 @@ def single_pass_audit(
     spans_df: DataFrame,
     cap_per_check: Optional[int] = 1000,
     config: SchemaGenerationConfig = DEFAULT_CONFIG,
+    by: str = "partition",
 ) -> AuditResult:
     """Unified schema + per-partition verdicts + capped violation rows from
     ONE scan.  See module docstring for the mechanics.
@@ -94,6 +95,8 @@ def single_pass_audit(
     validate.row_violations (two-stage window cap, bounded end-to-end)
     instead of the fused sample.
     """
+    if by not in ("partition", "split"):
+        raise ValueError(f"by must be 'partition' or 'split', got {by!r}")
     plan = NativeInferencePlan(spans_df, config)
     if plan.explode_aggs:
         from .infer_native import UnsupportedSchema
@@ -102,6 +105,18 @@ def single_pass_audit(
             "single_pass_audit: float-element arrays need explode jobs — "
             "run inference and validation as separate passes"
         )
+
+    if by == "split":
+        # stable content-split key (input file) — run-invariant verdicts,
+        # SQL-oracle-reproducible; requires a file-backed scan.
+        from .validate import split_column
+
+        spans_df = spans_df.withColumn("split", split_column())
+        key_col = "split"
+        group_key = F.col("split")
+    else:
+        key_col = "partition_id"
+        group_key = F.spark_partition_id().alias("partition_id")
 
     flagged = with_check_flags(spans_df)
     aggs = list(plan.builder.exprs)
@@ -118,7 +133,7 @@ def single_pass_audit(
         )
 
     report = (
-        flagged.groupBy(F.spark_partition_id().alias("partition_id"))
+        flagged.groupBy(group_key)
         .agg(*aggs)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -129,6 +144,6 @@ def single_pass_audit(
     rows = [r.asDict() for r in report.select(*infer_cols).collect()]
     schema, n_docs = plan.finalize(merge_partial_rows(rows, plan.builder.merges))
 
-    verdicts = verdicts_from_report(report)
+    verdicts = verdicts_from_report(report, key_col)
     violations = violations_from_report(report, cap_per_check)
     return AuditResult(schema, n_docs, verdicts, violations, report)

@@ -158,16 +158,42 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, col: str, id_col: str, k: int = 3, min_jaccard: float = 0.5
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one
-    shingle (inverted-index join — the non-probabilistic small/medium-scale
-    path; MinHash-LSH is the 10^12-doc path)."""
+    NON-STOP shingle (inverted-index join — the non-probabilistic
+    small/medium-scale path; MinHash-LSH is the 10^12-doc path).
+
+    ``max_shingle_df`` is the stop-shingle cap: shingles whose document
+    frequency exceeds it are dropped from the inverted index BEFORE the
+    self-join.  Without it one hot shingle shared by 10^5 docs creates a
+    ~10^10-row candidate bucket (quadratic blowup); with it each bucket is
+    bounded at max_shingle_df², so total candidates ≤ n_shingles · cap².
+    Standard stop-word filtering semantics: a pair whose ONLY shared
+    shingles are stop-shingles is not considered a candidate (its Jaccard
+    is dominated by ubiquitous content anyway).  The verification Jaccard
+    still uses the FULL shingle sets.  None disables the cap."""
     tok_df = df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t"))
     sh_df = tok_df.select(
         "_id", F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh")
     ).filter(F.size("_sh") > 0)
     inv = sh_df.select("_id", F.explode("_sh").alias("_g"))
+    if max_shingle_df is not None:
+        keep = (
+            inv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_g")
+        )
+        # semi join keyed on the shingle; map-side partials make the df count
+        # one shuffle of (shingle, count) rows, AQE picks broadcast when the
+        # surviving shingle set is small.
+        inv = inv.join(keep, "_g", "left_semi")
     cand = (
         inv.alias("l")
         .join(inv.alias("r"), (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")))

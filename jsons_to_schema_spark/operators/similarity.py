@@ -187,55 +187,44 @@ def ivf_train_centroids(
 ) -> list[list[float]]:
     """Spherical k-means coarse quantizer for an IVF index.
 
-    Driver-coordinated Lloyd iterations (the MLlib k-means shape): each
-    round is one distributed pass — assign every vector to its best cell
-    with the codegen argmax above, then ``posexplode → groupBy(cell, pos)
-    → avg`` to recompute means.  Only the n_cells×dim centroid matrix ever
-    reaches the driver.  Deterministic end-to-end: the bounded sample is the
-    sample_limit hash-SMALLEST vectors (TakeOrderedAndProject — a top-k
-    selection, not a full sort), cached before iterating; an unordered
-    ``limit()`` would be re-evaluated with Spark-unspecified scan order on
-    every Lloyd pass."""
+    The training sample is BOUNDED by design (sample_limit × dim doubles —
+    ~50 MB at the defaults) and selected deterministically as the
+    sample_limit hash-smallest vectors (TakeOrderedAndProject — a top-k
+    selection, not a full sort), so ONE distributed pass collects it and the
+    Lloyd iterations run as driver-local numpy matmuls (the faiss
+    train-on-sample shape).  That makes training bit-deterministic — a
+    distributed ``avg`` would sum doubles in shuffle-arrival order and
+    wobble centroids run-to-run — while everything data-scale (cell
+    assignment of the full corpus, the probe join) stays distributed.
+    Init picks the n_cells hash-smallest sample vectors."""
     v = corpus.select(_l2_normalize(F.col(vec_col)).alias("_v")).filter(
         F.col("_v").isNotNull()
     )
-    sample = (
+    rows = (
         v.select(
             "_v", F.xxhash64(F.col("_v").cast("string"), F.lit(seed)).alias("_h")
         )
         .orderBy("_h")
         .limit(sample_limit)
-        .cache()
+        .collect()
     )
-    init = sample.orderBy("_h").limit(n_cells).collect()
-    centroids = [list(r._v) for r in init]
-    if len(centroids) < n_cells:
-        sample.unpersist()
-        return centroids
+    if not rows:
+        return []
+    X = np.asarray([r._v for r in rows], dtype=np.float64)  # hash-sorted
+    C = X[:n_cells].copy()
+    if len(C) < n_cells:
+        return C.tolist()
     for _ in range(iters):
-        assigned = sample.select(
-            _argmax_cell(F.col("_v"), centroids).alias("_cell"), "_v"
-        )
-        means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r._cell, {})[r._pos] = r._m
-        new = []
-        for i, old in enumerate(centroids):
-            if i in by_cell:
-                m = [by_cell[i][p] for p in sorted(by_cell[i])]
-                s = float(np.linalg.norm(m)) or 1.0
-                new.append([x / s for x in m])
-            else:  # empty cell keeps its previous centroid
-                new.append(old)
-        centroids = new
-    sample.unpersist()
-    return centroids
+        assign = np.argmax(X @ C.T, axis=1)  # deterministic first-max ties
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_cells)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(C, axis=1)
+        norms[norms == 0] = 1.0
+        C = C / norms[:, None]
+    return C.tolist()
 
 
 def ivf_topk(
@@ -291,37 +280,185 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def band_keys_kernel(planes: list[list[float]], bands: int):
+    """Vectorized banded hyperplane signatures: one Arrow-batched pandas_udf
+    computing ``X @ P.T > 0`` for the whole batch (a single BLAS matmul) and
+    packing each band's sign bits into a small integer key.
+
+    This is the measured-right engine for wide plane matrices: the pure-
+    Catalyst form needs one ``aggregate(zip_with(...))`` HOF pass per plane —
+    interpreted, allocation-heavy, and anti-scaling with cores (round-1
+    lesson) — while the batch matmul is one vectorized kernel per Arrow
+    batch.  Sign convention matches lsh_signature (dot > 0)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (bits, dim)
+    bits = P.shape[0]
+    rpb = bits // bands
+    weights = (1 << np.arange(rpb)).astype(np.int64)
+
+    # explicit SCALAR_ITER: `from __future__ import annotations` stringifies
+    # type hints, so the hint-based iterator detection cannot be used here.
+    @pandas_udf("array<long>", PandasUDFType.SCALAR_ITER)
+    def keys(it):
+        for s in it:
+            vals = s.to_numpy()
+            mask = np.array([v is not None for v in vals])
+            out = np.empty(len(vals), dtype=object)
+            if mask.any():
+                X = np.vstack([np.asarray(v, dtype=np.float64) for v in vals[mask]])
+                B = (X @ P.T) > 0  # (n, bits)
+                ks = np.zeros((B.shape[0], bands), dtype=np.int64)
+                for b in range(bands):
+                    ks[:, b] = B[:, b * rpb : (b + 1) * rpb] @ weights
+                for i, row in zip(np.flatnonzero(mask), ks):
+                    out[i] = row
+            yield pd.Series(out)
+
+    return keys
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> list[list[float]]:
+    """Materialize the IVF index: train the coarse quantizer once, then ONE
+    codegen assignment scan writes (vec_id, embedding) PARTITIONED BY cell,
+    with the centroid matrix as a JSON sidecar.  At cluster scale this is an
+    Iceberg table partitioned on cell; locally a parquet directory.  Queries
+    then probe via ivf_topk_indexed without ever retraining — the index cost
+    is paid once per corpus snapshot, not per query."""
+    import json
+    from pathlib import Path
+
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    centroids = ivf_train_centroids(
+        corpus, vec_col, n_cells=n_cells, iters=iters, seed=seed,
+        sample_limit=sample_limit,
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _argmax_cell(_l2_normalize(F.col(vec_col)), centroids).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(str(out / "cells"))
+    (out / "centroids.json").write_text(
+        json.dumps(
+            {"centroids": centroids, "n_cells": n_cells, "seed": seed},
+            sort_keys=True,
+        )
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (build_ivf_index):
+    zero training jobs — centroids come from the sidecar, candidates from
+    the cell-partitioned table.  The probe is a broadcast join of the
+    (small) exploded query×probe-cell set against the index on its PARTITION
+    column, so dynamic partition pruning skips every non-probed cell's files
+    at the scan."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    meta = json.loads((Path(index_dir) / "centroids.json").read_text())
+    centroids = meta["centroids"]
+    cells = spark.read.parquet(str(Path(index_dir) / "cells")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        "cell",
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                _topcells(_l2_normalize(F.col(vec_col)), centroids, n_probe)
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        q.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    bits: int = 8,
+    bits: int = 64,
+    bands: int = 8,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
-    via LSH self-join: pairs land in the same hyperplane bucket, then exact
-    cosine verifies.  Probabilistic recall at scale; exact for near-identical
-    vectors (cos→1 pairs agree on every hyperplane sign w.h.p.)."""
+    via BANDED hyperplane LSH: candidates agree on at least one band of
+    bits/bands sign bits, then exact cosine verifies.
+
+    Scale shape: with r = bits/bands sign bits per band, a pair at cosine c
+    collides in some band with prob 1-(1-p^r)^bands, p = 1-acos(c)/π — at
+    the defaults (64 bits, 8 bands of 8) recall is ≈1 for c ≥ 0.95 while a
+    band key has 256 values, so the per-band self-join is ~bands·N²/256
+    candidate-bounded instead of the single-bucket N²/2^bits-with-tiny-bits
+    parameterization that quadratically blows up.  Banding (multi-probe by
+    construction) buys recall without shrinking the key space."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)
+    keys_udf = band_keys_kernel(planes, bands)
     sig = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+        keys_udf(F.col(vec_col)).alias("_keys"),
     )
-    return (
-        sig.alias("l")
+    buckets = sig.select("_id", "_v", F.posexplode("_keys").alias("_band", "_key"))
+    cand = (
+        buckets.alias("l")
         .join(
-            sig.alias("r"),
-            (F.col("l._sig") == F.col("r._sig")) & (F.col("l._id") < F.col("r._id")),
+            buckets.alias("r"),
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
         )
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cos_sim"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos_sim") >= min_cosine)
+        .select("id_a", "id_b", "cos_sim")
     )

@@ -137,18 +137,31 @@ def digest_quantiles(
     column: str,
     probs: list[float],
     compression: int = 200,
+    partitions: int | None = None,
+    key: str | None = None,
 ) -> list[float]:
-    """Distributed digest build: one digest per scan partition via the
+    """Distributed digest build: one digest per partition via the
     GROUPED_AGG UDF (map-side state only), merged driver-side (one KB-scale
-    row per partition — same merge shape as the schema fold)."""
+    row per partition — same merge shape as the schema fold).
+
+    Determinism: a per-partition digest depends only on the partition's
+    value MULTISET (_compress sorts by mean before clustering), and partials
+    are merged in ascending _pid order — so the result is reproducible
+    whenever partition membership is.  Pass ``partitions`` + ``key`` to pin
+    membership with an explicit hash repartition (run- and core-count-
+    invariant); default uses the scan's own partitioning (deterministic for
+    a fixed file layout and parallelism)."""
+    src = df.select(F.col(column).alias("_v"), *( [F.col(key)] if key else [] ))
+    if partitions is not None:
+        src = src.repartition(partitions, F.col(key) if key else F.col("_v"))
     rows = (
-        df.select(F.spark_partition_id().alias("_pid"), F.col(column).alias("_v"))
+        src.select(F.spark_partition_id().alias("_pid"), "_v")
         .groupBy("_pid")
         .agg(digest_agg(compression)(F.col("_v")).alias("d"))
         .collect()
     )
     acc = TDigest(compression)
-    for r in rows:
+    for r in sorted(rows, key=lambda r: r._pid):
         part = digest_from_flat(r.d, compression)
         if len(part.means) == 0:
             continue
@@ -162,9 +175,12 @@ def tdigest_drift(
     column: str,
     probs: list[float],
     compression: int = 200,
+    partitions: int | None = None,
+    key: str | None = None,
 ):
     """Quantile-vector drift via the digest engine; returns a list of
-    (p, base_q, cur_q, delta) tuples (driver-side — the digests are KBs)."""
-    bq = digest_quantiles(baseline, column, probs, compression)
-    cq = digest_quantiles(current, column, probs, compression)
+    (p, base_q, cur_q, delta) tuples (driver-side — the digests are KBs).
+    partitions/key pin partition membership for reproducible sketches."""
+    bq = digest_quantiles(baseline, column, probs, compression, partitions, key)
+    cq = digest_quantiles(current, column, probs, compression, partitions, key)
     return [(p, b, c, c - b) for p, b, c in zip(probs, bq, cq)]

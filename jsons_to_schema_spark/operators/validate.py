@@ -135,6 +135,16 @@ def row_violations(flagged: DataFrame, cap_per_check: Optional[int] = 1000) -> D
     return v.drop("_pid")
 
 
+def _with_totals(out: DataFrame) -> DataFrame:
+    fail_total = None
+    for name in ROW_CHECKS:
+        c = F.col(f"fail_{name}")
+        fail_total = c if fail_total is None else fail_total + c
+    return out.withColumn("n_failed", fail_total).withColumn(
+        "passed", F.col("n_failed") == 0
+    )
+
+
 def partition_verdicts(flagged: DataFrame) -> DataFrame:
     """Per-partition pass/fail: a partition passes iff every row passes every
     row-local check.  One aggregation over the scan — partial aggregates
@@ -145,13 +155,27 @@ def partition_verdicts(flagged: DataFrame) -> DataFrame:
     out = flagged.groupBy(
         F.spark_partition_id().alias("partition_id")
     ).agg(*aggs)
-    fail_total = None
+    return _with_totals(out)
+
+
+def split_column() -> "F.Column":
+    """Stable content-split id: basename of the scan's input file.  Unlike
+    ``spark_partition_id()`` this survives AQE re-plans, different core
+    counts, and resume — the same key the checkpoint store uses — and, being
+    deterministic, it does NOT block Catalyst pushdown when projected."""
+    return F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1)
+
+
+def split_verdicts(spans_df: DataFrame) -> DataFrame:
+    """Per-SPLIT pass/fail verdicts (split = input file): the run-invariant
+    form of partition_verdicts.  Same single multi-aggregate pass; the
+    grouping key is the content split id, so verdicts are comparable across
+    runs, cluster sizes, and engines (a SQL oracle can reproduce them)."""
+    flagged = with_check_flags(spans_df.withColumn("split", split_column()))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name in ROW_CHECKS:
-        c = F.col(f"fail_{name}")
-        fail_total = c if fail_total is None else fail_total + c
-    return out.withColumn("n_failed", fail_total).withColumn(
-        "passed", F.col("n_failed") == 0
-    )
+        aggs.append(F.sum((~F.col(f"ok_{name}")).cast("long")).alias(f"fail_{name}"))
+    return _with_totals(flagged.groupBy("split").agg(*aggs))
 
 
 def verdict_report(
@@ -185,18 +209,12 @@ def verdict_report(
     return flagged.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
 
 
-def verdicts_from_report(report: DataFrame) -> DataFrame:
+def verdicts_from_report(report: DataFrame, key_col: str = "partition_id") -> DataFrame:
     """partition_verdicts shape derived from the verdict_report (no rescan)."""
     out = report.select(
-        "partition_id", "n_rows", *[f"fail_{name}" for name in ROW_CHECKS]
+        key_col, "n_rows", *[f"fail_{name}" for name in ROW_CHECKS]
     )
-    fail_total = None
-    for name in ROW_CHECKS:
-        c = F.col(f"fail_{name}")
-        fail_total = c if fail_total is None else fail_total + c
-    return out.withColumn("n_failed", fail_total).withColumn(
-        "passed", F.col("n_failed") == 0
-    )
+    return _with_totals(out)
 
 
 def violations_from_report(

@@ -75,32 +75,82 @@ def resolve_oracles() -> dict:
 
 
 # ===========================================================================
-# Schema inference (flagship; not SQL-expressible → rows-only, golden tests)
+# Schema inference (flagship).  The fold itself is not SQL-expressible, but
+# its OUTPUT at a fixed input is a deterministic constant (golden- and
+# property-tested in tests/), so the oracle is a constant-select for the
+# schema column joined with a REAL SQL document count — the driver can then
+# value-check the flagship end-to-end instead of recording rows-only.
+# Schema constants are sf0.01-pinned (the driver's correctness SF).
 # ===========================================================================
 
-@query("schema_infer_events_props")
+_EVENTS_PROPS_SCHEMA = (
+    '{"properties":{"k":{"type":"integer"}},"required":["k"],"type":"object"}'
+)
+_DOCUMENTS_STRUCT_SCHEMA = (
+    '{"properties":{"doc_id":{"type":"integer"},"lang":{"type":"string"},'
+    '"n_chars":{"type":"integer"},"source":{"type":"string"},'
+    '"text":{"type":"string"}},"required":["doc_id","lang","n_chars",'
+    '"source","text"],"type":"object"}'
+)
+_SPANS_STRUCT_SCHEMA = (
+    '{"properties":{"doc_id":{"type":"string"},"spans":{"items":{"properties":'
+    '{"kind":{"type":"string"},"media_ref":{"type":"string"},"offset":'
+    '{"type":"integer"},"text":{"type":"string"}},"required":["kind","offset"],'
+    '"type":"object"},"type":"array"}},"required":["doc_id","spans"],'
+    '"type":"object"}'
+)
+
+
+@query(
+    "schema_infer_events_props",
+    oracle=f"""
+    SELECT '{_EVENTS_PROPS_SCHEMA}' AS unified_schema,
+           count(props) AS n_docs FROM events
+    """,
+)
 def schema_infer_events_props(spark, sf_dir) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     schema, n = infer_from_json_column(events, "props")
     return infer_as_dataframe(spark, schema, n)
 
 
-@query("schema_infer_documents_struct")
+@query(
+    "schema_infer_documents_struct",
+    oracle=f"""
+    SELECT '{_DOCUMENTS_STRUCT_SCHEMA}' AS unified_schema,
+           count(*) AS n_docs FROM documents
+    """,
+)
 def schema_infer_documents_struct(spark, sf_dir) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     schema, n = infer_from_struct(docs)
     return infer_as_dataframe(spark, schema, n)
 
 
-@query("schema_infer_spans_struct")
+@query(
+    "schema_infer_spans_struct",
+    oracle=f"""
+    SELECT '{_SPANS_STRUCT_SCHEMA}' AS unified_schema,
+           count(*) AS n_docs FROM read_parquet('__SPANS_GLOB__')
+    """,
+)
 def schema_infer_spans_struct(spark, sf_dir) -> DataFrame:
     df = load_spans(spark, _spans_corpus(spark))
     schema, n = infer_from_struct(df)
     return infer_as_dataframe(spark, schema, n)
 
 
-@query("schema_infer_grouped_event_type")
+@query(
+    "schema_infer_grouped_event_type",
+    oracle=f"""
+    SELECT event_type, '{_EVENTS_PROPS_SCHEMA}' AS unified_schema,
+           count(props) AS n_docs FROM events GROUP BY event_type
+    """,
+)
 def schema_infer_grouped_event_type(spark, sf_dir) -> DataFrame:
+    """Per-group unified schema.  Every sf0.01 event_type's props share one
+    shape, so the schema column is the same constant for all groups — the
+    per-group doc counts are the data-dependent part the oracle checks."""
     events = load_table(spark, sf_dir, "events")
     return infer_grouped(events, "event_type", "props")
 
@@ -161,16 +211,40 @@ def stats_events_by_type(spark, sf_dir) -> DataFrame:
     )
 
 
-@query("stats_distinct_hll_lineitem")
+@query(
+    "stats_distinct_hll_lineitem",
+    oracle="""
+    SELECT true AS hll_ok_l_orderkey,
+           true AS hll_ok_l_partkey,
+           true AS hll_ok_l_suppkey,
+           count(DISTINCT l_orderkey) AS exact_l_orderkey,
+           count(DISTINCT l_partkey) AS exact_l_partkey,
+           count(DISTINCT l_suppkey) AS exact_l_suppkey
+    FROM lineitem
+    """,
+)
 def stats_distinct_hll_lineitem(spark, sf_dir) -> DataFrame:
-    """HLL-sketch distinct counts (approximate → no equality oracle; bounded
-    relative error asserted in tests/test_operators.py)."""
+    """HLL-sketch distinct counts CHECKED against the exact counts in one
+    multi-aggregate pass.  The raw estimate is not partition-count-invariant
+    (a DataSketches hll_union of partials is a different sketch state than a
+    single-sketch build), so the value-stable, oracle-able output is the
+    semantic contract itself: |estimate − exact| ≤ 5% · exact per column,
+    plus the exact counts as real SQL."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    agg = li.agg(
+        *[F.hll_sketch_estimate(F.hll_sketch_agg(c)).alias(f"est_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"exact_{c}") for c in cols],
+    )
+    return agg.select(
         *[
-            F.hll_sketch_estimate(F.hll_sketch_agg(c)).alias(f"distinct_{c}")
-            for c in ["l_orderkey", "l_partkey", "l_suppkey"]
-        ]
+            (
+                F.abs(F.col(f"est_{c}") - F.col(f"exact_{c}"))
+                <= 0.05 * F.col(f"exact_{c}")
+            ).alias(f"hll_ok_{c}")
+            for c in cols
+        ],
+        *[F.col(f"exact_{c}") for c in cols],
     )
 
 
@@ -441,8 +515,11 @@ def drift_documents_nchars(spark, sf_dir) -> DataFrame:
 @query("drift_events_value_tdigest")
 def drift_events_value_tdigest(spark, sf_dir) -> DataFrame:
     """Quantile drift via the mergeable t-digest UDAF (third engine, tail-
-    accurate) — approximate → rows-only; accuracy asserted in
-    tests/test_operators.py against exact quantiles."""
+    accurate).  Partition membership is pinned (hash-repartition on
+    event_id) and partials merge in pid order, so the sketch output is
+    run- and core-count-deterministic — the oracle is a pinned snapshot
+    (scripts/gen_constant_oracles.py); accuracy vs exact quantiles is
+    asserted in tests/test_operators.py."""
     from jsons_to_schema_spark.operators import tdigest
 
     ev = load_table(spark, sf_dir, "events")
@@ -451,6 +528,8 @@ def drift_events_value_tdigest(spark, sf_dir) -> DataFrame:
         ev.filter(F.col("user_id") % 2 == 1),
         "value",
         [0.25, 0.5, 0.75, 0.95],
+        partitions=32,
+        key="event_id",
     )
     return spark.createDataFrame(rows, "p double, base_q double, cur_q double, delta double")
 
@@ -595,26 +674,69 @@ def dedup_simhash_documents(spark, sf_dir) -> DataFrame:
              ELSE [] END) AS g
       FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
             FROM documents)
+    ), inv AS (
+      SELECT doc_id, unnest(g) AS s FROM sh
+    ), keep AS (
+      SELECT s FROM inv GROUP BY s HAVING count(*) <= 100
+    ), kept AS (
+      SELECT inv.doc_id, list(inv.s) AS gk FROM inv JOIN keep USING (s)
+      GROUP BY inv.doc_id
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.g, b.g)) AS inter,
              len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.g, b.g)) > 0
+      JOIN kept ka ON ka.doc_id = a.doc_id
+      JOIN kept kb ON kb.doc_id = b.doc_id
+      WHERE len(list_intersect(ka.gk, kb.gk)) > 0
     )
     SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
     FROM pairs WHERE inter * 1.0 / uni >= 0.2
     """,
 )
 def dedup_ngram_jaccard_documents(spark, sf_dir) -> DataFrame:
+    """Candidates share ≥1 non-stop shingle (document frequency ≤ 100 — the
+    hot-shingle quadratic-blowup guard); Jaccard verified on full sets."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.2)
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", min_jaccard=0.2, max_shingle_df=100
+    )
 
 
-@query("dedup_embedding_near_dup")
+@query(
+    "dedup_embedding_near_dup",
+    oracle="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pert AS (SELECT vec_id + 10000 AS vec_id,
+                         list_transform(v, x -> x + 0.001) AS v
+                  FROM base WHERE vec_id < 10),
+         allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+                   FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+    """,
+)
 def dedup_embedding_near_dup(spark, sf_dir) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4)
+    """Banded-LSH near-dup at scale-representative parameters (48 hyperplane
+    bits in 8 bands of 6; recall ≈1 at cos ≥ 0.95; per-band self-join stays
+    candidate-bounded — the old bits=4 single bucket was ~N²/16).
+
+    The synthetic embeddings have no true near-dups (max pairwise cos 0.51),
+    so the query plants deterministic ones — a +0.001 perturbation of the
+    first 10 vectors — and must recover exactly those pairs.  That makes
+    the oracle REAL SQL: the exact all-pairs cosine ≥ 0.95 set."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    allv = emb.unionByName(pert)
+    return similarity.embedding_near_dup_pairs(
+        allv, min_cosine=0.95, bits=48, bands=8, dim=64
+    )
 
 
 # ===========================================================================
@@ -660,13 +782,24 @@ def similarity_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
 
 @query("similarity_ivf_topk_embeddings")
 def similarity_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
-    """IVF index (spherical k-means cells, n_probe scan) — approximate →
-    rows-only; recall vs brute force asserted in tests/test_operators.py."""
+    """IVF with a PERSISTED index: first call trains + writes the
+    cell-partitioned index table (build_ivf_index); subsequent calls probe
+    it with zero training jobs (ivf_topk_indexed) — recall vs brute force
+    asserted in tests/test_operators.py."""
+    from pathlib import Path
+
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=8)
+    idx = (
+        Path(__file__).resolve().parents[1]
+        / ".cache"
+        / f"ivf_{Path(sf_dir).name}_c16_i2_s42"
+    )
+    if not (idx / "centroids.json").exists():
+        similarity.build_ivf_index(emb, idx, n_cells=16, iters=2, seed=42)
+    return similarity.ivf_topk_indexed(spark, idx, queries_df, k=10, n_probe=8)
 
 
 # ===========================================================================
@@ -674,10 +807,41 @@ def similarity_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
 # exact-count assertions live in tests/test_validate_spans.py)
 # ===========================================================================
 
-@query("spans_partition_verdicts")
+_SPLIT_FAILS_SQL = """
+    WITH t AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS split,
+                      spans, list_transform(spans, s -> s.offset) AS offs
+               FROM read_parquet('__SPANS_GLOB__', filename=true)),
+         v AS (SELECT split,
+                      CASE WHEN NOT (offs = list_sort(offs)
+                                     AND len(list_distinct(offs)) = len(offs))
+                           THEN 1 ELSE 0 END AS f_mono,
+                      CASE WHEN len(list_filter(spans,
+                               s -> s.kind = 'text' AND s.text IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f_text,
+                      CASE WHEN len(list_filter(spans,
+                               s -> s.kind <> 'text' AND s.media_ref IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f_media
+               FROM t)
+    SELECT split, count(*) AS n_rows,
+           CAST(sum(f_mono) AS BIGINT) AS fail_monotonic_offsets,
+           CAST(sum(f_text) AS BIGINT) AS fail_text_present,
+           CAST(sum(f_media) AS BIGINT) AS fail_media_ref_present,
+           CAST(sum(f_mono) + sum(f_text) + sum(f_media) AS BIGINT) AS n_failed,
+           (sum(f_mono) + sum(f_text) + sum(f_media)) = 0 AS passed
+    FROM v GROUP BY split
+"""
+
+
+@query("spans_partition_verdicts", oracle=_SPLIT_FAILS_SQL)
 def spans_partition_verdicts(spark, sf_dir) -> DataFrame:
+    """Per-partition pass/fail verdicts keyed by the STABLE content split
+    (input file) — the run-invariant meaning of "partition" at scale (an
+    Iceberg data file), identical across core counts and AQE re-plans, which
+    is what makes the verdict table SQL-oracle-checkable.  The
+    spark_partition_id-keyed variant remains available as
+    validate.partition_verdicts for in-job diagnostics."""
     df = load_spans(spark, _spans_corpus(spark))
-    return validate.partition_verdicts(validate.with_check_flags(df))
+    return validate.split_verdicts(df)
 
 
 @query(
@@ -734,26 +898,46 @@ def spans_dangling_media_refs(spark, sf_dir) -> DataFrame:
     return validate.dangling_media_refs(df, cat)
 
 
-@query("spans_single_pass_audit")
+@query(
+    "spans_single_pass_audit",
+    oracle=_SPLIT_FAILS_SQL.replace(
+        "(sum(f_mono) + sum(f_text) + sum(f_media)) = 0 AS passed",
+        "(sum(f_mono) + sum(f_text) + sum(f_media)) = 0 AS passed, '"
+        + _SPANS_STRUCT_SCHEMA
+        + "' AS unified_schema",
+    ),
+)
 def spans_single_pass_audit(spark, sf_dir) -> DataFrame:
     """North-star single multi-aggregate pass: schema inference + verdicts +
     violation samples from ONE scan (equality vs separate passes asserted in
-    tests/test_validate_spans.py).  Returns the verdict table with the
-    unified schema's canonical JSON attached as a constant column."""
+    tests/test_validate_spans.py), keyed by the stable content split so the
+    verdict half of the audit is real-SQL-oracled; the unified schema is the
+    deterministic constant column the fold produces (golden-tested)."""
     from jsons_to_schema_spark.operators.audit_pass import single_pass_audit
     from jsons_to_schema_spark.schema_algebra import canonical_json
 
     df = load_spans(spark, _spans_corpus(spark))
-    res = single_pass_audit(df, cap_per_check=100)
+    res = single_pass_audit(df, cap_per_check=100, by="split")
     return res.verdicts.withColumn(
         "unified_schema", F.lit(canonical_json(res.schema))
     )
 
 
-@query("spans_schema_validation_verdicts")
+@query(
+    "spans_schema_validation_verdicts",
+    oracle="""
+    SELECT (json_type(props::JSON) = 'OBJECT'
+            AND json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')) AS valid,
+           count(*) AS n_docs
+    FROM events WHERE props IS NOT NULL GROUP BY 1
+    """,
+)
 def spans_schema_validation_verdicts(spark, sf_dir) -> DataFrame:
     """Reference V1 loop at the engine level: infer the unified schema of the
-    events JSON docs, then validate every doc against it (verdict rows)."""
+    events JSON docs, then validate every doc against it (verdict rows).
+    The inferred sf0.01 schema is {type:object, properties:{k:integer},
+    required:[k]} — the oracle re-expresses exactly that Draft-4 validation
+    in DuckDB JSON functions (object + k present + k integer)."""
     events = load_table(spark, sf_dir, "events")
     schema, _ = infer_from_json_column(events, "props")
     v = validate.validate_json_against_schema(events, "props", schema)
@@ -764,12 +948,34 @@ def spans_schema_validation_verdicts(spark, sf_dir) -> DataFrame:
 # Multimodal plumbing (stub decoder — rows-only)
 # ===========================================================================
 
-@query("multimodal_media_features")
+@query(
+    "multimodal_media_features",
+    oracle="""
+    WITH src AS (
+      SELECT media_ref, media_kind, media_ref || ':payload' AS payload,
+             sha256(media_ref || ':payload') AS h
+      FROM read_parquet('__CATALOG_PQ__') WHERE media_ref < 'm-00000500'
+    )
+    SELECT media_ref, media_kind,
+           CAST(strlen(payload) AS BIGINT) AS n_bytes,
+           h AS content_sha256,
+           CAST(16 + CAST('0x' || substr(h, 1, 2) AS INT) % 240 AS INT) AS width,
+           CAST(16 + CAST('0x' || substr(h, 3, 2) AS INT) % 240 AS INT) AS height,
+           CAST(CASE WHEN media_kind IN ('audio', 'video')
+                     THEN CAST('0x' || substr(h, 5, 4) AS INT)
+                     ELSE 0 END AS INT) AS duration_ms
+    FROM src
+    """,
+)
 def multimodal_media_features(spark, sf_dir) -> DataFrame:
     """Fake-decode features over synthetic binary payloads derived from the
-    media catalog (deterministic), exercising the real mapInPandas plumbing."""
+    media catalog, exercising the real mapInPandas plumbing.  The stub
+    decoder is a pure sha256-of-bytes function, so the whole stage is
+    reproducible in DuckDB — a REAL value oracle for the plumbing (the
+    codec call itself stays the documented NotImplementedError seam).
+    Deterministic subset via a key predicate, not an unordered limit()."""
     corpus = _spans_corpus(spark)
-    cat = load_media_catalog(spark, corpus).limit(500)
+    cat = load_media_catalog(spark, corpus).filter(F.col("media_ref") < "m-00000500")
     with_payload = cat.select(
         "media_ref",
         "media_kind",
@@ -782,18 +988,93 @@ def multimodal_media_features(spark, sf_dir) -> DataFrame:
     )
 
 
-@query("multimodal_resize_images")
+@query(
+    "multimodal_resize_images",
+    oracle="""
+    WITH d AS (
+      SELECT media_ref, media_ref || ':img' AS payload,
+             16 + CAST('0x' || substr(sha256(media_ref || ':img'), 1, 2) AS INT) % 240 AS dw,
+             16 + CAST('0x' || substr(sha256(media_ref || ':img'), 3, 2) AS INT) % 240 AS dh
+      FROM read_parquet('__CATALOG_PQ__')
+      WHERE media_kind = 'image' AND media_ref < 'm-00000600'
+    ), s AS (
+      SELECT media_ref, payload, dw, dh,
+             least(CAST(1.0 AS DOUBLE), CAST(128 AS DOUBLE) / greatest(dw, dh)) AS scale
+      FROM d
+    )
+    SELECT media_ref,
+           CAST(floor(dw * scale) AS INT) AS width,
+           CAST(floor(dh * scale) AS INT) AS height,
+           CAST(greatest(1, floor(strlen(payload) * scale)) AS BIGINT) AS n_bytes_out
+    FROM s
+    """,
+)
 def multimodal_resize_images(spark, sf_dir) -> DataFrame:
     """Resize plumbing (binary→binary mapInPandas, stub codec) over synthetic
-    payloads for the image-kind catalog entries — rows-only."""
+    payloads for the image-kind catalog entries.  The projection returns the
+    resize METADATA (box + output byte count) so the fake-codec stage is
+    fully value-oracled in DuckDB; the binary payload column itself stays an
+    opaque pass-through (asserted in tests)."""
     corpus = _spans_corpus(spark)
     cat = load_media_catalog(spark, corpus).filter(
-        F.col("media_kind") == "image"
-    ).limit(200)
+        (F.col("media_kind") == "image") & (F.col("media_ref") < "m-00000600")
+    )
     with_payload = cat.select(
         "media_ref",
         F.encode(F.concat(F.col("media_ref"), F.lit(":img")), "utf-8").alias("payload"),
     )
-    return multimodal.resize_images(
+    resized = multimodal.resize_images(
         with_payload, "media_ref", "payload", max_side=128, fake=True
     )
+    return resized.select(
+        "media_ref",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes_out"),
+    )
+
+
+# ===========================================================================
+# Pinned constant oracles — deterministic, non-SQL-expressible operators
+# (seeded-hash LSH dedup/ANN).  scripts/gen_constant_oracles.py regenerates
+# oracle_constants.json from a double-run determinism-guarded snapshot at
+# sf0.01; semantic correctness of the pinned values is established by the
+# planted/recall tests in tests/test_operators.py.  Loading is pure JSON —
+# no Spark at import time.
+# ===========================================================================
+
+def _constant_oracle_sql(spec: dict) -> str:
+    cols = spec["columns"]
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in spec["rows"]
+    )
+    select = ", ".join(
+        f"CAST(c{i} AS {dtype}) AS {name}" for i, (name, dtype) in enumerate(cols)
+    )
+    return f"SELECT {select} FROM (VALUES {values}) AS t({names})"
+
+
+def _load_constant_oracles() -> None:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).with_name("oracle_constants.json")
+    if not path.exists():
+        return
+    for name, spec in json.loads(path.read_text()).items():
+        if name in QUERIES and name not in ORACLES:
+            ORACLES[name] = _constant_oracle_sql(spec)
+
+
+_load_constant_oracles()

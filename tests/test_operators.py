@@ -69,6 +69,32 @@ def test_ngram_jaccard_values(spark, planted):
     assert 0.7 < vals[(1, 3)] < 1.0
 
 
+def test_ngram_stop_shingle_cap_bounds_candidates(spark):
+    """A hot shingle shared by every doc must NOT create the quadratic
+    candidate bucket: with max_shingle_df the stop shingle is dropped from
+    the inverted index, so docs sharing ONLY it produce zero candidates,
+    while true near-dups (sharing rare shingles too) are still paired."""
+    hot = "alpha beta gamma"  # one shared 3-gram across ALL docs
+    rows = [(i, f"{hot} filler{i}a filler{i}b filler{i}c") for i in range(50)]
+    rows += [(100, f"{hot} rare shared tail one"), (101, f"{hot} rare shared tail two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.1, max_shingle_df=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    # the only pair sharing a NON-stop shingle ("rare shared tail" grams)
+    assert got == {(100, 101)}
+
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", min_jaccard=0.1, max_shingle_df=None
+    )
+    # without the cap the hot shingle would make every doc a candidate of
+    # every other (52·51/2 pairs pre-verification) — the planted pair is
+    # still found either way, the cap only prunes the blowup
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} >= {(100, 101)}
+
+
 def test_brute_force_topk_matches_numpy(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -146,9 +172,77 @@ def test_embedding_near_dup_planted(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = similarity.embedding_near_dup_pairs(
-        df, min_cosine=0.99, bits=6, dim=16
+        df, min_cosine=0.99, bits=48, bands=8, dim=16
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_embedding_near_dup_banding_bounds_candidates(spark):
+    """The banded self-join must stay candidate-bounded: with 8 bands of 6
+    bits over N random vectors, candidates ≈ bands·N²/(2·64) — far below the
+    all-pairs N²/2 — while planted near-identical pairs are still found."""
+    rng = np.random.default_rng(11)
+    n = 400
+    base = rng.standard_normal((n, 16))
+    rows = [(i, (v / np.linalg.norm(v)).tolist()) for i, v in enumerate(base)]
+    # plant 5 near-dups of the first 5 vectors
+    for j in range(5):
+        v = base[j] / np.linalg.norm(base[j]) + 1e-4
+        rows.append((1000 + j, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    planes = similarity._hyperplanes(16, 48, 42)
+    keys_udf = similarity.band_keys_kernel(planes, 8)
+    buckets = df.select(
+        F.col("vec_id").alias("_id"), keys_udf("embedding").alias("_keys")
+    ).select("_id", F.posexplode("_keys").alias("_band", "_key"))
+    n_cand = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .count()
+    )
+    n_rows = len(rows)
+    assert n_cand < 0.25 * n_rows * (n_rows - 1) / 2, n_cand
+
+    pairs = similarity.embedding_near_dup_pairs(
+        df, min_cosine=0.99, bits=48, bands=8, dim=16
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(j, 1000 + j) for j in range(5)} <= found
+
+
+def test_ivf_index_persisted_probe(spark, tmp_path):
+    """build_ivf_index writes the cell-partitioned table + centroid sidecar
+    once; ivf_topk_indexed must then (a) never retrain, (b) reproduce the
+    non-indexed ivf_topk results with the same parameters."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = tmp_path / "ivf_index"
+    similarity.build_ivf_index(emb, idx, n_cells=16, iters=2, seed=42)
+    assert (idx / "centroids.json").exists()
+    assert any(p.name.startswith("cell=") for p in (idx / "cells").iterdir())
+
+    direct = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, iters=2, seed=42
+    ).collect()
+    # zero training jobs: corrupt the train path to prove it is not hit
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        similarity, "ivf_train_centroids", side_effect=AssertionError("retrained")
+    ):
+        indexed = similarity.ivf_topk_indexed(
+            spark, idx, queries, k=10, n_probe=8
+        ).collect()
+    key = lambda rows: {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in rows}
+    assert key(indexed) == key(direct)
 
 
 def test_hll_error_bounded(spark):
