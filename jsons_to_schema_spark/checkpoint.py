@@ -8,20 +8,23 @@ scale the split id is the Iceberg data-file path; locally it is the parquet
 part file.  One state record per split holds the split's draft schema, row
 counts, per-check failure counts and timing — the lineage/metrics table.
 
-Commit protocol: write-temp + atomic rename, idempotent (re-commit of the
-same split overwrites with identical content).  A killed run leaves only
-whole split records; the next run recomputes exactly the missing splits
-(asserted in tests/test_checkpoint.py).
-
-State store is a directory of JSON records locally; the same protocol maps
-to an Iceberg table with MERGE at cluster scale (row-level idempotent upsert
-keyed by split id).
+Commit protocol (TableStateStore): the state is a TABLE of split records —
+immutable parquet snapshots plus a VERSION pointer swung by atomic rename.
+``merge(records)`` is a copy-on-write row-level upsert keyed by split id:
+read current snapshot, drop rows matching incoming split ids, append the
+batch, write the next snapshot, swing the pointer — exactly the shape of an
+Iceberg ``MERGE INTO state ON t.split = s.split WHEN MATCHED THEN UPDATE
+WHEN NOT MATCHED THEN INSERT`` commit, which is the cluster deployment of
+this store.  A kill before the pointer swing leaves the previous snapshot
+intact (the whole batch retries — idempotent); after it, the commit is
+complete.  The next run recomputes exactly the missing splits (asserted in
+tests/test_checkpoint.py), and the state table itself doubles as the
+lineage/metrics table (read it with spark.read.parquet).
 """
 
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 from pathlib import Path
@@ -49,26 +52,62 @@ def _split_key(split_path: str) -> str:
     return hashlib.sha256(split_path.encode()).hexdigest()[:24]
 
 
-class SplitStateStore:
-    """Directory-of-JSON state table; one record per committed split."""
+class TableStateStore:
+    """Split-state TABLE with Iceberg-MERGE-shaped commits (see module
+    docstring).  Locally: parquet snapshots + an atomically-renamed VERSION
+    pointer; at cluster scale the same call maps to MERGE INTO an Iceberg
+    table keyed on split."""
 
     def __init__(self, state_dir: str | Path):
         self.dir = Path(state_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
 
+    def _version(self) -> int:
+        vfile = self.dir / "VERSION"
+        if not vfile.exists():
+            return 0
+        return int(vfile.read_text().strip())
+
+    def _snapshot_path(self, version: int) -> Path:
+        return self.dir / f"snap-{version:06d}.parquet"
+
+    def _rows(self) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        v = self._version()
+        if v == 0:
+            return []
+        return pq.read_table(self._snapshot_path(v)).to_pylist()
+
     def committed(self) -> dict[str, dict]:
-        out = {}
-        for p in self.dir.glob("split-*.json"):
-            rec = json.loads(p.read_text())
-            out[rec["split"]] = rec
-        return out
+        return {rec["split"]: rec for rec in self._rows()}
+
+    def merge(self, records: list[dict]) -> None:
+        """Row-level upsert keyed by split id, committed as ONE snapshot +
+        atomic pointer swing (the MERGE commit protocol)."""
+        import pyarrow.parquet as pq
+
+        if not records:
+            return
+        incoming = {r["split"] for r in records}
+        kept = [r for r in self._rows() if r["split"] not in incoming]
+        new_version = self._version() + 1
+        table = pa.Table.from_pylist(kept + list(records))
+        snap = self._snapshot_path(new_version)
+        tmp = snap.with_suffix(".tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, snap)
+        vtmp = self.dir / "VERSION.tmp"
+        vtmp.write_text(str(new_version))
+        os.replace(vtmp, self.dir / "VERSION")  # atomic commit point
 
     def commit(self, rec: dict) -> None:
-        """Idempotent atomic commit keyed by split id."""
-        final = self.dir / f"split-{_split_key(rec['split'])}.json"
-        tmp = final.with_suffix(".tmp")
-        tmp.write_text(json.dumps(rec, sort_keys=True))
-        os.replace(tmp, final)  # atomic on POSIX
+        """Single-record upsert (a one-row MERGE batch)."""
+        self.merge([rec])
+
+
+# Backwards-compatible alias (the JSON-dir store this replaced).
+SplitStateStore = TableStateStore
 
 
 def _fold_split_factory(check_names: list[str], config=DEFAULT_CONFIG):
@@ -168,14 +207,14 @@ def checkpointed_validate(
     3. per pending split: draft schema + per-check failure counts in ONE
        groupBy(split) codegen aggregate (map-side partials; Arrow-fold
        fallback for exotic schemas — see _per_split_records);
-    4. commit each split record atomically (lineage+metrics);
+    4. commit the batch as ONE MERGE-shaped snapshot (lineage+metrics table);
     5. final answer = tree-fold of ALL committed drafts + metric sums.
 
     ``max_splits`` lets tests simulate a kill after K splits.
     Returns {"schema", "n_rows", "fails", "splits_total", "splits_computed",
     "lineage"}.
     """
-    store = SplitStateStore(state_dir)
+    store = TableStateStore(state_dir)
     df = spark.read.parquet(data_path).withColumn(
         SPLIT_COL, F.col("_metadata.file_path")
     )
@@ -191,11 +230,12 @@ def checkpointed_validate(
         t0 = time.time()
         results = _per_split_records(df, flagged)
         elapsed = time.time() - t0
+        now = time.time()
         for rec in results:
-            rec["committed_at"] = time.time()
+            rec["committed_at"] = now
             rec["wall_s_batch"] = round(elapsed, 3)
-            store.commit(rec)
-            computed += 1
+        store.merge(results)  # ONE MERGE commit for the batch
+        computed = len(results)
 
     done = store.committed()
     acc: Optional[Schema] = None

@@ -308,3 +308,83 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list via iterative min-label
+    propagation: every vertex starts labeled with itself; each round every
+    vertex takes the minimum label among itself and its neighbors.  Returns
+    (id, cluster_id) for every vertex appearing in a pair, cluster_id = the
+    minimum member id of its component.
+
+    Scale shape: each round is one join (edges ⋈ labels, keyed on the
+    near-uniform vertex id) + one groupBy(min) — partial aggregation
+    map-side, no driver data.  Rounds needed = the maximum component
+    DIAMETER, which for dedup graphs is small by construction (candidate
+    generation bounds cluster geometry); ``localCheckpoint`` cuts lineage so
+    plans stay constant-size.  The convergence probe is one count per round
+    on the label frontier.  For adversarial long-chain graphs swap in
+    alternating large-star/small-star (logarithmic rounds) — same join
+    primitives.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "cluster")
+        new = (
+            labels.select("id", "cluster")
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster", "_old"), "id")
+            .filter(F.col("cluster") < F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def assign_duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document cluster assignment + keep policy over a near-dup pair
+    list: docs in some pair get their component's min id as cluster_id;
+    isolated docs are their own cluster.  keep = (doc is its cluster's
+    representative) — the standard keep-one-per-cluster dedup decision.
+    One broadcast-or-shuffle left join against the (small) cluster table."""
+    clusters = duplicate_clusters(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col
+    )
+    return (
+        df.join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .withColumn("keep", F.col("cluster_id") == F.col(id_col))
+        .drop("cluster")
+    )

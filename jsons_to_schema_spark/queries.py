@@ -704,6 +704,61 @@ def dedup_ngram_jaccard_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_ngram_documents",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents)
+    ), inv AS (
+      SELECT doc_id, unnest(g) AS s FROM sh
+    ), nonstop AS (
+      SELECT s FROM inv GROUP BY s HAVING count(*) <= 100
+    ), kept AS (
+      SELECT inv.doc_id, list(inv.s) AS gk FROM inv JOIN nonstop USING (s)
+      GROUP BY inv.doc_id
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN kept ka ON ka.doc_id = a.doc_id
+      JOIN kept kb ON kb.doc_id = b.doc_id
+      WHERE len(list_intersect(ka.gk, kb.gk)) > 0
+        AND len(list_intersect(a.g, b.g)) * 1.0 /
+            (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
+    ), e(src, dst) AS (
+      SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr
+    ), reach(id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id, id = min(lbl) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_ngram_documents(spark, sf_dir) -> DataFrame:
+    """Duplicate-CLUSTER assignment (what a real dedup pipeline consumes —
+    pairs alone don't dedup anything): connected components over the n-gram
+    Jaccard pair list via distributed min-label propagation, keep = the
+    cluster's min-id representative.  Oracled end-to-end against a DuckDB
+    recursive-CTE transitive closure over the identical pair pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", min_jaccard=0.2, max_shingle_df=100
+    )
+    labels = dedup.duplicate_clusters(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("cluster") == F.col("id")).alias("keep"),
+    )
+
+
+@query(
     "dedup_embedding_near_dup",
     oracle="""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -83,3 +83,30 @@ def test_checkpoint_arrow_fallback_for_float_arrays(spark, corpus, tmp_path):
     # resume: nothing recomputed
     again = checkpointed_validate(spark, data, tmp_path / "state")
     assert again["splits_computed_this_run"] == 0
+
+
+def test_state_store_is_a_queryable_table(spark, corpus, tmp_path):
+    """The MERGE-shaped state store must be readable as a real table (the
+    Iceberg-at-scale contract): current snapshot holds one row per split
+    with lineage+metrics columns, and re-merging a split upserts in place."""
+    from jsons_to_schema_spark.checkpoint import TableStateStore, checkpointed_validate
+
+    data = str(corpus / "documents_spans")
+    state = tmp_path / "state"
+    res = checkpointed_validate(spark, data, state)
+
+    store = TableStateStore(state)
+    version = store._version()
+    snap = store._snapshot_path(version)
+    tbl = spark.read.parquet(str(snap))
+    assert tbl.count() == res["splits_total"]
+    cols = set(tbl.columns)
+    assert {"split", "draft", "n_rows", "committed_at"} <= cols
+    assert any(c.startswith("fail_") for c in cols)
+
+    # MERGE upsert: re-committing one split replaces, never duplicates
+    rec = dict(store._rows()[0])
+    rec["n_rows"] = rec["n_rows"]  # unchanged content, new commit
+    store.merge([rec])
+    assert store._version() == version + 1
+    assert len(store._rows()) == res["splits_total"]

@@ -350,3 +350,29 @@ def test_column_stats_single_pass_plan(spark):
     li = load_table(spark, SF_ORACLE, "lineitem")
     plan = stats.column_stats(li, ["l_quantity", "l_discount"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_duplicate_clusters_min_label(spark):
+    """Connected components over planted pair graphs: a chain, a star, a
+    singleton pair — each component labeled by its min id, keep-one policy
+    marks exactly the representative."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),    # star around 10
+         (20, 21)],                        # pair
+        "id_a long, id_b long",
+    )
+    labels = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
+                      10: 10, 11: 10, 12: 10, 13: 10,
+                      20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20, 21, 99]], "doc_id long"
+    )
+    assigned = dedup.assign_duplicate_clusters(docs, pairs, "doc_id").collect()
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in assigned}
+    assert got[99] == (99, True)      # isolated doc is its own cluster
+    assert got[4] == (1, False)
+    assert got[1] == (1, True)
+    assert sum(1 for c, k in got.values() if k) == 4  # 3 components + singleton
