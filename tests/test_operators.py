@@ -376,3 +376,28 @@ def test_duplicate_clusters_min_label(spark):
     assert got[4] == (1, False)
     assert got[1] == (1, True)
     assert sum(1 for c, k in got.values() if k) == 4  # 3 components + singleton
+
+
+def test_simhash_engines_identical(spark, planted):
+    """The vectorized Arrow simhash kernel must produce bit-identical hashes
+    to the pure-Catalyst expression on real text (including empty/weird)."""
+    docs = load_table(spark, SF_ORACLE, "documents").limit(200)
+    for frame in (planted, docs):
+        expr = {
+            r._id: r._h
+            for r in frame.select(
+                F.col("doc_id").alias("_id"), dedup.simhash64("text").alias("_h")
+            ).collect()
+        }
+        from jsons_to_schema_spark.operators.text import tokens as _tokens
+
+        kern = {
+            r._id: r._h
+            for r in frame.select(
+                F.col("doc_id").alias("_id"),
+                F.transform(_tokens("text"), lambda t: F.xxhash64(t)).alias("_hh"),
+            )
+            .select("_id", dedup.simhash64_kernel()(F.col("_hh")).alias("_h"))
+            .collect()
+        }
+        assert kern == expr
