@@ -444,3 +444,56 @@ def unify_opt(a: Optional[Schema], b: Optional[Schema]) -> Optional[Schema]:
     if b is None:
         return a
     return unify(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Schema diff — what widened between two drafts (drift alerting)
+# ---------------------------------------------------------------------------
+
+def schema_diff(old: Optional[Schema], new: Schema, path: str = "$") -> list[dict]:
+    """Structural changes from ``old`` to ``new`` (expected: new = unify(old,
+    batch), so changes are WIDENINGS).  Each entry: {path, change, from, to}.
+    Changes reported: new_schema (old is None), type_widened, new_property,
+    required_dropped, items_widened (recursed), bounds_widened, enum_grown,
+    unsealed.  Drives the streaming drift alerts; pure and Spark-free."""
+    if old is None:
+        return [{"path": path, "change": "new_schema", "from": None,
+                 "to": canonical_json(new)}]
+    out: list[dict] = []
+    ot, nt = _type_set(old), _type_set(new)
+    if ot != nt:
+        out.append({"path": path, "change": "type_widened",
+                    "from": sorted(ot), "to": sorted(nt)})
+    op, np_ = old.get("properties") or {}, new.get("properties") or {}
+    for k in sorted(np_.keys() - op.keys()):
+        out.append({"path": f"{path}.{k}", "change": "new_property",
+                    "from": None, "to": canonical_json(np_[k])})
+    for k in sorted(op.keys() & np_.keys()):
+        out.extend(schema_diff(op[k], np_[k], f"{path}.{k}"))
+    orq, nrq = set(old.get("required") or ()), set(new.get("required") or ())
+    dropped = sorted(orq - nrq)
+    if dropped:
+        out.append({"path": path, "change": "required_dropped",
+                    "from": sorted(orq), "to": sorted(nrq)})
+    oi, ni = old.get("items"), new.get("items")
+    if isinstance(oi, dict) and isinstance(ni, dict):
+        out.extend(schema_diff(oi, ni, f"{path}[]"))
+    elif oi != ni:
+        if ni is not None:
+            out.append({"path": f"{path}[]", "change": "items_widened",
+                        "from": canonical_json_value(oi) if oi is not None else None,
+                        "to": canonical_json_value(ni)})
+    for bound, direction in (("minimum", "down"), ("maximum", "up")):
+        if old.get(bound) != new.get(bound):
+            out.append({"path": path, "change": "bounds_widened",
+                        "from": old.get(bound), "to": new.get(bound)})
+    oe, ne = old.get("enum"), new.get("enum")
+    if oe is not None and ne is not None and len(ne) > len(oe):
+        out.append({"path": path, "change": "enum_grown",
+                    "from": len(oe), "to": len(ne)})
+    if old.get("additionalProperties") is False and (
+        new.get("additionalProperties") is not False
+    ):
+        out.append({"path": path, "change": "unsealed", "from": False,
+                    "to": new.get("additionalProperties")})
+    return out

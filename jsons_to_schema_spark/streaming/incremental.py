@@ -108,3 +108,65 @@ def incremental_schema_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def schema_drift_alert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    snapshot_path: str | Path,
+    alerts_path: str | Path,
+    checkpoint_dir: str,
+    source_format: str = "parquet",
+    source_schema: Optional[str] = None,
+    json_column: Optional[str] = None,
+    available_now: bool = True,
+    config=DEFAULT_CONFIG,
+):
+    """Streaming schema-DRIFT monitor: the incremental merge stream, plus an
+    alert record whenever a micro-batch WIDENS the unified schema (new
+    property, type widening, required drop, …) — the live twin of the batch
+    drift checks.  Alerts are JSON lines {batch_id, n_docs, changes:[...]};
+    the change list is schema_algebra.schema_diff(prev, merged), so an alert
+    names exactly the paths that moved.  Batches that fit the known schema
+    produce no alert — steady state writes nothing.
+
+    State is the same KB-scale snapshot as incremental_schema_stream
+    (foreachBatch + atomic file replace — not per-key state, so
+    applyInPandasWithState would be the wrong tool); exactly-once batch ids
+    come from the stream checkpoint."""
+    from ..schema_algebra import schema_diff
+
+    snap = SchemaSnapshot(snapshot_path)
+    alerts = Path(alerts_path)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if json_column is not None:
+            batch_schema, n = infer_from_json_column(batch_df, json_column, config)
+        else:
+            batch_schema, n = infer_from_struct(batch_df, config)
+        prev, prev_n, prev_b = snap.read()
+        merged = unify_opt(prev, batch_schema)
+        if prev is None or canonical_json(merged) != canonical_json(prev):
+            changes = schema_diff(prev, merged)
+            with alerts.open("a") as fh:
+                fh.write(
+                    json.dumps(
+                        {"batch_id": batch_id, "n_docs": n, "changes": changes},
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        snap.write(merged, prev_n + n, prev_b + 1)
+
+    reader = spark.readStream.format(source_format)
+    if source_schema:
+        reader = reader.schema(source_schema)
+    stream = reader.load(source_dir)
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -130,3 +130,40 @@ def test_violation_monitor_windowed_counts(spark, tmp_path):
     assert checks == {"monotonic_offsets", "text_present", "media_ref_present"}
     assert sum(r.n_rows for r in rows) == 500 * 3  # every row scored per check
     assert all(r.n_failed >= 0 for r in rows)
+
+
+def test_schema_drift_alert_stream(spark, tmp_path):
+    """Batch 1 (new schema) alerts; batch 2 with the SAME shape is silent;
+    batch 3 that widens (float + new key) alerts with the exact paths."""
+    from jsons_to_schema_spark.streaming.incremental import (
+        schema_drift_alert_stream,
+    )
+
+    src = str(tmp_path / "src")
+    snap = tmp_path / "snap.json"
+    alerts = tmp_path / "alerts.jsonl"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = schema_drift_alert_stream(
+            spark, src, snap, alerts, ckpt,
+            source_schema="doc string", json_column="doc",
+        )
+        q.awaitTermination(120)
+
+    _write_json_parquet(spark, [{"a": 1}] * 20, src)
+    run()
+    lines = [json.loads(l) for l in alerts.read_text().splitlines()]
+    assert len(lines) == 1 and lines[0]["changes"][0]["change"] == "new_schema"
+
+    _write_json_parquet(spark, [{"a": 7}] * 10, src)  # same shape → silent
+    run()
+    assert len(alerts.read_text().splitlines()) == 1
+
+    _write_json_parquet(spark, [{"a": 2.5, "z": "s"}] * 5, src)  # widens
+    run()
+    lines = [json.loads(l) for l in alerts.read_text().splitlines()]
+    assert len(lines) == 2
+    changes = {(c["path"], c["change"]) for c in lines[1]["changes"]}
+    assert ("$.a", "type_widened") in changes
+    assert ("$.z", "new_property") in changes
