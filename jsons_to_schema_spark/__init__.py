@@ -22,6 +22,7 @@ from .schema_algebra import (  # noqa: F401
     json_to_schema,
     jsons_to_schema,
     parse_schema,
+    schema_diff,
     schemas_to_schema,
     unify,
     validate,
@@ -58,6 +59,14 @@ def __getattr__(name):
         from .checkpoint import checkpointed_validate
 
         return checkpointed_validate
+    if name in ("duplicate_clusters", "assign_duplicate_clusters"):
+        from .operators import dedup
+
+        return getattr(dedup, name)
+    if name in ("build_ivf_index", "ivf_topk_indexed"):
+        from .operators import similarity
+
+        return getattr(similarity, name)
     if name == "get_spark":
         from .session import get_spark
 

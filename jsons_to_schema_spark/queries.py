@@ -1089,6 +1089,26 @@ def multimodal_resize_images(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    SELECT media_ref, CAST(unnest(range(0, 10001, 1000)) AS INT) AS sample_at_ms
+    FROM read_parquet('__CATALOG_PQ__')
+    WHERE media_kind = 'audio' AND media_ref < 'm-00000300'
+    """,
+)
+def multimodal_frame_sample_plan(spark, sf_dir) -> DataFrame:
+    """Frame/segment-sampling work plan for time-media refs: pure built-ins
+    (explode(sequence)) — no payload touched, so the planning stage is
+    column-pruned to the ref column; the decode of each planned timestamp is
+    the stubbed mapInPandas stage.  Fully oracled."""
+    corpus = _spans_corpus(spark)
+    cat = load_media_catalog(spark, corpus).filter(
+        (F.col("media_kind") == "audio") & (F.col("media_ref") < "m-00000300")
+    )
+    return multimodal.frame_sample_plan(cat, "media_ref", every_ms=1000)
+
+
 # ===========================================================================
 # Pinned constant oracles — deterministic, non-SQL-expressible operators
 # (seeded-hash LSH dedup/ANN).  scripts/gen_constant_oracles.py regenerates

@@ -194,3 +194,26 @@ def test_validate_spans_bundle(spark, spans_df, corpus):
     }
     for name, df in bundle.items():
         assert df.count() >= 0, name
+
+
+def test_write_audit_outputs_roundtrip(spark, spans_df, tmp_path):
+    """Audit results materialize as tables: verdicts + violations (partitioned
+    by check) + canonical schema snapshot, all readable back unchanged."""
+    from jsons_to_schema_spark.operators.audit_pass import single_pass_audit
+    from jsons_to_schema_spark.schema_algebra import canonical_json
+    from jsons_to_schema_spark.sources.sinks import write_audit_outputs
+
+    res = single_pass_audit(spans_df, cap_per_check=50, by="split")
+    paths = write_audit_outputs(res, tmp_path / "audit_out")
+
+    verd = spark.read.parquet(paths["verdicts"])
+    assert verd.count() == res.verdicts.count()
+    viol = spark.read.parquet(paths["violations"])
+    got = {(r.doc_id, r.check) for r in viol.collect()}
+    want = {(r.doc_id, r.check) for r in res.violations.collect()}
+    assert got == want and got
+    # check-partitioned layout on disk
+    assert any(p.name.startswith("check=") for p in (tmp_path / "audit_out" / "violations").iterdir())
+    snap = (tmp_path / "audit_out" / "unified_schema.json").read_text()
+    assert snap == canonical_json(res.schema)
+    res.unpersist()
