@@ -31,6 +31,16 @@ Why fuse: each full-width pass over 10^12 docs is the dominant cost at scale
 fused passes anti-scale worse than one).  Fusing inference + verdicts +
 violation sampling into one GroupBy(partition) job halves the engine's
 full-width scans per audit.
+
+Known cost, measured and ACCEPTED (round 2, 8M docs, local[32]): the
+collect_list sample aggregates force the whole pass into
+ObjectHashAggregate (imperative aggs disqualify codegen HashAggregate),
+3.9s vs 2.4s for the counts-only codegen form.  The alternative — codegen
+counts + a concurrent filtered row_violations scan — was measured at 5.2s:
+two full-width scans contend for the same cores and overlap poorly, so the
+single ObjectHashAggregate pass is still the fastest shape for the full
+audit.  Callers who don't need samples can use verdict-only aggregations
+(partition_verdicts / split_verdicts), which stay in codegen.
 """
 
 from __future__ import annotations

@@ -47,6 +47,10 @@ def main() -> int:
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # correctness-critical (perf confs stay with spark-submit): size(NULL)
+    # must be NULL, never -1 — the inference aggregates are also guarded
+    # expression-level (infer_native._size0), this is defense in depth.
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
 
     result = checkpointed_validate(spark, args.data, args.state_dir)
 
