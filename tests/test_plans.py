@@ -81,3 +81,64 @@ def test_uniqueness_two_stage_agg(spark):
     assert "partial_count" in plan
     assert audit.read_schema_columns(q) == ["doc_id"]
     assert "SPARK_PARTITION_ID" not in plan
+
+
+def test_split_verdicts_stay_codegen(spark):
+    """Split-keyed verdicts must stay a partial+final codegen HashAggregate —
+    no ObjectHashAggregate (no imperative aggs), no Python, one scan, and the
+    deterministic _metadata split column must not block anything."""
+    corpus = ensure_corpus(5000)
+    df = load_spans(spark, corpus)
+    q = validate.split_verdicts(df)
+    plan = audit.executed_plan(q)
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert "ObjectHashAggregate" not in plan
+    assert "EvalPython" not in plan
+    assert audit.scan_count(q) == 1
+
+
+def test_ngram_candidates_join_on_hashed_shingles(spark):
+    from jsons_to_schema_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.2)
+    plan = audit.executed_plan(q)
+    # stop-shingle cap = a semi join against the surviving-shingle set
+    assert "LeftSemi" in plan, plan[:1500]
+    # candidate/df joins key on xxhash64-hashed shingles, not raw strings
+    assert "xxhash64" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ivf_indexed_probe_broadcasts_queries(spark, tmp_path):
+    """The persisted-index probe joins the (tiny) exploded query×probe-cell
+    set against the cell-partitioned index — query side must broadcast so
+    the index scan never shuffles."""
+    from jsons_to_schema_spark.operators import similarity
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    idx = tmp_path / "ivf"
+    similarity.build_ivf_index(emb, idx, n_cells=8, iters=1, seed=42)
+    q = similarity.ivf_topk_indexed(
+        spark, idx, emb.filter(F.col("vec_id") < 3), k=5, n_probe=2
+    )
+    plan = audit.executed_plan(q)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_near_dup_kernel_is_single_arrow_stage(spark):
+    """The banded near-dup signature must be ONE ArrowEvalPython node per
+    join branch (vectorized batch kernel), never row-at-a-time
+    BatchEvalPython."""
+    import numpy as np
+
+    from jsons_to_schema_spark.operators import similarity
+
+    rows = [(i, [float(x) for x in np.random.default_rng(i).standard_normal(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.embedding_near_dup_pairs(df, min_cosine=0.9, bits=16, bands=4, dim=8)
+    plan = audit.executed_plan(q)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
