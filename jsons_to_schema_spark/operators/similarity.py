@@ -98,37 +98,60 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    bits: int = 8,
+    bits: int = 32,
+    bands: int = 4,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus + queries by hyperplane signature,
+    """Approximate top-k: bucket corpus + queries by hyperplane signatures,
     join on the bucket, exact cosine re-rank inside the bucket.
 
-    At 10^12 rows the bucket join replaces the full cross product with a
-    1/2^bits-selective equi-join; multi-probe (flipping one bit) can be added
-    for recall — kept single-probe here, measured in tests.
+    bands > 1 is MULTI-PROBE banding (default 4 bands of bits/bands sign
+    bits, vectorized matmul kernel): a query meets a neighbor if they agree
+    on ANY band — recall 1-(1-p^r)^bands instead of single-bucket p^bits,
+    while each band key still has 2^r values so the equi-join stays
+    ~bands/2^r-selective.  bands=1 is the legacy single-probe Catalyst
+    signature (kept for exact back-compat).  At 10^12 rows either form
+    replaces the cross product with a selective equi-join.
     """
     from pyspark.sql import Window
 
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)
-    csig = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        lsh_signature(F.col(vec_col), planes).alias("_sig"),
-    )
-    qsig = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
+    if bands <= 1:
+        csig = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
             lsh_signature(F.col(vec_col), planes).alias("_sig"),
         )
-    )
+        qsig = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qv"),
+                lsh_signature(F.col(vec_col), planes).alias("_sig"),
+            )
+        )
+        matched = qsig.join(csig, "_sig")
+    else:
+        keys_udf = band_keys_kernel(planes, bands)
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.posexplode(keys_udf(F.col(vec_col))).alias("_band", "_key"),
+        )
+        qb = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qv"),
+                F.posexplode(keys_udf(F.col(vec_col))).alias("_band", "_key"),
+            )
+        )
+        matched = qb.join(cb, ["_band", "_key"]).dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
     scored = (
-        qsig.join(csig, "_sig")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        matched.filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

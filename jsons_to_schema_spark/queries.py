@@ -828,11 +828,15 @@ def similarity_topk_embeddings(spark, sf_dir) -> DataFrame:
 
 @query("similarity_lsh_topk_embeddings")
 def similarity_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """Multi-probe banded LSH top-k (8 bands × 4 bits — shallow bands because
+    the corpus is near-random, so exact top-k neighbors sit at cos≈0.4; deeper
+    bands suit high-cosine regimes): recall measured vs
+    brute force in tests/test_operators.py; deterministic → pinned oracle."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries_df, k=10, bits=4, dim=64)
+    return similarity.lsh_topk(emb, queries_df, k=10, bits=32, bands=8, dim=64)
 
 
 @query("similarity_ivf_topk_embeddings")

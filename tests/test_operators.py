@@ -124,7 +124,7 @@ def test_lsh_topk_recall(spark):
     )
     queries = emb.filter(F.col("vec_id") < 5)
     exact = similarity.brute_force_topk(emb, queries, k=10).collect()
-    approx = similarity.lsh_topk(emb, queries, k=10, bits=4, dim=64).collect()
+    approx = similarity.lsh_topk(emb, queries, k=10, bits=4, bands=1, dim=64).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     assert len(approx_set) > 0
@@ -133,6 +133,15 @@ def test_lsh_topk_recall(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    # multi-probe banding must beat (or match) single-probe recall
+    banded = similarity.lsh_topk(
+        emb, queries, k=10, bits=32, bands=8, dim=64
+    ).collect()
+    banded_set = {(r.query_id, r.neighbor_id) for r in banded}
+    recall_single = len(exact_set & approx_set) / len(exact_set)
+    recall_banded = len(exact_set & banded_set) / len(exact_set)
+    assert recall_banded >= recall_single
+    assert recall_banded >= 0.4, recall_banded
 
 
 def test_ivf_topk_recall(spark):
