@@ -43,7 +43,12 @@ def __getattr__(name):
         from .operators import infer
 
         return getattr(infer, name)
-    if name in ("validate_spans", "validate_json_against_schema"):
+    if name in (
+        "validate_spans",
+        "validate_json_against_schema",
+        "struct_conformance_flags",
+        "struct_conformance_report",
+    ):
         from .operators import validate as v
 
         return getattr(v, name)

@@ -366,3 +366,141 @@ def validate_json_against_schema(
     return df.select(column).mapInArrow(
         verdicts, "doc string, valid boolean, errors array<string>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-COMPILED validation: draft schema → Catalyst boolean checks
+# ---------------------------------------------------------------------------
+
+def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
+    """Boolean Column: does a (present) value of Spark type ``dt`` conform to
+    the draft schema?  Static type facts resolve at compile time (a string
+    column can never satisfy {"type":"integer"} → lit(False)); data-dependent
+    facts (float integrality, bounds, enum, array elements) become codegen
+    expressions.  A NULL value is handled by the caller (absent-key
+    semantics)."""
+    from pyspark.sql import types as T
+
+    types = schema.get("type")
+    tset = {types} if isinstance(types, str) else set(types or ())
+
+    def type_ok() -> "F.Column":
+        if not tset:
+            return F.lit(True)
+        if isinstance(dt, T.BooleanType):
+            return F.lit("boolean" in tset)
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return F.lit(bool({"integer", "number"} & tset))
+        if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+            if "number" in tset:
+                return F.lit(True)
+            if "integer" in tset:
+                return col == F.floor(col)  # integral values are "integer"
+            return F.lit(False)
+        if isinstance(dt, (T.StringType, T.TimestampType, T.TimestampNTZType,
+                           T.DateType, T.BinaryType)):
+            return F.lit("string" in tset)
+        if isinstance(dt, T.StructType) or isinstance(dt, T.MapType):
+            return F.lit("object" in tset)
+        if isinstance(dt, T.ArrayType):
+            return F.lit("array" in tset)
+        if isinstance(dt, T.NullType):
+            return F.lit("null" in tset)
+        return F.lit(False)
+
+    ok = type_ok()
+    if "minimum" in schema and isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+             T.DoubleType, T.FloatType, T.DecimalType)
+    ):
+        bound = col >= F.lit(schema["minimum"])
+        if schema.get("exclusiveMinimum"):
+            bound = col > F.lit(schema["minimum"])
+        ok = ok & bound
+    if "maximum" in schema and isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+             T.DoubleType, T.FloatType, T.DecimalType)
+    ):
+        bound = col <= F.lit(schema["maximum"])
+        if schema.get("exclusiveMaximum"):
+            bound = col < F.lit(schema["maximum"])
+        ok = ok & bound
+    if "enum" in schema and not isinstance(
+        dt, (T.StructType, T.ArrayType, T.MapType)
+    ):
+        ok = ok & col.isin([e for e in schema["enum"]])
+    if isinstance(dt, T.StructType) and "object" in tset:
+        for name, sub in (schema.get("properties") or {}).items():
+            if name in dt.fieldNames():
+                fdt = dt[name].dataType
+                fcol = col[name]
+                sub_ok = F.when(
+                    fcol.isNull(), F.lit(name not in (schema.get("required") or []))
+                ).otherwise(_compile_value_check(sub, fcol, fdt))
+                ok = ok & sub_ok
+            elif name in (schema.get("required") or []):
+                ok = F.lit(False)
+        for req in schema.get("required") or []:
+            if req not in dt.fieldNames():
+                ok = F.lit(False)
+    if isinstance(dt, T.ArrayType) and "array" in tset:
+        items = schema.get("items")
+        if isinstance(items, dict):
+            edt = dt.elementType
+            elem_schema = items
+            ok = ok & F.forall(
+                col,
+                lambda e: F.when(
+                    e.isNull(), F.lit("null" in _schema_type_set(elem_schema))
+                ).otherwise(_compile_value_check(elem_schema, e, edt)),
+            )
+    return ok
+
+
+def _schema_type_set(schema: Schema) -> set:
+    t = schema.get("type")
+    return {t} if isinstance(t, str) else set(t or ())
+
+
+def struct_conformance_flags(df: DataFrame, schema: Schema) -> DataFrame:
+    """Reference V1 for STRUCTURED rows, compiled to Catalyst: each row is a
+    JSON object (null column = absent key); appends one ``ok_schema`` boolean
+    per row — whole-stage codegen, no Python (the Arrow twin for raw JSON
+    strings is validate_json_against_schema).
+
+    PINNED to the engine's inference conventions: a null Spark value means
+    the key is ABSENT (so a null in a required column fails; a null in an
+    optional column passes regardless of declared type)."""
+    from pyspark.sql import types as T
+
+    required = set(schema.get("required") or ())
+    props = schema.get("properties") or {}
+    ok = F.lit(True)
+    tset = _schema_type_set(schema)
+    if tset and "object" not in tset:
+        ok = F.lit(False)
+    for f in df.schema.fields:
+        sub = props.get(f.name)
+        col = F.col(f.name)
+        if sub is None:
+            if schema.get("additionalProperties") is False:
+                # sealed: any PRESENT extra key fails
+                ok = ok & col.isNull()
+            continue
+        ok = ok & F.when(
+            col.isNull(), F.lit(f.name not in required)
+        ).otherwise(_compile_value_check(sub, col, f.dataType))
+    for req in required:
+        if req not in df.columns:
+            ok = F.lit(False)
+    return df.withColumn("ok_schema", ok)
+
+
+def struct_conformance_report(df: DataFrame, schema: Schema) -> DataFrame:
+    """(valid, n_docs) verdict aggregation over struct_conformance_flags —
+    the structured twin of validate_json_against_schema's verdict shape."""
+    return (
+        struct_conformance_flags(df, schema)
+        .groupBy(F.col("ok_schema").alias("valid"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

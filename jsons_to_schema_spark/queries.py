@@ -1,10 +1,20 @@
 """Driver-contract query registry.
 
-Each entry: name → callable(spark, sf_dir) → DataFrame, with (where the
-semantics are SQL-expressible) a matching DuckDB oracle in ORACLES using
-IDENTICAL output column names.  Non-SQL-expressible operators (schema
-unification, LSH/sketch-based dedup, multimodal stubs) have no oracle →
-the driver records a rows-only check; their correctness lives in tests/.
+Each entry: name → callable(spark, sf_dir) → DataFrame with a matching
+DuckDB oracle in ORACLES using IDENTICAL output column names.  Every query
+is oracled, three ways:
+
+* real SQL where the semantics are SQL-expressible (stats, joins, windows,
+  text, split verdicts via read_parquet(filename=true), clustering via a
+  recursive-CTE closure, multimodal via sha256 hex-byte math);
+* deterministic-output operators whose COMPUTATION is not SQL (schema
+  folds, seeded-hash LSH pipelines, pinned-partition t-digest) carry a
+  constant-select / snapshot oracle — regenerate with
+  scripts/gen_constant_oracles.py (double-run determinism guard); their
+  semantic correctness lives in tests/ (golden, hypothesis, planted,
+  recall);
+* approximations whose raw values are legitimately run-varying (HLL union)
+  expose their error CONTRACT as the oracled output.
 
 Cross-engine value-hash hygiene (learned the hard way, keep it):
 * never compare raw double AGGREGATION results (sum order differs) — use
@@ -1091,6 +1101,35 @@ def multimodal_resize_images(spark, sf_dir) -> DataFrame:
         "height",
         F.length("payload").cast("long").alias("n_bytes_out"),
     )
+
+
+@query(
+    "schema_validation_documents_struct",
+    oracle="""
+    SELECT (lang IN ('de','en','es','fr') AND n_chars <= 400) AS valid,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def schema_validation_documents_struct(spark, sf_dir) -> DataFrame:
+    """Schema-COMPILED validation (reference V1 over structured rows): a
+    tightened Draft-4 schema — enum on lang, maximum on n_chars — compiles
+    to pure-Catalyst boolean checks (validate.struct_conformance_flags);
+    verdict aggregation is whole-stage codegen end-to-end.  The oracle is
+    the equivalent SQL predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    schema = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "lang": {"type": "string", "enum": ["de", "en", "es", "fr"]},
+            "n_chars": {"type": "integer", "maximum": 400},
+            "source": {"type": "string"},
+            "text": {"type": "string"},
+        },
+        "required": ["doc_id", "lang", "n_chars", "source", "text"],
+    }
+    return validate.struct_conformance_report(docs, schema)
 
 
 @query(

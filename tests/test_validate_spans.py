@@ -217,3 +217,91 @@ def test_write_audit_outputs_roundtrip(spark, spans_df, tmp_path):
     snap = (tmp_path / "audit_out" / "unified_schema.json").read_text()
     assert snap == canonical_json(res.schema)
     res.unpersist()
+
+
+def test_struct_conformance_soundness(spark, spans_df):
+    """Reference V1 soundness, struct edition: the schema INFERRED from a
+    table must validate every row of that table — for the spans corpus and
+    every driver table the native builder covers."""
+    from jsons_to_schema_spark.operators.infer import infer_from_struct
+    from jsons_to_schema_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE  # noqa: F401  (module-relative import ok)
+
+    for df in (
+        spans_df,
+        load_table(spark, "/root/testdata/sf0.01", "documents"),
+        load_table(spark, "/root/testdata/sf0.01", "embeddings"),
+    ):
+        schema, n = infer_from_struct(df)
+        rep = {
+            r.valid: r.n_docs
+            for r in validate.struct_conformance_report(df, schema).collect()
+        }
+        assert rep == {True: n}, rep
+
+
+def test_struct_conformance_matches_pure_validator(spark):
+    """The compiled Catalyst checks must agree with the pure-Python Draft-4
+    validator row by row on a grid of tricky schema/value combinations
+    (nulls=absent, integral floats, enum, bounds incl. exclusive, nested
+    struct + required, array items, sealed objects)."""
+    from jsons_to_schema_spark.schema_algebra import validate as validate_value
+
+    rows = [
+        (1, 10, 2.0, "en", {"x": 1}, [1, 2]),
+        (2, -5, 2.5, "zh", {"x": None}, []),
+        (3, None, None, None, None, None),
+        (4, 400, 7.0, "de", {"x": 9}, [5]),
+        (5, 401, 0.5, "fr", {"x": 2}, [None]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, a long, b double, lang string, o struct<x: long>, xs array<long>",
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            "a": {"type": "integer", "minimum": 0, "maximum": 400},
+            "b": {"type": "integer"},  # integral doubles pass, 2.5 fails
+            "lang": {"type": "string", "enum": ["de", "en", "fr"]},
+            "o": {
+                "type": "object",
+                "properties": {"x": {"type": "integer", "minimum": 0}},
+                "required": ["x"],
+            },
+            "xs": {"type": "array", "items": {"type": "integer"}},
+        },
+        "required": ["id", "a"],
+    }
+    got = {
+        r.id: r.ok_schema
+        for r in validate.struct_conformance_flags(df, schema).collect()
+    }
+    # ground truth via the pure validator on the dict form (null = absent)
+    def to_doc(row):
+        d = {}
+        for k, v in row.asDict().items():
+            if v is None:
+                continue
+            if hasattr(v, "asDict"):
+                d[k] = {kk: vv for kk, vv in v.asDict().items() if vv is not None}
+            else:
+                d[k] = v
+        return d
+
+    for r in df.collect():
+        expected = not validate_value(to_doc(r), schema)
+        assert got[r.id] == expected, (r.id, to_doc(r), got[r.id], expected)
+
+
+def test_struct_conformance_is_codegen(spark, spans_df):
+    from jsons_to_schema_spark.operators.infer import infer_from_struct
+    from jsons_to_schema_spark.plans import audit
+
+    schema, _ = infer_from_struct(spans_df)
+    rep = validate.struct_conformance_report(spans_df, schema)
+    plan = audit.executed_plan(rep)
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
