@@ -222,6 +222,39 @@ def stats_events_by_type(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "stats_documents_rollup",
+    oracle="""
+    SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def stats_documents_rollup(spark, sf_dir) -> DataFrame:
+    """Hierarchical aggregates via ROLLUP(lang, source) — subtotals and the
+    grand total in one pass (Expand + partial/final HashAggregate; the
+    grouping-set expansion happens map-side, so the shuffle carries
+    per-(set,key) partials, not rows).  NULL subtotal keys surface as
+    '<all>' so the output is total-orderable for the value compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return out.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        F.coalesce("source", F.lit("<all>")).alias("source"),
+        "n_docs",
+        "total_chars",
+        "min_chars",
+        "max_chars",
+    )
+
+
+@query(
     "stats_distinct_hll_lineitem",
     oracle="""
     SELECT true AS hll_ok_l_orderkey,
