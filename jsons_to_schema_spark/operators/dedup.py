@@ -42,9 +42,14 @@ def _materialize_once(df: DataFrame) -> DataFrame:
     (tokenize → shingle → signature) would run twice.  A lazy localCheckpoint
     pins the computed rows in executor-local storage on first use — each
     signature is computed exactly once (measured ~2x on the pair queries).
-    At cluster scale the same role is played by writing the signature table
-    (cf. build_ivf_index); local checkpoint storage is bounded by the
-    signature projection, not the corpus."""
+
+    Storage honesty: a checkpointed SIGNATURE frame is tiny (a few longs per
+    doc), but a checkpointed SHINGLE-set frame is O(corpus tokens) — same
+    order as the (column-pruned) input text.  That is the standard
+    time/space trade of exact-verification dedup (recompute-per-join vs
+    materialize-once); at cluster scale the materialized form is a written
+    signature/shingle table reused across the whole dedup campaign (cf.
+    build_ivf_index), not executor-local storage."""
     return df.localCheckpoint(eager=False)
 
 

@@ -449,6 +449,35 @@ def referential_supplier_nation(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "join_suppliers_per_region",
+    oracle="""
+    SELECT r.r_name AS region, count(*) AS n_suppliers,
+           count(DISTINCT n.n_nationkey) AS n_nations
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_suppliers_per_region(spark, sf_dir) -> DataFrame:
+    """Multi-way dimension join chain (supplier ⋈ nation ⋈ region) with both
+    dims broadcast — the fact side never shuffles for the joins; one
+    partial/final aggregate after."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return joined.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.countDistinct("n_nationkey").alias("n_nations"),
+    )
+
+
+@query(
     "uniqueness_part_partkey",
     oracle="""
     SELECT p_partkey, count(*) AS cnt FROM part
