@@ -38,7 +38,12 @@ def _norm(v):
 
 
 def _rows_to_multiset(cols, rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # None-safe total order: sort on (is_none, type-name, value) per cell so
+    # rows containing NULLs (e.g. rollup subtotals) still compare
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in rows),
+        key=lambda r: tuple((v is None, type(v).__name__, v if v is not None else 0) for v in r),
+    )
 
 
 ORACLED = sorted(entry_mod.oracle_sql().keys())
