@@ -165,6 +165,55 @@ def schema_infer_grouped_event_type(spark, sf_dir) -> DataFrame:
     return infer_grouped(events, "event_type", "props")
 
 
+@query("schema_infer_spans_tuple_mode")
+def schema_infer_spans_tuple_mode(spark, sf_dir) -> DataFrame:
+    """G5 tuple typing end-to-end: the spans rows are re-encoded as JSON
+    documents (to_json drops null fields → absent-key semantics) and folded
+    with typeArraysAsTuples=True — items become a positional list,
+    zip-unified across documents (U4 list×list).  Tuple mode has no Catalyst
+    analog (Spark arrays are homogeneous) so this runs the JSON front-end's
+    Python fold (the fast path declines tuple config by design).
+    Deterministic output → pinned snapshot oracle."""
+    from jsons_to_schema_spark.schema_algebra import SchemaGenerationConfig
+
+    df = load_spans(spark, _spans_corpus(spark)).select(
+        F.to_json(F.struct("doc_id", "spans")).alias("doc")
+    )
+    schema, n = infer_from_json_column(
+        df, "doc", SchemaGenerationConfig(type_arrays_as_tuples=True)
+    )
+    return infer_as_dataframe(spark, schema, n)
+
+
+_DOCUMENTS_SEALED_SCHEMA = (
+    '{"additionalProperties":false,"properties":{"doc_id":{"type":"integer"},'
+    '"lang":{"type":"string"},"n_chars":{"type":"integer"},'
+    '"source":{"type":"string"},"text":{"type":"string"}},'
+    '"required":["doc_id","lang","n_chars","source","text"],"type":"object"}'
+)
+
+
+@query(
+    "schema_infer_documents_sealed",
+    oracle=f"""
+    SELECT '{_DOCUMENTS_SEALED_SCHEMA}' AS unified_schema,
+           count(*) AS n_docs FROM documents
+    """,
+)
+def schema_infer_documents_sealed(spark, sf_dir) -> DataFrame:
+    """G3 sealing knob (sealObjectProperties=True): every generated object
+    schema carries additionalProperties:false.  Same deterministic shape as
+    schema_infer_documents_struct plus the seal — the oracle is the sealed
+    constant with a real SQL count."""
+    from jsons_to_schema_spark.schema_algebra import SchemaGenerationConfig
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema, n = infer_from_struct(
+        docs, SchemaGenerationConfig(seal_object_properties=True)
+    )
+    return infer_as_dataframe(spark, schema, n)
+
+
 # ===========================================================================
 # Column stats — single multi-aggregate pass (oracled)
 # ===========================================================================

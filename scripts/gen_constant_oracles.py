@@ -36,6 +36,7 @@ NAMES = [
     "similarity_lsh_topk_embeddings",
     "similarity_ivf_topk_embeddings",
     "drift_events_value_tdigest",
+    "schema_infer_spans_tuple_mode",
 ]
 
 _DUCK_TYPE = {
