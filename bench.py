@@ -36,6 +36,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "8000000"))
 TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "5"))
+RUN_SPACING_S = float(os.environ.get("SPARK_GRAFT_RUN_SPACING_S", "6"))
 
 
 def log(msg: str) -> None:
@@ -224,7 +225,13 @@ def bench_once(cpus: int, corpus, skip_queries: bool = False) -> dict:
     # warm-up (discarded): JVM/codegen compile/Arrow worker spin-up
     pipeline.run()
     times = []
-    for _ in range(TIMED_RUNS):
+    for i in range(TIMED_RUNS):
+        if i:
+            # spread the runs across hypervisor throttle phases: the phases
+            # are multi-second, so back-to-back runs can ALL land in one bad
+            # phase and the min still reports 3x below capability — spacing
+            # samples independent phases (memory/BASELINE.md methodology)
+            time.sleep(RUN_SPACING_S)
         t0 = time.time()
         n = pipeline.run()
         times.append(time.time() - t0)

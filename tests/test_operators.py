@@ -410,3 +410,33 @@ def test_simhash_engines_identical(spark, planted):
             .collect()
         }
         assert kern == expr
+
+
+def test_duplicate_clusters_random_graph_matches_union_find(spark):
+    """1000-vertex random pair graph: distributed min-label propagation must
+    produce exactly the components a driver-side union-find computes."""
+    rng = np.random.default_rng(17)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 1000, size=(1500, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+
+    parent = list(range(1000))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    expected = {v: find(v) for v in verts}
+
+    got = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == expected
