@@ -120,3 +120,39 @@ def test_infer_grouped_salt_invariant(spark):
         for r in infer_grouped(df, "event_type", "props", salt=16).collect()
     }
     assert single == salted
+
+
+def test_malformed_json_fail_and_skip(spark):
+    """on_error='fail' names the bad document; on_error='skip' drops it from
+    the fold AND the count (a malformed doc also knocks the whole batch off
+    the columnar fast path — the Python fallback must handle both modes)."""
+    import pytest as _pytest
+
+    from jsons_to_schema_spark.operators.infer import infer_from_json_column
+    from jsons_to_schema_spark.schema_algebra import canonical_json, jsons_to_schema
+
+    good = [{"k": 1}, {"k": 2}, {"k": 3}]
+    rows = [(json.dumps(d),) for d in good] + [("{not json",)]
+    df = spark.createDataFrame(rows, "doc string")
+
+    with _pytest.raises(Exception, match="not json|malformed"):
+        infer_from_json_column(df, "doc", on_error="fail")
+
+    schema, n = infer_from_json_column(df, "doc", on_error="skip")
+    assert n == len(good)
+    assert canonical_json(schema) == canonical_json(jsons_to_schema(good))
+
+
+def test_empty_input_raises_nonempty_contract(spark):
+    from jsons_to_schema_spark.operators.infer import (
+        infer_from_json_column,
+        infer_from_struct,
+    )
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc string")
+    with _pytest.raises(ValueError, match="NonEmpty"):
+        infer_from_json_column(empty, "doc")
+    with _pytest.raises(ValueError, match="[Nn]o rows"):
+        infer_from_struct(empty)
