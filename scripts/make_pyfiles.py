@@ -19,8 +19,9 @@ def build() -> Path:
     DIST.mkdir(exist_ok=True)
     out = DIST / "jsons_to_schema_spark.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in sorted(PKG.rglob("*.py")):
-            zf.write(p, p.relative_to(ROOT))
+        for pattern in ("*.py", "*.json"):  # code + packaged data (oracle pins)
+            for p in sorted(PKG.rglob(pattern)):
+                zf.write(p, p.relative_to(ROOT))
     return out
 
 
