@@ -1,9 +1,11 @@
 """Deduplication suite for web-scale corpora.
 
-Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup —
-every stage is built-in Catalyst expressions (hash functions, higher-order
-array ops) so the candidate-generation hot path stays JVM-side; there is no
-Python UDF anywhere in this module.
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup, and
+duplicate-cluster assignment.  Candidate generation is built-in Catalyst
+expressions (hash functions, higher-order array ops) except where a batched
+Arrow kernel measured faster (simhash64_kernel: one vectorized numpy pass
+per batch over JVM-computed token hashes); there is no per-row Python
+anywhere.
 
 Scale design (the part that matters at 10^12 docs):
 

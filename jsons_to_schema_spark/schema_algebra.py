@@ -483,7 +483,7 @@ def schema_diff(old: Optional[Schema], new: Schema, path: str = "$") -> list[dic
             out.append({"path": f"{path}[]", "change": "items_widened",
                         "from": canonical_json_value(oi) if oi is not None else None,
                         "to": canonical_json_value(ni)})
-    for bound, direction in (("minimum", "down"), ("maximum", "up")):
+    for bound in ("minimum", "maximum"):
         if old.get(bound) != new.get(bound):
             out.append({"path": path, "change": "bounds_widened",
                         "from": old.get(bound), "to": new.get(bound)})
