@@ -179,8 +179,11 @@ def _per_split_records(df: DataFrame, flagged: DataFrame) -> list[dict]:
     aggs = list(plan.builder.exprs)
     for c in ROW_CHECKS:
         aggs.append(F.sum((~F.col(f"ok_{c}")).cast("long")).alias(f"fail_{c}"))
+    projected = plan.builder.project(
+        flagged, F.col(SPLIT_COL), *[F.col(f"ok_{c}") for c in ROW_CHECKS]
+    )
     out = []
-    for r in flagged.groupBy(SPLIT_COL).agg(*aggs).collect():
+    for r in projected.groupBy(SPLIT_COL).agg(*aggs).collect():
         d = r.asDict()
         schema, n_rows = plan.finalize(d)
         rec = {

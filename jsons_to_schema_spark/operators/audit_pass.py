@@ -32,14 +32,15 @@ fused passes anti-scale worse than one).  Fusing inference + verdicts +
 violation sampling into one GroupBy(partition) job halves the engine's
 full-width scans per audit.
 
-Known cost, measured and ACCEPTED (round 2, 8M docs, local[32]): the
-collect_list sample aggregates force the whole pass into
-ObjectHashAggregate (imperative aggs disqualify codegen HashAggregate),
-3.9s vs 2.4s for the counts-only codegen form.  The alternative — codegen
-counts + a concurrent filtered row_violations scan — was measured at 5.2s:
-two full-width scans contend for the same cores and overlap poorly, so the
-single ObjectHashAggregate pass is still the fastest shape for the full
-audit.  Callers who don't need samples can use verdict-only aggregations
+Known cost, measured and ACCEPTED (round 2, 8M docs, local[32],
+ALTERNATING A/B min-of-3 — this host's throttle phases invalidate
+sequential comparisons): the collect_list sample aggregates force the
+whole pass into ObjectHashAggregate (imperative aggs disqualify codegen
+HashAggregate), fused-with-samples 3.43s.  The alternative — codegen
+counts + a concurrent filtered row_violations scan — measured 5.43s: two
+full-width scans contend for the same cores and overlap poorly, so the
+single ObjectHashAggregate pass is the fastest shape for the full audit by
+~1.6x.  Callers who don't need samples can use verdict-only aggregations
 (partition_verdicts / split_verdicts), which stay in codegen.
 """
 
@@ -142,8 +143,20 @@ def single_pass_audit(
             ).alias(f"sample_{name}")
         )
 
+    # Materialize the aggregate INPUTS (plus grouping/sampling pass-throughs)
+    # in a codegen projection BELOW the aggregate.  Perf-neutral vs inlined
+    # inputs (ObjectHashAggregate generates code for its input projections
+    # too — alternating A/B at 8M docs was within host noise), but it keeps
+    # the expensive size/array_compact trees in one visible codegen stage.
+    # The projection is narrow and deterministic, so task identity
+    # (spark_partition_id) and scan pruning are unaffected.
+    keep = [F.col("doc_id")] + [F.col(f"ok_{name}") for name in ROW_CHECKS]
+    if by == "split":
+        keep.append(F.col("split"))
+    projected = plan.builder.project(flagged, *keep)
+
     report = (
-        flagged.groupBy(group_key)
+        projected.groupBy(group_key)
         .agg(*aggs)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
