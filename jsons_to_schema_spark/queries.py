@@ -880,6 +880,52 @@ def dedup_clusters_ngram_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "curation_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), best AS (
+      SELECT doc_id, list_max([
+        {'score': len(list_intersect(t, ['der','die','das','und','nicht','ist','ich','von'])), 'lang': 'de'},
+        {'score': len(list_intersect(t, ['the','and','of','to','in','is','that','for'])), 'lang': 'en'},
+        {'score': len(list_intersect(t, ['el','la','de','que','y','los','en','por'])), 'lang': 'es'},
+        {'score': len(list_intersect(t, ['le','la','les','de','et','est','que','une'])), 'lang': 'fr'},
+        {'score': len(list_intersect(t, ['il','la','di','che','e','per','non','una'])), 'lang': 'it'}
+      ]) AS b FROM toks
+    ), flags AS (
+      SELECT toks.doc_id, toks.text, len(t) AS n_tokens,
+             CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+      FROM toks JOIN best ON toks.doc_id = best.doc_id
+    ), gated AS (
+      SELECT * FROM flags WHERE n_tokens >= 40 AND lang_pred IN ('en')
+    ), fp AS (
+      SELECT doc_id, n_tokens, lang_pred,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM gated
+    ), keep AS (
+      SELECT f, min(doc_id) AS m FROM fp GROUP BY f
+    )
+    SELECT fp.doc_id, CAST(fp.n_tokens AS BIGINT) AS n_tokens, fp.lang_pred
+    FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.m
+    """,
+)
+def curation_documents(spark, sf_dir) -> DataFrame:
+    """The end-to-end curation funnel a training-data pipeline runs —
+    quality gate (≥40 tokens) → language gate (predicted 'en') → exact-dedup
+    keep-one — as ONE declarative plan over the engine's oracled operators
+    (operators/curate.py).  Fully reproduced in SQL."""
+    from jsons_to_schema_spark.operators.curate import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate_documents(
+        docs, "text", "doc_id", min_tokens=40, allowed_langs=["en"]
+    )
+    return kept.select("doc_id", "n_tokens", "lang_pred")
+
+
+@query(
     "dedup_embedding_near_dup",
     oracle="""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -440,3 +440,40 @@ def test_duplicate_clusters_random_graph_matches_union_find(spark):
 
     got = {r.id: r.cluster for r in dedup.duplicate_clusters(pairs).collect()}
     assert got == expected
+
+
+def test_curate_documents_pipeline(spark):
+    """Full curation funnel on a planted corpus: quality gate drops the
+    short doc, language gate drops the non-matching doc, exact dedup keeps
+    one of the identical pair, near-dup clustering keeps one per cluster."""
+    from jsons_to_schema_spark.operators.curate import (
+        curate_documents,
+        curation_report,
+    )
+
+    en = "the cat and the dog ran to the house of the king for the gold"
+    rows = [
+        (1, en),
+        (2, en),                                   # exact dup of 1
+        (3, en + " extra tail words here today"),  # near dup (cluster w/ 1)
+        (4, "short text"),                         # fails quality (< 5? use 10)
+        (5, "uno dos tres " * 10),                 # 30 tokens, lang != en
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+
+    kept = curate_documents(
+        df, "text", "doc_id", min_tokens=10, allowed_langs=["en"],
+        near_dup_pairs=pairs,
+    )
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {1}
+
+    # without near-dup pairs, 1 and 3 both survive (not exact dups)
+    kept2 = curate_documents(df, "text", "doc_id", min_tokens=10, allowed_langs=["en"])
+    assert {r.doc_id for r in kept2.select("doc_id").collect()} == {1, 3}
+
+    rep = curation_report(df, "text", "doc_id", min_tokens=10, allowed_langs=["en"]).first()
+    assert rep.n_input == 5
+    assert rep.dropped_quality == 1          # doc 4
+    assert rep.dropped_lang == 1             # doc 5
+    assert rep.survivors_pre_dedup == 3      # docs 1, 2, 3
