@@ -72,6 +72,10 @@ def __getattr__(name):
         from .operators import similarity
 
         return getattr(similarity, name)
+    if name in ("curate_documents", "curation_report"):
+        from .operators import curate
+
+        return getattr(curate, name)
     if name == "get_spark":
         from .session import get_spark
 
