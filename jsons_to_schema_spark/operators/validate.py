@@ -372,6 +372,10 @@ def validate_json_against_schema(
 # Schema-COMPILED validation: draft schema → Catalyst boolean checks
 # ---------------------------------------------------------------------------
 
+from pyspark.sql import types as _T
+
+_STRINGISH = (_T.StringType, _T.VarcharType, _T.CharType)
+
 def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
     """Boolean Column: does a (present) value of Spark type ``dt`` conform to
     the draft schema?  Static type facts resolve at compile time (a string
@@ -429,6 +433,18 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
         dt, (T.StructType, T.ArrayType, T.MapType)
     ):
         ok = ok & col.isin([e for e in schema["enum"]])
+    if isinstance(dt, _STRINGISH):
+        if "minLength" in schema:
+            ok = ok & (F.length(col) >= F.lit(schema["minLength"]))
+        if "maxLength" in schema:
+            ok = ok & (F.length(col) <= F.lit(schema["maxLength"]))
+    if isinstance(dt, T.ArrayType):
+        if "minItems" in schema:
+            ok = ok & (F.size(col) >= F.lit(schema["minItems"]))
+        if "maxItems" in schema:
+            ok = ok & (F.size(col) <= F.lit(schema["maxItems"]))
+        if schema.get("uniqueItems") is True:
+            ok = ok & (F.size(F.array_distinct(col)) == F.size(col))
     if isinstance(dt, T.StructType) and "object" in tset:
         for name, sub in (schema.get("properties") or {}).items():
             if name in dt.fieldNames():

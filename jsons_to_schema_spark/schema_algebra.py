@@ -402,6 +402,13 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
         if mx is not None:
             if value > mx or (value == mx and schema.get("exclusiveMaximum")):
                 errors.append(f"{path}: {value} > maximum {mx}")
+    elif isinstance(value, str):
+        # engine-side validation keywords (never GENERATED — the reference
+        # emits none of these, so fixture parity is unaffected)
+        if "minLength" in schema and len(value) < schema["minLength"]:
+            errors.append(f"{path}: length {len(value)} < minLength")
+        if "maxLength" in schema and len(value) > schema["maxLength"]:
+            errors.append(f"{path}: length {len(value)} > maxLength")
     elif isinstance(value, dict):
         props = schema.get("properties", {})
         for k in schema.get("required", []):
@@ -415,6 +422,14 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
             if k in props:
                 _validate_at(v, props[k], f"{path}.{k}", errors)
     elif isinstance(value, (list, tuple)):
+        if "minItems" in schema and len(value) < schema["minItems"]:
+            errors.append(f"{path}: {len(value)} items < minItems")
+        if "maxItems" in schema and len(value) > schema["maxItems"]:
+            errors.append(f"{path}: {len(value)} items > maxItems")
+        if schema.get("uniqueItems") is True:
+            seen = {canonical_json_value(v) for v in value}
+            if len(seen) != len(value):
+                errors.append(f"{path}: items not unique")
         items = schema.get("items")
         if isinstance(items, dict):
             for i, v in enumerate(value):

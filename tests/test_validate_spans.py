@@ -254,6 +254,8 @@ def test_struct_conformance_matches_pure_validator(spark):
         (3, None, None, None, None, None),
         (4, 400, 7.0, "de", {"x": 9}, [5]),
         (5, 401, 0.5, "fr", {"x": 2}, [None]),
+        (6, 10, 3.0, "e", {"x": 1}, [1, 1, 2]),       # lang too short, dup items
+        (7, 10, 3.0, "enenen", {"x": 1}, [1, 2, 3, 4, 5]),  # too long both ways
     ]
     df = spark.createDataFrame(
         rows,
@@ -265,13 +267,15 @@ def test_struct_conformance_matches_pure_validator(spark):
             "id": {"type": "integer"},
             "a": {"type": "integer", "minimum": 0, "maximum": 400},
             "b": {"type": "integer"},  # integral doubles pass, 2.5 fails
-            "lang": {"type": "string", "enum": ["de", "en", "fr"]},
+            "lang": {"type": "string", "enum": ["de", "en", "fr"],
+                     "minLength": 2, "maxLength": 2},
             "o": {
                 "type": "object",
                 "properties": {"x": {"type": "integer", "minimum": 0}},
                 "required": ["x"],
             },
-            "xs": {"type": "array", "items": {"type": "integer"}},
+            "xs": {"type": "array", "items": {"type": "integer"},
+                   "maxItems": 4, "uniqueItems": True},
         },
         "required": ["id", "a"],
     }
