@@ -309,3 +309,87 @@ def test_struct_conformance_is_codegen(spark, spans_df):
     plan = audit.executed_plan(rep)
     assert "EvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_struct_conformance_randomized_battery(spark):
+    """Randomized schemas × randomized rows: the compiled Catalyst checks
+    must agree with the pure Draft-4 validator on every row (25 rounds,
+    covering type sets, bounds, enum, required, lengths, item counts,
+    uniqueItems, nested struct)."""
+    import random
+
+    from jsons_to_schema_spark.schema_algebra import validate as validate_value
+
+    rng = random.Random(99)
+    ddl = "id long, a long, b double, s string, xs array<long>, o struct<x: long, y: string>"
+
+    def rand_schema():
+        props = {"id": {"type": "integer"}}
+        a = {"type": rng.choice(["integer", "number"])}
+        if rng.random() < 0.6:
+            a["minimum"] = rng.randint(-5, 5)
+            if rng.random() < 0.4:
+                a["exclusiveMinimum"] = True
+        if rng.random() < 0.6:
+            a["maximum"] = rng.randint(5, 15)
+        props["a"] = a
+        b = {"type": rng.choice(["integer", "number"])}
+        props["b"] = b
+        s = {"type": "string"}
+        if rng.random() < 0.5:
+            s["minLength"] = rng.randint(0, 3)
+        if rng.random() < 0.5:
+            s["maxLength"] = rng.randint(3, 6)
+        if rng.random() < 0.3:
+            s["enum"] = rng.sample(["ab", "abc", "abcd", "x", "yz"], 3)
+        props["s"] = s
+        xs = {"type": "array", "items": {"type": "integer"}}
+        if rng.random() < 0.5:
+            xs["maxItems"] = rng.randint(1, 3)
+        if rng.random() < 0.5:
+            xs["uniqueItems"] = True
+        props["xs"] = xs
+        o = {"type": "object", "properties": {"x": {"type": "integer"}}}
+        if rng.random() < 0.5:
+            o["required"] = ["x"]
+        props["o"] = o
+        out = {"type": "object", "properties": props}
+        req = [k for k in props if rng.random() < 0.4]
+        if req:
+            out["required"] = sorted(req)
+        return out
+
+    def rand_row(i):
+        def maybe(v):
+            return None if rng.random() < 0.25 else v
+        return (
+            i,
+            maybe(rng.randint(-10, 20)),
+            maybe(rng.choice([2.0, 2.5, -1.0, 7.25])),
+            maybe(rng.choice(["ab", "abc", "abcdefg", "", "yz"])),
+            maybe([rng.randint(0, 3) for _ in range(rng.randint(0, 4))]),
+            maybe({"x": maybe(rng.randint(0, 5)), "y": maybe("s")}),
+        )
+
+    def to_doc(row):
+        d = {}
+        for k, v in row.asDict().items():
+            if v is None:
+                continue
+            if hasattr(v, "asDict"):
+                d[k] = {kk: vv for kk, vv in v.asDict().items() if vv is not None}
+            else:
+                d[k] = v
+        return d
+
+    for _ in range(25):
+        schema = rand_schema()
+        rows = [rand_row(i) for i in range(20)]
+        df = spark.createDataFrame(rows, ddl)
+        got = {
+            r.id: r.ok_schema
+            for r in validate.struct_conformance_flags(df, schema).collect()
+        }
+        for r in df.collect():
+            expected = not validate_value(to_doc(r), schema)
+            assert got[r.id] == expected, (schema, to_doc(r), got[r.id], expected)
