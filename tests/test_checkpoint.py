@@ -110,3 +110,24 @@ def test_state_store_is_a_queryable_table(spark, corpus, tmp_path):
     store.merge([rec])
     assert store._version() == version + 1
     assert len(store._rows()) == res["splits_total"]
+
+
+def test_state_store_crash_window_recovery(tmp_path):
+    """A kill between snapshot write and VERSION swing (the MERGE commit's
+    only crash window) must leave the previous state visible and the next
+    merge must recover by rewriting that version."""
+    from jsons_to_schema_spark.checkpoint import TableStateStore
+
+    store = TableStateStore(tmp_path / "state")
+    store.merge([{"split": "a", "n_rows": 1}])
+    assert set(store.committed()) == {"a"}
+
+    # simulate the crash: orphan next-version snapshot, pointer NOT swung
+    import shutil
+
+    shutil.copy(store._snapshot_path(1), store._snapshot_path(2))
+    assert set(store.committed()) == {"a"}  # orphan invisible
+
+    store.merge([{"split": "b", "n_rows": 2}])  # overwrites the orphan
+    assert set(store.committed()) == {"a", "b"}
+    assert store._version() == 2

@@ -76,3 +76,14 @@ def test_all_queries_execute(spark):
         df = q(spark, SF_ORACLE)
         n = df.count()
         assert n >= 0 and len(df.columns) > 0, name
+
+
+def test_every_query_is_oracled():
+    """The 100%-oracle contract: a new queries() entry without a matching
+    oracle (real SQL, pinned snapshot, or contract form) fails CI here
+    instead of silently downgrading to a rows-only driver check."""
+    from jsons_to_schema_spark.queries import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES), sorted(
+        set(QUERIES).symmetric_difference(ORACLES)
+    )
