@@ -2,10 +2,11 @@
 actually runs: quality gate → language gate → exact-dedup keep-one →
 (optional) near-dup cluster keep-one.
 
-Every stage reuses the engine's oracled operators (text.token_count,
-text.lang_id, dedup.dedup_exact / assign_duplicate_clusters), so the whole
-pipeline is one declarative plan Catalyst optimizes end-to-end: the gates
-are pushed filters over one narrow projection, the dedup keep is a
+Every stage reuses the engine's oracled operator EXPRESSIONS
+(text.token_count, the lang_id scoring structs, dedup.dedup_exact /
+assign_duplicate_clusters), so the whole pipeline is one declarative plan
+Catalyst optimizes end-to-end: the gates are narrow projections + filters
+(no join — lang_pred is computed in place), the dedup keep is a
 groupBy(min) + semi join, and nothing leaves the JVM.
 
 Scale notes: gates SHRINK the data before any shuffle (filter-first —
@@ -22,7 +23,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import assign_duplicate_clusters, dedup_exact
-from .text import lang_id, token_count
+from .text import LANG_STOPWORDS, token_count, tokens
+
+
+def _with_lang_pred(df: DataFrame, text_col: str) -> DataFrame:
+    """Append lang_pred WITHOUT a join: the same layered-projection trick as
+    text.lang_id (tokenizer materialized once — HOF lambdas block codegen
+    subexpression elimination, so inlining tokens() into the five per-lang
+    intersects would re-tokenize 5x), but carrying the full row so the gate
+    is a narrow projection instead of a shuffle join on the id."""
+    pairs = [
+        F.struct(
+            F.size(
+                F.array_intersect("_t", F.array(*[F.lit(w) for w in words]))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    return (
+        df.withColumn("_t", tokens(text_col))
+        .withColumn("_best", F.array_max(F.array(*pairs)))
+        .withColumn(
+            "lang_pred",
+            F.when(F.col("_best.score") > 0, F.col("_best.lang")).otherwise(
+                F.lit("und")
+            ),
+        )
+        .drop("_t", "_best")
+    )
 
 
 def curate_documents(
@@ -47,8 +76,7 @@ def curate_documents(
     gated = df.withColumn("n_tokens", token_count(text_col).cast("long")).filter(
         F.col("n_tokens") >= min_tokens
     )
-    preds = lang_id(gated, text_col, id_col)
-    gated = gated.join(preds.select(id_col, "lang_pred"), id_col)
+    gated = _with_lang_pred(gated, text_col)
     if allowed_langs is not None:
         gated = gated.filter(F.col("lang_pred").isin(list(allowed_langs)))
     kept = dedup_exact(gated, text_col, id_col)
@@ -66,11 +94,12 @@ def curation_report(
     allowed_langs: Optional[list[str]] = None,
 ) -> DataFrame:
     """One-row funnel report: how many documents each gate removed.  One
-    multi-aggregate pass over the gate columns (no curation materialized)."""
-    preds = lang_id(df, text_col, id_col).select(id_col, "lang_pred")
+    multi-aggregate pass over the gate columns (no curation materialized,
+    no shuffle — the gates are narrow projections the scan evaluates)."""
     flags = (
-        df.withColumn("n_tokens", token_count(text_col).cast("long"))
-        .join(preds, id_col)
+        _with_lang_pred(
+            df.withColumn("n_tokens", token_count(text_col).cast("long")), text_col
+        )
         .select(
             (F.col("n_tokens") >= min_tokens).alias("q_ok"),
             (
