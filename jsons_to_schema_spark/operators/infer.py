@@ -348,13 +348,23 @@ def _make_struct_accumulator(config: SchemaGenerationConfig):
 # ---------------------------------------------------------------------------
 
 def _tree_merge(partials: DataFrame) -> tuple[Optional[Schema], int]:
-    """Logarithmic merge of per-partition (draft, count) rows.
+    """Merge of per-partition (draft, count) rows.
 
-    At 10^5+ partitions this keeps every merge fan-in bounded instead of
-    funneling all partials straight to the driver.
+    At 10^5+ partitions a treeAggregate keeps every merge fan-in bounded
+    instead of funneling all partials straight to the driver; below a few
+    hundred partials (one KB-scale row each) the tree's extra stage costs
+    more than it saves, so the driver folds a plain collect() — same
+    associative fold, one fewer job.
     """
     rdd = partials.rdd.map(lambda r: (r["draft"], int(r["n_docs"])))
     n_parts = max(1, rdd.getNumPartitions())
+    if n_parts <= 256:
+        acc: Optional[Schema] = None
+        n = 0
+        for draft, k in rdd.collect():
+            acc = unify_opt(acc, parse_schema(draft))
+            n += k
+        return acc, n
     depth = max(2, int(np.ceil(np.log(max(n_parts, 2)) / np.log(4))))
 
     def seq(acc, item):
