@@ -372,7 +372,13 @@ def build_ivf_index(
         F.col(vec_col).alias("embedding"),
         _argmax_cell(_l2_normalize(F.col(vec_col)), centroids).alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(str(out / "cells"))
+    # co-locate each cell before writing: without the repartition every scan
+    # task emits a file per cell it touches (tasks x cells tiny files — a
+    # classic small-files problem); with it the layout is one file per cell
+    # (ideal probe-side scan granularity; at larger cells Spark splits files)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(str(out / "cells"))
     (out / "centroids.json").write_text(
         json.dumps(
             {"centroids": centroids, "n_cells": n_cells, "seed": seed},
