@@ -99,3 +99,34 @@ def test_canonical_roundtrip(v):
     s = json_to_schema(v)
     once = canonical_json(s)
     assert canonical_json(json.loads(once)) == once
+
+
+def test_schema_diff_detects_exactly_the_widenings():
+    """Invariant: diff(old, unify(old, new)) is empty iff the unify was a
+    no-op — over a battery of random document folds."""
+    import random
+
+    from jsons_to_schema_spark.schema_algebra import (
+        canonical_json,
+        jsons_to_schema,
+        schema_diff,
+        unify,
+    )
+
+    rng = random.Random(5)
+
+    def doc():
+        keys = rng.sample(["a", "b", "c", "d"], rng.randint(1, 4))
+        out = {}
+        for k in keys:
+            out[k] = rng.choice(
+                [1, 2.5, "s", True, None, [1, 2], {"x": 1}, [], {}]
+            )
+        return out
+
+    for _ in range(300):
+        old = jsons_to_schema([doc() for _ in range(rng.randint(1, 4))])
+        merged = unify(old, jsons_to_schema([doc() for _ in range(rng.randint(1, 3))]))
+        changes = schema_diff(old, merged)
+        unchanged = canonical_json(old) == canonical_json(merged)
+        assert (not changes) == unchanged, (old, merged, changes)
