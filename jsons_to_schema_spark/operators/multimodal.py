@@ -154,3 +154,52 @@ def frame_sample_plan(df: DataFrame, ref_col: str, every_ms: int = 1000) -> Data
             F.sequence(F.lit(0), F.lit(10_000), F.lit(every_ms))
         ).alias("sample_at_ms"),
     )
+
+
+FRAME_SCHEMA = "media_ref string, sample_at_ms int, frame_sha256 string, mean_luma int"
+
+
+def frame_features(
+    df: DataFrame,
+    ref_col: str,
+    bytes_col: str,
+    ts_col: str,
+    fake: bool = False,
+) -> DataFrame:
+    """Per-sampled-frame feature extraction: consumes frame_sample_plan's
+    (ref, timestamp) work items joined with payloads, emits one feature row
+    per frame via Arrow-batched mapInPandas.  The decode is the stubbed
+    codec seam (NotImplementedError unless fake=True); the fake kernel is a
+    pure sha256 of (payload ‖ ':' ‖ timestamp) so the whole stage is
+    value-reproducible in SQL.  Frame rows amplify the input (one per
+    sampled timestamp) — at scale repartition the PLAN, not the payloads:
+    the payload joins in once per ref and fans out row-locally."""
+    src = df.select(
+        F.col(ref_col).alias("media_ref"),
+        F.col(ts_col).alias("sample_at_ms"),
+        F.col(bytes_col).alias("_payload"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame decode requires a video codec library (not in "
+                    "this container); pass fake=True for the deterministic stub"
+                )
+            shas, lumas = [], []
+            for p, ts in zip(pdf["_payload"], pdf["sample_at_ms"]):
+                h = hashlib.sha256(bytes(p or b"") + b":" + str(int(ts)).encode())
+                d = h.digest()
+                shas.append(h.hexdigest())
+                lumas.append(d[0])
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "sample_at_ms": pdf["sample_at_ms"].values,
+                    "frame_sha256": shas,
+                    "mean_luma": lumas,
+                }
+            )
+
+    return src.mapInPandas(extract, FRAME_SCHEMA)

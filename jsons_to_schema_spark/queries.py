@@ -1309,6 +1309,47 @@ def multimodal_frame_sample_plan(spark, sf_dir) -> DataFrame:
     return multimodal.frame_sample_plan(cat, "media_ref", every_ms=1000)
 
 
+@query(
+    "multimodal_frame_features",
+    oracle="""
+    WITH plan AS (
+      SELECT media_ref, media_ref || ':vid' AS payload,
+             CAST(unnest(range(0, 10001, 2000)) AS INT) AS sample_at_ms
+      FROM read_parquet('__CATALOG_PQ__')
+      WHERE media_kind = 'audio' AND media_ref < 'm-00000150'
+    )
+    SELECT media_ref, sample_at_ms,
+           sha256(payload || ':' || CAST(sample_at_ms AS VARCHAR)) AS frame_sha256,
+           CAST(CAST('0x' || substr(
+             sha256(payload || ':' || CAST(sample_at_ms AS VARCHAR)), 1, 2
+           ) AS INT) AS INT) AS mean_luma
+    FROM plan
+    """,
+)
+def multimodal_frame_features(spark, sf_dir) -> DataFrame:
+    """The full time-media pipeline shape: frame_sample_plan fans each ref
+    into (ref, timestamp) work items, the payload joins in once per ref, and
+    the stubbed frame decoder (sha256-pure, fake=True) emits per-frame
+    features via mapInPandas — every row value-reproduced in SQL."""
+    corpus = _spans_corpus(spark)
+    cat = load_media_catalog(spark, corpus).filter(
+        (F.col("media_kind") == "audio") & (F.col("media_ref") < "m-00000150")
+    )
+    plan = multimodal.frame_sample_plan(cat, "media_ref", every_ms=2000)
+    with_payload = plan.join(
+        cat.select(
+            "media_ref",
+            F.encode(F.concat(F.col("media_ref"), F.lit(":vid")), "utf-8").alias(
+                "payload"
+            ),
+        ),
+        "media_ref",
+    )
+    return multimodal.frame_features(
+        with_payload, "media_ref", "payload", "sample_at_ms", fake=True
+    )
+
+
 # ===========================================================================
 # Pinned constant oracles — deterministic, non-SQL-expressible operators
 # (seeded-hash LSH dedup/ANN).  scripts/gen_constant_oracles.py regenerates
