@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.infer import _arrow_struct_to_draft
-from .operators.validate import ROW_CHECKS, with_check_flags
+from .operators.validate import ROW_CHECKS, split_column, with_check_flags
 from .schema_algebra import (
     DEFAULT_CONFIG,
     Schema,
@@ -71,10 +71,10 @@ class TableStateStore:
     def _snapshot_path(self, version: int) -> Path:
         return self.dir / f"snap-{version:06d}.parquet"
 
-    def _rows(self) -> list[dict]:
+    def _rows(self, version: Optional[int] = None) -> list[dict]:
         import pyarrow.parquet as pq
 
-        v = self._version()
+        v = self._version() if version is None else version
         if v == 0:
             return []
         return pq.read_table(self._snapshot_path(v)).to_pylist()
@@ -82,24 +82,66 @@ class TableStateStore:
     def committed(self) -> dict[str, dict]:
         return {rec["split"]: rec for rec in self._rows()}
 
-    def merge(self, records: list[dict]) -> None:
+    def merge(self, records: list[dict], _retries: int = 256) -> None:
         """Row-level upsert keyed by split id, committed as ONE snapshot +
-        atomic pointer swing (the MERGE commit protocol)."""
+        atomic pointer swing (the MERGE commit protocol).
+
+        Concurrency (ADVICE r2): two committers that both read version N race
+        to CLAIM snap-(N+1) via atomic ``os.link`` of a writer-unique temp
+        file — exactly one link succeeds; the loser re-reads the (advanced)
+        version and retries its whole read-modify-write on top of the
+        winner's rows, so no batch is lost (optimistic concurrency, the same
+        shape as Iceberg's atomic metadata-pointer CAS).  A claimed snapshot
+        whose writer died before swinging VERSION is an uncommitted orphan;
+        after the retry budget's grace window a contender removes it and
+        claims — mirroring Iceberg's cleanup of failed commits.
+
+        Migration note: this store reads only ``snap-*.parquet`` + VERSION;
+        a state dir from the pre-r2 JSON-file-per-split format is ignored
+        (treated as empty → those splits recompute once, then commit here).
+        """
         import pyarrow.parquet as pq
 
         if not records:
             return
         incoming = {r["split"] for r in records}
-        kept = [r for r in self._rows() if r["split"] not in incoming]
-        new_version = self._version() + 1
-        table = pa.Table.from_pylist(kept + list(records))
-        snap = self._snapshot_path(new_version)
-        tmp = snap.with_suffix(".tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, snap)
-        vtmp = self.dir / "VERSION.tmp"
-        vtmp.write_text(str(new_version))
-        os.replace(vtmp, self.dir / "VERSION")  # atomic commit point
+        stale_since: Optional[float] = None
+        for attempt in range(_retries):
+            v = self._version()
+            kept = [r for r in self._rows(v) if r["split"] not in incoming]
+            new_version = v + 1
+            snap = self._snapshot_path(new_version)
+            tmp = self.dir / f"snap-{new_version:06d}.{os.getpid()}.{id(records)}.tmp"
+            pq.write_table(pa.Table.from_pylist(kept + list(records)), tmp)
+            try:
+                os.link(tmp, snap)  # atomic claim: exactly one writer wins
+            except FileExistsError:
+                os.unlink(tmp)
+                if self._version() > v:
+                    stale_since = None  # winner committed; rebase and retry
+                else:
+                    # claimed-but-unpointed snapshot: grace-wait, then treat
+                    # as a dead writer's orphan and remove it.
+                    now = time.time()
+                    if stale_since is None:
+                        stale_since = now
+                    elif now - stale_since > 0.5:
+                        try:
+                            os.unlink(snap)
+                        except FileNotFoundError:
+                            pass
+                        stale_since = None
+                    time.sleep(0.02)
+                continue
+            os.unlink(tmp)
+            vtmp = self.dir / f"VERSION.{os.getpid()}.tmp"
+            vtmp.write_text(str(new_version))
+            os.replace(vtmp, self.dir / "VERSION")  # atomic commit point
+            return
+        raise RuntimeError(
+            f"TableStateStore.merge: no commit after {_retries} attempts "
+            f"(livelocked on {self.dir})"
+        )
 
     def commit(self, rec: dict) -> None:
         """Single-record upsert (a one-row MERGE batch)."""
@@ -218,9 +260,9 @@ def checkpointed_validate(
     "lineage"}.
     """
     store = TableStateStore(state_dir)
-    df = spark.read.parquet(data_path).withColumn(
-        SPLIT_COL, F.col("_metadata.file_path")
-    )
+    # same normalized full-path key as validate.split_column() — one split
+    # identity across verdicts, oracles, and the state store (ADVICE r2).
+    df = spark.read.parquet(data_path).withColumn(SPLIT_COL, split_column())
     all_splits = [r[0] for r in df.select(SPLIT_COL).distinct().collect()]
     done = store.committed()
     pending = sorted(s for s in all_splits if s not in done)

@@ -7,11 +7,12 @@ counts, AND capped violation-doc_id samples.  The per-partition report is one
 row per partition and is PERSISTED as a DataFrame — it never funnels to the
 driver:
 
-* the unified schema is assembled by merging ONLY the inference aggregate
-  columns driver-side (a projection of the persisted report: KBs per
-  partition, no sample arrays) — legal because every aggregate is
-  associative (counts sum, every ANDs), exactly the treeAggregate argument
-  from SURVEY.md §2 (U8);
+* the unified schema is assembled from ONE driver row: the inference
+  aggregate columns of the persisted report are re-aggregated SPARK-side
+  (sum for counts, bool_and for every-partials) — legal because every
+  aggregate is associative, exactly the treeAggregate argument from
+  SURVEY.md §2 (U8), and scale-safe at 10^6 splits where a flat collect of
+  per-split rows would put 100s of MB on the driver (r3, VERDICT item 3);
 * per-partition verdicts are derived from the report DataFrame
   (validate.verdicts_from_report — no rescan, no driver round-trip);
 * violation rows are the exploded report samples, re-capped globally
@@ -53,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..schema_algebra import DEFAULT_CONFIG, Schema, SchemaGenerationConfig
-from .infer_native import NativeInferencePlan, merge_partial_rows
+from .infer_native import NativeInferencePlan
 from .validate import (
     ROW_CHECKS,
     verdicts_from_report,
@@ -161,11 +162,24 @@ def single_pass_audit(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # Driver sees ONLY the inference aggregates — a narrow projection of the
-    # persisted report; the sample arrays stay on the executors.
-    infer_cols = list(plan.builder.merges.keys())
-    rows = [r.asDict() for r in report.select(*infer_cols).collect()]
-    schema, n_docs = plan.finalize(merge_partial_rows(rows, plan.builder.merges))
+    # Driver sees ONE row: the inference aggregates are re-aggregated
+    # Spark-side over the persisted report (sum for counts, bool_and for
+    # every-partials — each is the associative merge merge_partial_rows
+    # applied driver-side before r3).  Map-side partial aggregation makes
+    # this the fully distributed tree fold: at 10^6 splits the driver
+    # receives one KB-scale row instead of 10^6 aggregate rows, and the
+    # sample arrays never leave the executors either way.
+    merged = (
+        report.agg(
+            *[
+                (F.sum(a) if op == "sum" else F.bool_and(F.col(a))).alias(a)
+                for a, op in plan.builder.merges.items()
+            ]
+        )
+        .first()
+        .asDict()
+    )
+    schema, n_docs = plan.finalize(merged)
 
     verdicts = verdicts_from_report(report, key_col)
     violations = violations_from_report(report, cap_per_check)

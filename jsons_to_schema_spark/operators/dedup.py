@@ -221,8 +221,15 @@ def ngram_jaccard_pairs(
     )
     # inverted index on HASHED shingles: the candidate join + df count shuffle
     # 8-byte longs instead of full shingle strings (several-x less shuffle
-    # volume, cheaper sort/compare).  A 64-bit collision merely adds a
-    # candidate pair — verification uses the exact string shingle sets.
+    # volume, cheaper sort/compare).  A 64-bit collision's effect is
+    # TWO-sided: it adds spurious candidate pairs (harmless — verification
+    # uses the exact string shingle sets), but it also merges the colliding
+    # shingles' document-frequency counts in the stop-shingle cap below,
+    # which can push a rare shingle past max_shingle_df and silently drop a
+    # true candidate (recall, not precision).  At 2^-64 per shingle pair the
+    # expected recall loss is negligible at any corpus size this engine
+    # targets; compute the cap on raw shingle strings before hashing if
+    # exact stop-cap semantics ever matter more than shuffle volume.
     inv = sh_df.select(
         "_id", F.explode(F.transform("_sh", lambda g: F.xxhash64(g))).alias("_g")
     )
@@ -413,57 +420,115 @@ def simhash_near_dup_pairs(
 # Duplicate-cluster assignment (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm): every node links each STRICTLY
+    LARGER neighbor to the minimum of its closed neighborhood.  One
+    groupBy(min) + one equi-join; output edges are (hi, lo)-directed."""
+    d = _symmetric(edges).distinct()
+    m = (
+        d.groupBy("u").agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        d.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller-or-equal neighbors
+    (and itself) to the minimum smaller neighbor.  Same join primitives."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        d.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return (
+        relink.unionByName(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 30,
 ) -> DataFrame:
-    """Connected components over a near-dup pair list via iterative min-label
-    propagation: every vertex starts labeled with itself; each round every
-    vertex takes the minimum label among itself and its neighbors.  Returns
-    (id, cluster_id) for every vertex appearing in a pair, cluster_id = the
+    """Connected components over a near-dup pair list via alternating
+    large-star/small-star rounds — O(log² n) rounds on ANY graph, including
+    the adversarial long chains where plain min-label propagation needs
+    O(diameter) rounds (r2 upgrade from label propagation).  Returns
+    (id, cluster) for every vertex appearing in a pair, cluster = the
     minimum member id of its component.
 
-    Scale shape: each round is one join (edges ⋈ labels, keyed on the
-    near-uniform vertex id) + one groupBy(min) — partial aggregation
-    map-side, no driver data.  Rounds needed = the maximum component
-    DIAMETER, which for dedup graphs is small by construction (candidate
-    generation bounds cluster geometry); ``localCheckpoint`` cuts lineage so
-    plans stay constant-size.  The convergence probe is one count per round
-    on the label frontier.  For adversarial long-chain graphs swap in
-    alternating large-star/small-star (logarithmic rounds) — same join
-    primitives.
+    Scale shape: each round is two groupBy(min)+equi-join passes keyed on
+    the near-uniform vertex id — partial aggregation map-side, no driver
+    data; ``localCheckpoint`` cuts lineage so plans stay constant-size.  The
+    convergence probe is one (count, xxhash64-sum) checksum aggregate per
+    round: the edge set is a fixpoint iff the checksum repeats (a false
+    repeat needs a 64-bit hash-sum collision at equal cardinality —
+    negligible; and one extra round on a true fixpoint is idempotent).
+    Raises RuntimeError instead of returning silently wrong labels if the
+    budget is exhausted (ADVICE r2) — unreachable for max_iters ≥ log² n.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("cluster", F.col("id"))
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
+    verts = _symmetric(edges).select("u").distinct()
+    if edges.isEmpty():
+        return verts.select(F.col("u").alias("id"), F.col("u").alias("cluster"))
+
+    def _checksum(e: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: exact at any edge count (a long sum
+        # overflows under ANSI mode)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
     for _ in range(max_iters):
-        prop = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "cluster")
-        new = (
-            labels.select("id", "cluster")
-            .unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("cluster", "_old"), "id")
-            .filter(F.col("cluster") < F.col("_old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
             break
-    return labels
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters: star-contraction did not converge within "
+            f"{max_iters} rounds (pathological input or id-type mismatch)"
+        )
+    # fixpoint edges are stars hi→root; roots label themselves.  The
+    # defensive groupBy(min) costs one map-side-partial pass and guarantees
+    # one label per vertex even on a not-quite-star intermediate.
+    star = edges.groupBy("u").agg(F.min("v").alias("_root"))
+    return verts.join(star, "u", "left").select(
+        F.col("u").alias("id"), F.coalesce(F.col("_root"), F.col("u")).alias("cluster")
+    )
 
 
 def assign_duplicate_clusters(

@@ -101,7 +101,13 @@ class _AggBuilder:
 def merge_partial_rows(rows: list[dict], merges: dict[str, str]) -> dict:
     """Combine per-partition aggregate rows into one global row.  Null
     partials are skipped exactly as the global aggregate would (count/sum
-    ignore empty groups; every over no rows is null)."""
+    ignore empty groups; every over no rows is null).
+
+    Since r3 this is the pure-Python SPECIFICATION of the merge — production
+    code (audit_pass.single_pass_audit) runs the same fold as a Spark-side
+    sum/bool_and re-aggregate over the report so 10^6-split audits never
+    collect per-split rows; equivalence is asserted in
+    tests/test_infer_native.py."""
     out: dict = {}
     for row in rows:
         for alias, op in merges.items():

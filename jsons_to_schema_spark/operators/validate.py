@@ -159,11 +159,17 @@ def partition_verdicts(flagged: DataFrame) -> DataFrame:
 
 
 def split_column() -> "F.Column":
-    """Stable content-split id: basename of the scan's input file.  Unlike
+    """Stable content-split id: the FULL path of the scan's input file, with
+    a local ``file:``-scheme prefix normalized away so it string-matches what
+    DuckDB's ``read_parquet(..., filename=true)`` reports.  Unlike
     ``spark_partition_id()`` this survives AQE re-plans, different core
-    counts, and resume — the same key the checkpoint store uses — and, being
-    deterministic, it does NOT block Catalyst pushdown when projected."""
-    return F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1)
+    counts, and resume, and being deterministic it does not block Catalyst
+    pushdown when projected.  The full path (not the basename — ADVICE r2)
+    keeps Hive-partitioned ``date=*/part-00000.parquet`` layouts as distinct
+    splits and matches the key the checkpoint store uses (checkpoint.py
+    SPLIT_COL uses this same expression).  Non-local schemes (s3://, hdfs://)
+    pass through as complete URIs — still globally unique."""
+    return F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/")
 
 
 def split_verdicts(spans_df: DataFrame) -> DataFrame:
@@ -429,10 +435,21 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
         if schema.get("exclusiveMaximum"):
             bound = col < F.lit(schema["maximum"])
         ok = ok & bound
-    if "enum" in schema and not isinstance(
-        dt, (T.StructType, T.ArrayType, T.MapType)
-    ):
-        ok = ok & col.isin([e for e in schema["enum"]])
+    if "enum" in schema:
+        if not isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            ok = ok & col.isin([e for e in schema["enum"]])
+        else:
+            # enum over complex types: compile each enum value to a typed
+            # structural-equality expression (canonical-JSON equality in the
+            # pure validator).  Values whose shape cannot be represented by
+            # ``dt`` can never match and are dropped; no representable value
+            # ⇒ lit(False), matching _validate_at.
+            match = None
+            for e in schema["enum"]:
+                m = _enum_literal_match(e, col, dt)
+                if m is not None:
+                    match = m if match is None else (match | m)
+            ok = ok & (match if match is not None else F.lit(False))
     if isinstance(dt, _STRINGISH):
         if "minLength" in schema:
             ok = ok & (F.length(col) >= F.lit(schema["minLength"]))
@@ -445,21 +462,35 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
             ok = ok & (F.size(col) <= F.lit(schema["maxItems"]))
         if schema.get("uniqueItems") is True:
             ok = ok & (F.size(F.array_distinct(col)) == F.size(col))
-    if isinstance(dt, T.StructType) and "object" in tset:
-        for name, sub in (schema.get("properties") or {}).items():
+    # Object/array keyword checks apply whenever the SPARK type is
+    # struct/array, NOT only when the schema declares that type — matching
+    # _validate_at, where a legal type-LESS subschema still enforces
+    # properties/required/items on dict/list values.  (When the schema
+    # declares a conflicting type, type_ok() is already lit(False) and the
+    # extra conjuncts cannot change the verdict.)
+    if isinstance(dt, T.StructType):
+        props = schema.get("properties") or {}
+        required = schema.get("required") or []
+        for name, sub in props.items():
             if name in dt.fieldNames():
                 fdt = dt[name].dataType
                 fcol = col[name]
                 sub_ok = F.when(
-                    fcol.isNull(), F.lit(name not in (schema.get("required") or []))
+                    fcol.isNull(), F.lit(name not in required)
                 ).otherwise(_compile_value_check(sub, fcol, fdt))
                 ok = ok & sub_ok
-            elif name in (schema.get("required") or []):
+            elif name in required:
                 ok = F.lit(False)
-        for req in schema.get("required") or []:
+        for req in required:
             if req not in dt.fieldNames():
                 ok = F.lit(False)
-    if isinstance(dt, T.ArrayType) and "array" in tset:
+        if schema.get("additionalProperties") is False:
+            # nested sealed object: any PRESENT field outside properties
+            # fails (null = absent key, the engine's pinned convention).
+            for fname in dt.fieldNames():
+                if fname not in props:
+                    ok = ok & col[fname].isNull()
+    if isinstance(dt, T.ArrayType):
         items = schema.get("items")
         if isinstance(items, dict):
             edt = dt.elementType
@@ -467,10 +498,89 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
             ok = ok & F.forall(
                 col,
                 lambda e: F.when(
-                    e.isNull(), F.lit("null" in _schema_type_set(elem_schema))
+                    e.isNull(), F.lit(_null_value_ok(elem_schema))
                 ).otherwise(_compile_value_check(elem_schema, e, edt)),
             )
+        elif isinstance(items, list):
+            # tuple-typed items: position i validates against items[i]; the
+            # tail beyond len(items) is unconstrained unless additionalItems
+            # is false (Draft-4 semantics, mirrored from _validate_at).
+            for i, s in enumerate(items):
+                e = F.element_at(col, i + 1)
+                ok = ok & F.when(F.size(col) <= F.lit(i), F.lit(True)).otherwise(
+                    F.when(e.isNull(), F.lit(_null_value_ok(s))).otherwise(
+                        _compile_value_check(s, e, dt.elementType)
+                    )
+                )
+            if schema.get("additionalItems") is False:
+                ok = ok & (F.size(col) <= F.lit(len(items)))
     return ok
+
+
+def _null_value_ok(schema: Schema) -> bool:
+    """Verdict of the pure validator on a JSON ``null`` (used for null array
+    elements): type must be absent or include "null"; enum (if any) must
+    contain null; every other keyword is vacuous on null."""
+    ts = _schema_type_set(schema)
+    if ts and "null" not in ts:
+        return False
+    if "enum" in schema:
+        return any(e is None for e in schema["enum"])
+    return True
+
+
+def _enum_literal_match(value, col: "F.Column", dt) -> Optional["F.Column"]:
+    """Compile one enum VALUE into a Catalyst equality over a complex-typed
+    column, with the engine's materialization conventions: a struct's null
+    field is an ABSENT key (so a dict value with an explicit null member can
+    never match a struct row), while a null ARRAY element is a JSON null.
+    Returns None when ``dt`` cannot represent the value (never matches).
+    MapType is unsupported (inference never emits maps) and returns None."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        if not isinstance(value, dict):
+            return None
+        names = set(dt.fieldNames())
+        if any(k not in names for k in value) or any(v is None for v in value.values()):
+            return None
+        out = F.lit(True)
+        for f in dt.fields:
+            if f.name in value:
+                sub = _enum_literal_match(value[f.name], col[f.name], f.dataType)
+                if sub is None:
+                    return None
+                out = out & sub
+            else:
+                out = out & col[f.name].isNull()
+        return out
+    if isinstance(dt, T.ArrayType):
+        if not isinstance(value, (list, tuple)):
+            return None
+        out = F.size(col) == F.lit(len(value))
+        for i, v in enumerate(value):
+            e = F.element_at(col, i + 1)
+            if v is None:
+                out = out & e.isNull()
+            else:
+                sub = _enum_literal_match(v, e, dt.elementType)
+                if sub is None:
+                    return None
+                out = out & sub
+        return out
+    if isinstance(dt, T.MapType):
+        return None
+    if isinstance(value, bool):
+        return (col == F.lit(value)) if isinstance(dt, T.BooleanType) else None
+    if isinstance(value, (int, float)):
+        numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                   T.DoubleType, T.FloatType, T.DecimalType)
+        return (col == F.lit(value)) if isinstance(dt, numeric) else None
+    if isinstance(value, str):
+        return (col == F.lit(value)) if isinstance(dt, _STRINGISH) else None
+    if value is None:
+        return col.isNull()
+    return None
 
 
 def _schema_type_set(schema: Schema) -> set:

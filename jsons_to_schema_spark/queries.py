@@ -1034,7 +1034,7 @@ def similarity_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
 # ===========================================================================
 
 _SPLIT_FAILS_SQL = """
-    WITH t AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS split,
+    WITH t AS (SELECT filename AS split,
                       spans, list_transform(spans, s -> s.offset) AS offs
                FROM read_parquet('__SPANS_GLOB__', filename=true)),
          v AS (SELECT split,

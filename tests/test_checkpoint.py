@@ -131,3 +131,57 @@ def test_state_store_crash_window_recovery(tmp_path):
     store.merge([{"split": "b", "n_rows": 2}])  # overwrites the orphan
     assert set(store.committed()) == {"a", "b"}
     assert store._version() == 2
+
+
+def test_state_store_concurrent_merge_loses_no_batch(tmp_path):
+    """ADVICE r2: two committers racing read-modify-write must not lose a
+    batch — the os.link claim makes exactly one winner per version; the loser
+    rebases and retries.  Hammer with 8 threads × disjoint split batches."""
+    import threading
+
+    from jsons_to_schema_spark.checkpoint import TableStateStore
+
+    store = TableStateStore(tmp_path / "state")
+    n_threads, per_batch = 8, 5
+    errs = []
+
+    def commit(t):
+        try:
+            store.merge(
+                [{"split": f"s{t}-{i}", "draft": "{}", "n_rows": 1}
+                 for i in range(per_batch)]
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    got = store.committed()
+    assert len(got) == n_threads * per_batch
+    # upsert-on-rerun still replaces, not duplicates
+    store.merge([{"split": "s0-0", "draft": "{}", "n_rows": 2}])
+    assert store.committed()["s0-0"]["n_rows"] == 2
+
+
+def test_state_store_orphan_claim_recovery(tmp_path):
+    """A claimed-but-unpointed snapshot (writer died before the VERSION
+    swing) must not deadlock later committers: after the grace window the
+    orphan is removed and the commit proceeds."""
+    from jsons_to_schema_spark.checkpoint import TableStateStore
+
+    store = TableStateStore(tmp_path / "state")
+    store.merge([{"split": "a", "draft": "{}", "n_rows": 1}])
+    # simulate a dead writer: snap-2 exists, VERSION still 1
+    orphan = store._snapshot_path(2)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(
+        [{"split": "ghost", "draft": "{}", "n_rows": 9}]), orphan)
+    store.merge([{"split": "b", "draft": "{}", "n_rows": 1}])
+    got = store.committed()
+    assert set(got) == {"a", "b"}  # ghost rows never became visible

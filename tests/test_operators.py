@@ -477,3 +477,87 @@ def test_curate_documents_pipeline(spark):
     assert rep.dropped_quality == 1          # doc 4
     assert rep.dropped_lang == 1             # doc 5
     assert rep.survivors_pre_dedup == 3      # docs 1, 2, 3
+
+
+def test_duplicate_clusters_long_chain_logarithmic(spark):
+    """r3: star-contraction must converge on a 1000-long chain well inside
+    the round budget (min-label propagation would need 1000 rounds)."""
+    from jsons_to_schema_spark.operators import dedup
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    labels = {r.id: r.cluster
+              for r in dedup.duplicate_clusters(pairs, max_iters=12).collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {"d0000"}
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    from jsons_to_schema_spark.operators import dedup
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(f"x{i:03d}", f"x{i + 1:03d}") for i in range(200)],
+        "id_a string, id_b string",
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=1)
+
+
+def test_lsh_band_autoscale_bounds_candidates(spark):
+    """r3 (VERDICT item 4): with bits auto-scaled via required_band_bits the
+    candidate count on RANDOM (non-duplicate) data stays ~linear in N, at
+    two corpus sizes."""
+    from jsons_to_schema_spark.operators import similarity
+
+    # dim=64 matches the testdata embeddings table; at toy dims (≤16) the
+    # documented Jensen inflation exceeds the 2x slack asserted below.
+    dim, bands, cpr = 64, 4, 8.0
+    counts = {}
+    for n in (500, 2000):
+        r = similarity.required_band_bits(n, bands, cpr)
+        bits = bands * r
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((n, dim)).astype(float)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        planes = similarity._hyperplanes(dim, bits, 42)
+        keys = similarity.band_keys_kernel(planes, bands)
+        buckets = df.select(
+            F.col("vec_id").alias("_id"),
+            F.posexplode(keys(F.col("embedding"))).alias("_band", "_key"),
+        )
+        counts[n] = (
+            buckets.alias("l")
+            .join(
+                buckets.alias("r"),
+                (F.col("l._band") == F.col("r._band"))
+                & (F.col("l._key") == F.col("r._key"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select("l._id", "r._id")
+            .distinct()
+            .count()
+        )
+        # per-row bound with the documented Jensen slack (~1.5x at dim=16)
+        assert counts[n] <= 2.0 * cpr * n, (n, bits, counts[n])
+    # LINEAR shape across a 4x corpus growth: a fixed key space would grow
+    # candidates 16x; the auto-scaled key space must stay ~4x.
+    assert counts[2000] <= 6.0 * counts[500], counts
+
+
+def test_similarity_dim_required(spark):
+    from jsons_to_schema_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim is required"):
+        similarity.lsh_topk(df, df, k=1, bits=4, bands=1)
+    with pytest.raises(ValueError, match="dim is required"):
+        similarity.embedding_near_dup_pairs(df, bits=8, bands=2)

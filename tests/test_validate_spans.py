@@ -393,3 +393,86 @@ def test_struct_conformance_randomized_battery(spark):
         for r in df.collect():
             expected = not validate_value(to_doc(r), schema)
             assert got[r.id] == expected, (schema, to_doc(r), got[r.id], expected)
+
+
+def test_struct_conformance_typeless_and_sealed_and_enum(spark):
+    """ADVICE r2 (medium): the compiled checks must match the pure validator
+    on (a) type-LESS subschemas that still carry properties/required/items,
+    (b) nested additionalProperties:false, (c) enum over complex types,
+    (d) tuple-typed items + additionalItems, (e) null array elements under a
+    type-less item schema."""
+    from jsons_to_schema_spark.schema_algebra import validate as validate_value
+
+    ddl = ("id long, o struct<x: long, extra: string>, xs array<long>, "
+           "pair array<long>, tag struct<k: string>")
+    rows = [
+        (1, {"x": 1, "extra": None}, [1, 2], [1, 2], {"k": "a"}),
+        (2, {"x": None, "extra": "boom"}, [None], [1, 2, 9], {"k": "b"}),
+        (3, {"x": 5, "extra": None}, [3], [2, 1], {"k": None}),
+        (4, None, None, None, None),
+        (5, {"x": 2, "extra": "y"}, [1, 1], [1], {"k": "a"}),
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            # (a) type-less: properties/required still enforced on dict values
+            # (b) sealed: 'extra' present => fail
+            "o": {"properties": {"x": {"minimum": 0}}, "required": ["x"],
+                  "additionalProperties": False},
+            # (e) type-less items: null elements pass, bounds enforced
+            "xs": {"items": {"maximum": 2}},
+            # (d) tuple items + additionalItems
+            "pair": {"type": "array",
+                     "items": [{"type": "integer", "maximum": 1},
+                               {"type": "integer"}],
+                     "additionalItems": False},
+            # (c) enum over a complex (struct) type
+            "tag": {"enum": [{"k": "a"}, {"k": "b"}]},
+        },
+        "required": ["id"],
+    }
+    got = {r.id: r.ok_schema
+           for r in validate.struct_conformance_flags(df, schema).collect()}
+
+    def to_doc(row):
+        d = {}
+        for k, v in row.asDict().items():
+            if v is None:
+                continue
+            if hasattr(v, "asDict"):
+                d[k] = {kk: vv for kk, vv in v.asDict().items() if vv is not None}
+            else:
+                d[k] = v
+        return d
+
+    for r in df.collect():
+        expected = not validate_value(to_doc(r), schema)
+        assert got[r.id] == expected, (r.id, to_doc(r), got[r.id], expected)
+    # sanity: the fixture exercises both verdicts
+    assert True in got.values() and False in got.values()
+
+
+def test_struct_conformance_enum_complex_arrays(spark):
+    """enum over array columns: typed structural equality (size + per-position),
+    including a null element literal and an unrepresentable enum value."""
+    from jsons_to_schema_spark.schema_algebra import validate as validate_value
+
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [1, None]), (3, [1]), (4, [2, 1]), (5, None)],
+        "id long, xs array<long>",
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "xs": {"enum": [[1, 2], [1, None], "scalar-never-matches"]},
+        },
+    }
+    got = {r.id: r.ok_schema
+           for r in validate.struct_conformance_flags(df, schema).collect()}
+    for r in df.collect():
+        doc = {"id": r.id} if r.xs is None else {"id": r.id, "xs": list(r.xs)}
+        expected = not validate_value(doc, schema)
+        assert got[r.id] == expected, (r.id, doc, got[r.id], expected)
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
