@@ -1351,6 +1351,318 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming under the driver contract (r3, VERDICT item 1): each streaming
+# operator is driven to a DETERMINISTIC batch result via
+# trigger(availableNow=True) over the deterministic corpus + a memory /
+# foreachBatch sink, so the driver's DuckDB oracle checks it like any batch
+# query.  Results are written batching-AGNOSTIC (lifetime maxes, complete-
+# mode windows, snapshot files) so micro-batch boundaries can never change
+# the checked values.
+# ===========================================================================
+
+_SPANS_DDL = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _stream_tmp(prefix: str):
+    import tempfile
+    from pathlib import Path
+
+    return Path(tempfile.mkdtemp(prefix=prefix))
+
+
+def _spans_stream(spark, corpus):
+    return (
+        spark.readStream.format("parquet")
+        .schema(_SPANS_DDL)
+        .load(str(corpus / "documents_spans"))
+    )
+
+
+@query(
+    "stream_incremental_schema",
+    oracle=f"""
+    SELECT '{_SPANS_STRUCT_SCHEMA}' AS unified_schema,
+           count(*) AS n_docs FROM read_parquet('__SPANS_GLOB__')
+    """,
+)
+def stream_incremental_schema(spark, sf_dir) -> DataFrame:
+    """Streaming incremental schema unification (EP2's streaming face,
+    streaming/incremental.py): readStream over the corpus → foreachBatch
+    fold+unify → atomic snapshot file, drained with availableNow.  The
+    snapshot after the drain must equal the batch-engine schema REGARDLESS
+    of micro-batch boundaries (unify associativity), which is exactly what
+    the constant-schema + real-count oracle checks."""
+    from .schema_algebra import canonical_json
+    from .streaming.incremental import SchemaSnapshot, incremental_schema_stream
+
+    corpus = _spans_corpus(spark)
+    tmp = _stream_tmp("stream_inc_")
+    q = incremental_schema_stream(
+        spark,
+        str(corpus / "documents_spans"),
+        tmp / "snapshot.json",
+        str(tmp / "ckpt"),
+        source_schema=_SPANS_DDL,
+    )
+    q.awaitTermination()
+    schema, n_docs, _n_batches = SchemaSnapshot(tmp / "snapshot.json").read()
+    return spark.createDataFrame(
+        [(canonical_json(schema), n_docs)], "unified_schema string, n_docs long"
+    )
+
+
+@query(
+    "stream_violation_window_counts",
+    oracle="""
+    WITH t AS (SELECT CAST(substr(doc_id, 5) AS BIGINT) % 60 AS m,
+                      spans, list_transform(spans, s -> s.offset) AS offs
+               FROM read_parquet('__SPANS_GLOB__')),
+         v AS (SELECT 1767225600 + m * 60 AS window_start,
+                      CASE WHEN NOT (offs = list_sort(offs)
+                                     AND len(list_distinct(offs)) = len(offs))
+                           THEN 1 ELSE 0 END AS f_mono,
+                      CASE WHEN len(list_filter(spans,
+                               s -> s.kind = 'text' AND s.text IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f_text,
+                      CASE WHEN len(list_filter(spans,
+                               s -> s.kind <> 'text' AND s.media_ref IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f_media
+               FROM t)
+    SELECT window_start, window_start + 60 AS window_end,
+           'monotonic_offsets' AS "check",
+           count(*) AS n_rows, CAST(sum(f_mono) AS BIGINT) AS n_failed
+    FROM v GROUP BY window_start
+    UNION ALL
+    SELECT window_start, window_start + 60, 'text_present',
+           count(*), CAST(sum(f_text) AS BIGINT)
+    FROM v GROUP BY window_start
+    UNION ALL
+    SELECT window_start, window_start + 60, 'media_ref_present',
+           count(*), CAST(sum(f_media) AS BIGINT)
+    FROM v GROUP BY window_start
+    """,
+)
+def stream_violation_window_counts(spark, sf_dir) -> DataFrame:
+    """Watermarked windowed violation monitor (streaming/monitor.py) driven
+    to a batch answer: a deterministic event-time is derived from the doc
+    index (minute m = doc-index mod 60 after a fixed epoch), the stream is
+    drained with availableNow into a COMPLETE-mode memory sink (complete =
+    every window re-emitted, so append-mode watermark finalization can never
+    hide the tail windows), and window bounds are output as epoch seconds
+    (timestamps are excluded from oracles per the hygiene notes)."""
+    import uuid
+
+    from .streaming.monitor import violation_counts_stream
+
+    corpus = _spans_corpus(spark)
+    tmp = _stream_tmp("stream_vwc_")
+    stream = _spans_stream(spark, corpus).withColumn(
+        "event_time",
+        F.timestamp_seconds(
+            F.lit(1767225600)
+            + (F.substring("doc_id", 5, 12).cast("long") % 60) * 60
+        ),
+    )
+    counts = violation_counts_stream(
+        stream, window_duration="1 minute", watermark="2 minutes"
+    )
+    name = f"svwc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("window_end").cast("long").alias("window_end"),
+        "check",
+        "n_rows",
+        "n_failed",
+    )
+
+
+@query(
+    "stream_duplicate_doc_ids",
+    oracle="""
+    SELECT doc_id, count(*) AS cnt
+    FROM read_parquet('__SPANS_GLOB__')
+    GROUP BY doc_id HAVING count(*) > 1
+    """,
+)
+def stream_duplicate_doc_ids(spark, sf_dir) -> DataFrame:
+    """Cross-batch stateful uniqueness (streaming/stateful.py,
+    applyInPandasWithState): drained with availableNow into an update-mode
+    memory sink.  A doc_id re-emits each time its lifetime count grows, so
+    the batching-agnostic reduction max(cnt) per doc_id equals the batch
+    groupBy count — which is exactly the oracle."""
+    import uuid
+
+    from .streaming.stateful import duplicate_doc_ids_stream
+
+    corpus = _spans_corpus(spark)
+    tmp = _stream_tmp("stream_dup_")
+    dups = duplicate_doc_ids_stream(_spans_stream(spark, corpus))
+    name = f"sdup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dups.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("doc_id").agg(F.max("cnt").alias("cnt"))
+
+
+@query(
+    "stream_schema_drift_alerts",
+    oracle="""
+    SELECT CAST(alert_seq AS BIGINT) AS alert_seq, change, path
+    FROM (VALUES (0, 'new_schema', '$'), (1, 'new_property', '$.extra'))
+         AS t(alert_seq, change, path)
+    """,
+)
+def stream_schema_drift_alerts(spark, sf_dir) -> DataFrame:
+    """Streaming schema-drift alerts (streaming/incremental.py): two
+    availableNow drains over a growing JSON-docs source sharing one stream
+    checkpoint + snapshot.  Drain 1 ({"k":int} docs) must alert new_schema
+    at $; drain 2 (docs gaining an "extra" key) must alert exactly one
+    new_property at $.extra (required stays ["k"] — intersection semantics —
+    so no required_dropped).  The oracle is that HAND-DERIVED constant: the
+    semantics force it, no snapshot pinning involved."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from .streaming.incremental import schema_drift_alert_stream
+
+    tmp = _stream_tmp("stream_drift_")
+    src = tmp / "src"
+    src.mkdir()
+    _pq.write_table(
+        _pa.table({"doc": [f'{{"k":{i}}}' for i in range(100)]}),
+        src / "b1.parquet",
+    )
+    kwargs = dict(
+        snapshot_path=tmp / "snap.json",
+        alerts_path=tmp / "alerts.jsonl",
+        checkpoint_dir=str(tmp / "ckpt"),
+        source_schema="doc string",
+        json_column="doc",
+    )
+    schema_drift_alert_stream(spark, str(src), **kwargs).awaitTermination()
+    _pq.write_table(
+        _pa.table({"doc": [f'{{"extra":"x{i}","k":{i}}}' for i in range(50)]}),
+        src / "b2.parquet",
+    )
+    schema_drift_alert_stream(spark, str(src), **kwargs).awaitTermination()
+    rows = []
+    for seq, line in enumerate(
+        (tmp / "alerts.jsonl").read_text().splitlines()
+    ):
+        for ch in _json.loads(line)["changes"]:
+            rows.append((seq, ch["change"], ch["path"]))
+    return spark.createDataFrame(rows, "alert_seq long, change string, path string")
+
+
+# ===========================================================================
+# Checkpoint / resume under the driver contract (r3, VERDICT item 2)
+# ===========================================================================
+
+@query(
+    "checkpoint_resume_state",
+    oracle="""
+    WITH t AS (SELECT filename AS split,
+                      spans, list_transform(spans, s -> s.offset) AS offs
+               FROM read_parquet('__SPANS_GLOB__', filename=true)),
+         v AS (SELECT split,
+                      CASE WHEN NOT (offs = list_sort(offs)
+                                     AND len(list_distinct(offs)) = len(offs))
+                           THEN 1 ELSE 0 END AS f_mono,
+                      CASE WHEN len(list_filter(spans,
+                               s -> s.kind = 'text' AND s.text IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f_text,
+                      CASE WHEN len(list_filter(spans,
+                               s -> s.kind <> 'text' AND s.media_ref IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f_media
+               FROM t)
+    SELECT split, count(*) AS n_rows,
+           (sum(f_mono) + sum(f_text) + sum(f_media)) = 0 AS passed,
+           true AS zero_recompute_on_resume
+    FROM v GROUP BY split
+    """,
+)
+def checkpoint_resume_state(spark, sf_dir) -> DataFrame:
+    """The north-rule resume, driver-checkable: a killed run (max_splits=3),
+    a resume, and an idempotent re-run against one state store; the output
+    is the final per-split lineage/metrics table (split, n_rows, passed)
+    with a zero_recompute_on_resume flag asserting the split arithmetic
+    (run1 computed 3, run2 computed total-3, run3 computed 0).  The oracle
+    recomputes the lineage from the raw files via read_parquet(filename) —
+    if resume double-counted or skipped a split, n_rows/passed diverge."""
+    from .checkpoint import checkpointed_validate
+
+    corpus = _spans_corpus(spark)
+    data = str(corpus / "documents_spans")
+    state = _stream_tmp("ckpt_state_") / "state"
+    r1 = checkpointed_validate(spark, data, state, max_splits=3)
+    r2 = checkpointed_validate(spark, data, state)
+    r3 = checkpointed_validate(spark, data, state)
+    zero = (
+        r1["splits_computed_this_run"] == 3
+        and r2["splits_computed_this_run"] == r1["splits_total"] - 3
+        and r3["splits_computed_this_run"] == 0
+    )
+    rows = [
+        (rec["split"], rec["n_rows"], rec["passed"], zero)
+        for rec in r3["lineage"]
+    ]
+    return spark.createDataFrame(
+        rows, "split string, n_rows long, passed boolean, zero_recompute_on_resume boolean"
+    )
+
+
+@query(
+    "schema_merge_checkpoint_snapshots",
+    oracle=f"""
+    SELECT '{_SPANS_STRUCT_SCHEMA}' AS unified_schema,
+           count(DISTINCT filename) AS n_splits
+    FROM read_parquet('__SPANS_GLOB__', filename=true)
+    """,
+)
+def schema_merge_checkpoint_snapshots(spark, sf_dir) -> DataFrame:
+    """EP2 (schemasToSchema) as the checkpoint-merge workflow (r3, VERDICT
+    item 9): run the resumable validation to completion, read the persisted
+    per-split DRAFT schemas back from the state table, and fold them with
+    the pure n-ary unify — the exact upstream entry point operating on
+    persisted snapshots rather than live documents.  The folded schema must
+    equal the batch-engine constant and n_splits the distinct-file count."""
+    from .checkpoint import TableStateStore, checkpointed_validate
+    from .schema_algebra import canonical_json, parse_schema, schemas_to_schema
+
+    corpus = _spans_corpus(spark)
+    data = str(corpus / "documents_spans")
+    state = _stream_tmp("ckpt_merge_") / "state"
+    checkpointed_validate(spark, data, state)
+    recs = TableStateStore(state).committed()
+    drafts = [parse_schema(rec["draft"]) for _, rec in sorted(recs.items())]
+    unified = schemas_to_schema(drafts)
+    return spark.createDataFrame(
+        [(canonical_json(unified), len(drafts))],
+        "unified_schema string, n_splits long",
+    )
+
+
+# ===========================================================================
 # Pinned constant oracles — deterministic, non-SQL-expressible operators
 # (seeded-hash LSH dedup/ANN).  scripts/gen_constant_oracles.py regenerates
 # oracle_constants.json from a double-run determinism-guarded snapshot at
