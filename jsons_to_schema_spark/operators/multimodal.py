@@ -2,11 +2,15 @@
 
 Images / audio / video are opaque ``binary`` columns plus a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages.  The actual codec calls are STUBBED (image/audio
-libraries are not in this container): ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decoder so the Spark-side plumbing — schema, batch shape,
-partitioning — is real and tested end-to-end.
+``mapInPandas`` stages.
+
+Codec status (r3): WAV, BMP and PPM decode for REAL via stdlib-only codecs
+(operators/codecs.py — ``wave``/``struct``/numpy); ``decode_features`` is
+the rich real-codec stage and ``media_features(fake=False)`` routes through
+the same codecs.  ``NotImplementedError`` is now a per-FORMAT seam: it fires
+only for payloads (JPEG/PNG/MP4/...) that genuinely require external
+libraries absent from this container.  ``fake=True`` keeps the deterministic
+sha256 stub used by the SQL-oracle plumbing queries.
 
 Scale notes: binary payloads dominate row size, so stages that don't need
 bytes must select them away (column pruning) BEFORE any shuffle; the
@@ -61,9 +65,10 @@ def media_features(
 ) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
-    Real decoders are not available in this container: with fake=False this
-    raises NotImplementedError AT EXECUTION (per batch), marking exactly
-    where a PIL/ffmpeg call plugs in; fake=True runs the deterministic stub.
+    fake=False decodes for REAL via the stdlib codecs (WAV/BMP/PPM —
+    operators/codecs.py), raising NotImplementedError per-row only for
+    formats that genuinely need external libraries; fake=True runs the
+    deterministic sha256 stub (the SQL-oracle plumbing path).
     """
     src = df.select(
         F.col(ref_col).alias("media_ref"),
@@ -74,15 +79,19 @@ def media_features(
         src = src.repartition(partitions, F.xxhash64("media_ref"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        def real_decode(p, k):
+            d = codecs.decode_media(bytes(p or b""))
+            return {
+                "width": d["width"] or 0,
+                "height": d["height"] or 0,
+                "duration_ms": d["duration_ms"],
+            }
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio codec library "
-                    "(not in this container); pass fake=True for the "
-                    "deterministic stub decoder"
-                )
             feats = [
-                _fake_decode(p, k)
+                (_fake_decode if fake else real_decode)(p, k)
                 for p, k in zip(pdf["_payload"], pdf["media_kind"])
             ]
             out = pd.DataFrame(
@@ -101,6 +110,43 @@ def media_features(
             yield out
 
     return src.mapInPandas(extract, MEDIA_META_SCHEMA)
+
+
+REAL_DECODE_SCHEMA = (
+    "media_ref string, format string, width int, height int, "
+    "duration_ms int, sample_rate int, channels int, mean_value double"
+)
+
+
+def decode_features(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
+    """REAL-codec feature extraction (r3): WAV duration/rate/channels/RMS,
+    BMP/PPM dimensions + mean channel value — stdlib codecs only, one Arrow
+    batch at a time.  Raises NotImplementedError for formats that need
+    external libraries; callers with mixed corpora should pre-filter on
+    sniffable magic bytes."""
+    from . import codecs
+
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [codecs.decode_media(bytes(p or b"")) for p in pdf["_payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "format": [f["format"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "mean_value": [f["mean_value"] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(extract, REAL_DECODE_SCHEMA)
 
 
 RESIZED_SCHEMA = "media_ref string, width int, height int, payload binary"

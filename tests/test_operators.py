@@ -345,12 +345,32 @@ def test_multimodal_resize_stub(spark):
     assert again == {k: (v.width, v.height, bytes(v.payload)) for k, v in got.items()}
 
 
-def test_multimodal_stub_raises_without_fake(spark):
-    rows = [("m-1", "image", b"x")]
+def test_multimodal_real_codecs_and_per_format_seam(spark):
+    """r3: fake=False now REALLY decodes stdlib formats (WAV/BMP/PPM); the
+    NotImplementedError seam fires only for formats needing external libs."""
+    from jsons_to_schema_spark.operators import codecs
+
+    rows = [
+        ("m-wav", "audio", bytearray(codecs.encode_wav(1600, 500, rate=8000))),
+        ("m-bmp", "image", bytearray(codecs.encode_bmp(7, 5, (10, 20, 30)))),
+    ]
     df = spark.createDataFrame(rows, "ref string, kind string, payload binary")
+    got = {
+        r.media_ref: r
+        for r in multimodal.media_features(
+            df, "ref", "payload", "kind", fake=False
+        ).collect()
+    }
+    assert got["m-wav"].duration_ms == 200
+    assert (got["m-bmp"].width, got["m-bmp"].height) == (7, 5)
+
+    bad = spark.createDataFrame(
+        [("m-jpg", "image", b"\xff\xd8\xff junk")],
+        "ref string, kind string, payload binary",
+    )
     with pytest.raises(Exception) as ei:
-        multimodal.media_features(df, "ref", "payload", "kind", fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+        multimodal.media_features(bad, "ref", "payload", "kind", fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "external libraries" in str(ei.value)
 
 
 def test_column_stats_single_pass_plan(spark):
