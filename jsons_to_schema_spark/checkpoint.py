@@ -244,6 +244,7 @@ def checkpointed_validate(
     data_path: str,
     state_dir: str | Path,
     max_splits: Optional[int] = None,
+    store=None,
 ) -> dict:
     """Schema-infer + constraint-validate the spans table, resumably.
 
@@ -255,11 +256,16 @@ def checkpointed_validate(
     4. commit the batch as ONE MERGE-shaped snapshot (lineage+metrics table);
     5. final answer = tree-fold of ALL committed drafts + metric sums.
 
-    ``max_splits`` lets tests simulate a kill after K splits.
+    ``max_splits`` lets tests simulate a kill after K splits.  ``store``
+    overrides the default parquet-snapshot TableStateStore with any object
+    exposing the same ``committed()``/``merge()`` contract — the Iceberg
+    deployment passes sources.iceberg.IcebergStateStore (MERGE INTO) here,
+    sharing this exact validation path (r3, VERDICT item 7).
     Returns {"schema", "n_rows", "fails", "splits_total", "splits_computed",
     "lineage"}.
     """
-    store = TableStateStore(state_dir)
+    if store is None:
+        store = TableStateStore(state_dir)
     # same normalized full-path key as validate.split_column() — one split
     # identity across verdicts, oracles, and the state store (ADVICE r2).
     df = spark.read.parquet(data_path).withColumn(SPLIT_COL, split_column())
