@@ -220,6 +220,25 @@ def build_session(cpus: int):
     )
 
 
+def host_memfault_probe(size_mb: int = 512) -> float:
+    """First-touch page-fault bandwidth (GB/s) of FRESH memory — the host
+    health signal that explains otherwise-impossible numbers.  On a healthy
+    box this is multi-GB/s; when the hypervisor lazily re-supplies ballooned
+    pages it collapses to ~0.02-0.9 GB/s (measured on this sandbox,
+    2026-08-17 round-3 session) and every allocation-touching stage — parquet
+    decode, JVM heap growth, Arrow buffers — degrades 3-10x while RESIDENT
+    memory and pure-register codegen stay full speed.  Reported in the bench
+    JSON so a reader can tell engine changes from host phases."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.empty(size_mb * 1024 * 1024 // 8, dtype=np.float64)
+    a[:] = 1.0  # first touch of every page
+    dt = time.time() - t0
+    del a
+    return round(size_mb / 1024 / dt, 3)
+
+
 def bench_once(cpus: int, corpus, skip_queries: bool = False) -> dict:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -252,7 +271,12 @@ def bench_once(cpus: int, corpus, skip_queries: bool = False) -> dict:
     timings = {} if skip_queries else run_queries(spark, corpus)
     timings["flagship_unify_validate"] = round(flagship_s, 3)
     spark.stop()
-    return {"n_docs": n, "flagship_s": flagship_s, "queries": timings}
+    return {
+        "n_docs": n,
+        "flagship_s": flagship_s,
+        "queries": timings,
+        "host_memfault_gb_per_sec": host_memfault_probe(),
+    }
 
 
 def main() -> None:
@@ -290,6 +314,7 @@ def main() -> None:
                     "cpus": cpus,
                     "docs_per_sec": r["n_docs"] / r["flagship_s"],
                     "calib_rows_per_sec": base / calib,
+                    "host_memfault_gb_per_sec": r["host_memfault_gb_per_sec"],
                 }
             )
         )
@@ -357,6 +382,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_docs": r["n_docs"],
         "cpus": CPUS,
+        "host_memfault_gb_per_sec": r["host_memfault_gb_per_sec"],
     }
     print(json.dumps(out))
 

@@ -129,3 +129,40 @@ def test_size_of_null_legacy_conf_regression(spark):
         "type": "array",
         "items": {"type": "integer"},
     }
+
+
+def test_spark_side_merge_equals_pure_merge(spark):
+    """r3: the audit's Spark-side sum/bool_and re-aggregate must equal the
+    pure merge_partial_rows fold over the same per-partition report rows
+    (and both must equal the global single-agg run)."""
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.operators.infer_native import (
+        NativeInferencePlan,
+        merge_partial_rows,
+    )
+    from jsons_to_schema_spark.sources.spans import ensure_corpus
+    from jsons_to_schema_spark.sources.tables import load_spans
+
+    spans_df = load_spans(spark, ensure_corpus(5000))
+
+    plan = NativeInferencePlan(spans_df)
+    per_part = (
+        plan.builder.project(spans_df, F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(*plan.builder.exprs)
+    )
+    rows = [r.asDict() for r in per_part.collect()]
+    pure = merge_partial_rows(rows, plan.builder.merges)
+
+    spark_merged = (
+        per_part.agg(
+            *[
+                (F.sum(a) if op == "sum" else F.bool_and(F.col(a))).alias(a)
+                for a, op in plan.builder.merges.items()
+            ]
+        )
+        .first()
+        .asDict()
+    )
+    assert plan.finalize(spark_merged) == plan.finalize(pure) == plan.run()
