@@ -16,7 +16,11 @@ from ..operators.dedup import (  # noqa: F401
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
 from ..operators.text import (  # noqa: F401
     bpe_token_count,
+    dedup_consecutive,
     lang_scores,
+    lines_array,
+    pii_counts,
+    redact_pii,
     shingles,
     token_count,
     tokens,
@@ -25,11 +29,15 @@ from ..operators.text import (  # noqa: F401
 __all__ = [
     "bpe_token_count",
     "cosine",
+    "dedup_consecutive",
     "dot",
     "lang_scores",
+    "lines_array",
     "minhash_from_shingles",
     "minhash_signature",
     "norm",
+    "pii_counts",
+    "redact_pii",
     "shingles",
     "simhash64",
     "token_count",

@@ -149,3 +149,136 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     ``tokens(col)`` in a select first and use :func:`shingles_from_tokens`.
     """
     return shingles_from_tokens(tokens(col), k)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher/RefinedWeb-style quality signals)
+# ---------------------------------------------------------------------------
+
+def lines_array(col: str | Column) -> Column:
+    """Non-empty lines of a text column (split on newline, empties dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\n"), lambda x: x != "")
+
+
+def dedup_consecutive(arr: Column) -> Column:
+    """Drop consecutive duplicate elements from an array column.
+
+    keep[i] ⇔ i == 0 or arr[i] != arr[i-1].  The (element, index) filter
+    lambda reads the PREVIOUS element via 1-based element_at(arr, i) — pass an
+    attribute column (layered select), not an expression, so the k references
+    inside the lambda are cheap reads rather than re-evaluations (same
+    pitfall as shingles_from_tokens).  The greatest(i, 1) clamp keeps the
+    i==0 branch from ever building element_at(arr, 0), which is an ANSI-mode
+    error — correctness does not depend on Or short-circuiting."""
+    return F.filter(
+        arr,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(arr, F.greatest(i, F.lit(1)))),
+    )
+
+
+def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals for corpus curation — one narrow
+    codegen projection, no shuffle, no Python:
+
+    - n_lines / n_dup_lines: non-empty lines and how many are repeats of an
+      earlier line (multiset minus set).
+    - dup_line_char_frac: fraction of line characters inside repeated line
+      OCCURRENCES — the Gopher "duplicate line character fraction" signal.
+    - fp_line_dedup: md5 of the text rebuilt with CONSECUTIVE duplicate
+      lines collapsed (the boilerplate-stripping transform, fingerprinted so
+      verdict rows stay KB-scale).
+    - n_consecutive_removed: lines removed by that collapse.
+
+    All semantics are exactly expressible in DuckDB list functions — see the
+    repetition_documents oracle in queries.py.
+    """
+    base = df.select(F.col(id_col), lines_array(col).alias("_l"))
+    char_sum = lambda a: F.coalesce(  # noqa: E731
+        F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+    kept = dedup_consecutive(F.col("_l"))
+    return base.select(
+        F.col(id_col),
+        F.size("_l").cast("long").alias("n_lines"),
+        (F.size("_l") - F.size(F.array_distinct("_l"))).cast("long").alias(
+            "n_dup_lines"
+        ),
+        F.round(
+            (char_sum(F.col("_l")) - char_sum(F.array_distinct(F.col("_l"))))
+            / F.greatest(char_sum(F.col("_l")), F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.md5(F.concat_ws("\n", kept)).alias("fp_line_dedup"),
+        (F.size("_l") - F.size(kept)).cast("long").alias("n_consecutive_removed"),
+    )
+
+
+def top_token_stats(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Most-frequent-token share per document — the "top n-gram fraction"
+    repetition signal, computed the DISTRIBUTED way: explode → two-stage
+    hash aggregate (map-side partial combine on (doc, token)), never an
+    O(tokens²) per-row lambda.  Ties break to the lexicographically greatest
+    token via max(struct(count, token)) — deterministic in both engines.
+    Documents with zero tokens are absent from the output (same in the
+    oracle)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("_t"))
+    cnt = toks.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("_c"), F.col("_t"))).alias("_b"),
+            F.sum("_c").alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_b._t").alias("top_token"),
+            F.col("_b._c").cast("long").alias("top_token_count"),
+            F.round(F.col("_b._c") / F.col("_n"), 6).alias("top_token_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to syntax valid AND equivalent in both
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+# Redaction order matters: emails first (their local parts may contain
+# digit runs), then IPs, then phone shapes.
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace every PII match with a <KIND> tag (regexp_replace is
+    replace-all in Spark; the DuckDB oracle needs the explicit 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_scrub(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Counts per PII kind + fingerprint of the scrubbed text (KB-scale
+    output rows; the full redacted text is one select away for a sink)."""
+    counts = pii_counts(col)
+    return df.select(
+        F.col(id_col),
+        *[counts[k].cast("long").alias(f"n_{k}") for k in PII_ORDER],
+        F.md5(redact_pii(col)).alias("fp_redacted"),
+    )

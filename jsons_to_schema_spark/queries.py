@@ -753,6 +753,106 @@ def fingerprint_documents(spark, sf_dir) -> DataFrame:
     return text.fingerprint(docs, "text", "doc_id")
 
 
+# The driver documents are single-line and PII-free, so the repetition and
+# PII operators would be exercised on degenerate input.  Both queries plant
+# structure with ONE SQL expression evaluated identically by Spark (F.expr)
+# and DuckDB (inlined in the oracle) — engine-portable SQL (chr/substring/
+# lpad/case), deterministic per doc_id, no synthesized side data.
+_PLANT_REPETITION = (
+    "concat(text, chr(10), substring(text, 1, 20 + cast(doc_id % 30 as int)), "
+    "chr(10), case when doc_id % 3 = 0 then "
+    "concat(substring(text, 1, 20 + cast(doc_id % 30 as int)), chr(10)) "
+    "else '' end, text)"
+)
+_PLANT_PII = (
+    "concat(text, ' reach user', cast(doc_id as string), '@example.com or 10.', "
+    "cast(doc_id % 256 as string), '.0.1 tel 555-010-', "
+    "lpad(cast(doc_id % 10000 as string), 4, '0'), "
+    "case when doc_id % 5 = 0 then ' cc admin@test.org' else '' end)"
+)
+
+
+@query(
+    "repetition_documents",
+    oracle=f"""
+    WITH planted AS (SELECT doc_id, {_PLANT_REPETITION} AS t FROM documents),
+    lx AS (SELECT doc_id,
+                  list_filter(string_split(t, chr(10)), x -> x <> '') AS l
+           FROM planted),
+    kx AS (SELECT doc_id, l,
+                  list_filter(l, (x, i) -> i = 1 OR x <> l[i-1]) AS kept
+           FROM lx)
+    SELECT doc_id,
+           cast(len(l) AS bigint) AS n_lines,
+           cast(len(l) - len(list_distinct(l)) AS bigint) AS n_dup_lines,
+           round((cast(coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS bigint)
+                  - cast(coalesce(list_aggregate(list_transform(list_distinct(l), x -> length(x)), 'sum'), 0) AS bigint))
+                 / greatest(cast(coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS bigint), 1),
+                 6) AS dup_line_char_frac,
+           md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')) AS fp_line_dedup,
+           cast(len(l) - len(kept) AS bigint) AS n_consecutive_removed
+    FROM kx
+    """,
+)
+def repetition_documents(spark, sf_dir) -> DataFrame:
+    """Gopher-style intra-document repetition signals + consecutive-dup-line
+    collapse over planted multi-line documents.  Pure codegen projection —
+    no shuffle, no Python (operators/text.py:repetition_features)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_REPETITION).alias("text")
+    )
+    return text.repetition_features(docs, "text", "doc_id")
+
+
+@query(
+    "top_token_documents",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+                 FROM documents),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    agg AS (SELECT doc_id, max({'c': c, 't': t}) AS b, sum(c) AS n
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           b.t AS top_token,
+           cast(b.c AS bigint) AS top_token_count,
+           round(b.c / n, 6) AS top_token_frac
+    FROM agg
+    """,
+)
+def top_token_documents(spark, sf_dir) -> DataFrame:
+    """Most-frequent-token share per document (top-n-gram repetition
+    signal), computed the distributed way: explode → two-stage hash
+    aggregate with map-side combine (operators/text.py:top_token_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_token_stats(docs, "text", "doc_id")
+
+
+@query(
+    "pii_scrub_documents",
+    oracle=rf"""
+    WITH planted AS (SELECT doc_id, {_PLANT_PII} AS t FROM documents)
+    SELECT doc_id,
+           cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS bigint) AS n_email,
+           cast(len(regexp_extract_all(t, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS bigint) AS n_ipv4,
+           cast(len(regexp_extract_all(t, '\b\d{{3}}-\d{{3}}-\d{{4}}\b')) AS bigint) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IPV4>', 'g'),
+                 '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '<PHONE>', 'g')) AS fp_redacted
+    FROM planted
+    """,
+)
+def pii_scrub_documents(spark, sf_dir) -> DataFrame:
+    """PII detection + redaction over planted emails/IPs/phones.  Patterns
+    restricted to the Java-regex ∩ RE2 common dialect so Spark and the
+    DuckDB oracle redact byte-identically (operators/text.py:pii_scrub)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_PII).alias("text")
+    )
+    return text.pii_scrub(docs, "text", "doc_id")
+
+
 # ===========================================================================
 # Deduplication (exact oracled; probabilistic ones rows-only + unit tests)
 # ===========================================================================

@@ -1,0 +1,125 @@
+"""Unit tests for intra-document repetition signals, consecutive-line
+collapse, top-token stats, and PII scrub (operators/text.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta\nalpha beta\ngamma\nalpha beta"),  # consec dup + far dup
+        (2, "one line only"),
+        (3, ""),  # no lines at all
+        (4, "x\n\n\nx"),  # empty lines dropped, then consecutive dup
+        (5, "a\nb\nc"),  # no dups
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_features(spark, docs):
+    out = {r.doc_id: r for r in text.repetition_features(docs, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert r1.n_lines == 4 and r1.n_dup_lines == 2
+    # line chars: 3*len('alpha beta') + len('gamma'); distinct: one of each
+    tot = 3 * 10 + 5
+    assert r1.dup_line_char_frac == round((tot - 15) / tot, 6)
+    # consecutive collapse removes exactly the second 'alpha beta'
+    assert r1.n_consecutive_removed == 1
+    assert r1.fp_line_dedup == hashlib.md5(b"alpha beta\ngamma\nalpha beta").hexdigest()
+
+    assert out[2].n_lines == 1 and out[2].n_dup_lines == 0
+    assert out[2].dup_line_char_frac == 0.0
+
+    r3 = out[3]
+    assert r3.n_lines == 0 and r3.n_dup_lines == 0 and r3.n_consecutive_removed == 0
+    assert r3.fp_line_dedup == hashlib.md5(b"").hexdigest()
+
+    r4 = out[4]  # empties removed FIRST, so the two x lines become consecutive
+    assert r4.n_lines == 2 and r4.n_dup_lines == 1 and r4.n_consecutive_removed == 1
+
+    assert out[5].n_dup_lines == 0 and out[5].n_consecutive_removed == 0
+
+
+def test_top_token_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c a"),  # clear winner a (3/5)
+            (2, "z y z y"),  # tie 2-2 -> lexicographically greatest token: z
+            (3, ""),  # zero tokens -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.top_token_stats(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].top_token == "a" and out[1].top_token_count == 3
+    assert out[1].top_token_frac == 0.6
+    assert out[2].top_token == "z" and out[2].top_token_frac == 0.5
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.io now"),
+            (2, "srv 192.168.0.17 and 10.0.0.1 up"),
+            (3, "call 555-123-4567 today"),
+            (4, "none here"),
+            (5, "a@b.co at 1.2.3.4 tel 555-000-1111"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.pii_scrub(df, "text", "doc_id").collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 0, 0)
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 2, 0)
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 1)
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+
+    red = {
+        r.doc_id: r.red
+        for r in df.select("doc_id", text.redact_pii("text").alias("red")).collect()
+    }
+    assert red[1] == "mail <EMAIL> now"
+    assert red[2] == "srv <IPV4> and <IPV4> up"
+    assert red[3] == "call <PHONE> today"
+    assert red[4] == "none here"
+    assert red[5] == "<EMAIL> at <IPV4> tel <PHONE>"
+    # redaction is a fixpoint: tags contain no PII shapes
+    again = (
+        spark.createDataFrame([(k, v) for k, v in red.items()], "doc_id long, text string")
+        .select("doc_id", text.redact_pii("text").alias("red"))
+        .collect()
+    )
+    assert {r.doc_id: r.red for r in again} == red
+
+
+def test_repetition_is_narrow_and_jvm_side(spark, docs):
+    """Higher-order array functions drop out of whole-stage codegen (they
+    are CodegenFallback), but the plan must stay a narrow JVM projection:
+    no shuffle, no Python workers."""
+    plan = (
+        text.repetition_features(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # narrow projection: no shuffle
+    assert "EvalPython" not in plan  # no Python in the hot path
+
+
+def test_top_token_is_two_stage_aggregate(spark, docs):
+    plan = (
+        text.top_token_stats(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial+final pairs around each exchange (map-side combine); the
+    # max(struct) stage compiles to SortAggregate (structs aren't
+    # hash-aggregable), the count stage to HashAggregate
+    assert plan.count("Aggregate") >= 4
+    assert "partial_max" in plan and "partial_count" in plan
