@@ -37,6 +37,7 @@ from .operators.infer import (
     infer_from_struct,
     infer_grouped,
 )
+from .sources.jsonl import export_table_jsonl, infer_jsonl
 from .sources.spans import ensure_corpus
 from .sources.tables import load_media_catalog, load_spans, load_table
 
@@ -66,6 +67,10 @@ def _spans_corpus(spark: SparkSession = None):
 # actually consumed.  Plain str.replace — the SQL contains literal braces.
 _SPANS_GLOB_TOKEN = "__SPANS_GLOB__"
 _CATALOG_PQ_TOKEN = "__CATALOG_PQ__"
+# JSONL export of the sf0.01 documents table (the driver's correctness SF,
+# same pinning convention as the schema constants below); substituted lazily
+# so importing the registry never touches disk.
+_JSONL_DOCS_TOKEN = "__JSONL_DOCS__"
 
 
 def resolve_oracles() -> dict:
@@ -80,6 +85,11 @@ def resolve_oracles() -> dict:
         out = {
             name: sql.replace(_SPANS_GLOB_TOKEN, glob).replace(_CATALOG_PQ_TOKEN, cat)
             for name, sql in out.items()
+        }
+    if any(_JSONL_DOCS_TOKEN in sql for sql in out.values()):
+        p = export_table_jsonl("/root/testdata/sf0.01", "documents", "doc_id")
+        out = {
+            name: sql.replace(_JSONL_DOCS_TOKEN, str(p)) for name, sql in out.items()
         }
     return out
 
@@ -134,6 +144,23 @@ def schema_infer_events_props(spark, sf_dir) -> DataFrame:
 def schema_infer_documents_struct(spark, sf_dir) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     schema, n = infer_from_struct(docs)
+    return infer_as_dataframe(spark, schema, n)
+
+
+@query(
+    "schema_infer_jsonl_documents",
+    oracle=f"""
+    SELECT '{_DOCUMENTS_STRUCT_SCHEMA}' AS unified_schema,
+           count(*) AS n_docs FROM read_json_auto('{_JSONL_DOCS_TOKEN}')
+    """,
+)
+def schema_infer_jsonl_documents(spark, sf_dir) -> DataFrame:
+    """EP1 file-ingest analog: the documents table exported as JSONL, read
+    back as a splittable text scan, unified by the same Arrow JSON kernel.
+    Must agree with schema_infer_documents_struct — the parquet-struct and
+    JSON-file front-ends are two faces of one algebra (sources/jsonl.py)."""
+    path = export_table_jsonl(sf_dir, "documents", "doc_id")
+    schema, n = infer_jsonl(spark, path)
     return infer_as_dataframe(spark, schema, n)
 
 
