@@ -539,3 +539,90 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= min_cosine)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+    seed: int = 42,
+    keep_policy: str = "min_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then within each cluster greedily drop
+    every vector whose cosine to an already-kept vector is ≥ threshold.
+    Returns the DROPPED rows: (vec_id, kept_id, cos_sim, cell).
+
+    Distribution shape: the coarse quantizer is the deterministic
+    bounded-sample trainer (ivf_train_centroids); cell assignment is one
+    codegen projection (_argmax_cell — no join, no row amplification); the
+    quadratic within-cluster comparison runs per cell via applyInPandas,
+    vectorized (one kept-matrix matmul per candidate).  Cells bound the
+    quadratic: cell size ≈ N/n_cells, so n_cells scales with the corpus —
+    at 10^9+ rows use a two-level quantizer (assign to coarse cell, re-run
+    per coarse cell) to keep groups executor-sized; the per-cell kernel is
+    unchanged.
+
+    keep_policy: 'min_id' keeps the smallest id of each duplicate group
+    (matches the exact-dedup keep-one convention and is exactly testable);
+    'far_from_centroid' keeps the member with the LOWEST centroid cosine —
+    the SemDeDup paper's diversity heuristic (ties → smaller id).
+
+    Determinism: candidates are processed in a sorted order computed from
+    values, never partition-arrival order, and each cell is one pandas
+    group — output is bit-stable across partitioning/core counts (pinned
+    oracle relies on this)."""
+    import pandas as pd
+
+    centroids = ivf_train_centroids(
+        corpus, vec_col, n_cells=n_cells, iters=iters, seed=seed
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    thr = float(threshold)
+    policy = keep_policy
+    if policy not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep_policy: {policy!r}")
+
+    assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        _l2_normalize(F.col(vec_col)).alias("_v"),
+    )
+    assigned = assigned.withColumn(
+        "_cell", _argmax_cell(F.col("_v"), centroids).cast("int")
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["_cell"].iloc[0])
+        if policy == "far_from_centroid":
+            order = np.lexsort((ids, X @ C[cell]))  # asc centroid-sim, then id
+        else:
+            order = np.argsort(ids, kind="stable")
+        kept: list[int] = []
+        out = []
+        for i in order:
+            if kept:
+                sims = X[kept] @ X[i]
+                j = int(np.argmax(sims))  # first-max tie: earliest kept
+                if sims[j] >= thr:
+                    out.append(
+                        (
+                            int(ids[i]),
+                            int(ids[kept[j]]),
+                            round(float(sims[j]), 6),
+                            cell,
+                        )
+                    )
+                    continue
+            kept.append(i)
+        return pd.DataFrame(
+            out, columns=["vec_id", "kept_id", "cos_sim", "cell"]
+        )
+
+    return assigned.groupBy("_cell").applyInPandas(
+        kern, "vec_id long, kept_id long, cos_sim double, cell int"
+    )

@@ -1088,6 +1088,24 @@ def dedup_embedding_near_dup(spark, sf_dir) -> DataFrame:
     )
 
 
+@query("dedup_semantic_embeddings")
+def dedup_semantic_embeddings(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style cluster-then-drop semantic dedup over the same planted
+    +0.001 perturbations — the dropped set must be exactly the 10 perturbed
+    vectors, each pointing at its original as kept_id (ground-truth-tested
+    in tests/test_operators.py; k-means isn't SQL, so the driver oracle is
+    the pinned determinism-guarded snapshot)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    allv = emb.unionByName(pert)
+    return similarity.semantic_dedup(allv, n_cells=8, threshold=0.95)
+
+
 # ===========================================================================
 # Similarity search (oracled via DuckDB list_cosine_similarity)
 # ===========================================================================

@@ -32,6 +32,7 @@ from jsons_to_schema_spark.session import get_spark  # noqa: E402
 
 NAMES = [
     "dedup_minhash_documents",
+    "dedup_semantic_embeddings",
     "dedup_simhash_documents",
     "similarity_lsh_topk_embeddings",
     "similarity_ivf_topk_embeddings",

@@ -581,3 +581,57 @@ def test_similarity_dim_required(spark):
         similarity.lsh_topk(df, df, k=1, bits=4, bands=1)
     with pytest.raises(ValueError, match="dim is required"):
         similarity.embedding_near_dup_pairs(df, bits=8, bands=2)
+
+
+def test_semantic_dedup_planted_ground_truth(spark):
+    """Planted +0.001 perturbations must be dropped against their originals
+    (cos ≈ 1 ≫ 0.95); the random base vectors (max pairwise cos ≈ 0.51)
+    must all survive."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    allv = emb.unionByName(pert)
+    dropped = similarity.semantic_dedup(allv, n_cells=8, threshold=0.95).collect()
+    assert {r.vec_id: r.kept_id for r in dropped} == {i + 10000: i for i in range(10)}
+    assert all(r.cos_sim >= 0.99 for r in dropped)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    a = similarity.semantic_dedup(
+        emb.unionByName(pert).repartition(1), n_cells=8, threshold=0.95
+    )
+    b = similarity.semantic_dedup(
+        emb.unionByName(pert).repartition(13), n_cells=8, threshold=0.95
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semantic_dedup_far_from_centroid_policy(spark):
+    """The SemDeDup-paper keep heuristic must keep exactly one member per
+    planted pair too — only WHICH member may differ from min_id."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    dropped = similarity.semantic_dedup(
+        emb.unionByName(pert), n_cells=8, threshold=0.95,
+        keep_policy="far_from_centroid",
+    ).collect()
+    assert len(dropped) == 10
+    pairs = {(min(r.vec_id, r.kept_id) % 10000, max(r.vec_id, r.kept_id) % 10000)
+             for r in dropped}
+    assert pairs == {(i, i) for i in range(10)}
