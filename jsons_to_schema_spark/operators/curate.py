@@ -23,7 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import assign_duplicate_clusters, dedup_exact
-from .text import LANG_STOPWORDS, token_count, tokens
+from .text import (
+    LANG_STOPWORDS,
+    dedup_consecutive,
+    dup_line_char_frac,
+    lines_array,
+    redact_pii,
+    token_count,
+    tokens,
+)
 
 
 def _with_lang_pred(df: DataFrame, text_col: str) -> DataFrame:
@@ -61,21 +69,40 @@ def curate_documents(
     min_tokens: int = 5,
     allowed_langs: Optional[list[str]] = None,
     near_dup_pairs: Optional[DataFrame] = None,
+    max_dup_line_frac: Optional[float] = None,
+    collapse_repeated_lines: bool = False,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Curated corpus: rows surviving every gate, one representative per
     duplicate group.  Returns the input columns plus the gate columns
     (n_tokens, lang_pred) for lineage.
 
     * quality gate: ≥ min_tokens whitespace tokens;
+    * repetition gate: duplicate-line character fraction ≤
+      max_dup_line_frac (None disables) — the Gopher boilerplate filter;
     * language gate: predicted language ∈ allowed_langs (None disables);
     * exact dedup: whitespace-normalized text groups keep min-id;
     * near-dup dedup: if a pair DataFrame (id_a, id_b) is supplied —
       typically minhash_lsh_pairs output — keep only each connected
-      component's min-id representative.
+      component's min-id representative;
+    * transforms (applied to the SURVIVORS, after all gates, so dedup
+      fingerprints see the original bytes): collapse_repeated_lines
+      rewrites text_col with consecutive duplicate lines removed;
+      scrub_pii redacts emails/IPs/phones in place.
+
+    The gates stay narrow projections + filters the scan evaluates in
+    place; the transforms are projections over the (much smaller)
+    survivor set — filter-first ordering preserved.
     """
     gated = df.withColumn("n_tokens", token_count(text_col).cast("long")).filter(
         F.col("n_tokens") >= min_tokens
     )
+    if max_dup_line_frac is not None:
+        gated = (
+            gated.withColumn("_lines", lines_array(text_col))
+            .filter(dup_line_char_frac(F.col("_lines")) <= max_dup_line_frac)
+            .drop("_lines")
+        )
     gated = _with_lang_pred(gated, text_col)
     if allowed_langs is not None:
         gated = gated.filter(F.col("lang_pred").isin(list(allowed_langs)))
@@ -83,6 +110,14 @@ def curate_documents(
     if near_dup_pairs is not None:
         assigned = assign_duplicate_clusters(kept, near_dup_pairs, id_col)
         kept = assigned.filter(F.col("keep")).drop("cluster_id", "keep")
+    if collapse_repeated_lines:
+        kept = (
+            kept.withColumn("_lines", lines_array(text_col))
+            .withColumn(text_col, F.concat_ws("\n", dedup_consecutive(F.col("_lines"))))
+            .drop("_lines")
+        )
+    if scrub_pii:
+        kept = kept.withColumn(text_col, redact_pii(text_col))
     return kept
 
 

@@ -178,6 +178,22 @@ def dedup_consecutive(arr: Column) -> Column:
     )
 
 
+def _line_char_sum(arr: Column) -> Column:
+    return F.coalesce(
+        F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+
+
+def dup_line_char_frac(lines: Column) -> Column:
+    """Fraction of line characters inside repeated line occurrences —
+    the Gopher duplicate-line-character-fraction signal, as a reusable
+    Column over a materialized lines array (see lines_array)."""
+    return (_line_char_sum(lines) - _line_char_sum(F.array_distinct(lines))) / (
+        F.greatest(_line_char_sum(lines), F.lit(1))
+    )
+
+
 def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Per-document repetition signals for corpus curation — one narrow
     codegen projection, no shuffle, no Python:
@@ -195,10 +211,6 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     repetition_documents oracle in queries.py.
     """
     base = df.select(F.col(id_col), lines_array(col).alias("_l"))
-    char_sum = lambda a: F.coalesce(  # noqa: E731
-        F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
-        F.lit(0).cast("long"),
-    )
     kept = dedup_consecutive(F.col("_l"))
     return base.select(
         F.col(id_col),
@@ -206,11 +218,7 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
         (F.size("_l") - F.size(F.array_distinct("_l"))).cast("long").alias(
             "n_dup_lines"
         ),
-        F.round(
-            (char_sum(F.col("_l")) - char_sum(F.array_distinct(F.col("_l"))))
-            / F.greatest(char_sum(F.col("_l")), F.lit(1)),
-            6,
-        ).alias("dup_line_char_frac"),
+        F.round(dup_line_char_frac(F.col("_l")), 6).alias("dup_line_char_frac"),
         F.md5(F.concat_ws("\n", kept)).alias("fp_line_dedup"),
         (F.size("_l") - F.size(kept)).cast("long").alias("n_consecutive_removed"),
     )

@@ -1052,6 +1052,92 @@ def curation_documents(spark, sf_dir) -> DataFrame:
     return kept.select("doc_id", "n_tokens", "lang_pred")
 
 
+# Full-funnel planting: line 1 carries a planted email (PII stage), lines
+# 2..k replay the repetition planting (repetition gate + collapse stage).
+_PLANT_FULL = (
+    "concat(text, ' reach user', cast(doc_id as string), '@example.com', "
+    "chr(10), substring(text, 1, 20 + cast(doc_id % 30 as int)), chr(10), "
+    "case when doc_id % 3 = 0 then "
+    "concat(substring(text, 1, 20 + cast(doc_id % 30 as int)), chr(10)) "
+    "else '' end, text)"
+)
+
+
+@query(
+    "curation_full_documents",
+    oracle=rf"""
+    WITH planted AS (SELECT doc_id, {_PLANT_FULL} AS text FROM documents),
+    toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS l
+      FROM planted
+    ), best AS (
+      SELECT doc_id, list_max([
+        {{'score': len(list_intersect(t, ['der','die','das','und','nicht','ist','ich','von'])), 'lang': 'de'}},
+        {{'score': len(list_intersect(t, ['the','and','of','to','in','is','that','for'])), 'lang': 'en'}},
+        {{'score': len(list_intersect(t, ['el','la','de','que','y','los','en','por'])), 'lang': 'es'}},
+        {{'score': len(list_intersect(t, ['le','la','les','de','et','est','que','une'])), 'lang': 'fr'}},
+        {{'score': len(list_intersect(t, ['il','la','di','che','e','per','non','una'])), 'lang': 'it'}}
+      ]) AS b FROM toks
+    ), flags AS (
+      SELECT toks.doc_id, toks.text, toks.l, len(t) AS n_tokens,
+             CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+             (cast(coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS bigint)
+              - cast(coalesce(list_aggregate(list_transform(list_distinct(l), x -> length(x)), 'sum'), 0) AS bigint))
+             / greatest(cast(coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS bigint), 1)
+               AS dlf
+      FROM toks JOIN best ON toks.doc_id = best.doc_id
+    ), gated AS (
+      SELECT * FROM flags
+      WHERE n_tokens >= 40 AND dlf <= 0.05 AND lang_pred IN ('en')
+    ), fp AS (
+      SELECT doc_id, text, l, n_tokens, lang_pred,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM gated
+    ), keep AS (
+      SELECT f, min(doc_id) AS m FROM fp GROUP BY f
+    ), surv AS (
+      SELECT fp.doc_id, fp.n_tokens, fp.lang_pred,
+             coalesce(list_aggregate(
+               list_filter(fp.l, (x, i) -> i = 1 OR x <> fp.l[i-1]),
+               'string_agg', chr(10)), '') AS collapsed
+      FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.m
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang_pred,
+           md5(regexp_replace(regexp_replace(regexp_replace(collapsed,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IPV4>', 'g'),
+                 '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '<PHONE>', 'g')) AS fp_curated
+    FROM surv
+    """,
+)
+def curation_full_documents(spark, sf_dir) -> DataFrame:
+    """The COMPLETE curation funnel — quality gate → Gopher repetition gate
+    (dup-line char fraction ≤ 0.05) → language gate → exact-dedup keep-one →
+    consecutive-dup-line collapse → PII redaction — as one declarative plan
+    over planted multi-line + planted-email documents, every stage
+    reproduced in the SQL oracle (operators/curate.py)."""
+    from jsons_to_schema_spark.operators.curate import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_FULL).alias("text")
+    )
+    kept = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_tokens=40,
+        allowed_langs=["en"],
+        max_dup_line_frac=0.05,
+        collapse_repeated_lines=True,
+        scrub_pii=True,
+    )
+    return kept.select(
+        "doc_id", "n_tokens", "lang_pred", F.md5("text").alias("fp_curated")
+    )
+
+
 @query(
     "dedup_embedding_near_dup",
     oracle="""

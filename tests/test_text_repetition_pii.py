@@ -123,3 +123,22 @@ def test_top_token_is_two_stage_aggregate(spark, docs):
     # hash-aggregable), the count stage to HashAggregate
     assert plan.count("Aggregate") >= 4
     assert "partial_max" in plan and "partial_count" in plan
+
+
+def test_curation_repetition_gate_and_transforms(spark):
+    from jsons_to_schema_spark.operators.curate import curate_documents
+
+    en = "the cat and the dog of the house went to the market for the day"
+    rows = [
+        (1, "boiler\nboiler\nboiler\nboiler\n" + en),  # high dup-line frac
+        (2, en + "\nfoot\nfoot\nmail a@b.co end"),     # survives; collapse+scrub
+        (3, "too short"),                               # quality gate
+        (4, en + "\nfoot\nfoot\nmail a@b.co end"),     # exact dup of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = curate_documents(
+        df, "text", "doc_id", min_tokens=5, allowed_langs=["en"],
+        max_dup_line_frac=0.15, collapse_repeated_lines=True, scrub_pii=True,
+    ).collect()
+    assert [r.doc_id for r in kept] == [2]
+    assert kept[0].text == en + "\nfoot\nmail <EMAIL> end"
