@@ -225,15 +225,27 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
 
 
 def top_token_stats(df: DataFrame, col: str, id_col: str) -> DataFrame:
-    """Most-frequent-token share per document — the "top n-gram fraction"
-    repetition signal, computed the DISTRIBUTED way: explode → two-stage
-    hash aggregate (map-side partial combine on (doc, token)), never an
-    O(tokens²) per-row lambda.  Ties break to the lexicographically greatest
-    token via max(struct(count, token)) — deterministic in both engines.
-    Documents with zero tokens are absent from the output (same in the
-    oracle)."""
-    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("_t"))
-    cnt = toks.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
+    """Most-frequent-token share per document — see top_ngram_stats (n=1)."""
+    return top_ngram_stats(df, col, id_col, n=1)
+
+
+def top_ngram_stats(df: DataFrame, col: str, id_col: str, n: int = 1) -> DataFrame:
+    """Most-frequent word-n-gram share per document — the Gopher "fraction
+    of tokens in the most common n-gram" repetition signal, computed the
+    DISTRIBUTED way: explode → two-stage hash aggregate (map-side partial
+    combine on (doc, gram)), never an O(tokens²) per-row lambda.  Ties break
+    to the lexicographically greatest gram via max(struct(count, gram)) —
+    deterministic in both engines.  Documents with fewer than n tokens are
+    absent from the output (same in the oracle).  Output columns keep the
+    top_token_* names for n=1 compatibility."""
+    if n == 1:
+        grams = df.select(F.col(id_col), F.explode(tokens(col)).alias("_t"))
+    else:
+        grams = df.select(F.col(id_col), tokens(col).alias("_tk")).select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("_t"),
+        )
+    cnt = grams.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
     return (
         cnt.groupBy(id_col)
         .agg(

@@ -856,6 +856,36 @@ def top_token_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "top_bigram_documents",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(t) >= 2
+                        THEN list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1])
+                        ELSE [] END) AS t
+          FROM tok),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM g GROUP BY doc_id, t),
+    agg AS (SELECT doc_id, max({'c': c, 't': t}) AS b, sum(c) AS n
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           b.t AS top_token,
+           cast(b.c AS bigint) AS top_token_count,
+           round(b.c / n, 6) AS top_token_frac
+    FROM agg
+    """,
+)
+def top_bigram_documents(spark, sf_dir) -> DataFrame:
+    """Top word-2-gram share (the Gopher top-n-gram repetition signal at
+    n=2): aligned-slice shingles (no per-element lambda re-evaluation) →
+    explode → two-stage aggregate (operators/text.py:top_ngram_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_ngram_stats(docs, "text", "doc_id", n=2)
+
+
+@query(
     "pii_scrub_documents",
     oracle=rf"""
     WITH planted AS (SELECT doc_id, {_PLANT_PII} AS t FROM documents)

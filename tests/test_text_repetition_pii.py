@@ -142,3 +142,17 @@ def test_curation_repetition_gate_and_transforms(spark):
     ).collect()
     assert [r.doc_id for r in kept] == [2]
     assert kept[0].text == en + "\nfoot\nmail <EMAIL> end"
+
+
+def test_top_ngram_stats_bigrams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: ab, ba, ab, bc -> 'a b' x2 of 4
+            (2, "one"),         # < 2 tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.top_ngram_stats(df, "text", "doc_id", n=2).collect()}
+    assert set(out) == {1}
+    assert out[1].top_token == "a b" and out[1].top_token_count == 2
+    assert out[1].top_token_frac == 0.5
