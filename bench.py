@@ -178,6 +178,24 @@ def run_queries(spark, corpus) -> dict[str, float]:
         lambda: text.quality_features(docs, "text", "doc_id").count(),
     )
     timed(
+        "text_repetition_documents",
+        lambda: text.repetition_features(docs, "text", "doc_id").count(),
+    )
+    timed(
+        "text_pii_scrub_documents",
+        lambda: text.pii_scrub(docs, "text", "doc_id").count(),
+    )
+    timed(
+        "text_top_bigram_documents",
+        lambda: text.top_ngram_stats(docs, "text", "doc_id", n=2).count(),
+    )
+    timed(
+        "dedup_semantic_embeddings",
+        lambda: similarity.semantic_dedup(
+            emb, n_cells=16, threshold=0.95
+        ).count(),
+    )
+    timed(
         "similarity_topk_embeddings",
         lambda: similarity.brute_force_topk(
             emb, emb.filter(F.col("vec_id") < 5), k=10
