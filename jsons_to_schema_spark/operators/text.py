@@ -302,3 +302,74 @@ def pii_scrub(df: DataFrame, col: str, id_col: str) -> DataFrame:
         *[counts[k].cast("long").alias(f"n_{k}") for k in PII_ORDER],
         F.md5(redact_pii(col)).alias("fp_redacted"),
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    min_doc_freq: int = 5,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-LEVEL line dedup (RefinedWeb/CCNet-style boilerplate removal):
+    delete every line that occurs in ≥ min_doc_freq DISTINCT documents,
+    keeping all other lines in their original order.  Returns one row per
+    input document: (id, n_lines, n_removed_lines, text_dedup).
+
+    Lines shorter than min_line_chars are never candidates (empty lines and
+    short connectors occur everywhere and are structure, not boilerplate).
+
+    Distribution shape, 100 TB-safe:
+    - posexplode → count_distinct per 8-byte xxhash64 line key (partial+
+      final aggregate; the shuffle carries hashes, not line bytes);
+    - the hot-line table only contains lines ABOVE the frequency cutoff —
+      orders of magnitude smaller than the corpus — and joins back as a
+      LEFT ANTI (broadcast when small, AQE otherwise);
+    - ineligible lines get a NULL key, and the anti-join keeps NULL-keyed
+      rows unconditionally (null never equals), so eligibility needs no
+      second pass;
+    - per-document rebuild is sort_array(collect_list(struct(idx, line))) —
+      bounded by single-document size, never corpus size.
+
+    A 64-bit hash collision could delete a rare line that collides with a
+    hot one (probability ~n_hot·n_lines/2^64); the doc-freq count itself is
+    also per-hash.  The DuckDB oracle groups on the raw line string — it
+    agrees exactly unless a collision occurs, so the oracle doubles as a
+    collision canary at test scale.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("_idx", "_line"),
+    ).withColumn(
+        "_key",
+        F.when(
+            F.length("_line") >= min_line_chars, F.xxhash64(F.col("_line"))
+        ),
+    )
+    hot = (
+        lines.filter(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_key")
+    )
+    kept = lines.join(hot, "_key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed_lines"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

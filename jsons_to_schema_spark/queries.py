@@ -885,6 +885,56 @@ def top_bigram_documents(spark, sf_dir) -> DataFrame:
     return text.top_ngram_stats(docs, "text", "doc_id", n=2)
 
 
+_PLANT_CORPUS_LINES = (
+    "concat(case when doc_id % 4 = 0 then "
+    "concat('subscribe to our newsletter today friends', chr(10)) "
+    "else '' end, text, chr(10), substring(text, 1, 30))"
+)
+
+
+@query(
+    "corpus_line_dedup_documents",
+    oracle=f"""
+    WITH planted AS (SELECT doc_id, {_PLANT_CORPUS_LINES} AS text FROM documents),
+    lx AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ls)),
+                                   i -> {{'idx': i, 'line': ls[i]}}),
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)
+    ), hot AS (
+      SELECT line FROM lx WHERE length(line) >= 10
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+    ), kept AS (
+      SELECT lx.* FROM lx ANTI JOIN hot USING (line)
+    ), reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_dedup,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           cast(tot.n_lines AS bigint) AS n_lines,
+           cast(tot.n_lines - coalesce(reb.n_kept, 0) AS bigint) AS n_removed_lines,
+           coalesce(reb.text_dedup, '') AS text_dedup
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def corpus_line_dedup_documents(spark, sf_dir) -> DataFrame:
+    """RefinedWeb-style corpus-LEVEL boilerplate removal: a planted
+    newsletter line recurs in every 4th document (≥5-doc frequency) and must
+    vanish from all of them, while document-unique lines survive in order
+    (operators/text.py:corpus_line_dedup; oracle groups raw lines — also a
+    collision canary for the engine's 8-byte line keys)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PLANT_CORPUS_LINES).alias("text")
+    )
+    return text.corpus_line_dedup(
+        docs, "text", "doc_id", min_doc_freq=5, min_line_chars=10
+    )
+
+
 @query(
     "pii_scrub_documents",
     oracle=rf"""

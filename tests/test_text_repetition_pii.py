@@ -156,3 +156,24 @@ def test_top_ngram_stats_bigrams(spark):
     assert set(out) == {1}
     assert out[1].top_token == "a b" and out[1].top_token_count == 2
     assert out[1].top_token_frac == 0.5
+
+
+def test_corpus_line_dedup(spark):
+    boiler = "visit our amazing website now"
+    rows = [
+        (1, boiler + "\nunique one here"),
+        (2, boiler + "\nanother body line"),
+        (3, boiler + "\nthird unique content"),
+        (4, "no boiler at all\nshort"),       # 'short' < 10 chars: never removed
+        (5, boiler),                           # becomes empty after removal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.corpus_line_dedup(
+        df, "text", "doc_id", min_doc_freq=3, min_line_chars=10
+    ).collect()}
+    assert out[1].text_dedup == "unique one here"
+    assert out[1].n_lines == 2 and out[1].n_removed_lines == 1
+    assert out[2].text_dedup == "another body line"
+    assert out[4].text_dedup == "no boiler at all\nshort"
+    assert out[4].n_removed_lines == 0
+    assert out[5].text_dedup == "" and out[5].n_removed_lines == 1
