@@ -885,6 +885,50 @@ def top_bigram_documents(spark, sf_dir) -> DataFrame:
     return text.top_ngram_stats(docs, "text", "doc_id", n=2)
 
 
+@query(
+    "sample_documents",
+    oracle="""
+    SELECT doc_id, source, lang FROM documents
+    WHERE substring(md5(concat_ws(chr(31), '42', cast(doc_id AS string))), 1, 8)
+          < '33333333'
+    """,
+)
+def sample_documents(spark, sf_dir) -> DataFrame:
+    """Deterministic 20% corpus sample: membership is a pure function of
+    (seed, doc_id) via an md5 hex prefix vs threshold string — identical
+    under any partitioning/retry/engine, growth-stable, exactly SQL-oracled
+    (operators/sample.py; threshold 0x33333333/16^8 = 0.2)."""
+    from jsons_to_schema_spark.operators.sample import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.2).select(
+        "doc_id", "source", "lang"
+    )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(concat_ws(chr(31), '42', cast(doc_id AS string))), 1, 8)
+          < CASE WHEN lang = 'en' THEN '80000000'
+                 WHEN lang = 'de' THEN '1999999a'
+                 ELSE '051eb852' END
+    """,
+)
+def stratified_sample_documents(spark, sf_dir) -> DataFrame:
+    """Training-mixture sampling: keep 50% of 'en', 10% of 'de', 2% of the
+    rest — one narrow filter, per-stratum hex thresholds, decision hash on
+    the key alone so equal rates admit identical key sets
+    (operators/sample.py:stratified_sample)."""
+    from jsons_to_schema_spark.operators.sample import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_fraction=0.02
+    ).select("doc_id", "lang")
+
+
 _PLANT_CORPUS_LINES = (
     "concat(case when doc_id % 4 = 0 then "
     "concat('subscribe to our newsletter today friends', chr(10)) "

@@ -1,0 +1,77 @@
+"""Deterministic sampling: reproducibility, growth stability, rate accuracy,
+stratified thresholds, nested-sample subset property."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators.sample import (
+    _hex_threshold,
+    deterministic_sample,
+    stratified_sample,
+)
+from jsons_to_schema_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hex_threshold_bounds():
+    assert _hex_threshold(0.0) == "00000000"
+    # keep-all must be the "g" sentinel: "100000000" is 9 chars and sorts
+    # BELOW "2..."-prefixes lexicographically
+    assert _hex_threshold(1.0) == "g"
+    assert all(d < "g" for d in "0123456789abcdef")
+    with pytest.raises(ValueError):
+        _hex_threshold(1.5)
+
+
+def test_rate_and_determinism(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+    b = {r.k for r in deterministic_sample(df.repartition(7), "k", 0.2).collect()}
+    assert a == b  # partitioning-invariant
+    assert abs(len(a) / 20_000 - 0.2) < 0.01  # uniformity at ±1%
+
+
+def test_growth_stability_and_subset(spark):
+    small = spark.range(5_000).withColumnRenamed("id", "k")
+    big = spark.range(20_000).withColumnRenamed("id", "k")
+    s_small = {r.k for r in deterministic_sample(small, "k", 0.2).collect()}
+    s_big = {r.k for r in deterministic_sample(big, "k", 0.2).collect()}
+    # adding rows never changes an existing row's membership
+    assert s_small == {k for k in s_big if k < 5_000}
+    # a lower rate is a SUBSET of a higher rate (same seed)
+    s_10 = {r.k for r in deterministic_sample(big, "k", 0.1).collect()}
+    assert s_10 <= s_big
+
+
+def test_full_and_zero(spark):
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    assert deterministic_sample(df, "k", 1.0).count() == 1_000
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+
+
+def test_stratified_rates(spark):
+    docs = load_table(spark, SF, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5
+    )
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    tot = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got["en"] == tot["en"]  # keep-all stratum
+    assert "de" not in got  # drop-all stratum
+    other = sum(v for k, v in tot.items() if k not in ("en", "de"))
+    other_got = sum(v for k, v in got.items() if k != "en")
+    assert abs(other_got / max(other, 1) - 0.5) < 0.1
+
+
+def test_stratified_equal_rates_equal_keys(spark):
+    """The decision hash excludes the stratum: equal fractions admit the
+    same key set regardless of labels."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    strat = {r.k for r in stratified_sample(
+        df, "k", "s", {"0": 0.3, "1": 0.3, "2": 0.3}
+    ).collect()}
+    flat = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
+    assert strat == flat
