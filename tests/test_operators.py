@@ -635,3 +635,29 @@ def test_semantic_dedup_far_from_centroid_policy(spark):
     pairs = {(min(r.vec_id, r.kept_id) % 10000, max(r.vec_id, r.kept_id) % 10000)
              for r in dropped}
     assert pairs == {(i, i) for i in range(10)}
+
+
+def test_cell_kernels_agree_with_reference_expressions(spark):
+    """The Arrow assignment/probe kernels must pick the same cells as the
+    literal-expression reference forms (_argmax_cell/_topcells) on the
+    driver embeddings."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    C = similarity.ivf_train_centroids(emb, n_cells=8, iters=2, seed=42)
+    a = {r.vec_id: r.c for r in emb.select(
+        "vec_id",
+        similarity._argmax_cell(similarity._l2_normalize(F.col("embedding")), C).alias("c"),
+    ).collect()}
+    b = {r.vec_id: r.c for r in emb.select(
+        "vec_id", similarity.assign_cells_kernel(C)(F.col("embedding")).alias("c")
+    ).collect()}
+    assert a == b
+    ta = {r.vec_id: r.c for r in emb.select(
+        "vec_id",
+        similarity._topcells(similarity._l2_normalize(F.col("embedding")), C, 3).alias("c"),
+    ).collect()}
+    tb = {r.vec_id: r.c for r in emb.select(
+        "vec_id", similarity.topcells_kernel(C, 3)(F.col("embedding")).alias("c")
+    ).collect()}
+    assert ta == tb
