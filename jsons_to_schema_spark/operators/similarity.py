@@ -307,8 +307,63 @@ def _topcells(vec_col: Column, centroids: list[list[float]], n_probe: int) -> Co
 
 
 def _l2_normalize(vec_col: Column) -> Column:
+    """REFERENCE expression form — kept for the kernel-agreement test.
+
+    Hot paths use l2_normalize_kernel(): the norm aggregate here sits
+    inside the transform lambda, so the interpreted HOF re-evaluates the
+    full O(dim) fold once PER ELEMENT (O(dim²) per row — 4096 fused ops at
+    dim=64).  Layering the norm as a separate projected column does NOT
+    help: CollapseProject inlines a once-referenced alias back into the
+    consuming lambda (verified on the optimized plan), recreating the
+    per-element aggregate."""
     n = norm(vec_col)
     return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def l2_normalize_kernel():
+    """Arrow-batched L2 normalization, bit-identical to _l2_normalize.
+
+    Bit-identity matters because normalized vectors feed the hash-smallest
+    IVF training sample (xxhash64 of the stringified array) and the pinned
+    semantic-dedup oracles.  The JVM form folds left-to-right
+    (acc + x²) in double; numpy's sum/linalg.norm use PAIRWISE summation
+    with different rounding, so the kernel sums via cumsum (sequential by
+    definition) and takes the last partial — same bits.  Zero norms divide
+    through as IEEE ±inf/nan (MORE permissive than the expression, which
+    raises DIVIDE_BY_ZERO under Spark 4 ANSI mode; no corpus row has zero
+    norm); a NULL element
+    nulls the whole output array (norm aggregate is null → every divided
+    element is null); NULL rows stay NULL.  (Caveat: Arrow surfaces a null
+    ELEMENT of a float array as NaN on the pandas side, so only
+    object-dtype batches hit the null-element branch — corpus embeddings
+    have no null elements by contract.)"""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("array<double>", PandasUDFType.SCALAR_ITER)
+    def kern(it):
+        for s in it:
+            vals = s.to_numpy()
+            out = np.full(len(vals), None, dtype=object)
+            dense: list[tuple[int, np.ndarray]] = []
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=object)
+                if any(x is None for x in a):
+                    out[i] = [None] * len(a)
+                else:
+                    dense.append((i, a.astype(np.float64)))
+            if dense:
+                idx = [i for i, _ in dense]
+                X = np.vstack([x for _, x in dense])
+                n = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+                N = X / n[:, None]
+                for i, row in zip(idx, N):
+                    out[i] = row.tolist()
+            yield pd.Series(out)
+
+    return kern
 
 
 def ivf_train_centroids(
@@ -331,9 +386,9 @@ def ivf_train_centroids(
     wobble centroids run-to-run — while everything data-scale (cell
     assignment of the full corpus, the probe join) stays distributed.
     Init picks the n_cells hash-smallest sample vectors."""
-    v = corpus.select(_l2_normalize(F.col(vec_col)).alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
+    v = corpus.select(
+        l2_normalize_kernel()(F.col(vec_col)).alias("_v")
+    ).filter(F.col("_v").isNotNull())
     rows = (
         v.select(
             "_v", F.xxhash64(F.col("_v").cast("string"), F.lit(seed)).alias("_h")
@@ -661,7 +716,7 @@ def semantic_dedup(
 
     assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
-        _l2_normalize(F.col(vec_col)).alias("_v"),
+        l2_normalize_kernel()(F.col(vec_col)).alias("_v"),
     )
     assigned = assigned.withColumn(
         "_cell", assign_cells_kernel(centroids)(F.col("_v"))

@@ -661,3 +661,37 @@ def test_cell_kernels_agree_with_reference_expressions(spark):
         "vec_id", similarity.topcells_kernel(C, 3)(F.col("embedding")).alias("c")
     ).collect()}
     assert ta == tb
+
+
+def test_l2_normalize_kernel_bit_identical(spark):
+    """The Arrow normalize kernel must reproduce the expression form's
+    doubles BIT-for-bit (cumsum sequential sum ≡ the JVM left fold) — the
+    hash-smallest IVF sample and the pinned semantic-dedup oracles hash the
+    stringified normalized values, so even 1-ulp drift would change them.
+    Covers real embeddings plus a NULL row.  (A zero vector is untestable
+    here: the ANSI-mode expression raises DIVIDE_BY_ZERO where the kernel
+    yields IEEE nan — documented divergence.)"""
+    import math
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(10**9 + 1, None)],
+        "vec_id long, embedding array<float>",
+    )
+    both = emb.unionByName(extra)
+    a = {r.vec_id: r.v for r in both.select(
+        "vec_id", similarity._l2_normalize(F.col("embedding")).alias("v")
+    ).collect()}
+    b = {r.vec_id: r.v for r in both.select(
+        "vec_id", similarity.l2_normalize_kernel()(F.col("embedding")).alias("v")
+    ).collect()}
+    assert a.keys() == b.keys()
+    for k, va in a.items():
+        vb = b[k]
+        if va is None:
+            assert vb is None
+            continue
+        assert len(va) == len(vb)
+        for x, y in zip(va, vb):
+            # nan == nan is False; compare raw bit patterns instead
+            assert math.isnan(x) and math.isnan(y) or x == y, (k, x, y)
