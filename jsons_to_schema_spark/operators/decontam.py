@@ -1,0 +1,107 @@
+"""Benchmark decontamination — flag training documents that overlap an
+evaluation set by shared word n-grams.
+
+The standard contamination rule (used by the GPT-3 / PaLM / Llama training
+pipelines): a training document is CONTAMINATED when it contains any word
+n-gram that also appears in a held-out evaluation benchmark.  Training on
+such documents inflates benchmark scores, so the curation funnel must drop
+(or at least mark) them before mixing.
+
+Spark shape — chosen for the 100 TB corpus / small eval-set asymmetry:
+
+* the eval side is tiny by construction (benchmarks are 10^4-10^7 n-grams,
+  MBs not TBs), so it broadcasts: the corpus-side probe is a map-side
+  BroadcastHashJoin — the 100 TB corpus NEVER shuffles;
+* the corpus side explodes each document's distinct n-grams; the explode
+  amplifies rows ~x(tokens) but stays pipelined inside the scan stage
+  (project → generate → broadcast-probe, one WholeStageCodegen span) —
+  nothing amplified hits a shuffle;
+* only the HITS (rare by definition: contamination rates are well under 1%)
+  reach the per-document aggregation, so the one real shuffle in the plan
+  carries KB-scale data;
+* the n-grams themselves use the aligned-slice shingle kernel
+  (text.shingles_from_tokens — no per-element lambda re-evaluation).
+
+``eval_ngrams_from_docs`` builds the eval set from a documents table (the
+deterministic synthetic eval set used by tests and the driver query);
+production would load the benchmark file and tokenize it identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_from_tokens, tokens
+
+
+def eval_ngrams_from_docs(
+    docs: DataFrame, col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct word n-grams of an evaluation-set documents table → one
+    ``ngram`` column.  Tokenization is identical to the corpus side (same
+    split-on-space kernel) — a decontamination check with mismatched
+    tokenizers silently misses overlaps."""
+    t = docs.select(tokens(F.col(col)).alias("_t"))
+    return (
+        t.select(F.explode(shingles_from_tokens(F.col("_t"), n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_ngrams: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document contamination report: (id, n_hits, first_hit) for every
+    document sharing ≥1 word n-gram with the eval set.
+
+    ``n_hits`` counts DISTINCT overlapping n-grams; ``first_hit`` is the
+    lexicographically smallest one (deterministic evidence row for review
+    queues).  Documents with zero overlap produce no row — at real
+    contamination rates the output is ~10^-3 of the corpus."""
+    probe = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(col)).alias("_t")
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_t"), n))
+        ).alias("ngram"),
+    )
+    hits = probe.join(F.broadcast(eval_ngrams.select("ngram")), "ngram")
+    return hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits"),  # distinct by construction
+        F.min("ngram").alias("first_hit"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_ngrams: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """The corpus minus contaminated documents — a broadcast LEFT ANTI join
+    against the exploded probe (same no-corpus-shuffle plan; the anti join
+    is evaluated per-ngram map-side, a document survives only if none of its
+    n-grams match)."""
+    probe = docs.select(
+        F.col(id_col).alias("_did"), tokens(F.col(col)).alias("_t")
+    ).select(
+        "_did",
+        F.explode_outer(
+            F.array_distinct(shingles_from_tokens(F.col("_t"), n))
+        ).alias("ngram"),
+    )
+    dirty = (
+        probe.join(F.broadcast(eval_ngrams.select("ngram")), "ngram")
+        .select("_did")
+        .distinct()
+    )
+    return docs.join(
+        dirty, docs[id_col] == dirty["_did"], "left_anti"
+    )

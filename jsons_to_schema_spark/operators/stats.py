@@ -59,3 +59,58 @@ def hll_merge(sketch_df: DataFrame, cols: list[str]) -> DataFrame:
             for c in cols
         ]
     )
+
+
+def split_anomalies(
+    metrics: DataFrame,
+    key_col: str,
+    metric_cols: list[str],
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Outlier DATA FILES: z-score each split's metrics against the corpus
+    of splits — "which of my million input files look broken" (short rows →
+    truncated write, fail-rate spike → upstream bug, span-count collapse →
+    extractor regression).
+
+    Input is any per-split metric table with INTEGER metric columns
+    (split_verdicts, the checkpoint lineage table, a stats groupBy);
+    metric_cols must be integral because the z arithmetic is built from
+    EXACT integer sums — sum(x) and sum(x*x) are exact longs regardless of
+    aggregation order, then ONE fixed double expression (mean = s/n, var =
+    (s2 - s·s/n)/(n-1), z = (x-mean)/sqrt(var), round 6) evaluates
+    bit-identically on any engine/partitioning — which is what makes an
+    anomaly verdict over 10^6 files SQL-oracle-able and run-stable.  (A
+    naive stddev_samp-based z is NOT: Spark's Welford-style accumulator and
+    DuckDB's differ in low bits and both vary with partition order.)
+
+    Plan shape: one partial+final aggregate over the (already tiny) metric
+    table → a single global-stats row → broadcast-joined back (1-row cross
+    join, same pattern as drift.py); flags in one projection.  Nothing here
+    scales with DATA size, only with split count.
+    """
+    if not metric_cols:
+        raise ValueError("metric_cols must be non-empty")
+    g_aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in metric_cols:
+        g_aggs.append(F.sum(F.col(c).cast("long")).alias(f"_s_{c}"))
+        g_aggs.append(
+            F.sum((F.col(c).cast("long") * F.col(c).cast("long"))).alias(f"_s2_{c}")
+        )
+    glob = metrics.agg(*g_aggs)
+    joined = metrics.crossJoin(F.broadcast(glob))
+    out_cols = [F.col(key_col)] + [F.col(c) for c in metric_cols]
+    flag = F.lit(False)
+    for c in metric_cols:
+        n = F.col("_n").cast("double")
+        s = F.col(f"_s_{c}").cast("double")
+        s2 = F.col(f"_s2_{c}").cast("double")
+        mean = s / n
+        var = (s2 - s * s / n) / (n - F.lit(1.0))
+        z = F.when(
+            (F.col("_n") > 1) & (var > 0),
+            F.round((F.col(c).cast("double") - mean) / F.sqrt(var), 6),
+        ).otherwise(F.lit(0.0))
+        out_cols.append(z.alias(f"z_{c}"))
+        flag = flag | (F.abs(z) > F.lit(z_threshold))
+    out_cols.append(flag.alias("anomalous"))
+    return joined.select(*out_cols)

@@ -2077,6 +2077,221 @@ def schema_merge_checkpoint_snapshots(spark, sf_dir) -> DataFrame:
 
 
 # ===========================================================================
+# Round-3 additions: decontamination, sequence packing, split anomalies,
+# snapshot-compat verdicts
+# ===========================================================================
+
+@query(
+    "decontam_documents",
+    oracle="""
+    WITH ng AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) >= 5
+             THEN list_transform(generate_series(1, len(t) - 4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents)
+    ), ev AS (
+      SELECT DISTINCT unnest(g) AS ngram FROM ng WHERE doc_id % 83 = 0
+    ), probe AS (
+      SELECT doc_id, unnest(g) AS ngram FROM ng
+    )
+    SELECT doc_id, count(*) AS n_hits, min(ngram) AS first_hit
+    FROM probe JOIN ev USING (ngram)
+    GROUP BY doc_id
+    """,
+)
+def decontam_documents(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing a
+    word 5-gram with the (synthetic) eval set — docs with doc_id % 83 == 0
+    stand in for the benchmark.  Broadcast semi-join probe: the corpus side
+    never shuffles; only hits reach the per-doc aggregate (decontam.py)."""
+    from .operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", "doc_id", n=5
+    )
+    hits = decontam.contamination_hits(docs, ev, "text", "doc_id", n=5)
+    return hits.select(
+        F.col("id").alias("doc_id"), F.col("n_hits"), F.col("first_hit")
+    )
+
+
+@query(
+    "pack_sequences_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) + 1
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS s
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           shard || '#' || CAST(CAST(floor(s / 256) AS BIGINT) AS VARCHAR)
+             AS seq_id,
+           s % 256 AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences_documents(spark, sf_dir) -> DataFrame:
+    """Training-sequence packing (concat-and-cut at a 256-token budget,
+    packed per source shard — never a global window; pack.py scale notes)."""
+    from .operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack.pack_sequences(docs, "doc_id", "source", budget=256)
+    return out.select(
+        F.col("id").alias("doc_id"), "shard", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
+_SPLIT_METRICS_SQL = """
+    WITH t AS (SELECT filename AS split,
+                      spans, list_transform(spans, s -> s.offset) AS offs
+               FROM read_parquet('__SPANS_GLOB__', filename=true)),
+         v AS (SELECT split,
+                      CASE WHEN NOT (offs = list_sort(offs)
+                                     AND len(list_distinct(offs)) = len(offs))
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN len(list_filter(spans,
+                               s -> s.kind = 'text' AND s.text IS NULL)) > 0
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN len(list_filter(spans,
+                               s -> s.kind <> 'text' AND s.media_ref IS NULL)) > 0
+                           THEN 1 ELSE 0 END AS f
+               FROM t),
+         pv AS (SELECT split, count(*) AS n_rows,
+                       CAST(sum(f) AS BIGINT) AS n_failed
+                FROM v GROUP BY split),
+         g AS (SELECT count(*) AS n,
+                      CAST(sum(n_rows) AS BIGINT) AS s_r,
+                      CAST(sum(n_rows * n_rows) AS BIGINT) AS s2_r,
+                      CAST(sum(n_failed) AS BIGINT) AS s_f,
+                      CAST(sum(n_failed * n_failed) AS BIGINT) AS s2_f
+               FROM pv),
+         z AS (SELECT split, n_rows, n_failed,
+                      CASE WHEN n > 1 AND
+                             (CAST(s2_r AS DOUBLE) - CAST(s_r AS DOUBLE)
+                              * CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0) > 0
+                           THEN round((CAST(n_rows AS DOUBLE)
+                                  - CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE))
+                               / sqrt((CAST(s2_r AS DOUBLE)
+                                  - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0)), 6)
+                           ELSE 0.0 END AS z_n_rows,
+                      CASE WHEN n > 1 AND
+                             (CAST(s2_f AS DOUBLE) - CAST(s_f AS DOUBLE)
+                              * CAST(s_f AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0) > 0
+                           THEN round((CAST(n_failed AS DOUBLE)
+                                  - CAST(s_f AS DOUBLE) / CAST(n AS DOUBLE))
+                               / sqrt((CAST(s2_f AS DOUBLE)
+                                  - CAST(s_f AS DOUBLE) * CAST(s_f AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0)), 6)
+                           ELSE 0.0 END AS z_n_failed
+               FROM pv, g)
+    SELECT split, CAST(n_rows AS BIGINT) AS n_rows, n_failed,
+           z_n_rows, z_n_failed,
+           (abs(z_n_rows) > 3.0 OR abs(z_n_failed) > 3.0) AS anomalous
+    FROM z
+"""
+
+
+@query("split_anomaly_verdicts", oracle=_SPLIT_METRICS_SQL)
+def split_anomaly_verdicts(spark, sf_dir) -> DataFrame:
+    """Outlier data files: z-score every split's (row count, failure count)
+    against the corpus of splits — the "which of my 10^6 input files look
+    broken" triage view over the verdict table.  Exact-integer-sum z
+    arithmetic makes the verdict bit-stable across engines and partitionings
+    (stats.split_anomalies)."""
+    from .operators import stats as stats_ops
+
+    df = load_spans(spark, _spans_corpus(spark))
+    pv = validate.split_verdicts(df).select("split", "n_rows", "n_failed")
+    return stats_ops.split_anomalies(
+        pv, "split", ["n_rows", "n_failed"], z_threshold=3.0
+    )
+
+
+@query(
+    "schema_compat_splits",
+    oracle="""
+    SELECT DISTINCT filename AS split,
+           true AS backward_compatible, true AS forward_compatible,
+           CAST(0 AS BIGINT) AS n_changes
+    FROM read_parquet('__SPANS_GLOB__', filename=true)
+    """,
+)
+def schema_compat_splits(spark, sf_dir) -> DataFrame:
+    """Snapshot-compatibility verdicts: is each split's persisted draft
+    schema SEMANTICALLY contained in the corpus-unified schema (and vice
+    versa)?  Decided by the sound subschema procedure
+    (schema_algebra.subschema_violations) — NOT by unify(a,b)==b, which is
+    wrong on Draft-4 (see its docstring).  The decision runs DISTRIBUTED
+    over the drafts table (mapInPandas, global schema broadcast as a
+    closure constant) — at 10^6 splits this stays a narrow KB-per-row scan.
+    Oracle: the spans corpus is structurally uniform, so every split draft
+    equals the global schema — both directions hold with zero diffs; any
+    engine regression (a draft or the decision procedure drifting) breaks
+    the value hash."""
+    import pandas as pd
+
+    from .checkpoint import TableStateStore, checkpointed_validate
+    from .schema_algebra import (
+        canonical_json,
+        parse_schema,
+        schema_diff,
+        schemas_to_schema,
+        subschema_violations,
+    )
+
+    corpus = _spans_corpus(spark)
+    data = str(corpus / "documents_spans")
+    state = _stream_tmp("compat_") / "state"
+    checkpointed_validate(spark, data, state)
+    recs = TableStateStore(state).committed()
+    drafts = sorted((s, rec["draft"]) for s, rec in recs.items())
+    gj = canonical_json(
+        schemas_to_schema([parse_schema(d) for _, d in drafts])
+    )
+
+    def check(batches):
+        g = parse_schema(gj)
+        for pdf in batches:
+            subs = [parse_schema(d) for d in pdf["draft"]]
+            yield pd.DataFrame(
+                {
+                    "split": pdf["split"],
+                    "backward_compatible": [
+                        not subschema_violations(s, g) for s in subs
+                    ],
+                    "forward_compatible": [
+                        not subschema_violations(g, s) for s in subs
+                    ],
+                    "n_changes": [len(schema_diff(s, g)) for s in subs],
+                }
+            )
+
+    ddf = spark.createDataFrame(drafts, "split string, draft string")
+    return ddf.mapInPandas(
+        check,
+        "split string, backward_compatible boolean, "
+        "forward_compatible boolean, n_changes long",
+    )
+
+
+# ===========================================================================
 # Pinned constant oracles — deterministic, non-SQL-expressible operators
 # (seeded-hash LSH dedup/ANN).  scripts/gen_constant_oracles.py regenerates
 # oracle_constants.json from a double-run determinism-guarded snapshot at

@@ -512,3 +512,196 @@ def schema_diff(old: Optional[Schema], new: Schema, path: str = "$") -> list[dic
         out.append({"path": path, "change": "unsealed", "from": False,
                     "to": new.get("additionalProperties")})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Subschema decision — static compatibility analysis (EP3-style surface)
+# ---------------------------------------------------------------------------
+
+def _admits_type(schema: Schema, t: str) -> bool:
+    """Can a value of JSON type ``t`` pass this schema's type check?"""
+    ts = _type_set(schema)
+    if not ts:
+        return True
+    return t in ts or (t == "integer" and "number" in ts)
+
+
+def _unconstraining(schema: Schema) -> bool:
+    """True iff the schema provably accepts EVERY value (no constraining
+    keyword).  properties/required/items etc. all constrain."""
+    return not any(
+        k in schema
+        for k in (
+            "type", "enum", "minimum", "maximum", "properties", "required",
+            "additionalProperties", "items", "additionalItems", "minItems",
+            "maxItems", "uniqueItems", "minLength", "maxLength",
+        )
+    )
+
+
+def subschema_violations(a: Schema, b: Schema, path: str = "$") -> list[str]:
+    """Reasons ``a ⊑ b`` is NOT provable (empty list = proven: every value
+    valid under ``a`` is valid under ``b`` per this engine's validator).
+
+    A SOUND, conservative decision procedure over the keyword subset the
+    algebra emits: an empty result is a proof; a non-empty result is only
+    "unprovable here" (the checks are complete on generated-schema shapes,
+    conservative on hand-written corner cases).
+
+    Draft-4 subtlety this makes explicit: ``unify`` is NOT a semantic join —
+    adding a property key NARROWS an open object ({"type":"object"} accepts
+    {"x":"s"}; unify with {properties:{x:{type:"integer"}}} then rejects
+    it), and absent-keyword absorption (absent ∪ x = absent) can OPEN an
+    object mid-fold, so ``is_subschema(a, unify(a, b))`` fails even on
+    generated schemas (measured ~30% of random generated pairs).  The
+    generator's real guarantee is DOC-level — every doc in A validates
+    under jsons_to_schema(A ∪ B) — which is strictly weaker than semantic
+    inclusion of the schemas.  That gap is exactly why snapshot-compat
+    checking needs this decision procedure instead of ``unify(a,b) == b``:
+    a widened snapshot can still break readers on documents the old
+    corpus never contained.  Property-tested (soundness + reflexivity +
+    the doc-level law) in tests/test_algebra_laws.py.
+    """
+    out: list[str] = []
+
+    # enum fast path: a's admissible values ⊆ a.enum, so checking each enum
+    # value against BOTH schemas is complete for every other keyword.
+    if "enum" in a:
+        for e in a["enum"]:
+            if not validate(e, a) and validate(e, b):
+                out.append(f"{path}: enum value {canonical_json_value(e)} "
+                           f"valid under a but not b")
+        return out
+
+    ats, bts = _type_set(a), _type_set(b)
+    if bts:
+        if not ats:
+            out.append(f"{path}: a is type-unconstrained, b requires {sorted(bts)}")
+        else:
+            for t in sorted(ats):
+                if not _admits_type(b, t):
+                    out.append(f"{path}: a admits type {t}, b does not")
+
+    if "enum" in b:
+        out.append(f"{path}: b has enum, a does not")
+
+    # numeric bounds (vacuous when a admits no numeric values)
+    if _admits_type(a, "integer") or _admits_type(a, "number"):
+        if "minimum" in b:
+            am, bm = a.get("minimum"), b["minimum"]
+            strict_b = bool(b.get("exclusiveMinimum"))
+            if am is None:
+                out.append(f"{path}: b minimum {bm}, a unbounded below")
+            elif am < bm or (am == bm and strict_b and not a.get("exclusiveMinimum")):
+                out.append(f"{path}: a minimum {am} weaker than b minimum {bm}")
+        if "maximum" in b:
+            am, bm = a.get("maximum"), b["maximum"]
+            strict_b = bool(b.get("exclusiveMaximum"))
+            if am is None:
+                out.append(f"{path}: b maximum {bm}, a unbounded above")
+            elif am > bm or (am == bm and strict_b and not a.get("exclusiveMaximum")):
+                out.append(f"{path}: a maximum {am} weaker than b maximum {bm}")
+
+    # string length bounds (vacuous when a admits no strings)
+    if _admits_type(a, "string"):
+        if "minLength" in b and a.get("minLength", -1) < b["minLength"]:
+            out.append(f"{path}: minLength weaker ({a.get('minLength')} < {b['minLength']})")
+        if "maxLength" in b and (
+            a.get("maxLength") is None or a["maxLength"] > b["maxLength"]
+        ):
+            out.append(f"{path}: maxLength weaker ({a.get('maxLength')} > {b['maxLength']})")
+
+    # object keywords (vacuous when a admits no objects)
+    if _admits_type(a, "object"):
+        ap, bp = a.get("properties") or {}, b.get("properties") or {}
+        a_sealed = a.get("additionalProperties") is False
+        for k in b.get("required") or []:
+            if k not in (a.get("required") or []):
+                out.append(f"{path}: b requires {k!r}, a does not")
+        for k, bsub in bp.items():
+            if k in ap:
+                out.extend(subschema_violations(ap[k], bsub, f"{path}.{k}"))
+            elif a_sealed:
+                pass  # field k can never appear under a — vacuously fine
+            elif not _unconstraining(bsub):
+                out.append(f"{path}.{k}: unconstrained under a, constrained by b")
+        if b.get("additionalProperties") is False:
+            if not a_sealed:
+                out.append(f"{path}: b seals additionalProperties, a is open")
+            else:
+                for k in ap:
+                    if k not in bp:
+                        out.append(f"{path}: a allows property {k!r}, b seals it out")
+
+    # array keywords (vacuous when a admits no arrays)
+    if _admits_type(a, "array"):
+        ai, bi = a.get("items"), b.get("items")
+        a_tuple_closed = isinstance(ai, list) and a.get("additionalItems") is False
+        if "minItems" in b and a.get("minItems", -1) < b["minItems"]:
+            out.append(f"{path}: minItems weaker")
+        if "maxItems" in b:
+            amax = a.get("maxItems")
+            if a_tuple_closed:
+                amax = min(amax, len(ai)) if amax is not None else len(ai)
+            if amax is None or amax > b["maxItems"]:
+                out.append(f"{path}: maxItems weaker")
+        if b.get("uniqueItems") is True and a.get("uniqueItems") is not True:
+            out.append(f"{path}: b requires uniqueItems")
+        if isinstance(bi, dict) and not _unconstraining(bi):
+            if isinstance(ai, dict):
+                out.extend(subschema_violations(ai, bi, f"{path}[]"))
+            elif isinstance(ai, list):
+                for i, asub in enumerate(ai):
+                    out.extend(subschema_violations(asub, bi, f"{path}[{i}]"))
+                if not a_tuple_closed:
+                    out.append(f"{path}[]: open tuple tail unconstrained under a")
+            else:
+                out.append(f"{path}[]: elements unconstrained under a")
+        elif isinstance(bi, list):
+            for i, bsub in enumerate(bi):
+                if _unconstraining(bsub):
+                    continue
+                if isinstance(ai, dict):
+                    out.extend(subschema_violations(ai, bsub, f"{path}[{i}]"))
+                elif isinstance(ai, list) and i < len(ai):
+                    out.extend(subschema_violations(ai[i], bsub, f"{path}[{i}]"))
+                elif isinstance(ai, list) and a_tuple_closed:
+                    pass  # position i can never exist under a
+                else:
+                    out.append(f"{path}[{i}]: unconstrained under a, constrained by b")
+            if b.get("additionalItems") is False:
+                if not a_tuple_closed or len(ai) > len(bi):
+                    out.append(f"{path}: b closes additionalItems, a tail is open")
+
+    return out
+
+
+def is_subschema(a: Schema, b: Schema) -> bool:
+    """True iff provably every value valid under ``a`` is valid under ``b``
+    (see subschema_violations)."""
+    return not subschema_violations(a, b)
+
+
+def compat_report(old: Optional[Schema], new: Schema) -> dict:
+    """Snapshot-evolution compatibility verdict between two unified schemas.
+
+    backward_compatible: documents valid under OLD stay valid under NEW
+    (old ⊑ new) — readers pinned to the new schema accept all old data.
+    forward_compatible: new documents are valid under OLD (new ⊑ old) —
+    old readers keep working.  changes: the schema_diff paths that moved.
+    """
+    if old is None:
+        return {
+            "backward_compatible": True,
+            "forward_compatible": False,
+            "n_changes": 1,
+            "breaking_for_old_readers": ["$: no previous schema"],
+        }
+    back = subschema_violations(old, new)
+    fwd = subschema_violations(new, old)
+    return {
+        "backward_compatible": not back,
+        "forward_compatible": not fwd,
+        "n_changes": len(schema_diff(old, new)),
+        "breaking_for_old_readers": fwd,
+    }

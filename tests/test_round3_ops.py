@@ -1,0 +1,269 @@
+"""Round-3 operators: decontamination, sequence packing, split anomalies,
+subschema decision procedure."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import decontam, pack, stats
+from jsons_to_schema_spark.schema_algebra import (
+    SchemaGenerationConfig,
+    compat_report,
+    is_subschema,
+    jsons_to_schema,
+    subschema_violations,
+    unify,
+    validate,
+)
+from jsons_to_schema_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_hits_planted(spark):
+    """A doc sharing a 5-gram with the eval set is flagged; others are not;
+    hit counts are exact distinct-overlap counts."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox jumps over a fence today"),  # shares 1 5-gram
+            (3, "completely different words in this training document here"),
+            (4, "the quick brown fox jumps again and again"),  # shares 1
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("the quick brown fox jumps",), ("over the lazy dog now",)],
+        "ngram string",
+    )
+    hits = {
+        r.id: (r.n_hits, r.first_hit)
+        for r in decontam.contamination_hits(
+            docs, eval_df, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert set(hits) == {1, 4}
+    assert hits[1] == (1, "the quick brown fox jumps")
+    assert hits[4] == (1, "the quick brown fox jumps")
+
+    clean = decontam.decontaminate(docs, eval_df, "text", "doc_id", n=5)
+    assert {r.doc_id for r in clean.collect()} == {2, 3, 5}
+
+
+def test_eval_ngrams_and_self_contamination(spark):
+    """Eval n-grams built from docs flag those same docs (self-containment:
+    an eval doc is always contaminated by its own n-grams)."""
+    docs = load_table(spark, SF_ORACLE, "documents").limit(50)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    eval_ng = decontam.eval_ngrams_from_docs(eval_docs, "text", "doc_id", n=5)
+    flagged = {
+        r.id
+        for r in decontam.contamination_hits(
+            docs, eval_ng, "text", "doc_id", n=5
+        ).collect()
+    }
+    must_flag = {
+        r.doc_id
+        for r in eval_docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+        if r.n >= 5
+    }
+    assert must_flag <= flagged
+
+
+def test_decontaminate_short_docs_survive(spark):
+    """Docs with fewer than n tokens produce no n-grams and must SURVIVE the
+    anti-join (explode_outer, not explode)."""
+    docs = spark.createDataFrame([(1, "a b"), (2, "x")], "doc_id long, text string")
+    eval_df = spark.createDataFrame([("a b c d e",)], "ngram string")
+    out = decontam.decontaminate(docs, eval_df, "text", "doc_id", n=5)
+    assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_exact_assignment(spark):
+    """Concat-and-cut semantics: doc's sequence = floor(tokens-before /
+    budget) within its shard, offset = remainder."""
+    rows = [
+        (1, "s", "a b c"),        # 3+1 sep = 4 tokens, start 0  -> seq 0 off 0
+        (2, "s", "d e"),          # 3, start 4        -> seq 0 off 4
+        (3, "s", "f g h i j"),    # 6, start 7        -> seq 0 off 7 (straddles)
+        (4, "s", "k"),            # 2, start 13       -> seq 1 off 3
+        (5, "t", "l m n"),        # 4, start 0        -> seq 0 off 0 (own shard)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {
+        r.id: (r.seq_id, r.seq_offset, r.n_tokens)
+        for r in pack.pack_sequences(
+            df, "doc_id", "src", budget=10, text_col="text"
+        ).collect()
+    }
+    assert out[1] == ("s#0", 0, 4)
+    assert out[2] == ("s#0", 4, 3)
+    assert out[3] == ("s#0", 7, 6)
+    assert out[4] == ("s#1", 3, 2)
+    assert out[5] == ("t#0", 0, 4)
+
+
+def test_packing_stats_optimality(spark):
+    """Concat-and-cut consumes exactly ceil(total/budget) sequences; doc
+    starts can only cover a subset of them (long docs straddle)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    packed = pack.pack_sequences(docs, "doc_id", "source", budget=256)
+    st = pack.packing_stats(packed, budget=256).collect()
+    assert len(st) > 0
+    for r in st:
+        assert r.n_sequences == -(-r.total_tokens // 256)
+        assert r.n_doc_start_sequences <= r.n_sequences
+        assert 0 < r.fill_ratio <= 1.0
+
+
+def test_pack_partitioning_invariance(spark):
+    """Same assignment under different input partitioning (window is keyed
+    by shard + ordered by id — no partition-dependent state)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = pack.pack_sequences(docs, "doc_id", "source", budget=128).collect()
+    b = pack.pack_sequences(
+        docs.repartition(3, "n_chars"), "doc_id", "source", budget=128
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# split anomalies
+# ---------------------------------------------------------------------------
+
+def test_split_anomalies_detects_planted_outlier(spark):
+    """A metric table with one wildly-short split flags exactly that split."""
+    rows = [(f"f{i}", 1000 + (i % 7), 2) for i in range(30)] + [("bad", 3, 2)]
+    m = spark.createDataFrame(rows, "split string, n_rows long, n_failed long")
+    out = stats.split_anomalies(m, "split", ["n_rows", "n_failed"], z_threshold=3.0)
+    flagged = {r.split for r in out.collect() if r.anomalous}
+    assert flagged == {"bad"}
+    zs = {r.split: r.z_n_failed for r in out.collect()}
+    assert all(z == 0.0 for z in zs.values())  # constant metric -> z 0 via guard
+
+
+def test_split_anomalies_partitioning_invariant(spark):
+    """Exact-integer-sum arithmetic: identical z-scores under repartition."""
+    rows = [(f"f{i}", 100 + 17 * (i % 5), i % 3) for i in range(40)]
+    m = spark.createDataFrame(rows, "split string, n_rows long, n_failed long")
+    a = sorted(map(tuple, stats.split_anomalies(m, "split", ["n_rows", "n_failed"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            stats.split_anomalies(
+                m.repartition(7), "split", ["n_rows", "n_failed"]
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# subschema decision (pure — no Spark)
+# ---------------------------------------------------------------------------
+
+def _rand_val(rng, depth=0):
+    r = rng.random()
+    if depth > 2 or r < 0.3:
+        return rng.choice([1, 2.5, "s", True, None, 7])
+    if r < 0.6:
+        ks = rng.sample("abcd", rng.randint(0, 3))
+        return {k: _rand_val(rng, depth + 1) for k in ks}
+    return [_rand_val(rng, depth + 1) for _ in range(rng.randint(0, 3))]
+
+
+def test_subschema_reflexive_and_sound():
+    rng = random.Random(7)
+    n_true = 0
+    for _ in range(400):
+        A = [_rand_val(rng) for _ in range(rng.randint(1, 4))]
+        B = [_rand_val(rng) for _ in range(rng.randint(1, 4))]
+        sa, sb = jsons_to_schema(A), jsons_to_schema(B)
+        assert is_subschema(sa, sa), json.dumps(sa)
+        assert is_subschema(sb, sb)
+        if is_subschema(sa, sb):
+            n_true += 1
+            # soundness spot check on the docs we can reach: every A-doc
+            # valid under sa must be valid under sb
+            for d in A:
+                if not validate(d, sa):
+                    assert not validate(d, sb), (d, sa, sb)
+    assert n_true > 0  # the relation is not vacuously False
+
+
+def test_subschema_doc_level_law():
+    """The generator's real guarantee: docs of A validate under the unified
+    schema of A ∪ B (NOT schema-level inclusion — see subschema_violations
+    docstring for why that is strictly weaker)."""
+    rng = random.Random(11)
+    for cfg in (SchemaGenerationConfig(), SchemaGenerationConfig(seal_object_properties=True)):
+        for _ in range(200):
+            A = [_rand_val(rng) for _ in range(rng.randint(1, 4))]
+            B = [_rand_val(rng) for _ in range(rng.randint(1, 4))]
+            merged = jsons_to_schema(A + B, cfg)
+            for d in A + B:
+                assert not validate(d, merged), (d, merged)
+
+
+def test_subschema_directed_cases():
+    wide = {"type": ["integer", "string"]}
+    assert is_subschema({"type": "integer"}, wide)
+    assert not is_subschema(wide, {"type": "integer"})
+    assert is_subschema({"type": "integer"}, {"type": "number"})
+    assert not is_subschema({"type": "number"}, {"type": "integer"})
+    assert is_subschema(
+        {"type": "integer", "minimum": 5}, {"type": "integer", "minimum": 3}
+    )
+    assert not is_subschema(
+        {"type": "integer", "minimum": 3}, {"type": "integer", "minimum": 5}
+    )
+    # exclusive flags: a [5, ...) is NOT inside b (5, ...)
+    assert not is_subschema(
+        {"type": "integer", "minimum": 5},
+        {"type": "integer", "minimum": 5, "exclusiveMinimum": True},
+    )
+    assert is_subschema(
+        {"type": "integer", "minimum": 5, "exclusiveMinimum": True},
+        {"type": "integer", "minimum": 5},
+    )
+    # enum fast path is exact
+    assert is_subschema({"enum": [1, 2]}, {"type": "integer"})
+    assert not is_subschema({"enum": [1, "x"]}, {"type": "integer"})
+    # sealed-object vacuity: a sealed without k ignores b's constraint on k
+    sealed = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"}},
+        "additionalProperties": False,
+    }
+    constrains_k = {
+        "type": "object",
+        "properties": {"k": {"type": "string"}},
+    }
+    assert is_subschema(sealed, constrains_k)
+    # open object does NOT prove it
+    open_obj = {"type": "object", "properties": {"a": {"type": "integer"}}}
+    assert not is_subschema(open_obj, constrains_k)
+
+
+def test_compat_report_directions():
+    old = jsons_to_schema([{"k": 1}])
+    new = unify(old, jsons_to_schema([{"k": 2.5}]))  # k widens to number
+    rep = compat_report(old, new)
+    assert rep["backward_compatible"] is True  # int docs still valid
+    assert rep["forward_compatible"] is False  # number docs break old readers
+    assert rep["n_changes"] >= 1
+    assert any("number" in r for r in rep["breaking_for_old_readers"])
