@@ -552,3 +552,178 @@ def assign_duplicate_clusters(
         .withColumn("keep", F.col("cluster_id") == F.col(id_col))
         .drop("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index — incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+_KEY_BUCKETS = 64
+
+
+def _band_key_array(sig: Column, num_hashes: int, bands: int) -> Column:
+    """Per-band bucket keys from a signature column: xxhash64 of (band id,
+    the band's signature slice) — same expression minhash_lsh_pairs uses."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",", F.slice(sig, b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _index_frames(
+    docs: DataFrame, col: str, id_col: str, num_hashes: int, bands: int, k: int
+):
+    """(buckets, shingles) frames for a document batch: buckets = one row
+    per (id, band, key, kb) bucket membership; shingles = (id, sh) for the
+    exact-verification join.  kb = pmod(key, 64) is DENORMALIZED into the
+    bucket rows purely as the file-partition column — functionally dependent
+    on key, so joining on it too is free, and it is what lets a probe prune
+    index FILES via dynamic partition pruning."""
+    tok_df = _spread(docs.select(F.col(id_col).alias("id"), tokens(col).alias("_t")))
+    sh = _materialize_once(
+        tok_df.select(
+            "id", F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("sh")
+        ).filter(F.size("sh") > 0)
+    )
+    sig = sh.select(
+        "id", minhash_from_shingles(F.col("sh"), num_hashes).alias("_sig")
+    )
+    buckets = sig.select(
+        "id", F.posexplode(_band_key_array(F.col("_sig"), num_hashes, bands)).alias("band", "key")
+    ).withColumn("kb", F.pmod(F.col("key"), F.lit(_KEY_BUCKETS)).cast("int"))
+    return buckets, sh
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    index_dir,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> None:
+    """Materialize the corpus MinHash index once; every future ingest batch
+    probes it without touching (or recomputing over) the old corpus text.
+
+    Layout (cf. build_ivf_index — same persisted-index pattern):
+      index_dir/buckets/kb=*/   (id, band, key) partitioned by key bucket —
+                                a probe's broadcast join prunes these FILES
+                                via dynamic partition pruning;
+      index_dir/shingles/       (id, sh) for exact-Jaccard verification;
+      index_dir/meta.json       signature parameters — a probe MUST hash
+                                with identical params or candidates are
+                                silently empty, so they are read back, never
+                                re-passed.
+    At cluster scale both directories are Iceberg tables and ingest appends
+    become MERGE commits; the signature math is engine-portable (seeded
+    xxhash64, no RNG)."""
+    import json
+    from pathlib import Path
+
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    buckets, sh = _index_frames(docs, col, id_col, num_hashes, bands, k)
+    # co-locate each key bucket before writing (one file per kb, not
+    # tasks x kb small files — same reasoning as the IVF cell layout)
+    buckets.repartition("kb").write.mode("overwrite").partitionBy("kb").parquet(
+        str(out / "buckets")
+    )
+    sh.write.mode("overwrite").parquet(str(out / "shingles"))
+    (out / "meta.json").write_text(
+        json.dumps(
+            {"num_hashes": num_hashes, "bands": bands, "k": k, "col": col,
+             "id_col": id_col},
+            sort_keys=True,
+        )
+    )
+
+
+def append_to_minhash_index(docs: DataFrame, index_dir) -> None:
+    """Ingest-accept path: add a (deduplicated) batch to the index with
+    APPEND writes only — the existing corpus is never rewritten or re-read.
+    Parameters come from meta.json so the signatures are bit-compatible."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(index_dir) / "meta.json").read_text())
+    buckets, sh = _index_frames(
+        docs, meta["col"], meta["id_col"], meta["num_hashes"], meta["bands"],
+        meta["k"],
+    )
+    buckets.repartition("kb").write.mode("append").partitionBy("kb").parquet(
+        str(Path(index_dir) / "buckets")
+    )
+    sh.write.mode("append").parquet(str(Path(index_dir) / "shingles"))
+
+
+def minhash_probe_index(
+    spark,
+    index_dir,
+    new_docs: DataFrame,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against the persisted corpus index:
+    (new_id, corpus_id, jaccard), exact-verified.
+
+    The asymmetry is the point: the new batch is small (a day's ingest vs
+    the lifetime corpus), so every join broadcasts the new side —
+    1. bucket probe: index buckets ⋈ broadcast(new buckets) on (kb, band,
+       key); kb is a partition column, so dynamic partition pruning skips
+       every index file holding no probed key bucket;
+    2. verification: index shingles ⋈ broadcast(candidate ids) — only
+       matched corpus rows survive the scan (map-side semi join), then the
+       (small) new-batch shingle sets broadcast in for exact Jaccard.
+    The corpus is never shuffled, and its text is never re-tokenized —
+    that is what makes per-batch dedup against a 10^12-doc corpus a
+    batch-sized job instead of a corpus-sized one."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(index_dir) / "meta.json").read_text())
+    new_buckets, new_sh = _index_frames(
+        new_docs, meta["col"], meta["id_col"], meta["num_hashes"],
+        meta["bands"], meta["k"],
+    )
+    idx_buckets = spark.read.parquet(str(Path(index_dir) / "buckets"))
+    cand = (
+        idx_buckets.join(
+            F.broadcast(
+                new_buckets.select(
+                    F.col("id").alias("new_id"), "band", "key", "kb"
+                )
+            ),
+            ["kb", "band", "key"],
+        )
+        .select(F.col("id").alias("corpus_id"), "new_id")
+        .distinct()
+    )
+    idx_sh = spark.read.parquet(str(Path(index_dir) / "shingles"))
+    verified = (
+        idx_sh.withColumnRenamed("id", "corpus_id")
+        .withColumnRenamed("sh", "_shc")
+        .join(F.broadcast(cand), "corpus_id")
+        .join(
+            F.broadcast(
+                new_sh.select(F.col("id").alias("new_id"), F.col("sh").alias("_shn"))
+            ),
+            "new_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_shc", "_shn"))
+            / F.size(F.array_union("_shc", "_shn")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return verified.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -2153,6 +2153,34 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query("dedup_incremental_minhash")
+def dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: probe a NEW ingest batch (doc_id
+    % 5 == 0) against the PERSISTED MinHash index of the existing corpus —
+    the batch-sized-not-corpus-sized shape every continuously-ingesting
+    training pipeline needs (dedup.minhash_probe_index; index built once
+    and cached like the IVF index).  Probe ≡ batch LSH on the same split is
+    asserted in tests/test_round3_ops.py; deterministic seeded hashes →
+    pinned oracle."""
+    from pathlib import Path
+
+    from .operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = (
+        Path(__file__).resolve().parents[1]
+        / ".cache"
+        / f"mh_{Path(sf_dir).name}_h32_b8_k3"
+    )
+    if not (idx / "meta.json").exists():
+        dedup_ops.build_minhash_index(
+            corpus, idx, num_hashes=32, bands=8, k=3
+        )
+    return dedup_ops.minhash_probe_index(spark, idx, new, min_jaccard=0.7)
+
+
 _SPLIT_METRICS_SQL = """
     WITH t AS (SELECT filename AS split,
                       spans, list_transform(spans, s -> s.offset) AS offs

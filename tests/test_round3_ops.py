@@ -267,3 +267,79 @@ def test_compat_report_directions():
     assert rep["forward_compatible"] is False  # number docs break old readers
     assert rep["n_changes"] >= 1
     assert any("number" in r for r in rep["breaking_for_old_readers"])
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash index — incremental dedup
+# ---------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_probe_planted(spark, tmp_path):
+    """A new batch's near-dups of the indexed corpus are found (planted
+    ground truth); unrelated docs are not; append extends the index."""
+    from jsons_to_schema_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the old town square tonight under bright stars"
+    )
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, base),
+            (2, "completely unrelated text about spark shuffle partitions and codegen stages here"),
+            (3, "another independent document mentioning parquet row groups and column pruning"),
+        ],
+    )
+    idx = tmp_path / "mh_idx"
+    dedup.build_minhash_index(corpus, idx, num_hashes=32, bands=16, k=3)
+
+    new = _mk_docs(
+        spark,
+        [
+            (101, base.replace("tonight", "at dusk")),  # near-dup of 1
+            (102, "fresh never seen words forming a genuinely novel document body"),
+        ],
+    )
+    got = dedup.minhash_probe_index(spark, idx, new, min_jaccard=0.5).collect()
+    pairs = {(r.new_id, r.corpus_id) for r in got}
+    assert (101, 1) in pairs
+    assert all(n != 102 for n, _ in pairs)
+    for r in got:
+        assert r.jaccard >= 0.5
+
+    # append the clean doc; an exact copy probed later must hit jaccard 1.0
+    dedup.append_to_minhash_index(
+        new.filter(F.col("doc_id") == 102), idx
+    )
+    probe2 = _mk_docs(spark, [(201, "fresh never seen words forming a genuinely novel document body")])
+    got2 = dedup.minhash_probe_index(spark, idx, probe2, min_jaccard=0.9).collect()
+    assert {(r.new_id, r.corpus_id, r.jaccard) for r in got2} == {(201, 102, 1.0)}
+
+
+def test_minhash_index_probe_agrees_with_batch_lsh(spark, tmp_path):
+    """Index probe ≡ in-memory minhash_lsh_pairs on the same split: every
+    (new, corpus) pair the batch engine reports across the split boundary is
+    reported by the probe with the same jaccard (same hashes, same bands)."""
+    from jsons_to_schema_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = tmp_path / "mh_idx2"
+    dedup.build_minhash_index(corpus, idx, num_hashes=32, bands=8, k=3)
+    probe = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in dedup.minhash_probe_index(spark, idx, new, min_jaccard=0.7).collect()
+    }
+    batch = dedup.minhash_lsh_pairs(docs, "text", "doc_id", 32, 8, 0.7, 3)
+    cross = set()
+    for r in batch.collect():
+        a, b = r.id_a, r.id_b
+        if (a % 5 == 0) != (b % 5 == 0):
+            n, c = (a, b) if a % 5 == 0 else (b, a)
+            cross.add((n, c, round(r.jaccard, 6)))
+    assert probe == cross
