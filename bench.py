@@ -117,7 +117,14 @@ def run_queries(spark, corpus) -> dict[str, float]:
     """Per-family timed queries at SF_DIR scale."""
     from pyspark.sql import functions as F
 
-    from jsons_to_schema_spark.operators import dedup, drift, similarity, text
+    from jsons_to_schema_spark.operators import (
+        decontam,
+        dedup,
+        drift,
+        pack,
+        similarity,
+        text,
+    )
     from jsons_to_schema_spark.operators.infer import infer_from_json_column
     from jsons_to_schema_spark.operators.stats import column_stats
     from jsons_to_schema_spark.sources.tables import load_table
@@ -211,6 +218,32 @@ def run_queries(spark, corpus) -> dict[str, float]:
         "similarity_ivf_topk_indexed",
         lambda: similarity.ivf_topk_indexed(
             spark, idx_dir, emb.filter(F.col("vec_id") < 5), k=10, n_probe=8
+        ).count(),
+    )
+    # decontamination probe: eval set = benchmark-sized slice of the corpus;
+    # the timed part (n-gram explode + broadcast semi-join + hit aggregate)
+    # is what every ingest batch pays
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", "doc_id", n=5
+    )
+    timed(
+        "decontam_documents",
+        lambda: decontam.contamination_hits(docs, ev, "text", "doc_id", n=5).count(),
+    )
+    timed(
+        "pack_sequences_documents",
+        lambda: pack.pack_sequences(docs, "doc_id", "source", budget=256).count(),
+    )
+    # incremental-dedup probe: corpus index built ONCE outside the timer
+    # (the per-snapshot cost); timed part is the per-ingest-batch probe
+    mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
+    dedup.build_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), mh_dir, num_hashes=32, bands=8
+    )
+    timed(
+        "dedup_incremental_minhash",
+        lambda: dedup.minhash_probe_index(
+            spark, mh_dir, docs.filter(F.col("doc_id") % 5 == 0), min_jaccard=0.7
         ).count(),
     )
     return timings

@@ -677,8 +677,14 @@ def minhash_probe_index(
     The asymmetry is the point: the new batch is small (a day's ingest vs
     the lifetime corpus), so every join broadcasts the new side —
     1. bucket probe: index buckets ⋈ broadcast(new buckets) on (kb, band,
-       key); kb is a partition column, so dynamic partition pruning skips
-       every index file holding no probed key bucket;
+       key); kb is a partition column, and the probe's distinct kb set
+       (≤64 ints, one batch-sized job) is pushed as a STATIC partition
+       filter — explicit pruning instead of relying on the DPP planner,
+       whose default reuseBroadcastOnly heuristic declines here because
+       the (kb, band, key) broadcast cannot be reused for a kb-only
+       subquery (verified on the executed plan).  A big batch touches all
+       64 buckets (filter keeps everything); a targeted backfill touches
+       few and skips most index files;
     2. verification: index shingles ⋈ broadcast(candidate ids) — only
        matched corpus rows survive the scan (map-side semi join), then the
        (small) new-batch shingle sets broadcast in for exact Jaccard.
@@ -693,7 +699,11 @@ def minhash_probe_index(
         new_docs, meta["col"], meta["id_col"], meta["num_hashes"],
         meta["bands"], meta["k"],
     )
-    idx_buckets = spark.read.parquet(str(Path(index_dir) / "buckets"))
+    new_buckets = _materialize_once(new_buckets)  # probed twice: kb set + join
+    kbs = [r[0] for r in new_buckets.select("kb").distinct().collect()]
+    idx_buckets = spark.read.parquet(str(Path(index_dir) / "buckets")).filter(
+        F.col("kb").isin(kbs)
+    )
     cand = (
         idx_buckets.join(
             F.broadcast(

@@ -142,3 +142,73 @@ def test_near_dup_kernel_is_single_arrow_stage(spark):
     plan = audit.executed_plan(q)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decontam_probe_broadcasts_eval(spark):
+    """Contamination probe: the eval n-gram set broadcasts; the corpus-side
+    explode feeds a map-side BroadcastHashJoin (no corpus shuffle before the
+    join) and everything stays JVM-side."""
+    from jsons_to_schema_spark.operators import decontam
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", "doc_id", n=5
+    )
+    q = decontam.contamination_hits(docs, ev, "text", "doc_id", n=5)
+    plan = audit.executed_plan(q)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+    anti = decontam.decontaminate(docs, ev, "text", "doc_id", n=5)
+    aplan = audit.executed_plan(anti)
+    assert "LeftAnti" in aplan, aplan[:2000]
+
+
+def test_pack_window_is_per_shard_never_global(spark):
+    """Sequence packing must hash-partition by shard for its window — a
+    global orderBy window (Exchange SinglePartition) is the 100-TB
+    bottleneck the operator exists to avoid."""
+    from jsons_to_schema_spark.operators import pack
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = pack.pack_sequences(docs, "doc_id", "source", budget=256)
+    plan = audit.executed_plan(q)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(shard" in plan, plan[:2000]
+
+
+def test_minhash_probe_broadcasts_new_batch_and_prunes(spark, tmp_path):
+    """Index probe: the new batch broadcasts into the bucket join, and the
+    probe's distinct key-bucket set reaches the index scan as a PARTITION
+    filter (explicit static pruning — see minhash_probe_index docstring for
+    why DPP is not relied on) — probed buckets only, never the whole
+    index."""
+    import re
+
+    from jsons_to_schema_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    idx = tmp_path / "mh"
+    dedup.build_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx, num_hashes=32, bands=8
+    )
+    q = dedup.minhash_probe_index(
+        spark, idx, docs.filter(F.col("doc_id") % 5 == 0), min_jaccard=0.7
+    )
+    plan = audit.executed_plan(q)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert re.search(r"PartitionFilters: \[[^\]]*kb", plan), plan[:2000]
+
+
+def test_split_anomalies_is_two_aggregates_and_broadcast(spark):
+    """Anomaly scoring: one partial+final aggregate for the global sums,
+    broadcast back over the metric table — nothing data-scale."""
+    from jsons_to_schema_spark.operators import stats as stats_ops
+    from jsons_to_schema_spark.operators import validate as validate_ops
+
+    df = load_spans(spark, ensure_corpus(5000))
+    pv = validate_ops.split_verdicts(df).select("split", "n_rows", "n_failed")
+    q = stats_ops.split_anomalies(pv, "split", ["n_rows", "n_failed"])
+    plan = audit.executed_plan(q)
+    assert "HashAggregate" in plan
+    assert "Broadcast" in plan, plan[:2000]
