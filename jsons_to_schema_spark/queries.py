@@ -2153,6 +2153,35 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "schema_evolution_ddl",
+    oracle="""
+    SELECT CAST(stmt_no AS BIGINT) AS stmt_no, stmt FROM (VALUES
+      (1, 'ALTER TABLE local.db.events_props ADD COLUMN src STRING'),
+      (2, 'ALTER TABLE local.db.events_props ALTER COLUMN k TYPE DOUBLE')
+    ) AS t(stmt_no, stmt)
+    """,
+)
+def schema_evolution_ddl(spark, sf_dir) -> DataFrame:
+    """Enforcement bridge (ddl.py): infer the current snapshot's unified
+    schema, unify in a drifted batch (k becomes fractional, src appears),
+    and emit the Iceberg ALTER TABLE statements that evolve the table to
+    the new contract.  Oracle = the hand-derived statements forced by the
+    sf0.01 events schema constant ({k: integer}) + the engine's pinned
+    unify semantics — any drift in inference, diff walk, or DDL rendering
+    breaks the value hash."""
+    from . import ddl as ddl_mod
+    from .schema_algebra import json_to_schema, unify
+
+    events = load_table(spark, sf_dir, "events")
+    old, _ = infer_from_json_column(events, "props")
+    new = unify(old, json_to_schema({"k": 2.5, "src": "web"}))
+    stmts = ddl_mod.evolution_ddl(old, new, "local.db.events_props")
+    return spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stmts)], "stmt_no long, stmt string"
+    )
+
+
 @query("dedup_incremental_minhash")
 def dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     """Incremental (cross-snapshot) dedup: probe a NEW ingest batch (doc_id
