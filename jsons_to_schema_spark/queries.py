@@ -1939,9 +1939,11 @@ def stream_duplicate_doc_ids(spark, sf_dir) -> DataFrame:
 @query(
     "stream_schema_drift_alerts",
     oracle="""
-    SELECT CAST(alert_seq AS BIGINT) AS alert_seq, change, path
-    FROM (VALUES (0, 'new_schema', '$'), (1, 'new_property', '$.extra'))
-         AS t(alert_seq, change, path)
+    SELECT CAST(alert_seq AS BIGINT) AS alert_seq, change, path,
+           backward_compatible, forward_compatible
+    FROM (VALUES (0, 'new_schema', '$', true, false),
+                 (1, 'new_property', '$.extra', false, true))
+         AS t(alert_seq, change, path, backward_compatible, forward_compatible)
     """,
 )
 def stream_schema_drift_alerts(spark, sf_dir) -> DataFrame:
@@ -1950,8 +1952,13 @@ def stream_schema_drift_alerts(spark, sf_dir) -> DataFrame:
     checkpoint + snapshot.  Drain 1 ({"k":int} docs) must alert new_schema
     at $; drain 2 (docs gaining an "extra" key) must alert exactly one
     new_property at $.extra (required stays ["k"] — intersection semantics —
-    so no required_dropped).  The oracle is that HAND-DERIVED constant: the
-    semantics force it, no snapshot pinning involved."""
+    so no required_dropped).  The compat verdicts are forced too: alert 0
+    (no previous snapshot) is backward-true/forward-false by definition;
+    alert 1 is backward-FALSE (adding a typed property to an OPEN object
+    narrows it — the Draft-4 non-lattice corner subschema_violations
+    documents) and forward-true (new docs still satisfy the old contract).
+    The oracle is that HAND-DERIVED constant: the semantics force it, no
+    snapshot pinning involved."""
     import json as _json
 
     import pyarrow as _pa
@@ -1983,9 +1990,22 @@ def stream_schema_drift_alerts(spark, sf_dir) -> DataFrame:
     for seq, line in enumerate(
         (tmp / "alerts.jsonl").read_text().splitlines()
     ):
-        for ch in _json.loads(line)["changes"]:
-            rows.append((seq, ch["change"], ch["path"]))
-    return spark.createDataFrame(rows, "alert_seq long, change string, path string")
+        rec = _json.loads(line)
+        for ch in rec["changes"]:
+            rows.append(
+                (
+                    seq,
+                    ch["change"],
+                    ch["path"],
+                    rec["backward_compatible"],
+                    rec["forward_compatible"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "alert_seq long, change string, path string, "
+        "backward_compatible boolean, forward_compatible boolean",
+    )
 
 
 # ===========================================================================

@@ -125,16 +125,19 @@ def schema_drift_alert_stream(
     """Streaming schema-DRIFT monitor: the incremental merge stream, plus an
     alert record whenever a micro-batch WIDENS the unified schema (new
     property, type widening, required drop, …) — the live twin of the batch
-    drift checks.  Alerts are JSON lines {batch_id, n_docs, changes:[...]};
-    the change list is schema_algebra.schema_diff(prev, merged), so an alert
-    names exactly the paths that moved.  Batches that fit the known schema
-    produce no alert — steady state writes nothing.
+    drift checks.  Alerts are JSON lines {batch_id, n_docs, changes:[...],
+    backward_compatible, forward_compatible}; the change list is
+    schema_algebra.schema_diff(prev, merged) — an alert names exactly the
+    paths that moved — and the compat booleans come from the subschema
+    decision procedure (r3), so a consumer can gate on "safe widening" vs
+    "reader-breaking change" instead of eyeballing the diff.  Batches that
+    fit the known schema produce no alert — steady state writes nothing.
 
     State is the same KB-scale snapshot as incremental_schema_stream
     (foreachBatch + atomic file replace — not per-key state, so
     applyInPandasWithState would be the wrong tool); exactly-once batch ids
     come from the stream checkpoint."""
-    from ..schema_algebra import schema_diff
+    from ..schema_algebra import compat_report, schema_diff
 
     snap = SchemaSnapshot(snapshot_path)
     alerts = Path(alerts_path)
@@ -150,10 +153,23 @@ def schema_drift_alert_stream(
         merged = unify_opt(prev, batch_schema)
         if prev is None or canonical_json(merged) != canonical_json(prev):
             changes = schema_diff(prev, merged)
+            # actionable verdicts, not just a change list: does the widened
+            # snapshot still accept all OLD data (backward), and do NEW docs
+            # still satisfy the old contract readers may be pinned to
+            # (forward)?  Decided by the sound subschema procedure — a
+            # "widening" that adds a typed property to an open object is
+            # backward-INCOMPATIBLE, which a diff list alone never shows.
+            rep = compat_report(prev, merged)
             with alerts.open("a") as fh:
                 fh.write(
                     json.dumps(
-                        {"batch_id": batch_id, "n_docs": n, "changes": changes},
+                        {
+                            "batch_id": batch_id,
+                            "n_docs": n,
+                            "changes": changes,
+                            "backward_compatible": rep["backward_compatible"],
+                            "forward_compatible": rep["forward_compatible"],
+                        },
                         sort_keys=True,
                     )
                     + "\n"
