@@ -114,3 +114,49 @@ def split_anomalies(
         flag = flag | (F.abs(z) > F.lit(z_threshold))
     out_cols.append(flag.alias("anomalous"))
     return joined.select(*out_cols)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/grouping-key skew diagnostics: the top-k hottest keys with their
+    row share, plus the corpus-level context (total rows, distinct keys,
+    max share) on every row — the report a planner reads before choosing
+    salting / AQE skew-join thresholds for a key at 10^12-row scale.
+
+    Two aggregates, both map-side-partial: groupBy(key).count() (the same
+    shuffle a real join on this key would pay — the report costs what one
+    pre-pass of the join costs), then a 1-row global over the (distinct
+    keys)-sized count table, broadcast back (drift.py pattern).  top-k via
+    orderBy(cnt desc, key).limit(k) — TakeOrderedAndProject, i.e. per-task
+    partial top-k merged on the driver, NEVER a global row_number window
+    (a single-partition sort of the whole count table at high key
+    cardinality); the key tie-break makes the report deterministic and
+    oracle-able.  Shares are round(x, 6) doubles from exact longs."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glob = counts.agg(
+        F.sum("cnt").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.max("cnt").alias("_max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(glob))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.col("_total").alias("total_rows"),
+            F.col("_distinct").alias("distinct_keys"),
+            F.round(F.col("_max_cnt") / F.col("_total"), 6).alias("max_share"),
+            (
+                F.col("_max_cnt")
+                > F.lit(8.0) * F.col("_total") / F.col("_distinct")
+            ).alias("skewed"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+    )

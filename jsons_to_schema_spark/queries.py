@@ -2174,6 +2174,41 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "skew_report_media_refs",
+    oracle="""
+    WITH nn AS (
+      SELECT unnest(spans).media_ref AS key
+      FROM read_parquet('__SPANS_GLOB__')
+    ), c AS (
+      SELECT key, count(*) AS cnt FROM nn WHERE key IS NOT NULL GROUP BY key
+    ), g AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS dk,
+             CAST(max(cnt) AS BIGINT) AS mx
+      FROM c
+    )
+    SELECT key, cnt, round(cnt / total, 6) AS share,
+           total AS total_rows, dk AS distinct_keys,
+           round(mx / total, 6) AS max_share,
+           mx > 8.0 * total / dk AS skewed
+    FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10), g
+    """,
+)
+def skew_report_media_refs(spark, sf_dir) -> DataFrame:
+    """Join-key skew diagnostics over the corpus's Zipf(1.2)-skewed media
+    refs — the pre-pass a planner reads before picking salting / AQE
+    skew-join settings for the referential check (stats.key_skew_report:
+    map-side-partial count, TakeOrderedAndProject top-k, 1-row broadcast
+    context; costs what one pre-pass of the real join costs)."""
+    from .operators import stats as stats_ops
+
+    df = load_spans(spark, _spans_corpus(spark))
+    refs = df.select(
+        F.explode("spans.media_ref").alias("media_ref")
+    ).filter(F.col("media_ref").isNotNull())
+    return stats_ops.key_skew_report(refs, "media_ref", top_k=10)
+
+
+@query(
     "schema_evolution_ddl",
     oracle="""
     SELECT CAST(stmt_no AS BIGINT) AS stmt_no, stmt FROM (VALUES

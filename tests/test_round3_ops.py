@@ -343,3 +343,35 @@ def test_minhash_index_probe_agrees_with_batch_lsh(spark, tmp_path):
             n, c = (a, b) if a % 5 == 0 else (b, a)
             cross.add((n, c, round(r.jaccard, 6)))
     assert probe == cross
+
+
+# ---------------------------------------------------------------------------
+# key skew report
+# ---------------------------------------------------------------------------
+
+def test_key_skew_report_detects_hot_key(spark):
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    out = stats.key_skew_report(df, "k", top_k=3).collect()
+    assert out[0].key == "hot" and out[0].cnt == 100
+    assert out[0].share == 0.5 and out[0].max_share == 0.5
+    assert out[0].skewed  # 100 > 8 * 200/101
+    assert len(out) == 3
+    assert out[0].total_rows == 200 and out[0].distinct_keys == 101
+
+
+def test_key_skew_report_uniform_not_skewed(spark):
+    rows = [(i, f"k{i % 20}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    out = stats.key_skew_report(df, "k", top_k=5).collect()
+    assert not any(r.skewed for r in out)
+    # deterministic tie-break: all counts equal -> keys in ascending order
+    assert [r.key for r in out] == sorted(r.key for r in out)
+
+
+def test_key_skew_report_partitioning_invariant(spark):
+    rows = [(i, f"k{i % 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    a = [tuple(r) for r in stats.key_skew_report(df, "k").collect()]
+    b = [tuple(r) for r in stats.key_skew_report(df.repartition(5), "k").collect()]
+    assert a == b
