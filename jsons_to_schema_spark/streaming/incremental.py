@@ -186,3 +186,69 @@ def schema_drift_alert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    source_schema: str = "doc_id long, text string",
+    min_jaccard: float = 0.7,
+    available_now: bool = True,
+):
+    """The continuously-ingesting dedup loop: every micro-batch is probed
+    against the persisted corpus MinHash index (dedup.minhash_probe_index),
+    near-duplicates of ANY already-accepted document are dropped, survivors
+    are appended to both the accepted table and the index — so a duplicate
+    arriving hours after its original (in a later batch) is still caught.
+
+    Why foreachBatch and not a stateful operator: the "state" here is the
+    corpus index — far too large for the state store, already persisted,
+    and shared with the batch engine.  The stream checkpoint provides
+    exactly-once batch ids; the index append is idempotent under replay at
+    the cost of duplicate bucket rows (probe results are distinct-ed, so
+    verdicts stay correct — same tolerance the batch engine has for
+    re-committed splits).
+
+    Within-batch duplicates: the batch is ALSO probed against itself via
+    the batch LSH engine, keeping the min-id representative — so two copies
+    arriving in one micro-batch don't both pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # 1. within-batch: keep one representative per near-dup cluster
+        pairs = dedup.minhash_lsh_pairs(
+            batch_df, "text", "doc_id", min_jaccard=min_jaccard
+        )
+        local = dedup.assign_duplicate_clusters(batch_df, pairs, "doc_id")
+        survivors = local.filter(F.col("keep")).select(*batch_df.columns)
+        # 2. cross-batch: drop anything near-duplicating the accepted corpus
+        hits = dedup.minhash_probe_index(
+            spark, index_dir, survivors, min_jaccard=min_jaccard
+        )
+        clean = survivors.join(
+            hits.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)  # used twice: table append + index append
+        # 3. accept: append to the corpus table AND the index
+        clean.write.mode("append").parquet(accepted_dir)
+        dedup.append_to_minhash_index(clean, index_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(source_schema)
+        .load(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

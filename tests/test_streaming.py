@@ -167,3 +167,68 @@ def test_schema_drift_alert_stream(spark, tmp_path):
     changes = {(c["path"], c["change"]) for c in lines[1]["changes"]}
     assert ("$.a", "type_widened") in changes
     assert ("$.z", "new_property") in changes
+
+
+def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    """Ingest loop: batch 1 seeds the corpus; batch 2 (arriving later, own
+    availableNow drain) contains a near-dup of a batch-1 doc, an exact
+    within-batch duplicate pair, and a novel doc — only the novel doc and
+    one within-batch representative are accepted, and the index grows so a
+    third drain catches duplicates of batch-2 accepts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsons_to_schema_spark.operators import dedup
+    from jsons_to_schema_spark.streaming.incremental import dedup_ingest_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the old town square tonight under bright stars"
+    )
+    novel = "entirely new content about arrow buffers and shuffle spill thresholds"
+    src = tmp_path / "src"
+    src.mkdir()
+    accepted = tmp_path / "accepted"
+    idx = tmp_path / "idx"
+    ckpt = str(tmp_path / "ckpt")
+
+    # seed corpus index with batch 0 (built like any corpus snapshot)
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    dedup.build_minhash_index(seed, idx, num_hashes=32, bands=16, k=3)
+    seed.write.mode("append").parquet(str(accepted))
+
+    kwargs = dict(
+        index_dir=str(idx),
+        accepted_dir=str(accepted),
+        checkpoint_dir=ckpt,
+        min_jaccard=0.5,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [101, 102, 103, 104],
+                "text": [
+                    base.replace("tonight", "at dusk"),  # near-dup of seed 1
+                    novel,                                # accept
+                    novel + " exactly",                   # within-batch near-dup of 102
+                    novel + " exactly",                   # and its exact twin
+                ],
+            }
+        ),
+        src / "b1.parquet",
+    )
+    dedup_ingest_stream(spark, str(src), **kwargs).awaitTermination()
+    got1 = {r.doc_id for r in spark.read.parquet(str(accepted)).collect()}
+    assert 1 in got1 and 102 in got1
+    assert 101 not in got1          # cross-batch near-dup dropped
+    assert len(got1 & {103, 104}) <= 1  # within-batch cluster kept at most one rep
+
+    # a later drain duplicating an accepted batch-1 doc must be dropped
+    pq.write_table(
+        pa.table({"doc_id": [201, 202], "text": [novel, "one odd straggler row"]}),
+        src / "b2.parquet",
+    )
+    dedup_ingest_stream(spark, str(src), **kwargs).awaitTermination()
+    got2 = {r.doc_id for r in spark.read.parquet(str(accepted)).collect()}
+    assert 201 not in got2  # near-dups the batch-1 accept via the APPENDED index
+    assert 202 in got2
