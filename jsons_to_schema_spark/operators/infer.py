@@ -523,3 +523,23 @@ def infer_grouped(
         )
 
     return partials.groupBy(group_col).applyInPandas(merge, out_schema)
+
+
+def apply_schema(df: DataFrame, json_col: str, schema) -> DataFrame:
+    """Schema-on-read enforcement: parse a JSON text column into a TYPED
+    struct column using the engine's inferred draft schema — the
+    consumption half of the infer → validate → enforce loop (ddl.py is the
+    write half).
+
+    The draft maps to a Spark type via ddl.draft_to_spark_type (same
+    heterogeneous-degrades-to-STRING convention), then ``from_json`` runs
+    JVM-side — codegen JSON parsing, no Python.  Values that do not fit the
+    declared type come back null (from_json's PERMISSIVE mode), which is
+    exactly the separation of duties the engine wants: typed extraction
+    here, conformance VERDICTS from the validator (a null is not silently a
+    verdict)."""
+    from ..ddl import draft_to_spark_type
+
+    return df.withColumn(
+        "parsed", F.from_json(F.col(json_col), draft_to_spark_type(schema))
+    )

@@ -160,3 +160,40 @@ def key_skew_report(
         )
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
     )
+
+
+def dead_column_report(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-hygiene verdicts: per column, is it DEAD (all null) or
+    CONSTANT (one non-null value, no nulls — a column that stores nothing)?
+    At 100 TB a dead column still costs scan metadata, schema surface, and
+    writer CPU on every job; this report is how a table owner finds them.
+
+    ONE multi-aggregate scan (count + per-column null count / min / max —
+    the column_stats shape), then the wide row pivots to per-column verdict
+    rows via an array-of-structs inline — no second scan, no shuffle beyond
+    the aggregate's single row.  min/max comparison is on CASTed strings so
+    one report covers heterogeneous column types (the verdict only needs
+    equality, not order)."""
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                (F.col(f"_nulls_{c}") == F.col("_n")).alias("dead"),
+                (
+                    (F.col(f"_nulls_{c}") == 0)
+                    & (F.col(f"_min_{c}") == F.col(f"_max_{c}"))
+                ).alias("constant"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select("e.*")

@@ -2174,6 +2174,67 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "schema_apply_events_props",
+    oracle="""
+    SELECT event_id, CAST(props::JSON ->> '$.k' AS BIGINT) AS k
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def schema_apply_events_props(spark, sf_dir) -> DataFrame:
+    """Schema-on-read enforcement (infer.apply_schema): parse the JSON
+    column into TYPED columns using the engine's own inferred schema —
+    infer → enforce-on-read, all JVM-side (from_json with the
+    draft-derived Spark type; ddl.py is the enforce-on-write half)."""
+    from .operators.infer import apply_schema
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    schema, _ = infer_from_json_column(events, "props")
+    typed = apply_schema(events, "props", schema)
+    return typed.select("event_id", F.col("parsed.k").alias("k"))
+
+
+@query(
+    "dead_columns_documents",
+    oracle="""
+    SELECT 'doc_id' AS "column", count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(doc_id) = 0 AS dead,
+           count(*) - count(doc_id) = 0
+             AND min(CAST(doc_id AS VARCHAR)) = max(CAST(doc_id AS VARCHAR))
+             AS constant
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*), count(*) - count(text), count(text) = 0,
+           count(*) - count(text) = 0 AND min(text) = max(text)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(lang) = 0,
+           count(*) - count(lang) = 0 AND min(lang) = max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source), count(source) = 0,
+           count(*) - count(source) = 0 AND min(source) = max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars), count(n_chars) = 0,
+           count(*) - count(n_chars) = 0
+             AND min(CAST(n_chars AS VARCHAR)) = max(CAST(n_chars AS VARCHAR))
+    FROM documents
+    """,
+)
+def dead_columns_documents(spark, sf_dir) -> DataFrame:
+    """Column-hygiene report (stats.dead_column_report): dead / constant
+    column verdicts from ONE multi-aggregate scan, pivoted to per-column
+    rows with an inline array-of-structs explode."""
+    from .operators import stats as stats_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stats_ops.dead_column_report(docs)
+
+
+@query(
     "skew_report_media_refs",
     oracle="""
     WITH nn AS (

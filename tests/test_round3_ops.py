@@ -375,3 +375,33 @@ def test_key_skew_report_partitioning_invariant(spark):
     a = [tuple(r) for r in stats.key_skew_report(df, "k").collect()]
     b = [tuple(r) for r in stats.key_skew_report(df.repartition(5), "k").collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# dead/constant column report + schema-apply
+# ---------------------------------------------------------------------------
+
+def test_dead_column_report_planted(spark):
+    rows = [(i, None, "same", i % 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, dead_c string, const_c string, var_c long")
+    out = {r.column: r for r in stats.dead_column_report(df).collect()}
+    assert out["dead_c"].dead and not out["dead_c"].constant
+    assert out["const_c"].constant and not out["const_c"].dead
+    assert not out["var_c"].dead and not out["var_c"].constant
+    assert not out["id"].constant
+    assert out["dead_c"].n_nulls == 50 and out["id"].n_rows == 50
+
+
+def test_apply_schema_typed_extraction(spark):
+    from jsons_to_schema_spark.operators.infer import apply_schema
+    from jsons_to_schema_spark.schema_algebra import jsons_to_schema
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": 9, "tag": "b"}'), (3, None)],
+        "id long, doc string",
+    )
+    schema = jsons_to_schema([{"k": 7, "tag": "a"}, {"k": 9, "tag": "b"}])
+    out = {r.id: (r.k, r.tag) for r in apply_schema(df, "doc", schema)
+           .select("id", "parsed.k", "parsed.tag").collect()}
+    assert out[1] == (7, "a") and out[2] == (9, "b")
+    assert out[3] == (None, None)  # null text -> null struct, not an error
