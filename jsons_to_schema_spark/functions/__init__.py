@@ -13,6 +13,7 @@ from ..operators.dedup import (  # noqa: F401
     minhash_signature,
     simhash64,
 )
+from ..operators.sample import sample_key  # noqa: F401
 from ..operators.similarity import cosine, dot, norm  # noqa: F401
 from ..operators.text import (  # noqa: F401
     bpe_token_count,
@@ -22,6 +23,7 @@ from ..operators.text import (  # noqa: F401
     pii_counts,
     redact_pii,
     shingles,
+    shingles_from_tokens,
     token_count,
     tokens,
 )
@@ -38,7 +40,9 @@ __all__ = [
     "norm",
     "pii_counts",
     "redact_pii",
+    "sample_key",
     "shingles",
+    "shingles_from_tokens",
     "simhash64",
     "token_count",
     "tokens",
