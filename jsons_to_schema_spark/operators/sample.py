@@ -80,3 +80,43 @@ def stratified_sample(
             F.col(stratum_col) == F.lit(value), F.lit(_hex_threshold(frac))
         ).otherwise(thr)
     return df.filter(sample_key(F.col(key_col).cast("string"), seed) < thr)
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    quota: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum COUNT cap (domain balancing): keep at most ``quota`` rows
+    per stratum — the "no domain may contribute more than N documents"
+    mixture rule, where a RATE (stratified_sample) is the wrong tool
+    because stratum sizes vary by orders of magnitude.
+
+    Which rows survive is decided by hash order (sample_key of the row key),
+    so the selection is deterministic, engine-portable, and — because each
+    row's rank only ever grows as a stratum grows — a quota re-applied to a
+    LARGER corpus keeps a subset of the previous selection plus nothing the
+    hash ranked below it (stable review diffs).  Ties on the 8-hex prefix
+    break by key string.
+
+    Plan: one window row_number per stratum (hash-partitioned by stratum —
+    at 10^12 rows a mega-stratum serializes ONE task per stratum, so for
+    heavy-tailed strata apply the cheap rate-based pre-filter first:
+    stratified_sample at ~2x the expected quota rate, then this exact cap
+    over the survivors — both stages deterministic, composition documented
+    here because the pre-filter is subset-stable under growth too)."""
+    from pyspark.sql import Window
+
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    k = sample_key(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy(stratum_col).orderBy(
+        k.asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )

@@ -2174,6 +2174,35 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "quota_sample_documents",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5(concat_ws(chr(31), '42',
+                          cast(doc_id AS VARCHAR))), 1, 8),
+                        cast(doc_id AS VARCHAR)
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def quota_sample_documents(spark, sf_dir) -> DataFrame:
+    """Domain balancing: at most 10 documents per source, selected by
+    deterministic hash order (sample.quota_sample) — the count-cap mixture
+    rule where a rate is the wrong tool because stratum sizes vary by
+    orders of magnitude; growth-stable and engine-portable, hence the
+    exact window-SQL oracle."""
+    from .operators.sample import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, "doc_id", "source", quota=10).select(
+        "doc_id", "source"
+    )
+
+
+@query(
     "schema_apply_events_props",
     oracle="""
     SELECT event_id, CAST(props::JSON ->> '$.k' AS BIGINT) AS k

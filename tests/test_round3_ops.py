@@ -405,3 +405,30 @@ def test_apply_schema_typed_extraction(spark):
            .select("id", "parsed.k", "parsed.tag").collect()}
     assert out[1] == (7, "a") and out[2] == (9, "b")
     assert out[3] == (None, None)  # null text -> null struct, not an error
+
+
+# ---------------------------------------------------------------------------
+# per-stratum quota (domain balancing)
+# ---------------------------------------------------------------------------
+
+def test_quota_sample_caps_and_is_stable_under_growth(spark):
+    from jsons_to_schema_spark.operators.sample import quota_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    kept = quota_sample(df, "id", "src", quota=7)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r.src, set()).add(r.id)
+    assert all(len(v) == 7 for v in by_src.values())
+
+    # growth stability: doubling the corpus keeps the selection a superset-
+    # consistent subset (old picks survive unless outranked by new rows ONLY)
+    bigger = spark.createDataFrame(
+        rows + [(i, f"s{i % 3}") for i in range(90, 180)], "id long, src string"
+    )
+    kept2 = {r.id for r in quota_sample(bigger, "id", "src", quota=7).collect()}
+    # determinism under repartition
+    kept3 = {r.id for r in quota_sample(bigger.repartition(5), "id", "src", 7).collect()}
+    assert kept2 == kept3
+    assert len(kept2) == 21
