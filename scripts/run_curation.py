@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the training-data curation pipeline over a
+documents table — quality/repetition gates, language filter, exact +
+near-dup keep-one, PII redaction, eval-set decontamination, per-source
+quota, deterministic sampling, and sequence packing — one declarative run
+writing the curated corpus + a stage-by-stage funnel report.
+
+Cluster:
+    spark-submit --py-files dist/jsons_to_schema_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        --conf spark.sql.adaptive.skewJoin.enabled=true \\
+        scripts/run_curation.py \\
+        --docs <documents-table> --output /shared/curated \\
+        [--eval-docs <benchmark-docs-table>] [--source-quota N] \\
+        [--sample-fraction F] [--pack-budget 4096]
+
+Local smoke:
+    spark-submit --master local[8] --py-files dist/jsons_to_schema_spark.zip \\
+        scripts/run_curation.py --docs /root/testdata/sf0.01/documents.parquet \\
+        --output /tmp/curated --source-quota 20 --pack-budget 256
+
+Stage order is the cheap-first rule every 100 TB funnel follows: row-local
+projections (quality, repetition, lang) cut the corpus before anything
+that shuffles (dedup), and the broadcast-probe decontamination runs on the
+already-reduced survivor set.  Every stage is the oracled operator the
+driver checks at sf0.01 — this script only composes them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+# --py-files puts the package on the path on a cluster; this fallback makes
+# the local smoke invocation work from a bare checkout too.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--eval-docs", default=None,
+                    help="benchmark documents table for decontamination")
+    ap.add_argument("--langs", default="en", help="comma-separated keep set")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.3)
+    ap.add_argument("--near-dup-jaccard", type=float, default=0.7)
+    ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--source-quota", type=int, default=0,
+                    help="0 disables the per-source cap")
+    ap.add_argument("--sample-fraction", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="0 disables sequence packing output")
+    args = ap.parse_args()
+
+    from jsons_to_schema_spark.operators import decontam, dedup, pack, text
+    from jsons_to_schema_spark.operators.sample import (
+        deterministic_sample,
+        quota_sample,
+    )
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.docs)
+    funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    def stage(name: str, df):
+        funnel.append((name, df.count()))
+        return df
+
+    # 1. row-local gates first (no shuffle): quality, repetition, language
+    q = text.quality_features(docs, "text", "doc_id").filter(
+        (F.col("n_tokens") >= args.min_tokens) & F.col("length_ok")
+    )
+    docs1 = stage("quality", docs.join(q.select("doc_id"), "doc_id", "left_semi"))
+    rep = text.repetition_features(docs1, "text", "doc_id").filter(
+        F.col("dup_line_char_frac") <= args.max_dup_line_frac
+    )
+    docs2 = stage("repetition", docs1.join(rep.select("doc_id"), "doc_id", "left_semi"))
+    keep_langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+    lang = text.lang_id(docs2, "text", "doc_id").filter(
+        F.col("lang_pred").isin(keep_langs)
+    )
+    docs3 = stage("language", docs2.join(lang.select("doc_id"), "doc_id", "left_semi"))
+
+    # 2. dedup: exact keep-one, then near-dup cluster keep-one
+    docs4 = stage("exact_dedup", dedup.dedup_exact(docs3, "text", "doc_id"))
+    pairs = dedup.minhash_lsh_pairs(
+        docs4, "text", "doc_id", min_jaccard=args.near_dup_jaccard
+    )
+    clustered = dedup.assign_duplicate_clusters(docs4, pairs, "doc_id")
+    docs5 = stage(
+        "near_dedup", clustered.filter(F.col("keep")).select(*docs4.columns)
+    )
+
+    # 3. decontamination (broadcast probe over the reduced survivor set)
+    if args.eval_docs:
+        ev = decontam.eval_ngrams_from_docs(
+            spark.read.parquet(args.eval_docs), "text", "doc_id",
+            n=args.decontam_ngram,
+        )
+        docs6 = stage(
+            "decontam",
+            decontam.decontaminate(docs5, ev, "text", "doc_id",
+                                   n=args.decontam_ngram),
+        )
+    else:
+        docs6 = docs5
+
+    # 4. mixture shaping: per-source quota, then deterministic rate
+    if args.source_quota > 0:
+        docs6 = stage(
+            "source_quota",
+            quota_sample(docs6, "doc_id", "source", args.source_quota),
+        )
+    if args.sample_fraction < 1.0:
+        docs6 = stage(
+            "sample", deterministic_sample(docs6, "doc_id", args.sample_fraction)
+        )
+
+    # 5. PII redaction on the final survivor set (projection, no shuffle)
+    curated = docs6.withColumn("text", text.redact_pii(F.col("text")))
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    curated.write.mode("overwrite").parquet(str(out / "documents"))
+    funnel.append(("curated", spark.read.parquet(str(out / "documents")).count()))
+
+    if args.pack_budget > 0:
+        packed = pack.pack_sequences(
+            spark.read.parquet(str(out / "documents")),
+            "doc_id", "source", budget=args.pack_budget,
+        )
+        packed.write.mode("overwrite").parquet(str(out / "sequences"))
+
+    (out / "funnel.json").write_text(
+        json.dumps({name: n for name, n in funnel}, indent=1) + "\n"
+    )
+    for name, n in funnel:
+        print(f"{name:>14}: {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
