@@ -202,6 +202,23 @@ def frame_sample_plan(df: DataFrame, ref_col: str, every_ms: int = 1000) -> Data
     )
 
 
+def frame_plan_from_durations(
+    features: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-sampling work items from REAL decoded durations (r3): one
+    (media_ref, timestamp) row per ``every_ms`` across each media item's
+    actual duration_ms — the planner the real-codec decode stage feeds,
+    replacing frame_sample_plan's fixed horizon.  Pure built-ins (sequence
+    + explode, JVM-side); the fan-out is row-local, so repartition the PLAN
+    downstream, never the payloads."""
+    return features.select(
+        "media_ref",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("sample_at_ms"),
+    )
+
+
 FRAME_SCHEMA = "media_ref string, sample_at_ms int, frame_sha256 string, mean_luma int"
 
 
