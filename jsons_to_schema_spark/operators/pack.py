@@ -108,3 +108,47 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into token-budget chunks with optional overlap —
+    the upstream complement of pack_sequences (chunk first so no single
+    document exceeds the context budget, then pack the chunks).
+
+    One JVM projection per row: tokenize once (layered select so the token
+    array is an attribute, not re-evaluated), explode the chunk-start
+    offsets (sequence with stride chunk_tokens - overlap), slice each
+    chunk out of the token array.  The fan-out is row-local — no shuffle —
+    and bounded by ceil(n/stride) rows per doc.  Output (id, chunk_start,
+    n_chunk_tokens, chunk_text); empty documents yield no chunks.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    from .text import tokens
+
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
+    ).select("id", "_t", F.size("_t").alias("_n")).filter(F.col("_n") > 0)
+    exploded = base.select(
+        "id",
+        "_t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("chunk_start") + 1, chunk_tokens)
+    return exploded.select(
+        "id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -2202,6 +2202,32 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, tk, unnest(range(0, len(tk), 12)) AS cs
+      FROM t WHERE len(tk) > 0
+    )
+    SELECT doc_id AS id, CAST(cs AS BIGINT) AS chunk_start,
+           CAST(len(tk[cs + 1 : cs + 16]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[cs + 1 : cs + 16], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def chunk_documents(spark, sf_dir) -> DataFrame:
+    """Token-budget document chunking with overlap (pack.chunk_documents:
+    16-token chunks, 4-token overlap → stride 12) — the upstream complement
+    of sequence packing; row-local JVM fan-out, exactly SQL-oracled."""
+    from .operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack.chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+
+@query(
     "quota_sample_documents",
     oracle="""
     SELECT doc_id, source FROM (

@@ -432,3 +432,47 @@ def test_quota_sample_caps_and_is_stable_under_growth(spark):
     kept3 = {r.id for r in quota_sample(bigger.repartition(5), "id", "src", 7).collect()}
     assert kept2 == kept3
     assert len(kept2) == 21
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_exact(spark):
+    from jsons_to_schema_spark.operators.pack import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 1: 7 tokens, stride 3 -> starts 0,3,6
+    assert out == [
+        (1, 0, 4, "a b c d"),
+        (1, 3, 4, "d e f g"),
+        (1, 6, 1, "g"),
+        (2, 0, 2, "x y"),
+    ]
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Every token position is inside >=1 chunk; consecutive chunks share
+    exactly `overlap` tokens (except the tail)."""
+    from jsons_to_schema_spark.operators.pack import chunk_documents
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(40)
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=10, overlap=3)
+    toks = {r.doc_id: r.n for r in docs.selectExpr(
+        "doc_id", "size(filter(split(text, ' '), x -> x != '')) AS n").collect()}
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.id, []).append((r.chunk_start, r.n_chunk_tokens))
+    for did, chunks in per_doc.items():
+        chunks.sort()
+        covered = max(s + n for s, n in chunks)
+        assert covered == toks[did]
+        for (s1, n1), (s2, _) in zip(chunks, chunks[1:]):
+            assert s2 == s1 + 7  # stride = 10 - 3
