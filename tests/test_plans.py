@@ -212,3 +212,28 @@ def test_split_anomalies_is_two_aggregates_and_broadcast(spark):
     plan = audit.executed_plan(q)
     assert "HashAggregate" in plan
     assert "Broadcast" in plan, plan[:2000]
+
+
+def test_chunking_has_no_shuffle(spark):
+    """Chunking is a row-local fan-out: tokenize → explode → slice, all in
+    one stage — any Exchange in this plan is a bug."""
+    from jsons_to_schema_spark.operators import pack
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = pack.chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+    plan = audit.executed_plan(q)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_quota_sample_windows_per_stratum(spark):
+    """The quota cap's window is hash-partitioned by stratum — never a
+    global single-partition sort."""
+    from jsons_to_schema_spark.operators.sample import quota_sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = quota_sample(docs, "doc_id", "source", quota=10)
+    plan = audit.executed_plan(q)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(source" in plan, plan[:2000]
