@@ -234,6 +234,12 @@ def run_queries(spark, corpus) -> dict[str, float]:
         "pack_sequences_documents",
         lambda: pack.pack_sequences(docs, "doc_id", "source", budget=256).count(),
     )
+    timed(
+        "chunk_documents",
+        lambda: pack.chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=64, overlap=8
+        ).count(),
+    )
     # incremental-dedup probe: corpus index built ONCE outside the timer
     # (the per-snapshot cost); timed part is the per-ingest-batch probe
     mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
