@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .schema_algebra import Schema, _type_set, canonical_json, schema_diff
+from .schema_algebra import Schema, _type_set, schema_diff
 
 _SCALAR = {
     "integer": "BIGINT",

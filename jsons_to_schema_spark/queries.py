@@ -2202,6 +2202,47 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "packing_stats_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) + 1
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS s
+      FROM t
+    ), p AS (
+      SELECT shard, n_tokens,
+             shard || '#' || CAST(CAST(floor(s / 256) AS BIGINT) AS VARCHAR)
+               AS seq_id
+      FROM c
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(CAST(sum(n_tokens) AS BIGINT) / 256) AS BIGINT)
+             AS n_sequences,
+           count(DISTINCT seq_id) AS n_doc_start_sequences,
+           round(CAST(sum(n_tokens) AS BIGINT)
+                 / (ceil(CAST(sum(n_tokens) AS BIGINT) / 256) * 256), 6)
+             AS fill_ratio
+    FROM p GROUP BY shard
+    """,
+)
+def packing_stats_documents(spark, sf_dir) -> DataFrame:
+    """Per-shard packing report over the packed documents (pack.packing_
+    stats): exact sequence count ceil(total/budget), doc-start coverage,
+    final-sequence fill ratio — all integer-derived, exactly SQL-oracled."""
+    from .operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack.pack_sequences(docs, "doc_id", "source", budget=256)
+    return pack.packing_stats(packed, budget=256)
+
+
+@query(
     "chunk_documents",
     oracle="""
     WITH t AS (
