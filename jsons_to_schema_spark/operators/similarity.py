@@ -754,3 +754,208 @@ def semantic_dedup(
     return assigned.groupBy("_cell").applyInPandas(
         kern, "vec_id long, kept_id long, cos_sim double, cell int"
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized IVF index — the memory/IO scale path
+# ---------------------------------------------------------------------------
+
+def quantize_q8_kernel():
+    """Arrow-batched int8 quantization of L2-NORMALIZED vectors: per-vector
+    symmetric scale s = max|x|/127, codes = round(x/s) ∈ [-127, 127].
+    Output struct (q8: array<tinyint>, scale: float).  Deterministic (ties
+    round half-to-even via numpy, same on every host).  Null vectors,
+    all-zero vectors, and non-finite vectors (a zero vector arrives as IEEE
+    nan/inf from l2_normalize_kernel — see its docstring) yield null: no
+    direction to encode."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("struct<q8: array<tinyint>, scale: float>", PandasUDFType.SCALAR_ITER)
+    def kern(it):
+        for s in it:
+            q8s, scales = [], []
+            for v in s:
+                if v is None:
+                    q8s.append(None)
+                    scales.append(None)
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                m = np.max(np.abs(a)) if a.size else 0.0
+                if m == 0.0 or not np.isfinite(m):
+                    q8s.append(None)
+                    scales.append(None)
+                    continue
+                sc = m / 127.0
+                q8s.append(np.rint(a / sc).astype(np.int8).tolist())
+                scales.append(np.float32(sc))
+            yield pd.DataFrame({"q8": q8s, "scale": scales})
+
+    return kern
+
+
+def _q8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 code arrays (JVM fold over longs —
+    exact, no float rounding until the scale multiply)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def build_ivf_index_q8(
+    corpus: DataFrame,
+    index_dir,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> list[list[float]]:
+    """IVF index storing int8 CODES instead of float vectors — bytes per
+    vector drop from 8·dim (double array) to ~dim + 4 (codes + scale), an
+    ~8x smaller index to scan at probe time.  Exactness is recovered by a
+    RERANK join against the source corpus (ivf_topk_indexed_q8), so the
+    quantization error only affects which candidates reach the rerank —
+    recall, never the reported scores.
+
+    Same layout contract as build_ivf_index (cells/ partitioned by cell +
+    centroids.json sidecar, marked "quantized": true); codes are computed
+    from the L2-normalized vectors, so approx cosine = dot(q8a, q8b)·sa·sb."""
+    import json
+    from pathlib import Path
+
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    centroids = ivf_train_centroids(
+        corpus, vec_col, n_cells=n_cells, iters=iters, seed=seed,
+        sample_limit=sample_limit,
+    )
+    normed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize_kernel()(F.col(vec_col)).alias("_nv"),
+        assign_cells_kernel(centroids)(F.col(vec_col)).alias("cell"),
+    )
+    assigned = normed.select(
+        "vec_id",
+        "cell",
+        quantize_q8_kernel()(F.col("_nv")).alias("_q"),
+    ).select(
+        "vec_id",
+        F.col("_q.q8").alias("q8"),
+        F.col("_q.scale").alias("scale"),
+        "cell",
+    ).filter(F.col("q8").isNotNull())
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(str(out / "cells"))
+    (out / "centroids.json").write_text(
+        json.dumps(
+            {"centroids": centroids, "n_cells": n_cells, "seed": seed,
+             "quantized": True},
+            sort_keys=True,
+        )
+    )
+    return centroids
+
+
+def ivf_topk_indexed_q8(
+    spark,
+    index_dir,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    oversample: int = 4,
+) -> DataFrame:
+    """Top-k against the quantized index: approx-score the probed cells'
+    int8 codes (exact integer dot × scales — cheap and deterministic), keep
+    k·oversample candidates per query, then RERANK exactly by joining the
+    source corpus vectors — output scores are full-precision cosine,
+    identical in kind to brute_force_topk; quantization affects only which
+    candidates survive to the rerank.
+
+    Scale shape: probe join is broadcast(query codes) against the cell-
+    partitioned code table (8x less IO than float cells); the rerank joins
+    the (tiny, k·oversample·|Q|-row) candidate set back to the corpus via
+    broadcast — the corpus is never shuffled."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    meta = json.loads((Path(index_dir) / "centroids.json").read_text())
+    if not meta.get("quantized"):
+        raise ValueError(f"{index_dir} is not a quantized index")
+    centroids = meta["centroids"]
+    cells = spark.read.parquet(str(Path(index_dir) / "cells")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q8").alias("_nq8"),
+        F.col("scale").alias("_nsc"),
+        "cell",
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize_kernel()(F.col(vec_col)).alias("_nv"),
+        F.explode(
+            topcells_kernel(centroids, n_probe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    q = F.broadcast(
+        qn.select(
+            "query_id",
+            "cell",
+            quantize_q8_kernel()(F.col("_nv")).alias("_q"),
+        ).select(
+            "query_id",
+            "cell",
+            F.col("_q.q8").alias("_qq8"),
+            F.col("_q.scale").alias("_qsc"),
+        )
+    )
+    approx = (
+        q.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _q8_dot(F.col("_qq8"), F.col("_nq8"))
+                * F.col("_qsc").cast("double")
+                * F.col("_nsc").cast("double")
+            ).alias("_approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    exact = (
+        nv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

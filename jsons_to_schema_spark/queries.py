@@ -1383,6 +1383,32 @@ def similarity_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
     return similarity.ivf_topk_indexed(spark, idx, queries_df, k=10, n_probe=8)
 
 
+@query("similarity_ivf_q8_topk_embeddings")
+def similarity_ivf_q8_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """int8-QUANTIZED IVF probe with exact rerank (similarity.
+    build_ivf_index_q8 / ivf_topk_indexed_q8): the index stores codes +
+    scale (~8x less IO than float cells); approx integer-dot scores gate
+    candidacy, the corpus join reranks at full precision — recall ≥0.9 vs
+    brute force asserted in tests/test_round3_ops.py; deterministic →
+    pinned oracle."""
+    from pathlib import Path
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    idx = (
+        Path(__file__).resolve().parents[1]
+        / ".cache"
+        / f"ivfq8_{Path(sf_dir).name}_c16_i2_s42"
+    )
+    if not (idx / "centroids.json").exists():
+        similarity.build_ivf_index_q8(emb, idx, n_cells=16, iters=2, seed=42)
+    return similarity.ivf_topk_indexed_q8(
+        spark, idx, queries_df, emb, k=10, n_probe=8, oversample=4
+    )
+
+
 # ===========================================================================
 # Canonical spans table — constraint validation (synthetic input → rows-only;
 # exact-count assertions live in tests/test_validate_spans.py)

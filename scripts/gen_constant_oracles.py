@@ -37,6 +37,7 @@ NAMES = [
     "dedup_simhash_documents",
     "similarity_lsh_topk_embeddings",
     "similarity_ivf_topk_embeddings",
+    "similarity_ivf_q8_topk_embeddings",
     "drift_events_value_tdigest",
     "schema_infer_spans_tuple_mode",
 ]

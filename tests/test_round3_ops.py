@@ -476,3 +476,58 @@ def test_chunk_documents_covers_all_tokens(spark):
         assert covered == toks[did]
         for (s1, n1), (s2, _) in zip(chunks, chunks[1:]):
             assert s2 == s1 + 7  # stride = 10 - 3
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized IVF index
+# ---------------------------------------------------------------------------
+
+def test_ivf_q8_recall_vs_brute_force(spark, tmp_path):
+    """Quantized-index probe with exact rerank: high recall vs brute force,
+    and every reported score equals the full-precision cosine (quantization
+    only gates candidacy, never scores)."""
+    from jsons_to_schema_spark.operators import similarity
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    idx = tmp_path / "ivf_q8"
+    similarity.build_ivf_index_q8(emb, idx, n_cells=8, iters=2, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.ivf_topk_indexed_q8(
+        spark, idx, queries, emb, k=10, n_probe=8, oversample=4
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    g = {(r.query_id, r.neighbor_id): r.cos_sim for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    # n_probe = n_cells -> candidacy limited only by oversample truncation
+    recall = len(g.keys() & e.keys()) / len(e)
+    assert recall >= 0.9, recall
+    for key in g.keys() & e.keys():
+        assert abs(g[key] - e[key]) < 1e-9  # scores are full precision
+
+
+def test_q8_quantization_roundtrip(spark):
+    """Codes reconstruct the normalized vector to within the 1/254 grid, and
+    zero/null vectors yield null."""
+    from jsons_to_schema_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.q
+        for r in df.select(
+            "vec_id",
+            similarity.quantize_q8_kernel()(
+                similarity.l2_normalize_kernel()(F.col("embedding"))
+            ).alias("q"),
+        ).collect()
+    }
+    q1 = out[1]
+    assert q1 is not None
+    recon = [c * q1.scale for c in q1.q8]
+    assert abs(recon[0] - 0.6) < 1 / 127 and abs(recon[1] - 0.8) < 1 / 127
+    assert out[2] is None or out[2].q8 is None
+    assert out[3] is None or out[3].q8 is None
