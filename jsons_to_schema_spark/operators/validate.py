@@ -630,3 +630,79 @@ def struct_conformance_report(df: DataFrame, schema: Schema) -> DataFrame:
         .groupBy(F.col("ok_schema").alias("valid"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# User-definable rule DSL — arbitrary constraint checks over any table
+# ---------------------------------------------------------------------------
+
+def rule_verdicts(
+    df: DataFrame,
+    rules: "dict[str, F.Column]",
+    by: "Optional[str]" = None,
+) -> DataFrame:
+    """Declarative data-quality rules over ANY table: each rule is a boolean
+    Column that must hold per row (e.g. ``F.col("value") >= 0``, or a
+    conditional ``~cond | predicate`` implication); output is one verdict
+    row per rule — n_rows, violations, pass flag — or per (group, rule)
+    when ``by`` names a grouping column (a split id, a date partition).
+
+    This generalizes the engine's built-in span checks (ROW_CHECKS) into
+    the user surface: rules stay Catalyst expressions, so the whole check
+    suite is ONE multi-aggregate scan with map-side partials — adding a
+    rule adds an aggregate expression, never a pass over the data.  A NULL
+    rule value (predicate not evaluable on that row) counts as a violation
+    only if the rule says so — wrap with ``coalesce(pred, lit(False))`` or
+    ``...isNotNull() & pred`` to choose; the engine does not guess."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(
+                f"viol_{name}"
+            )
+        )
+    wide = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"viol_{name}").alias("n_violations"),
+                (F.col(f"viol_{name}") == 0).alias("passed"),
+            )
+            for name in rules
+        ]
+    )
+    keys = [F.col(by)] if by else []
+    return wide.select(*keys, F.explode(entries).alias("e")).select(
+        *([by] if by else []), "e.*"
+    )
+
+
+def rule_violation_rows(
+    df: DataFrame,
+    rules: "dict[str, F.Column]",
+    id_col: str,
+    cap_per_rule: int = 100,
+) -> DataFrame:
+    """The row-level companion: (id, rule) for each violating row, capped
+    per rule via the same two-stage WindowGroupLimit shape row_violations
+    uses (deterministic: smallest ids win)."""
+    from pyspark.sql import Window
+
+    branches = []
+    for name, pred in rules.items():
+        branches.append(
+            df.filter(~F.coalesce(pred, F.lit(False))).select(
+                F.col(id_col).alias("id"), F.lit(name).alias("rule")
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    w = Window.partitionBy("rule").orderBy("id")
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap_per_rule)
+        .drop("_r")
+    )

@@ -2228,6 +2228,44 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "rule_verdicts_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CASE WHEN NOT coalesce(value >= 0, false)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_nonneg,
+             CAST(sum(CASE WHEN NOT coalesce(ts IS NOT NULL, false)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+             CAST(sum(CASE WHEN NOT coalesce(
+                             event_type <> 'purchase' OR value > 0, false)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_purchase
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'value_nonneg' AS rule, n_rows,
+           v_nonneg AS n_violations, v_nonneg = 0 AS passed FROM g
+    UNION ALL
+    SELECT event_type, 'ts_present', n_rows, v_ts, v_ts = 0 FROM g
+    UNION ALL
+    SELECT event_type, 'purchase_value_positive', n_rows, v_purchase,
+           v_purchase = 0 FROM g
+    """,
+)
+def rule_verdicts_events(spark, sf_dir) -> DataFrame:
+    """User-definable rule DSL (validate.rule_verdicts): three declarative
+    rules — a range check, a presence check, and a CONDITIONAL implication
+    — evaluated per event_type in ONE multi-aggregate scan; adding a rule
+    adds an aggregate expression, never a pass over the data."""
+    events = load_table(spark, sf_dir, "events")
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "ts_present": F.col("ts").isNotNull(),
+        "purchase_value_positive": (F.col("event_type") != "purchase")
+        | (F.col("value") > 0),
+    }
+    return validate.rule_verdicts(events, rules, by="event_type")
+
+
+@query(
     "packing_stats_documents",
     oracle="""
     WITH t AS (

@@ -531,3 +531,48 @@ def test_q8_quantization_roundtrip(spark):
     assert abs(recon[0] - 0.6) < 1 / 127 and abs(recon[1] - 0.8) < 1 / 127
     assert out[2] is None or out[2].q8 is None
     assert out[3] is None or out[3].q8 is None
+
+
+# ---------------------------------------------------------------------------
+# rule DSL
+# ---------------------------------------------------------------------------
+
+def test_rule_verdicts_and_violation_rows(spark):
+    from jsons_to_schema_spark.operators import validate as validate_ops
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "a"), (3, None, "b"), (4, 2.0, "b")],
+        "id long, v double, g string",
+    )
+    rules = {
+        "v_nonneg": F.col("v") >= 0,
+        "v_present": F.col("v").isNotNull(),
+    }
+    out = {r.rule: r for r in validate_ops.rule_verdicts(df, rules).collect()}
+    # null v counts as violation for BOTH rules (coalesce-to-False default)
+    assert out["v_nonneg"].n_violations == 2 and not out["v_nonneg"].passed
+    assert out["v_present"].n_violations == 1
+    assert out["v_nonneg"].n_rows == 4
+
+    grouped = {
+        (r.g, r.rule): r.n_violations
+        for r in validate_ops.rule_verdicts(df, rules, by="g").collect()
+    }
+    assert grouped[("a", "v_nonneg")] == 1 and grouped[("b", "v_nonneg")] == 1
+    assert grouped[("b", "v_present")] == 1 and grouped[("a", "v_present")] == 0
+
+    rows = {(r.id, r.rule) for r in
+            validate_ops.rule_violation_rows(df, rules, "id").collect()}
+    assert rows == {(2, "v_nonneg"), (3, "v_nonneg"), (3, "v_present")}
+
+
+def test_rule_verdicts_single_scan(spark):
+    from jsons_to_schema_spark.operators import validate as validate_ops
+    from jsons_to_schema_spark.plans import audit
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = validate_ops.rule_verdicts(
+        events, {"v": F.col("value") >= 0, "t": F.col("ts").isNotNull()}
+    )
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
