@@ -2486,6 +2486,84 @@ def schema_evolution_ddl(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "stream_rule_window_counts",
+    oracle="""
+    WITH t AS (SELECT CAST(substr(doc_id, 5) AS BIGINT) % 60 AS m,
+                      doc_id, spans
+               FROM read_parquet('__SPANS_GLOB__')),
+         v AS (SELECT 1767225600 + m * 60 AS window_start,
+                      CASE WHEN NOT coalesce(len(spans) > 0, false)
+                           THEN 1 ELSE 0 END AS f_has,
+                      CASE WHEN NOT coalesce(
+                               regexp_matches(doc_id, '^(doc|hot)-[0-9]{12}$'),
+                               false)
+                           THEN 1 ELSE 0 END AS f_id,
+                      CASE WHEN NOT coalesce(
+                               len(list_filter(spans, s -> s.offset < 0)) = 0,
+                               false)
+                           THEN 1 ELSE 0 END AS f_off
+               FROM t)
+    SELECT window_start, window_start + 60 AS window_end,
+           'has_spans' AS rule, count(*) AS n_rows,
+           CAST(sum(f_has) AS BIGINT) AS n_violations
+    FROM v GROUP BY window_start
+    UNION ALL
+    SELECT window_start, window_start + 60, 'id_wellformed',
+           count(*), CAST(sum(f_id) AS BIGINT)
+    FROM v GROUP BY window_start
+    UNION ALL
+    SELECT window_start, window_start + 60, 'offsets_nonneg',
+           count(*), CAST(sum(f_off) AS BIGINT)
+    FROM v GROUP BY window_start
+    """,
+)
+def stream_rule_window_counts(spark, sf_dir) -> DataFrame:
+    """Streaming twin of the rule DSL (streaming/monitor.py::
+    rule_counts_stream): three USER-DEFINED rules — an array-size check, a
+    regex id-format check, and a forall-over-elements check — scored per
+    event-time window; same derived-event-time / availableNow /
+    complete-mode-memory-sink harness as stream_violation_window_counts."""
+    import uuid
+
+    from .streaming.monitor import rule_counts_stream
+
+    corpus = _spans_corpus(spark)
+    tmp = _stream_tmp("stream_rwc_")
+    stream = _spans_stream(spark, corpus).withColumn(
+        "event_time",
+        F.timestamp_seconds(
+            F.lit(1767225600)
+            + (F.substring("doc_id", 5, 12).cast("long") % 60) * 60
+        ),
+    )
+    rules = {
+        "has_spans": F.size("spans") > 0,
+        "id_wellformed": F.col("doc_id").rlike(r"^(doc|hot)-[0-9]{12}$"),
+        "offsets_nonneg": F.forall("spans", lambda s: s["offset"] >= 0),
+    }
+    counts = rule_counts_stream(
+        stream, rules, window_duration="1 minute", watermark="2 minutes"
+    )
+    name = f"srwc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("window_end").cast("long").alias("window_end"),
+        "rule",
+        "n_rows",
+        "n_violations",
+    )
+
+
 @query("dedup_incremental_minhash")
 def dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     """Incremental (cross-snapshot) dedup: probe a NEW ingest batch (doc_id

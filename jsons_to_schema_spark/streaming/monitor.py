@@ -61,3 +61,50 @@ def violation_counts_stream(
             "n_failed",
         )
     )
+
+
+def rule_counts_stream(
+    stream: DataFrame,
+    rules: dict,
+    event_time_col: str = "event_time",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch rule DSL (validate.rule_verdicts): per
+    event-time window and USER-DEFINED rule, row and violation counts —
+    the same watermark-bounded windowed-aggregation shape as
+    violation_counts_stream, generalized from the built-in span checks to
+    arbitrary Catalyst-expression rules.  NULL rule values count as
+    violations (coalesce-to-False, matching the batch DSL's documented
+    default)."""
+    flagged = stream.withWatermark(event_time_col, watermark)
+    checks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.coalesce(pred, F.lit(False)).alias("ok"),
+            )
+            for name, pred in rules.items()
+        ]
+    )
+    per_rule = flagged.select(
+        F.col(event_time_col), F.explode(checks_arr).alias("_c")
+    ).select(
+        event_time_col, F.col("_c.rule").alias("rule"), F.col("_c.ok").alias("ok")
+    )
+    return (
+        per_rule.groupBy(
+            F.window(event_time_col, window_duration).alias("w"), "rule"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_violations"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rule",
+            "n_rows",
+            "n_violations",
+        )
+    )

@@ -232,3 +232,52 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     got2 = {r.doc_id for r in spark.read.parquet(str(accepted)).collect()}
     assert 201 not in got2  # near-dups the batch-1 accept via the APPENDED index
     assert 202 in got2
+
+
+def test_rule_counts_stream_user_rules(spark, tmp_path):
+    """Streaming twin of the batch rule DSL: user-defined rules scored per
+    window; totals agree with a batch evaluation of the same rules."""
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.operators.validate import rule_verdicts
+    from jsons_to_schema_spark.streaming.monitor import rule_counts_stream
+
+    src = tmp_path / "rules_src"
+    n = 300
+    rows = [
+        (i % 150, float(i - 10), "purchase" if i % 3 == 0 else "view")
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, "sec long, value double, kind string").select(
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.col("sec").cast("int").cast("interval second")
+        ).alias("event_time"),
+        "value",
+        "kind",
+    ).write.mode("overwrite").parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "purchase_positive": (F.col("kind") != "purchase") | (F.col("value") > 0),
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = rule_counts_stream(stream, rules, "event_time", "1 minute", "2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rule_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rule_counts").collect()
+    assert {r.rule for r in rows} == set(rules)
+    stream_totals = {}
+    for r in rows:
+        stream_totals[r.rule] = stream_totals.get(r.rule, 0) + r.n_violations
+    batch_totals = {
+        r.rule: r.n_violations for r in rule_verdicts(batch, rules).collect()
+    }
+    assert stream_totals == batch_totals
+    assert sum(r.n_rows for r in rows) == n * 2
