@@ -373,3 +373,60 @@ def corpus_line_dedup(
         .alias("n_removed_lines"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (dedup-key canonicalization)
+# ---------------------------------------------------------------------------
+
+def normalize_text_kernel(lower: bool = True, strip_accents: bool = True):
+    """Arrow-batched unicode canonicalization: lower → NFC → accent strip
+    (NFD, drop combining marks Mn, recompose NFC) — the composition DuckDB's
+    ``strip_accents(nfc_normalize(lower(s)))`` computes, which is what makes
+    the operator exactly cross-engine-oracle-able.  Canonicalizing BEFORE
+    hashing/shingling is what keeps 'École', 'école' and the decomposed
+    'e\\u0301cole' in one dedup bucket.
+
+    This is a Python (Arrow) stage — unicodedata has no JVM builtin — so it
+    is the documented slow path: run it once to materialize a normalized
+    column, not inline inside hot per-query expressions; ASCII-dominated
+    corpora can gate it on ``rlike('[^\\x00-\\x7f]')`` to keep the Python
+    cost proportional to the non-ASCII fraction."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def one(s):
+        if s is None:
+            return None
+        t = s.lower() if lower else s
+        t = unicodedata.normalize("NFC", t)
+        if strip_accents:
+            t = unicodedata.normalize(
+                "NFC",
+                "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", t)
+                    if unicodedata.category(c) != "Mn"
+                ),
+            )
+        return t
+
+    @pandas_udf("string", PandasUDFType.SCALAR_ITER)
+    def kern(it):
+        for s in it:
+            yield pd.Series([one(v) for v in s], dtype=object)
+
+    return kern
+
+
+def normalize_text(
+    df: DataFrame, col: str, id_col: str, lower: bool = True,
+    strip_accents: bool = True,
+) -> DataFrame:
+    """(id, norm_text) — canonicalized text for dedup keys / shingles."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        normalize_text_kernel(lower, strip_accents)(F.col(col)).alias("norm_text"),
+    )

@@ -2227,6 +2227,38 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+_UNICODE_PLANTS = [
+    (1, "École"),
+    (2, "café au lait"),
+    (3, "naïve APPROACH"),
+    (4, "école"),  # decomposed: e + combining acute
+    (5, "ZÜRICH and ångström"),
+    (6, "plain ascii stays put"),
+    (7, None),
+]
+
+
+@query(
+    "normalize_text_unicode",
+    oracle="""
+    SELECT id, strip_accents(nfc_normalize(lower(s))) AS norm_text
+    FROM (VALUES (1, 'École'), (2, 'café au lait'), (3, 'naïve APPROACH'),
+                 (4, 'e' || chr(769) || 'cole'),
+                 (5, 'ZÜRICH and ångström'),
+                 (6, 'plain ascii stays put'),
+                 (7, CAST(NULL AS VARCHAR))) AS t(id, s)
+    """,
+)
+def normalize_text_unicode(spark, sf_dir) -> DataFrame:
+    """Unicode canonicalization parity on PLANTED non-ASCII strings
+    (composed, decomposed, mixed-case, null): the Arrow kernel
+    (text.normalize_text) must agree byte-for-byte with DuckDB's
+    strip_accents(nfc_normalize(lower(s))) — the property that makes
+    normalized dedup keys engine-portable."""
+    df = spark.createDataFrame(_UNICODE_PLANTS, "id long, text string")
+    return text.normalize_text(df, "text", "id")
+
+
 @query(
     "rule_verdicts_events",
     oracle="""

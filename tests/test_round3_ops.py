@@ -576,3 +576,20 @@ def test_rule_verdicts_single_scan(spark):
     )
     assert audit.scan_count(q) == 1
     assert audit.has_partial_aggregate(q)
+
+
+def test_normalize_text_idempotent_and_bucketing(spark):
+    from jsons_to_schema_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "École"), (2, "école"), (3, "ECOLE"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.norm_text for r in text_ops.normalize_text(df, "text", "doc_id").collect()}
+    # composed, decomposed, and case variants land in ONE dedup bucket
+    assert out[1] == out[2] == out[3] == "ecole"
+    assert out[4] is None
+    # idempotence: normalizing the normalized form is a fixpoint
+    df2 = spark.createDataFrame([(k, v) for k, v in out.items() if v], "doc_id long, text string")
+    out2 = {r.id: r.norm_text for r in text_ops.normalize_text(df2, "text", "doc_id").collect()}
+    assert all(out2[k] == out[k] for k in out2)
