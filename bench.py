@@ -224,7 +224,7 @@ def run_queries(spark, corpus) -> dict[str, float]:
     # the timed part (n-gram explode + broadcast semi-join + hit aggregate)
     # is what every ingest batch pays
     ev = decontam.eval_ngrams_from_docs(
-        docs.filter(F.col("doc_id") % 83 == 0), "text", "doc_id", n=5
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
     )
     timed(
         "decontam_documents",

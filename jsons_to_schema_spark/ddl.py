@@ -106,7 +106,7 @@ def create_table_ddl(
     )
     ddl = f"CREATE TABLE {table} (\n  {cols}\n) USING {using}"
     if partition_by:
-        ddl += " PARTITIONED BY (" + ", ".join(partition_by) + ")"
+        ddl += " PARTITIONED BY (" + ", ".join(_quote(c) for c in partition_by) + ")"
     return ddl
 
 

@@ -35,9 +35,7 @@ from pyspark.sql import functions as F
 from .text import shingles_from_tokens, tokens
 
 
-def eval_ngrams_from_docs(
-    docs: DataFrame, col: str, id_col: str, n: int = 5
-) -> DataFrame:
+def eval_ngrams_from_docs(docs: DataFrame, col: str, n: int = 5) -> DataFrame:
     """Distinct word n-grams of an evaluation-set documents table → one
     ``ngram`` column.  Tokenization is identical to the corpus side (same
     split-on-space kernel) — a decontamination check with mismatched
@@ -71,7 +69,10 @@ def contamination_hits(
             F.array_distinct(shingles_from_tokens(F.col("_t"), n))
         ).alias("ngram"),
     )
-    hits = probe.join(F.broadcast(eval_ngrams.select("ngram")), "ngram")
+    # defensive distinct: n_hits counts DISTINCT overlaps only if the join
+    # is 1:1 per (doc, ngram) — an eval set unioned from several benchmark
+    # files carries duplicate n-grams and would multiply every hit row.
+    hits = probe.join(F.broadcast(eval_ngrams.select("ngram").distinct()), "ngram")
     return hits.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_hits"),  # distinct by construction
         F.min("ngram").alias("first_hit"),
@@ -98,7 +99,7 @@ def decontaminate(
         ).alias("ngram"),
     )
     dirty = (
-        probe.join(F.broadcast(eval_ngrams.select("ngram")), "ngram")
+        probe.join(F.broadcast(eval_ngrams.select("ngram").distinct()), "ngram")
         .select("_did")
         .distinct()
     )

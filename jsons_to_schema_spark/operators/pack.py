@@ -126,7 +126,10 @@ def chunk_documents(
     offsets (sequence with stride chunk_tokens - overlap), slice each
     chunk out of the token array.  The fan-out is row-local — no shuffle —
     and bounded by ceil(n/stride) rows per doc.  Output (id, chunk_start,
-    n_chunk_tokens, chunk_text); empty documents yield no chunks.
+    n_chunk_tokens, chunk_text); empty documents yield no chunks.  A tail
+    start whose window adds NO new tokens (start + overlap >= n, i.e. the
+    chunk is fully contained in its predecessor) is suppressed — emitting
+    it would duplicate up to ``overlap`` tokens as a standalone chunk.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
@@ -142,7 +145,10 @@ def chunk_documents(
         "id",
         "_t",
         F.explode(
-            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            F.filter(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride)),
+                lambda s: (s == 0) | (s + overlap < F.col("_n")),
+            )
         ).alias("chunk_start"),
     )
     chunk = F.slice(F.col("_t"), F.col("chunk_start") + 1, chunk_tokens)

@@ -355,12 +355,25 @@ def l2_normalize_kernel():
                 else:
                     dense.append((i, a.astype(np.float64)))
             if dense:
-                idx = [i for i, _ in dense]
-                X = np.vstack([x for _, x in dense])
-                n = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
-                N = X / n[:, None]
-                for i, row in zip(idx, N):
-                    out[i] = row.tolist()
+                dims = {x.shape[0] for _, x in dense}
+                if len(dims) == 1 and 0 not in dims:
+                    idx = [i for i, _ in dense]
+                    X = np.vstack([x for _, x in dense])
+                    n = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+                    N = X / n[:, None]
+                    for i, row in zip(idx, N):
+                        out[i] = row.tolist()
+                else:
+                    # ragged batch (mixed embedding dims) or zero-length
+                    # vectors: fall back to per-row math — same sequential
+                    # cumsum fold, so results stay bit-identical; empty
+                    # vectors yield empty arrays (nothing to normalize).
+                    for i, x in dense:
+                        if x.shape[0] == 0:
+                            out[i] = []
+                        else:
+                            nn = np.sqrt(np.cumsum(x * x)[-1])
+                            out[i] = (x / nn).tolist()
             yield pd.Series(out)
 
     return kern

@@ -181,16 +181,19 @@ def dead_column_report(df: DataFrame, columns: list[str] | None = None) -> DataF
         aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
     wide = df.agg(*aggs)
+    def _bq(n: str) -> "F.Column":  # column names may contain dots
+        return F.col("`" + n.replace("`", "``") + "`")
+
     entries = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("_n").alias("n_rows"),
-                F.col(f"_nulls_{c}").alias("n_nulls"),
-                (F.col(f"_nulls_{c}") == F.col("_n")).alias("dead"),
+                _bq(f"_nulls_{c}").alias("n_nulls"),
+                (_bq(f"_nulls_{c}") == F.col("_n")).alias("dead"),
                 (
-                    (F.col(f"_nulls_{c}") == 0)
-                    & (F.col(f"_min_{c}") == F.col(f"_max_{c}"))
+                    (_bq(f"_nulls_{c}") == 0)
+                    & (_bq(f"_min_{c}") == _bq(f"_max_{c}"))
                 ).alias("constant"),
             )
             for c in columns

@@ -654,6 +654,9 @@ def rule_verdicts(
     rule value (predicate not evaluable on that row) counts as a violation
     only if the rule says so — wrap with ``coalesce(pred, lit(False))`` or
     ``...isNotNull() & pred`` to choose; the engine does not guess."""
+    def _bq(n: str) -> "F.Column":  # rule names may contain dots/backticks
+        return F.col("`" + n.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, pred in rules.items():
         aggs.append(
@@ -667,8 +670,8 @@ def rule_verdicts(
             F.struct(
                 F.lit(name).alias("rule"),
                 F.col("n_rows").alias("n_rows"),
-                F.col(f"viol_{name}").alias("n_violations"),
-                (F.col(f"viol_{name}") == 0).alias("passed"),
+                _bq(f"viol_{name}").alias("n_violations"),
+                (_bq(f"viol_{name}") == 0).alias("passed"),
             )
             for name in rules
         ]
@@ -690,6 +693,10 @@ def rule_violation_rows(
     uses (deterministic: smallest ids win)."""
     from pyspark.sql import Window
 
+    if not rules:  # mirror rule_verdicts: empty suite -> empty result
+        return df.select(
+            F.col(id_col).alias("id"), F.lit("").alias("rule")
+        ).limit(0)
     branches = []
     for name, pred in rules.items():
         branches.append(

@@ -2186,7 +2186,7 @@ def decontam_documents(spark, sf_dir) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ev = decontam.eval_ngrams_from_docs(
-        docs.filter(F.col("doc_id") % 83 == 0), "text", "doc_id", n=5
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
     )
     hits = decontam.contamination_hits(docs, ev, "text", "doc_id", n=5)
     return hits.select(
@@ -2344,9 +2344,11 @@ def packing_stats_documents(spark, sf_dir) -> DataFrame:
     WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
       FROM documents
-    ), s AS (
+    ), s0 AS (
       SELECT doc_id, tk, unnest(range(0, len(tk), 12)) AS cs
       FROM t WHERE len(tk) > 0
+    ), s AS (
+      SELECT doc_id, tk, cs FROM s0 WHERE cs = 0 OR cs + 4 < len(tk)
     )
     SELECT doc_id AS id, CAST(cs AS BIGINT) AS chunk_start,
            CAST(len(tk[cs + 1 : cs + 16]) AS BIGINT) AS n_chunk_tokens,

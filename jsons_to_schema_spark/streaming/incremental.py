@@ -206,11 +206,20 @@ def dedup_ingest_stream(
 
     Why foreachBatch and not a stateful operator: the "state" here is the
     corpus index — far too large for the state store, already persisted,
-    and shared with the batch engine.  The stream checkpoint provides
-    exactly-once batch ids; the index append is idempotent under replay at
-    the cost of duplicate bucket rows (probe results are distinct-ed, so
-    verdicts stay correct — same tolerance the batch engine has for
-    re-committed splits).
+    and shared with the batch engine.
+
+    Replay safety (foreachBatch is AT-LEAST-once, so every write must be
+    replay-tolerant): the accepted table is written as one
+    ``batch_id=<id>`` partition with OVERWRITE — a replayed batch replaces
+    its own partition, never appends a second copy; the probe excludes
+    self-matches (``new_id != corpus_id``), so a replay whose earlier
+    attempt already appended this batch's rows to the index does not drop
+    the batch as a "duplicate" of itself; and the index append is
+    idempotent at the cost of duplicate bucket rows (probe results are
+    distinct-ed, so verdicts stay correct — same tolerance the batch
+    engine has for re-committed splits).  The one residual anomaly is
+    duplicate index bucket/shingle rows after a crash between the two
+    writes — extra candidate rows, never wrong verdicts.
 
     Within-batch duplicates: the batch is ALSO probed against itself via
     the batch LSH engine, keeping the min-id representative — so two copies
@@ -228,17 +237,22 @@ def dedup_ingest_stream(
         )
         local = dedup.assign_duplicate_clusters(batch_df, pairs, "doc_id")
         survivors = local.filter(F.col("keep")).select(*batch_df.columns)
-        # 2. cross-batch: drop anything near-duplicating the accepted corpus
+        # 2. cross-batch: drop anything near-duplicating the accepted corpus.
+        # new_id != corpus_id is the replay guard: after a crash between the
+        # index append and the checkpoint advance, the re-run batch's own
+        # rows are already in the index and must not reject the batch.
         hits = dedup.minhash_probe_index(
             spark, index_dir, survivors, min_jaccard=min_jaccard
-        )
+        ).filter(F.col("new_id") != F.col("corpus_id"))
         clean = survivors.join(
             hits.select(F.col("new_id").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
-        ).localCheckpoint(eager=True)  # used twice: table append + index append
-        # 3. accept: append to the corpus table AND the index
-        clean.write.mode("append").parquet(accepted_dir)
+        ).localCheckpoint(eager=True)  # used twice: table write + index append
+        # 3. accept: idempotent per-batch partition overwrite, then index
+        clean.write.mode("overwrite").parquet(
+            f"{accepted_dir}/batch_id={batch_id}"
+        )
         dedup.append_to_minhash_index(clean, index_dir)
 
     stream = (

@@ -72,12 +72,20 @@ def main() -> int:
     funnel: list[tuple[str, int]] = [("input", docs.count())]
 
     def stage(name: str, df):
+        # pin each stage's rows before counting: without this, every later
+        # stage's count (and the final write) re-executes the WHOLE upstream
+        # funnel — tokenization, LSH, joins — once per stage (O(stages^2)
+        # passes over the corpus).  localCheckpoint = executor-local
+        # materialization; on a cluster, a persisted intermediate table.
+        df = df.localCheckpoint(eager=True)
         funnel.append((name, df.count()))
         return df
 
-    # 1. row-local gates first (no shuffle): quality, repetition, language
+    # 1. row-local gates first (no shuffle): quality, repetition, language.
+    # --min-tokens is the ONLY length floor applied (the report's length_ok
+    # flag hardcodes >= 5 and would silently override a lower CLI value).
     q = text.quality_features(docs, "text", "doc_id").filter(
-        (F.col("n_tokens") >= args.min_tokens) & F.col("length_ok")
+        F.col("n_tokens") >= args.min_tokens
     )
     docs1 = stage("quality", docs.join(q.select("doc_id"), "doc_id", "left_semi"))
     rep = text.repetition_features(docs1, "text", "doc_id").filter(
@@ -103,8 +111,7 @@ def main() -> int:
     # 3. decontamination (broadcast probe over the reduced survivor set)
     if args.eval_docs:
         ev = decontam.eval_ngrams_from_docs(
-            spark.read.parquet(args.eval_docs), "text", "doc_id",
-            n=args.decontam_ngram,
+            spark.read.parquet(args.eval_docs), "text", n=args.decontam_ngram
         )
         docs6 = stage(
             "decontam",

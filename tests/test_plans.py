@@ -152,7 +152,7 @@ def test_decontam_probe_broadcasts_eval(spark):
 
     docs = load_table(spark, SF_ORACLE, "documents")
     ev = decontam.eval_ngrams_from_docs(
-        docs.filter(F.col("doc_id") % 83 == 0), "text", "doc_id", n=5
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
     )
     q = decontam.contamination_hits(docs, ev, "text", "doc_id", n=5)
     plan = audit.executed_plan(q)

@@ -63,7 +63,7 @@ def test_eval_ngrams_and_self_contamination(spark):
     an eval doc is always contaminated by its own n-grams)."""
     docs = load_table(spark, SF_ORACLE, "documents").limit(50)
     eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
-    eval_ng = decontam.eval_ngrams_from_docs(eval_docs, "text", "doc_id", n=5)
+    eval_ng = decontam.eval_ngrams_from_docs(eval_docs, "text", n=5)
     flagged = {
         r.id
         for r in decontam.contamination_hits(
@@ -449,11 +449,11 @@ def test_chunk_documents_exact(spark):
         (r.id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
         for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
     )
-    # doc 1: 7 tokens, stride 3 -> starts 0,3,6
+    # doc 1: 7 tokens, stride 3 -> starts 0,3; start 6 is suppressed (its
+    # window [6,10) adds no tokens beyond the chunk at 3, which ends at 7)
     assert out == [
         (1, 0, 4, "a b c d"),
         (1, 3, 4, "d e f g"),
-        (1, 6, 1, "g"),
         (2, 0, 2, "x y"),
     ]
 
@@ -474,8 +474,9 @@ def test_chunk_documents_covers_all_tokens(spark):
         chunks.sort()
         covered = max(s + n for s, n in chunks)
         assert covered == toks[did]
-        for (s1, n1), (s2, _) in zip(chunks, chunks[1:]):
+        for (s1, n1), (s2, n2) in zip(chunks, chunks[1:]):
             assert s2 == s1 + 7  # stride = 10 - 3
+            assert s2 + 3 < s2 + n2  # every emitted chunk adds new tokens
 
 
 # ---------------------------------------------------------------------------

@@ -195,7 +195,8 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     # seed corpus index with batch 0 (built like any corpus snapshot)
     seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
     dedup.build_minhash_index(seed, idx, num_hashes=32, bands=16, k=3)
-    seed.write.mode("append").parquet(str(accepted))
+    # seed as its own batch partition — the loop writes batch_id=<n> dirs
+    seed.write.mode("overwrite").parquet(str(accepted / "batch_id=-1"))
 
     kwargs = dict(
         index_dir=str(idx),
