@@ -594,3 +594,30 @@ def test_normalize_text_idempotent_and_bucketing(spark):
     df2 = spark.createDataFrame([(k, v) for k, v in out.items() if v], "doc_id long, text string")
     out2 = {r.id: r.norm_text for r in text_ops.normalize_text(df2, "text", "doc_id").collect()}
     assert all(out2[k] == out[k] for k in out2)
+
+
+def test_l2_normalize_kernel_ragged_and_empty(spark):
+    """Mixed-dimension batches and zero-length vectors take the per-row
+    fallback and must still match the expression form bit-for-bit (the
+    review-found crash case: vstack over ragged rows)."""
+    from jsons_to_schema_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 2.0, 2.0]), (3, []), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {r.vec_id: r.v for r in df.select(
+        "vec_id", similarity.l2_normalize_kernel()(F.col("embedding")).alias("v")
+    ).collect()}
+    assert a[1] == [0.6, 0.8]
+    assert a[2] == [1.0 / 3, 2.0 / 3, 2.0 / 3]
+    assert a[3] == []
+    assert a[4] is None
+    # expression-form agreement on the non-empty rows (empty array raises
+    # ANSI DIVIDE_BY_ZERO in the expression — kernel is the more permissive
+    # side there, documented)
+    b = {r.vec_id: r.v for r in df.filter(F.size("embedding") > 0).select(
+        "vec_id", similarity._l2_normalize(F.col("embedding")).alias("v")
+    ).collect()}
+    for k, vb in b.items():
+        assert a[k] == vb, k
