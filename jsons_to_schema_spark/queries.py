@@ -2227,6 +2227,47 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "schema_history_transitions",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 2, 1, false, true),
+      (2, 3, 1, true, false)
+    ) AS t(from_version, to_version, n_changes,
+           backward_compatible, forward_compatible)
+    """,
+)
+def schema_history_transitions(spark, sf_dir) -> DataFrame:
+    """Versioned schema-snapshot log with compat-classified transitions
+    (sinks.SchemaHistory): three planted runs — base, +typed property,
+    +type widening — produce the two hand-derivable transition verdicts:
+    adding a typed property to an OPEN object is backward-INCOMPATIBLE but
+    forward-compatible; widening int→number is backward-compatible but
+    breaks old readers.  The oracle is that forced constant."""
+    from .schema_algebra import jsons_to_schema, unify_opt
+    from .sources.sinks import SchemaHistory
+
+    hist = SchemaHistory(_stream_tmp("schema_hist_"))
+    acc = None
+    for batch in ([{"k": 1}], [{"k": 2, "s": "x"}], [{"k": 2.5}]):
+        acc = unify_opt(acc, jsons_to_schema(batch))
+        hist.append(acc, len(batch))
+    return spark.createDataFrame(
+        [
+            (
+                t["from_version"],
+                t["to_version"],
+                t["n_changes"],
+                t["backward_compatible"],
+                t["forward_compatible"],
+            )
+            for t in hist.transitions()
+        ],
+        "from_version long, to_version long, n_changes long, "
+        "backward_compatible boolean, forward_compatible boolean",
+    )
+
+
 _UNICODE_PLANTS = [
     (1, "École"),
     (2, "café au lait"),

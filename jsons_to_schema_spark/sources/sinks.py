@@ -58,3 +58,67 @@ def write_audit_outputs(result, out_dir: str | Path) -> dict[str, str]:
     tmp.write_text(canonical_json(result.schema))
     os.replace(tmp, out / "unified_schema.json")
     return paths
+
+
+class SchemaHistory:
+    """Append-only versioned log of unified-schema snapshots — the chain a
+    governance process reads: every run appends its schema, and each
+    consecutive transition is classified by the subschema procedure
+    (backward: old data stays valid; forward: old readers keep working).
+
+    Locally one JSON file per version, written atomically (tmp + rename);
+    at cluster scale an Iceberg table appended per run — the version is the
+    snapshot id.  Reading is driver-side (schemas are KB-scale; the history
+    has one row per RUN, not per data row)."""
+
+    def __init__(self, history_dir):
+        self.dir = Path(history_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.stem.split("-")[1]) for p in self.dir.glob("schema-*.json")
+        )
+
+    def append(self, schema: Schema, n_docs: int) -> int:
+        import json
+        import os
+
+        v = (self.versions() or [0])[-1] + 1
+        tmp = self.dir / f"schema-{v:06d}.json.tmp"
+        tmp.write_text(
+            json.dumps(
+                {"version": v, "schema": canonical_json(schema), "n_docs": n_docs},
+                sort_keys=True,
+            )
+        )
+        os.replace(tmp, self.dir / f"schema-{v:06d}.json")
+        return v
+
+    def read(self) -> list[dict]:
+        import json
+
+        return [
+            json.loads((self.dir / f"schema-{v:06d}.json").read_text())
+            for v in self.versions()
+        ]
+
+    def transitions(self) -> list[dict]:
+        """Consecutive-version compat classification: one record per
+        (v, v+1) with the diff count and both compat verdicts."""
+        from ..schema_algebra import compat_report, parse_schema
+
+        snaps = self.read()
+        out = []
+        for a, b in zip(snaps, snaps[1:]):
+            rep = compat_report(parse_schema(a["schema"]), parse_schema(b["schema"]))
+            out.append(
+                {
+                    "from_version": a["version"],
+                    "to_version": b["version"],
+                    "n_changes": rep["n_changes"],
+                    "backward_compatible": rep["backward_compatible"],
+                    "forward_compatible": rep["forward_compatible"],
+                }
+            )
+        return out

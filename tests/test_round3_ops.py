@@ -621,3 +621,19 @@ def test_l2_normalize_kernel_ragged_and_empty(spark):
     ).collect()}
     for k, vb in b.items():
         assert a[k] == vb, k
+
+
+def test_schema_history_versions_and_transitions(tmp_path):
+    from jsons_to_schema_spark.schema_algebra import jsons_to_schema
+    from jsons_to_schema_spark.sources.sinks import SchemaHistory
+
+    h = SchemaHistory(tmp_path / "hist")
+    assert h.versions() == [] and h.transitions() == []
+    v1 = h.append(jsons_to_schema([{"k": 1}]), 1)
+    v2 = h.append(jsons_to_schema([{"k": 1}]), 2)
+    assert (v1, v2) == (1, 2)
+    assert [s["version"] for s in h.read()] == [1, 2]
+    t = h.transitions()
+    # identical consecutive snapshots: zero changes, compatible both ways
+    assert len(t) == 1 and t[0]["n_changes"] == 0
+    assert t[0]["backward_compatible"] and t[0]["forward_compatible"]
