@@ -41,7 +41,7 @@ def test_create_table_ddl_required_not_null():
     assert "`k` BIGINT NOT NULL" in out
     assert "`opt` STRING" in out and "`opt` STRING NOT NULL" not in out
     assert out.startswith("CREATE TABLE local.db.t (")
-    assert out.endswith("USING iceberg PARTITIONED BY (k)")
+    assert out.endswith("USING iceberg PARTITIONED BY (`k`)")
 
 
 def test_evolution_ddl_add_widen_dropnotnull():
