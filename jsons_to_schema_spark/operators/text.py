@@ -430,3 +430,48 @@ def normalize_text(
         F.col(id_col).alias("id"),
         normalize_text_kernel(lower, strip_accents)(F.col(col)).alias("norm_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated long-span detection (exact-substring duplication signal)
+# ---------------------------------------------------------------------------
+
+def repeated_span_report(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    window: int = 50,
+    min_docs: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """The corpus's most-duplicated long token spans: every ``window``-token
+    sliding window (aligned-slice shingles — token windows cross line
+    boundaries, unlike corpus_line_dedup's line keys), counted by DISTINCT
+    document frequency, top-k hottest returned with an example document.
+
+    This is the reporting half of suffix-array exact-substring dedup (Lee
+    et al.'s "Deduplicating Training Data" signal) in Spark-native form:
+    the windows explode map-side off one tokenize, the df count is a
+    partial+final aggregate over (window-text, doc) pairs, and top-k is
+    TakeOrderedAndProject — no suffix array, no global sort.  The report
+    names WHAT to cut (boilerplate, licenses, templates); the cut itself is
+    corpus_line_dedup for line-shaped spans or a doc-level drop for whole
+    templates.  At 10^12 docs hash the window (xxhash64) for the count and
+    keep only the top-k raw strings via a second targeted pass."""
+    spans = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(col)).alias("_t")
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_t"), window))
+        ).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.min("id").alias("example_id"),
+    )
+    return (
+        counts.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("span").asc())
+        .limit(top_k)
+    )

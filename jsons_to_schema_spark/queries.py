@@ -2228,6 +2228,40 @@ def pack_sequences_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "repeated_spans_documents",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) >= 8
+             THEN list_transform(generate_series(1, len(t) - 7),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                       t[i+6] || ' ' || t[i+7])
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, unnest(g) AS span FROM sh
+    ), c AS (
+      SELECT span, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_id
+      FROM s GROUP BY span
+    )
+    SELECT span, n_docs, example_id FROM c
+    WHERE n_docs >= 2 ORDER BY n_docs DESC, span LIMIT 20
+    """,
+)
+def repeated_spans_documents(spark, sf_dir) -> DataFrame:
+    """Most-duplicated long token spans corpus-wide (text.
+    repeated_span_report, 8-token windows) — the Spark-native reporting
+    half of suffix-array exact-substring dedup: names the boilerplate /
+    template spans worth cutting; exact SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repeated_span_report(
+        docs, "text", "doc_id", window=8, min_docs=2, top_k=20
+    )
+
+
+@query(
     "schema_history_transitions",
     oracle="""
     SELECT * FROM (VALUES

@@ -637,3 +637,21 @@ def test_schema_history_versions_and_transitions(tmp_path):
     # identical consecutive snapshots: zero changes, compatible both ways
     assert len(t) == 1 and t[0]["n_changes"] == 0
     assert t[0]["backward_compatible"] and t[0]["forward_compatible"]
+
+
+def test_repeated_span_report_planted(spark):
+    from jsons_to_schema_spark.operators.text import repeated_span_report
+
+    boiler = "this license text is identical across many documents in the corpus"
+    rows = [
+        (1, boiler + " alpha content here"),
+        (2, boiler + " beta content there"),
+        (3, "totally unrelated words that repeat in no other document at all"),
+        (4, "prefix words then " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_span_report(df, "text", "doc_id", window=11, top_k=5).collect()
+    assert out, "planted boilerplate not found"
+    top = out[0]
+    assert top.span == boiler and top.n_docs == 3 and top.example_id == 1
+    assert all(r.n_docs >= 2 for r in out)
