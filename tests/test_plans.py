@@ -237,3 +237,41 @@ def test_quota_sample_windows_per_stratum(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan, plan[:2000]
     assert "hashpartitioning(source" in plan, plan[:2000]
+
+
+def test_aqe_skew_join_fires_on_zipf_key(spark):
+    """North-rule 'skew handled explicitly', demonstrated on the executed
+    plan: joining the corpus's Zipf(1.2)-skewed media refs against the
+    catalog with broadcast disabled and production-shaped skew thresholds
+    scaled to local data volumes, AQE's OptimizeSkewedJoin must split the
+    hot partition — SortMergeJoin(skew=true) + AQEShuffleRead skewed.
+    (The session enables skewJoin by default; this test only scales the
+    byte thresholds down to the test corpus size.)"""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        corpus = ensure_corpus(5000)
+        spans = load_spans(spark, corpus)
+        cat = load_media_catalog(spark, corpus)
+        refs = spans.select(
+            F.explode("spans.media_ref").alias("media_ref")
+        ).filter(F.col("media_ref").isNotNull())
+        j = refs.join(cat, "media_ref")
+        j.collect()  # AQE finalizes only the executed plan object
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
