@@ -130,3 +130,38 @@ def test_schema_diff_detects_exactly_the_widenings():
         changes = schema_diff(old, merged)
         unchanged = canonical_json(old) == canonical_json(merged)
         assert (not changes) == unchanged, (old, merged, changes)
+
+
+@given(st.lists(json_values, min_size=1, max_size=5),
+       st.lists(json_values, min_size=1, max_size=5))
+@settings(max_examples=150, deadline=None)
+def test_subschema_sound_on_generated_pairs(A, B):
+    """Soundness of the subschema decision: whenever is_subschema(sa, sb)
+    claims containment, no document that generated sa may violate sb.
+    (The reverse — completeness — is intentionally not claimed: the
+    procedure is conservative; see subschema_violations docstring.)"""
+    from jsons_to_schema_spark.schema_algebra import (
+        is_subschema,
+        jsons_to_schema,
+        validate,
+    )
+
+    sa, sb = jsons_to_schema(A), jsons_to_schema(B)
+    assert is_subschema(sa, sa) and is_subschema(sb, sb)  # reflexivity
+    if is_subschema(sa, sb):
+        for d in A:
+            if not validate(d, sa):
+                assert not validate(d, sb), (d, sa, sb)
+
+
+@given(st.lists(json_values, min_size=1, max_size=5),
+       st.lists(json_values, min_size=1, max_size=5))
+@settings(max_examples=150, deadline=None)
+def test_doc_level_upper_bound_law(A, B):
+    """The generator's real guarantee (strictly weaker than schema-level
+    inclusion): every doc of A ∪ B validates under jsons_to_schema(A ∪ B)."""
+    from jsons_to_schema_spark.schema_algebra import jsons_to_schema, validate
+
+    merged = jsons_to_schema(A + B)
+    for d in A + B:
+        assert not validate(d, merged), (d, merged)
