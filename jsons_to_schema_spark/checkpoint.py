@@ -261,8 +261,8 @@ def checkpointed_validate(
     exposing the same ``committed()``/``merge()`` contract — the Iceberg
     deployment passes sources.iceberg.IcebergStateStore (MERGE INTO) here,
     sharing this exact validation path (r3, VERDICT item 7).
-    Returns {"schema", "n_rows", "fails", "splits_total", "splits_computed",
-    "lineage"}.
+    Returns {"schema", "n_rows", "fails", "splits_total",
+    "splits_committed", "splits_computed_this_run", "lineage"}.
     """
     if store is None:
         store = TableStateStore(state_dir)

@@ -55,7 +55,12 @@ def decode_wav(payload: bytes) -> dict:
         raw = w.readframes(n_frames)
     if sampwidth not in _WIDTHS:
         raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
-    samples = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
+    if sampwidth == 1:
+        # 8-bit PCM WAV stores UNSIGNED bytes with a 128 midpoint (review
+        # r3: reading them as int8 reported RMS 128 for digital silence)
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        samples = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
     rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
     return {
         "format": "wav",

@@ -203,7 +203,34 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def assign_cells_kernel(centroids: list[list[float]]):
+def _dense_batch(vals, expect_dim=None):
+    """Shared kernel front-end: split an Arrow batch's rows into
+    (indices, float64 rows) that are well-formed — non-null, numeric, and
+    (when expect_dim is given) of the expected dimension — plus the indices
+    of malformed rows (empty, ragged, or containing nulls), which every
+    kernel maps to a null OUTPUT instead of crashing the batch (np.vstack
+    over ragged rows aborts the whole job — review r3).  One definition so
+    a fix lands in every kernel at once."""
+    idx, rows, bad = [], [], []
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            bad.append(i)
+            continue
+        if a.ndim != 1 or a.shape[0] == 0 or (
+            expect_dim is not None and a.shape[0] != expect_dim
+        ):
+            bad.append(i)
+            continue
+        rows.append(a)
+        idx.append(i)
+    return idx, rows, bad
+
+
+def assign_cells_kernel(centroids: list[list[float]], normalized: bool = False):
     """Vectorized nearest-centroid assignment: ONE Arrow-batched pandas_udf
     computing argmax((X/|X|) @ Cᵀ) per batch.  Replaces the literal-
     expression form (_argmax_cell) on every hot path: that expression embeds
@@ -225,16 +252,16 @@ def assign_cells_kernel(centroids: list[list[float]]):
     def kern(it):
         for s in it:
             vals = s.to_numpy()
-            mask = np.array([v is not None for v in vals])
             out = np.full(len(vals), None, dtype=object)
-            if mask.any():
-                X = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in vals[mask]]
-                )
-                n = np.linalg.norm(X, axis=1)
-                n[n == 0] = 1.0
-                cells = np.argmax((X / n[:, None]) @ C.T, axis=1)
-                for i, c in zip(np.flatnonzero(mask), cells):
+            idx, rows, _bad = _dense_batch(vals, expect_dim=C.shape[1])
+            if rows:
+                X = np.vstack(rows)
+                if not normalized:
+                    n = np.linalg.norm(X, axis=1)
+                    n[n == 0] = 1.0
+                    X = X / n[:, None]
+                cells = np.argmax(X @ C.T, axis=1)
+                for i, c in zip(idx, cells):
                     out[i] = int(c)
             yield pd.Series(out)
 
@@ -254,17 +281,15 @@ def topcells_kernel(centroids: list[list[float]], n_probe: int):
     def kern(it):
         for s in it:
             vals = s.to_numpy()
-            mask = np.array([v is not None for v in vals])
             out = np.full(len(vals), None, dtype=object)
-            if mask.any():
-                X = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in vals[mask]]
-                )
+            idx, rows, _bad = _dense_batch(vals, expect_dim=C.shape[1])
+            if rows:
+                X = np.vstack(rows)
                 n = np.linalg.norm(X, axis=1)
                 n[n == 0] = 1.0
                 S = (X / n[:, None]) @ C.T
-                idx = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
-                for i, row in zip(np.flatnonzero(mask), idx):
+                order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+                for i, row in zip(idx, order):
                     out[i] = [int(x) for x in row]
             yield pd.Series(out)
 
@@ -506,15 +531,15 @@ def band_keys_kernel(planes: list[list[float]], bands: int):
     def keys(it):
         for s in it:
             vals = s.to_numpy()
-            mask = np.array([v is not None for v in vals])
-            out = np.empty(len(vals), dtype=object)
-            if mask.any():
-                X = np.vstack([np.asarray(v, dtype=np.float64) for v in vals[mask]])
+            out = np.full(len(vals), None, dtype=object)
+            idx, rows, _bad = _dense_batch(vals, expect_dim=P.shape[1])
+            if rows:
+                X = np.vstack(rows)
                 B = (X @ P.T) > 0  # (n, bits)
                 ks = np.zeros((B.shape[0], bands), dtype=np.int64)
                 for b in range(bands):
                     ks[:, b] = B[:, b * rpb : (b + 1) * rpb] @ weights
-                for i, row in zip(np.flatnonzero(mask), ks):
+                for i, row in zip(idx, ks):
                     out[i] = row
             yield pd.Series(out)
 
@@ -731,16 +756,27 @@ def semantic_dedup(
         F.col(id_col).alias("vec_id"),
         l2_normalize_kernel()(F.col(vec_col)).alias("_v"),
     )
+    # input is already unit-norm — skip the kernel's renormalization pass
+    # (review r3: the old call renormalized every vector a second time)
     assigned = assigned.withColumn(
-        "_cell", assign_cells_kernel(centroids)(F.col("_v"))
+        "_cell", assign_cells_kernel(centroids, normalized=True)(F.col("_v"))
     )
+    # id type follows the input column (review r3: the old int() cast broke
+    # string doc ids at executor time)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
         cell = int(pdf["_cell"].iloc[0])
         if policy == "far_from_centroid":
-            order = np.lexsort((ids, X @ C[cell]))  # asc centroid-sim, then id
+            # asc centroid-sim, then id; tuple sort (stable) instead of
+            # np.lexsort so string ids order correctly too
+            csim = X @ C[cell]
+            order = sorted(range(len(ids)), key=lambda i: (csim[i], ids[i]))
         else:
             order = np.argsort(ids, kind="stable")
         kept: list[int] = []
@@ -752,8 +788,8 @@ def semantic_dedup(
                 if sims[j] >= thr:
                     out.append(
                         (
-                            int(ids[i]),
-                            int(ids[kept[j]]),
+                            _py(ids[i]),
+                            _py(ids[kept[j]]),
                             round(float(sims[j]), 6),
                             cell,
                         )
@@ -765,7 +801,7 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("_cell").applyInPandas(
-        kern, "vec_id long, kept_id long, cos_sim double, cell int"
+        kern, f"vec_id {id_type}, kept_id {id_type}, cos_sim double, cell int"
     )
 
 

@@ -211,16 +211,24 @@ def repetition_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     repetition_documents oracle in queries.py.
     """
     base = df.select(F.col(id_col), lines_array(col).alias("_l"))
-    kept = dedup_consecutive(F.col("_l"))
-    return base.select(
+    # layer the collapse as its own attribute: referencing the filter HOF
+    # from two output columns re-evaluates the interpreted O(lines) lambda
+    # per column (review r3) — CollapseProject keeps the layer because the
+    # expression is non-cheap, so the collapse runs once per row.
+    layered = base.select(
+        F.col(id_col), F.col("_l"), dedup_consecutive(F.col("_l")).alias("_kept")
+    )
+    return layered.select(
         F.col(id_col),
         F.size("_l").cast("long").alias("n_lines"),
         (F.size("_l") - F.size(F.array_distinct("_l"))).cast("long").alias(
             "n_dup_lines"
         ),
         F.round(dup_line_char_frac(F.col("_l")), 6).alias("dup_line_char_frac"),
-        F.md5(F.concat_ws("\n", kept)).alias("fp_line_dedup"),
-        (F.size("_l") - F.size(kept)).cast("long").alias("n_consecutive_removed"),
+        F.md5(F.concat_ws("\n", F.col("_kept"))).alias("fp_line_dedup"),
+        (F.size("_l") - F.size("_kept")).cast("long").alias(
+            "n_consecutive_removed"
+        ),
     )
 
 

@@ -100,18 +100,27 @@ class IcebergStateStore:
     def merge(self, records: list[dict]) -> None:
         if not records:
             return
+        import uuid
+
         rows = [tuple(rec.get(c) for c in _STATE_COLS) for rec in records]
         src = self.spark.createDataFrame(rows, STATE_DDL)
-        src.createOrReplaceTempView("_state_batch")
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t
-            USING _state_batch s
-            ON t.split = s.split
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        # unique per-call view: a fixed name races concurrent committers in
+        # the same SparkSession (review r3 — thread B's replace lands between
+        # thread A's create and MERGE, so A merges B's rows)
+        view = f"_state_batch_{uuid.uuid4().hex}"
+        src.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.table} t
+                USING {view} s
+                ON t.split = s.split
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def commit(self, rec: dict) -> None:
         self.merge([rec])

@@ -54,9 +54,19 @@ def export_table_jsonl(sf_dir: str | Path, table: str, order_by: str) -> Path:
     DuckDB COPY (FORMAT JSON) writes one object per line with the table's
     column order — byte-stable for a fixed input, so the export can be pinned
     by oracles.  Idempotent via write-to-tmp + atomic rename; concurrent
-    exporters race benignly (same bytes)."""
+    exporters race benignly (same bytes).  The cache key fingerprints the
+    SOURCE parquet (full path + size + mtime — review r3: a basename-only
+    tag served stale bytes for a different corpus with the same leaf dir
+    name, and regenerated testdata was never picked up)."""
+    import hashlib
+
+    src_path = Path(sf_dir) / f"{table}.parquet"
+    st = src_path.stat()
+    fp = hashlib.sha256(
+        f"{src_path.resolve()}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     tag = Path(sf_dir).name or "root"
-    out = _CACHE_BASE / f"{table}_{tag}.jsonl"
+    out = _CACHE_BASE / f"{table}_{tag}_{fp}.jsonl"
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)

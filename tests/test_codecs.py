@@ -68,3 +68,27 @@ def test_sniff():
     assert codecs.sniff_format(codecs.encode_bmp(1, 1, (1, 1, 1))) == "bmp"
     assert codecs.sniff_format(codecs.encode_ppm(1, 1, (1, 1, 1))) == "ppm"
     assert codecs.sniff_format(b"\xff\xd8\xff") is None  # JPEG needs a real lib
+
+
+def test_decode_wav_8bit_unsigned_midpoint():
+    """8-bit PCM is unsigned with a 128 midpoint: digital silence (all
+    0x80 bytes) must decode to RMS 0, full-scale alternation to ~127."""
+    import io
+    import wave
+
+    from jsons_to_schema_spark.operators.codecs import decode_wav
+
+    def wav8(samples: bytes, rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(rate)
+            w.writeframes(samples)
+        return buf.getvalue()
+
+    silence = decode_wav(wav8(b"\x80" * 800))
+    assert silence["mean_value"] == 0.0
+    assert silence["duration_ms"] == 100
+    loud = decode_wav(wav8(bytes([255, 1]) * 400))
+    assert abs(loud["mean_value"] - 127.0) < 0.01
