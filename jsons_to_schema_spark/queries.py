@@ -2373,6 +2373,32 @@ def rule_verdicts_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "rule_violation_rows_events",
+    oracle="""
+    SELECT id, rule FROM (
+      SELECT event_id AS id, 'value_nonneg' AS rule,
+             row_number() OVER (ORDER BY event_id) AS rk
+      FROM events WHERE NOT coalesce(value >= 0, false)
+      UNION ALL
+      SELECT event_id, 'ts_present',
+             row_number() OVER (ORDER BY event_id)
+      FROM events WHERE NOT coalesce(ts IS NOT NULL, false)
+    ) WHERE rk <= 50
+    """,
+)
+def rule_violation_rows_events(spark, sf_dir) -> DataFrame:
+    """Row-level companion of the rule DSL (validate.rule_violation_rows):
+    capped per-rule violating-row samples, smallest ids first — the review
+    queue behind the verdict counts."""
+    events = load_table(spark, sf_dir, "events")
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "ts_present": F.col("ts").isNotNull(),
+    }
+    return validate.rule_violation_rows(events, rules, "event_id", cap_per_rule=50)
+
+
+@query(
     "packing_stats_documents",
     oracle="""
     WITH t AS (
