@@ -2376,24 +2376,26 @@ def rule_verdicts_events(spark, sf_dir) -> DataFrame:
     "rule_violation_rows_events",
     oracle="""
     SELECT id, rule FROM (
-      SELECT event_id AS id, 'value_nonneg' AS rule,
+      SELECT event_id AS id, 'value_under_100' AS rule,
              row_number() OVER (ORDER BY event_id) AS rk
-      FROM events WHERE NOT coalesce(value >= 0, false)
+      FROM events WHERE NOT coalesce(value < 100, false)
       UNION ALL
-      SELECT event_id, 'ts_present',
+      SELECT event_id, 'no_error_events',
              row_number() OVER (ORDER BY event_id)
-      FROM events WHERE NOT coalesce(ts IS NOT NULL, false)
+      FROM events WHERE NOT coalesce(event_type <> 'error', false)
     ) WHERE rk <= 50
     """,
 )
 def rule_violation_rows_events(spark, sf_dir) -> DataFrame:
     """Row-level companion of the rule DSL (validate.rule_violation_rows):
     capped per-rule violating-row samples, smallest ids first — the review
-    queue behind the verdict counts."""
+    queue behind the verdict counts.  Rules chosen to actually FIRE on the
+    driver tables (values reach 490; 'error' events exist) so the cap and
+    ordering are value-checked, not vacuously green."""
     events = load_table(spark, sf_dir, "events")
     rules = {
-        "value_nonneg": F.col("value") >= 0,
-        "ts_present": F.col("ts").isNotNull(),
+        "value_under_100": F.col("value") < 100,
+        "no_error_events": F.col("event_type") != "error",
     }
     return validate.rule_violation_rows(events, rules, "event_id", cap_per_rule=50)
 
