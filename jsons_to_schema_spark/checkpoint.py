@@ -9,15 +9,16 @@ part file.  One state record per split holds the split's draft schema, row
 counts, per-check failure counts and timing — the lineage/metrics table.
 
 Commit protocol (TableStateStore): the state is a TABLE of split records —
-immutable parquet snapshots plus a VERSION pointer swung by atomic rename.
-``merge(records)`` is a copy-on-write row-level upsert keyed by split id:
-read current snapshot, drop rows matching incoming split ids, append the
-batch, write the next snapshot, swing the pointer — exactly the shape of an
-Iceberg ``MERGE INTO state ON t.split = s.split WHEN MATCHED THEN UPDATE
-WHEN NOT MATCHED THEN INSERT`` commit, which is the cluster deployment of
-this store.  A kill before the pointer swing leaves the previous snapshot
-intact (the whole batch retries — idempotent); after it, the commit is
-complete.  The next run recomputes exactly the missing splits (asserted in
+immutable parquet snapshots plus monotonic exclusive-create ``commit-N``
+markers (current version = max marker).  ``merge(records)`` is a
+copy-on-write row-level upsert keyed by split id: read current snapshot,
+drop rows matching incoming split ids, append the batch, write the next
+snapshot, create its marker — exactly the shape of an Iceberg ``MERGE INTO
+state ON t.split = s.split WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+INSERT`` commit, which is the cluster deployment of this store.  A kill
+before the marker leaves the previous version current (the whole batch
+retries — idempotent, or a contender adopts the complete claimed
+snapshot); after it, the commit is complete.  The next run recomputes exactly the missing splits (asserted in
 tests/test_checkpoint.py), and the state table itself doubles as the
 lineage/metrics table (read it with spark.read.parquet).
 """
@@ -54,19 +55,38 @@ def _split_key(split_path: str) -> str:
 
 class TableStateStore:
     """Split-state TABLE with Iceberg-MERGE-shaped commits (see module
-    docstring).  Locally: parquet snapshots + an atomically-renamed VERSION
-    pointer; at cluster scale the same call maps to MERGE INTO an Iceberg
-    table keyed on split."""
+    docstring).  Locally: parquet snapshots + monotonic commit markers; at
+    cluster scale the same call maps to MERGE INTO an Iceberg table keyed
+    on split."""
 
     def __init__(self, state_dir: str | Path):
         self.dir = Path(state_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
 
     def _version(self) -> int:
+        """Current committed version: the max exclusive-create ``commit-N``
+        marker (monotonic by construction — a stalled writer's LATE marker
+        for an old N can never roll the store back, unlike a mutable
+        pointer file).  A legacy ``VERSION`` pointer file is honored as a
+        floor for state dirs written by the previous protocol."""
+        best = 0
         vfile = self.dir / "VERSION"
-        if not vfile.exists():
-            return 0
-        return int(vfile.read_text().strip())
+        if vfile.exists():
+            best = int(vfile.read_text().strip())
+        for p in self.dir.glob("commit-*"):
+            try:
+                best = max(best, int(p.name.split("-", 1)[1]))
+            except ValueError:
+                continue
+        return best
+
+    def _commit_marker(self, version: int) -> None:
+        """Declare snap-<version> committed (idempotent: the adopter and a
+        slow original writer both create the SAME marker)."""
+        try:
+            open(self.dir / f"commit-{version:06d}", "x").close()
+        except FileExistsError:
+            pass
 
     def _snapshot_path(self, version: int) -> Path:
         return self.dir / f"snap-{version:06d}.parquet"
@@ -91,10 +111,18 @@ class TableStateStore:
         file — exactly one link succeeds; the loser re-reads the (advanced)
         version and retries its whole read-modify-write on top of the
         winner's rows, so no batch is lost (optimistic concurrency, the same
-        shape as Iceberg's atomic metadata-pointer CAS).  A claimed snapshot
-        whose writer died before swinging VERSION is an uncommitted orphan;
-        after the retry budget's grace window a contender removes it and
-        claims — mirroring Iceberg's cleanup of failed commits.
+        shape as Iceberg's atomic metadata-pointer CAS).  The commit point
+        is an exclusive-create ``commit-N`` MARKER, and the current version
+        is the max marker — monotonic by construction, so a stalled
+        writer's late commit can never roll the store back.  A claimed
+        snapshot whose writer stalls (or died) before committing is ADOPTED
+        after a grace window: a contender creates its marker and rebases on
+        top — never deleted (r3 review: deletion could destroy a LIVE slow
+        writer's batch and left a window where the pointer referenced no
+        file).  A linked snapshot is always complete (the temp file is
+        fully written before the link), so adoption commits the stalled
+        writer's batch rather than losing it; the marker create is
+        idempotent between adopter and a late original writer.
 
         Migration note: this store reads only ``snap-*.parquet`` + VERSION;
         a state dir from the pre-r2 JSON-file-per-split format is ignored
@@ -112,7 +140,16 @@ class TableStateStore:
             new_version = v + 1
             snap = self._snapshot_path(new_version)
             tmp = self.dir / f"snap-{new_version:06d}.{os.getpid()}.{id(records)}.tmp"
-            pq.write_table(pa.Table.from_pylist(kept + list(records)), tmp)
+            # normalize row keys to their UNION before building the table:
+            # pyarrow's from_pylist takes the schema from the rows it sees
+            # first, silently dropping later-only fields (r3 review: a code
+            # upgrade adding a check column lost its counts on resume)
+            all_rows = kept + list(records)
+            all_keys = {}
+            for r in all_rows:
+                all_keys.update(dict.fromkeys(r))
+            all_rows = [{k: r.get(k) for k in all_keys} for r in all_rows]
+            pq.write_table(pa.Table.from_pylist(all_rows), tmp)
             try:
                 os.link(tmp, snap)  # atomic claim: exactly one writer wins
             except FileExistsError:
@@ -120,23 +157,18 @@ class TableStateStore:
                 if self._version() > v:
                     stale_since = None  # winner committed; rebase and retry
                 else:
-                    # claimed-but-unpointed snapshot: grace-wait, then treat
-                    # as a dead writer's orphan and remove it.
+                    # claimed-but-uncommitted snapshot: grace-wait, then
+                    # ADOPT — mark it committed and rebase on its rows.
                     now = time.time()
                     if stale_since is None:
                         stale_since = now
                     elif now - stale_since > 0.5:
-                        try:
-                            os.unlink(snap)
-                        except FileNotFoundError:
-                            pass
+                        self._commit_marker(new_version)
                         stale_since = None
                     time.sleep(0.02)
                 continue
             os.unlink(tmp)
-            vtmp = self.dir / f"VERSION.{os.getpid()}.tmp"
-            vtmp.write_text(str(new_version))
-            os.replace(vtmp, self.dir / "VERSION")  # atomic commit point
+            self._commit_marker(new_version)  # atomic, monotonic commit point
             return
         raise RuntimeError(
             f"TableStateStore.merge: no commit after {_retries} attempts "
@@ -166,9 +198,10 @@ def _fold_split_factory(check_names: list[str], config=DEFAULT_CONFIG):
 
     def fold(table: pa.Table) -> pa.Table:
         split = table.column(SPLIT_COL)[0].as_py()
+        flag_cols = {f"ok_{c}" for c in check_names}
         data_cols = [
             c for c in table.column_names
-            if c != SPLIT_COL and not c.startswith("ok_")
+            if c != SPLIT_COL and c not in flag_cols
         ]
         struct = pa.StructArray.from_arrays(
             [table.column(c).combine_chunks() for c in data_cols], names=data_cols

@@ -57,6 +57,7 @@ from ..schema_algebra import DEFAULT_CONFIG, Schema, SchemaGenerationConfig
 from .infer_native import NativeInferencePlan
 from .validate import (
     ROW_CHECKS,
+    fail_and_sample_aggs,
     verdicts_from_report,
     violations_from_report,
     with_check_flags,
@@ -133,16 +134,7 @@ def single_pass_audit(
     flagged = with_check_flags(spans_df)
     aggs = list(plan.builder.exprs)
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
-    for name in ROW_CHECKS:
-        fail = ~F.col(f"ok_{name}")
-        aggs.append(F.sum(fail.cast("long")).alias(f"fail_{name}"))
-        aggs.append(
-            F.slice(
-                F.array_sort(F.collect_list(F.when(fail, F.col("doc_id")))),
-                1,
-                cap_per_check if cap_per_check is not None else 2147483647,
-            ).alias(f"sample_{name}")
-        )
+    aggs.extend(fail_and_sample_aggs(cap_per_check))
 
     # Materialize the aggregate INPUTS (plus grouping/sampling pass-throughs)
     # in a codegen projection BELOW the aggregate.  Perf-neutral vs inlined

@@ -78,7 +78,15 @@ def _arrow_array_to_draft(arr: pa.Array, config: SchemaGenerationConfig) -> Opti
         return {"type": "boolean"}
     if pa.types.is_integer(t):
         return {"type": "integer"}
-    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+    if pa.types.is_decimal(t):
+        # EXACT integrality over Decimal objects — the float64 round-trip
+        # silently classified huge non-integral decimals as integers (r3
+        # review; violates the module's no-lossy-double rule)
+        ints = all(
+            v == v.to_integral_value() for v in arr.drop_null().to_pylist()
+        )
+        return {"type": "integer" if ints else "number"}
+    if pa.types.is_floating(t):
         vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
         return {"type": "integer" if np.all(vals == np.floor(vals)) else "number"}
     if (
@@ -461,6 +469,7 @@ def infer_grouped(
     json_col: str,
     config: SchemaGenerationConfig = DEFAULT_CONFIG,
     salt: int = 16,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Per-group unified schema (e.g. schema per event_type / per source).
 
@@ -470,8 +479,16 @@ def infer_grouped(
     legal here because unify is associative+commutative.  Stage 2 unifies
     the ≤ salt partial drafts per group (KB-scale rows).  salt=1 degrades to
     the single-stage fold.
+
+    The group column keeps its INPUT type (r3 review: a hardcoded string
+    DDL broke integer keys at Arrow conversion), and ``on_error`` matches
+    infer_from_json_column: 'fail' raises naming the bad document, 'skip'
+    drops it.
     """
     import pandas as pd
+
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         texts = pa.array(pdf[json_col].dropna(), type=pa.string())
@@ -482,7 +499,16 @@ def infer_grouped(
             acc = None
             n = 0
             for s in texts.to_pylist():
-                acc = unify_opt(acc, json_to_schema(json.loads(s), config))
+                try:
+                    v = json.loads(s)
+                except json.JSONDecodeError as exc:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(
+                        "malformed JSON document (set on_error='skip' to "
+                        f"drop): {s[:200]!r}"
+                    ) from exc
+                acc = unify_opt(acc, json_to_schema(v, config))
                 n += 1
         return pd.DataFrame(
             {
@@ -492,7 +518,8 @@ def infer_grouped(
             }
         )
 
-    out_schema = f"{group_col} string, unified_schema string, n_docs long"
+    key_type = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {key_type}, unified_schema string, n_docs long"
     src = df.select(group_col, json_col)
     if salt <= 1:
         return src.groupBy(group_col).applyInPandas(fold, out_schema)

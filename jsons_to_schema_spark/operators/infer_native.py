@@ -164,7 +164,7 @@ def _plan_value(
             "kind": "scalar",
             "tag": "number",
             "cnt": b.add(F.count, col),
-            "intg": b.add(F.every, col == F.floor(col), merge="and"),
+            "intg": b.add(F.every, (col % F.lit(1.0)) == F.lit(0.0), merge="and"),
         }
     if isinstance(dt, T.StructType):
         spec = {"kind": "struct", "cnt": b.add(F.count, col), "fields": {}}
@@ -204,7 +204,7 @@ def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) ->
         spec["elem"] = {
             "kind": "scalar",
             "tag": "number",
-            "intg": eb.add(F.every, e == F.floor(e), merge="and"),
+            "intg": eb.add(F.every, (e % F.lit(1.0)) == F.lit(0.0), merge="and"),
         }
     elif isinstance(et, T.StructType):
         fields = {}
@@ -217,7 +217,7 @@ def _plan_array(dt: T.ArrayType, col: Column, b: _AggBuilder, exploded: list) ->
                 fspec["tag"] = ftag
             elif isinstance(f.dataType, _FLOAT_LIKE):
                 fspec["tag"] = "number"
-                fspec["intg"] = eb.add(F.every, e[f.name] == F.floor(e[f.name]), merge="and")
+                fspec["intg"] = eb.add(F.every, (e[f.name] % F.lit(1.0)) == F.lit(0.0), merge="and")
             else:
                 raise UnsupportedSchema(
                     f"native inference: nested non-scalar in array<struct>: {f.dataType}"
@@ -339,7 +339,10 @@ class NativeInferencePlan:
         aggregate row — shared by the global-agg run() and the fused
         per-partition audit pass."""
         n_rows = row[self._n_rows_alias]
-        if n_rows == 0:
+        # a re-aggregated EMPTY report delivers None, not 0 (sum over zero
+        # rows) — both mean no input (r3 review: the None case skipped this
+        # guard and fabricated an object schema with n_docs=None)
+        if not n_rows:
             raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")
         schema: Schema = {"type": "object"}
         props, required = {}, []

@@ -184,6 +184,27 @@ def split_verdicts(spans_df: DataFrame) -> DataFrame:
     return _with_totals(flagged.groupBy("split").agg(*aggs))
 
 
+def fail_and_sample_aggs(cap_per_check: Optional[int]) -> list:
+    """The per-check (fail count, capped failing-doc_id sample) aggregate
+    expressions — ONE definition shared by verdict_report and the fused
+    audit pass (r3 review: two hand-copies of the cap-sentinel/sort logic
+    could drift and silently diverge the fused vs unfused outputs).  The
+    sample aggregate is ``collect_list(when(fail, doc_id))``: nulls on
+    passing rows are dropped by collect_list, so only failures buffer."""
+    aggs = []
+    for name in ROW_CHECKS:
+        fail = ~F.col(f"ok_{name}")
+        aggs.append(F.sum(fail.cast("long")).alias(f"fail_{name}"))
+        aggs.append(
+            F.slice(
+                F.array_sort(F.collect_list(F.when(fail, F.col("doc_id")))),
+                1,
+                cap_per_check if cap_per_check is not None else 2147483647,
+            ).alias(f"sample_{name}")
+        )
+    return aggs
+
+
 def verdict_report(
     spans_df: DataFrame, cap_per_check: Optional[int] = 1000
 ) -> DataFrame:
@@ -202,16 +223,7 @@ def verdict_report(
     violation rows without rescanning 10^12 docs."""
     flagged = with_check_flags(spans_df)
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
-    for name in ROW_CHECKS:
-        fail = ~F.col(f"ok_{name}")
-        aggs.append(F.sum(fail.cast("long")).alias(f"fail_{name}"))
-        aggs.append(
-            F.slice(
-                F.array_sort(F.collect_list(F.when(fail, F.col("doc_id")))),
-                1,
-                cap_per_check if cap_per_check is not None else 2147483647,
-            ).alias(f"sample_{name}")
-        )
+    aggs.extend(fail_and_sample_aggs(cap_per_check))
     return flagged.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
 
 
@@ -405,7 +417,10 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
             if "number" in tset:
                 return F.lit(True)
             if "integer" in tset:
-                return col == F.floor(col)  # integral values are "integer"
+                # integral values are "integer"; x % 1 == 0 is exact for ALL
+                # doubles (FLOOR(double) returns a saturating BIGINT, which
+                # misclassified |x| >= 2^63 — r3 review)
+                return (col % F.lit(1.0)) == F.lit(0.0)
             return F.lit(False)
         if isinstance(dt, (T.StringType, T.TimestampType, T.TimestampNTZType,
                            T.DateType, T.BinaryType)):

@@ -251,10 +251,6 @@ def _unify_range(a: Schema, b: Schema, out: Schema) -> None:
             out[excl_key] = True
 
 
-def _enum_sort_key(v: Any):
-    return canonical_json_value(v)
-
-
 def _unify_enum(a: Schema, b: Schema, out: Schema) -> None:
     """U7 — union of enum value lists, deduped.
 

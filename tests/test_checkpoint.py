@@ -113,24 +113,26 @@ def test_state_store_is_a_queryable_table(spark, corpus, tmp_path):
 
 
 def test_state_store_crash_window_recovery(tmp_path):
-    """A kill between snapshot write and VERSION swing (the MERGE commit's
-    only crash window) must leave the previous state visible and the next
-    merge must recover by rewriting that version."""
+    """A kill between snapshot write and commit marker (the MERGE commit's
+    only crash window) must leave the previous state visible, and the next
+    merge must ADOPT the complete claimed snapshot and commit on top of it
+    (never delete it — r3 review: deletion could destroy a live slow
+    writer's batch)."""
     from jsons_to_schema_spark.checkpoint import TableStateStore
 
     store = TableStateStore(tmp_path / "state")
     store.merge([{"split": "a", "n_rows": 1}])
     assert set(store.committed()) == {"a"}
 
-    # simulate the crash: orphan next-version snapshot, pointer NOT swung
+    # simulate the crash: claimed next-version snapshot, marker NOT created
     import shutil
 
     shutil.copy(store._snapshot_path(1), store._snapshot_path(2))
-    assert set(store.committed()) == {"a"}  # orphan invisible
+    assert set(store.committed()) == {"a"}  # uncommitted claim invisible
 
-    store.merge([{"split": "b", "n_rows": 2}])  # overwrites the orphan
+    store.merge([{"split": "b", "n_rows": 2}])  # adopts v2, commits v3
     assert set(store.committed()) == {"a", "b"}
-    assert store._version() == 2
+    assert store._version() == 3  # adoption consumed the claimed version
 
 
 def test_state_store_concurrent_merge_loses_no_batch(tmp_path):
@@ -168,20 +170,25 @@ def test_state_store_concurrent_merge_loses_no_batch(tmp_path):
 
 
 def test_state_store_orphan_claim_recovery(tmp_path):
-    """A claimed-but-unpointed snapshot (writer died before the VERSION
-    swing) must not deadlock later committers: after the grace window the
-    orphan is removed and the commit proceeds."""
+    """A claimed-but-uncommitted snapshot (writer died before its commit
+    marker) must not deadlock later committers: after the grace window the
+    claim is ADOPTED — by the writer protocol a claimed snapshot is always
+    kept-rows + the dead writer's batch, so adoption COMMITS that batch
+    (at-least-once) instead of losing it."""
     from jsons_to_schema_spark.checkpoint import TableStateStore
 
     store = TableStateStore(tmp_path / "state")
     store.merge([{"split": "a", "draft": "{}", "n_rows": 1}])
-    # simulate a dead writer: snap-2 exists, VERSION still 1
+    # simulate a dead writer that had claimed v2 = kept(v1) + its batch
     orphan = store._snapshot_path(2)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pq.write_table(pa.Table.from_pylist(
-        [{"split": "ghost", "draft": "{}", "n_rows": 9}]), orphan)
+        [{"split": "a", "draft": "{}", "n_rows": 1},
+         {"split": "late", "draft": "{}", "n_rows": 9}]), orphan)
     store.merge([{"split": "b", "draft": "{}", "n_rows": 1}])
     got = store.committed()
-    assert set(got) == {"a", "b"}  # ghost rows never became visible
+    # the dead writer's batch is adopted, nothing is lost
+    assert set(got) == {"a", "late", "b"}
+    assert got["late"]["n_rows"] == 9

@@ -655,3 +655,77 @@ def test_repeated_span_report_planted(spark):
     top = out[0]
     assert top.span == boiler and top.n_docs == 3 and top.example_id == 1
     assert all(r.n_docs >= 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# third review pass regressions
+# ---------------------------------------------------------------------------
+
+def test_huge_integral_doubles_native_arrow_agree(spark):
+    """|x| >= 2^63 integral doubles: FLOOR(double) saturates to a BIGINT, so
+    the old native integrality check misclassified them as 'number' while
+    arrow/pure said 'integer' — the modulo form agrees everywhere."""
+    from jsons_to_schema_spark.operators.infer import infer_from_struct
+
+    df = spark.createDataFrame([(1e19,), (2e20,), (5.0,)], "v double")
+    schema, n = infer_from_struct(df)
+    assert schema["properties"]["v"] == {"type": "integer"}, schema
+    df2 = spark.createDataFrame([(1e19,), (2.5,)], "v double")
+    schema2, _ = infer_from_struct(df2)
+    assert schema2["properties"]["v"] == {"type": "number"}, schema2
+
+
+def test_huge_decimal_classified_exactly(spark):
+    """Non-integral decimals beyond float64 precision must classify as
+    'number' (the old float64 round-trip rounded the .5 away)."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    from jsons_to_schema_spark.operators.infer import infer_from_struct
+
+    st = StructType([StructField("d", DecimalType(38, 1))])
+    df = spark.createDataFrame(
+        [(Decimal("12345678901234567890.5"),), (Decimal("1.0"),)], st
+    )
+    schema, _ = infer_from_struct(df, engine="arrow")
+    # the .5 value must classify as number (old float64 round-trip said
+    # integer); per-partition drafts unify under the pinned no-absorption
+    # rule, so with the integral 1.0 in another partition the result is
+    # the union — 'number' must be IN it
+    t = schema["properties"]["d"]["type"]
+    assert "number" in (t if isinstance(t, list) else [t]), schema
+
+
+def test_infer_grouped_integer_key_and_skip(spark):
+    """Non-string group keys work (typed output DDL) and on_error='skip'
+    drops malformed docs instead of failing the job."""
+    from jsons_to_schema_spark.operators.infer import infer_grouped
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (1, "not json"), (2, '{"k": "s"}')],
+        "gid long, doc string",
+    )
+    out = {r.gid: (r.unified_schema, r.n_docs) for r in
+           infer_grouped(df, "gid", "doc", salt=2, on_error="skip").collect()}
+    assert out[1][1] == 1 and '"integer"' in out[1][0]
+    assert out[2][1] == 1 and '"string"' in out[2][0]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="malformed JSON"):
+        infer_grouped(df, "gid", "doc", salt=1).count()
+
+
+def test_empty_input_audit_raises(spark):
+    """single_pass_audit / infer_from_struct on an EMPTY table must raise
+    the NonEmpty error, not fabricate a schema with n_docs=None."""
+    import pytest as _pytest
+
+    from jsons_to_schema_spark.operators.audit_pass import single_pass_audit
+
+    corpus = spark.createDataFrame(
+        [], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        r = single_pass_audit(corpus, cap_per_check=5)
+        _ = r.schema  # force evaluation if lazy
