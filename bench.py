@@ -322,7 +322,7 @@ def bench_once(cpus: int, corpus, skip_queries: bool = False) -> dict:
     # interference, and capability is what the scaling gate compares.
     flagship_s = min(times)
     log(
-        f"[bench] flagship: {n} docs median {flagship_s:.2f}s "
+        f"[bench] flagship: {n} docs min {flagship_s:.2f}s "
         f"(runs: {[round(t, 2) for t in times]}) = {n/flagship_s:.0f} docs/s"
     )
     timings = {} if skip_queries else run_queries(spark, corpus)
@@ -434,7 +434,7 @@ def main() -> None:
     out = {
         "metric": "docs_per_sec_unified_validated",
         "value": round(r["n_docs"] / r["flagship_s"], 1),
-        "unit": "sec",
+        "unit": "docs_per_sec",
         "queries": r["queries"],
         "sf": _sf_from_dir(SF_DIR),
         "n_docs": r["n_docs"],

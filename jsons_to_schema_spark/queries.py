@@ -55,6 +55,22 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _source_fingerprint(sf_dir, table: str) -> str:
+    """Short content fingerprint (path+size+mtime) of a driver parquet
+    table — the cache key component that makes persisted-index caches
+    (IVF/q8/MinHash) track their SOURCE data: a regenerated testdata dir
+    or a same-basename foreign corpus gets a fresh index instead of stale
+    probes (r3 review; same scheme as sources/jsonl.py)."""
+    import hashlib
+    from pathlib import Path as _P
+
+    src = _P(sf_dir) / f"{table}.parquet"
+    st = src.stat()
+    return hashlib.sha256(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+
+
 def _spans_corpus(spark: SparkSession = None):
     """Deterministic synthetic canonical table for spans-based operators.
     Generation is idempotent and cached on disk; first caller pays it."""
@@ -1376,7 +1392,7 @@ def similarity_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
     idx = (
         Path(__file__).resolve().parents[1]
         / ".cache"
-        / f"ivf_{Path(sf_dir).name}_c16_i2_s42"
+        / f"ivf_{Path(sf_dir).name}_{_source_fingerprint(sf_dir, 'embeddings')}_c16_i2_s42"
     )
     if not (idx / "centroids.json").exists():
         similarity.build_ivf_index(emb, idx, n_cells=16, iters=2, seed=42)
@@ -1400,7 +1416,7 @@ def similarity_ivf_q8_topk_embeddings(spark, sf_dir) -> DataFrame:
     idx = (
         Path(__file__).resolve().parents[1]
         / ".cache"
-        / f"ivfq8_{Path(sf_dir).name}_c16_i2_s42"
+        / f"ivfq8_{Path(sf_dir).name}_{_source_fingerprint(sf_dir, 'embeddings')}_c16_i2_s42"
     )
     if not (idx / "centroids.json").exists():
         similarity.build_ivf_index_q8(emb, idx, n_cells=16, iters=2, seed=42)
@@ -1876,7 +1892,7 @@ def stream_incremental_schema(spark, sf_dir) -> DataFrame:
         source_schema=_SPANS_DDL,
     )
     q.awaitTermination()
-    schema, n_docs, _n_batches = SchemaSnapshot(tmp / "snapshot.json").read()
+    schema, n_docs, _n_batches, _last = SchemaSnapshot(tmp / "snapshot.json").read()
     return spark.createDataFrame(
         [(canonical_json(schema), n_docs)], "unified_schema string, n_docs long"
     )
@@ -2041,10 +2057,14 @@ def stream_schema_drift_alerts(spark, sf_dir) -> DataFrame:
     )
     schema_drift_alert_stream(spark, str(src), **kwargs).awaitTermination()
     rows = []
-    for seq, line in enumerate(
-        (tmp / "alerts.jsonl").read_text().splitlines()
-    ):
+    seen_batches = set()
+    seq = -1
+    for line in (tmp / "alerts.jsonl").read_text().splitlines():
         rec = _json.loads(line)
+        if rec["batch_id"] in seen_batches:
+            continue  # at-least-once alert replay: consumer-side dedupe
+        seen_batches.add(rec["batch_id"])
+        seq += 1
         for ch in rec["changes"]:
             rows.append(
                 (
@@ -2720,7 +2740,7 @@ def dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     idx = (
         Path(__file__).resolve().parents[1]
         / ".cache"
-        / f"mh_{Path(sf_dir).name}_h32_b8_k3"
+        / f"mh_{Path(sf_dir).name}_{_source_fingerprint(sf_dir, 'documents')}_h32_b8_k3"
     )
     if not (idx / "meta.json").exists():
         dedup_ops.build_minhash_index(

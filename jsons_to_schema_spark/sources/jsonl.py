@@ -72,7 +72,7 @@ def export_table_jsonl(sf_dir: str | Path, table: str, order_by: str) -> Path:
     out.parent.mkdir(parents=True, exist_ok=True)
     import duckdb
 
-    src = Path(sf_dir) / f"{table}.parquet"
+    src = src_path  # same file the fingerprint pinned
     tmp = out.with_suffix(f".tmp{os.getpid()}")
     con = duckdb.connect()
     try:

@@ -81,19 +81,31 @@ class SchemaHistory:
         )
 
     def append(self, schema: Schema, n_docs: int) -> int:
+        """Append the next version.  The final name is CLAIMED with an
+        atomic os.link (r3 review: tmp+replace let two concurrent appenders
+        compute the same version and silently overwrite one snapshot);
+        losing the claim retries at the next version, so concurrent runs
+        serialize into consecutive versions with nothing lost."""
         import json
         import os
 
-        v = (self.versions() or [0])[-1] + 1
-        tmp = self.dir / f"schema-{v:06d}.json.tmp"
-        tmp.write_text(
-            json.dumps(
-                {"version": v, "schema": canonical_json(schema), "n_docs": n_docs},
-                sort_keys=True,
+        while True:
+            v = (self.versions() or [0])[-1] + 1
+            tmp = self.dir / f"schema-{v:06d}.json.{os.getpid()}.tmp"
+            tmp.write_text(
+                json.dumps(
+                    {"version": v, "schema": canonical_json(schema),
+                     "n_docs": n_docs},
+                    sort_keys=True,
+                )
             )
-        )
-        os.replace(tmp, self.dir / f"schema-{v:06d}.json")
-        return v
+            try:
+                os.link(tmp, self.dir / f"schema-{v:06d}.json")
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            os.unlink(tmp)
+            return v
 
     def read(self) -> list[dict]:
         import json

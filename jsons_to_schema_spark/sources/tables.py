@@ -26,7 +26,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table.  format auto-detected: a path ending .parquet
     (or a directory of parquet files) reads parquet; an identifier containing
     a catalog dot reads a (Iceberg) catalog table."""
-    if "://" not in sf_dir and not Path(sf_dir).exists() and "." in sf_dir:
+    # catalog route ONLY for identifier-shaped strings (no path separator):
+    # a missing local path like /root/testdata/sf0.1 contains a dot and used
+    # to be rerouted into a bogus catalog lookup, burying the real
+    # path-not-found error under a confusing TABLE_OR_VIEW_NOT_FOUND (r3)
+    if (
+        "://" not in sf_dir
+        and os.sep not in sf_dir
+        and "." in sf_dir
+        and not Path(sf_dir).exists()
+    ):
         return spark.read.table(f"{sf_dir}.{name}")
     p = Path(sf_dir) / f"{name}.parquet"
     if not p.exists():

@@ -32,22 +32,34 @@ from ..schema_algebra import (
 
 
 class SchemaSnapshot:
-    """Persisted unified-schema state: {schema, n_docs, n_batches}."""
+    """Persisted unified-schema state: {schema, n_docs, n_batches,
+    last_batch_id}.  The batch id makes the foreachBatch fold IDEMPOTENT
+    under Spark's at-least-once replay (r3 review: without it a crash
+    between snapshot write and checkpoint commit double-counted
+    n_docs/n_batches on replay — unify itself is idempotent, the counters
+    are not)."""
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
 
-    def read(self) -> tuple[Optional[Schema], int, int]:
+    def read(self) -> tuple[Optional[Schema], int, int, int]:
         if not self.path.exists():
-            return None, 0, 0
+            return None, 0, 0, -1
         d = json.loads(self.path.read_text())
-        return d["schema"], d["n_docs"], d["n_batches"]
+        return d["schema"], d["n_docs"], d["n_batches"], d.get("last_batch_id", -1)
 
-    def write(self, schema: Schema, n_docs: int, n_batches: int) -> None:
+    def write(
+        self, schema: Schema, n_docs: int, n_batches: int, last_batch_id: int
+    ) -> None:
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(
             json.dumps(
-                {"schema": schema, "n_docs": n_docs, "n_batches": n_batches},
+                {
+                    "schema": schema,
+                    "n_docs": n_docs,
+                    "n_batches": n_batches,
+                    "last_batch_id": last_batch_id,
+                },
                 sort_keys=True,
             )
         )
@@ -63,15 +75,17 @@ def make_schema_merge_batch_fn(
     atomically persist.  json_column=None → structured (Arrow-native) mode."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev, prev_n, prev_b, last = snapshot.read()
+        if batch_id <= last:
+            return  # at-least-once replay of an already-applied batch
         if batch_df.isEmpty():
             return
         if json_column is not None:
             batch_schema, n = infer_from_json_column(batch_df, json_column, config)
         else:
             batch_schema, n = infer_from_struct(batch_df, config)
-        prev, prev_n, prev_b = snapshot.read()
         merged = unify_opt(prev, batch_schema)
-        snapshot.write(merged, prev_n + n, prev_b + 1)
+        snapshot.write(merged, prev_n + n, prev_b + 1, batch_id)
 
     return on_batch
 
@@ -90,9 +104,10 @@ def incremental_schema_stream(
 
     With available_now=True this drains existing files and stops (the batch
     analog used in tests); on a cluster the same query tails the Iceberg/file
-    source continuously.  Spark's checkpoint_dir gives exactly-once batch ids
-    so a crash never double-folds a batch (idempotence of unify makes even a
-    replay harmless for the schema itself — only n_docs needs the guarantee).
+    source continuously.  Spark's checkpoint gives stable batch ids, and the
+    snapshot records the last APPLIED id, so a replayed batch (foreachBatch
+    is at-least-once) is skipped — unify is idempotent for the schema, and
+    the id guard extends that to the n_docs/n_batches counters.
     """
     reader = spark.readStream.format(source_format)
     if source_schema:
@@ -132,6 +147,10 @@ def schema_drift_alert_stream(
     decision procedure (r3), so a consumer can gate on "safe widening" vs
     "reader-breaking change" instead of eyeballing the diff.  Batches that
     fit the known schema produce no alert — steady state writes nothing.
+    Replay contract: applied batches are skipped via the snapshot's
+    last_batch_id; a crash between the alert append and the snapshot write
+    can re-append ONE alert with the same batch_id — alerts are
+    at-least-once, keyed by batch_id for consumer dedupe.
 
     State is the same KB-scale snapshot as incremental_schema_stream
     (foreachBatch + atomic file replace — not per-key state, so
@@ -143,13 +162,15 @@ def schema_drift_alert_stream(
     alerts = Path(alerts_path)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev, prev_n, prev_b, last = snap.read()
+        if batch_id <= last:
+            return  # replay of an applied batch: no re-fold, no dup alert
         if batch_df.isEmpty():
             return
         if json_column is not None:
             batch_schema, n = infer_from_json_column(batch_df, json_column, config)
         else:
             batch_schema, n = infer_from_struct(batch_df, config)
-        prev, prev_n, prev_b = snap.read()
         merged = unify_opt(prev, batch_schema)
         if prev is None or canonical_json(merged) != canonical_json(prev):
             changes = schema_diff(prev, merged)
@@ -174,7 +195,7 @@ def schema_drift_alert_stream(
                     )
                     + "\n"
                 )
-        snap.write(merged, prev_n + n, prev_b + 1)
+        snap.write(merged, prev_n + n, prev_b + 1, batch_id)
 
     reader = spark.readStream.format(source_format)
     if source_schema:
@@ -224,18 +245,32 @@ def dedup_ingest_stream(
     Within-batch duplicates: the batch is ALSO probed against itself via
     the batch LSH engine, keeping the min-id representative — so two copies
     arriving in one micro-batch don't both pass."""
+    import json as _json
+    from pathlib import Path as _Path
+
     from pyspark.sql import functions as F
 
     from ..operators import dedup
+
+    # within-batch dedup must judge with the SAME parameters (and columns)
+    # as the index probe (r3 review: hardcoded defaults made a duplicate's
+    # fate depend on which micro-batch it arrived in)
+    meta = _json.loads((_Path(index_dir) / "meta.json").read_text())
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # 1. within-batch: keep one representative per near-dup cluster
         pairs = dedup.minhash_lsh_pairs(
-            batch_df, "text", "doc_id", min_jaccard=min_jaccard
+            batch_df,
+            meta["col"],
+            meta["id_col"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            min_jaccard=min_jaccard,
+            k=meta["k"],
         )
-        local = dedup.assign_duplicate_clusters(batch_df, pairs, "doc_id")
+        local = dedup.assign_duplicate_clusters(batch_df, pairs, meta["id_col"])
         survivors = local.filter(F.col("keep")).select(*batch_df.columns)
         # 2. cross-batch: drop anything near-duplicating the accepted corpus.
         # new_id != corpus_id is the replay guard: after a crash between the
@@ -245,8 +280,8 @@ def dedup_ingest_stream(
             spark, index_dir, survivors, min_jaccard=min_jaccard
         ).filter(F.col("new_id") != F.col("corpus_id"))
         clean = survivors.join(
-            hits.select(F.col("new_id").alias("doc_id")).distinct(),
-            "doc_id",
+            hits.select(F.col("new_id").alias(meta["id_col"])).distinct(),
+            meta["id_col"],
             "left_anti",
         ).localCheckpoint(eager=True)  # used twice: table write + index append
         # 3. accept: idempotent per-batch partition overwrite, then index

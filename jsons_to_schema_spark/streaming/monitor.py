@@ -35,9 +35,15 @@ def violation_counts_stream(
     wrong).  Output mode: append (finalized windows only) or update.
     """
     flagged = spans_stream.withWatermark(event_time_col, watermark)
+    # NULL check results (e.g. spans IS NULL makes every check NULL) count
+    # as violations — without the coalesce a malformed row lands in n_rows
+    # but in no check's n_failed (r3 review; matches the rule DSL default)
     checks_arr = F.array(
         *[
-            F.struct(F.lit(name).alias("check"), make_expr().alias("ok"))
+            F.struct(
+                F.lit(name).alias("check"),
+                F.coalesce(make_expr(), F.lit(False)).alias("ok"),
+            )
             for name, make_expr in ROW_CHECKS.items()
         ]
     )

@@ -33,7 +33,7 @@ def test_incremental_stream_merges(spark, tmp_path):
     )
     q.awaitTermination(120)
     snap = SchemaSnapshot(snap_path)
-    schema, n, b = snap.read()
+    schema, n, b, _last = snap.read()
     assert n == len(DOCS_A)
     assert canonical_json(schema) == canonical_json(jsons_to_schema(DOCS_A))
 
@@ -43,7 +43,7 @@ def test_incremental_stream_merges(spark, tmp_path):
         spark, src, snap_path, ckpt, source_schema="doc string", json_column="doc"
     )
     q2.awaitTermination(120)
-    schema2, n2, b2 = snap.read()
+    schema2, n2, b2, _last2 = snap.read()
     assert n2 == len(DOCS_A) + len(DOCS_B)
     assert b2 == b + 1
     assert canonical_json(schema2) == canonical_json(
