@@ -87,7 +87,8 @@ def curate_documents(
       component's min-id representative;
     * transforms (applied to the SURVIVORS, after all gates, so dedup
       fingerprints see the original bytes): collapse_repeated_lines
-      rewrites text_col with consecutive duplicate lines removed;
+      rewrites text_col with consecutive duplicate lines removed
+      (blank lines preserved; runs of blanks collapse to one);
       scrub_pii redacts emails/IPs/phones in place.
 
     The gates stay narrow projections + filters the scan evaluates in
@@ -108,11 +109,28 @@ def curate_documents(
         gated = gated.filter(F.col("lang_pred").isin(list(allowed_langs)))
     kept = dedup_exact(gated, text_col, id_col)
     if near_dup_pairs is not None:
-        assigned = assign_duplicate_clusters(kept, near_dup_pairs, id_col)
+        # restrict the pair graph to SURVIVING ids first: the cluster
+        # representative (min id) must be chosen among survivors — with
+        # the raw graph, a cluster whose min-id member was removed by a
+        # gate or exact dedup had NO surviving representative and every
+        # remaining member was silently dropped (r3 review).  Filtering
+        # edges may split a cluster whose only link was a removed doc;
+        # keeping both halves is the conservative semantics (their
+        # similarity was only ever transitive through the removed doc).
+        ids = kept.select(F.col(id_col).alias("_kid"))
+        pairs_kept = near_dup_pairs.join(
+            ids.withColumnRenamed("_kid", "id_a"), "id_a", "left_semi"
+        ).join(ids.withColumnRenamed("_kid", "id_b"), "id_b", "left_semi")
+        assigned = assign_duplicate_clusters(kept, pairs_kept, id_col)
         kept = assigned.filter(F.col("keep")).drop("cluster_id", "keep")
     if collapse_repeated_lines:
+        # RAW newline split (not lines_array, which drops empties): the
+        # collapse must remove only consecutive DUPLICATE lines — blank
+        # lines are preserved (runs of blanks collapse to one, as equal
+        # consecutive lines), so paragraph structure survives (r3 review:
+        # the old form deleted every blank line corpus-wide).
         kept = (
-            kept.withColumn("_lines", lines_array(text_col))
+            kept.withColumn("_lines", F.split(F.col(text_col), "\n"))
             .withColumn(text_col, F.concat_ws("\n", dedup_consecutive(F.col("_lines"))))
             .drop("_lines")
         )

@@ -50,6 +50,16 @@ def quantile_drift(
     b = baseline.agg(_quantiles(column, probs, engine, accuracy).alias("bq"))
     c = current.agg(_quantiles(column, probs, engine, accuracy).alias("cq"))
     joined = b.crossJoin(c)
+    # an EMPTY/all-null slice aggregates to a NULL quantile array, and
+    # posexplode(NULL zip) would emit ZERO rows — the highest-drift event
+    # possible (the data vanished) read as "no drift" (r3 review).  A null
+    # array of the right length keeps one row per quantile with NULL
+    # base_q/cur_q/delta, which a monitor can distinguish from delta=0.
+    null_arr = F.array(*[F.lit(None).cast("double") for _ in probs])
+    joined = joined.select(
+        F.coalesce(F.col("bq"), null_arr).alias("bq"),
+        F.coalesce(F.col("cq"), null_arr).alias("cq"),
+    )
     exploded = joined.select(
         F.posexplode(F.arrays_zip("bq", "cq")).alias("i", "q")
     ).select(
@@ -62,7 +72,9 @@ def quantile_drift(
 
 
 def drift_score(drift_df: DataFrame) -> DataFrame:
-    """Collapse a quantile-drift frame to one row: max |delta| and L1."""
+    """Collapse a quantile-drift frame to one row: max |delta| and L1.
+    NULL outputs mean a slice was EMPTY (see quantile_drift) — treat as an
+    alert, never as zero drift."""
     return drift_df.agg(
         F.max(F.abs("delta")).alias("max_abs_delta"),
         F.sum(F.abs("delta")).alias("l1_delta"),

@@ -81,7 +81,10 @@ def _compress(means: np.ndarray, weights: np.ndarray, compression: int):
     """Sort by mean, then greedily merge adjacent centroids while the merged
     centroid stays within one unit of the k1 scale function — the t-digest
     size bound (≤ ~2*compression centroids), tail-accurate because k1 is
-    steep near q∈{0,1}."""
+    steep near q∈{0,1}.  Empty input → empty output (r3 review: merging an
+    empty digest crashed on means[0])."""
+    if len(means) == 0:
+        return means, weights
     order = np.argsort(means, kind="mergesort")
     means, weights = means[order], weights[order]
     total = weights.sum()

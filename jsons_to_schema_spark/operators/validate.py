@@ -370,9 +370,22 @@ def validate_json_against_schema(
         for batch in batches:
             docs, valids, errs = [], [], []
             for s in batch.column(column).to_pylist():
+                # a validator must VERDICT bad input, not crash on it or
+                # silently drop it (r3 review): null docs and malformed
+                # JSON come back as valid=False rows, one per input row
                 if s is None:
+                    docs.append(None)
+                    valids.append(False)
+                    errs.append(["$: null document"])
                     continue
-                errors = validate_value(json.loads(s), sch)
+                try:
+                    v = json.loads(s)
+                except json.JSONDecodeError as exc:
+                    docs.append(s)
+                    valids.append(False)
+                    errs.append([f"$: invalid JSON ({exc.msg})"])
+                    continue
+                errors = validate_value(v, sch)
                 docs.append(s)
                 valids.append(not errors)
                 errs.append(errors)
@@ -452,7 +465,22 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
         ok = ok & bound
     if "enum" in schema:
         if not isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
-            ok = ok & col.isin([e for e in schema["enum"]])
+            # null-safe membership: SQL IN yields NULL (not False) for a
+            # non-match when the list contains null, silently uncounting
+            # invalid rows downstream (r3 review).  Null enum members are
+            # handled by the caller's null-branch; values whose Python type
+            # cannot inhabit this column type are unmatchable and dropped
+            # (same convention as _enum_literal_match).
+            members = [
+                e
+                for e in schema["enum"]
+                if e is not None and not isinstance(e, (dict, list))
+            ]
+            ok = ok & (
+                F.coalesce(col.isin(members), F.lit(False))
+                if members
+                else F.lit(False)
+            )
         else:
             # enum over complex types: compile each enum value to a typed
             # structural-equality expression (canonical-JSON equality in the
@@ -634,6 +662,18 @@ def struct_conformance_flags(df: DataFrame, schema: Schema) -> DataFrame:
     for req in required:
         if req not in df.columns:
             ok = F.lit(False)
+    if "enum" in schema:
+        # root-level enum over the whole document (r3 review: nested enums
+        # compiled via _enum_literal_match, the root never did) — compare
+        # the row as a struct literal; unrepresentable values drop.
+        row_struct = F.struct(*[F.col(f.name) for f in df.schema.fields])
+        row_dt = T.StructType(list(df.schema.fields))
+        match = None
+        for e in schema["enum"]:
+            m = _enum_literal_match(e, row_struct, row_dt)
+            if m is not None:
+                match = m if match is None else (match | m)
+        ok = ok & (match if match is not None else F.lit(False))
     return df.withColumn("ok_schema", ok)
 
 
@@ -704,27 +744,44 @@ def rule_violation_rows(
     cap_per_rule: int = 100,
 ) -> DataFrame:
     """The row-level companion: (id, rule) for each violating row, capped
-    per rule via the same two-stage WindowGroupLimit shape row_violations
-    uses (deterministic: smallest ids win)."""
+    per rule — ONE scan (fail-any filter, then a struct-array explode of
+    only the failing rules) and the same two-stage (rule, scan-partition)
+    → (rule) WindowGroupLimit cap row_violations uses, so a violation-
+    dense corpus never funnels through one reducer per rule (r3 review:
+    the first form unioned one scan branch PER rule and used a single
+    global window per rule)."""
     from pyspark.sql import Window
 
     if not rules:  # mirror rule_verdicts: empty suite -> empty result
         return df.select(
             F.col(id_col).alias("id"), F.lit("").alias("rule")
         ).limit(0)
-    branches = []
-    for name, pred in rules.items():
-        branches.append(
-            df.filter(~F.coalesce(pred, F.lit(False))).select(
-                F.col(id_col).alias("id"), F.lit(name).alias("rule")
-            )
+    oks = {name: F.coalesce(pred, F.lit(False)) for name, pred in rules.items()}
+    fail_any = None
+    for ok in oks.values():
+        c = ~ok
+        fail_any = c if fail_any is None else (fail_any | c)
+    checks_arr = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), ok.alias("ok"))
+            for name, ok in oks.items()
+        ]
+    )
+    v = (
+        df.filter(fail_any)
+        .select(
+            F.col(id_col).alias("id"),
+            F.spark_partition_id().alias("_pid"),
+            F.explode(F.filter(checks_arr, lambda c: ~c["ok"])).alias("_c"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    w = Window.partitionBy("rule").orderBy("id")
+        .select("id", "_pid", F.col("_c.rule").alias("rule"))
+    )
+    w1 = Window.partitionBy("rule", "_pid").orderBy("id")
+    w2 = Window.partitionBy("rule").orderBy("id")
     return (
-        out.withColumn("_r", F.row_number().over(w))
+        v.withColumn("_r", F.row_number().over(w1))
         .filter(F.col("_r") <= cap_per_rule)
-        .drop("_r")
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap_per_rule)
+        .drop("_r", "_r2", "_pid")
     )

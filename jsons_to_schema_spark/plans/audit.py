@@ -27,12 +27,10 @@ def scan_count(df: DataFrame, fmt: str = "parquet") -> int:
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
-    """fragment appears inside the scan's PushedFilters list."""
-    plan = formatted_plan(df)
-    for block in plan.split("\n\n"):
-        if "PushedFilters" in block and fragment in block.split("PushedFilters", 1)[1].split("\n")[0]:
-            return True
-    return fragment in _pushed_filters(plan)
+    """fragment appears on a PushedFilters line of the plan.  (One parsing
+    strategy — an earlier block-splitting loop matched a strict subset of
+    this and was dead code; r3 review.)"""
+    return fragment in _pushed_filters(formatted_plan(df))
 
 
 def _pushed_filters(plan: str) -> str:

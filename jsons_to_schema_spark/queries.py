@@ -1240,7 +1240,8 @@ _PLANT_FULL = (
     ), surv AS (
       SELECT fp.doc_id, fp.n_tokens, fp.lang_pred,
              coalesce(list_aggregate(
-               list_filter(fp.l, (x, i) -> i = 1 OR x <> fp.l[i-1]),
+               list_filter(string_split(fp.text, chr(10)),
+                           (x, i) -> i = 1 OR x <> string_split(fp.text, chr(10))[i-1]),
                'string_agg', chr(10)), '') AS collapsed
       FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.m
     )

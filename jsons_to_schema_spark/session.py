@@ -65,9 +65,16 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        if master.startswith("local["):
-            inner = master[len("local["):-1]
-            shuffle_partitions = cpus if inner == "*" else int(inner)
+        # parse every documented local master form (r3 review: 'local[4,2]'
+        # retries syntax crashed int(); bare 'local' is ONE thread, not
+        # 2*cpus; 'local[*]' means the machine's cores, not the env default)
+        if master == "local":
+            shuffle_partitions = 1
+        elif master.startswith("local["):
+            inner = master[len("local["):-1].split(",")[0].strip()
+            shuffle_partitions = (
+                (os.cpu_count() or cpus) if inner == "*" else int(inner)
+            )
         else:
             shuffle_partitions = 2 * cpus
     b = SparkSession.builder.master(master).appName(app_name)

@@ -729,3 +729,121 @@ def test_empty_input_audit_raises(spark):
     with _pytest.raises(ValueError, match="no rows"):
         r = single_pass_audit(corpus, cap_per_check=5)
         _ = r.schema  # force evaluation if lazy
+
+
+# ---------------------------------------------------------------------------
+# fifth review pass regressions
+# ---------------------------------------------------------------------------
+
+def test_curate_cluster_representative_among_survivors(spark):
+    """A near-dup cluster whose min-id member was gated out must still keep
+    one surviving representative (old behavior dropped the whole cluster)."""
+    from jsons_to_schema_spark.operators.curate import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),  # min-id of the cluster, fails the gate
+            (2, "the and of to in is that for the and of to in is that for"),
+            (3, "the and of to in is that for the and of to in is that for x"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = curate_documents(
+        docs, "text", "doc_id", min_tokens=10, near_dup_pairs=pairs
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert 2 in ids  # surviving min becomes the representative
+    assert 3 not in ids  # still deduped against the surviving rep
+    assert 1 not in ids  # gated out
+
+
+def test_curate_collapse_preserves_blank_lines(spark):
+    from jsons_to_schema_spark.operators.curate import curate_documents
+
+    text = "\n".join(
+        ["the and of to in is that for paragraph one"] * 2
+        + [""]
+        + ["the and of to in is that for paragraph two"]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = curate_documents(
+        docs, "text", "doc_id", min_tokens=5, collapse_repeated_lines=True
+    ).collect()[0].text
+    assert out == (
+        "the and of to in is that for paragraph one\n\n"
+        "the and of to in is that for paragraph two"
+    )
+
+
+def test_compiled_enum_with_null_member_is_false_not_null(spark):
+    from jsons_to_schema_spark.operators.validate import struct_conformance_flags
+
+    df = spark.createDataFrame([("b",), ("a",)], "k string")
+    schema = {"type": "object", "properties": {"k": {"enum": ["a", None]}}}
+    out = {r.k: r.ok_schema for r in struct_conformance_flags(df, schema).collect()}
+    assert out["a"] is True
+    assert out["b"] is False  # was NULL (SQL IN with null member)
+
+
+def test_json_validator_verdicts_bad_input(spark):
+    from jsons_to_schema_spark.operators.validate import validate_json_against_schema
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ('{"truncated',), (None,)], "doc string"
+    )
+    schema = {"type": "object", "properties": {"k": {"type": "integer"}},
+              "required": ["k"]}
+    rows = validate_json_against_schema(df, "doc", schema).collect()
+    assert len(rows) == 3  # one verdict per input row, none dropped
+    by_valid = sorted((r.valid, tuple(r.errors)) for r in rows)
+    assert by_valid[0][0] is False and by_valid[1][0] is False
+    assert any("invalid JSON" in e for _, errs in by_valid for e in errs)
+    assert any("null document" in e for _, errs in by_valid for e in errs)
+
+
+def test_quantile_drift_empty_slice_emits_null_rows(spark):
+    from jsons_to_schema_spark.operators import drift
+
+    base = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    empty = base.filter(F.col("v") < 0)
+    out = drift.quantile_drift(base, empty, "v").collect()
+    assert len(out) > 0  # rows still emit
+    assert all(r.cur_q is None and r.delta is None for r in out)
+    score = drift.drift_score(drift.quantile_drift(base, empty, "v")).collect()[0]
+    assert score.max_abs_delta is None  # alert-shaped, not zero
+
+
+def test_tdigest_empty_merge():
+    from jsons_to_schema_spark.operators.tdigest import TDigest
+
+    a, b = TDigest(100), TDigest(100)
+    a.merge(b)  # must not raise
+    import numpy as np
+
+    c = TDigest(100)
+    c.add_array(np.array([1.0, 2.0, 3.0]))
+    c.merge(TDigest(100))
+    assert abs(c.quantile(0.5) - 2.0) < 1.0
+
+
+def test_get_spark_master_parsing():
+    from jsons_to_schema_spark import session as sess
+
+    # pure parsing check (no session build): replicate the branch
+    def parts(master, cpus=32):
+        import os as _os
+
+        if master == "local":
+            return 1
+        if master.startswith("local["):
+            inner = master[len("local["):-1].split(",")[0].strip()
+            return (_os.cpu_count() or cpus) if inner == "*" else int(inner)
+        return 2 * cpus
+
+    assert parts("local") == 1
+    assert parts("local[4]") == 4
+    assert parts("local[4,2]") == 4  # retries syntax no longer crashes
+    assert parts("local[*]") >= 1
