@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, shingles_from_tokens, tokens
+from .text import fp_exact_key, shingles, shingles_from_tokens, tokens
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -62,7 +62,7 @@ def _materialize_once(df: DataFrame) -> DataFrame:
 def exact_duplicate_clusters(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Groups of identical (whitespace-normalized) text.  Map-side partial
     agg absorbs repeated content before the shuffle."""
-    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+    norm = fp_exact_key(col)
     return (
         df.select(F.col(id_col), norm.alias("fp_exact"))
         .groupBy("fp_exact")
@@ -76,7 +76,7 @@ def exact_duplicate_clusters(df: DataFrame, col: str, id_col: str) -> DataFrame:
 
 def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per identical-text group."""
-    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+    norm = fp_exact_key(col)
     w = df.withColumn("_fp", norm)
     keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return w.join(keep, [ "_fp", id_col ], "left_semi").drop("_fp")
@@ -133,6 +133,12 @@ def minhash_lsh_pairs(
     bands × rows = num_hashes; candidate recall/precision tuned by the band
     count (8 bands × 4 rows ≈ catches J ≥ 0.7 with high probability).
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands} (rows_per_band=0 would give every document the "
+            "same band key — a full cross join)"
+        )
     rows_per_band = num_hashes // bands
     # layered selects: each expensive expression is materialized as a column
     # before being referenced again — Catalyst's CollapseProject keeps the
@@ -150,18 +156,15 @@ def minhash_lsh_pairs(
             "_id", minhash_from_shingles(F.col("_shd"), num_hashes).alias("_sig")
         )
     )
-    # band key = hash of the band's signature slice; explode to (band, key, id)
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band)),
-            )
-            for b in range(bands)
-        ]
-    )
+    # band key = hash of the band's signature slice; explode to (band, key,
+    # id).  ONE definition (_band_key_array) shared with the persisted
+    # index — a drift between pair-mode and index keys would silently
+    # desynchronize probes (r3 review).
     buckets = with_sig.select(
-        "_id", F.posexplode(band_keys).alias("_band", "_key")
+        "_id",
+        F.posexplode(
+            _band_key_array(F.col("_sig"), num_hashes, bands)
+        ).alias("_band", "_key"),
     )
     # candidate pairs: same (band, key); dedup across bands via distinct
     left = buckets.alias("l")
@@ -344,7 +347,13 @@ def simhash64_kernel():
             lens = np.array(
                 [0 if v is None else len(v) for v in vals], dtype=np.int64
             )
-            out = np.zeros(len(vals), dtype=np.int64)
+            # NULL input -> NULL hash, matching the expression form's null
+            # propagation (r3 review: mapping nulls to hash 0 paired every
+            # null-text doc with every other at hamming 0); empty token
+            # arrays hash to 0 on both engines.
+            out = np.array(
+                [None if v is None else 0 for v in vals], dtype=object
+            )
             pos = lens > 0
             if pos.any():
                 flat = np.concatenate(
@@ -358,7 +367,8 @@ def simhash64_kernel():
                 packed = (bits.astype(np.uint64) << shifts).sum(
                     axis=1, dtype=np.uint64
                 )
-                out[pos] = packed.view(np.int64)
+                for i, h in zip(np.flatnonzero(pos), packed.view(np.int64)):
+                    out[i] = int(h)
             yield pd.Series(out)
 
     return sim
@@ -376,7 +386,17 @@ def simhash_near_dup_pairs(
     engine='kernel' (default): token hashing stays JVM-side, the per-bit
     fold runs in the vectorized Arrow kernel (≫ faster, see
     simhash64_kernel); engine='expr' keeps everything in Catalyst — both
-    produce identical hashes (tested)."""
+    produce identical hashes (tested).
+
+    max_hamming must be ≤ 3: the 4-band pigeonhole only guarantees a
+    shared band for distance ≤ 3 — a larger radius would silently lose
+    recall, so it is an error (r3 review)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3 loses recall under 4x16-bit "
+            "banding (a pair can differ in every band); use more bands or "
+            "a different candidate scheme"
+        )
     src = _spread(df.select(F.col(id_col), F.col(col)))
     if engine == "kernel":
         hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
@@ -563,7 +583,12 @@ _KEY_BUCKETS = 64
 
 def _band_key_array(sig: Column, num_hashes: int, bands: int) -> Column:
     """Per-band bucket keys from a signature column: xxhash64 of (band id,
-    the band's signature slice) — same expression minhash_lsh_pairs uses."""
+    the band's signature slice) — THE band-key definition (pair mode and
+    the persisted index both call this)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     return F.array(
         *[

@@ -106,12 +106,20 @@ def lang_id(df: DataFrame, col: str, id_col: str) -> DataFrame:
     )
 
 
+def fp_exact_key(col: str | Column) -> Column:
+    """THE exact-duplicate key: md5 of whitespace-normalized lowercase
+    text.  One definition — dedup.dedup_exact, dedup.exact_duplicate_
+    clusters, and fingerprint all use this (r3 review: three verbatim
+    copies could silently desynchronize dup groups across operators)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
 def fingerprint(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase text
     (exact-dup key) + a rolling content signature = md5 of the sorted set of
     word 3-gram shingles (order-insensitive near-dup key)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
-    base = df.select(F.col(id_col), F.md5(norm).alias("fp_exact"), tokens(col).alias("_t"))
+    base = df.select(F.col(id_col), fp_exact_key(col).alias("fp_exact"), tokens(col).alias("_t"))
     sh = shingles_from_tokens(F.col("_t"), 3)
     return base.select(
         F.col(id_col),
