@@ -338,28 +338,46 @@ class NativeInferencePlan:
         """Assemble the unified schema from a (possibly driver-merged)
         aggregate row — shared by the global-agg run() and the fused
         per-partition audit pass."""
-        n_rows = row[self._n_rows_alias]
-        # a re-aggregated EMPTY report delivers None, not 0 (sum over zero
-        # rows) — both mean no input (r3 review: the None case skipped this
-        # guard and fabricated an object schema with n_docs=None)
-        if not n_rows:
-            raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")
-        schema: Schema = {"type": "object"}
-        props, required = {}, []
-        for name, spec in self.specs.items():
-            sub = _build_value(spec, row, self.config)
-            if sub is None:
-                continue
-            props[name] = sub
-            if row[spec["cnt"]] == n_rows:
-                required.append(name)
-        if props:
-            schema["properties"] = props
-            if required:
-                schema["required"] = sorted(required)
-        if self.config.seal_object_properties:
-            schema["additionalProperties"] = False
-        return schema, n_rows
+        return finalize_agg_row(row, self.specs, self._n_rows_alias, self.config)
+
+    def portable_finalizer(self):
+        """The pickle-safe subset of this plan needed to turn aggregate rows
+        into (schema, n_rows) ON EXECUTORS: specs/aliases/config are plain
+        Python (strings + dataclass), unlike ``self.builder``'s py4j Column
+        handles.  checkpoint._per_split_records_df ships this inside a
+        mapInPandas finalizer so per-split drafts are built distributed,
+        never on the driver (r4, VERDICT item 2)."""
+        return self.specs, self._n_rows_alias, self.config
+
+
+def finalize_agg_row(
+    row: dict, specs: dict, n_rows_alias: str, config: SchemaGenerationConfig
+) -> tuple[Schema, int]:
+    """Pure, pickle-safe finalize: merged aggregate row -> (schema, n_rows).
+    Module-level so executors can run it (specs are alias-string trees, no
+    JVM handles)."""
+    n_rows = row[n_rows_alias]
+    # a re-aggregated EMPTY report delivers None, not 0 (sum over zero
+    # rows) — both mean no input (r3 review: the None case skipped this
+    # guard and fabricated an object schema with n_docs=None)
+    if not n_rows:
+        raise ValueError("infer_from_struct: no rows (reference takes NonEmpty)")
+    schema: Schema = {"type": "object"}
+    props, required = {}, []
+    for name, spec in specs.items():
+        sub = _build_value(spec, row, config)
+        if sub is None:
+            continue
+        props[name] = sub
+        if row[spec["cnt"]] == n_rows:
+            required.append(name)
+    if props:
+        schema["properties"] = props
+        if required:
+            schema["required"] = sorted(required)
+    if config.seal_object_properties:
+        schema["additionalProperties"] = False
+    return schema, n_rows
 
 
 def infer_from_struct_native(

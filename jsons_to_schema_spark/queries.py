@@ -2932,3 +2932,89 @@ def _load_constant_oracles() -> None:
 
 
 _load_constant_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Driver correctness window ordering.
+#
+# The round driver oracles only the FIRST 50 entries of ``queries()`` (dict
+# insertion order).  Registration order above is historical/topical, which
+# left 36 of 86 queries outside the window in CORRECTNESS_r03 (VERDICT r3,
+# "Next round" item 1).  Re-emit the registry with an explicit window:
+# every query family that lacked an r3 driver row is promoted into the
+# first 50, padded with one representative per already-green core family
+# so each component keeps fresh driver evidence.  The demoted queries are
+# same-family variants whose siblings stay in the window; all 86 remain
+# registered, pytest-oracled (tests/test_oracles.py), and runnable.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # -- representatives of r3-green core families (14) --
+    "schema_infer_events_props",        # G1/G2 flagship inference
+    "schema_infer_spans_tuple_mode",    # G5 tuple-mode pin
+    "schema_infer_grouped_event_type",  # U8 n-ary fold
+    "stats_lineitem",                   # single-pass multi-aggregate
+    "stats_distinct_hll_lineitem",      # HLL distinct w/ error contract
+    "uniqueness_documents_doc_id",      # salted uniqueness
+    "referential_lineitem_dangling_orders",  # anti-join referential
+    "drift_events_value_tdigest",       # t-digest drift
+    "sessionize_events",                # window functions
+    "dedup_minhash_documents",          # MinHash+LSH
+    "dedup_clusters_ngram_documents",   # large-star/small-star CC
+    "similarity_ivf_q8_topk_embeddings",  # persisted quantized ANN
+    "curation_full_documents",          # end-to-end funnel
+    "pii_scrub_documents",              # byte-exact regex parity
+    # -- the 36 queries with no (or stale-r2) driver row (VERDICT r3) --
+    "spans_violation_rows",
+    "spans_duplicate_doc_ids",
+    "spans_dangling_media_refs",
+    "spans_single_pass_audit",
+    "spans_schema_validation_verdicts",
+    "schema_validation_documents_struct",
+    "multimodal_media_features",
+    "multimodal_resize_images",
+    "multimodal_frame_sample_plan",
+    "multimodal_frame_features",
+    "multimodal_real_codec_features",
+    "multimodal_frame_plan_from_durations",
+    "stream_incremental_schema",
+    "stream_violation_window_counts",
+    "stream_duplicate_doc_ids",
+    "stream_schema_drift_alerts",
+    "stream_rule_window_counts",
+    "checkpoint_resume_state",
+    "schema_merge_checkpoint_snapshots",
+    "decontam_documents",
+    "pack_sequences_documents",
+    "packing_stats_documents",
+    "chunk_documents",
+    "repeated_spans_documents",
+    "schema_history_transitions",
+    "normalize_text_unicode",
+    "rule_verdicts_events",
+    "rule_violation_rows_events",
+    "quota_sample_documents",
+    "schema_apply_events_props",
+    "dead_columns_documents",
+    "skew_report_media_refs",
+    "schema_evolution_ddl",
+    "dedup_incremental_minhash",
+    "split_anomaly_verdicts",
+    "schema_compat_splits",
+)
+
+
+def _apply_driver_window() -> None:
+    missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+    if missing:  # fail loudly at import: a typo here would silently demote
+        raise RuntimeError(f"_DRIVER_WINDOW names not registered: {missing}")
+    if len(set(_DRIVER_WINDOW)) != len(_DRIVER_WINDOW):
+        raise RuntimeError("_DRIVER_WINDOW contains duplicates")
+    ordered = list(_DRIVER_WINDOW) + [n for n in QUERIES if n not in set(_DRIVER_WINDOW)]
+    for registry in (QUERIES, ORACLES):
+        snapshot = dict(registry)
+        registry.clear()
+        registry.update((n, snapshot[n]) for n in ordered if n in snapshot)
+
+
+_apply_driver_window()

@@ -91,19 +91,34 @@ class IcebergStateStore:
         self.table = table
         spark.sql(f"CREATE TABLE IF NOT EXISTS {table} ({STATE_DDL}) USING iceberg")
 
+    def committed_df(self, spark: Optional[SparkSession] = None) -> DataFrame:
+        """The state table AS A DATAFRAME — what checkpointed_validate
+        anti-joins pending splits against and tree-folds drafts from; at
+        10^6 splits nothing is ever collected (r4, VERDICT item 2)."""
+        return self.spark.table(self.table)
+
     def committed(self) -> dict:
+        """Dict view of the state — contract/test convenience only; the
+        engine's hot path uses committed_df (this collect is the r3-flagged
+        anti-pattern at campaign scale)."""
         return {
             r["split"]: r.asDict()
             for r in self.spark.table(self.table).collect()
         }
 
-    def merge(self, records: list[dict]) -> None:
-        if not records:
-            return
+    def merge_df(self, batch_df: DataFrame) -> None:
+        """Distributed MERGE INTO straight from the batch DataFrame — the
+        records never touch the driver."""
         import uuid
 
-        rows = [tuple(rec.get(c) for c in _STATE_COLS) for rec in records]
-        src = self.spark.createDataFrame(rows, STATE_DDL)
+        from pyspark.sql import functions as F
+
+        src = batch_df.select(
+            *[
+                (F.col(c) if c in batch_df.columns else F.lit(None)).cast(t).alias(c)
+                for c, t in (pair.split() for pair in STATE_DDL.split(", "))
+            ]
+        )
         # unique per-call view: a fixed name races concurrent committers in
         # the same SparkSession (review r3 — thread B's replace lands between
         # thread A's create and MERGE, so A merges B's rows)
@@ -121,6 +136,12 @@ class IcebergStateStore:
             )
         finally:
             self.spark.catalog.dropTempView(view)
+
+    def merge(self, records: list[dict]) -> None:
+        if not records:
+            return
+        rows = [tuple(rec.get(c) for c in _STATE_COLS) for rec in records]
+        self.merge_df(self.spark.createDataFrame(rows, STATE_DDL))
 
     def commit(self, rec: dict) -> None:
         self.merge([rec])

@@ -192,3 +192,56 @@ def test_state_store_orphan_claim_recovery(tmp_path):
     # the dead writer's batch is adopted, nothing is lost
     assert set(got) == {"a", "late", "b"}
     assert got["late"]["n_rows"] == 9
+
+
+def test_state_store_df_contract(spark, tmp_path):
+    """committed_df/merge_df (the executor-written MERGE path, r4 VERDICT
+    item 2) agree with the dict API; column evolution across merges unions."""
+    from jsons_to_schema_spark.checkpoint import TableStateStore
+
+    store = TableStateStore(tmp_path / "state")
+    assert store.committed_df(spark) is None
+    df1 = spark.createDataFrame(
+        [("a", "{}", 1)], "split string, draft string, n_rows long"
+    )
+    store.merge_df(df1)
+    assert [r["split"] for r in store.committed_df(spark).collect()] == ["a"]
+    # dict-API upsert adding a NEW column: union schema, row replaced in place
+    store.merge(
+        [
+            {"split": "a", "draft": "{}", "n_rows": 2, "fail_x": 7},
+            {"split": "b", "draft": "{}", "n_rows": 3},
+        ]
+    )
+    got = store.committed()
+    assert got["a"]["n_rows"] == 2 and got["a"]["fail_x"] == 7
+    assert got["b"]["n_rows"] == 3 and got["b"].get("fail_x") is None
+    # merge_df missing the evolved column: kept rows keep their counts
+    store.merge_df(
+        spark.createDataFrame([("c", "{}", 4)], "split string, draft string, n_rows long")
+    )
+    out = store.committed()
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["fail_x"] == 7 and out["c"].get("fail_x") is None
+
+
+def test_many_split_stress_zero_driver_drafts(spark, corpus, tmp_path):
+    """1,024-split synthetic stress (r4, VERDICT item 2 'Done' criterion):
+    pending enumeration, per-split records, and the draft fold all stay
+    Spark-side; the driver-facing lineage summary carries ONLY the three
+    narrow columns (no KB-scale draft strings), and resume recomputes zero."""
+    from jsons_to_schema_spark.sources.tables import load_spans
+
+    data = str(tmp_path / "data")
+    load_spans(spark, corpus).repartition(1024).write.parquet(data)
+    res = checkpointed_validate(spark, data, tmp_path / "state")
+    assert res["splits_total"] == 1024
+    assert res["splits_computed_this_run"] == 1024
+    assert len(res["lineage"]) == 1024
+    assert set(res["lineage"][0]) == {"split", "n_rows", "passed"}
+    assert {f.name for f in res["lineage_df"].schema.fields} == {
+        "split", "n_rows", "passed",
+    }
+    again = checkpointed_validate(spark, data, tmp_path / "state")
+    assert again["splits_computed_this_run"] == 0
+    assert again["n_rows"] == res["n_rows"]
