@@ -69,6 +69,8 @@ def curate_documents(
     min_tokens: int = 5,
     allowed_langs: Optional[list[str]] = None,
     near_dup_pairs: Optional[DataFrame] = None,
+    near_dup_index_dir=None,
+    near_dup_min_jaccard: float = 0.7,
     max_dup_line_frac: Optional[float] = None,
     collapse_repeated_lines: bool = False,
     scrub_pii: bool = False,
@@ -84,7 +86,11 @@ def curate_documents(
     * exact dedup: whitespace-normalized text groups keep min-id;
     * near-dup dedup: if a pair DataFrame (id_a, id_b) is supplied —
       typically minhash_lsh_pairs output — keep only each connected
-      component's min-id representative;
+      component's min-id representative; alternatively pass
+      ``near_dup_index_dir`` (campaign mode, r4 VERDICT item 3) and the
+      pairs are computed from the PERSISTED signature/shingle index —
+      built once over the input corpus, reused by every later stage and
+      ingest probe, no executor-storage localCheckpoint pin;
     * transforms (applied to the SURVIVORS, after all gates, so dedup
       fingerprints see the original bytes): collapse_repeated_lines
       rewrites text_col with consecutive duplicate lines removed
@@ -95,6 +101,17 @@ def curate_documents(
     place; the transforms are projections over the (much smaller)
     survivor set — filter-first ordering preserved.
     """
+    if near_dup_index_dir is not None:
+        if near_dup_pairs is not None:
+            raise ValueError(
+                "curate_documents: pass near_dup_pairs OR near_dup_index_dir"
+            )
+        from .dedup import minhash_lsh_pairs
+
+        near_dup_pairs = minhash_lsh_pairs(
+            df, text_col, id_col,
+            min_jaccard=near_dup_min_jaccard, index_dir=near_dup_index_dir,
+        )
     gated = df.withColumn("n_tokens", token_count(text_col).cast("long")).filter(
         F.col("n_tokens") >= min_tokens
     )

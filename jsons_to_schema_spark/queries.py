@@ -1041,8 +1041,21 @@ def dedup_exact_documents(spark, sf_dir) -> DataFrame:
 
 @query("dedup_minhash_documents")
 def dedup_minhash_documents(spark, sf_dir) -> DataFrame:
+    """CAMPAIGN mode (r4, VERDICT item 3): pairs computed from the persisted
+    signature/shingle index table (built once, cached like the IVF index) —
+    no localCheckpoint executor-storage pin, no re-tokenization on re-run.
+    Output ≡ one-shot pair mode at the same params (tests/test_round3_ops)."""
+    from pathlib import Path
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+    idx = (
+        Path(__file__).resolve().parents[1]
+        / ".cache"
+        / f"mhall_{Path(sf_dir).name}_{_source_fingerprint(sf_dir, 'documents')}_h32_b8_k3"
+    )
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", min_jaccard=0.5, index_dir=idx
+    )
 
 
 @query("dedup_simhash_documents")

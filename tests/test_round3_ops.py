@@ -847,3 +847,78 @@ def test_get_spark_master_parsing():
     assert parts("local[4]") == 4
     assert parts("local[4,2]") == 4  # retries syntax no longer crashes
     assert parts("local[*]") >= 1
+
+
+def test_minhash_campaign_mode_equals_pair_mode(spark, tmp_path):
+    """Campaign mode (pairs from the persisted signature/shingle index, r4
+    VERDICT item 3) must be pair-for-pair identical to one-shot pair mode at
+    the same parameters, build the index on first call, and reuse (not
+    rebuild) it on the second; mismatched params must refuse to probe."""
+    import pytest as _pytest
+
+    from jsons_to_schema_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    direct = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", min_jaccard=0.5
+        ).collect()
+    }
+    idx = tmp_path / "mh_campaign"
+    from_index = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", min_jaccard=0.5, index_dir=idx
+        ).collect()
+    }
+    assert from_index == direct and direct  # non-trivial corpus
+    meta_mtime = (idx / "meta.json").stat().st_mtime
+    again = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", min_jaccard=0.5, index_dir=idx
+        ).collect()
+    }
+    assert again == direct
+    assert (idx / "meta.json").stat().st_mtime == meta_mtime  # reused, not rebuilt
+    with _pytest.raises(ValueError, match="built with"):
+        dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4,
+            min_jaccard=0.5, index_dir=idx,
+        )
+
+
+def test_curate_campaign_near_dup_index(spark, tmp_path):
+    """curate_documents(near_dup_index_dir=...) drops near-dups through the
+    persisted index exactly like passing the pair frame explicitly."""
+    from jsons_to_schema_spark.operators import dedup
+    from jsons_to_schema_spark.operators.curate import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the old town square tonight under bright stars"
+    )
+    docs = _mk_docs(
+        spark,
+        [
+            (1, base),
+            (2, base.replace("tonight", "at dusk")),  # near-dup of 1
+            (3, "another independent document mentioning parquet row groups and column pruning today"),
+        ],
+    )
+    explicit_pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", min_jaccard=0.5)
+    want = {
+        r.doc_id
+        for r in curate_documents(
+            docs, "text", "doc_id", min_tokens=3, near_dup_pairs=explicit_pairs
+        ).collect()
+    }
+    got = {
+        r.doc_id
+        for r in curate_documents(
+            docs, "text", "doc_id", min_tokens=3,
+            near_dup_index_dir=tmp_path / "idx", near_dup_min_jaccard=0.5,
+        ).collect()
+    }
+    assert got == want == {1, 3}
