@@ -1,6 +1,6 @@
-"""Real media codecs from the Python STANDARD LIBRARY only (r3).
+"""Real media codecs from the Python STANDARD LIBRARY only (r3; PNG r4).
 
-The container has no PIL/ffmpeg, but three formats are genuinely decodable
+The container has no PIL/ffmpeg, but four formats are genuinely decodable
 with stdlib + numpy, which is enough to make the multimodal seam REAL for
 them instead of a stub:
 
@@ -10,10 +10,14 @@ them instead of a stub:
   (``struct``): dimensions + mean RGB over the padded pixel array.
 * PPM  (P6 binary) — whitespace-token header + raw RGB: dimensions +
   mean RGB.
+* PNG  (r4, VERDICT item 4) — ``zlib`` inflate + full scanline
+  UNFILTERING (None/Sub/Up/Average/Paeth), 8-bit gray / gray+alpha /
+  RGB / RGBA / palette, non-interlaced: dimensions + channel mean.
 
-Everything else (JPEG/PNG/MP4/...) genuinely requires external codec
-libraries and stays behind ``NotImplementedError`` — that seam is now a
-per-FORMAT boundary, not a blanket one.
+Everything else (JPEG/MP4/... and PNG's interlaced/16-bit variants)
+genuinely requires external codec libraries and stays behind
+``NotImplementedError`` — that seam is a per-FORMAT boundary, not a
+blanket one.
 
 All functions are pure bytes→dict (no Spark imports): they run inside
 Arrow-batched ``mapInPandas`` stages (operators/multimodal.py) and are unit
@@ -25,6 +29,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -39,6 +44,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:2] in (b"P6", b"P3"):
         return "ppm"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -142,17 +149,122 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
-_DECODERS = {"wav": decode_wav, "bmp": decode_bmp, "ppm": decode_ppm}
+# PNG color type → samples per pixel (before palette expansion)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(filt: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct raw scanlines from filtered ones (PNG §9 filters 0–4).
+
+    filt is (height, 1+stride) — filter-type byte + filtered row.  Sub,
+    Average and Paeth recur on the previous PIXEL, so those rows run a
+    per-byte loop; Up/None rows stay whole-row numpy ops.  int16/int32
+    intermediates avoid uint8 wraparound in the predictors."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(filt[y, 0])
+        row = filt[y, 1:].astype(np.int32)
+        if ft == 0:  # None
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 1:  # Sub
+            cur = row
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        prev = cur.astype(np.uint8)
+        out[y] = prev
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """8-bit non-interlaced PNG → dimensions + mean over every decoded
+    channel byte (palette rows expanded through PLTE first, alpha included
+    — same "every channel byte" convention as BMP 32-bpp)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt_m, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
+    if color_type not in _PNG_SAMPLES or comp != 0 or filt_m != 0:
+        raise NotImplementedError(
+            f"PNG color_type={color_type} compression={comp} filter={filt_m} unsupported"
+        )
+    n_samp = _PNG_SAMPLES[color_type]
+    stride = width * n_samp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    pixels = _png_unfilter(raw.reshape(height, stride + 1), height, stride, n_samp)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pixels = plte[pixels.reshape(-1)]
+        channels = 3
+    else:
+        channels = n_samp
+    mean = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "duration_ms": 0,
+        "sample_rate": None,
+        "channels": channels,
+        "mean_value": mean,
+    }
+
+
+_DECODERS = {"wav": decode_wav, "bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
 
 
 def decode_media(payload: bytes) -> dict:
     """Sniff + decode.  Raises NotImplementedError for formats that truly
-    need external libraries (JPEG/PNG/MP4/...)."""
+    need external libraries (JPEG/MP4/...)."""
     fmt = sniff_format(payload or b"")
     if fmt is None:
         head = bytes(payload[:8] if payload else b"")
         raise NotImplementedError(
-            f"no stdlib codec for payload starting {head!r}: JPEG/PNG/MP4 "
+            f"no stdlib codec for payload starting {head!r}: JPEG/MP4 "
             "etc. require external libraries (PIL/ffmpeg) not present in "
             "this environment"
         )
@@ -198,3 +310,72 @@ def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """Binary P6 PPM filled with one RGB color."""
     header = f"P6\n{width} {height}\n255\n".encode()
     return header + bytes(rgb) * (width * height)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: "np.ndarray | None" = None,
+    filter_type: int = 0,
+) -> bytes:
+    """8-bit non-interlaced PNG for deterministic test payloads: either a
+    solid ``rgb`` fill or an explicit ``pixels`` array of shape (h, w)
+    grayscale, (h, w, 2) gray+alpha, (h, w, 3) RGB, or (h, w, 4) RGBA.
+    ``filter_type`` applies the SAME PNG filter (0–4) to every scanline —
+    letting tests drive each unfilter branch against an arithmetic oracle."""
+    if pixels is None:
+        if rgb is None:
+            raise ValueError("encode_png: pass rgb or pixels")
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, n_ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
+    raw = pixels.reshape(h, w * n_ch).astype(np.int32)
+    bpp = n_ch
+    stride = w * n_ch
+    rows = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = raw[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type} invalid")
+        rows += bytes([filter_type]) + filt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )

@@ -8,7 +8,7 @@ Codec status (r3): WAV, BMP and PPM decode for REAL via stdlib-only codecs
 (operators/codecs.py — ``wave``/``struct``/numpy); ``decode_features`` is
 the rich real-codec stage and ``media_features(fake=False)`` routes through
 the same codecs.  ``NotImplementedError`` is now a per-FORMAT seam: it fires
-only for payloads (JPEG/PNG/MP4/...) that genuinely require external
+only for payloads (JPEG/MP4/...) that genuinely require external
 libraries absent from this container.  ``fake=True`` keeps the deterministic
 sha256 stub used by the SQL-oracle plumbing queries.
 

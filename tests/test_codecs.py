@@ -57,8 +57,9 @@ def test_ppm_header_comments():
 
 
 def test_unknown_format_raises():
+    # JPEG/MP4 stay behind the per-format seam (PNG is decodable since r4)
     with pytest.raises(NotImplementedError, match="external libraries"):
-        codecs.decode_media(b"\x89PNG\r\n\x1a\n....")
+        codecs.decode_media(b"\xff\xd8\xff\xe0....")
     with pytest.raises(NotImplementedError):
         codecs.decode_media(b"")
 
@@ -92,3 +93,69 @@ def test_decode_wav_8bit_unsigned_midpoint():
     assert silence["duration_ms"] == 100
     loud = decode_wav(wav8(bytes([255, 1]) * 400))
     assert abs(loud["mean_value"] - 127.0) < 0.01
+
+
+def test_png_roundtrip_all_filters_all_color_types():
+    """decode_png inverts encode_png for every scanline filter (0-4) and
+    color shape (gray, gray+alpha, RGB, RGBA) on random pixels (r4,
+    VERDICT item 4)."""
+    import numpy as np
+
+    from jsons_to_schema_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(9, 4), (9, 4, 2), (9, 4, 3), (9, 4, 4)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for ft in range(5):
+            d = decode_png(encode_png(4, 9, pixels=px, filter_type=ft))
+            assert (d["width"], d["height"]) == (4, 9)
+            assert abs(d["mean_value"] - float(px.astype("float64").mean())) < 1e-9
+
+
+def test_png_palette_and_unsupported_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from jsons_to_schema_spark.operators.codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_media,
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    # palette (color type 3): indices expand through PLTE before the mean
+    plte = bytes((10, 20, 30)) + bytes((40, 50, 60))
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)  # 2x2, two entries each
+    rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    assert d["channels"] == 3 and abs(d["mean_value"] - 35.0) < 1e-9
+
+    assert sniff_format(encode_png(2, 2, rgb=(1, 2, 3))) == "png"
+    assert decode_media(encode_png(2, 2, rgb=(9, 9, 9)))["mean_value"] == 9.0
+
+    # 16-bit and interlaced stay behind the per-format seam
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad16 = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bad16)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad_i = _PNG_SIG + _png_chunk(b"IHDR", ihdr_i) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 14)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(bad_i)
