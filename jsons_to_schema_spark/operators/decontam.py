@@ -35,12 +35,29 @@ from pyspark.sql import functions as F
 from .text import shingles_from_tokens, tokens
 
 
-def eval_ngrams_from_docs(docs: DataFrame, col: str, n: int = 5) -> DataFrame:
+def _tok(col, tokenizer: str):
+    """Shared tokenizer dispatch: "words" (split-on-space kernel) or
+    "subword" (pinned-vocab pieces, operators/subword.py — r4 VERDICT item
+    5, n-grams over LLM tokens).  BOTH sides of a decontamination check
+    must use the same mode — mismatched tokenizers silently miss overlaps,
+    which is why it is one function."""
+    if tokenizer == "subword":
+        from .subword import subword_pieces_udf
+
+        return subword_pieces_udf()(F.col(col) if isinstance(col, str) else col)
+    if tokenizer != "words":
+        raise ValueError(f"tokenizer must be 'words' or 'subword', got {tokenizer!r}")
+    return tokens(col)
+
+
+def eval_ngrams_from_docs(
+    docs: DataFrame, col: str, n: int = 5, tokenizer: str = "words"
+) -> DataFrame:
     """Distinct word n-grams of an evaluation-set documents table → one
     ``ngram`` column.  Tokenization is identical to the corpus side (same
-    split-on-space kernel) — a decontamination check with mismatched
+    ``_tok`` dispatch) — a decontamination check with mismatched
     tokenizers silently misses overlaps."""
-    t = docs.select(tokens(F.col(col)).alias("_t"))
+    t = docs.select(_tok(F.col(col), tokenizer).alias("_t"))
     return (
         t.select(F.explode(shingles_from_tokens(F.col("_t"), n)).alias("ngram"))
         .distinct()
@@ -53,6 +70,7 @@ def contamination_hits(
     col: str,
     id_col: str,
     n: int = 5,
+    tokenizer: str = "words",
 ) -> DataFrame:
     """Per-document contamination report: (id, n_hits, first_hit) for every
     document sharing ≥1 word n-gram with the eval set.
@@ -62,7 +80,7 @@ def contamination_hits(
     queues).  Documents with zero overlap produce no row — at real
     contamination rates the output is ~10^-3 of the corpus."""
     probe = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(col)).alias("_t")
+        F.col(id_col).alias("id"), _tok(F.col(col), tokenizer).alias("_t")
     ).select(
         "id",
         F.explode(
@@ -85,13 +103,14 @@ def decontaminate(
     col: str,
     id_col: str,
     n: int = 5,
+    tokenizer: str = "words",
 ) -> DataFrame:
     """The corpus minus contaminated documents — a broadcast LEFT ANTI join
     against the exploded probe (same no-corpus-shuffle plan; the anti join
     is evaluated per-ngram map-side, a document survives only if none of its
     n-grams match)."""
     probe = docs.select(
-        F.col(id_col).alias("_did"), tokens(F.col(col)).alias("_t")
+        F.col(id_col).alias("_did"), _tok(F.col(col), tokenizer).alias("_t")
     ).select(
         "_did",
         F.explode_outer(

@@ -2954,6 +2954,158 @@ def _constant_oracle_sql(spec: dict) -> str:
     return f"SELECT {select} FROM (VALUES {values}) AS t({names})"
 
 
+# ===========================================================================
+# Round-4 additions: pinned-vocab subword tokenization (VERDICT item 5) —
+# budgets in LLM tokens, each oracled EXACTLY by a recursive-CTE DuckDB
+# reproduction of the greedy longest-prefix tokenizer.
+# ===========================================================================
+
+def _subword_wcounts_prefix() -> str:
+    """Shared oracle prelude: per-document word list + per-distinct-word
+    subword counts via the pinned-vocab recursive CTE."""
+    from .operators.subword import subword_step_cte
+
+    return f"""
+    WITH RECURSIVE
+    wlist AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    words(key, w) AS (SELECT DISTINCT 0 AS key, w FROM wlist),
+    {subword_step_cte()}
+    """
+
+
+@query(
+    "subword_token_count_documents",
+    oracle=None,  # resolved below — needs the vocab inlined
+)
+def subword_token_count_documents(spark, sf_dir) -> DataFrame:
+    """Per-document PINNED-VOCAB subword token counts (operators/subword.py
+    — greedy longest-prefix WordPiece-style inference, Arrow-batched
+    pandas_udf kernel with process-wide word memoization).  The oracle
+    reproduces the tokenizer EXACTLY in SQL: a recursive CTE that greedily
+    consumes the longest matching vocab piece (single-char fallback) over
+    the same pinned vocabulary — so the driver checks exact LLM-token
+    counts, not word counts."""
+    from .operators.subword import subword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", subword_count(F.col("text")).alias("n_subwords")
+    )
+
+
+ORACLES["subword_token_count_documents"] = " ".join(
+    (
+        _subword_wcounts_prefix()
+        + """
+    , dc AS (
+      SELECT wlist.doc_id, sum(c.n) AS ns
+      FROM wlist JOIN wcounts c ON wlist.w = c.w GROUP BY wlist.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(dc.ns, 0) AS BIGINT) AS n_subwords
+    FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+    """
+    ).split()
+)
+
+
+@query(
+    "pack_sequences_subword_documents",
+    oracle=None,
+)
+def pack_sequences_subword_documents(spark, sf_dir) -> DataFrame:
+    """pack_sequences with the budget in SUBWORD tokens (tokenizer=
+    "subword", 320-token sequences, per-source shards) — training budgets
+    that mean LLM tokens.  Same window arithmetic as the word-mode packer;
+    the oracle recomputes every count through the recursive-CTE tokenizer."""
+    from .operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack.pack_sequences(
+        docs, "doc_id", "source", budget=320, tokenizer="subword"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "shard", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
+ORACLES["pack_sequences_subword_documents"] = " ".join(
+    (
+        _subword_wcounts_prefix()
+        + """
+    , dc AS (
+      SELECT wlist.doc_id, sum(c.n) AS ns
+      FROM wlist JOIN wcounts c ON wlist.w = c.w GROUP BY wlist.doc_id
+    ), t AS (
+      SELECT d.doc_id, d.source AS shard,
+             CAST(coalesce(dc.ns, 0) + 1 AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS s
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           shard || '#' || CAST(CAST(floor(s / 320) AS BIGINT) AS VARCHAR)
+             AS seq_id,
+           s % 320 AS seq_offset
+    FROM c
+    """
+    ).split()
+)
+
+
+@query(
+    "chunk_subword_documents",
+    oracle=None,
+)
+def chunk_subword_documents(spark, sf_dir) -> DataFrame:
+    """chunk_documents_subword: 64-SUBWORD-token chunks cut at word
+    boundaries (a straddling word lands in the chunk its first subword
+    falls in).  The Spark side is row-local array arithmetic over ONE
+    kernel call per document (no explode-then-window, no shuffle); the
+    oracle rebuilds chunk assignment from the recursive-CTE per-word
+    counts with a window prefix-sum."""
+    from .operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack.chunk_documents_subword(docs, "doc_id", "text", chunk_tokens=64)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_start", "n_chunk_tokens", "chunk_text"
+    )
+
+
+ORACLES["chunk_subword_documents"] = " ".join(
+    (
+        _subword_wcounts_prefix()
+        + """
+    , toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), e AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks
+    ), wp AS (
+      SELECT e.doc_id, e.pos, e.t[e.pos] AS w, c.n
+      FROM e JOIN wcounts c ON e.t[e.pos] = c.w
+    ), cum AS (
+      SELECT doc_id, pos, w, n,
+             CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY pos) - n
+                  AS BIGINT) AS s
+      FROM wp
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS chunk_start,
+           CAST(sum(n) AS BIGINT) AS n_chunk_tokens,
+           string_agg(w, ' ' ORDER BY pos) AS chunk_text
+    FROM cum GROUP BY doc_id, floor(s / 64)
+    """
+    ).split()
+)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -2984,21 +3136,22 @@ _load_constant_oracles()
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- representatives of r3-green core families (14) --
+    # -- representatives of r3-green core families (11) --
     "schema_infer_events_props",        # G1/G2 flagship inference
-    "schema_infer_spans_tuple_mode",    # G5 tuple-mode pin
     "schema_infer_grouped_event_type",  # U8 n-ary fold
     "stats_lineitem",                   # single-pass multi-aggregate
     "stats_distinct_hll_lineitem",      # HLL distinct w/ error contract
     "uniqueness_documents_doc_id",      # salted uniqueness
     "referential_lineitem_dangling_orders",  # anti-join referential
     "drift_events_value_tdigest",       # t-digest drift
-    "sessionize_events",                # window functions
-    "dedup_minhash_documents",          # MinHash+LSH
+    "dedup_minhash_documents",          # MinHash+LSH (campaign mode, r4)
     "dedup_clusters_ngram_documents",   # large-star/small-star CC
     "similarity_ivf_q8_topk_embeddings",  # persisted quantized ANN
     "curation_full_documents",          # end-to-end funnel
-    "pii_scrub_documents",              # byte-exact regex parity
+    # -- new in r4 (never driver-checked): subword tokenization (3) --
+    "subword_token_count_documents",
+    "pack_sequences_subword_documents",
+    "chunk_subword_documents",
     # -- the 36 queries with no (or stale-r2) driver row (VERDICT r3) --
     "spans_violation_rows",
     "spans_duplicate_doc_ids",
