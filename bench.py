@@ -296,6 +296,30 @@ def host_memfault_probe(size_mb: int = 512) -> float:
     return round(size_mb / 1024 / dt, 3)
 
 
+def await_healthy_host(
+    threshold_gb_s: float = 1.0,
+    attempts: int = int(os.environ.get("SPARK_GRAFT_HEALTH_ATTEMPTS", "6")),
+    wait_s: float = float(os.environ.get("SPARK_GRAFT_HEALTH_WAIT_S", "60")),
+) -> list[float]:
+    """Round-record health gate (r4, VERDICT item 6): a throughput number
+    measured while the hypervisor is lazily re-supplying ballooned pages is
+    a HOST record, not an engine record.  Probe first-touch bandwidth; when
+    degraded (< 1 GB/s — healthy is multi-GB/s), wait and re-probe up to
+    ``attempts`` times before benching anyway.  The FULL probe history is
+    stamped into the bench JSON either way, so a degraded-host record is
+    explicitly marked rather than silently recorded."""
+    probes = [host_memfault_probe()]
+    while probes[-1] < threshold_gb_s and len(probes) < attempts:
+        log(
+            f"[bench] degraded host: memfault {probes[-1]} GB/s < "
+            f"{threshold_gb_s}; re-probing in {wait_s:.0f}s "
+            f"({len(probes)}/{attempts})"
+        )
+        time.sleep(wait_s)
+        probes.append(host_memfault_probe())
+    return probes
+
+
 def bench_once(cpus: int, corpus, skip_queries: bool = False) -> dict:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -430,6 +454,7 @@ def main() -> None:
     log(f"[bench] spans corpus n={BENCH_DOCS}")
     corpus = ensure_corpus(BENCH_DOCS)
 
+    probes = await_healthy_host()
     r = bench_once(CPUS, corpus)
     out = {
         "metric": "docs_per_sec_unified_validated",
@@ -440,6 +465,14 @@ def main() -> None:
         "n_docs": r["n_docs"],
         "cpus": CPUS,
         "host_memfault_gb_per_sec": r["host_memfault_gb_per_sec"],
+        # health-gate stamp: pre-run probe history (one entry per retry;
+        # the gate waited while < 1.0) + the verdict.  degraded_host=true
+        # means this line is a HOST record — compare engine changes against
+        # the most recent healthy-stamped line instead.
+        "host_probe_history_gb_per_sec": probes,
+        "degraded_host": bool(
+            probes[-1] < 1.0 or r["host_memfault_gb_per_sec"] < 1.0
+        ),
     }
     print(json.dumps(out))
 

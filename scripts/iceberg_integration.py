@@ -59,6 +59,26 @@ def main(jar: str, warehouse: str) -> None:
     n_state = spark.sql("SELECT count(*) c FROM local.db.split_state").first()["c"]
     assert n_state == r1["splits_total"], n_state
 
+    # --- shared store contract (r4, VERDICT item 7): the SAME assertions
+    # tests/test_checkpoint.py::test_state_store_df_contract makes of the
+    # parquet store, against the Iceberg MERGE INTO implementation --------
+    contract = IcebergStateStore(spark, table="local.db.contract_state")
+    df1 = spark.createDataFrame(
+        [("a", "{}", 1)], "split string, draft string, n_rows long"
+    )
+    contract.merge_df(df1)
+    assert [r["split"] for r in contract.committed_df().collect()] == ["a"]
+    contract.merge(
+        [{"split": "a", "draft": "{}", "n_rows": 2},
+         {"split": "b", "draft": "{}", "n_rows": 3}]
+    )
+    got = contract.committed()
+    assert got["a"]["n_rows"] == 2 and got["b"]["n_rows"] == 3
+    contract.merge_df(
+        spark.createDataFrame([("c", "{}", 4)], "split string, draft string, n_rows long")
+    )
+    assert set(contract.committed()) == {"a", "b", "c"}
+
     # --- check-partitioned violations sink ---------------------------------
     df = load_spans(spark, corpus)
     v = validate.row_violations(validate.with_check_flags(df), cap_per_check=100)

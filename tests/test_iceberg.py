@@ -33,12 +33,16 @@ def test_iceberg_merge_store_and_partitioned_sink(tmp_path):
 
 def test_iceberg_store_contract_matches_table_store():
     """Offline-checkable seam assertion: IcebergStateStore exposes exactly
-    the contract checkpointed_validate consumes (committed/merge/commit),
-    and the state DDL covers every field the engine commits."""
+    the contract checkpointed_validate consumes — including the r4
+    DataFrame surface (committed_df for Spark-side anti-join/fold,
+    merge_df for the distributed MERGE INTO commit) — and the state DDL
+    covers every field the engine commits."""
+    from jsons_to_schema_spark.checkpoint import TableStateStore
     from jsons_to_schema_spark.sources.iceberg import STATE_DDL, IcebergStateStore
 
-    for attr in ("committed", "merge", "commit"):
+    for attr in ("committed", "merge", "commit", "committed_df", "merge_df"):
         assert callable(getattr(IcebergStateStore, attr))
+        assert callable(getattr(TableStateStore, attr))
     ddl_cols = {c.split()[0] for c in STATE_DDL.split(", ")}
     assert {
         "split", "draft", "n_rows", "fail_monotonic_offsets",
