@@ -288,6 +288,30 @@ def test_tdigest_quantiles_accurate_and_partition_invariant(spark):
         assert abs(a - b) < 1.0
 
 
+def test_tdigest_tree_merge_path(spark):
+    """Executor-side tree level (driver_merge_max exceeded): accurate,
+    deterministic across runs, and close to the driver-only merge — the
+    path that keeps driver traffic bounded at 10^5+ partitions."""
+    from jsons_to_schema_spark.operators import tdigest
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50.0, 10.0, 60_000)
+    probs = [0.05, 0.5, 0.95]
+    exact = np.quantile(vals, probs)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    driver_only = tdigest.digest_quantiles(df, "x", probs, partitions=24, key="x")
+    tree_a = tdigest.digest_quantiles(
+        df, "x", probs, partitions=24, key="x", driver_merge_max=4
+    )
+    tree_b = tdigest.digest_quantiles(
+        df, "x", probs, partitions=24, key="x", driver_merge_max=4
+    )
+    assert tree_a == tree_b  # deterministic: pid-ordered segmented fold
+    for t, d, x in zip(tree_a, driver_only, exact):
+        assert abs(t - x) < 0.7, (t, x)
+        assert abs(t - d) < 0.7, (t, d)
+
+
 def test_tdigest_drift_shift(spark):
     from jsons_to_schema_spark.operators import tdigest
 
