@@ -13,9 +13,13 @@ them instead of a stub:
 * PNG  (r4, VERDICT item 4) — ``zlib`` inflate + full scanline
   UNFILTERING (None/Sub/Up/Average/Paeth), 8-bit gray / gray+alpha /
   RGB / RGBA / palette, non-interlaced: dimensions + channel mean.
+* MP4  (r4) — ISO BMFF CONTAINER demux (``struct`` box walk): video-track
+  geometry, duration, and the full sample table (stts/stsz/stsc/stco/
+  co64/stss) → real per-frame byte ranges, timestamps, and keyframe
+  flags.  Coded-frame pixel decode (H.264 etc.) stays the seam.
 
-Everything else (JPEG/MP4/... and PNG's interlaced/16-bit variants)
-genuinely requires external codec libraries and stays behind
+Everything else (JPEG, coded video frames, and PNG's interlaced/16-bit
+variants) genuinely requires external codec libraries and stays behind
 ``NotImplementedError`` — that seam is a per-FORMAT boundary, not a
 blanket one.
 
@@ -46,6 +50,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -254,7 +260,194 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-_DECODERS = {"wav": decode_wav, "bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF structural demux (r4).  Decoding the CODED FRAMES (H.264
+# etc.) genuinely needs external codec libraries — but the CONTAINER is pure
+# struct: box walk → moov → trak(vide) → stbl sample tables gives real
+# per-frame byte ranges, timestamps, and sync (keyframe) flags.  That is
+# exactly what a 100-TB video pipeline needs Spark-side: plan frame work
+# items (offset, size, pts, seek point) without shipping or decoding
+# payloads; the per-frame pixel decode stays the per-format seam.
+# ---------------------------------------------------------------------------
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO BMFF box in range."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        header = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            header = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"mp4: corrupt box size {size} at offset {pos}")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: tuple[bytes, ...]):
+    """Locate the first box matching the container path; (start,end) or None."""
+    for btype, s, e in _walk_boxes(buf, start, end):
+        if btype == path[0]:
+            return (s, e) if len(path) == 1 else _find_box(buf, s, e, path[1:])
+    return None
+
+
+def _full_box(buf: bytes, start: int) -> tuple[int, int]:
+    """(version, flags) of a full box whose body starts at ``start``."""
+    vf = struct.unpack_from(">I", buf, start)[0]
+    return vf >> 24, vf & 0xFFFFFF
+
+
+def _u32s(buf: bytes, pos: int, n: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype=">u4", count=n, offset=pos).astype(np.int64)
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """ISO BMFF container parse: first video track's geometry + full sample
+    table.  Returns {width, height, timescale, duration_units, n_frames,
+    sizes, offsets, pts_units, sync} with numpy arrays per sample; offsets
+    are ABSOLUTE file offsets reconstructed from stsc × stco/co64, pts from
+    stts run-length deltas, sync (keyframe sample indexes, 0-based) from
+    stss (all samples sync if stss absent, per ISO 14496-12)."""
+    buf = bytes(payload)
+    moov = _find_box(buf, 0, len(buf), (b"moov",))
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for btype, ts_, te in _walk_boxes(buf, *moov):
+        if btype != b"trak":
+            continue
+        hdlr = _find_box(buf, ts_, te, (b"mdia", b"hdlr"))
+        if hdlr is None or buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _find_box(buf, ts_, te, (b"tkhd",))
+        v, _ = _full_box(buf, tkhd[0])
+        geo = tkhd[0] + (88 if v == 1 else 76)
+        width = struct.unpack_from(">I", buf, geo)[0] >> 16  # 16.16 fixed
+        height = struct.unpack_from(">I", buf, geo + 4)[0] >> 16
+        mdhd = _find_box(buf, ts_, te, (b"mdia", b"mdhd"))
+        v, _ = _full_box(buf, mdhd[0])
+        if v == 1:
+            timescale = struct.unpack_from(">I", buf, mdhd[0] + 20)[0]
+            duration = struct.unpack_from(">Q", buf, mdhd[0] + 24)[0]
+        else:
+            timescale, duration = struct.unpack_from(">II", buf, mdhd[0] + 12)
+        stbl = _find_box(buf, ts_, te, (b"mdia", b"minf", b"stbl"))
+        tables = {t: (s, e) for t, s, e in _walk_boxes(buf, *stbl)}
+
+        # stts: run-length (count, delta) → per-sample decode deltas
+        s, _e = tables[b"stts"]
+        n_runs = struct.unpack_from(">I", buf, s + 4)[0]
+        runs = _u32s(buf, s + 8, 2 * n_runs).reshape(n_runs, 2)
+        deltas = np.repeat(runs[:, 1], runs[:, 0])
+        n = len(deltas)
+        pts_units = np.concatenate([[0], np.cumsum(deltas[:-1])])
+
+        # stsz: constant or per-sample sizes
+        s, _e = tables[b"stsz"]
+        const_size, count = struct.unpack_from(">II", buf, s + 4)
+        sizes = (
+            np.full(count, const_size, dtype=np.int64)
+            if const_size
+            else _u32s(buf, s + 12, count)
+        )
+
+        # stco/co64 chunk offsets
+        if b"stco" in tables:
+            s, _e = tables[b"stco"]
+            n_chunks = struct.unpack_from(">I", buf, s + 4)[0]
+            chunk_offs = _u32s(buf, s + 8, n_chunks)
+        else:
+            s, _e = tables[b"co64"]
+            n_chunks = struct.unpack_from(">I", buf, s + 4)[0]
+            chunk_offs = np.frombuffer(
+                buf, dtype=">u8", count=n_chunks, offset=s + 8
+            ).astype(np.int64)
+
+        # stsc runs → samples-per-chunk for every chunk, then absolute
+        # per-sample offsets (chunk base + intra-chunk size prefix sum)
+        s, _e = tables[b"stsc"]
+        n_sc = struct.unpack_from(">I", buf, s + 4)[0]
+        sc = _u32s(buf, s + 8, 3 * n_sc).reshape(n_sc, 3)
+        spc = np.empty(n_chunks, dtype=np.int64)
+        for k in range(n_sc):
+            first = int(sc[k, 0]) - 1
+            last = int(sc[k + 1, 0]) - 1 if k + 1 < n_sc else n_chunks
+            spc[first:last] = sc[k, 1]
+        offsets = np.empty(n, dtype=np.int64)
+        si = 0
+        for ci in range(n_chunks):
+            c = int(spc[ci])
+            seg = sizes[si : si + c]
+            offsets[si : si + c] = chunk_offs[ci] + np.concatenate(
+                [[0], np.cumsum(seg[:-1])]
+            )
+            si += c
+
+        if b"stss" in tables:
+            s, _e = tables[b"stss"]
+            n_sync = struct.unpack_from(">I", buf, s + 4)[0]
+            sync = _u32s(buf, s + 8, n_sync) - 1  # 1-based → 0-based
+        else:
+            sync = np.arange(n, dtype=np.int64)
+
+        return {
+            "width": int(width),
+            "height": int(height),
+            "timescale": int(timescale),
+            "duration_units": int(duration),
+            "n_frames": int(n),
+            "sizes": sizes,
+            "offsets": offsets,
+            "pts_units": pts_units,
+            "sync": sync,
+        }
+    raise ValueError("mp4: no video (vide) track")
+
+
+def mp4_frame_index(payload: bytes) -> dict:
+    """parse_mp4 + millisecond conversion: adds pts_ms (int64 array),
+    duration_ms, keyframe (bool array), mean_frame_bytes."""
+    t = parse_mp4(payload)
+    ts = t["timescale"]
+    pts_ms = (t["pts_units"] * 1000) // ts
+    keyframe = np.zeros(t["n_frames"], dtype=bool)
+    keyframe[t["sync"]] = True
+    return {
+        **t,
+        "pts_ms": pts_ms,
+        "duration_ms": int(t["duration_units"] * 1000 // ts),
+        "keyframe": keyframe,
+        "mean_frame_bytes": float(t["sizes"].mean()) if t["n_frames"] else 0.0,
+    }
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Container-level decode for the shared feature schema: real geometry
+    and duration from the sample tables; mean_value = mean coded frame size
+    in bytes (structural — pixel decode stays the per-format seam)."""
+    t = mp4_frame_index(payload)
+    return {
+        "format": "mp4",
+        "width": t["width"],
+        "height": t["height"],
+        "duration_ms": t["duration_ms"],
+        "sample_rate": None,
+        "channels": None,
+        "mean_value": t["mean_frame_bytes"],
+    }
+
+
+_DECODERS = {
+    "wav": decode_wav,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "png": decode_png,
+    "mp4": decode_mp4,
+}
 
 
 def decode_media(payload: bytes) -> dict:
@@ -379,3 +572,112 @@ def encode_png(
         + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _box(btype: bytes, *parts: bytes) -> bytes:
+    body = b"".join(parts)
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def _fbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags), body)
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    frame_sizes: list[int] | np.ndarray,
+    delta_units: int = 40,
+    timescale: int = 1000,
+    sync_every: int = 5,
+    samples_per_chunk: int = 7,
+) -> bytes:
+    """Structurally valid ISO BMFF file for deterministic test payloads:
+    ftyp + mdat-first layout (mdat body at absolute offset 32, so chunk
+    offsets are arithmetic) + a full moov with one video track whose sample
+    tables cover every parser branch — multi-run-capable stts (single run
+    here), per-sample stsz, multi-chunk stsc/stco (``samples_per_chunk``
+    with a shorter tail run), and stss keyframes every ``sync_every``.
+    Frame payloads are deterministic filler ((i + j) % 251) — the container
+    is the artifact under test, coded-pixel decode is the per-format seam."""
+    sizes = np.asarray(frame_sizes, dtype=np.int64)
+    n = len(sizes)
+    mdat_body = b"".join(
+        ((np.arange(int(s), dtype=np.int64) + i) % 251).astype(np.uint8).tobytes()
+        for i, s in enumerate(sizes)
+    )
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"iso2")
+    assert len(ftyp) == 24
+    mdat = _box(b"mdat", mdat_body)
+    data_start = len(ftyp) + 8  # == 32
+
+    duration = int(n * delta_units)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _fbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _fbox(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0)                # creation/modification time
+        + struct.pack(">I4xI8x", 1, duration)   # track_id, rsvd, duration, rsvd
+        + struct.pack(">HHHH", 0, 0, 0, 0)      # layer, alternate, volume, rsvd
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _fbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _fbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+
+    # minimal video sample entry (geometry repeated per ISO 14496-12 §12.1.3)
+    entry = (
+        struct.pack(">I4s", 86, b"mp4v")
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _fbox(b"stts", 0, 0, struct.pack(">III", 1, n, delta_units))
+    stsz = _fbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes.tolist()),
+    )
+    n_chunks = max(1, -(-n // samples_per_chunk))
+    tail = n - samples_per_chunk * (n_chunks - 1)
+    stsc_entries = [(1, samples_per_chunk, 1)]
+    if tail != samples_per_chunk and n_chunks > 1:
+        stsc_entries.append((n_chunks, tail, 1))
+    stsc = _fbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    chunk_offs, si = [], 0
+    for ci in range(n_chunks):
+        chunk_offs.append(data_start + int(sizes[:si].sum()))
+        si += samples_per_chunk if ci < n_chunks - 1 else tail
+    stco = _fbox(
+        b"stco", 0, 0,
+        struct.pack(">I", n_chunks) + struct.pack(f">{n_chunks}I", *chunk_offs),
+    )
+    syncs = list(range(1, n + 1, sync_every))  # 1-based sample numbers
+    stss = _fbox(
+        b"stss", 0, 0,
+        struct.pack(">I", len(syncs)) + struct.pack(f">{len(syncs)}I", *syncs),
+    )
+    vmhd = _fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fbox(b"dref", 0, 0, struct.pack(">I", 1) + _fbox(b"url ", 0, 1, b""))
+    stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco, stss)
+    minf = _box(b"minf", vmhd, _box(b"dinf", dref), stbl)
+    mdia = _box(b"mdia", mdhd, hdlr, minf)
+    trak = _box(b"trak", tkhd, mdia)
+    moov = _box(b"moov", mvhd, trak)
+    return ftyp + mdat + moov

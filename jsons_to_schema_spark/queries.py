@@ -1789,6 +1789,13 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
            CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
            round(((11 * i) % 256 + (13 * i) % 256 + (17 * i) % 256) / 3.0, 6)
     FROM i
+    UNION ALL
+    SELECT 'mp4-' || lpad(CAST(i AS VARCHAR), 4, '0'),
+           'mp4', CAST(64 + 16 * (i % 5) AS INT), CAST(48 + 16 * (i % 4) AS INT),
+           CAST(40 * (10 + i % 20) AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+           (SELECT round(AVG(50 + (7 * f.j + i) % 32), 6)
+            FROM (SELECT unnest(range(0, 10 + i % 20)) AS j) f)
+    FROM i
     """,
 )
 def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
@@ -1801,12 +1808,33 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
     BMP/PPM/PNG dimensions from planted headers, mean channel value =
     (r+g+b)/3.  Each PNG uses scanline filter i % 5, so all five unfilter
     branches (None/Sub/Up/Average/Paeth) run in the distributed stage.
-    NotImplementedError now marks only formats (JPEG/MP4) that genuinely
-    need external codec libraries."""
-    from .operators.codecs import encode_bmp, encode_png, encode_ppm, encode_wav
+    MP4 (r4) decodes the CONTAINER: geometry/duration from tkhd/mdhd,
+    mean_value = mean coded-frame size from stsz — all recomputed by the
+    oracle from the synthesis arithmetic.  NotImplementedError now marks
+    only pixel/sample decode that genuinely needs external codec
+    libraries (JPEG, coded video frames)."""
+    from .operators.codecs import (
+        encode_bmp,
+        encode_mp4,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
 
     rows = []
     for i in range(40):
+        rows.append(
+            (
+                f"mp4-{i:04d}",
+                bytearray(
+                    encode_mp4(
+                        64 + 16 * (i % 5),
+                        48 + 16 * (i % 4),
+                        [50 + ((7 * j + i) % 32) for j in range(10 + i % 20)],
+                    )
+                ),
+            )
+        )
         rows.append((f"wav-{i:04d}", bytearray(encode_wav(800 + 40 * i, 1000 + i))))
         rows.append(
             (
@@ -1868,6 +1896,65 @@ def multimodal_frame_plan_from_durations(spark, sf_dir) -> DataFrame:
     df = spark.createDataFrame(rows, "media_ref string, payload binary")
     feats = multimodal.decode_features(df, "media_ref", "payload")
     return multimodal.frame_plan_from_durations(feats, every_ms=25)
+
+
+@query(
+    "multimodal_mp4_frame_plan",
+    oracle="""
+    WITH r AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS r),
+         f AS (SELECT r, CAST(unnest(range(0, 24 + r)) AS INT) AS i FROM r),
+         sz AS (SELECT r, i, 50 + (7 * i + r) % 32 AS n_bytes FROM f),
+         off AS (SELECT r, i, n_bytes,
+                        32 + COALESCE(SUM(n_bytes) OVER (
+                          PARTITION BY r ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS byte_offset
+                 FROM sz),
+         t AS (SELECT r, CAST(unnest(range(0, 40 * (24 + r) + 1, 200)) AS INT)
+                      AS sample_at_ms
+               FROM r),
+         pick AS (SELECT r, sample_at_ms,
+                         LEAST(sample_at_ms // 40, 23 + r) AS i
+                  FROM t)
+    SELECT 'mp4-' || lpad(CAST(r AS VARCHAR), 4, '0') AS media_ref,
+           sample_at_ms,
+           CAST(i AS INT) AS frame_idx,
+           CAST(40 * i AS INT) AS pts_ms,
+           CAST(byte_offset AS BIGINT) AS byte_offset,
+           CAST(n_bytes AS INT) AS n_bytes,
+           (i % 5 = 0) AS keyframe,
+           CAST(i - (i % 5) AS INT) AS seek_from_idx
+    FROM pick JOIN off USING (r, i)
+    """,
+)
+def multimodal_mp4_frame_plan(spark, sf_dir) -> DataFrame:
+    """REAL MP4 frame-sampling plan (r4): 20 synthesized ISO BMFF files
+    (mdat-first, per-sample stsz, 7-samples-per-chunk stsc/stco, stss
+    keyframes every 5) demux through codecs.parse_mp4 inside the Arrow-
+    batched planner, and every emitted field — frame index at each 200 ms
+    target, its pts, ABSOLUTE byte range reconstructed from the chunk
+    tables, keyframe flag, and the stss seek point — is recomputed
+    arithmetically by the oracle from the synthesis parameters (frame j of
+    file r is 50 + (7j + r) % 32 bytes at 40 ms cadence; mdat body starts
+    at offset 32).  This is the operator a video pipeline uses to range-
+    read frames from object storage without decoding or shipping files."""
+    from .operators.codecs import encode_mp4
+
+    rows = [
+        (
+            f"mp4-{r:04d}",
+            bytearray(
+                encode_mp4(
+                    64 + 16 * (r % 5),
+                    48 + 16 * (r % 4),
+                    [50 + ((7 * i + r) % 32) for i in range(24 + r)],
+                )
+            ),
+        )
+        for r in range(20)
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return multimodal.frame_plan_mp4(df, "media_ref", "payload", every_ms=200)
 
 
 # ===========================================================================
@@ -3161,7 +3248,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "schema_validation_documents_struct",
     "multimodal_media_features",
     "multimodal_resize_images",
-    "multimodal_frame_sample_plan",
+    "multimodal_mp4_frame_plan",  # r4: real ISO BMFF demux plan (replaces
+    # the fixed-horizon stub planner in the window; that stays registered)
     "multimodal_frame_features",
     "multimodal_real_codec_features",
     "multimodal_frame_plan_from_durations",

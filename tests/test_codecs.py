@@ -159,3 +159,61 @@ def test_png_palette_and_unsupported_variants():
     ) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_png(bad_i)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF structural demux (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_sample_tables():
+    """Encoder → parser round-trip: geometry, duration, per-sample sizes,
+    ABSOLUTE offsets (multi-chunk stsc/stco reconstruction), pts from stts,
+    and stss keyframes — and the offsets really point at the frames (the
+    deterministic mdat filler reads back byte-exact)."""
+    sizes = [50 + ((7 * i + 3) % 32) for i in range(25)]
+    p = codecs.encode_mp4(640, 480, sizes, samples_per_chunk=7, sync_every=5)
+    t = codecs.mp4_frame_index(p)
+    assert (t["width"], t["height"]) == (640, 480)
+    assert t["n_frames"] == 25 and t["duration_ms"] == 1000
+    assert t["sizes"].tolist() == sizes
+    exp_off = 32 + np.concatenate([[0], np.cumsum(sizes[:-1])])
+    assert t["offsets"].tolist() == exp_off.tolist()
+    assert t["pts_ms"].tolist() == [40 * i for i in range(25)]
+    assert t["sync"].tolist() == [0, 5, 10, 15, 20]
+    for i in (0, 3, 24):  # range-read each frame straight out of the file
+        o, s = int(t["offsets"][i]), int(t["sizes"][i])
+        frame = np.frombuffer(p[o : o + s], dtype=np.uint8)
+        assert (frame == (np.arange(s) + i) % 251).all()
+
+
+def test_mp4_chunking_variants_and_sniff():
+    for n, spc in [(3, 7), (40, 1), (14, 14), (1, 7)]:
+        sizes = list(range(60, 60 + n))
+        p = codecs.encode_mp4(64, 48, sizes, samples_per_chunk=spc)
+        assert codecs.sniff_format(p) == "mp4"
+        t = codecs.mp4_frame_index(p)
+        exp_off = 32 + np.concatenate([[0], np.cumsum(sizes[:-1])])
+        assert t["offsets"].tolist() == exp_off.tolist()
+
+
+def test_mp4_decode_media_structural_features():
+    d = codecs.decode_media(codecs.encode_mp4(64, 48, [50, 60, 70]))
+    assert d == {
+        "format": "mp4",
+        "width": 64,
+        "height": 48,
+        "duration_ms": 120,
+        "sample_rate": None,
+        "channels": None,
+        "mean_value": 60.0,
+    }
+
+
+def test_mp4_corrupt_and_missing_track():
+    with pytest.raises(ValueError, match="no moov"):
+        codecs.parse_mp4(b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2")
+    # truncated box size → corrupt
+    good = codecs.encode_mp4(64, 48, [50, 60])
+    with pytest.raises(ValueError):
+        codecs.parse_mp4(good[:-10] + b"\xff" * 10)

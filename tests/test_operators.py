@@ -397,6 +397,33 @@ def test_multimodal_real_codecs_and_per_format_seam(spark):
     assert "NotImplementedError" in str(ei.value) or "external libraries" in str(ei.value)
 
 
+def test_multimodal_mp4_frame_plan_seek_semantics(spark):
+    """r4: the MP4 planner resolves each target to the last frame whose
+    pts <= target, carries its REAL byte range, and points the decoder at
+    the nearest PRECEDING stss keyframe — the seek a real demuxer does."""
+    from jsons_to_schema_spark.operators import codecs
+
+    sizes = [100 + i for i in range(12)]  # 12 frames @40ms, keyframes 0/5/10
+    df = spark.createDataFrame(
+        [("v-0", bytearray(codecs.encode_mp4(64, 48, sizes)))],
+        "media_ref string, payload binary",
+    )
+    plan = {
+        r.sample_at_ms: r
+        for r in multimodal.frame_plan_mp4(
+            df, "media_ref", "payload", every_ms=170
+        ).collect()
+    }
+    # targets 0,170,340,480(dur=480): frame = floor(t/40) capped at 11
+    assert sorted(plan) == [0, 170, 340]
+    assert (plan[170].frame_idx, plan[170].pts_ms) == (4, 160)
+    assert plan[170].seek_from_idx == 0 and not plan[170].keyframe
+    assert (plan[340].frame_idx, plan[340].seek_from_idx) == (8, 5)
+    assert plan[0].keyframe and plan[0].seek_from_idx == 0
+    exp_off = 32 + sum(sizes[:8])
+    assert (plan[340].byte_offset, plan[340].n_bytes) == (exp_off, 108)
+
+
 def test_column_stats_single_pass_plan(spark):
     """The stats pass must be ONE aggregate over ONE scan — assert the plan
     contains a single scan node (no self-join/multiple passes)."""
