@@ -17,10 +17,15 @@ them instead of a stub:
   geometry, duration, and the full sample table (stts/stsz/stsc/stco/
   co64/stss) → real per-frame byte ranges, timestamps, and keyframe
   flags.  Coded-frame pixel decode (H.264 etc.) stays the seam.
+* JPEG (r4) — full baseline (ITU-T T.81 SOF0) decode: marker parse,
+  canonical Huffman entropy decode, dequant + de-zigzag, matrix IDCT,
+  integer chroma upsampling (4:4:4/4:2:0/4:2:2/gray), restart
+  intervals, YCbCr→RGB — plus a quality-scaled Annex-K encoder for
+  deterministic payload synthesis.
 
-Everything else (JPEG, coded video frames, and PNG's interlaced/16-bit
-variants) genuinely requires external codec libraries and stays behind
-``NotImplementedError`` — that seam is a per-FORMAT boundary, not a
+What remains behind ``NotImplementedError`` genuinely requires external
+codec libraries: coded video frames (H.264/VP9), progressive/arithmetic
+JPEG, and PNG's interlaced/16-bit variants — a per-FORMAT seam, not a
 blanket one.
 
 All functions are pure bytes→dict (no Spark imports): they run inside
@@ -52,6 +57,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -447,6 +454,9 @@ _DECODERS = {
     "ppm": decode_ppm,
     "png": decode_png,
     "mp4": decode_mp4,
+    # feature schema is the shared contract: drop the pixel array here
+    # (resize/vision stages call decode_jpeg directly for pixels)
+    "jpeg": lambda p: {k: v for k, v in decode_jpeg(p).items() if k != "pixels"},
 }
 
 
@@ -457,9 +467,9 @@ def decode_media(payload: bytes) -> dict:
     if fmt is None:
         head = bytes(payload[:8] if payload else b"")
         raise NotImplementedError(
-            f"no stdlib codec for payload starting {head!r}: JPEG/MP4 "
-            "etc. require external libraries (PIL/ffmpeg) not present in "
-            "this environment"
+            f"no stdlib codec for payload starting {head!r}: coded video "
+            "frames (H.264/VP9/...) require external libraries (ffmpeg) "
+            "not present in this environment"
         )
     return _DECODERS[fmt](payload)
 
@@ -681,3 +691,557 @@ def encode_mp4(
     trak = _box(b"trak", tkhd, mdia)
     moov = _box(b"moov", mvhd, trak)
     return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (ITU-T T.81) — stdlib + numpy (r4).  Full marker parse,
+# canonical Huffman entropy decode, dequantize + de-zigzag, orthonormal
+# matrix IDCT, integer chroma upsampling, YCbCr→RGB.  Baseline sequential
+# (SOF0) only: progressive (SOF2), arithmetic coding, and 12-bit precision
+# raise NotImplementedError.  The bit-serial entropy loop is per-block
+# Python — appropriate for the thumbnail/metadata payloads a curation
+# pipeline decodes Spark-side, not a throughput codec.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: block = _DCT_T.T @ coef @ _DCT_T
+_DCT_T = np.array([
+    [(np.sqrt(1 / 8) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+     for n in range(8)]
+    for k in range(8)
+])
+
+# ITU-T T.81 Annex K reference tables -----------------------------------
+_K1_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_K2_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+for _bits, _vals in (_DC_LUMA, _DC_CHROMA, _AC_LUMA, _AC_CHROMA):
+    assert sum(_bits) == len(_vals)
+
+
+class _HuffDecoder:
+    """Canonical Huffman per T.81 F.2.2.3: mincode/maxcode/valptr tables."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode, self.maxcode, self.valptr = [0] * 17, [-1] * 17, [0] * 17
+        code = k = 0
+        for length in range(1, 17):
+            self.valptr[length] = k
+            self.mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            self.maxcode[length] = code - 1 if bits[length - 1] else -1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, h: _HuffDecoder) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if h.maxcode[length] >= 0 and code <= h.maxcode[length]:
+                return h.vals[h.valptr[length] + code - h.mincode[length]]
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JFIF/JPEG → dimensions + mean over the reconstructed RGB
+    (grayscale replicated).  Supports 8-bit SOF0 with any integer sampling
+    factors (4:4:4 / 4:2:0 / 4:2:2 / grayscale) and restart intervals."""
+    buf = bytes(payload)
+    if buf[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack_from(">H", buf, pos)[0]
+        seg = buf[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                prec, tid = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                if prec:
+                    qt[tid] = np.frombuffer(seg, ">u2", 64, sp).astype(np.int64)
+                    sp += 128
+                else:
+                    qt[tid] = np.frombuffer(seg, np.uint8, 64, sp).astype(np.int64)
+                    sp += 64
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                cls, tid = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _HuffDecoder(bits, list(seg[sp + 17 : sp + 17 + n]))
+                sp += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "jpeg: progressive/extended/arithmetic coding unsupported "
+                "(baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"], comp["ac"] = tabs >> 4, tabs & 0xF
+                scan.append(comp)
+            data_start = pos + seg_len
+            return _decode_scan(
+                buf, data_start, w, h, scan, qt, huff, restart_interval
+            )
+        pos += seg_len
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval) -> dict:
+    # unstuff + strip restart markers, tracking restart boundaries
+    end = buf.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(buf)
+    raw = buf[start:end]
+    segments = []
+    if restart_interval:
+        import re as _re
+
+        segments = _re.split(b"\xff[\xd0-\xd7]", raw)
+    else:
+        segments = [raw]
+    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    for mcu_i in range(mcus_x * mcus_y):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu_i, mcus_x)
+        for c in comps:
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = reader.decode_huff(huff[(0, c["dc"])])
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(huff[(1, c["ac"])])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    coef = np.zeros(64)
+                    coef[_ZIGZAG] = zz * q
+                    block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample to full MCU grid resolution, crop, color-convert
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, max_v // c["v"], 0), max_h // c["h"], 1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        rgb = np.stack([full[0]] * 3, axis=-1)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=-1,
+        )
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "duration_ms": 0,
+        "sample_rate": None,
+        "channels": 3 if len(full) > 1 else 1,
+        "mean_value": float(rgb.astype(np.float64).mean()),
+        "pixels": rgb,
+    }
+
+
+class _BitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (0x00 after 0xFF)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0xFF >> (8 - (8 - self.nbits % 8) % 8), (8 - self.nbits) % 8)
+        return bytes(self.out)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (canonical code, length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _scale_q(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table (public formula)."""
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit pattern) per T.81 F.1.2.1.1."""
+    t = int(abs(v)).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1) & ((1 << t) - 1)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+) -> bytes:
+    """Baseline JFIF encoder (Annex K tables, quality-scaled): (h, w, 3)
+    RGB → 3-component 4:4:4 (or 4:2:0 with ``subsample=True``), (h, w)
+    grayscale → single component.  Exists so the decoder — the artifact
+    production corpora need — can be driven end-to-end without external
+    libraries; round-trip accuracy is asserted within JPEG's lossy
+    tolerance in tests."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        r, g, b = (pixels[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    if subsample and not gray:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # chroma planes average-pooled 2x2 (pad odd dims by edge replication)
+        for i in (1, 2):
+            p = planes[i]
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            planes[i] = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    else:
+        samp = [(1, 1)] * len(planes)
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+    qtabs = [_scale_q(_K1_LUMA_Q, quality), _scale_q(_K2_CHROMA_Q, quality)]
+    comp_q = [0] if gray else [0, 1, 1]
+    enc_dc = [_huff_encode_table(*_DC_LUMA), _huff_encode_table(*_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_AC_LUMA), _huff_encode_table(*_AC_CHROMA)]
+    comp_t = [0] if gray else [0, 1, 1]
+
+    # pad each plane to its own block grid (edge replicate)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    zz_rows, zz_cols = divmod(_ZIGZAG, 8)
+    for mcu_i in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu_i, mcus_x)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            q = qtabs[comp_q[ci]]
+            dc_t, ac_t = enc_dc[comp_t[ci]], enc_ac[comp_t[ci]]
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = _DCT_T @ block @ _DCT_T.T
+                    zz = np.round(coef[zz_rows, zz_cols] / q).astype(np.int64)
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    t, bits = _magnitude(diff)
+                    code, ln = dc_t[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(bits, t)
+                    nz = np.nonzero(zz[1:])[0]
+                    k_prev = 0
+                    for k in nz + 1:
+                        run = int(k) - k_prev - 1
+                        while run >= 16:
+                            code, ln = ac_t[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        t, bits = _magnitude(int(zz[k]))
+                        code, ln = ac_t[(run << 4) | t]
+                        bw.write(code, ln)
+                        bw.write(bits, t)
+                        k_prev = int(k)
+                    if k_prev != 63:
+                        code, ln = ac_t[0x00]  # EOB
+                        bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtabs[: 1 if gray else 2]):
+        zzq = q.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
+        out += seg(0xDB, bytes([tid]) + zzq.tobytes())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    out += seg(0xC0, sof)
+    tabs = [(_DC_LUMA, 0x00), (_AC_LUMA, 0x10)]
+    if not gray:
+        tabs += [(_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)]
+    for (bits, vals), tid in tabs:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (comp_t[ci] << 4) | comp_t[ci]])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Decode any stdlib-decodable IMAGE payload to an (h, w, 3) uint8 RGB
+    array: JPEG via the baseline decoder, PPM raw, BMP with bottom-up flip +
+    BGR→RGB, PNG with palette expansion / gray replication / alpha drop.
+    Raises NotImplementedError for non-image or undecodable formats."""
+    fmt = sniff_format(payload or b"")
+    if fmt == "jpeg":
+        return decode_jpeg(payload)["pixels"]
+    if fmt == "ppm":
+        d = decode_ppm(payload)
+        w, h = d["width"], d["height"]
+        body = payload[len(payload) - w * h * 3 :]
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "bmp":
+        pixel_off = struct.unpack_from("<I", payload, 10)[0]
+        w, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if struct.unpack_from("<I", payload, 30)[0] != 0 or bpp not in (24, 32):
+            raise NotImplementedError("BMP variant unsupported")
+        n_ch, h = bpp // 8, abs(height)
+        stride = (w * n_ch + 3) & ~3
+        arr = np.frombuffer(payload, np.uint8, stride * h, pixel_off)
+        px = arr.reshape(h, stride)[:, : w * n_ch].reshape(h, w, n_ch)
+        if height > 0:  # bottom-up storage
+            px = px[::-1]
+        return px[..., 2::-1]  # BGRA/BGR → RGB
+    if fmt == "png":
+        return _png_rgb(payload)
+    raise NotImplementedError(f"no stdlib pixel decode for format {fmt!r}")
+
+
+def _png_rgb(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) RGB (palette expanded, gray replicated, alpha
+    dropped) — same chunk/unfilter path as decode_png."""
+    pos = 8
+    width = height = None
+    color_type = 0
+    idat, plte = bytearray(), None
+    while pos < len(payload):
+        clen, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt_m, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if interlace or bit_depth != 8:
+                raise NotImplementedError("PNG interlaced/16-bit unsupported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    n_samp = _PNG_SAMPLES[color_type]
+    stride = width * n_samp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    px = _png_unfilter(raw.reshape(height, stride + 1), height, stride, n_samp)
+    px = px.reshape(height, width, n_samp)
+    if color_type == 3:
+        return plte[px[..., 0]]
+    if color_type == 0:
+        return np.repeat(px, 3, axis=-1)
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=-1)
+    return px[..., :3]
+
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic bilinear resample with half-pixel centers (the
+    convention of every mainstream image library), pure numpy."""
+    h, w = img.shape[:2]
+    x = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = (x - x0)[None, :, None]
+    wy = (y - y0)[:, None, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)

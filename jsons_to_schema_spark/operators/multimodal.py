@@ -161,31 +161,41 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """Resize stage: binary in → binary out, Arrow-batched.  Output payload
-    stays opaque binary (the downstream contract); with fake=True the stub
-    'resizes' by truncating the payload proportionally and computing the
-    target box from the fake-decoded dimensions — deterministic, so the
-    plumbing (schema, batch shape, binary round-trip) is fully testable."""
+    stays opaque binary (the downstream contract).  REAL path (r4): decode
+    pixels with the stdlib codecs (BMP/PPM/PNG/JPEG), bilinear-resample to
+    fit ``max_side`` (aspect preserved, never upscaled), re-encode as PNG
+    (deterministic + lossless, so the output is value-reproducible);
+    formats without a stdlib pixel decode raise per-row.  fake=True keeps
+    the legacy stub (proportional truncation) for opaque payloads."""
     src = df.select(
         F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
     )
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires a codec library (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             rows = {"media_ref": [], "width": [], "height": [], "payload": []}
             for ref, p in zip(pdf["media_ref"], pdf["_payload"]):
-                d = _fake_decode(p, "image")
-                scale = min(1.0, max_side / max(d["width"], d["height"]))
-                w, h = int(d["width"] * scale), int(d["height"] * scale)
-                keep = max(1, int(len(p or b"x") * scale))
+                if fake:
+                    d = _fake_decode(p, "image")
+                    scale = min(1.0, max_side / max(d["width"], d["height"]))
+                    w, h = int(d["width"] * scale), int(d["height"] * scale)
+                    out = bytes(p or b"")[: max(1, int(len(p or b"x") * scale))]
+                else:
+                    px = codecs.decode_pixels(bytes(p or b""))
+                    ih, iw = px.shape[:2]
+                    scale = min(1.0, max_side / max(iw, ih))
+                    # half-UP (not banker's) so dimensions match SQL ROUND
+                    w = max(1, int(iw * scale + 0.5))
+                    h = max(1, int(ih * scale + 0.5))
+                    if (w, h) != (iw, ih):
+                        px = codecs.resize_bilinear(px, w, h)
+                    out = codecs.encode_png(w, h, pixels=px)
                 rows["media_ref"].append(ref)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["payload"].append(bytes(p or b"")[:keep])
+                rows["payload"].append(out)
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(do_resize, RESIZED_SCHEMA)

@@ -1796,6 +1796,12 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
            (SELECT round(AVG(50 + (7 * f.j + i) % 32), 6)
             FROM (SELECT unnest(range(0, 10 + i % 20)) AS j) f)
     FROM i
+    UNION ALL
+    SELECT 'jpg-' || lpad(CAST(i AS VARCHAR), 4, '0'),
+           'jpeg', CAST(8 + i % 9 AS INT), CAST(8 + i % 7 AS INT),
+           CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
+           round(((31 * i) % 256 + (57 * i) % 256 + (89 * i) % 256) / 3.0, 6)
+    FROM i
     """,
 )
 def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
@@ -1809,12 +1815,18 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
     (r+g+b)/3.  Each PNG uses scanline filter i % 5, so all five unfilter
     branches (None/Sub/Up/Average/Paeth) run in the distributed stage.
     MP4 (r4) decodes the CONTAINER: geometry/duration from tkhd/mdhd,
-    mean_value = mean coded-frame size from stsz — all recomputed by the
+    mean_value = mean coded-frame size from stsz.  JPEG (r4) runs the FULL
+    baseline pipeline — Huffman entropy decode, dequant, IDCT, YCbCr→RGB —
+    on solid-color q95 payloads, where quantization is provably lossless,
+    so the oracle's (r+g+b)/3 check is exact.  All recomputed by the
     oracle from the synthesis arithmetic.  NotImplementedError now marks
-    only pixel/sample decode that genuinely needs external codec
-    libraries (JPEG, coded video frames)."""
+    only decode that genuinely needs external codec libraries (coded
+    video frames, progressive JPEG)."""
+    import numpy as np
+
     from .operators.codecs import (
         encode_bmp,
+        encode_jpeg,
         encode_mp4,
         encode_png,
         encode_ppm,
@@ -1823,6 +1835,21 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
 
     rows = []
     for i in range(40):
+        rows.append(
+            (
+                f"jpg-{i:04d}",
+                bytearray(
+                    encode_jpeg(
+                        np.full(
+                            (8 + i % 7, 8 + i % 9, 3),
+                            ((31 * i) % 256, (57 * i) % 256, (89 * i) % 256),
+                            dtype=np.uint8,
+                        ),
+                        quality=95,
+                    )
+                ),
+            )
+        )
         rows.append(
             (
                 f"mp4-{i:04d}",
@@ -1896,6 +1923,62 @@ def multimodal_frame_plan_from_durations(spark, sf_dir) -> DataFrame:
     df = spark.createDataFrame(rows, "media_ref string, payload binary")
     feats = multimodal.decode_features(df, "media_ref", "payload")
     return multimodal.frame_plan_from_durations(feats, every_ms=25)
+
+
+@query(
+    "multimodal_resize_real_images",
+    oracle="""
+    WITH i AS (SELECT CAST(unnest(range(0, 32)) AS INT) AS i),
+         src AS (SELECT i,
+                        ['bmp', 'ppm', 'png', 'jpeg'][(i % 4) + 1] AS fmt,
+                        20 + 4 * (i % 13) AS iw,
+                        12 + 3 * (i % 9) AS ih
+                 FROM i),
+         scaled AS (SELECT i, fmt, iw, ih,
+                           LEAST(1.0, 16.0 / GREATEST(iw, ih)) AS s
+                    FROM src)
+    SELECT fmt || '-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_ref,
+           CAST(GREATEST(1, FLOOR(iw * s + 0.5)) AS INT) AS width,
+           CAST(GREATEST(1, FLOOR(ih * s + 0.5)) AS INT) AS height,
+           round(((31 * i) % 256 + (57 * i) % 256 + (89 * i) % 256) / 3.0, 6)
+             AS mean_value
+    FROM scaled
+    """,
+)
+def multimodal_resize_real_images(spark, sf_dir) -> DataFrame:
+    """REAL image resize end-to-end (r4): 32 solid-color payloads across
+    all four pixel-decodable formats (BMP/PPM/PNG and baseline JPEG at
+    q95, where solid blocks survive quantization bit-exactly) decode,
+    bilinear-downscale to a 16-px box (half-pixel centers; bilinear of a
+    constant is the constant), and re-encode as lossless PNG; the output
+    PNGs are then RE-DECODED by the shared feature stage, so the oracle's
+    arithmetic mean check covers decode → resize → encode → decode.
+    Dimension arithmetic is half-up rounding, matching SQL ROUND."""
+    import numpy as np
+
+    from .operators.codecs import encode_bmp, encode_jpeg, encode_png, encode_ppm
+
+    rows = []
+    for i in range(32):
+        fmt = ["bmp", "ppm", "png", "jpeg"][i % 4]
+        iw, ih = 20 + 4 * (i % 13), 12 + 3 * (i % 9)
+        rgb = ((31 * i) % 256, (57 * i) % 256, (89 * i) % 256)
+        if fmt == "bmp":
+            p = encode_bmp(iw, ih, rgb)
+        elif fmt == "ppm":
+            p = encode_ppm(iw, ih, rgb)
+        elif fmt == "png":
+            p = encode_png(iw, ih, rgb, filter_type=i % 5)
+        else:
+            p = encode_jpeg(np.full((ih, iw, 3), rgb, dtype=np.uint8), quality=95)
+        rows.append((f"{fmt}-{i:04d}", bytearray(p)))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    resized = multimodal.resize_images(df, "media_ref", "payload", max_side=16)
+    feats = multimodal.decode_features(resized, "media_ref", "payload")
+    return resized.select("media_ref", "width", "height").join(
+        feats.select("media_ref", F.round("mean_value", 6).alias("mean_value")),
+        "media_ref",
+    )
 
 
 @query(
@@ -3247,7 +3330,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "spans_schema_validation_verdicts",
     "schema_validation_documents_struct",
     "multimodal_media_features",
-    "multimodal_resize_images",
+    "multimodal_resize_real_images",  # r4: real decode→resize→encode→decode
+    # (replaces the fake-stub resize in the window; that stays registered)
     "multimodal_mp4_frame_plan",  # r4: real ISO BMFF demux plan (replaces
     # the fixed-horizon stub planner in the window; that stays registered)
     "multimodal_frame_features",

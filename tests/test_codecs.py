@@ -57,18 +57,23 @@ def test_ppm_header_comments():
 
 
 def test_unknown_format_raises():
-    # JPEG/MP4 stay behind the per-format seam (PNG is decodable since r4)
+    # coded-video-only formats stay behind the per-format seam (PNG/MP4/JPEG
+    # are decodable since r4); unknown magic raises it, corrupt-but-known
+    # magic raises ValueError from the real decoder instead
     with pytest.raises(NotImplementedError, match="external libraries"):
-        codecs.decode_media(b"\xff\xd8\xff\xe0....")
+        codecs.decode_media(b"GIF89a....")
     with pytest.raises(NotImplementedError):
         codecs.decode_media(b"")
+    with pytest.raises(ValueError):
+        codecs.decode_media(b"\xff\xd8\xff\xe0....")
 
 
 def test_sniff():
     assert codecs.sniff_format(codecs.encode_wav(8, 1)) == "wav"
     assert codecs.sniff_format(codecs.encode_bmp(1, 1, (1, 1, 1))) == "bmp"
     assert codecs.sniff_format(codecs.encode_ppm(1, 1, (1, 1, 1))) == "ppm"
-    assert codecs.sniff_format(b"\xff\xd8\xff") is None  # JPEG needs a real lib
+    assert codecs.sniff_format(b"\xff\xd8\xff") == "jpeg"  # decodable since r4
+    assert codecs.sniff_format(b"GIF89a") is None
 
 
 def test_decode_wav_8bit_unsigned_midpoint():
@@ -217,3 +222,93 @@ def test_mp4_corrupt_and_missing_track():
     good = codecs.encode_mp4(64, 48, [50, 60])
     with pytest.raises(ValueError):
         codecs.parse_mp4(good[:-10] + b"\xff" * 10)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_444_within_lossy_tolerance():
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    assert (d["width"], d["height"], d["channels"]) == (40, 24, 3)
+    mae = np.abs(d["pixels"].astype(float) - img.astype(float)).mean()
+    assert mae < 3.0, mae
+
+
+def test_jpeg_420_subsampling_and_odd_dims():
+    yy, xx = np.mgrid[0:21, 0:37]
+    img = np.stack([((xx + yy) * 2) % 256] * 3, axis=-1).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsample=True))
+    assert (d["width"], d["height"]) == (37, 21)
+    mae = np.abs(d["pixels"].astype(float) - img.astype(float)).mean()
+    assert mae < 6.0, mae
+
+
+def test_jpeg_solid_color_bit_exact_q95():
+    """Solid blocks carry only the DC coefficient, which survives q95
+    quantization exactly — the property the driver oracle exploits."""
+    for i in range(40):
+        rgb = ((31 * i) % 256, (57 * i) % 256, (89 * i) % 256)
+        img = np.full((8 + i % 7, 8 + i % 9, 3), rgb, dtype=np.uint8)
+        d = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+        assert (d["pixels"] == img).all(), rgb
+        assert d["mean_value"] == img.astype(np.float64).mean()
+
+
+def test_jpeg_grayscale_single_component():
+    yy, xx = np.mgrid[0:16, 0:16]
+    g = np.clip(xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    assert d["channels"] == 1
+    assert np.abs(d["pixels"][:, :, 0].astype(float) - g).mean() < 1.0
+
+
+def test_jpeg_unsupported_and_corrupt():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\x00\x01")
+    # progressive (SOF2) raises the per-format seam
+    img = np.zeros((8, 8), dtype=np.uint8)
+    p = bytearray(codecs.encode_jpeg(img))
+    sof = p.find(b"\xff\xc0")
+    p[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(bytes(p))
+    assert codecs.sniff_format(codecs.encode_jpeg(img)) == "jpeg"
+
+
+def test_decode_pixels_all_formats_exact():
+    yy, xx = np.mgrid[0:20, 0:30]
+    img = np.stack(
+        [(xx * 8) % 256, (yy * 11) % 256, ((xx + yy) * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    assert (
+        codecs.decode_pixels(codecs.encode_png(30, 20, pixels=img, filter_type=4))
+        == img
+    ).all()
+    assert (
+        codecs.decode_pixels(codecs.encode_ppm(3, 2, (9, 8, 7)))
+        == np.full((2, 3, 3), (9, 8, 7), np.uint8)
+    ).all()
+    assert (
+        codecs.decode_pixels(codecs.encode_bmp(5, 4, (10, 20, 30)))
+        == np.full((4, 5, 3), (10, 20, 30), np.uint8)
+    ).all()
+    solid = np.full((8, 8, 3), (100, 50, 25), np.uint8)
+    assert (
+        codecs.decode_pixels(codecs.encode_jpeg(solid, quality=95)) == solid
+    ).all()
+    with pytest.raises(NotImplementedError):
+        codecs.decode_pixels(codecs.encode_wav(10, 100))
+
+
+def test_resize_bilinear_semantics():
+    assert (codecs.resize_bilinear(np.full((40, 60, 3), 77, np.uint8), 15, 10) == 77).all()
+    ramp = np.tile(np.arange(0, 240, 4, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    out = codecs.resize_bilinear(ramp, 20, 4)
+    assert out.shape == (4, 20, 3)
+    assert (np.diff(out[0, :, 0].astype(int)) >= 0).all()  # monotone preserved

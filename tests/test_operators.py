@@ -389,12 +389,38 @@ def test_multimodal_real_codecs_and_per_format_seam(spark):
     assert (got["m-bmp"].width, got["m-bmp"].height) == (7, 5)
 
     bad = spark.createDataFrame(
-        [("m-jpg", "image", b"\xff\xd8\xff junk")],
+        [("m-gif", "image", b"GIF89a junk")],
         "ref string, kind string, payload binary",
     )
     with pytest.raises(Exception) as ei:
         multimodal.media_features(bad, "ref", "payload", "kind", fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "external libraries" in str(ei.value)
+
+
+def test_multimodal_resize_real_roundtrip(spark):
+    """r4: fake=False REALLY resizes — decode (any stdlib image format),
+    bilinear downscale, lossless PNG re-encode; output payloads re-decode
+    to the expected dimensions and (for solid fills) exact means."""
+    from jsons_to_schema_spark.operators import codecs
+
+    rows = [
+        ("png-0", bytearray(codecs.encode_png(60, 40, (10, 20, 30)))),
+        ("bmp-0", bytearray(codecs.encode_bmp(33, 50, (200, 100, 0)))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    out = {
+        r.media_ref: r
+        for r in multimodal.resize_images(
+            df, "media_ref", "payload", max_side=20, fake=False
+        ).collect()
+    }
+    assert (out["png-0"].width, out["png-0"].height) == (20, 13)
+    assert (out["bmp-0"].width, out["bmp-0"].height) == (13, 20)
+    d = codecs.decode_media(bytes(out["png-0"].payload))
+    assert (d["format"], d["width"], d["height"]) == ("png", 20, 13)
+    assert d["mean_value"] == 20.0  # bilinear of a constant fill
+    d2 = codecs.decode_media(bytes(out["bmp-0"].payload))
+    assert d2["mean_value"] == 100.0
 
 
 def test_multimodal_mp4_frame_plan_seek_semantics(spark):
