@@ -596,11 +596,12 @@ def _fbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
 def encode_mp4(
     width: int,
     height: int,
-    frame_sizes: list[int] | np.ndarray,
+    frame_sizes: "list[int] | np.ndarray | None" = None,
     delta_units: int = 40,
     timescale: int = 1000,
     sync_every: int = 5,
     samples_per_chunk: int = 7,
+    frame_payloads: "list[bytes] | None" = None,
 ) -> bytes:
     """Structurally valid ISO BMFF file for deterministic test payloads:
     ftyp + mdat-first layout (mdat body at absolute offset 32, so chunk
@@ -608,14 +609,22 @@ def encode_mp4(
     tables cover every parser branch — multi-run-capable stts (single run
     here), per-sample stsz, multi-chunk stsc/stco (``samples_per_chunk``
     with a shorter tail run), and stss keyframes every ``sync_every``.
-    Frame payloads are deterministic filler ((i + j) % 251) — the container
-    is the artifact under test, coded-pixel decode is the per-format seam."""
-    sizes = np.asarray(frame_sizes, dtype=np.int64)
-    n = len(sizes)
-    mdat_body = b"".join(
-        ((np.arange(int(s), dtype=np.int64) + i) % 251).astype(np.uint8).tobytes()
-        for i, s in enumerate(sizes)
-    )
+    Frame payloads default to deterministic filler ((i + j) % 251) sized by
+    ``frame_sizes`` — the container is the artifact under test and coded-
+    pixel decode is the per-format seam — or pass ``frame_payloads``
+    explicitly (e.g. JPEG bytes → a Motion-JPEG file whose frames the
+    baseline JPEG decoder can genuinely decode end-to-end)."""
+    if frame_payloads is not None:
+        sizes = np.asarray([len(fp) for fp in frame_payloads], dtype=np.int64)
+        n = len(sizes)
+        mdat_body = b"".join(frame_payloads)
+    else:
+        sizes = np.asarray(frame_sizes, dtype=np.int64)
+        n = len(sizes)
+        mdat_body = b"".join(
+            ((np.arange(int(s), dtype=np.int64) + i) % 251).astype(np.uint8).tobytes()
+            for i, s in enumerate(sizes)
+        )
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"iso2")
     assert len(ftyp) == 24
     mdat = _box(b"mdat", mdat_body)

@@ -330,3 +330,59 @@ def frame_plan_mp4(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(plan, MP4_PLAN_SCHEMA)
+
+
+MP4_FRAME_FEATURES_SCHEMA = (
+    "media_ref string, sample_at_ms int, frame_idx int, keyframe boolean, "
+    "frame_w int, frame_h int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def frame_features_mp4(
+    df: DataFrame, ref_col: str, bytes_col: str, every_ms: int = 1000
+) -> DataFrame:
+    """FULLY REAL video-frame feature extraction for Motion-JPEG-in-MP4
+    (r4): demux the ISO BMFF sample tables, resolve each ``every_ms``
+    target to its frame's byte range, slice those bytes out of the payload,
+    and run the baseline JPEG decoder on each sampled frame — per-frame
+    dimensions + per-channel means, end-to-end in one Arrow-batched
+    mapInPandas stage with zero external libraries.  MJPEG is the one
+    video flavor whose frames are stdlib-decodable; H.264/VP9 frames stay
+    the per-format seam (the byte-range PLAN for them comes from
+    frame_plan_mp4).  Only SAMPLED frames decode — cost scales with the
+    plan, not the video length."""
+    from . import codecs
+
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_ref sample_at_ms frame_idx keyframe frame_w frame_h "
+            "mean_r mean_g mean_b"
+        ).split()
+        for pdf in batches:
+            rows: dict = {c: [] for c in cols}
+            for ref, p in zip(pdf["media_ref"], pdf["_payload"]):
+                raw = bytes(p or b"")
+                t = codecs.mp4_frame_index(raw)
+                pts = t["pts_ms"]
+                targets = np.arange(0, t["duration_ms"] + 1, every_ms)
+                idx = np.searchsorted(pts, targets, side="right") - 1
+                for ts, i in zip(targets.tolist(), idx.tolist()):
+                    o, s = int(t["offsets"][i]), int(t["sizes"][i])
+                    px = codecs.decode_pixels(raw[o : o + s])
+                    rows["media_ref"].append(ref)
+                    rows["sample_at_ms"].append(ts)
+                    rows["frame_idx"].append(i)
+                    rows["keyframe"].append(bool(t["keyframe"][i]))
+                    rows["frame_h"].append(px.shape[0])
+                    rows["frame_w"].append(px.shape[1])
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows["mean_r"].append(float(m[0]))
+                    rows["mean_g"].append(float(m[1]))
+                    rows["mean_b"].append(float(m[2]))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(extract, MP4_FRAME_FEATURES_SCHEMA)

@@ -1898,6 +1898,58 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "multimodal_mjpeg_frame_features",
+    oracle="""
+    WITH r AS (SELECT CAST(unnest(range(0, 12)) AS INT) AS r),
+         t AS (SELECT r, CAST(unnest(range(0, 40 * (12 + r) + 1, 160)) AS INT)
+                      AS sample_at_ms
+               FROM r),
+         pick AS (SELECT r, sample_at_ms,
+                         LEAST(sample_at_ms // 40, 11 + r) AS i
+                  FROM t)
+    SELECT 'mjpeg-' || lpad(CAST(r AS VARCHAR), 4, '0') AS media_ref,
+           sample_at_ms, CAST(i AS INT) AS frame_idx, (i % 5 = 0) AS keyframe,
+           CAST(24 AS INT) AS frame_w, CAST(16 AS INT) AS frame_h,
+           CAST((31 * (r + i)) % 256 AS DOUBLE) AS mean_r,
+           CAST((57 * (r + i)) % 256 AS DOUBLE) AS mean_g,
+           CAST((89 * (r + i)) % 256 AS DOUBLE) AS mean_b
+    FROM pick
+    """,
+)
+def multimodal_mjpeg_frame_features(spark, sf_dir) -> DataFrame:
+    """FULLY REAL video pipeline, zero stubs (r4): 12 Motion-JPEG MP4s
+    (solid-color baseline-JPEG frames at 40 ms cadence inside a real ISO
+    BMFF container) are demuxed from their sample tables, each 160 ms
+    target's frame bytes are RANGE-SLICED out of the payload, and the
+    baseline JPEG decoder reconstructs the pixels — per-frame dims and
+    per-channel means, all recomputed arithmetically by the oracle (frame
+    j of video r is solid ((31(r+j))%256, (57(r+j))%256, (89(r+j))%256),
+    exact at q95 because solid blocks survive quantization).  One Arrow-
+    batched stage; decode cost scales with SAMPLED frames, not video
+    length — the shape a 100-TB video corpus needs."""
+    import numpy as np
+
+    from .operators.codecs import encode_jpeg, encode_mp4
+
+    rows = []
+    for r in range(12):
+        frames = [
+            encode_jpeg(
+                np.full(
+                    (16, 24, 3),
+                    ((31 * (r + j)) % 256, (57 * (r + j)) % 256, (89 * (r + j)) % 256),
+                    dtype=np.uint8,
+                ),
+                quality=95,
+            )
+            for j in range(12 + r)
+        ]
+        rows.append((f"mjpeg-{r:04d}", bytearray(encode_mp4(24, 16, frame_payloads=frames))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return multimodal.frame_features_mp4(df, "media_ref", "payload", every_ms=160)
+
+
+@query(
     "multimodal_frame_plan_from_durations",
     oracle="""
     WITH i AS (SELECT unnest(range(0, 40)) AS i),
@@ -3334,7 +3386,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (replaces the fake-stub resize in the window; that stays registered)
     "multimodal_mp4_frame_plan",  # r4: real ISO BMFF demux plan (replaces
     # the fixed-horizon stub planner in the window; that stays registered)
-    "multimodal_frame_features",
+    "multimodal_mjpeg_frame_features",  # r4: fully real demux→range-read→
+    # JPEG-decode (replaces the sha256-stub frame features in the window)
     "multimodal_real_codec_features",
     "multimodal_frame_plan_from_durations",
     "stream_incremental_schema",

@@ -423,6 +423,34 @@ def test_multimodal_resize_real_roundtrip(spark):
     assert d2["mean_value"] == 100.0
 
 
+def test_multimodal_mjpeg_frame_features_real_decode(spark):
+    """r4: MJPEG-in-MP4 end-to-end — demux, range-slice the sampled frame's
+    bytes, baseline-JPEG-decode them; solid frames reconstruct exactly."""
+    import numpy as np
+
+    from jsons_to_schema_spark.operators import codecs
+
+    frames = [
+        codecs.encode_jpeg(np.full((16, 24, 3), (10 * j, 5 * j, j), np.uint8), quality=95)
+        for j in range(8)
+    ]
+    df = spark.createDataFrame(
+        [("v", bytearray(codecs.encode_mp4(24, 16, frame_payloads=frames)))],
+        "media_ref string, payload binary",
+    )
+    out = {
+        r.sample_at_ms: r
+        for r in multimodal.frame_features_mp4(
+            df, "media_ref", "payload", every_ms=120
+        ).collect()
+    }
+    assert sorted(out) == [0, 120, 240]  # dur=320: targets 0,120,240
+    r = out[240]
+    assert (r.frame_idx, r.frame_w, r.frame_h) == (6, 24, 16)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (60.0, 30.0, 6.0)
+    assert out[0].keyframe and not out[240].keyframe
+
+
 def test_multimodal_mp4_frame_plan_seek_semantics(spark):
     """r4: the MP4 planner resolves each target to the last frame whose
     pts <= target, carries its REAL byte range, and points the decoder at
