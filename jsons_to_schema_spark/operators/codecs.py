@@ -22,6 +22,9 @@ them instead of a stub:
   integer chroma upsampling (4:4:4/4:2:0/4:2:2/gray), restart
   intervals, YCbCr→RGB — plus a quality-scaled Annex-K encoder for
   deterministic payload synthesis.
+* GIF  (r4) — variable-width LSB-first LZW decode with dictionary growth
+  to 4096 + clear-code resets, global/local palettes, 4-pass interlace;
+  matching LZW encoder for synthesis.
 
 What remains behind ``NotImplementedError`` genuinely requires external
 codec libraries: coded video frames (H.264/VP9), progressive/arithmetic
@@ -59,6 +62,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "mp4"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -457,6 +462,7 @@ _DECODERS = {
     # feature schema is the shared contract: drop the pixel array here
     # (resize/vision stages call decode_jpeg directly for pixels)
     "jpeg": lambda p: {k: v for k, v in decode_jpeg(p).items() if k != "pixels"},
+    "gif": lambda p: decode_gif(p),
 }
 
 
@@ -1198,6 +1204,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         return px[..., 2::-1]  # BGRA/BGR → RGB
     if fmt == "png":
         return _png_rgb(payload)
+    if fmt == "gif":
+        return gif_pixels(payload)
     raise NotImplementedError(f"no stdlib pixel decode for format {fmt!r}")
 
 
@@ -1254,3 +1262,190 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
     bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
     return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — stdlib LZW decode (r4): header + palette parse, sub-block
+# reassembly, variable-width LSB-first LZW with dictionary growth to 4096,
+# Adam-style 4-pass de-interlacing, transparency-agnostic first frame.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW data exhausted")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"gif: invalid LZW code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF → first frame as dimensions + mean RGB (palette-expanded)."""
+    d = gif_pixels(payload)
+    return {
+        "format": "gif",
+        "width": d.shape[1],
+        "height": d.shape[0],
+        "duration_ms": 0,
+        "sample_rate": None,
+        "channels": 3,
+        "mean_value": float(d.astype(np.float64).mean()),
+    }
+
+
+def gif_pixels(payload: bytes) -> np.ndarray:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("gif: no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h).reshape(h, w)
+            if iflags & 0x40:  # 4-pass interlace
+                de = np.empty_like(idx)
+                rows = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                de[rows] = idx
+                idx = de
+            return pal[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{b:02x} at {pos}")
+    raise ValueError("gif: no image descriptor")
+
+
+def encode_gif(
+    width: int, height: int, pixels: np.ndarray, interlace: bool = False
+) -> bytes:
+    """GIF89a encoder for deterministic test payloads: builds an exact
+    palette from the distinct colors (≤256), real variable-width LZW."""
+    pixels = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    flat = pixels.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif: >256 distinct colors")
+    depth = max(1, int(len(pal) - 1).bit_length())
+    pal_n = 1 << depth
+    pal_full = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    idx = idx.reshape(height, width)
+    if interlace:
+        rows = np.concatenate(
+            [np.arange(0, height, 8), np.arange(4, height, 8),
+             np.arange(2, height, 4), np.arange(1, height, 2)]
+        )
+        idx = idx[rows]
+    seq = idx.reshape(-1).astype(np.int64)
+
+    mcs = max(2, depth)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes: list[tuple[int, int]] = [(clear, mcs + 1)]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width_bits = eoi + 1, mcs + 1
+    run = bytes([seq[0]])
+    for px in seq[1:]:
+        cand = run + bytes([int(px)])
+        if cand in table:
+            run = cand
+            continue
+        codes.append((table[run], width_bits))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+        if next_code >= 4096:
+            codes.append((clear, width_bits))
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, width_bits = eoi + 1, mcs + 1
+        run = bytes([int(px)])
+    codes.append((table[run], width_bits))
+    codes.append((eoi, width_bits))
+    acc = nbits = 0
+    body = bytearray()
+    for code, wd in codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
+    out.append(mcs)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

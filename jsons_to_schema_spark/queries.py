@@ -1980,9 +1980,9 @@ def multimodal_frame_plan_from_durations(spark, sf_dir) -> DataFrame:
 @query(
     "multimodal_resize_real_images",
     oracle="""
-    WITH i AS (SELECT CAST(unnest(range(0, 32)) AS INT) AS i),
+    WITH i AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS i),
          src AS (SELECT i,
-                        ['bmp', 'ppm', 'png', 'jpeg'][(i % 4) + 1] AS fmt,
+                        ['bmp', 'ppm', 'png', 'jpeg', 'gif'][(i % 5) + 1] AS fmt,
                         20 + 4 * (i % 13) AS iw,
                         12 + 3 * (i % 9) AS ih
                  FROM i),
@@ -1998,8 +1998,8 @@ def multimodal_frame_plan_from_durations(spark, sf_dir) -> DataFrame:
     """,
 )
 def multimodal_resize_real_images(spark, sf_dir) -> DataFrame:
-    """REAL image resize end-to-end (r4): 32 solid-color payloads across
-    all four pixel-decodable formats (BMP/PPM/PNG and baseline JPEG at
+    """REAL image resize end-to-end (r4): 40 solid-color payloads across
+    all five pixel-decodable formats (BMP/PPM/PNG/GIF and baseline JPEG at
     q95, where solid blocks survive quantization bit-exactly) decode,
     bilinear-downscale to a 16-px box (half-pixel centers; bilinear of a
     constant is the constant), and re-encode as lossless PNG; the output
@@ -2008,11 +2008,17 @@ def multimodal_resize_real_images(spark, sf_dir) -> DataFrame:
     Dimension arithmetic is half-up rounding, matching SQL ROUND."""
     import numpy as np
 
-    from .operators.codecs import encode_bmp, encode_jpeg, encode_png, encode_ppm
+    from .operators.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+    )
 
     rows = []
-    for i in range(32):
-        fmt = ["bmp", "ppm", "png", "jpeg"][i % 4]
+    for i in range(40):
+        fmt = ["bmp", "ppm", "png", "jpeg", "gif"][i % 5]
         iw, ih = 20 + 4 * (i % 13), 12 + 3 * (i % 9)
         rgb = ((31 * i) % 256, (57 * i) % 256, (89 * i) % 256)
         if fmt == "bmp":
@@ -2021,6 +2027,8 @@ def multimodal_resize_real_images(spark, sf_dir) -> DataFrame:
             p = encode_ppm(iw, ih, rgb)
         elif fmt == "png":
             p = encode_png(iw, ih, rgb, filter_type=i % 5)
+        elif fmt == "gif":
+            p = encode_gif(iw, ih, np.full((ih, iw, 3), rgb, dtype=np.uint8))
         else:
             p = encode_jpeg(np.full((ih, iw, 3), rgb, dtype=np.uint8), quality=95)
         rows.append((f"{fmt}-{i:04d}", bytearray(p)))

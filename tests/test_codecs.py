@@ -61,7 +61,7 @@ def test_unknown_format_raises():
     # are decodable since r4); unknown magic raises it, corrupt-but-known
     # magic raises ValueError from the real decoder instead
     with pytest.raises(NotImplementedError, match="external libraries"):
-        codecs.decode_media(b"GIF89a....")
+        codecs.decode_media(b"II*\x00tiff....")
     with pytest.raises(NotImplementedError):
         codecs.decode_media(b"")
     with pytest.raises(ValueError):
@@ -73,7 +73,8 @@ def test_sniff():
     assert codecs.sniff_format(codecs.encode_bmp(1, 1, (1, 1, 1))) == "bmp"
     assert codecs.sniff_format(codecs.encode_ppm(1, 1, (1, 1, 1))) == "ppm"
     assert codecs.sniff_format(b"\xff\xd8\xff") == "jpeg"  # decodable since r4
-    assert codecs.sniff_format(b"GIF89a") is None
+    assert codecs.sniff_format(b"GIF89a") == "gif"
+    assert codecs.sniff_format(b"II*\x00") is None
 
 
 def test_decode_wav_8bit_unsigned_midpoint():
@@ -312,3 +313,37 @@ def test_resize_bilinear_semantics():
     out = codecs.resize_bilinear(ramp, 20, 4)
     assert out.shape == (4, 20, 3)
     assert (np.diff(out[0, :, 0].astype(int)) >= 0).all()  # monotone preserved
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_including_interlace_and_dict_growth():
+    yy, xx = np.mgrid[0:20, 0:30]
+    img = np.stack(
+        [(xx % 5) * 50, (yy % 4) * 60, ((xx + yy) % 6) * 40], axis=-1
+    ).astype(np.uint8)
+    for interlace in (False, True):
+        p = codecs.encode_gif(30, 20, img, interlace=interlace)
+        assert codecs.sniff_format(p) == "gif"
+        assert (codecs.gif_pixels(p) == img).all()
+        assert (codecs.decode_pixels(p) == img).all()
+    # large image: LZW code width must grow past the initial size
+    yy, xx = np.mgrid[0:80, 0:90]
+    big = np.stack(
+        [(xx % 4) * 60, (yy % 3) * 70, ((xx + yy) % 5) * 50], axis=-1
+    ).astype(np.uint8)
+    assert (codecs.gif_pixels(codecs.encode_gif(90, 80, big)) == big).all()
+
+
+def test_gif_decode_media_and_errors():
+    s = np.full((6, 9, 3), (10, 200, 30), np.uint8)
+    d = codecs.decode_media(codecs.encode_gif(9, 6, s))
+    assert (d["format"], d["width"], d["height"]) == ("gif", 9, 6)
+    assert d["mean_value"] == 80.0
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.gif_pixels(b"nope")
+    with pytest.raises(ValueError):
+        codecs.gif_pixels(b"GIF89a" + b"\x00" * 7 + b"\xff\xff")

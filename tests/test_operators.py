@@ -389,7 +389,7 @@ def test_multimodal_real_codecs_and_per_format_seam(spark):
     assert (got["m-bmp"].width, got["m-bmp"].height) == (7, 5)
 
     bad = spark.createDataFrame(
-        [("m-gif", "image", b"GIF89a junk")],
+        [("m-tif", "image", b"II*\x00 junk")],
         "ref string, kind string, payload binary",
     )
     with pytest.raises(Exception) as ei:
