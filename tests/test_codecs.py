@@ -347,3 +347,73 @@ def test_gif_decode_media_and_errors():
         codecs.gif_pixels(b"nope")
     with pytest.raises(ValueError):
         codecs.gif_pixels(b"GIF89a" + b"\x00" * 7 + b"\xff\xff")
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random images through the codec round-trips
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    ncolors=st.integers(1, 8),
+    interlace=st.booleans(),
+)
+def test_gif_lzw_property_roundtrip(w, h, seed, ncolors, interlace):
+    """GIF is lossless for any ≤256-color image: encode∘decode == id."""
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(ncolors, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, ncolors, size=(h, w))]
+    p = codecs.encode_gif(w, h, img, interlace=interlace)
+    assert (codecs.gif_pixels(p) == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 24),
+    seed=st.integers(0, 2**31 - 1),
+    subsample=st.booleans(),
+)
+def test_jpeg_property_bounded_error(w, h, seed, subsample):
+    """JPEG is lossy but bounded: a random SMOOTH image (low-pass via
+    cumulative sums) survives q90 with small mean absolute error, exact
+    dimensions, and a mean within 2 levels."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(-3, 4, size=(h, w, 3)).cumsum(axis=0).cumsum(axis=1)
+    img = (128 + np.clip(base, -100, 100)).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsample=subsample))
+    assert (d["width"], d["height"]) == (w, h)
+    mae = np.abs(d["pixels"].astype(float) - img.astype(float)).mean()
+    assert mae < (10.0 if subsample else 6.0), mae  # random output ≈ 60+
+    assert abs(d["mean_value"] - img.astype(np.float64).mean()) < 2.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    spc=st.integers(1, 12),
+    sync_every=st.integers(1, 9),
+    delta=st.integers(1, 200),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_property_sample_table_roundtrip(n, spc, sync_every, delta, seed):
+    """Any (sizes, chunking, cadence, sync) combination survives the
+    stsc/stco/stts/stss round-trip with exact offsets and timestamps."""
+    rng = np.random.RandomState(seed)
+    sizes = rng.randint(1, 400, size=n).tolist()
+    p = codecs.encode_mp4(
+        32, 24, sizes, delta_units=delta, sync_every=sync_every,
+        samples_per_chunk=spc,
+    )
+    t = codecs.mp4_frame_index(p)
+    assert t["sizes"].tolist() == sizes
+    exp_off = 32 + np.concatenate([[0], np.cumsum(sizes[:-1])])
+    assert t["offsets"].tolist() == exp_off.tolist()
+    assert t["pts_units"].tolist() == (delta * np.arange(n)).tolist()
+    assert t["sync"].tolist() == list(range(0, n, sync_every))
