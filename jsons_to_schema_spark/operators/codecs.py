@@ -1113,10 +1113,15 @@ def encode_jpeg(
     bw = _BitWriter()
     pred = [0] * len(planes)
     zz_rows, zz_cols = divmod(_ZIGZAG, 8)
+    # quant steps in ZIGZAG order — coefficients are zigzag-reordered before
+    # quantization, and DQT/decoder both speak zigzag (caught by the random-
+    # sinusoid property test: natural-order steps here quantized high
+    # frequencies with the wrong divisor)
+    qtabs_zz = [q.reshape(8, 8)[zz_rows, zz_cols] for q in qtabs]
     for mcu_i in range(mcus_x * mcus_y):
         my, mx = divmod(mcu_i, mcus_x)
         for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
-            q = qtabs[comp_q[ci]]
+            q = qtabs_zz[comp_q[ci]]
             dc_t, ac_t = enc_dc[comp_t[ci]], enc_ac[comp_t[ci]]
             for by in range(sv):
                 for bx in range(sh):
