@@ -4,13 +4,18 @@ Images / audio / video are opaque ``binary`` columns plus a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-Codec status (r3): WAV, BMP and PPM decode for REAL via stdlib-only codecs
-(operators/codecs.py — ``wave``/``struct``/numpy); ``decode_features`` is
-the rich real-codec stage and ``media_features(fake=False)`` routes through
-the same codecs.  ``NotImplementedError`` is now a per-FORMAT seam: it fires
-only for payloads (JPEG/MP4/...) that genuinely require external
-libraries absent from this container.  ``fake=True`` keeps the deterministic
-sha256 stub used by the SQL-oracle plumbing queries.
+Codec status (r4): WAV, BMP, PPM, PNG, GIF and baseline JPEG decode for
+REAL via stdlib-only codecs, and MP4 demuxes its full ISO BMFF sample
+tables (operators/codecs.py — ``wave``/``struct``/``zlib``/numpy);
+``decode_features`` is the rich real-codec stage, ``media_features(
+fake=False)`` routes through the same codecs, ``resize_images(fake=False)``
+really resizes (bilinear + lossless PNG re-encode), ``frame_plan_mp4``
+emits real byte-range frame plans, and ``frame_features_mp4`` decodes
+Motion-JPEG frames end-to-end.  ``NotImplementedError`` is a per-FORMAT
+seam: it fires only for payloads (H.264/VP9 coded frames, progressive
+JPEG, ...) that genuinely require external libraries absent from this
+container.  ``fake=True`` keeps the deterministic sha256 stub used by the
+SQL-oracle plumbing queries.
 
 Scale notes: binary payloads dominate row size, so stages that don't need
 bytes must select them away (column pruning) BEFORE any shuffle; the
@@ -66,10 +71,11 @@ def media_features(
 ) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
-    fake=False decodes for REAL via the stdlib codecs (WAV/BMP/PPM —
-    operators/codecs.py), raising NotImplementedError per-row only for
-    formats that genuinely need external libraries; fake=True runs the
-    deterministic sha256 stub (the SQL-oracle plumbing path).
+    fake=False decodes for REAL via the stdlib codecs (WAV/BMP/PPM/PNG/
+    GIF/JPEG + MP4 container — operators/codecs.py), raising
+    NotImplementedError per-row only for formats that genuinely need
+    external libraries; fake=True runs the deterministic sha256 stub (the
+    SQL-oracle plumbing path).
     """
     src = df.select(
         F.col(ref_col).alias("media_ref"),
@@ -120,11 +126,12 @@ REAL_DECODE_SCHEMA = (
 
 
 def decode_features(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
-    """REAL-codec feature extraction (r3): WAV duration/rate/channels/RMS,
-    BMP/PPM dimensions + mean channel value — stdlib codecs only, one Arrow
-    batch at a time.  Raises NotImplementedError for formats that need
-    external libraries; callers with mixed corpora should pre-filter on
-    sniffable magic bytes."""
+    """REAL-codec feature extraction: WAV duration/rate/channels/RMS,
+    BMP/PPM/PNG/GIF/JPEG dimensions + mean channel value, MP4 geometry/
+    duration/mean-frame-size — stdlib codecs only, one Arrow batch at a
+    time.  Raises NotImplementedError for formats that need external
+    libraries; callers with mixed corpora should pre-filter on sniffable
+    magic bytes."""
     from . import codecs
 
     src = df.select(
