@@ -1029,9 +1029,14 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 restart alignment)."""
+        pad = (8 - self.nbits % 8) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)
+
     def flush(self) -> bytes:
-        if self.nbits:
-            self.write(0xFF >> (8 - (8 - self.nbits % 8) % 8), (8 - self.nbits) % 8)
+        self.align()
         return bytes(self.out)
 
 
@@ -1064,6 +1069,7 @@ def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encoder (Annex K tables, quality-scaled): (h, w, 3)
     RGB → 3-component 4:4:4 (or 4:2:0 with ``subsample=True``), (h, w)
@@ -1112,6 +1118,7 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred = [0] * len(planes)
+    rst_n = 0
     zz_rows, zz_cols = divmod(_ZIGZAG, 8)
     # quant steps in ZIGZAG order — coefficients are zigzag-reordered before
     # quantization, and DQT/decoder both speak zigzag (caught by the random-
@@ -1119,6 +1126,11 @@ def encode_jpeg(
     # frequencies with the wrong divisor)
     qtabs_zz = [q.reshape(8, 8)[zz_rows, zz_cols] for q in qtabs]
     for mcu_i in range(mcus_x * mcus_y):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + rst_n % 8])
+            rst_n += 1
+            pred = [0] * len(planes)
         my, mx = divmod(mcu_i, mcus_x)
         for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
             q = qtabs_zz[comp_q[ci]]
@@ -1172,6 +1184,8 @@ def encode_jpeg(
         tabs += [(_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)]
     for (bits, vals), tid in tabs:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, (comp_t[ci] << 4) | comp_t[ci]])

@@ -391,10 +391,12 @@ def test_jpeg_property_bounded_error(w, h, seed, subsample):
     for c in range(3):
         a1, a2 = rng.uniform(10, 50, 2)
         p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+        # period ≥ 16 px keeps chroma below the 4:2:0 Nyquist limit — a
+        # period-8 color sine is legitimately unrepresentable at half-res
         img[..., c] = (
             128
-            + a1 * np.sin(2 * np.pi * xx / max(w, 8) + p1)
-            + a2 * np.sin(2 * np.pi * yy / max(h, 8) + p2)
+            + a1 * np.sin(2 * np.pi * xx / max(w, 16) + p1)
+            + a2 * np.sin(2 * np.pi * yy / max(h, 16) + p2)
         )
     img = np.clip(np.round(img), 0, 255).astype(np.uint8)
     d = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsample=subsample))
@@ -427,3 +429,32 @@ def test_mp4_property_sample_table_roundtrip(n, spc, sync_every, delta, seed):
     assert t["offsets"].tolist() == exp_off.tolist()
     assert t["pts_units"].tolist() == (delta * np.arange(n)).tolist()
     assert t["sync"].tolist() == list(range(0, n, sync_every))
+
+
+def test_jpeg_restart_intervals_decode():
+    """DRI/RSTn: byte-aligned restart markers with DC-predictor resets —
+    the decoder path real camera JPEGs exercise constantly."""
+    yy, xx = np.mgrid[0:40, 0:56]
+    base = np.clip(128 + 40 * np.sin(2 * np.pi * xx / 28) + 30 * np.cos(2 * np.pi * yy / 20), 0, 255)
+    img = np.stack([base] * 3, -1).astype(np.uint8)
+    ref = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    for ri in (1, 3):
+        for sub in (False, True):
+            p = codecs.encode_jpeg(img, quality=90, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in p and b"\xff\xd0" in p  # DRI + RST0 present
+            d = codecs.decode_jpeg(p)
+            mae = np.abs(d["pixels"].astype(float) - img.astype(float)).mean()
+            assert mae < 4.0, (ri, sub, mae)
+    # restart segmentation must not change the 4:4:4 result materially
+    drst = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, restart_interval=2))
+    assert np.abs(drst["pixels"].astype(float) - ref["pixels"].astype(float)).mean() < 0.5
+
+
+def test_gif_lzw_4096_dictionary_reset():
+    """An image with enough distinct pixel runs forces the LZW dictionary
+    past 4096 → clear-code reset mid-stream on BOTH sides."""
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 256, size=(100, 100))]
+    p = codecs.encode_gif(100, 100, img)
+    assert (codecs.gif_pixels(p) == img).all()
