@@ -1468,3 +1468,68 @@ def encode_gif(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def encode_wav_sine(
+    n_frames: int,
+    k_periods: int,
+    amplitude: int,
+    rate: int = 8192,
+    phase_frac: float = 0.31,
+) -> bytes:
+    """16-bit PCM sine with EXACTLY ``k_periods`` cycles over the clip
+    (bin-aligned, so the FFT peak lands on bin k with zero leakage) and a
+    fractional phase offset that keeps samples off exact zeros (making the
+    sign-flip zero-crossing count exactly 2·k − 1: k whole periods give
+    2k sign runs, hence 2k−1 transitions — the 2k-th crossing is the
+    wrap-around that lands just before sample 0)."""
+    n = np.arange(n_frames, dtype=np.float64)
+    x = amplitude * np.sin(2 * np.pi * k_periods * (n + phase_frac) / n_frames)
+    samples = np.floor(x + 0.5).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(payload: bytes) -> dict:
+    """Spectral audio analysis over PCM WAV (numpy only): duration, rate,
+    channels, RMS, ZERO-CROSSING count (sign changes, first channel) and
+    DOMINANT FREQUENCY in integer Hz (argmax of the rFFT magnitude above
+    DC).  For a bin-aligned pure sine these are exact integers — the
+    property the driver oracle checks arithmetically."""
+    d = decode_wav(payload)
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        x = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
+    x = x[::channels]  # first channel
+    # Standard ZCR: samples quantized to exactly 0 carry no sign — drop
+    # them, then count sign flips (a 0-sample between +/− still counts
+    # once; counting products <0 over raw signs would miss it entirely).
+    s = np.sign(x)
+    s = s[s != 0]
+    zc = int(np.count_nonzero(s[:-1] != s[1:])) if s.size else 0
+    if len(x) >= 4:
+        spec = np.abs(np.fft.rfft(x))
+        dom_bin = int(np.argmax(spec[1:])) + 1
+        dominant = int(round(dom_bin * rate / len(x)))
+    else:
+        dominant = 0
+    return {
+        "duration_ms": d["duration_ms"],
+        "sample_rate": rate,
+        "channels": channels,
+        "rms": d["mean_value"],
+        "zero_crossings": zc,
+        "dominant_freq_hz": dominant,
+    }

@@ -157,6 +157,43 @@ def decode_features(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
     return src.mapInPandas(extract, REAL_DECODE_SCHEMA)
 
 
+AUDIO_SPECTRAL_SCHEMA = (
+    "media_ref string, duration_ms int, sample_rate int, channels int, "
+    "rms double, zero_crossings int, dominant_freq_hz int"
+)
+
+
+def audio_spectral_features(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
+    """Spectral analysis over PCM WAV payloads: RMS, zero-crossing count
+    (sign flips over nonzero samples, first channel) and dominant
+    frequency via numpy rFFT — one Arrow batch at a time, no per-row
+    Python.  For bin-aligned sines every non-RMS field is an exact
+    integer recomputable from the synthesis parameters, which is what the
+    driver oracle checks (codecs.encode_wav_sine is the generator)."""
+    from . import codecs
+
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [codecs.audio_features(bytes(p or b"")) for p in pdf["_payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "zero_crossings": [f["zero_crossings"] for f in feats],
+                    "dominant_freq_hz": [f["dominant_freq_hz"] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(extract, AUDIO_SPECTRAL_SCHEMA)
+
+
 RESIZED_SCHEMA = "media_ref string, width int, height int, payload binary"
 
 

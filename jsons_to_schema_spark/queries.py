@@ -1898,6 +1898,45 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_spectral",
+    oracle="""
+    WITH i AS (SELECT CAST(unnest(range(0, 48)) AS INT) AS i),
+         p AS (SELECT i,
+                      1024 * (CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS n,
+                      3 + (7 * i) % 50 AS k
+               FROM i)
+    SELECT 'sine-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_ref,
+           CAST(125 AS INT) AS duration_ms,
+           CAST(8 * n AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(2 * k - 1 AS INT) AS zero_crossings,
+           CAST(8 * k AS INT) AS dominant_freq_hz
+    FROM p
+    """,
+)
+def multimodal_audio_spectral(spark, sf_dir) -> DataFrame:
+    """Spectral audio analysis (r4): 48 synthesized 16-bit PCM sines run
+    through the Arrow-batched rFFT stage (multimodal.audio_spectral_features)
+    and every output field is recomputed arithmetically by the oracle from
+    the synthesis parameters: rate = 8·n so duration = n/(8n) s = 125 ms
+    and the bin-k FFT peak sits at exactly 8·k Hz (zero leakage); k whole
+    periods give 2k−1 sign-flip zero crossings (codecs.encode_wav_sine
+    docstring derives both).  RMS ≈ amp/√2 is quantization-perturbed, so
+    it is asserted with tolerance in pytest and projected out here."""
+    from .operators.codecs import encode_wav_sine
+
+    rows = []
+    for i in range(48):
+        n = 1024 * (1 << (i % 3))
+        k = 3 + (7 * i) % 50
+        amp = 500 + 137 * i
+        rows.append((f"sine-{i:04d}", bytearray(encode_wav_sine(n, k, amp, rate=8 * n))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    feats = multimodal.audio_spectral_features(df, "media_ref", "payload")
+    return feats.drop("rms")
+
+
+@query(
     "multimodal_mjpeg_frame_features",
     oracle="""
     WITH r AS (SELECT CAST(unnest(range(0, 12)) AS INT) AS r),

@@ -458,3 +458,34 @@ def test_gif_lzw_4096_dictionary_reset():
     img = pal[rng.randint(0, 256, size=(100, 100))]
     p = codecs.encode_gif(100, 100, img)
     assert (codecs.gif_pixels(p) == img).all()
+
+
+def test_audio_spectral_features_exact_integers():
+    """Bin-aligned sines: ZCR = 2k−1 sign flips, dominant bin exact, RMS
+    within quantization noise of amp/√2 (errors ≤0.5/sample)."""
+    import math
+
+    for n, k, amp, rate in [
+        (1024, 3, 500, 8192),
+        (2048, 17, 12000, 16384),
+        (4096, 52, 30000, 32768),
+        (4096, 64, 2, 8192),  # tiny amplitude: quantized-to-zero samples
+    ]:
+        f = codecs.audio_features(codecs.encode_wav_sine(n, k, amp, rate=rate))
+        assert f["zero_crossings"] == 2 * k - 1, (n, k)
+        assert f["dominant_freq_hz"] == round(k * rate / n)
+        assert f["sample_rate"] == rate and f["channels"] == 1
+        assert f["duration_ms"] == round(n * 1000 / rate)
+        if amp >= 100:
+            assert abs(f["rms"] - amp / math.sqrt(2)) < 1.0
+
+
+def test_audio_spectral_features_stereo_and_silence():
+    # stereo constant signal: first channel only for ZCR; no crossings
+    p = codecs.encode_wav(n_frames=800, amplitude=1000, rate=8000, channels=2)
+    f = codecs.audio_features(p)
+    assert f["channels"] == 2 and f["zero_crossings"] == 0
+    # all-zero signal: no nonzero samples -> 0 crossings, dominant 0-safe
+    silent = codecs.encode_wav(n_frames=64, amplitude=0, rate=8000)
+    fs = codecs.audio_features(silent)
+    assert fs["zero_crossings"] == 0 and fs["rms"] == 0.0
