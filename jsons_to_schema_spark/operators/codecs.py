@@ -11,8 +11,9 @@ them instead of a stub:
 * PPM  (P6 binary) — whitespace-token header + raw RGB: dimensions +
   mean RGB.
 * PNG  (r4, VERDICT item 4) — ``zlib`` inflate + full scanline
-  UNFILTERING (None/Sub/Up/Average/Paeth), 8-bit gray / gray+alpha /
-  RGB / RGBA / palette, non-interlaced: dimensions + channel mean.
+  UNFILTERING (None/Sub/Up/Average/Paeth), 8- AND 16-bit gray /
+  gray+alpha / RGB / RGBA / palette, non-interlaced and Adam7
+  interlaced: dimensions + channel mean.
 * MP4  (r4) — ISO BMFF CONTAINER demux (``struct`` box walk): video-track
   geometry, duration, and the full sample table (stts/stsz/stsc/stco/
   co64/stss) → real per-frame byte ranges, timestamps, and keyframe
@@ -27,9 +28,8 @@ them instead of a stub:
   matching LZW encoder for synthesis.
 
 What remains behind ``NotImplementedError`` genuinely requires external
-codec libraries: coded video frames (H.264/VP9), progressive/arithmetic
-JPEG, and PNG's interlaced/16-bit variants — a per-FORMAT seam, not a
-blanket one.
+codec libraries: coded video frames (H.264/VP9) and progressive/
+arithmetic JPEG — a per-FORMAT seam, not a blanket one.
 
 All functions are pure bytes→dict (no Spark imports): they run inside
 Arrow-batched ``mapInPandas`` stages (operators/multimodal.py) and are unit
@@ -214,10 +214,34 @@ def _png_unfilter(filt: np.ndarray, height: int, stride: int, bpp: int) -> np.nd
     return out
 
 
-def decode_png(payload: bytes) -> dict:
-    """8-bit non-interlaced PNG → dimensions + mean over every decoded
-    channel byte (palette rows expanded through PLTE first, alpha included
-    — same "every channel byte" convention as BMP 32-bpp)."""
+# Adam7 pass geometry: (x-origin, y-origin, x-step, y-step) per PNG §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_bytes_to_samples(px: np.ndarray, pw: int, n_samp: int, sampbytes: int) -> np.ndarray:
+    """(rows, pw·n_samp·sampbytes) unfiltered BYTES → (rows, pw, n_samp)
+    sample values: uint8 pass-through or big-endian uint16 recombination."""
+    if sampbytes == 1:
+        return px.reshape(-1, pw, n_samp)
+    hi_lo = px.reshape(-1, pw, n_samp, 2).astype(np.uint16)
+    return (hi_lo[..., 0] << 8) | hi_lo[..., 1]
+
+
+def _png_decode_samples(payload: bytes):
+    """Shared PNG decode core: chunk walk → inflate → unfilter (per Adam7
+    pass when interlaced) → (samples, ihdr, plte) where samples is
+    (height, width, n_samp) uint8 / uint16 BEFORE palette expansion.
+    Filters always operate on bytes with bpp = n_samp·sampbytes (PNG §9),
+    so 16-bit rows reuse the same unfilter kernel; each interlace pass is
+    its own independently-filtered sub-image (prev row resets per pass)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -239,26 +263,63 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, bit_depth, color_type, comp, filt_m, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
-    if color_type not in _PNG_SAMPLES or comp != 0 or filt_m != 0:
+    if bit_depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8/16 only)")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("PNG forbids 16-bit palette images")
+    if color_type not in _PNG_SAMPLES or comp != 0 or filt_m != 0 or interlace > 1:
         raise NotImplementedError(
-            f"PNG color_type={color_type} compression={comp} filter={filt_m} unsupported"
+            f"PNG color_type={color_type} compression={comp} filter={filt_m} "
+            f"interlace={interlace} unsupported"
         )
     n_samp = _PNG_SAMPLES[color_type]
-    stride = width * n_samp
+    sampbytes = bit_depth // 8
+    bpp = n_samp * sampbytes
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    pixels = _png_unfilter(raw.reshape(height, stride + 1), height, stride, n_samp)
+    dtype = np.uint16 if sampbytes == 2 else np.uint8
+    if interlace == 0:
+        stride = width * bpp
+        if raw.size != height * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        px = _png_unfilter(raw.reshape(height, stride + 1), height, stride, bpp)
+        samples = _png_bytes_to_samples(px, width, n_samp, sampbytes).astype(dtype)
+    else:  # Adam7
+        samples = np.zeros((height, width, n_samp), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines (PNG §8.2)
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            chunk = raw[off : off + need]
+            if chunk.size != need:
+                raise ValueError("PNG interlaced pixel data size mismatch")
+            off += need
+            px = _png_unfilter(chunk.reshape(ph, stride + 1), ph, stride, bpp)
+            samples[y0::dy, x0::dx, :] = _png_bytes_to_samples(px, pw, n_samp, sampbytes)
+        if off != raw.size:
+            raise ValueError("PNG interlaced pixel data size mismatch")
+    return samples, ihdr, plte
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG → dimensions + mean over every decoded channel value (palette
+    rows expanded through PLTE first, alpha included — same "every channel
+    value" convention as BMP 32-bpp).  8- and 16-bit depths, all five
+    color types, non-interlaced and Adam7 (r4: the interlaced/16-bit seam
+    closed); 16-bit means are over the native 0–65535 sample range."""
+    samples, ihdr, plte = _png_decode_samples(payload)
+    width, height, _bit_depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+    n_samp = _PNG_SAMPLES[color_type]
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        pixels = plte[pixels.reshape(-1)]
+        pixels = plte[samples.reshape(-1)]
         channels = 3
     else:
+        pixels = samples
         channels = n_samp
     mean = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
     return {
@@ -530,34 +591,15 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
-    rgb: tuple[int, int, int] | None = None,
-    pixels: "np.ndarray | None" = None,
-    filter_type: int = 0,
-) -> bytes:
-    """8-bit non-interlaced PNG for deterministic test payloads: either a
-    solid ``rgb`` fill or an explicit ``pixels`` array of shape (h, w)
-    grayscale, (h, w, 2) gray+alpha, (h, w, 3) RGB, or (h, w, 4) RGBA.
-    ``filter_type`` applies the SAME PNG filter (0–4) to every scanline —
-    letting tests drive each unfilter branch against an arithmetic oracle."""
-    if pixels is None:
-        if rgb is None:
-            raise ValueError("encode_png: pass rgb or pixels")
-        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
-    pixels = np.asarray(pixels, dtype=np.uint8)
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    h, w, n_ch = pixels.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
-    raw = pixels.reshape(h, w * n_ch).astype(np.int32)
-    bpp = n_ch
-    stride = w * n_ch
+def _png_filter_image(raw: np.ndarray, bpp: int, filter_type: int) -> bytearray:
+    """Apply one PNG filter (0–4) to every scanline of a (rows, stride)
+    BYTE image; the previous row starts at zeros, so each Adam7 pass
+    filters as the independent sub-image the spec requires."""
     rows = bytearray()
+    h, stride = raw.shape
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        cur = raw[y]
+        cur = raw[y].astype(np.int32)
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:  # Sub
@@ -581,7 +623,59 @@ def encode_png(
             raise ValueError(f"filter_type {filter_type} invalid")
         rows += bytes([filter_type]) + filt.astype(np.uint8).tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return rows
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: "np.ndarray | None" = None,
+    filter_type: int = 0,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """PNG for deterministic test payloads: either a solid ``rgb`` fill or
+    an explicit ``pixels`` array of shape (h, w) grayscale, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB, or (h, w, 4) RGBA; ``bit_depth`` 8 or 16
+    (16-bit samples stored big-endian) and optional Adam7 ``interlace``.
+    ``filter_type`` applies the SAME PNG filter (0–4) to every scanline —
+    letting tests drive each unfilter branch against an arithmetic oracle."""
+    if bit_depth not in (8, 16):
+        raise ValueError("encode_png: bit_depth must be 8 or 16")
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
+    if pixels is None:
+        if rgb is None:
+            raise ValueError("encode_png: pass rgb or pixels")
+        pixels = np.tile(np.array(rgb, dtype=dtype), (height, width, 1))
+    pixels = np.asarray(pixels, dtype=dtype)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, n_ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
+    sampbytes = bit_depth // 8
+    bpp = n_ch * sampbytes
+
+    def to_bytes(sub: np.ndarray) -> np.ndarray:
+        if sampbytes == 1:
+            return sub.reshape(sub.shape[0], -1)
+        b = np.empty(sub.shape + (2,), dtype=np.uint8)
+        b[..., 0] = sub >> 8
+        b[..., 1] = sub & 0xFF
+        return b.reshape(sub.shape[0], -1)
+
+    rows = bytearray()
+    if not interlace:
+        rows += _png_filter_image(to_bytes(pixels), bpp, filter_type)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows += _png_filter_image(to_bytes(sub), bpp, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1229,33 +1323,13 @@ def decode_pixels(payload: bytes) -> np.ndarray:
 
 
 def _png_rgb(payload: bytes) -> np.ndarray:
-    """PNG → (h, w, 3) RGB (palette expanded, gray replicated, alpha
-    dropped) — same chunk/unfilter path as decode_png."""
-    pos = 8
-    width = height = None
-    color_type = 0
-    idat, plte = bytearray(), None
-    while pos < len(payload):
-        clen, ctype = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, comp, filt_m, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if interlace or bit_depth != 8:
-                raise NotImplementedError("PNG interlaced/16-bit unsupported")
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    n_samp = _PNG_SAMPLES[color_type]
-    stride = width * n_samp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    px = _png_unfilter(raw.reshape(height, stride + 1), height, stride, n_samp)
-    px = px.reshape(height, width, n_samp)
+    """PNG → (h, w, 3) uint8 RGB (palette expanded, gray replicated, alpha
+    dropped; 16-bit samples take their high byte) — shared decode core
+    with decode_png, so Adam7/16-bit work here too."""
+    px, ihdr, plte = _png_decode_samples(payload)
+    color_type = ihdr[3]
+    if px.dtype == np.uint16:
+        px = (px >> 8).astype(np.uint8)
     if color_type == 3:
         return plte[px[..., 0]]
     if color_type == 0:

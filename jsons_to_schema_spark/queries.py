@@ -1790,6 +1790,12 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
            round(((11 * i) % 256 + (13 * i) % 256 + (17 * i) % 256) / 3.0, 6)
     FROM i
     UNION ALL
+    SELECT 'pngx-' || lpad(CAST(i AS VARCHAR), 4, '0'),
+           'png', CAST(5 + i % 9 AS INT), CAST(3 + i % 7 AS INT),
+           CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
+           round(((2571 * i) % 65536 + (4099 * i) % 65536 + (6733 * i) % 65536) / 3.0, 6)
+    FROM i
+    UNION ALL
     SELECT 'mp4-' || lpad(CAST(i AS VARCHAR), 4, '0'),
            'mp4', CAST(64 + 16 * (i % 5) AS INT), CAST(48 + 16 * (i % 4) AS INT),
            CAST(40 * (10 + i % 20) AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
@@ -1813,7 +1819,10 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
     duration = frames/rate, RMS of a constant signal = its amplitude;
     BMP/PPM/PNG dimensions from planted headers, mean channel value =
     (r+g+b)/3.  Each PNG uses scanline filter i % 5, so all five unfilter
-    branches (None/Sub/Up/Average/Paeth) run in the distributed stage.
+    branches (None/Sub/Up/Average/Paeth) run in the distributed stage;
+    the pngx- arm (r4) is 16-bit Adam7-INTERLACED PNG — tiny dimensions
+    exercise empty interlace passes, and means are over the native
+    0–65535 sample range.
     MP4 (r4) decodes the CONTAINER: geometry/duration from tkhd/mdhd,
     mean_value = mean coded-frame size from stsz.  JPEG (r4) runs the FULL
     baseline pipeline — Huffman entropy decode, dequant, IDCT, YCbCr→RGB —
@@ -1821,7 +1830,7 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
     so the oracle's (r+g+b)/3 check is exact.  All recomputed by the
     oracle from the synthesis arithmetic.  NotImplementedError now marks
     only decode that genuinely needs external codec libraries (coded
-    video frames, progressive JPEG)."""
+    video frames, progressive/arithmetic JPEG)."""
     import numpy as np
 
     from .operators.codecs import (
@@ -1888,6 +1897,21 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
                         2 + i % 4,
                         ((11 * i) % 256, (13 * i) % 256, (17 * i) % 256),
                         filter_type=i % 5,
+                    )
+                ),
+            )
+        )
+        rows.append(
+            (
+                f"pngx-{i:04d}",
+                bytearray(
+                    encode_png(
+                        5 + i % 9,
+                        3 + i % 7,
+                        ((2571 * i) % 65536, (4099 * i) % 65536, (6733 * i) % 65536),
+                        filter_type=(i + 2) % 5,
+                        bit_depth=16,
+                        interlace=True,
                     )
                 ),
             )

@@ -489,3 +489,53 @@ def test_audio_spectral_features_stereo_and_silence():
     silent = codecs.encode_wav(n_frames=64, amplitude=0, rate=8000)
     fs = codecs.audio_features(silent)
     assert fs["zero_crossings"] == 0 and fs["rms"] == 0.0
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Adam7 interlace × bit depth × color type × filter: decode inverts
+    encode exactly, including ragged dimensions where late passes are
+    empty (r4: the interlaced/16-bit seam closed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for bit_depth in (8, 16):
+        hi = 1 << bit_depth
+        dt = np.uint8 if bit_depth == 8 else np.uint16
+        for interlace in (False, True):
+            for n_ch in (1, 2, 3, 4):
+                for h, w in [(1, 1), (3, 5), (9, 13), (2, 31)]:
+                    ft = (h + w + n_ch) % 5
+                    px = rng.integers(0, hi, size=(h, w, n_ch), dtype=dt)
+                    p = codecs.encode_png(
+                        w, h, pixels=px, filter_type=ft,
+                        bit_depth=bit_depth, interlace=interlace,
+                    )
+                    samples, ihdr, _ = codecs._png_decode_samples(p)
+                    assert np.array_equal(samples, px), (bit_depth, interlace, n_ch, h, w)
+                    assert (ihdr[0], ihdr[1]) == (w, h)
+    # decode_pixels handles interlaced 16-bit via high byte
+    px = rng.integers(0, 65536, size=(9, 13, 3), dtype=np.uint16)
+    p = codecs.encode_png(13, 9, pixels=px, filter_type=4, bit_depth=16, interlace=True)
+    rgb = codecs.decode_pixels(p)
+    assert np.array_equal(rgb, (px >> 8).astype(np.uint8))
+
+
+def test_png_16bit_palette_rejected():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.encode_png(2, 2, rgb=(1, 2, 3), bit_depth=12)
+    # 16-bit palette is forbidden by the spec: forge the header
+    import struct
+    import zlib
+
+    body = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    payload = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", body)
+        + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(payload)
