@@ -18,18 +18,20 @@ them instead of a stub:
   geometry, duration, and the full sample table (stts/stsz/stsc/stco/
   co64/stss) → real per-frame byte ranges, timestamps, and keyframe
   flags.  Coded-frame pixel decode (H.264 etc.) stays the seam.
-* JPEG (r4) — full baseline (ITU-T T.81 SOF0) decode: marker parse,
-  canonical Huffman entropy decode, dequant + de-zigzag, matrix IDCT,
-  integer chroma upsampling (4:4:4/4:2:0/4:2:2/gray), restart
-  intervals, YCbCr→RGB — plus a quality-scaled Annex-K encoder for
-  deterministic payload synthesis.
+* JPEG (r4) — baseline (SOF0) AND progressive (SOF2) ITU-T T.81 decode:
+  marker parse, canonical Huffman entropy decode (spectral selection +
+  successive approximation scans accumulating into a coefficient store
+  for SOF2), dequant + de-zigzag, matrix IDCT, integer chroma
+  upsampling (4:4:4/4:2:0/4:2:2/gray), restart intervals, YCbCr→RGB —
+  plus quality-scaled Annex-K baseline and scripted progressive
+  encoders for deterministic payload synthesis.
 * GIF  (r4) — variable-width LSB-first LZW decode with dictionary growth
   to 4096 + clear-code resets, global/local palettes, 4-pass interlace;
   matching LZW encoder for synthesis.
 
 What remains behind ``NotImplementedError`` genuinely requires external
-codec libraries: coded video frames (H.264/VP9) and progressive/
-arithmetic JPEG — a per-FORMAT seam, not a blanket one.
+codec libraries: coded video frames (H.264/VP9) and JPEG's arithmetic/
+lossless/12-bit variants — a per-FORMAT seam, not a blanket one.
 
 All functions are pure bytes→dict (no Spark imports): they run inside
 Arrow-batched ``mapInPandas`` stages (operators/multimodal.py) and are unit
@@ -803,13 +805,15 @@ def encode_mp4(
 
 
 # ---------------------------------------------------------------------------
-# JPEG baseline (ITU-T T.81) — stdlib + numpy (r4).  Full marker parse,
-# canonical Huffman entropy decode, dequantize + de-zigzag, orthonormal
-# matrix IDCT, integer chroma upsampling, YCbCr→RGB.  Baseline sequential
-# (SOF0) only: progressive (SOF2), arithmetic coding, and 12-bit precision
-# raise NotImplementedError.  The bit-serial entropy loop is per-block
-# Python — appropriate for the thumbnail/metadata payloads a curation
-# pipeline decodes Spark-side, not a throughput codec.
+# JPEG (ITU-T T.81) — stdlib + numpy (r4).  Full marker parse, canonical
+# Huffman entropy decode, dequantize + de-zigzag, orthonormal matrix
+# IDCT, integer chroma upsampling, YCbCr→RGB.  Baseline sequential (SOF0)
+# AND progressive (SOF2: spectral selection + successive approximation,
+# scans accumulating into a per-component coefficient store); lossless/
+# arithmetic coding and 12-bit precision raise NotImplementedError.  The
+# bit-serial entropy loop is per-block Python — appropriate for the
+# thumbnail/metadata payloads a curation pipeline decodes Spark-side,
+# not a throughput codec.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = np.array([
@@ -839,6 +843,16 @@ _K2_CHROMA_Q = np.array([
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int64)
+# Progressive AC table: the Annex-K baseline AC tables lack the EOBn
+# symbols (r<<4, r=1..14) progressive EOB runs need, so the progressive
+# ENCODER emits this flat canonical table instead — all (run, size)
+# symbols with size ≤ 10 at 8 bits (176/256 satisfies Kraft; the all-ones
+# 8-bit code stays unused).  Entropy coding is lossless, so table
+# optimality is irrelevant to round-trip tests.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted((r << 4) | s for r in range(16) for s in range(11)),
+)
 _DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
 _DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
 _AC_LUMA = (
@@ -960,6 +974,8 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coef_store: dict[int, np.ndarray] | None = None
     pos = 2
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -968,6 +984,8 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI — progressive decode finishes here
+            break
         seg_len = struct.unpack_from(">H", buf, pos)[0]
         seg = buf[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
@@ -989,17 +1007,18 @@ def decode_jpeg(payload: bytes) -> dict:
                 n = sum(bits)
                 huff[(cls, tid)] = _HuffDecoder(bits, list(seg[sp + 17 : sp + 17 + n]))
                 sp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", seg, 1)
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "jpeg: progressive/extended/arithmetic coding unsupported "
-                "(baseline SOF0 only)"
+                "jpeg: lossless/extended/arithmetic coding unsupported "
+                "(baseline SOF0 + progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -1012,10 +1031,24 @@ def decode_jpeg(payload: bytes) -> dict:
                 comp["dc"], comp["ac"] = tabs >> 4, tabs & 0xF
                 scan.append(comp)
             data_start = pos + seg_len
-            return _decode_scan(
-                buf, data_start, w, h, scan, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    buf, data_start, w, h, scan, qt, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if coef_store is None:
+                coef_store = _init_coef_store(w, h, comps)
+            scan_end = _entropy_end(buf, data_start)
+            _decode_prog_scan(
+                buf[data_start:scan_end], scan, ss, se, ah, al,
+                coef_store, huff, restart_interval, w, h, comps,
             )
+            pos = scan_end
+            continue
         pos += seg_len
+    if progressive and coef_store is not None:
+        return _assemble_progressive(coef_store, comps, qt, w, h)
     raise ValueError("jpeg: no SOS marker")
 
 
@@ -1077,7 +1110,14 @@ def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval) -> dict:
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-    # upsample to full MCU grid resolution, crop, color-convert
+    return _jpeg_finish(comps, planes, w, h)
+
+
+def _jpeg_finish(comps, planes, w, h) -> dict:
+    """Upsample chroma planes to the full MCU grid, crop, color-convert —
+    shared tail of the baseline and progressive decode paths."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
     full = []
     for c in comps:
         p = planes[c["id"]]
@@ -1102,6 +1142,196 @@ def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval) -> dict:
         "mean_value": float(rgb.astype(np.float64).mean()),
         "pixels": rgb,
     }
+
+
+# -- progressive (SOF2) decode: scans accumulate DCT coefficients ----------
+
+
+def _jpeg_geometry(w: int, h: int, comps: list[dict]):
+    """(mcus_x, mcus_y, per-comp non-interleaved block dims).  Interleaved
+    scans cover the MCU-padded grid; non-interleaved (single-component)
+    scans cover only ceil(comp_size/8) blocks per T.81 A.2.2."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    nb = {}
+    for c in comps:
+        cw = -(-w * c["h"] // max_h)
+        ch = -(-h * c["v"] // max_v)
+        nb[c["id"]] = (-(-cw // 8), -(-ch // 8))
+    return mcus_x, mcus_y, nb
+
+
+def _init_coef_store(w: int, h: int, comps: list[dict]) -> dict[int, np.ndarray]:
+    """Per-component (blocks_y, blocks_x, 64) int32 coefficient arrays in
+    ZIGZAG index order, MCU-padded so interleaved DC scans fit."""
+    mcus_x, mcus_y, _ = _jpeg_geometry(w, h, comps)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+
+
+def _entropy_end(buf: bytes, start: int) -> int:
+    """First non-stuffed, non-RST marker position at/after ``start`` — the
+    end of one scan's entropy-coded data."""
+    i = start
+    while True:
+        i = buf.find(b"\xff", i)
+        if i < 0 or i + 1 >= len(buf):
+            return len(buf)
+        nxt = buf[i + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            return i
+        i += 2
+
+
+def _prog_dc(blk, reader, dc_tab, pred, cid, ah, al):
+    """One block's DC pass: first (Huffman diff of the point-transformed
+    value) or refinement (one raw bit ORed into position Al)."""
+    if ah == 0:
+        t = reader.decode_huff(dc_tab)
+        diff = _extend(reader.read_bits(t), t)
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+    elif reader.read_bit():
+        blk[0] |= 1 << al
+    return pred
+
+
+def _prog_ac_first(blk, reader, ac_tab, ss, se, al, eobrun) -> int:
+    """One block's first AC pass over band [ss, se] (T.81 G.1.2.2 /
+    libjpeg decode_mcu_AC_first); returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1  # this block is part of the run
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+    return eobrun
+
+
+def _prog_ac_refine(blk, reader, ac_tab, ss, se, al, eobrun) -> int:
+    """One block's AC refinement pass (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): newly-nonzero coefficients arrive as ±1<<Al;
+    every nonzero-history coefficient passed over reads one correction
+    bit.  Python's arbitrary-precision & matches C two's complement."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            while k <= se:
+                if blk[k]:
+                    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] and reader.read_bit() and (int(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    raw, scan, ss, se, ah, al, store, huff, restart_interval, w, h, comps
+) -> None:
+    """Decode one progressive scan's entropy data into the coefficient
+    store.  DC scans (ss==0) may interleave several components in MCU
+    order; AC scans are single-component raster over the non-interleaved
+    block grid.  Restart markers reset DC predictors and the EOB run."""
+    import re as _re
+
+    if restart_interval:
+        segments = _re.split(b"\xff[\xd0-\xd7]", raw)
+    else:
+        segments = [raw]
+    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
+    mcus_x, mcus_y, nb = _jpeg_geometry(w, h, comps)
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    pred = {c["id"]: 0 for c in scan}
+    interleaved = len(scan) > 1
+    if ss == 0 and interleaved:
+        units = mcus_x * mcus_y
+    else:
+        nb_x, nb_y = nb[scan[0]["id"]]
+        units = nb_x * nb_y
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in scan}
+            eobrun = 0
+        if ss == 0 and interleaved:
+            my, mx = divmod(u, mcus_x)
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = store[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
+                        _prog_dc(blk, reader, huff[(0, c["dc"])], pred, c["id"], ah, al)
+        else:
+            c = scan[0]
+            by, bx = divmod(u, nb_x)
+            blk = store[c["id"]][by, bx]
+            if ss == 0:
+                _prog_dc(blk, reader, huff[(0, c["dc"])], pred, c["id"], ah, al)
+            elif ah == 0:
+                eobrun = _prog_ac_first(
+                    blk, reader, huff[(1, c["ac"])], ss, se, al, eobrun
+                )
+            else:
+                eobrun = _prog_ac_refine(
+                    blk, reader, huff[(1, c["ac"])], ss, se, al, eobrun
+                )
+
+
+def _assemble_progressive(store, comps, qt, w, h) -> dict:
+    """Dequantize the accumulated zigzag coefficients, batched IDCT per
+    component, then the shared upsample/color-convert tail."""
+    zz_rows, zz_cols = divmod(_ZIGZAG, 8)
+    planes = {}
+    for c in comps:
+        coefs = store[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+        by, bx = coefs.shape[:2]
+        nat = np.zeros((by * bx, 8, 8))
+        nat[:, zz_rows, zz_cols] = coefs.reshape(-1, 64)
+        blocks = np.einsum("ij,njk,kl->nil", _DCT_T.T, nat, _DCT_T) + 128.0
+        planes[c["id"]] = (
+            blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _jpeg_finish(comps, planes, w, h)
 
 
 class _BitWriter:
@@ -1164,13 +1394,17 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder (Annex K tables, quality-scaled): (h, w, 3)
     RGB → 3-component 4:4:4 (or 4:2:0 with ``subsample=True``), (h, w)
-    grayscale → single component.  Exists so the decoder — the artifact
-    production corpora need — can be driven end-to-end without external
-    libraries; round-trip accuracy is asserted within JPEG's lossy
-    tolerance in tests."""
+    grayscale → single component.  ``progressive=True`` emits SOF2 with
+    the libjpeg-shaped scan script (DC Al=1 → spectral-selection AC
+    first passes → AC/DC refinement) — the SAME quantized coefficients
+    entropy-coded progressively, so decode(progressive) must equal
+    decode(baseline) bit-for-bit, which is what tests assert.  Exists so
+    the decoder — the artifact production corpora need — can be driven
+    end-to-end without external libraries."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -1219,6 +1453,14 @@ def encode_jpeg(
     # sinusoid property test: natural-order steps here quantized high
     # frequencies with the wrong divisor)
     qtabs_zz = [q.reshape(8, 8)[zz_rows, zz_cols] for q in qtabs]
+    if progressive:
+        if restart_interval:
+            raise NotImplementedError(
+                "jpeg: the progressive encoder emits no restart markers"
+            )
+        return _encode_progressive(
+            w, h, padded, samp, qtabs, qtabs_zz, comp_q, comp_t, gray
+        )
     for mcu_i in range(mcus_x * mcus_y):
         if restart_interval and mcu_i and mcu_i % restart_interval == 0:
             bw.align()
@@ -1286,6 +1528,216 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_eobrun_bits(bw, ac_t, eobrun: int, pending: list[int]) -> tuple[int, list]:
+    """Flush a pending EOB run (EOBn symbol + extension bits, T.81 G.1.2.2)
+    followed by the buffered correction bits of the blocks it covers."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_t[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eobrun, nbits)
+    for b in pending:
+        bw.write(b, 1)
+    return 0, []
+
+
+def _encode_progressive(
+    w, h, padded, samp, qtabs, qtabs_zz, comp_q, comp_t, gray
+) -> bytes:
+    """SOF2 entropy-coding of the SAME quantized coefficients the baseline
+    path produces (libjpeg jcphuff.c is the public reference for the
+    first/refine pass algorithms; scan script shaped like jcparam.c's
+    default).  Covers every decoder path: interleaved DC first + refine,
+    spectral-selection AC first with EOB runs, AC refinement with
+    buffered correction bits."""
+    ncomp = len(padded)
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+    zz_rows, zz_cols = divmod(_ZIGZAG, 8)
+    store = []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p - 128.0).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", _DCT_T, blocks, _DCT_T)
+        store.append(
+            np.round(coef[..., zz_rows, zz_cols] / qtabs_zz[comp_q[ci]]).astype(
+                np.int64
+            )
+        )
+    comps_meta = [
+        {"id": ci + 1, "h": samp[ci][0], "v": samp[ci][1]} for ci in range(ncomp)
+    ]
+    _, _, nb = _jpeg_geometry(w, h, comps_meta)
+    dc_enc = [_huff_encode_table(*_DC_LUMA), _huff_encode_table(*_DC_CHROMA)]
+    ac_enc = _huff_encode_table(*_AC_PROG)
+
+    def dc_blocks(cis):
+        if len(cis) > 1:  # interleaved MCU order over the padded grid
+            for u in range(mcus_x * mcus_y):
+                my, mx = divmod(u, mcus_x)
+                for ci in cis:
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, store[ci][my * sv + by, mx * sh + bx]
+        else:  # non-interleaved raster over the component's real blocks
+            ci = cis[0]
+            nb_x, nb_y = nb[ci + 1]
+            for u in range(nb_x * nb_y):
+                by, bx = divmod(u, nb_x)
+                yield ci, store[ci][by, bx]
+
+    def enc_dc_first(bw, cis, al):
+        pred = {ci: 0 for ci in cis}
+        for ci, blk in dc_blocks(cis):
+            val = int(blk[0]) >> al
+            diff = val - pred[ci]
+            pred[ci] = val
+            t, bits = _magnitude(diff)
+            code, ln = dc_enc[comp_t[ci]][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(bits, t)
+
+    def enc_dc_refine(bw, cis, al):
+        for _ci, blk in dc_blocks(cis):
+            bw.write((int(blk[0]) >> al) & 1, 1)
+
+    def enc_ac_first(bw, ci, ss, se, al):
+        eobrun, pending = 0, []
+        nb_x, nb_y = nb[ci + 1]
+        for u in range(nb_x * nb_y):
+            blk = store[ci][u // nb_x, u % nb_x]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                v = -((-v) >> al) if v < 0 else v >> al  # shift toward zero
+                if v == 0:
+                    r += 1
+                    continue
+                eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+                while r > 15:
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                t, bits = _magnitude(v)
+                code, ln = ac_enc[(r << 4) | t]
+                bw.write(code, ln)
+                bw.write(bits, t)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+        _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+
+    def enc_ac_refine(bw, ci, ss, se, al):
+        eobrun, pending = 0, []
+        nb_x, nb_y = nb[ci + 1]
+        for u in range(nb_x * nb_y):
+            blk = store[ci][u // nb_x, u % nb_x]
+            absval = [
+                ((-int(v) if v < 0 else int(v)) >> al) for v in blk[ss : se + 1]
+            ]
+            eob = -1  # last NEWLY-nonzero position; later coefs join the EOB run
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob = ss + i
+            r, br = 0, []
+            for k in range(ss, se + 1):
+                temp = absval[k - ss]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if temp > 1:  # history-nonzero: buffer one correction bit
+                    br.append(temp & 1)
+                    continue
+                eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+                code, ln = ac_enc[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+        _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+
+    if ncomp == 1:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtabs[: 1 if gray else 2]):
+        zzq = q.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
+        out += seg(0xDB, bytes([tid]) + zzq.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    out += seg(0xC2, sof)
+    tabs = [(_DC_LUMA, 0x00), (_AC_PROG, 0x10)]
+    if not gray:
+        tabs.append((_DC_CHROMA, 0x01))
+    for (bits, vals), tid in tabs:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    for cis, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                enc_dc_first(bw, cis, al)
+            else:
+                enc_dc_refine(bw, cis, al)
+        elif ah == 0:
+            enc_ac_first(bw, cis[0], ss, se, al)
+        else:
+            enc_ac_refine(bw, cis[0], ss, se, al)
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, (comp_t[ci] << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 

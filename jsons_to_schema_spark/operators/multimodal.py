@@ -12,9 +12,9 @@ fake=False)`` routes through the same codecs, ``resize_images(fake=False)``
 really resizes (bilinear + lossless PNG re-encode), ``frame_plan_mp4``
 emits real byte-range frame plans, and ``frame_features_mp4`` decodes
 Motion-JPEG frames end-to-end.  ``NotImplementedError`` is a per-FORMAT
-seam: it fires only for payloads (H.264/VP9 coded frames, progressive
-JPEG, ...) that genuinely require external libraries absent from this
-container.  ``fake=True`` keeps the deterministic sha256 stub used by the
+seam: it fires only for payloads (H.264/VP9 coded frames, arithmetic-
+coded JPEG, ...) that genuinely require external libraries absent from
+this container.  ``fake=True`` keeps the deterministic sha256 stub used by the
 SQL-oracle plumbing queries.
 
 Scale notes: binary payloads dominate row size, so stages that don't need

@@ -1808,6 +1808,12 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
            CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
            round(((31 * i) % 256 + (57 * i) % 256 + (89 * i) % 256) / 3.0, 6)
     FROM i
+    UNION ALL
+    SELECT 'jpgp-' || lpad(CAST(i AS VARCHAR), 4, '0'),
+           'jpeg', CAST(8 + i % 6 AS INT), CAST(8 + i % 5 AS INT),
+           CAST(0 AS INT), CAST(NULL AS INT), CAST(3 AS INT),
+           round(((41 * i) % 256 + (67 * i) % 256 + (101 * i) % 256) / 3.0, 6)
+    FROM i
     """,
 )
 def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
@@ -1827,10 +1833,13 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
     mean_value = mean coded-frame size from stsz.  JPEG (r4) runs the FULL
     baseline pipeline — Huffman entropy decode, dequant, IDCT, YCbCr→RGB —
     on solid-color q95 payloads, where quantization is provably lossless,
-    so the oracle's (r+g+b)/3 check is exact.  All recomputed by the
-    oracle from the synthesis arithmetic.  NotImplementedError now marks
-    only decode that genuinely needs external codec libraries (coded
-    video frames, progressive/arithmetic JPEG)."""
+    so the oracle's (r+g+b)/3 check is exact; the jpgp- arm (r4) runs the
+    PROGRESSIVE (SOF2) decoder — multi-scan spectral selection +
+    successive approximation accumulating into the coefficient store —
+    over progressively-encoded payloads of the same solid-color family.
+    All recomputed by the oracle from the synthesis arithmetic.
+    NotImplementedError now marks only decode that genuinely needs
+    external codec libraries (coded video frames, arithmetic coding)."""
     import numpy as np
 
     from .operators.codecs import (
@@ -1855,6 +1864,22 @@ def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
                             dtype=np.uint8,
                         ),
                         quality=95,
+                    )
+                ),
+            )
+        )
+        rows.append(
+            (
+                f"jpgp-{i:04d}",
+                bytearray(
+                    encode_jpeg(
+                        np.full(
+                            (8 + i % 5, 8 + i % 6, 3),
+                            ((41 * i) % 256, (67 * i) % 256, (101 * i) % 256),
+                            dtype=np.uint8,
+                        ),
+                        quality=95,
+                        progressive=True,
                     )
                 ),
             )

@@ -152,18 +152,26 @@ def test_png_palette_and_unsupported_variants():
     assert sniff_format(encode_png(2, 2, rgb=(1, 2, 3))) == "png"
     assert decode_media(encode_png(2, 2, rgb=(9, 9, 9)))["mean_value"] == 9.0
 
-    # 16-bit and interlaced stay behind the per-format seam
+    # 16-bit non-interlaced decodes since r4 (2x2 RGB zeros: 2 rows of
+    # 1 + 12 bytes); sub-byte depths and unknown interlace modes still
+    # raise the seam
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    bad16 = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
+    ok16 = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
         b"IDAT", zlib.compress(b"\x00" * 26)
     ) + _png_chunk(b"IEND", b"")
+    d16 = decode_png(ok16)
+    assert d16["width"] == 2 and d16["mean_value"] == 0.0
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    bad4 = _PNG_SIG + _png_chunk(b"IHDR", ihdr4) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 4)
+    ) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(bad16)
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        decode_png(bad4)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
     bad_i = _PNG_SIG + _png_chunk(b"IHDR", ihdr_i) + _png_chunk(
         b"IDAT", zlib.compress(b"\x00" * 14)
     ) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(NotImplementedError, match="interlace"):
         decode_png(bad_i)
 
 
@@ -272,12 +280,13 @@ def test_jpeg_grayscale_single_component():
 def test_jpeg_unsupported_and_corrupt():
     with pytest.raises(ValueError, match="not a JPEG"):
         codecs.decode_jpeg(b"\x00\x01")
-    # progressive (SOF2) raises the per-format seam
+    # lossless (SOF3) raises the remaining per-format seam (progressive
+    # SOF2 decodes since late r4)
     img = np.zeros((8, 8), dtype=np.uint8)
     p = bytearray(codecs.encode_jpeg(img))
     sof = p.find(b"\xff\xc0")
-    p[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    p[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
         codecs.decode_jpeg(bytes(p))
     assert codecs.sniff_format(codecs.encode_jpeg(img)) == "jpeg"
 
@@ -539,3 +548,41 @@ def test_png_16bit_palette_rejected():
     )
     with pytest.raises(ValueError):
         codecs.decode_png(payload)
+
+
+def test_jpeg_progressive_equals_baseline_bit_for_bit():
+    """Progressive (SOF2) entropy-codes the SAME quantized coefficients as
+    baseline, so decode(progressive) must equal decode(baseline) exactly —
+    an encoder-independent oracle for every scan type: interleaved DC
+    first/refine, spectral-selection AC first with EOB runs, AC refinement
+    with buffered correction bits (r4: seam shrunk to coded video only)."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    yy, xx = np.mgrid[0:40, 0:56]
+    cases = [
+        rng.randint(0, 256, size=(9, 13, 3)).astype(np.uint8),   # noise, odd dims
+        np.full((24, 40, 3), (200, 3, 77), dtype=np.uint8),      # solid: max EOB runs
+        np.stack([(yy * 2) % 256, (xx * 3) % 256, (xx + yy) % 256], -1).astype(np.uint8),
+        rng.randint(0, 256, size=(16, 16)).astype(np.uint8),     # grayscale
+    ]
+    for px in cases:
+        for q in (95, 50, 5):
+            for sub in (False, True) if px.ndim == 3 else (False,):
+                base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=q, subsample=sub))
+                prog = codecs.decode_jpeg(
+                    codecs.encode_jpeg(px, quality=q, subsample=sub, progressive=True)
+                )
+                assert np.array_equal(base["pixels"], prog["pixels"]), (px.shape, q, sub)
+                assert base["mean_value"] == prog["mean_value"]
+
+
+def test_jpeg_progressive_rejects_restart_and_sniffs():
+    import numpy as np
+    import pytest
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        codecs.encode_jpeg(px, progressive=True, restart_interval=2)
+    p = codecs.encode_jpeg(px, progressive=True)
+    assert codecs.sniff_format(p) == "jpeg"
