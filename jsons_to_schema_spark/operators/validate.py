@@ -785,3 +785,115 @@ def rule_violation_rows(
         .filter(F.col("_r2") <= cap_per_rule)
         .drop("_r", "_r2", "_pid")
     )
+
+
+SUGGESTION_SCHEMA = (
+    "column string, suggestion string, n_rows long, n_nonnull long, n_distinct long"
+)
+
+
+def suggest_constraints(
+    df: DataFrame, cols: "list[str]", enum_max: int = 16
+) -> DataFrame:
+    """Profile ``cols`` and emit suggested constraints — the deequ-style
+    closing of the validation loop: run this on a trusted snapshot, feed
+    the output through ``rules_from_suggestions`` into ``rule_verdicts``
+    on every later batch.
+
+    Suggestions per column: NOT NULL (no nulls observed), UNIQUE
+    (distinct == non-null), IS IN (...) for low-cardinality STRING
+    columns (≤ ``enum_max`` values; string-only so the rendered set is
+    formatting-stable across engines), NON NEGATIVE for numerics with
+    min ≥ 0, RANGE [lo, hi] for integral types (float bounds are
+    observation noise, integral bounds are usually domain facts).
+
+    Scale shape: ONE multi-aggregate scan (map-side partials) for all
+    counters, plus a SECOND scan collecting sorted value sets for only
+    the columns the first pass proved low-cardinality — at 10^12 rows the
+    second pass aggregates a ≤ enum_max-element set per qualifying
+    column, never a wide collect.  The driver handles two bounded rows."""
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    numeric, integral, stringy = set(), set(), set()
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, _T.NumericType):
+            numeric.add(c)
+            if isinstance(dt, _T.IntegralType):
+                integral.add(c)
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        elif isinstance(dt, _T.StringType):
+            stringy.add(c)
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    total = row["_n"]
+    enum_cols = [
+        c for c in cols if c in stringy and 1 <= row[f"_nd_{c}"] <= enum_max
+    ]
+    enum_sets = {}
+    if enum_cols:
+        r2 = df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c).cast("string"))).alias(c)
+                for c in enum_cols
+            ]
+        ).first()
+        enum_sets = {c: list(r2[c]) for c in enum_cols}
+    out = []
+    for c in cols:
+        nn, nd = int(row[f"_nn_{c}"]), int(row[f"_nd_{c}"])
+        if total and nn == total:
+            out.append((c, "NOT NULL", total, nn, nd))
+        if nn > 0 and nd == nn:
+            out.append((c, "UNIQUE", total, nn, nd))
+        if c in enum_sets:
+            out.append(
+                (c, "IS IN (" + ", ".join(enum_sets[c]) + ")", total, nn, nd)
+            )
+        if c in numeric and row[f"_mn_{c}"] is not None and row[f"_mn_{c}"] >= 0:
+            out.append((c, "NON NEGATIVE", total, nn, nd))
+        if c in integral and row[f"_mn_{c}"] is not None:
+            out.append(
+                (
+                    c,
+                    f"RANGE [{int(row[f'_mn_{c}'])}, {int(row[f'_mx_{c}'])}]",
+                    total,
+                    nn,
+                    nd,
+                )
+            )
+    return spark.createDataFrame(out, SUGGESTION_SCHEMA)
+
+
+def rules_from_suggestions(suggestions: "list[tuple] | DataFrame") -> "dict[str, F.Column]":
+    """Compile suggestion rows back into ``rule_verdicts`` predicates.
+    Row-local suggestions (NOT NULL / NON NEGATIVE / RANGE / IS IN)
+    become boolean Columns named ``<column>:<kind>``; UNIQUE is not a
+    row-local property — enforce it with the uniqueness operators
+    (``duplicate_doc_ids`` et al.), so it is skipped here.  Value rules
+    are NULL-TOLERANT (``isNull() | pred``): the profiling conditions
+    they derive from ignore nulls, and null-ness is governed by the
+    separate NOT NULL suggestion — otherwise a nullable enum column
+    would fail its own snapshot."""
+    rows = (
+        [(r["column"], r["suggestion"]) for r in suggestions.collect()]
+        if isinstance(suggestions, DataFrame)
+        else [(c, s) for c, s, *_ in suggestions]
+    )
+    rules: "dict[str, F.Column]" = {}
+    for c, s in rows:
+        col = F.col(c)
+        if s == "NOT NULL":
+            rules[f"{c}:not_null"] = col.isNotNull()
+        elif s == "NON NEGATIVE":
+            rules[f"{c}:non_negative"] = col.isNull() | (col >= 0)
+        elif s.startswith("RANGE ["):
+            lo, hi = s[len("RANGE [") : -1].split(", ")
+            rules[f"{c}:range"] = col.isNull() | col.between(int(lo), int(hi))
+        elif s.startswith("IS IN ("):
+            vals = s[len("IS IN (") : -1].split(", ")
+            rules[f"{c}:isin"] = col.isNull() | col.cast("string").isin(vals)
+    return rules

@@ -2775,6 +2775,73 @@ def rule_violation_rows_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "constraint_suggestions_events",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(event_id) AS nn1, count(DISTINCT event_id) AS nd1,
+             min(event_id) AS mn1, max(event_id) AS mx1,
+             count(user_id) AS nn2, count(DISTINCT user_id) AS nd2,
+             min(user_id) AS mn2, max(user_id) AS mx2,
+             count(event_type) AS nn3, count(DISTINCT event_type) AS nd3,
+             count(value) AS nn4, count(DISTINCT value) AS nd4,
+             min(value) AS mn4
+      FROM events
+    ), ev AS (
+      SELECT string_agg(v, ', ' ORDER BY v) AS vals
+      FROM (SELECT DISTINCT event_type AS v FROM events
+            WHERE event_type IS NOT NULL)
+    )
+    SELECT 'event_id' AS "column", 'NOT NULL' AS suggestion,
+           n AS n_rows, nn1 AS n_nonnull, nd1 AS n_distinct
+    FROM s WHERE n > 0 AND nn1 = n
+    UNION ALL SELECT 'event_id', 'UNIQUE', n, nn1, nd1 FROM s
+      WHERE nn1 > 0 AND nd1 = nn1
+    UNION ALL SELECT 'event_id', 'NON NEGATIVE', n, nn1, nd1 FROM s
+      WHERE mn1 >= 0
+    UNION ALL SELECT 'event_id',
+      'RANGE [' || CAST(mn1 AS VARCHAR) || ', ' || CAST(mx1 AS VARCHAR) || ']',
+      n, nn1, nd1 FROM s WHERE mn1 IS NOT NULL
+    UNION ALL SELECT 'user_id', 'NOT NULL', n, nn2, nd2 FROM s
+      WHERE n > 0 AND nn2 = n
+    UNION ALL SELECT 'user_id', 'UNIQUE', n, nn2, nd2 FROM s
+      WHERE nn2 > 0 AND nd2 = nn2
+    UNION ALL SELECT 'user_id', 'NON NEGATIVE', n, nn2, nd2 FROM s
+      WHERE mn2 >= 0
+    UNION ALL SELECT 'user_id',
+      'RANGE [' || CAST(mn2 AS VARCHAR) || ', ' || CAST(mx2 AS VARCHAR) || ']',
+      n, nn2, nd2 FROM s WHERE mn2 IS NOT NULL
+    UNION ALL SELECT 'event_type', 'NOT NULL', n, nn3, nd3 FROM s
+      WHERE n > 0 AND nn3 = n
+    UNION ALL SELECT 'event_type', 'UNIQUE', n, nn3, nd3 FROM s
+      WHERE nn3 > 0 AND nd3 = nn3
+    UNION ALL SELECT 'event_type', 'IS IN (' || ev.vals || ')', n, nn3, nd3
+      FROM s, ev WHERE nd3 BETWEEN 1 AND 16
+    UNION ALL SELECT 'value', 'NOT NULL', n, nn4, nd4 FROM s
+      WHERE n > 0 AND nn4 = n
+    UNION ALL SELECT 'value', 'UNIQUE', n, nn4, nd4 FROM s
+      WHERE nn4 > 0 AND nd4 = nn4
+    UNION ALL SELECT 'value', 'NON NEGATIVE', n, nn4, nd4 FROM s
+      WHERE mn4 >= 0
+    """,
+)
+def constraint_suggestions_events(spark, sf_dir) -> DataFrame:
+    """Constraint SUGGESTION (validate.suggest_constraints) — the
+    deequ-style profiling loop-closer: one multi-aggregate scan derives
+    per-column counters, a second bounded scan collects sorted value sets
+    for only the proved-low-cardinality string columns, and the output
+    rows (NOT NULL / UNIQUE / IS IN / NON NEGATIVE / RANGE with their
+    supporting counts) compile back into executable rule_verdicts
+    predicates via validate.rules_from_suggestions (round-trip asserted
+    in pytest).  The DuckDB oracle re-derives every suggestion — and its
+    firing CONDITION — from the same aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    return validate.suggest_constraints(
+        events, ["event_id", "user_id", "event_type", "value"]
+    )
+
+
+@query(
     "packing_stats_documents",
     oracle="""
     WITH t AS (
@@ -3485,7 +3552,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_mjpeg_frame_features",  # r4: fully real demux→range-read→
     # JPEG-decode (replaces the sha256-stub frame features in the window)
     "multimodal_real_codec_features",
-    "multimodal_frame_plan_from_durations",
+    "constraint_suggestions_events",  # r4: deequ-style suggestion loop
+    # (multimodal_frame_plan_from_durations demoted past the window: its
+    # synthetic-horizon planner is superseded by multimodal_mp4_frame_plan's
+    # real ISO BMFF demux, and multimodal keeps 5 in-window representatives)
     "stream_incremental_schema",
     "stream_violation_window_counts",
     "stream_duplicate_doc_ids",

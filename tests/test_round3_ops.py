@@ -922,3 +922,51 @@ def test_curate_campaign_near_dup_index(spark, tmp_path):
         ).collect()
     }
     assert got == want == {1, 3}
+
+
+def test_constraint_suggestion_round_trip(spark):
+    """suggest_constraints → rules_from_suggestions → rule_verdicts: every
+    suggestion profiled from a snapshot must PASS as a rule on that same
+    snapshot (the deequ-style closed loop), and suggestions must track
+    planted nulls/duplicates/negatives correctly."""
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.operators import validate
+
+    rows = [
+        (1, "a", 5, None),
+        (2, "b", 0, 1.5),
+        (3, "a", 7, -2.0),
+        (4, None, 3, 0.5),
+        (5, "c", 5, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, n int, x double")
+    sug = validate.suggest_constraints(df, ["id", "cat", "n", "x"])
+    got = {(r["column"], r["suggestion"]) for r in sug.collect()}
+    assert ("id", "NOT NULL") in got and ("id", "UNIQUE") in got
+    assert ("id", "RANGE [1, 5]") in got
+    assert ("cat", "IS IN (a, b, c)") in got       # nulls excluded from the set
+    assert ("cat", "NOT NULL") not in got          # planted null
+    assert ("n", "NON NEGATIVE") in got and ("n", "UNIQUE") not in got
+    assert ("x", "NON NEGATIVE") not in got        # planted negative
+    assert not any(c == "x" and s.startswith("RANGE") for c, s in got)
+
+    rules = validate.rules_from_suggestions(sug)
+    assert "id:range" in rules and "cat:isin" in rules
+    assert not any(k.endswith(":unique") for k in rules)  # not row-local
+    verdicts = validate.rule_verdicts(df, rules)
+    vs = {r["rule"]: r for r in verdicts.collect()}
+    assert vs and all(r["passed"] for r in vs.values())
+    # NOT NULL rules only fire for columns without nulls, so violations
+    # are 0 by construction on the SAME snapshot
+    assert all(r["n_violations"] == 0 for r in vs.values())
+    # but the compiled rules really do detect drift on a LATER batch
+    later = spark.createDataFrame(
+        [(6, "zz", -1, 1.0)], "id long, cat string, n int, x double"
+    )
+    drifted = {
+        r["rule"]: r["n_violations"]
+        for r in validate.rule_verdicts(later, rules).collect()
+    }
+    assert drifted["cat:isin"] == 1 and drifted["n:non_negative"] == 1
+    assert drifted["id:range"] == 1
