@@ -200,3 +200,80 @@ def dead_column_report(df: DataFrame, columns: list[str] | None = None) -> DataF
         ]
     )
     return wide.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def column_histogram(
+    df: DataFrame, column: str, lo: float, hi: float, n_buckets: int
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi] — the deequ-style distribution
+    profile: one map-side-partial groupBy on the computed bucket id
+    (≤ n_buckets groups, so the shuffle is bounded by the bucket count,
+    never the data), then a broadcast join against a tiny bucket spine so
+    EMPTY buckets still appear.  Values outside [lo, hi] and NULLs are
+    excluded; col == hi lands in the last bucket (width_bucket
+    convention).  Both engines evaluate the identical double expression
+    floor((x - lo) / w), so the oracle comparison is exact."""
+    if n_buckets <= 0 or not hi > lo:
+        raise ValueError("column_histogram: need n_buckets > 0 and hi > lo")
+    w = (hi - lo) / n_buckets
+    c = F.col(column)
+    bucket = F.least(
+        F.floor((c - F.lit(float(lo))) / F.lit(w)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    counts = (
+        df.filter(c.isNotNull() & (c >= float(lo)) & (c <= float(hi)))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(w)).alias("bucket_lo"),
+            (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w)).alias("bucket_hi"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        )
+    )
+
+
+def top_values(df: DataFrame, column: str, k: int) -> DataFrame:
+    """Top-k most frequent values (cast to string) plus an OTHER rollup —
+    the categorical companion profile.  Two-stage top-k: a per-partition
+    row_number prefilter caps the global ordering's input at k × partitions
+    (the same WindowGroupLimit shape as rule_violation_rows), so a
+    high-cardinality column never funnels its full distinct set through
+    one reducer.  Ties break on value ascending for determinism; NULLs
+    are excluded (profile them with null-rate stats)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    staged = counts.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("_pid").orderBy(F.desc("n_rows"), F.asc("value"))
+    w2 = Window.orderBy(F.desc("n_rows"), F.asc("value"))
+    ranked = (
+        staged.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )
+    top = ranked.select("value", "n_rows", F.lit(False).alias("is_other"))
+    totals = counts.agg(F.sum("n_rows").alias("_total")).crossJoin(
+        ranked.agg(F.sum("n_rows").alias("_topsum"))
+    )
+    other = (
+        totals.select(
+            F.lit("OTHER").alias("value"),
+            (F.col("_total") - F.coalesce(F.col("_topsum"), F.lit(0))).alias(
+                "n_rows"
+            ),
+            F.lit(True).alias("is_other"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return top.unionByName(other)

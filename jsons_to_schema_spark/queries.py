@@ -2842,6 +2842,63 @@ def constraint_suggestions_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "histogram_events_value",
+    oracle="""
+    WITH b AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bucket),
+         c AS (
+           SELECT least(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 19)
+                    AS bucket,
+                  count(*) AS n_rows
+           FROM events
+           WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+           GROUP BY 1
+         )
+    SELECT b.bucket,
+           0.0 + b.bucket * 25.0 AS bucket_lo,
+           0.0 + (b.bucket + 1) * 25.0 AS bucket_hi,
+           CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows
+    FROM b LEFT JOIN c ON b.bucket = c.bucket
+    """,
+)
+def histogram_events_value(spark, sf_dir) -> DataFrame:
+    """Equi-width distribution profile (stats.column_histogram): 20
+    buckets over [0, 500] for events.value — bucket ids from the
+    identical double expression in both engines, empty buckets emitted
+    via the broadcast spine join, col == hi clamped into the last
+    bucket."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.column_histogram(events, "value", 0.0, 500.0, 20)
+
+
+@query(
+    "top_values_documents_lang",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(lang AS VARCHAR) AS value, count(*) AS n_rows
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    ), r AS (
+      SELECT value, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, value ASC) AS rk
+      FROM c
+    )
+    SELECT value, n_rows, false AS is_other FROM r WHERE rk <= 3
+    UNION ALL
+    SELECT 'OTHER', (SELECT CAST(sum(n_rows) AS BIGINT) FROM r WHERE rk > 3),
+           true
+    WHERE EXISTS (SELECT 1 FROM r WHERE rk > 3)
+    """,
+)
+def top_values_documents_lang(spark, sf_dir) -> DataFrame:
+    """Categorical profile (stats.top_values): 3 most frequent languages
+    plus the OTHER rollup, ties broken on value ascending — k chosen
+    below the column's cardinality so the OTHER arm is value-checked,
+    not vacuously absent.  Two-stage top-k keeps the global ordering's
+    input at k × partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.top_values(docs, "lang", 3)
+
+
+@query(
     "packing_stats_documents",
     oracle="""
     WITH t AS (

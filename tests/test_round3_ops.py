@@ -970,3 +970,35 @@ def test_constraint_suggestion_round_trip(spark):
     }
     assert drifted["cat:isin"] == 1 and drifted["n:non_negative"] == 1
     assert drifted["id:range"] == 1
+
+
+def test_histogram_and_top_values(spark):
+    from jsons_to_schema_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(0.0,), (24.9,), (25.0,), (99.9,), (100.0,), (None,), (-5.0,), (120.0,)],
+        "v double",
+    )
+    h = {r["bucket"]: r for r in stats.column_histogram(df, "v", 0.0, 100.0, 4).collect()}
+    assert len(h) == 4                       # empty buckets still appear
+    assert h[0]["n_rows"] == 2               # 0.0, 24.9
+    assert h[1]["n_rows"] == 1               # 25.0 lands in its own bucket
+    assert h[3]["n_rows"] == 2               # 99.9 + hi-edge 100.0 clamped in
+    assert h[2]["n_rows"] == 0
+    assert h[1]["bucket_lo"] == 25.0 and h[1]["bucket_hi"] == 50.0
+    # -5 (below lo), 120 (above hi), NULL all excluded
+    assert sum(r["n_rows"] for r in h.values()) == 5
+
+    tv = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1 + [(None,)],
+        "x string",
+    )
+    rows = stats.top_values(tv, "x", 2).collect()
+    by_val = {r["value"]: r for r in rows}
+    assert by_val["a"]["n_rows"] == 5 and not by_val["a"]["is_other"]
+    assert by_val["b"]["n_rows"] == 3        # tie with c broken by value asc
+    assert "c" not in by_val
+    assert by_val["OTHER"]["n_rows"] == 4 and by_val["OTHER"]["is_other"]
+    # k >= cardinality: no OTHER row
+    rows_all = stats.top_values(tv, "x", 10).collect()
+    assert all(not r["is_other"] for r in rows_all) and len(rows_all) == 4
