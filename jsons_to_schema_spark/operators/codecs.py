@@ -1052,20 +1052,25 @@ def decode_jpeg(payload: bytes) -> dict:
     raise ValueError("jpeg: no SOS marker")
 
 
-def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval) -> dict:
-    # unstuff + strip restart markers, tracking restart boundaries
-    end = buf.rfind(b"\xff\xd9")
-    if end < 0:
-        end = len(buf)
-    raw = buf[start:end]
-    segments = []
+def _split_entropy_segments(raw: bytes, restart_interval: int) -> list[bytes]:
+    """Split entropy-coded data on restart markers (safe: an in-data 0xFF
+    is always followed by a stuffed 0x00, never 0xD0-0xD7) and unstuff
+    each segment — shared by the baseline and progressive scan decoders."""
     if restart_interval:
         import re as _re
 
         segments = _re.split(b"\xff[\xd0-\xd7]", raw)
     else:
         segments = [raw]
-    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
+    return [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+
+def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval) -> dict:
+    # unstuff + strip restart markers, tracking restart boundaries
+    end = buf.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(buf)
+    segments = _split_entropy_segments(buf[start:end], restart_interval)
 
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
@@ -1270,13 +1275,7 @@ def _decode_prog_scan(
     store.  DC scans (ss==0) may interleave several components in MCU
     order; AC scans are single-component raster over the non-interleaved
     block grid.  Restart markers reset DC predictors and the EOB run."""
-    import re as _re
-
-    if restart_interval:
-        segments = _re.split(b"\xff[\xd0-\xd7]", raw)
-    else:
-        segments = [raw]
-    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
+    segments = _split_entropy_segments(raw, restart_interval)
     mcus_x, mcus_y, nb = _jpeg_geometry(w, h, comps)
     reader = _BitReader(segments[0])
     seg_idx = 0
@@ -1297,16 +1296,20 @@ def _decode_prog_scan(
         if ss == 0 and interleaved:
             my, mx = divmod(u, mcus_x)
             for c in scan:
+                # refinement passes read raw bits only — don't require a
+                # DC table the file never defined (legal per T.81)
+                tab = huff[(0, c["dc"])] if ah == 0 else None
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk = store[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
-                        _prog_dc(blk, reader, huff[(0, c["dc"])], pred, c["id"], ah, al)
+                        _prog_dc(blk, reader, tab, pred, c["id"], ah, al)
         else:
             c = scan[0]
             by, bx = divmod(u, nb_x)
             blk = store[c["id"]][by, bx]
             if ss == 0:
-                _prog_dc(blk, reader, huff[(0, c["dc"])], pred, c["id"], ah, al)
+                tab = huff[(0, c["dc"])] if ah == 0 else None
+                _prog_dc(blk, reader, tab, pred, c["id"], ah, al)
             elif ah == 0:
                 eobrun = _prog_ac_first(
                     blk, reader, huff[(1, c["ac"])], ss, se, al, eobrun
@@ -1609,7 +1612,9 @@ def _encode_progressive(
             bw.write((int(blk[0]) >> al) & 1, 1)
 
     def enc_ac_first(bw, ci, ss, se, al):
-        eobrun, pending = 0, []
+        # first passes have no correction bits to buffer — only the
+        # refinement pass threads a pending list through the EOB flush
+        eobrun = 0
         nb_x, nb_y = nb[ci + 1]
         for u in range(nb_x * nb_y):
             blk = store[ci][u // nb_x, u % nb_x]
@@ -1620,7 +1625,7 @@ def _encode_progressive(
                 if v == 0:
                     r += 1
                     continue
-                eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+                eobrun, _ = _emit_eobrun_bits(bw, ac_enc, eobrun, ())
                 while r > 15:
                     code, ln = ac_enc[0xF0]
                     bw.write(code, ln)
@@ -1633,8 +1638,8 @@ def _encode_progressive(
             if r:
                 eobrun += 1
                 if eobrun == 0x7FFF:
-                    eobrun, pending = _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
-        _emit_eobrun_bits(bw, ac_enc, eobrun, pending)
+                    eobrun, _ = _emit_eobrun_bits(bw, ac_enc, eobrun, ())
+        _emit_eobrun_bits(bw, ac_enc, eobrun, ())
 
     def enc_ac_refine(bw, ci, ss, se, al):
         eobrun, pending = 0, []
@@ -2026,19 +2031,23 @@ def audio_features(payload: bytes) -> dict:
     channels, RMS, ZERO-CROSSING count (sign changes, first channel) and
     DOMINANT FREQUENCY in integer Hz (argmax of the rFFT magnitude above
     DC).  For a bin-aligned pure sine these are exact integers — the
-    property the driver oracle checks arithmetically."""
-    d = decode_wav(payload)
+    property the driver oracle checks arithmetically.  ONE parse/read of
+    the payload (this runs per row in the Arrow-batched hot path); RMS
+    over all interleaved samples matches decode_wav's mean_value."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         channels = w.getnchannels()
         sampwidth = w.getsampwidth()
         n_frames = w.getnframes()
         raw = w.readframes(n_frames)
+    if sampwidth not in _WIDTHS:
+        raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
     if sampwidth == 1:
-        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
     else:
-        x = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
-    x = x[::channels]  # first channel
+        samples = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
+    x = samples[::channels]  # first channel
     # Standard ZCR: samples quantized to exactly 0 carry no sign — drop
     # them, then count sign flips (a 0-sample between +/− still counts
     # once; counting products <0 over raw signs would miss it entirely).
@@ -2052,10 +2061,10 @@ def audio_features(payload: bytes) -> dict:
     else:
         dominant = 0
     return {
-        "duration_ms": d["duration_ms"],
+        "duration_ms": round(n_frames * 1000 / rate) if rate else 0,
         "sample_rate": rate,
         "channels": channels,
-        "rms": d["mean_value"],
+        "rms": rms,
         "zero_crossings": zc,
         "dominant_freq_hz": dominant,
     }

@@ -850,9 +850,11 @@ def suggest_constraints(
         if nn > 0 and nd == nn:
             out.append((c, "UNIQUE", total, nn, nd))
         if c in enum_sets:
-            out.append(
-                (c, "IS IN (" + ", ".join(enum_sets[c]) + ")", total, nn, nd)
-            )
+            # JSON-quote each member so values containing the ", "
+            # separator (or quotes) survive the round-trip through
+            # rules_from_suggestions (r4 review)
+            rendered = ", ".join(json.dumps(v) for v in enum_sets[c])
+            out.append((c, f"IS IN ({rendered})", total, nn, nd))
         if c in numeric and row[f"_mn_{c}"] is not None and row[f"_mn_{c}"] >= 0:
             out.append((c, "NON NEGATIVE", total, nn, nd))
         if c in integral and row[f"_mn_{c}"] is not None:
@@ -894,6 +896,6 @@ def rules_from_suggestions(suggestions: "list[tuple] | DataFrame") -> "dict[str,
             lo, hi = s[len("RANGE [") : -1].split(", ")
             rules[f"{c}:range"] = col.isNull() | col.between(int(lo), int(hi))
         elif s.startswith("IS IN ("):
-            vals = s[len("IS IN (") : -1].split(", ")
+            vals = json.loads("[" + s[len("IS IN (") : -1] + "]")
             rules[f"{c}:isin"] = col.isNull() | col.cast("string").isin(vals)
     return rules

@@ -1818,7 +1818,8 @@ def multimodal_frame_features(spark, sf_dir) -> DataFrame:
 )
 def multimodal_real_codec_features(spark, sf_dir) -> DataFrame:
     """REAL stdlib codecs end-to-end (r3, VERDICT item 2; PNG r4 item 4):
-    160 synthesized WAV/BMP/PPM/PNG payloads decode through the
+    320 synthesized payloads across eight arms (WAV/BMP/PPM/PNG/16-bit-
+    interlaced-PNG/MP4/JPEG/progressive-JPEG) decode through the
     Arrow-batched mapInPandas stage (operators/codecs.py — wave/struct/
     zlib/numpy, no external libs) and every derived field is recomputed
     arithmetically by the DuckDB oracle from the synthesis parameters: WAV
@@ -2788,7 +2789,7 @@ def rule_violation_rows_events(spark, sf_dir) -> DataFrame:
              min(value) AS mn4
       FROM events
     ), ev AS (
-      SELECT string_agg(v, ', ' ORDER BY v) AS vals
+      SELECT string_agg(to_json(v), ', ' ORDER BY v) AS vals
       FROM (SELECT DISTINCT event_type AS v FROM events
             WHERE event_type IS NOT NULL)
     )

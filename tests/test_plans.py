@@ -275,3 +275,28 @@ def test_aqe_skew_join_fires_on_zipf_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_histogram_broadcasts_spine_and_partial_aggs(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    q = _stats.column_histogram(ev, "value", 0.0, 500.0, 20)
+    plan = audit.executed_plan(q)
+    # bucket counts aggregate with map-side partials (bounded by bucket
+    # count), and the 20-row spine joins via broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert audit.has_partial_aggregate(q)
+    assert audit.scan_count(q) == 1
+
+
+def test_top_values_two_stage_window(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = _stats.top_values(docs, "lang", 3)
+    plan = audit.executed_plan(q)
+    # the per-partition prefilter must appear as a partial window before
+    # the global one: two Window/WindowGroupLimit stages, and the global
+    # sort input is capped at k x partitions, not the distinct set
+    assert plan.count("Window") >= 2, plan[:3000]

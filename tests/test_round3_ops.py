@@ -945,7 +945,7 @@ def test_constraint_suggestion_round_trip(spark):
     got = {(r["column"], r["suggestion"]) for r in sug.collect()}
     assert ("id", "NOT NULL") in got and ("id", "UNIQUE") in got
     assert ("id", "RANGE [1, 5]") in got
-    assert ("cat", "IS IN (a, b, c)") in got       # nulls excluded from the set
+    assert ("cat", 'IS IN ("a", "b", "c")') in got  # nulls excluded from the set
     assert ("cat", "NOT NULL") not in got          # planted null
     assert ("n", "NON NEGATIVE") in got and ("n", "UNIQUE") not in got
     assert ("x", "NON NEGATIVE") not in got        # planted negative
@@ -970,6 +970,16 @@ def test_constraint_suggestion_round_trip(spark):
     }
     assert drifted["cat:isin"] == 1 and drifted["n:non_negative"] == 1
     assert drifted["id:range"] == 1
+
+    # enum members containing the rendered ", " separator survive the
+    # suggestion→rule round-trip (JSON quoting, r4 review finding)
+    tricky = spark.createDataFrame(
+        [(1, "pending, review"), (2, "done"), (3, 'say "hi"')], "id long, s string"
+    )
+    sug2 = validate.suggest_constraints(tricky, ["s"])
+    rules2 = validate.rules_from_suggestions(sug2)
+    v2 = {r["rule"]: r for r in validate.rule_verdicts(tricky, rules2).collect()}
+    assert v2["s:isin"]["n_violations"] == 0 and v2["s:isin"]["passed"]
 
 
 def test_histogram_and_top_values(spark):
