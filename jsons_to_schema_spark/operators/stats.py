@@ -277,3 +277,32 @@ def top_values(df: DataFrame, column: str, k: int) -> DataFrame:
         .filter(F.col("n_rows") > 0)
     )
     return top.unionByName(other)
+
+
+def correlation_pairs(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols`` in ONE
+    multi-aggregate pass (map-side co-moment partials — n·(n−1)/2
+    aggregate expressions, never n² scans).  Values rounded to 6 decimals
+    so the cross-engine comparison is summation-order-independent; NULLs
+    are pairwise-excluded by corr's definition in both engines."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("correlation_pairs: need at least two columns")
+
+    def _bq(n: str) -> "F.Column":
+        return F.col("`" + n.replace("`", "``") + "`")
+
+    wide = df.agg(
+        *[F.corr(a, b).alias(f"{a}|{b}") for a, b in pairs]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(_bq(f"{a}|{b}"), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select("e.*")

@@ -2900,6 +2900,40 @@ def top_values_documents_lang(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "correlations_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 6) FROM lineitem
+    """,
+)
+def correlations_lineitem(spark, sf_dir) -> DataFrame:
+    """Pairwise Pearson correlation profile (stats.correlation_pairs):
+    all 6 unordered pairs of 4 numeric lineitem columns in ONE
+    multi-aggregate pass (co-moment map-side partials), rounded to 6
+    decimals so the comparison is summation-order-independent across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.correlation_pairs(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@query(
     "packing_stats_documents",
     oracle="""
     WITH t AS (
