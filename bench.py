@@ -296,10 +296,13 @@ def host_memfault_probe(size_mb: int = 512) -> float:
     return round(size_mb / 1024 / dt, 3)
 
 
+HEALTH_THRESHOLD_GB_S = 1.0
+
+
 def await_healthy_host(
-    threshold_gb_s: float = 1.0,
-    attempts: int = int(os.environ.get("SPARK_GRAFT_HEALTH_ATTEMPTS", "6")),
-    wait_s: float = float(os.environ.get("SPARK_GRAFT_HEALTH_WAIT_S", "60")),
+    threshold_gb_s: float = HEALTH_THRESHOLD_GB_S,
+    attempts: "int | None" = None,
+    wait_s: "float | None" = None,
 ) -> list[float]:
     """Round-record health gate (r4, VERDICT item 6): a throughput number
     measured while the hypervisor is lazily re-supplying ballooned pages is
@@ -308,6 +311,11 @@ def await_healthy_host(
     ``attempts`` times before benching anyway.  The FULL probe history is
     stamped into the bench JSON either way, so a degraded-host record is
     explicitly marked rather than silently recorded."""
+    # env defaults read at CALL time, not import time (r4 review)
+    if attempts is None:
+        attempts = int(os.environ.get("SPARK_GRAFT_HEALTH_ATTEMPTS", "6"))
+    if wait_s is None:
+        wait_s = float(os.environ.get("SPARK_GRAFT_HEALTH_WAIT_S", "60"))
     probes = [host_memfault_probe()]
     while probes[-1] < threshold_gb_s and len(probes) < attempts:
         log(
@@ -471,7 +479,8 @@ def main() -> None:
         # the most recent healthy-stamped line instead.
         "host_probe_history_gb_per_sec": probes,
         "degraded_host": bool(
-            probes[-1] < 1.0 or r["host_memfault_gb_per_sec"] < 1.0
+            probes[-1] < HEALTH_THRESHOLD_GB_S
+            or r["host_memfault_gb_per_sec"] < HEALTH_THRESHOLD_GB_S
         ),
     }
     print(json.dumps(out))

@@ -34,7 +34,7 @@ from typing import Iterator, Optional
 
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.infer import _arrow_struct_to_draft, _tree_merge
@@ -401,6 +401,23 @@ def checkpointed_validate(
     """
     if store is None:
         store = TableStateStore(state_dir)
+
+    def _state_df(spark_):
+        """Committed state as a DataFrame.  Prefers the scalable
+        ``committed_df`` read side; stores implementing only the legacy
+        ``committed()``/``merge()`` dict contract fall back to a
+        driver-built frame (bounded by that contract's own scale — such
+        stores already hold all records on the driver), so RESUME works
+        for both store shapes (r4 review: the read-side fallback was
+        dropped while the merge-side one was kept, silently losing resume
+        for dict-API stores)."""
+        if hasattr(store, "committed_df"):
+            return store.committed_df(spark_)
+        done = store.committed()
+        if not done:
+            return None
+        return spark_.createDataFrame([Row(**rec) for rec in done.values()])
+
     # same normalized full-path key as validate.split_column() — one split
     # identity across verdicts, oracles, and the state store (ADVICE r2).
     df = spark.read.parquet(data_path).withColumn(SPLIT_COL, split_column())
@@ -408,9 +425,12 @@ def checkpointed_validate(
     # -- pending enumeration: Spark-side left-anti join (r4, VERDICT item 2;
     # the old distinct().collect() put 10^6 split ids on the driver and
     # broadcast them back inside an isin()).  The distinct is a
-    # column-pruned scan of the file-path metadata column only.
-    splits = df.select(F.col(SPLIT_COL).alias("split")).distinct()
-    state_df = store.committed_df(spark) if hasattr(store, "committed_df") else None
+    # column-pruned scan of the file-path metadata column only; persist it —
+    # the anti-join AND splits_total both read it, and at 10^6 splits the
+    # file-listing scan should run once, not twice (r4 review).
+    splits = df.select(F.col(SPLIT_COL).alias("split")).distinct().persist()
+    splits_total = int(splits.count())
+    state_df = _state_df(spark)
     if state_df is None:
         pending_df = splits
     else:
@@ -446,14 +466,15 @@ def checkpointed_validate(
     # -- final answer, Spark-side: tree-fold the committed drafts
     # (infer._tree_merge) + one aggregate over the state table; the driver
     # receives only (schema, counters) and a 3-narrow-column lineage summary.
-    state_df = store.committed_df(spark) if hasattr(store, "committed_df") else None
+    state_df = _state_df(spark)
+    splits.unpersist()
     fails = {c: 0 for c in ROW_CHECKS}
     if state_df is None:
         return {
             "schema": None,
             "n_rows": 0,
             "fails": fails,
-            "splits_total": int(splits.count()),
+            "splits_total": splits_total,
             "splits_committed": 0,
             "splits_computed_this_run": computed,
             "lineage": [],
@@ -479,7 +500,7 @@ def checkpointed_validate(
         "schema": schema,
         "n_rows": int(n_rows),
         "fails": fails,
-        "splits_total": int(splits.count()),
+        "splits_total": splits_total,
         "splits_committed": int(sums["_n_splits"]),
         "splits_computed_this_run": computed,
         # the scalable artifact is lineage_df (a DataFrame over the state

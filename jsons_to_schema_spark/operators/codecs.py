@@ -132,8 +132,11 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """P6 binary PPM → dimensions + mean over the raw RGB bytes."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel-data offset) of a binary P6 PPM —
+    shared by decode_ppm and decode_pixels so both read pixels from the
+    header-derived offset (slicing the TAIL would silently channel-shift
+    on trailing bytes, which real P6 files routinely carry)."""
     if payload[:2] != b"P6":
         raise NotImplementedError("only binary P6 PPM supported")
     # header: magic, width, height, maxval as whitespace-separated tokens
@@ -155,6 +158,12 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = tokens
     if maxval >= 256:
         raise NotImplementedError("16-bit PPM unsupported")
+    return width, height, maxval, pos
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """P6 binary PPM → dimensions + mean over the raw RGB bytes."""
+    width, height, _maxval, pos = _ppm_header(payload)
     n = width * height * 3
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     mean = float(arr.astype(np.float64).mean()) if arr.size else 0.0
@@ -980,6 +989,9 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1085,6 +1097,8 @@ def _decode_scan(buf, start, w, h, comps, qt, huff, restart_interval) -> dict:
     for mcu_i in range(mcus_x * mcus_y):
         if restart_interval and mcu_i and mcu_i % restart_interval == 0:
             seg_idx += 1
+            if seg_idx >= len(segments):  # keep the codec's ValueError contract
+                raise ValueError("jpeg: restart marker count mismatch")
             reader = _BitReader(segments[seg_idx])
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu_i, mcus_x)
@@ -1290,6 +1304,8 @@ def _decode_prog_scan(
     for u in range(units):
         if restart_interval and u and u % restart_interval == 0:
             seg_idx += 1
+            if seg_idx >= len(segments):  # keep the codec's ValueError contract
+                raise ValueError("jpeg: restart marker count mismatch")
             reader = _BitReader(segments[seg_idx])
             pred = {c["id"]: 0 for c in scan}
             eobrun = 0
@@ -1510,9 +1526,11 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in enumerate(qtabs[: 1 if gray else 2]):
-        zzq = q.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
-        out += seg(0xDB, bytes([tid]) + zzq.tobytes())
+    for tid in range(1 if gray else 2):
+        # reuse the SAME zigzag table the quantization loop divided by —
+        # re-deriving the reorder here risks desyncing DQT from the
+        # applied steps (the class of bug the zigzag property test caught)
+        out += seg(0xDB, bytes([tid]) + qtabs_zz[tid].astype(np.uint8).tobytes())
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
@@ -1713,9 +1731,11 @@ def _encode_progressive(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in enumerate(qtabs[: 1 if gray else 2]):
-        zzq = q.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
-        out += seg(0xDB, bytes([tid]) + zzq.tobytes())
+    for tid in range(1 if gray else 2):
+        # reuse the SAME zigzag table the quantization loop divided by —
+        # re-deriving the reorder here risks desyncing DQT from the
+        # applied steps (the class of bug the zigzag property test caught)
+        out += seg(0xDB, bytes([tid]) + qtabs_zz[tid].astype(np.uint8).tobytes())
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
@@ -1755,10 +1775,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     if fmt == "jpeg":
         return decode_jpeg(payload)["pixels"]
     if fmt == "ppm":
-        d = decode_ppm(payload)
-        w, h = d["width"], d["height"]
-        body = payload[len(payload) - w * h * 3 :]
-        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+        w, h, _maxval, off = _ppm_header(payload)
+        return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
     if fmt == "bmp":
         pixel_off = struct.unpack_from("<I", payload, 10)[0]
         w, height = struct.unpack_from("<ii", payload, 18)

@@ -158,11 +158,25 @@ def minhash_lsh_pairs(
             )
         else:
             have = json.loads(meta_path.read_text())
-            if have != want:
+            if {p: have.get(p) for p in want} != want:
                 raise ValueError(
                     f"minhash_lsh_pairs: index at {index_dir} was built with "
                     f"{have}, not {want} — probing it would yield silently "
                     "wrong candidates; point at a fresh index_dir"
+                )
+            # the pairs come ENTIRELY from the persisted index, so the
+            # caller's df must be the corpus the index was built from —
+            # otherwise corpus B's duplicates are judged by corpus A's
+            # signatures with zero overlap (r4 review).  Legacy metas
+            # without a fingerprint are tolerated (pre-r4 indexes).
+            if "corpus" in have and have["corpus"] != _corpus_fingerprint(
+                df, id_col
+            ):
+                raise ValueError(
+                    f"minhash_lsh_pairs: index at {index_dir} was built from "
+                    "a DIFFERENT corpus than the DataFrame passed in — "
+                    "rebuild the index or probe batches with "
+                    "probe_minhash_index instead"
                 )
         return minhash_lsh_pairs_from_index(
             df.sparkSession, index_dir, min_jaccard=min_jaccard
@@ -708,6 +722,19 @@ def _index_frames(
     return buckets, sh
 
 
+def _corpus_fingerprint(df: DataFrame, id_col: str) -> dict:
+    """Order-independent corpus identity for index/corpus binding:
+    (row count, XOR of xxhash64(id)).  One narrow column-pruned aggregate;
+    XOR composes under append (combined = old ^ batch), so
+    append_to_minhash_index keeps the stamp current without re-reading
+    the old corpus."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("x"),
+    ).first()
+    return {"n": int(r["n"]), "x": int(r["x"] if r["x"] is not None else 0)}
+
+
 def build_minhash_index(
     docs: DataFrame,
     index_dir,
@@ -747,7 +774,9 @@ def build_minhash_index(
     (out / "meta.json").write_text(
         json.dumps(
             {"num_hashes": num_hashes, "bands": bands, "k": k, "col": col,
-             "id_col": id_col},
+             "id_col": id_col,
+             # binds the index to the corpus it was built from (r4 review)
+             "corpus": _corpus_fingerprint(docs, id_col)},
             sort_keys=True,
         )
     )
@@ -769,6 +798,13 @@ def append_to_minhash_index(docs: DataFrame, index_dir) -> None:
         str(Path(index_dir) / "buckets")
     )
     sh.write.mode("append").parquet(str(Path(index_dir) / "shingles"))
+    if "corpus" in meta:  # XOR/count compose: no re-read of the old corpus
+        batch = _corpus_fingerprint(docs, meta["id_col"])
+        meta["corpus"] = {
+            "n": meta["corpus"]["n"] + batch["n"],
+            "x": meta["corpus"]["x"] ^ batch["x"],
+        }
+        (Path(index_dir) / "meta.json").write_text(json.dumps(meta, sort_keys=True))
 
 
 def minhash_probe_index(

@@ -245,3 +245,38 @@ def test_many_split_stress_zero_driver_drafts(spark, corpus, tmp_path):
     again = checkpointed_validate(spark, data, tmp_path / "state")
     assert again["splits_computed_this_run"] == 0
     assert again["n_rows"] == res["n_rows"]
+
+
+def test_dict_api_store_resumes(spark, corpus, tmp_path):
+    """A store implementing ONLY the legacy committed()/merge() dict
+    contract must still resume and produce the full result — the read
+    side falls back to a driver-built state frame (r4 review: dropping
+    that fallback silently returned schema=None and recomputed every
+    split on each run)."""
+
+    class DictStore:
+        def __init__(self):
+            self.rows = {}
+
+        def committed(self):
+            return dict(self.rows)
+
+        def merge(self, records):
+            for rec in records:
+                self.rows[rec["split"]] = rec
+
+    data = str(corpus / "documents_spans")
+    store = DictStore()
+    r1 = checkpointed_validate(spark, data, tmp_path / "unused", max_splits=3, store=store)
+    assert r1["splits_committed"] == 3 and r1["schema"] is not None
+
+    r2 = checkpointed_validate(spark, data, tmp_path / "unused", store=store)
+    total = r2["splits_total"]
+    assert r2["splits_computed_this_run"] == total - 3  # resume, not recompute
+    assert r2["splits_committed"] == total
+
+    r3 = checkpointed_validate(spark, data, tmp_path / "unused", store=store)
+    assert r3["splits_computed_this_run"] == 0
+    single = checkpointed_validate(spark, data, tmp_path / "state2")
+    assert canonical_json(r3["schema"]) == canonical_json(single["schema"])
+    assert r3["n_rows"] == single["n_rows"] and r3["fails"] == single["fails"]

@@ -1012,3 +1012,32 @@ def test_histogram_and_top_values(spark):
     # k >= cardinality: no OTHER row
     rows_all = stats.top_values(tv, "x", 10).collect()
     assert all(not r["is_other"] for r in rows_all) and len(rows_all) == 4
+
+
+def test_minhash_campaign_rejects_foreign_corpus(spark, tmp_path):
+    """An index built from corpus A must refuse a pairs probe with corpus
+    B (r4 review: pairs come entirely from the persisted tables, so the
+    df argument was silently ignored); appending via
+    append_to_minhash_index keeps the fingerprint current."""
+    import pytest
+
+    from jsons_to_schema_spark.operators import dedup
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(7, "totally different words here now"), (8, "another unrelated doc body")],
+        "doc_id long, text string",
+    )
+    idx = tmp_path / "idx"
+    dedup.minhash_lsh_pairs(a, "text", "doc_id", min_jaccard=0.5, index_dir=idx)
+    # same corpus: fine
+    dedup.minhash_lsh_pairs(a, "text", "doc_id", min_jaccard=0.5, index_dir=idx)
+    with pytest.raises(ValueError, match="DIFFERENT corpus"):
+        dedup.minhash_lsh_pairs(b, "text", "doc_id", min_jaccard=0.5, index_dir=idx)
+    # appending the batch updates the fingerprint, so corpus A+B passes
+    dedup.append_to_minhash_index(b, idx)
+    combined = a.unionByName(b)
+    dedup.minhash_lsh_pairs(combined, "text", "doc_id", min_jaccard=0.5, index_dir=idx)
