@@ -306,3 +306,37 @@ def correlation_pairs(df: DataFrame, cols: "list[str]") -> DataFrame:
         ]
     )
     return wide.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def column_entropy(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Shannon entropy (base 2 — the DuckDB/deequ convention) of each
+    column's non-null value distribution: one (column, entropy) row per
+    input column.  Per column: one bounded-output groupBy (map-side
+    partials, shuffle sized by cardinality, not rows) folded to a single
+    row via H = log2(n) − (Σ c·log2 c)/n — algebraically identical to
+    −Σ p·log2 p but computable in one aggregate over the counts without
+    joining the total back.  round(6) keeps the cross-engine comparison
+    summation-order-independent."""
+    frames = []
+    for c in cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        frames.append(
+            counts.agg(
+                F.sum("_c").alias("_n"),
+                F.sum(F.col("_c") * F.log2("_c")).alias("_s"),
+            ).select(
+                F.lit(c).alias("column"),
+                F.coalesce(
+                    F.round(F.log2("_n") - F.col("_s") / F.col("_n"), 6),
+                    F.lit(0.0),
+                ).alias("entropy"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

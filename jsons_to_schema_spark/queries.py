@@ -2934,6 +2934,26 @@ def correlations_lineitem(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "entropy_events",
+    oracle="""
+    SELECT 'event_type' AS "column",
+           round(entropy(event_type), 6) AS entropy FROM events
+    UNION ALL
+    SELECT 'user_id', round(entropy(user_id), 6) FROM events
+    UNION ALL
+    SELECT 'value', round(entropy(value), 6) FROM events
+    """,
+)
+def entropy_events(spark, sf_dir) -> DataFrame:
+    """Shannon entropy profile (stats.column_entropy, base 2 to match
+    DuckDB's entropy()): per column, one bounded groupBy folded via
+    H = log2(n) − (Σ c·log2 c)/n — never a join of the total back onto
+    the counts."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.column_entropy(events, ["event_type", "user_id", "value"])
+
+
+@query(
     "packing_stats_documents",
     oracle="""
     WITH t AS (
