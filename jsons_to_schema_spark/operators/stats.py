@@ -340,3 +340,44 @@ def column_entropy(df: DataFrame, cols: "list[str]") -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (base 2) between two bounded-cardinality columns
+    via MI = H(a) + H(b) − H(a,b): ONE groupBy over the pair produces the
+    joint count table (shuffle sized by the joint cardinality), both
+    marginals re-aggregate that bounded table — the raw data is scanned
+    once.  Rows where either side is NULL are excluded from all three
+    terms so the marginals stay consistent with the joint.  Only sensible
+    for columns whose cardinality product is bounded (categories, ids
+    with known domains) — the joint table is the scale knob."""
+    joint = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+    def _h(counts: DataFrame) -> DataFrame:
+        return counts.agg(
+            (
+                F.log2(F.sum("_c"))
+                - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c")
+            ).alias("_h")
+        )
+
+    hab = _h(joint).withColumnRenamed("_h", "_hab")
+    ha = _h(joint.groupBy("_a").agg(F.sum("_c").alias("_c"))).withColumnRenamed(
+        "_h", "_ha"
+    )
+    hb = _h(joint.groupBy("_b").agg(F.sum("_c").alias("_c"))).withColumnRenamed(
+        "_h", "_hb"
+    )
+    return (
+        ha.crossJoin(hb)
+        .crossJoin(hab)
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            F.round(F.col("_ha") + F.col("_hb") - F.col("_hab"), 6).alias("mi"),
+        )
+    )

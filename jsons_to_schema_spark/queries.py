@@ -2934,6 +2934,28 @@ def correlations_lineitem(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "mutual_information_events",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT 'event_type' AS col_a, 'user_id' AS col_b,
+           round(entropy(event_type) + entropy(user_id)
+                 - entropy(row(event_type, user_id)), 6) AS mi
+    FROM t
+    """,
+)
+def mutual_information_events(spark, sf_dir) -> DataFrame:
+    """Mutual information between event_type and user_id
+    (stats.mutual_information): MI = H(a) + H(b) − H(a,b), all three
+    entropies folded from ONE joint count table — the raw data is
+    scanned once, the marginals re-aggregate the bounded joint."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.mutual_information(events, "event_type", "user_id")
+
+
+@query(
     "entropy_events",
     oracle="""
     SELECT 'event_type' AS "column",
