@@ -3673,7 +3673,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "chunk_subword_documents",
     # -- the 36 queries with no (or stale-r2) driver row (VERDICT r3) --
     "spans_violation_rows",
-    "spans_duplicate_doc_ids",
+    "histogram_events_value",  # r4: distribution-profile family
+    # (spans_duplicate_doc_ids demoted past the window: salted uniqueness
+    # keeps two in-window reps — uniqueness_documents_doc_id and
+    # stream_duplicate_doc_ids — while the profile family had none)
     "spans_dangling_media_refs",
     "spans_single_pass_audit",
     "spans_schema_validation_verdicts",
