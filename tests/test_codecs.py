@@ -586,3 +586,37 @@ def test_jpeg_progressive_rejects_restart_and_sniffs():
         codecs.encode_jpeg(px, progressive=True, restart_interval=2)
     p = codecs.encode_jpeg(px, progressive=True)
     assert codecs.sniff_format(p) == "jpeg"
+
+
+def test_jpeg_fill_bytes_and_restart_mismatch():
+    """T.81 B.1.1.2 fill bytes before markers decode transparently; a
+    missing restart marker raises the codec's ValueError contract, never
+    a bare IndexError (r4 review)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    p = bytearray(codecs.encode_jpeg(px, quality=90))
+    sof = p.find(b"\xff\xc0")
+    p[sof:sof] = b"\xff"  # legal fill byte before SOF0
+    d0 = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=90))
+    d1 = codecs.decode_jpeg(bytes(p))
+    assert np.array_equal(d0["pixels"], d1["pixels"])
+
+    pr = bytearray(codecs.encode_jpeg(px, quality=90, restart_interval=1))
+    i = pr.find(b"\xff\xd0")
+    del pr[i : i + 2]
+    with pytest.raises(ValueError, match="restart marker count"):
+        codecs.decode_jpeg(bytes(pr))
+
+
+def test_ppm_trailing_bytes_do_not_shift_channels():
+    """decode_pixels reads PPM pixels from the header-derived offset —
+    a trailing newline (ubiquitous in real P6 files) must not rotate the
+    channels (r4 review: the tail slice silently did)."""
+    import numpy as np
+
+    p = codecs.encode_ppm(2, 2, (10, 20, 30)) + b"\n"
+    assert codecs.decode_pixels(p)[0, 0].tolist() == [10, 20, 30]
+    assert codecs.decode_ppm(p)["mean_value"] == 20.0
