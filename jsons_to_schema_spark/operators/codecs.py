@@ -69,11 +69,12 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
-def decode_wav(payload: bytes) -> dict:
-    """PCM WAV → {format, width, height, duration_ms, sample_rate, channels,
-    mean_value}.  mean_value is the RMS amplitude over all samples (all
-    channels interleaved) — for a constant-amplitude signal it equals the
-    amplitude exactly, which is what the driver oracle exploits."""
+def _wav_samples(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(rate, channels, n_frames, float64 samples — interleaved, signed,
+    zero-centered).  The single WAV read both decode_wav and
+    audio_features share, so the 8-bit unsigned-midpoint subtlety (r3
+    review: int8 reads reported RMS 128 for digital silence) and the
+    width gate live in exactly one place (r4 review)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         channels = w.getnchannels()
@@ -83,11 +84,18 @@ def decode_wav(payload: bytes) -> dict:
     if sampwidth not in _WIDTHS:
         raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
     if sampwidth == 1:
-        # 8-bit PCM WAV stores UNSIGNED bytes with a 128 midpoint (review
-        # r3: reading them as int8 reported RMS 128 for digital silence)
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
     else:
         samples = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
+    return rate, channels, n_frames, samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV → {format, width, height, duration_ms, sample_rate, channels,
+    mean_value}.  mean_value is the RMS amplitude over all samples (all
+    channels interleaved) — for a constant-amplitude signal it equals the
+    amplitude exactly, which is what the driver oracle exploits."""
+    rate, channels, n_frames, samples = _wav_samples(payload)
     rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
     return {
         "format": "wav",
@@ -2050,20 +2058,10 @@ def audio_features(payload: bytes) -> dict:
     DOMINANT FREQUENCY in integer Hz (argmax of the rFFT magnitude above
     DC).  For a bin-aligned pure sine these are exact integers — the
     property the driver oracle checks arithmetically.  ONE parse/read of
-    the payload (this runs per row in the Arrow-batched hot path); RMS
-    over all interleaved samples matches decode_wav's mean_value."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate = w.getframerate()
-        channels = w.getnchannels()
-        sampwidth = w.getsampwidth()
-        n_frames = w.getnframes()
-        raw = w.readframes(n_frames)
-    if sampwidth not in _WIDTHS:
-        raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
-    if sampwidth == 1:
-        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
-    else:
-        samples = np.frombuffer(raw, dtype=_WIDTHS[sampwidth]).astype(np.float64)
+    the payload via the shared _wav_samples helper (this runs per row in
+    the Arrow-batched hot path); RMS over all interleaved samples matches
+    decode_wav's mean_value by construction."""
+    rate, channels, n_frames, samples = _wav_samples(payload)
     rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
     x = samples[::channels]  # first channel
     # Standard ZCR: samples quantized to exactly 0 carry no sign — drop

@@ -176,7 +176,7 @@ def minhash_lsh_pairs(
                     f"minhash_lsh_pairs: index at {index_dir} was built from "
                     "a DIFFERENT corpus than the DataFrame passed in — "
                     "rebuild the index or probe batches with "
-                    "probe_minhash_index instead"
+                    "minhash_probe_index instead"
                 )
         return minhash_lsh_pairs_from_index(
             df.sparkSession, index_dir, min_jaccard=min_jaccard
@@ -789,7 +789,24 @@ def append_to_minhash_index(docs: DataFrame, index_dir) -> None:
     import json
     from pathlib import Path
 
-    meta = json.loads((Path(index_dir) / "meta.json").read_text())
+    import os
+
+    meta_path = Path(index_dir) / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    old_corpus = meta.pop("corpus", None)
+
+    def _write_meta() -> None:
+        # atomic replace so readers never see a torn meta.json
+        tmp = meta_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(meta, sort_keys=True))
+        os.replace(tmp, meta_path)
+
+    if old_corpus is not None:
+        # Crash-safety ordering (r4 review): DROP the fingerprint BEFORE the
+        # data appends.  A crash mid-append then leaves a legacy-style meta
+        # (guard disabled, fail-open to the old behavior) instead of a stale
+        # fingerprint that falsely certifies the pre-append corpus.
+        _write_meta()
     buckets, sh = _index_frames(
         docs, meta["col"], meta["id_col"], meta["num_hashes"], meta["bands"],
         meta["k"],
@@ -798,13 +815,13 @@ def append_to_minhash_index(docs: DataFrame, index_dir) -> None:
         str(Path(index_dir) / "buckets")
     )
     sh.write.mode("append").parquet(str(Path(index_dir) / "shingles"))
-    if "corpus" in meta:  # XOR/count compose: no re-read of the old corpus
+    if old_corpus is not None:  # XOR/count compose: no re-read of the old corpus
         batch = _corpus_fingerprint(docs, meta["id_col"])
         meta["corpus"] = {
-            "n": meta["corpus"]["n"] + batch["n"],
-            "x": meta["corpus"]["x"] ^ batch["x"],
+            "n": old_corpus["n"] + batch["n"],
+            "x": old_corpus["x"] ^ batch["x"],
         }
-        (Path(index_dir) / "meta.json").write_text(json.dumps(meta, sort_keys=True))
+        _write_meta()
 
 
 def minhash_probe_index(

@@ -292,17 +292,20 @@ def correlation_pairs(df: DataFrame, cols: "list[str]") -> DataFrame:
     def _bq(n: str) -> "F.Column":
         return F.col("`" + n.replace("`", "``") + "`")
 
+    # backtick-quote the corr INPUTS too (a literal dot in a column name
+    # must not resolve as a nested-field path) and alias positionally so
+    # no name-mangling scheme can collide (r4 review)
     wide = df.agg(
-        *[F.corr(a, b).alias(f"{a}|{b}") for a, b in pairs]
+        *[F.corr(_bq(a), _bq(b)).alias(f"_corr_{i}") for i, (a, b) in enumerate(pairs)]
     )
     entries = F.array(
         *[
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.round(_bq(f"{a}|{b}"), 6).alias("corr"),
+                F.round(F.col(f"_corr_{i}"), 6).alias("corr"),
             )
-            for a, b in pairs
+            for i, (a, b) in enumerate(pairs)
         ]
     )
     return wide.select(F.explode(entries).alias("e")).select("e.*")
@@ -311,35 +314,46 @@ def correlation_pairs(df: DataFrame, cols: "list[str]") -> DataFrame:
 def column_entropy(df: DataFrame, cols: "list[str]") -> DataFrame:
     """Shannon entropy (base 2 — the DuckDB/deequ convention) of each
     column's non-null value distribution: one (column, entropy) row per
-    input column.  Per column: one bounded-output groupBy (map-side
-    partials, shuffle sized by cardinality, not rows) folded to a single
-    row via H = log2(n) − (Σ c·log2 c)/n — algebraically identical to
-    −Σ p·log2 p but computable in one aggregate over the counts without
-    joining the total back.  round(6) keeps the cross-engine comparison
-    summation-order-independent."""
-    frames = []
-    for c in cols:
-        counts = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(F.col(c))
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        frames.append(
-            counts.agg(
-                F.sum("_c").alias("_n"),
-                F.sum(F.col("_c") * F.log2("_c")).alias("_s"),
-            ).select(
-                F.lit(c).alias("column"),
-                F.coalesce(
-                    F.round(F.log2("_n") - F.col("_s") / F.col("_n"), 6),
-                    F.lit(0.0),
-                ).alias("entropy"),
+    input column, and ONE scan of the data for all columns (r4 review:
+    the first version unioned one scan branch per column): the columns
+    melt via explode(array(struct(name, value-as-string))) into a single
+    (column, value) count — map-side partials, shuffle sized by the
+    summed cardinalities, not rows — then fold per column via
+    H = log2(n) − (Σ c·log2 c)/n, algebraically −Σ p·log2 p without
+    joining the total back.  Casting to string before counting is
+    entropy-preserving (distinct in ↔ distinct out).  A broadcast column
+    spine keeps all-null columns in the output at entropy 0.  round(6)
+    keeps the cross-engine comparison summation-order-independent."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
             )
+        ).alias("e")
+    ).select("e.*")
+    folded = (
+        melted.filter(F.col("_v").isNotNull())
+        .groupBy("column", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("column")
+        .agg(
+            F.round(
+                F.log2(F.sum("_c"))
+                - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c"),
+                6,
+            ).alias("entropy")
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    )
+    spine = df.sparkSession.createDataFrame([(c,) for c in cols], "column string")
+    return spine.join(F.broadcast(folded), "column", "left").select(
+        "column", F.coalesce("entropy", F.lit(0.0)).alias("entropy")
+    )
 
 
 def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:

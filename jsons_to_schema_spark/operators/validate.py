@@ -853,7 +853,10 @@ def suggest_constraints(
             # JSON-quote each member so values containing the ", "
             # separator (or quotes) survive the round-trip through
             # rules_from_suggestions (r4 review)
-            rendered = ", ".join(json.dumps(v) for v in enum_sets[c])
+            # ensure_ascii=False matches DuckDB's to_json raw-UTF-8 output
+            rendered = ", ".join(
+                json.dumps(v, ensure_ascii=False) for v in enum_sets[c]
+            )
             out.append((c, f"IS IN ({rendered})", total, nn, nd))
         if c in numeric and row[f"_mn_{c}"] is not None and row[f"_mn_{c}"] >= 0:
             out.append((c, "NON NEGATIVE", total, nn, nd))
