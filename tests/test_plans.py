@@ -300,3 +300,23 @@ def test_top_values_two_stage_window(spark):
     # the global one: two Window/WindowGroupLimit stages, and the global
     # sort input is capped at k x partitions, not the distinct set
     assert plan.count("Window") >= 2, plan[:3000]
+
+
+def test_entropy_melt_is_single_scan(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    q = _stats.column_entropy(ev, ["event_type", "user_id", "value"])
+    # the melt reads the data once for ALL columns (r4 review: the first
+    # version unioned one scan branch per column)
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+
+
+def test_correlation_pairs_single_scan(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    q = _stats.correlation_pairs(li, ["l_quantity", "l_discount", "l_tax"])
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
