@@ -125,3 +125,59 @@ def decontaminate(
     return docs.join(
         dirty, docs[id_col] == dirty["_did"], "left_anti"
     )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_ngrams: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 5,
+    tokenizer: str = "words",
+    fpp: float = 0.01,
+    num_bits: int | None = None,
+) -> DataFrame:
+    """Decontamination for eval sets TOO LARGE TO BROADCAST as a join hash
+    table — EXACT results via a Bloom prefilter plus exact verification.
+
+    The broadcast semi-join in ``decontaminate`` is the right plan while
+    the eval n-gram set is MBs; a combined benchmark registry at 10^9
+    n-grams would cost tens of GB per executor as a broadcast hash table.
+    This variant:
+
+    1. folds the eval n-grams into a Bloom bitmap (operators/bloom.py —
+       ~1.2 GB at 10^9 keys / 1% fpp, vs ~60+ GB of hash-table rows);
+    2. probes every corpus n-gram against the bitmap in a vectorized
+       Arrow kernel — the corpus still never shuffles, and at real
+       contamination rates ~99% of n-grams are rejected by the bitmap;
+    3. joins ONLY the surviving candidates (true hits + the fpp-sized
+       false-positive tail) against the real eval set — a shuffle join
+       whose left side is ~(contamination + fpp) of the corpus n-grams,
+       so Bloom false positives are REMOVED and the result is exactly
+       ``decontaminate``'s.
+
+    The verification join is deliberately not broadcast-hinted: the
+    premise is that the eval side is big, so AQE picks the join strategy
+    from the real sizes.
+    """
+    from . import bloom as _bloom
+
+    ev = eval_ngrams.select("ngram").distinct()
+    n_items = ev.count()
+    if n_items == 0:
+        return docs
+    bits = num_bits or _bloom.bloom_num_bits(n_items, fpp)
+    k = _bloom.bloom_num_hashes(bits, n_items)
+    bitmap = _bloom.build_bloom(ev, "ngram", bits, k)
+
+    probe = docs.select(
+        F.col(id_col).alias("_did"), _tok(F.col(col), tokenizer).alias("_t")
+    ).select(
+        "_did",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_t"), n))).alias(
+            "ngram"
+        ),
+    )
+    candidates = probe.where(_bloom.bloom_contains("ngram", bitmap, bits, k))
+    dirty = candidates.join(ev, "ngram").select("_did").distinct()
+    return docs.join(dirty, docs[id_col] == dirty["_did"], "left_anti")

@@ -1,0 +1,232 @@
+"""Metrics repository + metric-history anomaly detection (deequ-style).
+
+Data-quality checks that compare a run against FIXED thresholds
+(validate.rule_verdicts) miss the failures that matter most in a long-lived
+ingestion pipeline: the table that silently shrinks 40%, the column whose
+null rate creeps from 0.1% to 8%, the mean that jumps an order of magnitude
+after an upstream schema change.  Catching those requires remembering what
+the metrics looked like on PREVIOUS runs and flagging the current run when
+it falls outside the historical distribution — deequ's
+``MetricsRepository`` + ``AnomalyDetection`` pattern, re-expressed
+Spark-first.
+
+Three pieces:
+
+* ``compute_metrics`` — ONE multi-aggregate scan per run (or ONE grouped
+  scan for many runs at once) producing a LONG metric frame
+  ``(run_id, dataset, instance, metric, value)``.  The melt from the wide
+  aggregate row to long rows is a single ``stack`` projection over the
+  bounded aggregate output — the 100 TB input is touched exactly once.
+* ``MetricsRepository`` — an append-only parquet store of those rows,
+  partitioned by run_id so history loads prune to the runs they need.
+* ``detect_metric_anomalies`` — joins the current run's metrics against
+  per-metric history aggregates (mean / stddev / last value; history is
+  O(runs × columns × metrics) rows — KBs, broadcast side) and applies a
+  deequ-style strategy:
+
+  - ``online_normal``: |value − mean(history)| > k·stddev(history)
+  - ``absolute_change``: |value − last(history)| > max_delta
+  - ``relative_change``: value / last(history) outside [rate_lo, rate_hi]
+
+  All comparisons are made on round(6) values so the verdict booleans are
+  bit-stable across engines (the same convention as stats.correlation_pairs
+  / column_entropy).
+
+Scale shape: metric computation is the same partial+final HashAggregate
+single scan as stats.column_stats; everything downstream of the aggregate
+operates on metric rows, whose count is independent of table size.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+
+
+def _is_numeric(df: DataFrame, col: str) -> bool:
+    t = dict(df.dtypes)[col]
+    return t.split("(")[0] in _NUMERIC
+
+
+def compute_metrics(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    dataset: str = "df",
+    run_id: int | None = 0,
+    run_col: str | None = None,
+    distinct: str | None = None,  # None | "exact" | "approx"
+) -> DataFrame:
+    """Long metric frame from ONE aggregate scan.
+
+    Emitted metrics: ``size`` (instance ``*``), per-column
+    ``completeness`` (non-null fraction), ``mean`` / ``min`` / ``max``
+    (numeric columns only) and optionally ``distinctness``
+    (distinct/size; ``approx`` = HLL++, mergeable constant memory —
+    the 10^12-row choice; ``exact`` is the oracle-friendly variant).
+
+    ``run_col`` computes metrics for MANY runs in one grouped scan
+    (run_id is taken from that column); otherwise the literal ``run_id``
+    stamps every row.  Output: (run_id bigint, dataset, instance, metric,
+    value double) — value is NULL only for the mean of an all-null slice.
+    """
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"))
+        if _is_numeric(df, c):
+            aggs.append(F.avg(F.col(c).cast("double")).alias(f"_mean_{c}"))
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+        if distinct == "exact":
+            aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        elif distinct == "approx":
+            aggs.append(F.approx_count_distinct(c).alias(f"_dist_{c}"))
+
+    if run_col is not None:
+        wide = df.groupBy(F.col(run_col).cast("bigint").alias("run_id")).agg(*aggs)
+    else:
+        wide = df.agg(*aggs).withColumn("run_id", F.lit(int(run_id)).cast("bigint"))
+
+    # Melt: stack(n, metric, instance, value, ...) — one projection over the
+    # bounded aggregate rows; quotes are safe because metric/instance names
+    # are code-controlled identifiers.
+    pairs: list[tuple[str, str, str]] = [("size", "*", "CAST(_n AS DOUBLE)")]
+    for c in columns:
+        pairs.append(
+            ("completeness", c, f"1.0 - CAST(_nulls_{c} AS DOUBLE) / CAST(_n AS DOUBLE)")
+        )
+        if _is_numeric(df, c):
+            pairs.append(("mean", c, f"_mean_{c}"))
+            pairs.append(("minimum", c, f"_min_{c}"))
+            pairs.append(("maximum", c, f"_max_{c}"))
+        if distinct is not None:
+            pairs.append(
+                ("distinctness", c, f"CAST(_dist_{c} AS DOUBLE) / CAST(_n AS DOUBLE)")
+            )
+    stack = ", ".join(f"'{m}', '{i}', {v}" for m, i, v in pairs)
+    return wide.select(
+        "run_id",
+        F.lit(dataset).alias("dataset"),
+        F.expr(f"stack({len(pairs)}, {stack}) AS (metric, instance, value)"),
+    ).select("run_id", "dataset", "instance", "metric", "value")
+
+
+class MetricsRepository:
+    """Append-only parquet store of metric rows, partitioned by run_id.
+
+    ``save`` appends one run's rows (idempotent per run: an existing run_id
+    partition is replaced, so a retried pipeline stamps clean numbers
+    instead of duplicating history); ``load`` returns the full history
+    frame; partition pruning keeps "last N runs" reads from touching old
+    run files.
+    """
+
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = str(path)
+
+    def save(self, metrics: DataFrame) -> None:
+        (
+            metrics.repartition(1, "run_id")
+            .write.mode("overwrite")
+            .partitionBy("run_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+
+    def load(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).select(
+            "run_id", "dataset", "instance", "metric", "value"
+        )
+
+    def latest_run(self) -> int | None:
+        row = self.load().agg(F.max("run_id").alias("m")).collect()[0]
+        return None if row["m"] is None else int(row["m"])
+
+
+def detect_metric_anomalies(
+    metrics: DataFrame,
+    current_run: int,
+    strategy: str = "online_normal",
+    k: float = 3.0,
+    min_history: int = 2,
+    max_delta: float | None = None,
+    rate_lo: float | None = None,
+    rate_hi: float | None = None,
+) -> DataFrame:
+    """Anomaly verdicts for ``current_run`` against all earlier runs.
+
+    History aggregates (mean, sample stddev, last value, run count) are
+    computed per (dataset, instance, metric) over runs < current_run and
+    joined to the current run's rows — both sides are metric rows, so this
+    whole stage is KB-scale regardless of the underlying table size.
+
+    Verdict rules (all on round-6 values, so both engines of the
+    correctness harness compute the boolean from identical inputs):
+
+    * ``online_normal``   — |value − mean| > k·stddev; a zero-stddev
+      history flags ANY deviation (the deequ behaviour: constant history
+      means the metric should stay constant).
+    * ``absolute_change`` — |value − last| > max_delta.
+    * ``relative_change`` — value/last < rate_lo or > rate_hi (NULL-safe:
+      last == 0 flags unless value is also 0).
+
+    Metrics with fewer than ``min_history`` history points get
+    ``is_anomaly = NULL`` (not enough evidence), never a silent pass/fail.
+    """
+    if strategy not in ("online_normal", "absolute_change", "relative_change"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "absolute_change" and max_delta is None:
+        raise ValueError("absolute_change requires max_delta")
+    if strategy == "relative_change" and (rate_lo is None or rate_hi is None):
+        raise ValueError("relative_change requires rate_lo and rate_hi")
+
+    key = ["dataset", "instance", "metric"]
+    hist = (
+        metrics.filter(F.col("run_id") < F.lit(int(current_run)))
+        .groupBy(*key)
+        .agg(
+            F.round(F.avg("value"), 6).alias("hist_mean"),
+            F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias(
+                "hist_stddev"
+            ),
+            F.round(
+                F.max_by("value", "run_id"), 6
+            ).alias("hist_last"),
+            F.count("value").alias("n_history"),
+        )
+    )
+    cur = metrics.filter(F.col("run_id") == F.lit(int(current_run))).select(
+        *key, F.round("value", 6).alias("value")
+    )
+    j = cur.join(F.broadcast(hist), key, "left")
+
+    if strategy == "online_normal":
+        flag = F.abs(F.col("value") - F.col("hist_mean")) > F.lit(float(k)) * F.col(
+            "hist_stddev"
+        )
+    elif strategy == "absolute_change":
+        flag = F.abs(F.col("value") - F.col("hist_last")) > F.lit(float(max_delta))
+    else:  # relative_change
+        flag = F.when(
+            F.col("hist_last") == 0.0, F.col("value") != 0.0
+        ).otherwise(
+            (F.col("value") / F.col("hist_last") < F.lit(float(rate_lo)))
+            | (F.col("value") / F.col("hist_last") > F.lit(float(rate_hi)))
+        )
+
+    return j.select(
+        *key,
+        "value",
+        "hist_mean",
+        "hist_stddev",
+        "hist_last",
+        F.coalesce("n_history", F.lit(0)).alias("n_history"),
+        F.when(
+            F.coalesce("n_history", F.lit(0)) >= F.lit(int(min_history)), flag
+        ).alias("is_anomaly"),
+    )

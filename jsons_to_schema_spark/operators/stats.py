@@ -395,3 +395,129 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.round(F.col("_ha") + F.col("_hb") - F.col("_hab"), 6).alias("mi"),
         )
     )
+
+
+def candidate_keys(df: DataFrame, columns: "list[str] | None" = None) -> DataFrame:
+    """Single-column key discovery in ONE multi-aggregate scan: a column is
+    a candidate key when it is fully populated and its exact distinct count
+    equals the row count.  Output one row per column —
+    (column, n_rows, n_distinct, n_nulls, is_key) — melted from the single
+    wide aggregate row with a ``stack`` projection, so the table is scanned
+    once no matter how many candidates are profiled.
+
+    Exact countDistinct (not HLL) on purpose: key discovery is a
+    yes/no structural fact, and a sketch's ±2% error would both miss real
+    keys and certify false ones.  Each exact distinct is a partial
+    hash-dedup per partition before the shuffle, so the shuffled data is
+    the distinct values, not the rows."""
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', _dist_{c}, _nulls_{c}" for c in columns)
+    return wide.select(
+        "_n",
+        F.expr(f"stack({len(columns)}, {stack}) AS (column, n_distinct, n_nulls)"),
+    ).select(
+        "column",
+        F.col("_n").alias("n_rows"),
+        "n_distinct",
+        "n_nulls",
+        ((F.col("n_distinct") == F.col("_n")) & (F.col("n_nulls") == 0)).alias(
+            "is_key"
+        ),
+    )
+
+
+def functional_dependency(
+    df: DataFrame, determinant: "list[str]", dependent: str
+) -> DataFrame:
+    """Does ``determinant -> dependent`` hold?  One grouped scan: group on
+    the determinant, count distinct dependent values per group, then fold
+    the bounded group table into a single verdict row —
+    (determinant, dependent, n_groups, violating_groups, holds).
+
+    A group violates the FD when it contains >1 distinct dependent value
+    (NULLs count as a value: two rows (a, NULL) and (a, x) disagree about
+    what ``a`` determines, which is exactly the data bug FD checks exist
+    to catch).  The shuffle is keyed on the determinant — the same key a
+    downstream dedup or join would use, so skew handling (AQE) transfers."""
+    dep_val = F.coalesce(F.col(dependent).cast("string"), F.lit(" NULL"))
+    per_group = df.groupBy(*[F.col(c) for c in determinant]).agg(
+        F.countDistinct(dep_val).alias("_ndep")
+    )
+    return per_group.agg(
+        F.lit(",".join(determinant)).alias("determinant"),
+        F.lit(dependent).alias("dependent"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("_ndep") > 1).cast("long")).alias("violating_groups"),
+        (F.sum((F.col("_ndep") > 1).cast("long")) == 0).alias("holds"),
+    )
+
+
+# Datatype-consistency patterns: the Java-and-RE2 dialect intersection (same
+# convention as text.py's PII patterns) so Spark rlike and the DuckDB
+# oracle's regexp_matches agree byte-for-byte.  Anchored full-match on
+# both sides.
+_DT_BOOL = "^(true|false|TRUE|FALSE|True|False)$"
+_DT_INT = "^[+-]?[0-9]+$"
+_DT_FRAC = "^[+-]?([0-9]+[.][0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?$"
+
+
+def datatype_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
+    """String-column datatype consistency (deequ's dataType analyzer): how
+    many values parse as boolean / integral / fractional / other, and the
+    most specific type that covers every non-null value — Boolean and
+    Integral-within-Fractional specialize String.
+
+    One multi-aggregate scan classifies all columns at once (each value
+    matches three anchored regexes JVM-side inside whole-stage codegen);
+    the verdict fold runs on the one-row aggregate output.  The analyzer
+    is how a pipeline notices that an upstream export started writing
+    "1,234.5" into a column that used to be clean integers."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        s = F.col(c)
+        aggs.append(F.sum(F.isnull(s).cast("long")).alias(f"_null_{c}"))
+        aggs.append(F.sum(s.rlike(_DT_BOOL).cast("long")).alias(f"_bool_{c}"))
+        aggs.append(F.sum(s.rlike(_DT_INT).cast("long")).alias(f"_int_{c}"))
+        aggs.append(F.sum(s.rlike(_DT_FRAC).cast("long")).alias(f"_frac_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _null_{c}, _bool_{c}, _int_{c}, _frac_{c}" for c in columns
+    )
+    melted = wide.select(
+        "_n",
+        F.expr(
+            f"stack({len(columns)}, {stack})"
+            " AS (column, n_null, n_boolean, n_integral, n_fractional)"
+        ),
+    )
+    non_null = F.col("_n") - F.col("n_null")
+    inferred = (
+        F.when(non_null == 0, F.lit("Unknown"))
+        .when(F.col("n_boolean") == non_null, F.lit("Boolean"))
+        .when(F.col("n_integral") == non_null, F.lit("Integral"))
+        .when(
+            F.col("n_integral") + F.col("n_fractional") == non_null,
+            F.lit("Fractional"),
+        )
+        .otherwise(F.lit("String"))
+    )
+    return melted.select(
+        "column",
+        F.col("_n").alias("n_rows"),
+        "n_null",
+        "n_boolean",
+        "n_integral",
+        "n_fractional",
+        (
+            non_null
+            - F.col("n_boolean")
+            - F.col("n_integral")
+            - F.col("n_fractional")
+        ).alias("n_other"),
+        inferred.alias("inferred_type"),
+    )

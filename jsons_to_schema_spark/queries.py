@@ -3625,6 +3625,298 @@ ORACLES["chunk_subword_documents"] = " ".join(
 )
 
 
+# ===========================================================================
+# Round-4 continuation: metric-history anomalies, key/FD discovery,
+# datatype consistency, Bloom-prefilter decontamination
+# ===========================================================================
+
+@query(
+    "metric_anomalies_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_id % 5 AS run_id,
+             CASE WHEN event_id % 10 = 9 THEN NULL ELSE value END AS value
+      FROM events
+    ), wide AS (
+      SELECT run_id, count(*) AS n,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls,
+             avg(value) AS meanv, min(value) AS minv, max(value) AS maxv
+      FROM base GROUP BY run_id
+    ), m AS (
+      SELECT run_id, 'events' AS dataset, '*' AS instance,
+             'size' AS metric, CAST(n AS DOUBLE) AS value FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'completeness',
+             1.0 - CAST(nulls AS DOUBLE) / n FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'mean', meanv FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'minimum', minv FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'maximum', maxv FROM wide
+    ), hist AS (
+      SELECT dataset, instance, metric,
+             round(avg(value), 6) AS hist_mean,
+             round(coalesce(stddev_samp(value), 0.0), 6) AS hist_stddev,
+             round(arg_max(value, run_id), 6) AS hist_last,
+             count(value) AS n_history
+      FROM m WHERE run_id < 4 GROUP BY 1, 2, 3
+    ), cur AS (
+      SELECT dataset, instance, metric, round(value, 6) AS value
+      FROM m WHERE run_id = 4
+    )
+    SELECT cur.dataset, cur.instance, cur.metric, cur.value,
+           hist_mean, hist_stddev, hist_last,
+           CAST(coalesce(n_history, 0) AS BIGINT) AS n_history,
+           CASE WHEN coalesce(n_history, 0) >= 2
+                THEN abs(cur.value - hist_mean) > 3.0 * hist_stddev
+           END AS is_anomaly
+    FROM cur LEFT JOIN hist USING (dataset, instance, metric)
+    """,
+)
+def metric_anomalies_events(spark, sf_dir) -> DataFrame:
+    """Metric-history anomaly detection (operators/metrics_repo.py, the
+    deequ MetricsRepository + AnomalyDetection pattern): events split into
+    5 deterministic "runs" (event_id % 5), per-run size / completeness /
+    mean / min / max computed in ONE grouped scan, run 4 judged against
+    runs 0-3 with the online-normal strategy (|value − mean| > 3σ).  Run 4
+    has a planted quality regression — half its values nulled
+    (event_id % 10 == 9) — so the completeness anomaly actually FIRES
+    (zero-variance history, any deviation flags) while well-behaved
+    metrics pass.  All comparisons on round-6 values for cross-engine
+    bit-stability."""
+    from .operators import metrics_repo
+
+    events = load_table(spark, sf_dir, "events")
+    runs = events.select(
+        (F.col("event_id") % 5).alias("run"),
+        F.when(F.col("event_id") % 10 == 9, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    m = metrics_repo.compute_metrics(
+        runs, columns=["value"], dataset="events", run_col="run"
+    )
+    return metrics_repo.detect_metric_anomalies(
+        m, current_run=4, strategy="online_normal", k=3.0, min_history=2
+    )
+
+
+@query(
+    "candidate_keys_orders",
+    oracle="""
+    WITH w AS (
+      SELECT count(*) AS n,
+             count(DISTINCT o_orderkey) AS d1,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z1,
+             count(DISTINCT o_custkey) AS d2,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z2,
+             count(DISTINCT o_orderstatus) AS d3,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z3
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS "column", n AS n_rows, d1 AS n_distinct,
+           z1 AS n_nulls, (d1 = n AND z1 = 0) AS is_key FROM w
+    UNION ALL
+    SELECT 'o_custkey', n, d2, z2, (d2 = n AND z2 = 0) FROM w
+    UNION ALL
+    SELECT 'o_orderstatus', n, d3, z3, (d3 = n AND z3 = 0) FROM w
+    """,
+)
+def candidate_keys_orders(spark, sf_dir) -> DataFrame:
+    """Key discovery (stats.candidate_keys): one multi-aggregate scan over
+    orders profiles three candidates at once — o_orderkey is certified a
+    key (fully populated, distinct == rows), o_custkey and o_orderstatus
+    are rejected, so both verdict arms are value-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats.candidate_keys(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+
+@query(
+    "fd_orders_nation",
+    oracle="""
+    WITH g1 AS (
+      SELECT n_nationkey,
+             count(DISTINCT coalesce(CAST(n_regionkey AS VARCHAR), ' NULL'))
+               AS nd
+      FROM nation GROUP BY 1
+    ), g2 AS (
+      SELECT o_custkey,
+             count(DISTINCT coalesce(CAST(o_orderpriority AS VARCHAR), ' NULL'))
+               AS nd
+      FROM orders GROUP BY 1
+    )
+    SELECT 'n_nationkey' AS determinant, 'n_regionkey' AS dependent,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+    FROM g1
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+    FROM g2
+    """,
+)
+def fd_orders_nation(spark, sf_dir) -> DataFrame:
+    """Functional-dependency checks (stats.functional_dependency): one
+    grouped scan per FD.  n_nationkey → n_regionkey holds;
+    o_custkey → o_orderpriority is violated (repeat customers order at
+    different priorities), so the verdict row carries a real violating
+    group count — both outcomes value-checked."""
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    fd1 = stats.functional_dependency(nation, ["n_nationkey"], "n_regionkey")
+    fd2 = stats.functional_dependency(orders, ["o_custkey"], "o_orderpriority")
+    return fd1.unionByName(fd2)
+
+
+@query(
+    "datatype_profile_events",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id AS VARCHAR) AS int_s,
+             CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
+                  ELSE CAST(event_id AS VARCHAR) || '.5' END AS num_s,
+             CASE WHEN event_id % 5 = 0 THEN CAST(event_id AS VARCHAR)
+                  WHEN event_id % 5 = 1 THEN CAST(event_id AS VARCHAR) || '.25'
+                  WHEN event_id % 5 = 2 THEN
+                       (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'False' END)
+                  WHEN event_id % 5 = 3 THEN event_type
+             END AS mixed_s
+      FROM events
+    ), w AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN int_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+             CAST(sum(CASE WHEN regexp_matches(int_s,
+                  '^(true|false|TRUE|FALSE|True|False)$') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN regexp_matches(int_s, '^[+-]?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS i1,
+             CAST(sum(CASE WHEN regexp_matches(int_s,
+                  '^[+-]?([0-9]+[.][0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN num_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+             CAST(sum(CASE WHEN regexp_matches(num_s,
+                  '^(true|false|TRUE|FALSE|True|False)$') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN regexp_matches(num_s, '^[+-]?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS i2,
+             CAST(sum(CASE WHEN regexp_matches(num_s,
+                  '^[+-]?([0-9]+[.][0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN mixed_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+             CAST(sum(CASE WHEN regexp_matches(mixed_s,
+                  '^(true|false|TRUE|FALSE|True|False)$') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b3,
+             CAST(sum(CASE WHEN regexp_matches(mixed_s, '^[+-]?[0-9]+$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS i3,
+             CAST(sum(CASE WHEN regexp_matches(mixed_s,
+                  '^[+-]?([0-9]+[.][0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f3
+      FROM src
+    )
+    SELECT 'int_s' AS "column", n AS n_rows, u1 AS n_null, b1 AS n_boolean,
+           i1 AS n_integral, f1 AS n_fractional,
+           n - u1 - b1 - i1 - f1 AS n_other,
+           CASE WHEN n - u1 = 0 THEN 'Unknown'
+                WHEN b1 = n - u1 THEN 'Boolean'
+                WHEN i1 = n - u1 THEN 'Integral'
+                WHEN i1 + f1 = n - u1 THEN 'Fractional'
+                ELSE 'String' END AS inferred_type
+    FROM w
+    UNION ALL
+    SELECT 'num_s', n, u2, b2, i2, f2, n - u2 - b2 - i2 - f2,
+           CASE WHEN n - u2 = 0 THEN 'Unknown'
+                WHEN b2 = n - u2 THEN 'Boolean'
+                WHEN i2 = n - u2 THEN 'Integral'
+                WHEN i2 + f2 = n - u2 THEN 'Fractional'
+                ELSE 'String' END
+    FROM w
+    UNION ALL
+    SELECT 'mixed_s', n, u3, b3, i3, f3, n - u3 - b3 - i3 - f3,
+           CASE WHEN n - u3 = 0 THEN 'Unknown'
+                WHEN b3 = n - u3 THEN 'Boolean'
+                WHEN i3 = n - u3 THEN 'Integral'
+                WHEN i3 + f3 = n - u3 THEN 'Fractional'
+                ELSE 'String' END
+    FROM w
+    """,
+)
+def datatype_profile_events(spark, sf_dir) -> DataFrame:
+    """Datatype-consistency analyzer (stats.datatype_profile, deequ's
+    dataType): three derived string columns exercise the inference
+    lattice — int_s (clean digits → Integral), num_s (digits + decimals →
+    Fractional), mixed_s (digits, decimals, booleans, words, NULLs →
+    String).  All columns classified in ONE multi-aggregate scan with
+    anchored Java∩RE2 regexes so the DuckDB oracle matches
+    byte-for-byte."""
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    mixed = (
+        F.when(eid % 5 == 0, eid.cast("string"))
+        .when(eid % 5 == 1, F.concat(eid.cast("string"), F.lit(".25")))
+        .when(
+            eid % 5 == 2,
+            F.when(eid % 2 == 0, F.lit("true")).otherwise(F.lit("False")),
+        )
+        .when(eid % 5 == 3, F.col("event_type"))
+    )
+    frame = events.select(
+        eid.cast("string").alias("int_s"),
+        F.when(eid % 2 == 0, eid.cast("string"))
+        .otherwise(F.concat(eid.cast("string"), F.lit(".5")))
+        .alias("num_s"),
+        mixed.alias("mixed_s"),
+    )
+    return stats.datatype_profile(frame, ["int_s", "num_s", "mixed_s"])
+
+
+@query(
+    "decontam_bloom_documents",
+    oracle="""
+    WITH ng AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) >= 5
+             THEN list_transform(generate_series(1, len(t) - 4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents)
+    ), ev AS (
+      SELECT DISTINCT unnest(g) AS ngram FROM ng WHERE doc_id % 83 = 0
+    ), dirty AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(g) AS ngram FROM ng) p
+      JOIN ev USING (ngram)
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def decontam_bloom_documents(spark, sf_dir) -> DataFrame:
+    """Bloom-prefilter decontamination (decontam.decontaminate_bloom +
+    operators/bloom.py): same synthetic eval set as decontam_documents
+    (doc_id % 83), but the corpus probes a Bloom BITMAP of the eval
+    n-grams instead of a broadcast row set — the plan that survives a
+    10^9-n-gram benchmark registry.  Exact verification of the bitmap's
+    candidates removes false positives, so survivors equal the exact
+    anti-join's survivors — which is precisely what the oracle checks."""
+    from .operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
+    )
+    clean = decontam.decontaminate_bloom(
+        docs, ev, "text", "doc_id", n=5, fpp=0.01
+    )
+    return clean.select("doc_id", "source", "n_chars")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -3669,7 +3961,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "curation_full_documents",          # end-to-end funnel
     # -- new in r4 (never driver-checked): subword tokenization (3) --
     "subword_token_count_documents",
-    "pack_sequences_subword_documents",
+    # (pack_sequences_subword_documents demoted for the r4-continuation
+    # additions: subword keeps 2 in-window reps — token_count and
+    # chunk_subword — and word-mode packing stays in-window)
     "chunk_subword_documents",
     # -- the 36 queries with no (or stale-r2) driver row (VERDICT r3) --
     "spans_violation_rows",
@@ -3677,11 +3971,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (spans_duplicate_doc_ids demoted past the window: salted uniqueness
     # keeps two in-window reps — uniqueness_documents_doc_id and
     # stream_duplicate_doc_ids — while the profile family had none)
-    "spans_dangling_media_refs",
+    # (spans_dangling_media_refs demoted: the anti-join referential shape
+    # keeps referential_lineitem_dangling_orders in-window and the spans
+    # audit covers dangling refs)
     "spans_single_pass_audit",
     "spans_schema_validation_verdicts",
     "schema_validation_documents_struct",
-    "multimodal_media_features",
+    # (multimodal_media_features demoted: the stub-era features query is
+    # superseded by the four real-codec multimodal reps below)
     "multimodal_resize_real_images",  # r4: real decode→resize→encode→decode
     # (replaces the fake-stub resize in the window; that stays registered)
     "multimodal_mp4_frame_plan",  # r4: real ISO BMFF demux plan (replaces
@@ -3694,7 +3991,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # synthetic-horizon planner is superseded by multimodal_mp4_frame_plan's
     # real ISO BMFF demux, and multimodal keeps 5 in-window representatives)
     "stream_incremental_schema",
-    "stream_violation_window_counts",
+    # (stream_violation_window_counts demoted: streaming keeps 4 reps and
+    # windowed rule counts cover the same watermarked-window shape)
     "stream_duplicate_doc_ids",
     "stream_schema_drift_alerts",
     "stream_rule_window_counts",
@@ -3708,7 +4006,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "schema_history_transitions",
     "normalize_text_unicode",
     "rule_verdicts_events",
-    "rule_violation_rows_events",
+    # (rule_violation_rows_events demoted: rule DSL keeps rule_verdicts +
+    # stream_rule_window_counts in-window)
     "quota_sample_documents",
     "schema_apply_events_props",
     "dead_columns_documents",
@@ -3717,6 +4016,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "split_anomaly_verdicts",
     "schema_compat_splits",
+    # -- r4 continuation (new families, never driver-checked) --
+    "metric_anomalies_events",      # metrics repo + history anomalies
+    "candidate_keys_orders",        # key discovery
+    "fd_orders_nation",             # functional dependencies
+    "datatype_profile_events",      # datatype-consistency analyzer
+    "decontam_bloom_documents",     # Bloom-prefilter decontamination
 )
 
 

@@ -1,0 +1,271 @@
+"""Round-4 continuation operators: metrics repository + history anomalies,
+Bloom-filter membership, key/FD discovery, datatype consistency.
+
+The driver-facing behaviour of each is oracled in test_oracles.py (queries
+metric_anomalies_events, candidate_keys_orders, fd_orders_nation,
+datatype_profile_events, decontam_bloom_documents); these tests cover the
+contracts the oracle queries don't reach: repository idempotence, the
+absolute/relative anomaly strategies, Bloom no-false-negatives /
+null handling / determinism, and the analyzer edge cases (all-null column,
+NULL-bearing FD groups).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import bloom, decontam, metrics_repo, stats
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# metrics repository
+# ---------------------------------------------------------------------------
+
+def _metric_rows(df):
+    return {
+        (r["run_id"], r["instance"], r["metric"]): r["value"]
+        for r in df.collect()
+    }
+
+
+def test_compute_metrics_values(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 20.0)], "id long, v double"
+    )
+    m = _metric_rows(
+        metrics_repo.compute_metrics(df, ["v"], dataset="d", run_id=7)
+    )
+    assert m[(7, "*", "size")] == 4.0
+    assert m[(7, "v", "completeness")] == 0.75
+    assert m[(7, "v", "mean")] == 20.0
+    assert m[(7, "v", "minimum")] == 10.0
+    assert m[(7, "v", "maximum")] == 30.0
+
+
+def test_compute_metrics_distinctness_and_grouped(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "a"), (0, "b"), (1, "c")], "run long, s string"
+    )
+    m = _metric_rows(
+        metrics_repo.compute_metrics(
+            df, ["s"], dataset="d", run_col="run", distinct="exact"
+        )
+    )
+    assert m[(0, "*", "size")] == 3.0
+    assert m[(0, "s", "distinctness")] == pytest.approx(2 / 3)
+    assert m[(1, "s", "distinctness")] == 1.0
+
+
+def test_repository_save_is_idempotent_per_run(spark, tmp_path):
+    repo = metrics_repo.MetricsRepository(spark, tmp_path / "repo")
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    repo.save(metrics_repo.compute_metrics(df, ["v"], run_id=0))
+    repo.save(metrics_repo.compute_metrics(df, ["v"], run_id=1))
+    # retried pipeline re-stamps run 1 — history must not duplicate
+    repo.save(metrics_repo.compute_metrics(df.limit(1), ["v"], run_id=1))
+    hist = repo.load()
+    assert repo.latest_run() == 1
+    per_run = {
+        r["run_id"]: r["cnt"]
+        for r in hist.groupBy("run_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_run[0] == per_run[1]  # same metric-row count, no duplication
+    size1 = hist.filter(
+        (F.col("run_id") == 1) & (F.col("metric") == "size")
+    ).collect()[0]["value"]
+    assert size1 == 1.0  # the retry's numbers, not the first attempt's
+
+
+def _anomaly_frame(spark, values, current=3):
+    rows = [(i, "d", "v", "mean", float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "run_id long, dataset string, instance string, metric string, value double"
+    )
+
+
+def test_absolute_change_strategy(spark):
+    m = _anomaly_frame(spark, [10.0, 10.5, 11.0, 25.0])
+    out = metrics_repo.detect_metric_anomalies(
+        m, current_run=3, strategy="absolute_change", max_delta=5.0
+    ).collect()[0]
+    assert out["hist_last"] == 11.0 and out["is_anomaly"] is True
+    ok = metrics_repo.detect_metric_anomalies(
+        m, current_run=3, strategy="absolute_change", max_delta=20.0
+    ).collect()[0]
+    assert ok["is_anomaly"] is False
+
+
+def test_relative_change_strategy_and_zero_last(spark):
+    m = _anomaly_frame(spark, [10.0, 10.0, 10.0, 25.0])
+    out = metrics_repo.detect_metric_anomalies(
+        m, current_run=3, strategy="relative_change", rate_lo=0.5, rate_hi=2.0
+    ).collect()[0]
+    assert out["is_anomaly"] is True  # 2.5x > 2.0
+    z = _anomaly_frame(spark, [0.0, 0.0, 0.0, 1.0])
+    out = metrics_repo.detect_metric_anomalies(
+        z, current_run=3, strategy="relative_change", rate_lo=0.5, rate_hi=2.0
+    ).collect()[0]
+    assert out["is_anomaly"] is True  # last == 0, value != 0 flags
+    z0 = _anomaly_frame(spark, [0.0, 0.0, 0.0, 0.0])
+    out = metrics_repo.detect_metric_anomalies(
+        z0, current_run=3, strategy="relative_change", rate_lo=0.5, rate_hi=2.0
+    ).collect()[0]
+    assert out["is_anomaly"] is False
+
+
+def test_min_history_yields_null_verdict(spark):
+    m = _anomaly_frame(spark, [10.0, 20.0])  # one history point for run 1
+    out = metrics_repo.detect_metric_anomalies(
+        m, current_run=1, strategy="online_normal", min_history=2
+    ).collect()[0]
+    assert out["is_anomaly"] is None and out["n_history"] == 1
+
+
+def test_unknown_strategy_raises(spark):
+    m = _anomaly_frame(spark, [1.0])
+    with pytest.raises(ValueError):
+        metrics_repo.detect_metric_anomalies(m, 0, strategy="nope")
+    with pytest.raises(ValueError):
+        metrics_repo.detect_metric_anomalies(m, 0, strategy="absolute_change")
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_sizing():
+    m = bloom.bloom_num_bits(1000, 0.01)
+    assert m % 8 == 0 and 9000 < m < 10100  # ~9.59 bits/key at 1%
+    assert bloom.bloom_num_hashes(m, 1000) == 7
+    with pytest.raises(ValueError):
+        bloom.bloom_num_bits(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom.bloom_num_bits(10, 1.5)
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    members = [f"key-{i}" for i in range(500)]
+    df = spark.createDataFrame([(m,) for m in members], "v string")
+    bits = bloom.bloom_num_bits(len(members), 0.01)
+    k = bloom.bloom_num_hashes(bits, len(members))
+    bm = bloom.build_bloom(df, "v", bits, k)
+
+    probe_rows = [(m, True) for m in members] + [
+        (f"other-{i}", False) for i in range(2000)
+    ]
+    probed = (
+        spark.createDataFrame(probe_rows, "v string, member boolean")
+        .withColumn("hit", bloom.bloom_contains("v", bm, bits, k))
+        .collect()
+    )
+    false_neg = [r for r in probed if r["member"] and not r["hit"]]
+    assert not false_neg  # the structural guarantee
+    fp = sum(1 for r in probed if not r["member"] and r["hit"])
+    assert fp / 2000 < 0.05  # target 1%, generous margin
+
+
+def test_bloom_null_values_never_members(spark):
+    df = spark.createDataFrame([("a",), (None,)], "v string")
+    bits, k = 1024, 3
+    bm = bloom.build_bloom(df, "v", bits, k)
+    out = {
+        r["v"]: r["hit"]
+        for r in spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+        .withColumn("hit", bloom.bloom_contains("v", bm, bits, k))
+        .collect()
+    }
+    assert out["a"] is True and out[None] is False
+
+
+def test_bloom_build_deterministic_across_partitioning(spark):
+    rows = [(f"k{i}",) for i in range(300)]
+    a = bloom.build_bloom(
+        spark.createDataFrame(rows, "v string").repartition(2), "v", 4096, 5
+    )
+    b = bloom.build_bloom(
+        spark.createDataFrame(rows, "v string").repartition(11), "v", 4096, 5
+    )
+    assert a == b
+
+
+def test_bloom_bad_args(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        bloom.build_bloom(df, "v", 1001, 3)  # not a multiple of 8
+    with pytest.raises(ValueError):
+        bloom.bloom_contains("v", b"\x00" * 10, 1024, 3)  # size mismatch
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 17 == 0), "text", n=5
+    )
+    exact = decontam.decontaminate(docs, ev, "text", "doc_id", n=5)
+    via_bloom = decontam.decontaminate_bloom(
+        docs, ev, "text", "doc_id", n=5, fpp=0.05
+    )
+    assert sorted(r["doc_id"] for r in exact.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in via_bloom.select("doc_id").collect()
+    )
+
+
+def test_decontaminate_bloom_empty_eval_passthrough(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.lit(False)), "text", n=5
+    )
+    out = decontam.decontaminate_bloom(docs, ev, "text", "doc_id", n=5)
+    assert out.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# key / FD / datatype analyzers
+# ---------------------------------------------------------------------------
+
+def test_candidate_keys_null_disqualifies(spark):
+    # distinct == rows but one NULL: not a key
+    df = spark.createDataFrame([(1,), (2,), (None,)], "v int")
+    row = stats.candidate_keys(df, ["v"]).collect()[0]
+    assert row["n_distinct"] == 2 and row["n_nulls"] == 1
+    assert row["is_key"] is False
+
+
+def test_functional_dependency_null_counts_as_value(spark):
+    # (a, NULL) and (a, x) disagree — FD must be violated
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("b", "y")], "k string, v string"
+    )
+    row = stats.functional_dependency(df, ["k"], "v").collect()[0]
+    assert row["violating_groups"] == 1 and row["holds"] is False
+
+
+def test_functional_dependency_composite_determinant(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("a", 1, "x")],
+        "k string, i int, v string",
+    )
+    row = stats.functional_dependency(df, ["k", "i"], "v").collect()[0]
+    assert row["determinant"] == "k,i" and row["holds"] is True
+    assert row["n_groups"] == 2
+
+
+def test_datatype_profile_all_null_is_unknown(spark):
+    df = spark.createDataFrame([(None,), (None,)], "s string")
+    row = stats.datatype_profile(df, ["s"]).collect()[0]
+    assert row["inferred_type"] == "Unknown" and row["n_null"] == 2
+
+
+def test_datatype_profile_boolean_and_other(spark):
+    df = spark.createDataFrame(
+        [("true",), ("FALSE",), ("True",)], "s string"
+    )
+    assert (
+        stats.datatype_profile(df, ["s"]).collect()[0]["inferred_type"]
+        == "Boolean"
+    )
+    mixed = spark.createDataFrame([("1",), ("x y",)], "s string")
+    row = stats.datatype_profile(mixed, ["s"]).collect()[0]
+    assert row["inferred_type"] == "String" and row["n_other"] == 1
