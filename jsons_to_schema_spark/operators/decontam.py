@@ -162,7 +162,13 @@ def decontaminate_bloom(
     """
     from . import bloom as _bloom
 
-    ev = eval_ngrams.select("ngram").distinct()
+    # The eval frame is read three times (count, bitmap build, verification
+    # join — the last lazily, from the plan this function returns), so
+    # materialize the distinct n-grams once instead of re-deriving them
+    # from text each pass — same rationale and mechanism as dedup.py's
+    # _materialize_once (localCheckpoint: eager, lineage-truncating, safe
+    # to reference from the returned lazy plan).
+    ev = eval_ngrams.select("ngram").distinct().localCheckpoint()
     n_items = ev.count()
     if n_items == 0:
         return docs

@@ -442,11 +442,16 @@ def functional_dependency(
     A group violates the FD when it contains >1 distinct dependent value
     (NULLs count as a value: two rows (a, NULL) and (a, x) disagree about
     what ``a`` determines, which is exactly the data bug FD checks exist
-    to catch).  The shuffle is keyed on the determinant — the same key a
-    downstream dedup or join would use, so skew handling (AQE) transfers."""
-    dep_val = F.coalesce(F.col(dependent).cast("string"), F.lit(" NULL"))
+    to catch).  NULL participation is counted as countDistinct (non-null)
+    plus a has-null flag — no string sentinel, so no value can collide
+    with the NULL marker.  The shuffle is keyed on the determinant — the
+    same key a downstream dedup or join would use, so skew handling (AQE)
+    transfers."""
     per_group = df.groupBy(*[F.col(c) for c in determinant]).agg(
-        F.countDistinct(dep_val).alias("_ndep")
+        (
+            F.countDistinct(dependent)
+            + F.max(F.isnull(dependent).cast("long"))
+        ).alias("_ndep")
     )
     return per_group.agg(
         F.lit(",".join(determinant)).alias("determinant"),

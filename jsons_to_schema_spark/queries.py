@@ -3738,13 +3738,13 @@ def candidate_keys_orders(spark, sf_dir) -> DataFrame:
     oracle="""
     WITH g1 AS (
       SELECT n_nationkey,
-             count(DISTINCT coalesce(CAST(n_regionkey AS VARCHAR), ' NULL'))
-               AS nd
+             count(DISTINCT n_regionkey)
+               + max(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS nd
       FROM nation GROUP BY 1
     ), g2 AS (
       SELECT o_custkey,
-             count(DISTINCT coalesce(CAST(o_orderpriority AS VARCHAR), ' NULL'))
-               AS nd
+             count(DISTINCT o_orderpriority)
+               + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nd
       FROM orders GROUP BY 1
     )
     SELECT 'n_nationkey' AS determinant, 'n_regionkey' AS dependent,

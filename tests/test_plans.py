@@ -320,3 +320,61 @@ def test_correlation_pairs_single_scan(spark):
     q = _stats.correlation_pairs(li, ["l_quantity", "l_discount", "l_tax"])
     assert audit.scan_count(q) == 1
     assert audit.has_partial_aggregate(q)
+
+
+def test_candidate_keys_single_scan(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    q = _stats.candidate_keys(orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
+    # three key candidates profiled from ONE scan (exact distincts expand
+    # the aggregate, not the number of reads)
+    assert audit.scan_count(q) == 1
+
+
+def test_datatype_profile_single_scan_partial_agg(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = _stats.datatype_profile(docs, ["lang", "source"])
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+    # the regex classification is JVM-side: no Python eval node in the plan
+    assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_metric_computation_single_grouped_scan(spark):
+    from jsons_to_schema_spark.operators import metrics_repo
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    runs = ev.select((F.col("event_id") % 5).alias("run"), "value")
+    q = metrics_repo.compute_metrics(runs, ["value"], run_col="run")
+    # all runs' metrics from ONE grouped scan with map-side partials;
+    # the melt is a projection over the bounded aggregate output
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+
+
+def test_metric_anomaly_join_broadcasts_history(spark):
+    from jsons_to_schema_spark.operators import metrics_repo
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    runs = ev.select((F.col("event_id") % 5).alias("run"), "value")
+    m = metrics_repo.compute_metrics(runs, ["value"], run_col="run")
+    q = metrics_repo.detect_metric_anomalies(m, current_run=4)
+    # history aggregates are KB-scale — the current-vs-history join must
+    # broadcast, never shuffle the metric rows
+    assert audit.uses_broadcast_join(q)
+
+
+def test_bloom_probe_positions_are_jvm_side(spark):
+    from jsons_to_schema_spark.operators import bloom
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "lang")
+    bm = bloom.build_bloom(docs.limit(50), "lang", 1024, 3)
+    q = docs.withColumn("hit", bloom.bloom_contains("lang", bm, 1024, 3))
+    plan = audit.executed_plan(q)
+    # exactly ONE Arrow-batched stage (the bit test); the k hash positions
+    # are computed by JVM xxhash64 inside the projection feeding it
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert "xxhash64" in plan.lower()
