@@ -230,3 +230,45 @@ def detect_metric_anomalies(
             F.coalesce("n_history", F.lit(0)) >= F.lit(int(min_history)), flag
         ).alias("is_anomaly"),
     )
+
+
+def stamp_run(
+    spark: SparkSession,
+    df: DataFrame,
+    repo_path: str | Path,
+    dataset: str,
+    columns: list[str] | None = None,
+    run_id: int | None = None,
+    strategy: str = "online_normal",
+    k: float = 3.0,
+    min_history: int = 2,
+) -> tuple[int, "DataFrame | None"]:
+    """The pipeline-facing composition: compute this run's metrics, append
+    them to the repository, and judge them against the stored history.
+
+    ``run_id`` defaults to latest_run() + 1 (0 for an empty repository).
+    Returns (run_id, anomalies) — anomalies is None when the repository
+    holds no earlier runs to judge against (first stamp), otherwise the
+    detect_metric_anomalies frame (whose ``is_anomaly`` is NULL per-metric
+    until ``min_history`` points exist).  The metric computation is the
+    only stage that touches ``df``; everything else operates on metric
+    rows."""
+    repo = MetricsRepository(spark, repo_path)
+    try:
+        latest = repo.latest_run()
+    except Exception:  # first stamp: store directory does not exist yet
+        latest = None
+    if run_id is None:
+        run_id = 0 if latest is None else latest + 1
+    metrics = compute_metrics(df, columns, dataset=dataset, run_id=run_id)
+    repo.save(metrics)
+    if latest is None:
+        return int(run_id), None
+    anomalies = detect_metric_anomalies(
+        repo.load(),
+        current_run=int(run_id),
+        strategy=strategy,
+        k=k,
+        min_history=min_history,
+    )
+    return int(run_id), anomalies

@@ -39,6 +39,20 @@ def main() -> int:
     ap.add_argument("--state-dir", required=True, help="resume state directory")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--cap-per-check", type=int, default=1000)
+    ap.add_argument(
+        "--metrics-repo",
+        default=None,
+        help="metrics-repository path; when set, this run's table metrics "
+        "are appended there and judged against the stored history "
+        "(operators/metrics_repo.py) — anomaly verdicts land in "
+        "<output>/metric_anomalies",
+    )
+    ap.add_argument(
+        "--run-id",
+        type=int,
+        default=None,
+        help="metrics run id (default: latest stored + 1)",
+    )
     args = ap.parse_args()
 
     from jsons_to_schema_spark.checkpoint import checkpointed_validate
@@ -78,6 +92,30 @@ def main() -> int:
     all_violations(df, cat, cap_per_check=args.cap_per_check).write.mode(
         "overwrite"
     ).parquet(str(out / "violations"))
+
+    if args.metrics_repo:
+        from pyspark.sql import functions as F
+
+        from jsons_to_schema_spark.operators.metrics_repo import stamp_run
+
+        run_id, anomalies = stamp_run(
+            spark,
+            df.select("doc_id", F.size("spans").alias("n_spans")),
+            args.metrics_repo,
+            dataset="spans",
+            run_id=args.run_id,
+        )
+        if anomalies is None:
+            print(f"metrics stamped as run {run_id} (first run, no history)")
+        else:
+            anomalies.write.mode("overwrite").parquet(
+                str(out / "metric_anomalies")
+            )
+            n_flagged = anomalies.filter("is_anomaly").count()
+            print(
+                f"metrics stamped as run {run_id}; "
+                f"{n_flagged} metric(s) anomalous vs history"
+            )
 
     print(
         f"validated {result['n_rows']} rows across {result['splits_total']} splits "

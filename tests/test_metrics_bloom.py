@@ -269,3 +269,28 @@ def test_datatype_profile_boolean_and_other(spark):
     mixed = spark.createDataFrame([("1",), ("x y",)], "s string")
     row = stats.datatype_profile(mixed, ["s"]).collect()[0]
     assert row["inferred_type"] == "String" and row["n_other"] == 1
+
+
+def test_stamp_run_lifecycle(spark, tmp_path):
+    """First stamp → no history; second → verdicts exist but are NULL
+    below min_history; third → real verdicts, and a planted regression
+    flags."""
+    repo = tmp_path / "mrepo"
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    run0, an0 = metrics_repo.stamp_run(spark, base, repo, dataset="t")
+    assert run0 == 0 and an0 is None
+    run1, an1 = metrics_repo.stamp_run(spark, base, repo, dataset="t")
+    assert run1 == 1
+    assert all(r["is_anomaly"] is None for r in an1.collect())  # 1 < min_history
+    bad = base.withColumn(
+        "v", F.when(F.col("id") % 2 == 0, F.col("v"))  # half the values nulled
+    )
+    run2, an2 = metrics_repo.stamp_run(spark, bad, repo, dataset="t")
+    assert run2 == 2
+    verdicts = {
+        (r["instance"], r["metric"]): r["is_anomaly"] for r in an2.collect()
+    }
+    assert verdicts[("v", "completeness")] is True  # the planted regression
+    assert verdicts[("*", "size")] is False
