@@ -73,7 +73,10 @@ def compute_metrics(
     stamps every row.  Output: (run_id bigint, dataset, instance, metric,
     value double) — value is NULL only for the mean of an all-null slice.
     """
-    columns = columns or df.columns
+    # default to every column except the run column itself — a metric ON
+    # the run id is noise (its completeness/mean track the id scheme, not
+    # the data) and would pollute every history comparison
+    columns = columns or [c for c in df.columns if c != run_col]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in columns:
         aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"))
@@ -253,10 +256,12 @@ def stamp_run(
     until ``min_history`` points exist).  The metric computation is the
     only stage that touches ``df``; everything else operates on metric
     rows."""
+    from pyspark.errors import AnalysisException
+
     repo = MetricsRepository(spark, repo_path)
     try:
         latest = repo.latest_run()
-    except Exception:  # first stamp: store directory does not exist yet
+    except AnalysisException:  # first stamp: store directory does not exist
         latest = None
     if run_id is None:
         run_id = 0 if latest is None else latest + 1
