@@ -526,3 +526,43 @@ def datatype_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
         ).alias("n_other"),
         inferred.alias("inferred_type"),
     )
+
+
+def uniqueness_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
+    """deequ's Uniqueness + UniqueValueRatio for N columns with ONE scan
+    and ONE shuffle: rows melt to (column, value) pairs via a ``stack``
+    projection, the pair groupBy counts occurrences (map-side partials
+    bound the shuffle by the SUM OF COLUMN CARDINALITIES, not row count),
+    and a bounded per-column fold produces —
+
+    * ``uniqueness``         = (#values occurring exactly once) / n_rows
+    * ``unique_value_ratio`` = (#values occurring exactly once) / #distinct
+
+    Values are compared AS STRINGS (the melt must give every column one
+    type); NULL is a countable value (a column that is half NULL is very
+    much not unique).  Ratios round(6) for cross-engine bit-stability."""
+    stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in columns)
+    pairs = df.select(
+        F.expr(f"stack({len(columns)}, {stack}) AS (column, value)")
+    )
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        counts.groupBy("column")
+        .agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum((F.col("_cnt") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "column",
+            "n_rows",
+            "n_distinct",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_rows"), 6).alias("uniqueness"),
+            F.round(F.col("n_unique") / F.col("n_distinct"), 6).alias(
+                "unique_value_ratio"
+            ),
+        )
+    )

@@ -3917,6 +3917,38 @@ def decontam_bloom_documents(spark, sf_dir) -> DataFrame:
     return clean.select("doc_id", "source", "n_chars")
 
 
+@query(
+    "uniqueness_profile_documents",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value FROM documents
+      UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+      UNION ALL SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM documents
+    ), c AS (
+      SELECT "column", value, count(*) AS cnt FROM pairs GROUP BY 1, 2
+    )
+    SELECT "column",
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / sum(cnt), 6)
+             AS uniqueness,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS unique_value_ratio
+    FROM c GROUP BY 1
+    """,
+)
+def uniqueness_profile_documents(spark, sf_dir) -> DataFrame:
+    """Uniqueness + unique-value-ratio profile (stats.uniqueness_profile,
+    deequ's Uniqueness/UniqueValueRatio): three columns spanning the range
+    — doc_id (every value unique), lang (few hot values, ratio ~0), source
+    (in between) — from ONE melt scan and ONE pair-grouped shuffle whose
+    size is the sum of column cardinalities, not the row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.uniqueness_profile(docs, ["lang", "source", "doc_id"])
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

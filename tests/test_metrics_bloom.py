@@ -294,3 +294,14 @@ def test_stamp_run_lifecycle(spark, tmp_path):
     }
     assert verdicts[("v", "completeness")] is True  # the planted regression
     assert verdicts[("*", "size")] is False
+
+
+def test_uniqueness_profile_null_is_a_value(spark):
+    """A half-NULL column is not unique: NULL groups like any value."""
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,), ("b",)], "s string"
+    )
+    row = stats.uniqueness_profile(df, ["s"]).collect()[0]
+    assert row["n_rows"] == 4 and row["n_distinct"] == 3
+    assert row["n_unique"] == 2  # 'a' and 'b'; NULL occurs twice
+    assert row["uniqueness"] == 0.5

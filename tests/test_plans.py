@@ -378,3 +378,14 @@ def test_bloom_probe_positions_are_jvm_side(spark):
     # are computed by JVM xxhash64 inside the projection feeding it
     assert plan.count("ArrowEvalPython") == 1, plan[:3000]
     assert "xxhash64" in plan.lower()
+
+
+def test_uniqueness_profile_single_scan_partial_agg(spark):
+    from jsons_to_schema_spark.operators import stats as _stats
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = _stats.uniqueness_profile(docs, ["lang", "source", "doc_id"])
+    # one melt scan for all columns; the pair groupBy pre-aggregates
+    # map-side so the shuffle carries column cardinalities, not rows
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
