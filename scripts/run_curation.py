@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--max-dup-line-frac", type=float, default=0.3)
     ap.add_argument("--near-dup-jaccard", type=float, default=0.7)
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--decontam-bloom", action="store_true",
+                    help="probe a Bloom bitmap of the eval n-grams instead "
+                    "of broadcasting them as rows — the registry-scale path "
+                    "(results identical: candidates are exactly verified)")
     ap.add_argument("--source-quota", type=int, default=0,
                     help="0 disables the per-source cap")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
@@ -113,10 +117,14 @@ def main() -> int:
         ev = decontam.eval_ngrams_from_docs(
             spark.read.parquet(args.eval_docs), "text", n=args.decontam_ngram
         )
+        _decon = (
+            decontam.decontaminate_bloom
+            if args.decontam_bloom
+            else decontam.decontaminate
+        )
         docs6 = stage(
             "decontam",
-            decontam.decontaminate(docs5, ev, "text", "doc_id",
-                                   n=args.decontam_ngram),
+            _decon(docs5, ev, "text", "doc_id", n=args.decontam_ngram),
         )
     else:
         docs6 = docs5
