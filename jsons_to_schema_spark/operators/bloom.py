@@ -119,16 +119,17 @@ def bloom_contains(
 ) -> Column:
     """Boolean membership column: true iff all k bits are set.
 
-    Positions come from the same JVM expression as the build; the kernel
-    is one vectorized gather per Arrow batch over the captured bitmap
-    (shipped once per task — num_bits/8 bytes, the whole point of the
-    structure).  NULL input values probe as false."""
+    The k positions arrive as k SCALAR bigint columns (not one array
+    column): the kernel then runs k fully-vectorized gathers per Arrow
+    batch over the captured bitmap — zero per-row Python, which matters
+    because the probe side is the corpus, not the reference set.  The
+    bitmap ships with the task closure (num_bits/8 bytes — the whole
+    point of the structure).  NULL input values probe as false."""
     if len(bloom) * 8 != num_bits:
         raise ValueError(
             f"bitmap is {len(bloom) * 8} bits, expected {num_bits}"
         )
     bitmap = np.frombuffer(bloom, dtype=np.uint8)
-    k = int(num_hashes)
 
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -136,20 +137,23 @@ def bloom_contains(
     def _probe(it):
         import pandas as pd
 
-        for pos_series in it:
-            n = len(pos_series)
-            if n == 0:
-                yield pd.Series([], dtype="boolean")
-                continue
-            vals = pos_series.to_numpy()
-            valid = pos_series.notna().to_numpy()
-            out = np.zeros(n, dtype=bool)
-            if valid.any():
-                flat = np.concatenate(
-                    [np.asarray(v, dtype=np.int64) for v in vals[valid]]
-                ).reshape(-1, k)
-                bits = (bitmap[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
-                out[valid] = bits.all(axis=1)
-            yield pd.Series(out)
+        for cols in it:
+            if not isinstance(cols, tuple):
+                cols = (cols,)
+            valid = cols[0].notna().to_numpy()
+            acc = valid.copy()
+            for s in cols:
+                p = s.fillna(0).to_numpy(dtype=np.int64)
+                hit = (bitmap[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+                acc &= hit.astype(bool)
+            yield pd.Series(acc)
 
-    return _probe(_positions(col, num_bits, num_hashes))
+    c = F.col(col) if isinstance(col, str) else col
+    pos_cols = [
+        F.when(
+            c.isNotNull(),
+            F.pmod(F.xxhash64(c, F.lit(i)), F.lit(int(num_bits))),
+        )
+        for i in range(int(num_hashes))
+    ]
+    return _probe(*pos_cols)
