@@ -64,7 +64,9 @@ def compute_metrics(
 
     Emitted metrics: ``size`` (instance ``*``), per-column
     ``completeness`` (non-null fraction), ``mean`` / ``min`` / ``max``
-    (numeric columns only) and optionally ``distinctness``
+    (numeric columns), ``min_length`` / ``max_length`` (string columns —
+    deequ's MinLength/MaxLength; a length collapse is how truncating
+    upstream exports get caught) and optionally ``distinctness``
     (distinct/size; ``approx`` = HLL++, mergeable constant memory —
     the 10^12-row choice; ``exact`` is the oracle-friendly variant).
 
@@ -84,6 +86,13 @@ def compute_metrics(
             aggs.append(F.avg(F.col(c).cast("double")).alias(f"_mean_{c}"))
             aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+        elif dict(df.dtypes)[c] == "string":
+            aggs.append(
+                F.min(F.length(c)).cast("double").alias(f"_minlen_{c}")
+            )
+            aggs.append(
+                F.max(F.length(c)).cast("double").alias(f"_maxlen_{c}")
+            )
         if distinct == "exact":
             aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
         elif distinct == "approx":
@@ -106,6 +115,9 @@ def compute_metrics(
             pairs.append(("mean", c, f"_mean_{c}"))
             pairs.append(("minimum", c, f"_min_{c}"))
             pairs.append(("maximum", c, f"_max_{c}"))
+        elif dict(df.dtypes)[c] == "string":
+            pairs.append(("min_length", c, f"_minlen_{c}"))
+            pairs.append(("max_length", c, f"_maxlen_{c}"))
         if distinct is not None:
             pairs.append(
                 ("distinctness", c, f"CAST(_dist_{c} AS DOUBLE) / CAST(_n AS DOUBLE)")

@@ -305,3 +305,13 @@ def test_uniqueness_profile_null_is_a_value(spark):
     assert row["n_rows"] == 4 and row["n_distinct"] == 3
     assert row["n_unique"] == 2  # 'a' and 'b'; NULL occurs twice
     assert row["uniqueness"] == 0.5
+
+
+def test_compute_metrics_string_lengths(spark):
+    df = spark.createDataFrame(
+        [("ab",), ("abcd",), (None,)], "s string"
+    )
+    m = _metric_rows(metrics_repo.compute_metrics(df, ["s"], run_id=0))
+    assert m[(0, "s", "min_length")] == 2.0
+    assert m[(0, "s", "max_length")] == 4.0
+    assert (0, "s", "mean") not in m  # strings get lengths, not means
