@@ -3949,6 +3949,94 @@ def uniqueness_profile_documents(spark, sf_dir) -> DataFrame:
     return stats.uniqueness_profile(docs, ["lang", "source", "doc_id"])
 
 
+@query(
+    "stream_metric_anomalies",
+    oracle="""
+    WITH base AS (
+      SELECT event_id % 3 AS run_id,
+             CASE WHEN event_id % 6 = 2 THEN NULL ELSE value END AS value
+      FROM events
+    ), wide AS (
+      SELECT run_id, count(*) AS n,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls,
+             avg(value) AS meanv, min(value) AS minv, max(value) AS maxv
+      FROM base GROUP BY run_id
+    ), m AS (
+      SELECT run_id, 'events_stream' AS dataset, '*' AS instance,
+             'size' AS metric, CAST(n AS DOUBLE) AS value FROM wide
+      UNION ALL SELECT run_id, 'events_stream', 'value', 'completeness',
+             1.0 - CAST(nulls AS DOUBLE) / n FROM wide
+      UNION ALL SELECT run_id, 'events_stream', 'value', 'mean', meanv FROM wide
+      UNION ALL SELECT run_id, 'events_stream', 'value', 'minimum', minv FROM wide
+      UNION ALL SELECT run_id, 'events_stream', 'value', 'maximum', maxv FROM wide
+    ), hist AS (
+      SELECT dataset, instance, metric,
+             round(avg(value), 6) AS hist_mean,
+             round(coalesce(stddev_samp(value), 0.0), 6) AS hist_stddev,
+             round(arg_max(value, run_id), 6) AS hist_last,
+             count(value) AS n_history
+      FROM m WHERE run_id < 2 GROUP BY 1, 2, 3
+    ), cur AS (
+      SELECT dataset, instance, metric, round(value, 6) AS value
+      FROM m WHERE run_id = 2
+    )
+    SELECT cur.dataset, cur.instance, cur.metric, cur.value,
+           hist_mean, hist_stddev, hist_last,
+           CAST(coalesce(n_history, 0) AS BIGINT) AS n_history,
+           CASE WHEN coalesce(n_history, 0) >= 2
+                THEN abs(cur.value - hist_mean) > 3.0 * hist_stddev
+           END AS is_anomaly
+    FROM cur LEFT JOIN hist USING (dataset, instance, metric)
+    """,
+)
+def stream_metric_anomalies(spark, sf_dir) -> DataFrame:
+    """Continuous data-quality monitoring (streaming/monitor.py
+    metrics_stream): three deterministic micro-batches of events
+    (event_id % 3, drained one availableNow pass each so Spark's
+    checkpoint assigns batch ids 0/1/2), each batch stamped into a
+    MetricsRepository as its batch id and judged against earlier batches.
+    Batch 2 carries a planted null-rate regression (event_id % 6 == 2 —
+    half its rows), so the streamed completeness verdict FIRES while
+    stable metrics pass; the oracle recomputes the whole batch history
+    relationally."""
+    from .streaming.monitor import metrics_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 6 == 2, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    tmp = _stream_tmp("stream_metrics_")
+    src = str(tmp / "src")
+    for b in range(3):
+        events.filter(F.col("event_id") % 3 == b).write.mode("append").parquet(
+            src
+        )
+        q = metrics_stream(
+            spark,
+            src,
+            str(tmp / "repo"),
+            str(tmp / "ckpt"),
+            dataset="events_stream",
+            columns=["value"],
+            anomalies_path=str(tmp / "anoms"),
+            source_schema="event_id long, value double",
+        )
+        q.awaitTermination()
+    return spark.read.parquet(str(tmp / "anoms")).filter("run_id = 2").select(
+        "dataset",
+        "instance",
+        "metric",
+        "value",
+        "hist_mean",
+        "hist_stddev",
+        "hist_last",
+        "n_history",
+        "is_anomaly",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -114,3 +114,75 @@ def rule_counts_stream(
             "n_violations",
         )
     )
+
+
+def metrics_stream(
+    spark,
+    source_dir: str,
+    repo_path: str,
+    checkpoint_dir: str,
+    dataset: str = "stream",
+    columns: "list[str] | None" = None,
+    anomalies_path: "str | None" = None,
+    source_format: str = "parquet",
+    source_schema: "str | None" = None,
+    strategy: str = "online_normal",
+    k: float = 3.0,
+    min_history: int = 2,
+    available_now: bool = True,
+):
+    """Continuous data-quality monitoring: every micro-batch stamps its
+    metrics into a MetricsRepository as run_id = BATCH ID and is judged
+    against all earlier batches — the streaming twin of
+    metrics_repo.stamp_run, so a null-rate creep or size collapse in the
+    firehose raises within one micro-batch of appearing.
+
+    Replay safety comes from the same two mechanisms as the batch side:
+    Spark's checkpoint gives stable batch ids across restarts, and both
+    the metric store and the anomaly sink are parquet partitioned by
+    run_id with DYNAMIC partition overwrite — an at-least-once replayed
+    batch re-stamps the same numbers instead of duplicating history
+    (the foreachBatch idempotence rule every sink in streaming/ follows).
+
+    The per-batch work is one aggregate scan of the micro-batch plus a
+    KB-scale history join; nothing grows with stream lifetime except the
+    metric store itself (one row set per batch)."""
+    from ..operators.metrics_repo import (
+        MetricsRepository,
+        compute_metrics,
+        detect_metric_anomalies,
+    )
+
+    def _fn(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        repo = MetricsRepository(sess, repo_path)
+        repo.save(
+            compute_metrics(bdf, columns, dataset=dataset, run_id=batch_id)
+        )
+        if anomalies_path is not None:
+            verdicts = detect_metric_anomalies(
+                repo.load(),
+                current_run=int(batch_id),
+                strategy=strategy,
+                k=k,
+                min_history=min_history,
+            ).withColumn("run_id", F.lit(int(batch_id)).cast("bigint"))
+            (
+                verdicts.repartition(1, "run_id")
+                .write.mode("overwrite")
+                .partitionBy("run_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(anomalies_path)
+            )
+
+    reader = spark.readStream.format(source_format)
+    if source_schema:
+        reader = reader.schema(source_schema)
+    writer = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -282,3 +282,59 @@ def test_rule_counts_stream_user_rules(spark, tmp_path):
     }
     assert stream_totals == batch_totals
     assert sum(r.n_rows for r in rows) == n * 2
+
+
+def test_metrics_stream_stamps_and_judges_batches(spark, tmp_path):
+    """Three availableNow drains = three batches: batch 0 stamps with no
+    verdict-worthy history, batch 1 gets NULL verdicts (below min_history),
+    batch 2's planted null-rate regression flags."""
+    from jsons_to_schema_spark.operators.metrics_repo import MetricsRepository
+    from jsons_to_schema_spark.streaming.monitor import metrics_stream
+
+    src = str(tmp_path / "src")
+    repo_path = str(tmp_path / "mrepo")
+    ckpt = str(tmp_path / "ckpt")
+    an_path = str(tmp_path / "anoms")
+
+    def _drain():
+        q = metrics_stream(
+            spark,
+            src,
+            repo_path,
+            ckpt,
+            dataset="s",
+            columns=["v"],
+            anomalies_path=an_path,
+            source_schema="id long, v double",
+        )
+        q.awaitTermination(120)
+
+    clean = [(i, float(i % 7)) for i in range(200)]
+    spark.createDataFrame(clean, "id long, v double").write.mode(
+        "append"
+    ).parquet(src)
+    _drain()
+    spark.createDataFrame(clean, "id long, v double").write.mode(
+        "append"
+    ).parquet(src)
+    _drain()
+    dirty = [(i, None if i % 2 else float(i % 7)) for i in range(200)]
+    spark.createDataFrame(dirty, "id long, v double").write.mode(
+        "append"
+    ).parquet(src)
+    _drain()
+
+    repo = MetricsRepository(spark, repo_path)
+    assert repo.latest_run() == 2
+    an = spark.read.parquet(an_path)
+    v1 = {
+        (r["instance"], r["metric"]): r["is_anomaly"]
+        for r in an.filter("run_id = 1").collect()
+    }
+    assert v1[("v", "completeness")] is None  # 1 history point < min 2
+    v2 = {
+        (r["instance"], r["metric"]): r["is_anomaly"]
+        for r in an.filter("run_id = 2").collect()
+    }
+    assert v2[("v", "completeness")] is True  # the planted regression
+    assert v2[("*", "size")] is False
