@@ -172,8 +172,16 @@ def detect_metric_anomalies(
     max_delta: float | None = None,
     rate_lo: float | None = None,
     rate_hi: float | None = None,
+    history_window: int | None = None,
 ) -> DataFrame:
-    """Anomaly verdicts for ``current_run`` against all earlier runs.
+    """Anomaly verdicts for ``current_run`` against earlier runs —
+    all of them, or only the trailing ``history_window`` runs.
+
+    ``history_window`` matters twice at scale: a long-lived pipeline's
+    early runs stop being representative (data genuinely grows), and the
+    run-id lower bound is a PARTITION filter on the repository's
+    run_id-partitioned store, so a windowed read prunes to N run
+    directories instead of scanning years of history.
 
     History aggregates (mean, sample stddev, last value, run count) are
     computed per (dataset, instance, metric) over runs < current_run and
@@ -200,9 +208,16 @@ def detect_metric_anomalies(
     if strategy == "relative_change" and (rate_lo is None or rate_hi is None):
         raise ValueError("relative_change requires rate_lo and rate_hi")
 
+    hist_pred = F.col("run_id") < F.lit(int(current_run))
+    if history_window is not None:
+        if history_window < 1:
+            raise ValueError("history_window must be >= 1")
+        hist_pred = hist_pred & (
+            F.col("run_id") >= F.lit(int(current_run) - int(history_window))
+        )
     key = ["dataset", "instance", "metric"]
     hist = (
-        metrics.filter(F.col("run_id") < F.lit(int(current_run)))
+        metrics.filter(hist_pred)
         .groupBy(*key)
         .agg(
             F.round(F.avg("value"), 6).alias("hist_mean"),

@@ -315,3 +315,36 @@ def test_compute_metrics_string_lengths(spark):
     assert m[(0, "s", "min_length")] == 2.0
     assert m[(0, "s", "max_length")] == 4.0
     assert (0, "s", "mean") not in m  # strings get lengths, not means
+
+
+def test_history_window_bounds_the_judged_runs(spark):
+    # runs 0..4 with an early outlier at run 0: the full history flags
+    # nothing (huge stddev), the trailing-3 window flags the jump at run 4
+    m = _anomaly_frame(spark, [1000.0, 10.0, 10.0, 10.0, 25.0])
+    full = metrics_repo.detect_metric_anomalies(
+        m, current_run=4, strategy="online_normal", k=3.0
+    ).collect()[0]
+    assert full["n_history"] == 4 and full["is_anomaly"] is False
+    windowed = metrics_repo.detect_metric_anomalies(
+        m, current_run=4, strategy="online_normal", k=3.0, history_window=3
+    ).collect()[0]
+    assert windowed["n_history"] == 3
+    assert windowed["hist_mean"] == 10.0 and windowed["is_anomaly"] is True
+    with pytest.raises(ValueError):
+        metrics_repo.detect_metric_anomalies(m, 4, history_window=0)
+
+
+def test_repository_windowed_read_prunes_partitions(spark, tmp_path):
+    from jsons_to_schema_spark.plans import audit
+
+    repo = metrics_repo.MetricsRepository(spark, tmp_path / "prepo")
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    for r in range(6):
+        repo.save(metrics_repo.compute_metrics(df, ["v"], run_id=r))
+    q = repo.load().filter(F.col("run_id") >= 4)
+    plan = audit.formatted_plan(q)
+    # the run-id bound must reach the scan as a PARTITION filter: a
+    # windowed history read touches N run directories, not all of them
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "run_id" in frag, frag
