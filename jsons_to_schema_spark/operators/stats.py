@@ -425,9 +425,13 @@ def candidate_keys(df: DataFrame, columns: "list[str] | None" = None) -> DataFra
         F.col("_n").alias("n_rows"),
         "n_distinct",
         "n_nulls",
-        ((F.col("n_distinct") == F.col("_n")) & (F.col("n_nulls") == 0)).alias(
-            "is_key"
-        ),
+        # n > 0: an empty table certifies nothing — without the guard every
+        # column of a zero-row scan would come back vacuously "key"
+        (
+            (F.col("_n") > 0)
+            & (F.col("n_distinct") == F.col("_n"))
+            & (F.col("n_nulls") == 0)
+        ).alias("is_key"),
     )
 
 

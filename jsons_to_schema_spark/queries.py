@@ -3715,11 +3715,11 @@ def metric_anomalies_events(spark, sf_dir) -> DataFrame:
       FROM orders
     )
     SELECT 'o_orderkey' AS "column", n AS n_rows, d1 AS n_distinct,
-           z1 AS n_nulls, (d1 = n AND z1 = 0) AS is_key FROM w
+           z1 AS n_nulls, (n > 0 AND d1 = n AND z1 = 0) AS is_key FROM w
     UNION ALL
-    SELECT 'o_custkey', n, d2, z2, (d2 = n AND z2 = 0) FROM w
+    SELECT 'o_custkey', n, d2, z2, (n > 0 AND d2 = n AND z2 = 0) FROM w
     UNION ALL
-    SELECT 'o_orderstatus', n, d3, z3, (d3 = n AND z3 = 0) FROM w
+    SELECT 'o_orderstatus', n, d3, z3, (n > 0 AND d3 = n AND z3 = 0) FROM w
     """,
 )
 def candidate_keys_orders(spark, sf_dir) -> DataFrame:

@@ -348,3 +348,9 @@ def test_repository_windowed_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     frag = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "run_id" in frag, frag
+
+
+def test_candidate_keys_empty_table_certifies_nothing(spark):
+    df = spark.createDataFrame([], "v int")
+    row = stats.candidate_keys(df, ["v"]).collect()[0]
+    assert row["n_rows"] == 0 and row["is_key"] is False
