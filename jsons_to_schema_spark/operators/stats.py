@@ -570,3 +570,42 @@ def uniqueness_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
             ),
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame, determinant: "list[str]", dependents: "list[str]"
+) -> DataFrame:
+    """N functional dependencies with a SHARED determinant from ONE grouped
+    scan: the per-group aggregate carries one distinct-count (plus has-null
+    flag) per dependent, and the bounded group table folds into one verdict
+    row per dependent — same semantics as ``functional_dependency``, 1/N of
+    the scans when profiling what a key column determines."""
+    if not dependents:
+        raise ValueError("dependents must be non-empty")
+    g_aggs = []
+    for d in dependents:
+        g_aggs.append(
+            (F.countDistinct(d) + F.max(F.isnull(d).cast("long"))).alias(
+                f"_ndep_{d}"
+            )
+        )
+    per_group = df.groupBy(*[F.col(c) for c in determinant]).agg(*g_aggs)
+    f_aggs = [F.count(F.lit(1)).alias("_groups")]
+    for d in dependents:
+        f_aggs.append(
+            F.sum((F.col(f"_ndep_{d}") > 1).cast("long")).alias(f"_viol_{d}")
+        )
+    wide = per_group.agg(*f_aggs)
+    stack = ", ".join(f"'{d}', _viol_{d}" for d in dependents)
+    return wide.select(
+        "_groups",
+        F.expr(
+            f"stack({len(dependents)}, {stack}) AS (dependent, violating_groups)"
+        ),
+    ).select(
+        F.lit(",".join(determinant)).alias("determinant"),
+        "dependent",
+        F.col("_groups").alias("n_groups"),
+        "violating_groups",
+        (F.col("violating_groups") == 0).alias("holds"),
+    )

@@ -354,3 +354,34 @@ def test_candidate_keys_empty_table_certifies_nothing(spark):
     df = spark.createDataFrame([], "v int")
     row = stats.candidate_keys(df, ["v"]).collect()[0]
     assert row["n_rows"] == 0 and row["is_key"] is False
+
+
+def test_functional_dependencies_multi_matches_single(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "x"), ("b", 3, None), ("b", 3, "y")],
+        "k string, i int, v string",
+    )
+    multi = {
+        r["dependent"]: (r["violating_groups"], r["holds"])
+        for r in stats.functional_dependencies(df, ["k"], ["i", "v"]).collect()
+    }
+    for dep in ("i", "v"):
+        single = stats.functional_dependency(df, ["k"], dep).collect()[0]
+        assert multi[dep] == (single["violating_groups"], single["holds"])
+    assert multi["i"] == (1, False)  # k='a' maps to 1 and 2
+    assert multi["v"] == (1, False)  # k='b' maps to NULL and 'y'
+    with pytest.raises(ValueError):
+        stats.functional_dependencies(df, ["k"], [])
+
+
+def test_functional_dependencies_single_scan(spark):
+    from jsons_to_schema_spark.plans import audit
+    from jsons_to_schema_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    q = stats.functional_dependencies(
+        orders, ["o_custkey"], ["o_orderstatus", "o_orderpriority"]
+    )
+    assert audit.scan_count(q) == 1
