@@ -609,3 +609,53 @@ def functional_dependencies(
         "violating_groups",
         (F.col("violating_groups") == 0).alias("holds"),
     )
+
+
+def containment(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str
+) -> DataFrame:
+    """Graded referential integrity: what FRACTION of A's values exist in
+    B — the analyzer for keys that are supposed to resolve but can't be
+    hard-failed row by row (deequ's referential-integrity fraction; the
+    anti-join operators in validate.py give the row-level evidence, this
+    gives the one-row health number).
+
+    Shape: A collapses to per-value counts first (map-side partial, the
+    shuffle carries A's distinct values, not its rows), B to a distinct
+    value set; one join keyed on the value grades every A value at once.
+    Output: (from_col, to_col, rows_total, rows_matched, row_containment,
+    distinct_total, distinct_matched, distinct_containment) — row_* grades
+    by row mass, distinct_* by value set; both round(6) from exact longs.
+    NULLs in A are excluded (they reference nothing, and NULL ∈ B is not
+    a resolution)."""
+    a = (
+        df_a.select(F.col(col_a).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    b = (
+        df_b.select(F.col(col_b).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    graded = a.join(b, "_v", "left")
+    return graded.agg(
+        F.lit(col_a).alias("from_col"),
+        F.lit(col_b).alias("to_col"),
+        F.sum("_cnt").alias("rows_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit") == 1, F.col("_cnt"))), F.lit(0)
+        ).alias("rows_matched"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("_hit") == 1, F.col("_cnt"))), F.lit(0))
+            / F.sum("_cnt"),
+            6,
+        ).alias("row_containment"),
+        F.count(F.lit(1)).alias("distinct_total"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("distinct_matched"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("distinct_containment"),
+    )

@@ -4037,6 +4037,64 @@ def stream_metric_anomalies(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "containment_lineitem_events",
+    oracle="""
+    WITH a1 AS (
+      SELECT l_orderkey AS v, count(*) AS cnt FROM lineitem
+      WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ), b1 AS (
+      SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderkey IS NOT NULL
+    ), g1 AS (
+      SELECT a1.cnt, CASE WHEN b1.v IS NOT NULL THEN 1 END AS hit
+      FROM a1 LEFT JOIN b1 USING (v)
+    ), a2 AS (
+      SELECT user_id AS v, count(*) AS cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), b2 AS (
+      SELECT DISTINCT c_custkey AS v FROM customer WHERE c_custkey IS NOT NULL
+    ), g2 AS (
+      SELECT a2.cnt, CASE WHEN b2.v IS NOT NULL THEN 1 END AS hit
+      FROM a2 LEFT JOIN b2 USING (v)
+    )
+    SELECT 'l_orderkey' AS from_col, 'o_orderkey' AS to_col,
+           CAST(sum(cnt) AS BIGINT) AS rows_total,
+           CAST(coalesce(sum(CASE WHEN hit = 1 THEN cnt END), 0) AS BIGINT)
+             AS rows_matched,
+           round(coalesce(sum(CASE WHEN hit = 1 THEN cnt END), 0)
+                 / sum(cnt), 6) AS row_containment,
+           count(*) AS distinct_total,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS distinct_matched,
+           round(coalesce(sum(hit), 0) / count(*), 6) AS distinct_containment
+    FROM g1
+    UNION ALL
+    SELECT 'user_id', 'c_custkey',
+           CAST(sum(cnt) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN hit = 1 THEN cnt END), 0) AS BIGINT),
+           round(coalesce(sum(CASE WHEN hit = 1 THEN cnt END), 0)
+                 / sum(cnt), 6),
+           count(*),
+           CAST(coalesce(sum(hit), 0) AS BIGINT),
+           round(coalesce(sum(hit), 0) / count(*), 6)
+    FROM g2
+    """,
+)
+def containment_lineitem_events(spark, sf_dir) -> DataFrame:
+    """Graded referential integrity (stats.containment): lineitem's
+    l_orderkey fully resolves against orders (fraction 1.0 — the clean
+    FK), events.user_id only partially resolves against customer keys —
+    a real fractional grade, so both the matched and unmatched arithmetic
+    are value-checked.  The probe shuffles A's distinct values (map-side
+    pre-count), never its rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    c1 = stats.containment(li, "l_orderkey", orders, "o_orderkey")
+    c2 = stats.containment(events, "user_id", customer, "c_custkey")
+    return c1.unionByName(c2)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

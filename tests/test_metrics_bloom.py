@@ -385,3 +385,20 @@ def test_functional_dependencies_single_scan(spark):
         orders, ["o_custkey"], ["o_orderstatus", "o_orderpriority"]
     )
     assert audit.scan_count(q) == 1
+
+
+def test_containment_grades_and_edges(spark):
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "x int"
+    )
+    b = spark.createDataFrame([(1,), (3,), (9,)], "y int")
+    row = stats.containment(a, "x", b, "y").collect()[0]
+    assert row["rows_total"] == 4  # NULL excluded
+    assert row["rows_matched"] == 3  # 1,1,3
+    assert row["row_containment"] == 0.75
+    assert row["distinct_total"] == 3 and row["distinct_matched"] == 2
+    assert row["distinct_containment"] == round(2 / 3, 6)
+    # empty reference: nothing resolves
+    empty = spark.createDataFrame([], "y int")
+    row = stats.containment(a, "x", empty, "y").collect()[0]
+    assert row["rows_matched"] == 0 and row["row_containment"] == 0.0
