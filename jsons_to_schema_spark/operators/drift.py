@@ -79,3 +79,77 @@ def drift_score(drift_df: DataFrame) -> DataFrame:
         F.max(F.abs("delta")).alias("max_abs_delta"),
         F.sum(F.abs("delta")).alias("l1_delta"),
     )
+
+
+def psi_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index report between two slices of a numeric
+    column — the industry-standard binned drift metric that complements
+    the quantile-vector comparison above (quantiles localize WHERE the
+    distribution moved; PSI gives the single monitorable number with the
+    conventional 0.1 / 0.25 alert thresholds).
+
+    Both sides are bucketed with the SAME equi-width expression as
+    ``stats.column_histogram`` (floor((x - lo)/w), col == hi clamped into
+    the last bucket, NULL/out-of-range excluded), so each side is one
+    map-side-partial groupBy bounded by the bucket count — never a
+    data-sized shuffle.  Proportions are additively smoothed,
+    p = (n + s) / (N + s·B), so an empty bucket (or an entirely empty
+    side) contributes a finite, well-defined term instead of ±inf; the
+    per-bucket term (p_cur − p_base)·ln(p_cur/p_base) is rounded to 6
+    decimals so the cross-engine comparison is summation-order-proof
+    (repo oracle hygiene).
+
+    Returns one row per bucket: (bucket, bucket_lo, bucket_hi, base_n,
+    cur_n, psi_term).  Fold with ``psi_score`` for the scalar.
+    """
+    from .stats import column_histogram
+
+    if smoothing <= 0:
+        raise ValueError("psi_report: smoothing must be > 0 (guards ln(0))")
+    b = column_histogram(baseline, column, lo, hi, n_buckets).select(
+        "bucket", "bucket_lo", "bucket_hi", F.col("n_rows").alias("base_n")
+    )
+    c = column_histogram(current, column, lo, hi, n_buckets).select(
+        "bucket", F.col("n_rows").alias("cur_n")
+    )
+    joined = b.join(F.broadcast(c), "bucket")
+    # Side totals come from a single-partition window over the BOUNDED
+    # histogram (≤ n_buckets rows) — a second .agg() over `joined` would
+    # re-execute the lineage and pay two more full corpus scans.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    s = float(smoothing)
+    denom_pad = F.lit(s * n_buckets)
+    with_t = joined.withColumn("_bt", F.sum("base_n").over(w)).withColumn(
+        "_ct", F.sum("cur_n").over(w)
+    )
+    pb = (F.col("base_n") + F.lit(s)) / (F.col("_bt") + denom_pad)
+    pc = (F.col("cur_n") + F.lit(s)) / (F.col("_ct") + denom_pad)
+    return with_t.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "base_n",
+        "cur_n",
+        F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+    )
+
+
+def psi_score(report: DataFrame) -> DataFrame:
+    """Collapse a psi_report to one row: psi = Σ psi_term (already
+    round-6 per term; re-rounded so the sum is grid-exact), plus the
+    conventional verdict bands."""
+    return report.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        (F.round(F.sum("psi_term"), 6) >= 0.25).alias("major_shift"),
+        (F.round(F.sum("psi_term"), 6) >= 0.10).alias("moderate_shift"),
+    )

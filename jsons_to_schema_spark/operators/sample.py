@@ -120,3 +120,89 @@ def quota_sample(
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
     )
+
+
+_MIX_GRID = 2**20  # dyadic rate grid: floor(rate·2^20)/2^20 is EXACT in a double
+
+
+def mixture_rates(
+    counts: "dict[str, int]", alpha: float, target_total: int
+) -> "dict[str, int]":
+    """Per-source acceptance thresholds for temperature-weighted mixture
+    sampling (the multilingual-T5 / data-mixing rule: sample source s with
+    probability ∝ n_s^alpha, alpha<1 flattens the head, alpha=1 keeps
+    natural proportions).  Materializing a static corpus of ~target_total
+    rows with those proportions means keeping rate_s = target_total ·
+    share_s / n_s of each source, clamped at 1 (an exhausted source keeps
+    everything — single-pass clamp, mass is NOT re-waterfilled onto the
+    others; deterministic, engine-portable, documented).
+
+    Returns INTEGER thresholds on the dyadic 2^-20 grid: thr_s =
+    floor(rate_s · 2^20).  The quantization makes the membership decision
+    exactly reproducible in SQL (the oracle recomputes floor(rate·2^20)
+    from the same integer counts — every arithmetic op is IEEE-identical;
+    alpha=0.5 is computed via sqrt, which is correctly rounded where pow
+    need not be).  A row is kept iff uint32(md5 prefix) < thr · 2^12."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    import math
+
+    def _w(n: int) -> float:
+        if alpha == 0.5:
+            return math.sqrt(n)
+        return float(n) ** alpha
+
+    denom = 0.0
+    for s in sorted(counts):  # pinned fold order (see oracle note)
+        denom += _w(counts[s])
+    thr: dict[str, int] = {}
+    for s, n in counts.items():
+        if n <= 0 or denom == 0.0:
+            thr[s] = 0
+            continue
+        rate = min(1.0, (target_total * _w(n)) / denom / n)
+        thr[s] = int(math.floor(rate * _MIX_GRID))
+    return thr
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float,
+    target_total: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted source rebalancing: one bounded groupBy for
+    per-source counts (collected — bounded by the number of SOURCES, not
+    rows; same driver contract as quota_sample's strata), thresholds from
+    ``mixture_rates``, then ONE narrow hash-threshold filter over the
+    corpus — no shuffle of the data itself, deterministic under any
+    partitioning/retry/engine, growth-stable per source (a source whose
+    count is unchanged keeps the identical row set).
+
+    The membership test compares the md5 prefix NUMERICALLY (conv base
+    16→10) against thr·2^12 so the SQL oracle can reproduce it exactly;
+    string-threshold comparison (deterministic_sample) and this are the
+    same decision when the threshold sits on the 2^-20 grid."""
+    counts = {
+        r["_src"]: r["_n"]
+        for r in df.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+        if r["_src"] is not None
+    }
+    thr = mixture_rates(counts, alpha, target_total)
+    if not thr:
+        return df.filter(F.lit(False))
+    thr_col = F.lit(None).cast("long")
+    for value, t in sorted(thr.items()):
+        thr_col = F.when(F.col(source_col) == F.lit(value), F.lit(t * 4096)).otherwise(
+            thr_col
+        )
+    prefix_num = F.conv(
+        sample_key(F.col(key_col).cast("string"), seed), 16, 10
+    ).cast("long")
+    return df.filter(prefix_num < thr_col)

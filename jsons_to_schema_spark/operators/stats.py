@@ -659,3 +659,96 @@ def containment(
             F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("distinct_containment"),
     )
+
+
+def fd_confidence(
+    df: DataFrame, determinant: "list[str]", dependent: str
+) -> DataFrame:
+    """APPROXIMATE functional dependency: how close does
+    ``determinant -> dependent`` come to holding?  ``functional_dependency``
+    above gives the boolean; real corpora need the graded number (deequ /
+    TANE-style g3 measure): confidence = (rows kept under the best
+    per-group repair) / (all rows) — i.e. for each determinant group keep
+    the plurality dependent value, count survivors.
+
+    Shape: ONE grouped count on (determinant, dependent) — map-side
+    partial, shuffle bounded by the joint cardinality — then a per-group
+    max over that bounded table and a single fold.  NULL dependents form
+    their own group (two rows (a, NULL) and (a, x) disagree — same NULL
+    stance as functional_dependency, and GROUP BY treats NULL as a value
+    in both engines).
+
+    Output one row: (determinant, dependent, n_rows, kept_rows,
+    confidence, holds) — confidence is round(6) from exact longs, holds
+    means confidence == 1.0 exactly."""
+    joint = df.groupBy(
+        *[F.col(c) for c in determinant], F.col(dependent).alias("_dep")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_det = joint.groupBy(*[F.col(c) for c in determinant]).agg(
+        F.sum("_n").alias("_rows"), F.max("_n").alias("_kept")
+    )
+    return per_det.agg(
+        F.lit(",".join(determinant)).alias("determinant"),
+        F.lit(dependent).alias("dependent"),
+        F.sum("_rows").alias("n_rows"),
+        F.sum("_kept").alias("kept_rows"),
+        F.round(F.sum("_kept") / F.sum("_rows"), 6).alias("confidence"),
+        (F.sum("_kept") == F.sum("_rows")).alias("holds"),
+    )
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_lag_seconds: int,
+    as_of_epoch_us: "int | None" = None,
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Recency analyzer (deequ has no equivalent; every production table
+    needs one): is the newest row within ``max_lag_seconds`` of the as-of
+    instant?  All arithmetic is INTEGER microseconds-since-epoch
+    (``unix_micros`` here, ``epoch_us`` in the DuckDB oracle) — absolute
+    instants, no session-timezone or formatting ambiguity, exact
+    cross-engine comparison.
+
+    ``as_of_epoch_us=None`` uses the table's own global max timestamp —
+    useful for judging per-group lag behind the feed's head rather than
+    wall-clock (wall-clock "now" would be untestable and unoracle-able;
+    pass an explicit epoch for that).  One aggregate pass per side; the
+    1-row global max broadcasts back.
+
+    Output per group (or one row): (group?, max_ts_epoch_us,
+    lag_seconds, fresh) — lag floor-divided to whole seconds, fresh =
+    lag_seconds <= max_lag_seconds; an empty/all-null group yields NULL
+    max and NULL lag with fresh NULL (unknown, never a silent pass).
+
+    TIMESTAMP_NTZ columns (what parquet naive timestamps load as) are
+    measured by WALL-CLOCK microseconds since the naive epoch via
+    timestampdiff — never a cast through TIMESTAMP, whose epoch would
+    shift with the session timezone (the driver's session need not run
+    UTC); that wall-clock reading is exactly DuckDB's epoch_us on its
+    own naive timestamps."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    else:
+        ts_us = F.unix_micros(F.col(ts_col))
+    if group_col is None:
+        agg = df.agg(F.max(ts_us).alias("max_ts_epoch_us"))
+    else:
+        agg = df.groupBy(group_col).agg(F.max(ts_us).alias("max_ts_epoch_us"))
+    if as_of_epoch_us is None:
+        ref = df.agg(F.max(ts_us).alias("_as_of"))
+        agg = agg.crossJoin(F.broadcast(ref))
+    else:
+        agg = agg.withColumn("_as_of", F.lit(int(as_of_epoch_us)))
+    lag_s = F.floor((F.col("_as_of") - F.col("max_ts_epoch_us")) / F.lit(1_000_000))
+    return agg.select(
+        *([group_col] if group_col else []),
+        "max_ts_epoch_us",
+        lag_s.alias("lag_seconds"),
+        (lag_s <= F.lit(int(max_lag_seconds))).alias("fresh"),
+    )

@@ -491,3 +491,90 @@ def repeated_span_report(
         .orderBy(F.col("n_docs").desc(), F.col("span").asc())
         .limit(top_k)
     )
+
+
+def lm_bigram_scores(
+    df: DataFrame, col: str, id_col: str, k: float = 0.5
+) -> DataFrame:
+    """CCNet-style statistical quality signal: score every document's
+    cross-entropy under a bigram language model TRAINED ON THE CORPUS
+    ITSELF (add-k smoothed), so boilerplate/template text (high-probability
+    n-grams) scores LOW and lorem-ipsum/garbled text scores HIGH — the
+    perplexity-bucket filter of CCNet/RedPajama pipelines, self-contained
+    (no external LM artifact, which also makes it exactly SQL-oracle-able).
+
+    Model: P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V) where C(w1) is the
+    bigram-CONTEXT count (Σ_w C(w1,w)) and V the bigram vocabulary size
+    (distinct tokens appearing in any bigram slot) — the standard add-k
+    estimator, every count derived from ONE tokenize+pair pass.
+
+    Plan shape (all JVM-side, no Python): tokenize once (lowercased
+    whitespace tokens, same kernel as token_count), pair via two array
+    slices zipped (no self-join), compress to per-doc bigram counts
+    map-side (groupBy doc,w1,w2 — repeated bigrams inside a doc collapse
+    before any join), fold the GLOBAL model tables from that bounded
+    table, then one join keyed on (w1,w2) + one on w1 (AQE handles
+    hot-bigram skew) and a per-doc aggregate.  The model tables are
+    bigram-vocabulary-sized, never corpus-sized; at campaign scale they
+    persist and re-score new batches without retraining.
+
+    Output per document: (id, n_bigrams, cross_entropy [nats/bigram,
+    round 6], perplexity [e^ce, round 6]).  Docs with < 2 tokens keep a
+    row with n_bigrams = 0 and NULL scores (unknown, never a silent
+    pass)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.lower(F.col(col))).alias("_t")
+    )
+    n = F.size("_t")
+    pairs = (
+        toks.filter(n >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, n - 1).alias("w1"),
+                    F.slice("_t", 2, n - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    dpair = pairs.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    c2 = dpair.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        c2.select(F.col("w1").alias("w"))
+        .union(c2.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    terms = (
+        dpair.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            "m",
+            (
+                F.col("m")
+                * F.log(
+                    (F.col("c1") + F.lit(float(k)) * F.col("_v"))
+                    / (F.col("c2") + F.lit(float(k)))
+                )
+            ).alias("_term"),
+        )
+    )
+    per_doc = terms.groupBy("_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        (F.sum("_term") / F.sum("m")).alias("_ce"),
+    )
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("_ce", 6).alias("cross_entropy"),
+            F.round(F.exp("_ce"), 6).alias("perplexity"),
+        )
+    )

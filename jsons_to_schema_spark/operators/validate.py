@@ -902,3 +902,91 @@ def rules_from_suggestions(suggestions: "list[tuple] | DataFrame") -> "dict[str,
             vals = json.loads("[" + s[len("IS IN (") : -1] + "]")
             rules[f"{c}:isin"] = col.isNull() | col.cast("string").isin(vals)
     return rules
+
+
+def table_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Snapshot reconciliation: which keyed rows were ADDED, REMOVED, or
+    CHANGED between two versions of a table — the row-level companion to
+    the schema-history/compat checks (those diff the SCHEMA; this diffs
+    the DATA).  The canonical uses: validating a migration or backfill
+    (old pipeline vs new pipeline output must reconcile), auditing what
+    an ingest run actually touched, and regression-diffing a curation
+    re-run.
+
+    Shape: ONE full outer join on the key (shuffle keyed exactly like any
+    downstream merge would be — AQE skew handling transfers), presence
+    decided by per-side indicator literals (never by null-ness of data
+    columns, so an all-NULL payload row is still "present"), per-column
+    change tests via null-safe equality (<=>).  Unchanged rows are
+    filtered out BEFORE the result materializes, so the output is
+    diff-sized, not table-sized.
+
+    Output: key cols (coalesced), status ('added'|'removed'|'changed'),
+    changed_cols (sorted array of differing column names; NULL for
+    added/removed rows where the question doesn't apply).
+
+    ``compare_cols`` defaults to the sorted common non-key columns; a key
+    present on both sides with NO differing compare column is unchanged
+    and dropped.  Duplicate keys on either side are the caller's bug to
+    check first (uniqueness operators above) — the join would fan out.
+    """
+    if not key_cols:
+        raise ValueError("table_diff: key_cols must be non-empty")
+    if compare_cols is None:
+        common = set(df_a.columns) & set(df_b.columns)
+        compare_cols = sorted(common - set(key_cols))
+    a = df_a.select(
+        *[F.col(c).alias(f"_ka_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_a"),
+    )
+    b = df_b.select(
+        *[F.col(c).alias(f"_kb_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_b"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ka_{c}") == F.col(f"_kb_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = a.join(b, cond, "full_outer")
+    diffs = F.sort_array(
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~(F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            )
+        )
+    )
+    status = (
+        F.when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_ka_{c}"), F.col(f"_kb_{c}")).alias(c) for c in key_cols
+    ]
+    return (
+        joined.select(
+            *out_keys,
+            status.alias("status"),
+            F.when(status == "changed", diffs).alias("changed_cols"),
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+
+def table_diff_summary(diff: DataFrame) -> DataFrame:
+    """Fold a table_diff to per-status counts — the one-glance
+    reconciliation verdict (0 rows means the snapshots reconcile)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))

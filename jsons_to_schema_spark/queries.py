@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, drift, multimodal, similarity, stats, text, validate
+from .operators import dedup, drift, multimodal, sample, similarity, stats, text, validate
 from .operators.infer import (
     infer_as_dataframe,
     infer_from_json_column,
@@ -4095,6 +4095,274 @@ def containment_lineitem_events(spark, sf_dir) -> DataFrame:
     return c1.unionByName(c2)
 
 
+@query(
+    "drift_psi_events_value",
+    oracle="""
+    WITH sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bucket),
+         cb AS (
+           SELECT least(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 19)
+                    AS bucket, count(*) AS n
+           FROM events
+           WHERE event_id % 2 = 0 AND value IS NOT NULL
+             AND value >= 0.0 AND value <= 500.0
+           GROUP BY 1
+         ),
+         cc AS (
+           SELECT least(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 19)
+                    AS bucket, count(*) AS n
+           FROM events
+           WHERE event_id % 2 = 1 AND value IS NOT NULL
+             AND value >= 0.0 AND value <= 500.0
+           GROUP BY 1
+         ),
+         h AS (
+           SELECT sp.bucket,
+                  CAST(coalesce(cb.n, 0) AS BIGINT) AS base_n,
+                  CAST(coalesce(cc.n, 0) AS BIGINT) AS cur_n
+           FROM sp LEFT JOIN cb USING (bucket) LEFT JOIN cc USING (bucket)
+         ),
+         t AS (SELECT CAST(sum(base_n) AS BIGINT) AS bt,
+                      CAST(sum(cur_n) AS BIGINT) AS ct FROM h)
+    SELECT h.bucket,
+           0.0 + h.bucket * 25.0 AS bucket_lo,
+           0.0 + (h.bucket + 1) * 25.0 AS bucket_hi,
+           h.base_n, h.cur_n,
+           round(((cur_n + 0.5) / (ct + 10.0) - (base_n + 0.5) / (bt + 10.0))
+                 * ln(((cur_n + 0.5) / (ct + 10.0))
+                      / ((base_n + 0.5) / (bt + 10.0))), 6) AS psi_term
+    FROM h, t
+    """,
+)
+def drift_psi_events_value(spark, sf_dir) -> DataFrame:
+    """Population Stability Index drift (drift.psi_report): the binned
+    industry-standard drift number beside the quantile-vector comparison.
+    Baseline/current slices derive deterministically from event_id parity;
+    both sides bucket with the identical histogram expression, smoothed
+    proportions (s=0.5) keep empty buckets finite, per-term round(6) makes
+    the comparison summation-order-proof.  Each side is one bounded
+    map-side-partial groupBy — never a data-sized shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    return drift.psi_report(base, cur, "value", 0.0, 500.0, 20)
+
+
+@query(
+    "fd_confidence_events",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id, sum(n) AS rows_, max(n) AS kept FROM j GROUP BY 1
+    )
+    SELECT 'user_id' AS determinant, 'event_type' AS dependent,
+           CAST(sum(rows_) AS BIGINT) AS n_rows,
+           CAST(sum(kept) AS BIGINT) AS kept_rows,
+           round(CAST(sum(kept) AS BIGINT) / CAST(sum(rows_) AS BIGINT), 6)
+             AS confidence,
+           sum(kept) = sum(rows_) AS holds
+    FROM p
+    """,
+)
+def fd_confidence_events(spark, sf_dir) -> DataFrame:
+    """Approximate functional dependency (stats.fd_confidence, the TANE
+    g3 measure): user_id -> event_type genuinely does NOT hold, so the
+    graded confidence (plurality-repair survivor fraction) is a real
+    fraction — both the kept-rows arithmetic and the holds=false arm are
+    value-checked.  One grouped count on the joint key, then folds over
+    the bounded group table."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.fd_confidence(events, ["user_id"], "event_type")
+
+
+@query(
+    "freshness_events",
+    oracle="""
+    WITH m AS (SELECT max(epoch_us(ts)) AS as_of FROM events),
+         g AS (
+           SELECT event_type, max(epoch_us(ts)) AS max_ts_epoch_us
+           FROM events GROUP BY 1
+         )
+    SELECT g.event_type, g.max_ts_epoch_us,
+           CAST(floor((m.as_of - g.max_ts_epoch_us) / 1000000.0) AS BIGINT)
+             AS lag_seconds,
+           CAST(floor((m.as_of - g.max_ts_epoch_us) / 1000000.0) AS BIGINT)
+             <= 86400 AS fresh
+    FROM g, m
+    """,
+)
+def freshness_events(spark, sf_dir) -> DataFrame:
+    """Recency analyzer (stats.freshness): per-event-type lag behind the
+    feed head, judged against a 24 h budget.  All arithmetic is integer
+    epoch-microseconds (unix_micros / epoch_us) — absolute instants, no
+    session-timezone or formatting ambiguity, exact cross-engine
+    comparison.  The as-of instant is the table's own global max so the
+    check is deterministic and oracle-able (pass an explicit epoch for
+    wall-clock monitoring)."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.freshness(
+        events, "ts", max_lag_seconds=86400, group_col="event_type"
+    )
+
+
+@query(
+    "table_diff_orders",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         b AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 103 = 0
+         ),
+         j AS (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                  CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                       WHEN a.o_orderkey IS NULL THEN 'added'
+                       WHEN (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                         OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                       THEN 'changed' END AS status,
+                  array_to_string(list_sort(list_filter([
+                    CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                         THEN 'o_orderstatus' END,
+                    CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                         THEN 'o_totalprice' END
+                  ], x -> x IS NOT NULL)), ',') AS diffs
+           FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+         )
+    SELECT o_orderkey, status,
+           CASE WHEN status = 'changed' THEN diffs END AS changed_cols
+    FROM j WHERE status IS NOT NULL
+    """,
+)
+def table_diff_orders(spark, sf_dir) -> DataFrame:
+    """Snapshot reconciliation (validate.table_diff): orders vs a
+    deterministically perturbed second snapshot (keys %97 dropped, %101
+    repriced, %103 re-added under shifted keys — both engines derive the
+    same snapshot), so added/removed/changed and the changed-column
+    attribution are all value-checked.  ONE full outer join keyed like
+    any downstream merge; unchanged rows never materialize.  changed_cols
+    is rendered as a comma-joined string for the value-hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshot = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1_000_000_000
+            )
+        )
+    )
+    diff = validate.table_diff(orders, snapshot, ["o_orderkey"])
+    return diff.select(
+        "o_orderkey",
+        "status",
+        F.when(
+            F.col("status") == "changed", F.array_join("changed_cols", ",")
+        ).alias("changed_cols"),
+    )
+
+
+@query(
+    "mixture_sample_documents",
+    oracle="""
+    WITH c AS (
+      SELECT source AS s, count(*) AS n FROM documents
+      WHERE source IS NOT NULL GROUP BY 1
+    ),
+    d AS (SELECT sum(sqrt(n)) AS denom FROM c),
+    t AS (
+      SELECT s,
+             CAST(floor(least(1.0, (150 * sqrt(n)) / denom / n)
+                        * 1048576.0) AS BIGINT) * 4096 AS thr
+      FROM c, d
+    )
+    SELECT doc_id, source FROM documents JOIN t ON documents.source = t.s
+    WHERE CAST(concat('0x', substring(md5(concat_ws(chr(31), '42',
+                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) < t.thr
+    """,
+)
+def mixture_sample_documents(spark, sf_dir) -> DataFrame:
+    """Temperature-weighted source rebalancing (sample.mixture_sample,
+    alpha=0.5): the multilingual-T5 data-mixing rule — sample source s
+    ∝ n_s^0.5, flattening the head so minority sources are over-
+    represented relative to natural proportions.  Rates quantize to the
+    dyadic 2^-20 grid and alpha=0.5 computes via sqrt (correctly rounded
+    where pow need not be), so the oracle reproduces the exact membership
+    decision from the same integer counts; denominator summation order is
+    the one ulp-level cross-engine freedom (bounded by the handful of
+    sources, grid-absorbed).  One bounded groupBy + one narrow filter —
+    the corpus itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample.mixture_sample(
+        docs, "doc_id", "source", alpha=0.5, target_total=150
+    ).select("doc_id", "source")
+
+
+@query(
+    "lm_perplexity_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    prs AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    dpair AS (
+      SELECT doc_id, w1, w2, count(*) AS m FROM prs GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c2 FROM dpair GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (
+      SELECT count(*) AS v FROM (
+        SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2
+      )
+    ),
+    terms AS (
+      SELECT d.doc_id, d.m,
+             d.m * ln((c1.c1 + 0.5 * v.v) / (c2.c2 + 0.5)) AS term
+      FROM dpair d
+      JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    per AS (
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             sum(term) / sum(m) AS ce
+      FROM terms GROUP BY 1
+    )
+    SELECT ids.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(per.ce, 6) AS cross_entropy,
+           round(exp(per.ce), 6) AS perplexity
+    FROM (SELECT DISTINCT doc_id FROM documents) ids
+    LEFT JOIN per USING (doc_id)
+    """,
+)
+def lm_perplexity_documents(spark, sf_dir) -> DataFrame:
+    """CCNet-style statistical quality scoring (text.lm_bigram_scores):
+    every document's cross-entropy under an add-k bigram LM trained on
+    the corpus itself — template/boilerplate text scores low, garbled
+    text high.  Tokenize once, pair via array slices (no self-join),
+    per-doc bigram counts compress map-side before the model joins; the
+    model tables are bigram-vocabulary-sized, never corpus-sized.  The
+    oracle retrains the identical model in SQL; per-doc round(6) keeps
+    the comparison summation-order-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_bigram_scores(docs, "text", "doc_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -4137,12 +4405,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters_ngram_documents",   # large-star/small-star CC
     "similarity_ivf_q8_topk_embeddings",  # persisted quantized ANN
     "curation_full_documents",          # end-to-end funnel
-    # -- new in r4 (never driver-checked): subword tokenization (3) --
+    # -- new in r4 (never driver-checked): subword tokenization --
     "subword_token_count_documents",
-    # (pack_sequences_subword_documents demoted for the r4-continuation
-    # additions: subword keeps 2 in-window reps — token_count and
-    # chunk_subword — and word-mode packing stays in-window)
-    "chunk_subword_documents",
+    # (pack_sequences_subword_documents and chunk_subword_documents demoted
+    # for the r4-continuation families: subword keeps token_count in-window
+    # and word-mode packing + chunking stay in-window)
     # -- the 36 queries with no (or stale-r2) driver row (VERDICT r3) --
     "spans_violation_rows",
     "histogram_events_value",  # r4: distribution-profile family
@@ -4153,14 +4420,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # keeps referential_lineitem_dangling_orders in-window and the spans
     # audit covers dangling refs)
     "spans_single_pass_audit",
-    "spans_schema_validation_verdicts",
+    # (spans_schema_validation_verdicts demoted for the r4-continuation
+    # families: V1 validation keeps schema_validation_documents_struct and
+    # the fused spans_single_pass_audit in-window)
     "schema_validation_documents_struct",
     # (multimodal_media_features demoted: the stub-era features query is
     # superseded by the four real-codec multimodal reps below)
     "multimodal_resize_real_images",  # r4: real decode→resize→encode→decode
     # (replaces the fake-stub resize in the window; that stays registered)
-    "multimodal_mp4_frame_plan",  # r4: real ISO BMFF demux plan (replaces
-    # the fixed-horizon stub planner in the window; that stays registered)
+    # (multimodal_mp4_frame_plan demoted for the r4-continuation families:
+    # mjpeg_frame_features exercises the same ISO BMFF demux end-to-end)
     "multimodal_mjpeg_frame_features",  # r4: fully real demux→range-read→
     # JPEG-decode (replaces the sha256-stub frame features in the window)
     "multimodal_real_codec_features",
@@ -4172,13 +4441,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (stream_violation_window_counts demoted: streaming keeps 4 reps and
     # windowed rule counts cover the same watermarked-window shape)
     "stream_duplicate_doc_ids",
-    "stream_schema_drift_alerts",
+    # (stream_schema_drift_alerts demoted for the r4-continuation families:
+    # streaming keeps 3 in-window reps across incremental/stateful/rule shapes)
     "stream_rule_window_counts",
     "checkpoint_resume_state",
     "schema_merge_checkpoint_snapshots",
     "decontam_documents",
     "pack_sequences_documents",
-    "packing_stats_documents",
+    # (packing_stats_documents demoted for the r4-continuation families:
+    # packing keeps pack_sequences + chunk_documents in-window)
     "chunk_documents",
     "repeated_spans_documents",
     "schema_history_transitions",
@@ -4200,6 +4471,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "fd_orders_nation",             # functional dependencies
     "datatype_profile_events",      # datatype-consistency analyzer
     "decontam_bloom_documents",     # Bloom-prefilter decontamination
+    # -- r4 second continuation (new families) --
+    "drift_psi_events_value",       # PSI binned drift
+    "freshness_events",             # recency analyzer
+    "table_diff_orders",            # snapshot reconciliation
+    "mixture_sample_documents",     # temperature source mixing
+    "lm_perplexity_documents",      # bigram-LM quality scoring
+    # (fd_confidence_events stays outside the window: the FD family keeps
+    # fd_orders_nation in-window; confidence is pytest-oracled)
 )
 
 

@@ -389,3 +389,79 @@ def test_uniqueness_profile_single_scan_partial_agg(spark):
     # map-side so the shuffle carries column cardinalities, not rows
     assert audit.scan_count(q) == 1
     assert audit.has_partial_aggregate(q)
+
+
+def test_psi_report_is_bounded_aggregates(spark):
+    """PSI drift: each side is one map-side-partial groupBy bounded by the
+    bucket count; no Python anywhere in the plan."""
+    from jsons_to_schema_spark.operators import drift
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = drift.psi_report(
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+        "value",
+        0.0,
+        500.0,
+        20,
+    )
+    plan = audit.executed_plan(q)
+    assert "EvalPython" not in plan
+    assert audit.has_partial_aggregate(q)
+    assert audit.scan_count(q) == 2  # one scan per slice, spine is range()
+
+
+def test_fd_confidence_partial_agg_no_python(spark):
+    from jsons_to_schema_spark.operators import stats
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = stats.fd_confidence(events, ["user_id"], "event_type")
+    plan = audit.executed_plan(q)
+    assert "EvalPython" not in plan
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+
+
+def test_table_diff_is_one_join_no_python(spark):
+    """Reconciliation must be exactly ONE full-outer join keyed on the key —
+    the same shuffle a downstream merge pays — and no Python."""
+    from jsons_to_schema_spark.operators import validate as v
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    q = v.table_diff(orders, snap, ["o_orderkey"])
+    plan = audit.executed_plan(q)
+    assert "EvalPython" not in plan
+    assert plan.count("Join") >= 1 and "FullOuter" in plan
+    assert plan.count("FullOuter") == 1
+
+
+def test_mixture_sample_corpus_side_is_pure_filter(spark):
+    """After the bounded per-source count collect, the corpus-side plan is
+    ONE narrow filter — no Exchange, no Python, no join of the data."""
+    from jsons_to_schema_spark.operators import sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = sample.mixture_sample(docs, "doc_id", "source", 0.5, 150).select(
+        "doc_id", "source"
+    )
+    plan = audit.executed_plan(q)
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan, plan[:2000]
+    assert audit.scan_count(q) == 1
+
+
+def test_lm_scores_stay_jvm_side(spark):
+    """The bigram-LM pipeline (tokenize, pair, model folds, joins, per-doc
+    aggregate) must stay entirely inside codegen/JVM — zero Python stages."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = text.lm_bigram_scores(docs, "text", "doc_id")
+    plan = audit.executed_plan(q)
+    assert "EvalPython" not in plan
+    assert audit.has_partial_aggregate(q)

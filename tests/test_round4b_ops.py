@@ -1,0 +1,234 @@
+"""Round-4 continuation operators: PSI drift, FD confidence, freshness,
+table diff / reconciliation, temperature mixture sampling, bigram-LM
+perplexity.  Planted ground truth + hand-computed expected values; the
+cross-engine (DuckDB) value parity for the driver queries lives in
+test_oracles.py."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import drift, sample, stats, text, validate
+
+
+# ---------------------------------------------------------------- PSI drift
+def test_psi_identical_slices_is_zero(spark):
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    rep = drift.psi_report(df, df, "x", 0.0, 100.0, 10)
+    rows = rep.collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    score = drift.psi_score(rep).collect()[0]
+    assert score["psi"] == 0.0 and not score["moderate_shift"]
+
+
+def test_psi_shifted_distribution_fires(spark):
+    base = spark.range(1000).select((F.col("id") % 50).cast("double").alias("x"))
+    cur = spark.range(1000).select((50 + F.col("id") % 50).cast("double").alias("x"))
+    score = drift.psi_score(
+        drift.psi_report(base, cur, "x", 0.0, 100.0, 10)
+    ).collect()[0]
+    assert score["psi"] > 0.25 and score["major_shift"]
+
+
+def test_psi_hand_computed_two_buckets(spark):
+    # base: 3 rows in bucket 0, 1 in bucket 1; cur: 1 and 3.  s=0.5, B=2.
+    base = spark.createDataFrame([(0.1,), (0.2,), (0.3,), (1.5,)], ["x"])
+    cur = spark.createDataFrame([(0.4,), (1.1,), (1.2,), (1.3,)], ["x"])
+    rows = {
+        r["bucket"]: r
+        for r in drift.psi_report(base, cur, "x", 0.0, 2.0, 2).collect()
+    }
+    pb0, pc0 = (3 + 0.5) / (4 + 1.0), (1 + 0.5) / (4 + 1.0)
+    expected0 = round((pc0 - pb0) * math.log(pc0 / pb0), 6)
+    assert rows[0]["psi_term"] == pytest.approx(expected0, abs=1e-9)
+    assert rows[0]["base_n"] == 3 and rows[0]["cur_n"] == 1
+    # symmetric counts → symmetric terms
+    assert rows[1]["psi_term"] == rows[0]["psi_term"]
+
+
+def test_psi_empty_side_is_finite(spark):
+    # NON-uniform base (all rows in bucket 0): an empty current side smooths
+    # to uniform, so PSI must be finite AND positive.  (A uniform base vs an
+    # empty side is legitimately PSI 0 — both smooth to uniform.)
+    base = spark.range(100).select((F.col("id") % 2).cast("double").alias("x"))
+    empty = base.filter(F.lit(False))
+    rows = drift.psi_report(base, empty, "x", 0.0, 10.0, 5).collect()
+    assert len(rows) == 5
+    assert all(r["psi_term"] is not None for r in rows)
+    assert drift.psi_score(drift.psi_report(base, empty, "x", 0.0, 10.0, 5)).collect()[
+        0
+    ]["psi"] > 0
+
+
+# ---------------------------------------------------------- FD confidence
+def test_fd_confidence_exact(spark):
+    # a=1 -> {x:2 rows, y:1 row} kept 2; a=2 -> {x:1} kept 1 → 3/4
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "x")], ["a", "b"]
+    )
+    r = stats.fd_confidence(df, ["a"], "b").collect()[0]
+    assert r["n_rows"] == 4 and r["kept_rows"] == 3
+    assert r["confidence"] == 0.75 and not r["holds"]
+
+
+def test_fd_confidence_holds_and_null_dependent(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None), (2, None)], ["a", "b"])
+    r = stats.fd_confidence(df, ["a"], "b").collect()[0]
+    assert r["holds"] and r["confidence"] == 1.0
+    # NULL disagreeing with a value is a violation
+    df2 = spark.createDataFrame([(1, "x"), (1, None)], ["a", "b"])
+    r2 = stats.fd_confidence(df2, ["a"], "b").collect()[0]
+    assert not r2["holds"] and r2["kept_rows"] == 1
+
+
+# -------------------------------------------------------------- freshness
+def test_freshness_explicit_asof(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:10:00"),
+         ("b", "2024-01-01 01:00:00")],
+        ["g", "ts_s"],
+    ).select("g", F.to_timestamp("ts_s").alias("ts"))
+    as_of = df.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    out = {
+        r["g"]: r
+        for r in stats.freshness(
+            df, "ts", max_lag_seconds=3600, as_of_epoch_us=as_of, group_col="g"
+        ).collect()
+    }
+    assert out["b"]["lag_seconds"] == 0 and out["b"]["fresh"]
+    assert out["a"]["lag_seconds"] == 3000 and out["a"]["fresh"]
+    strict = stats.freshness(
+        df, "ts", max_lag_seconds=600, as_of_epoch_us=as_of, group_col="g"
+    )
+    assert not {r["g"]: r for r in strict.collect()}["a"]["fresh"]
+
+
+def test_freshness_self_asof_global(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], ["ts_s"]
+    ).select(F.to_timestamp("ts_s").alias("ts"))
+    r = stats.freshness(df, "ts", max_lag_seconds=0).collect()[0]
+    assert r["lag_seconds"] == 0 and r["fresh"]
+
+
+# -------------------------------------------------------------- table diff
+def test_table_diff_planted(spark):
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (4, None, 40.0)],
+        ["k", "s", "v"],
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 20.0), (3, "z", 31.0), (4, "w", 40.0), (5, "n", 50.0)],
+        ["k", "s", "v"],
+    )
+    rows = {r["k"]: r for r in validate.table_diff(a, b, ["k"]).collect()}
+    assert rows[1]["status"] == "removed" and rows[1]["changed_cols"] is None
+    assert 2 not in rows  # unchanged rows are dropped
+    assert rows[3]["status"] == "changed" and rows[3]["changed_cols"] == ["v"]
+    assert rows[4]["status"] == "changed" and rows[4]["changed_cols"] == ["s"]
+    assert rows[5]["status"] == "added" and rows[5]["changed_cols"] is None
+    summary = {
+        r["status"]: r["n_rows"]
+        for r in validate.table_diff_summary(
+            validate.table_diff(a, b, ["k"])
+        ).collect()
+    }
+    assert summary == {"removed": 1, "changed": 2, "added": 1}
+
+
+def test_table_diff_all_null_payload_row_present(spark):
+    a = spark.createDataFrame([(1, None)], "k int, v string")
+    b = spark.createDataFrame([(1, None)], "k int, v string")
+    assert validate.table_diff(a, b, ["k"]).count() == 0  # NULL == NULL here
+
+
+def test_table_diff_identical_is_empty(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    assert validate.table_diff(a, a, ["k"]).count() == 0
+
+
+# --------------------------------------------------------- mixture sample
+def test_mixture_rates_flattening():
+    counts = {"big": 90_000, "small": 10_000}
+    thr = sample.mixture_rates(counts, alpha=0.5, target_total=10_000)
+    # alpha<1 must give the small source a HIGHER acceptance rate
+    assert thr["small"] > thr["big"] > 0
+    # alpha=1 keeps natural proportions: equal rates
+    thr1 = sample.mixture_rates(counts, alpha=1.0, target_total=10_000)
+    assert abs(thr1["small"] - thr1["big"]) <= 1
+    # clamp: a target bigger than the corpus keeps everything
+    thr_all = sample.mixture_rates(counts, alpha=0.5, target_total=10**9)
+    assert thr_all["big"] == thr_all["small"] == 2**20
+
+
+def test_mixture_sample_hits_target_and_deterministic(spark):
+    df = spark.range(100_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 10 < 9, "web").otherwise("books").alias("src"),
+    )
+    out = sample.mixture_sample(df, "key", "src", alpha=0.5, target_total=10_000)
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    assert abs(total - 10_000) < 500  # hash noise only
+    # temperature flattening: books (10% of corpus) gets ~25% of the sample
+    # (sqrt(90000):sqrt(10000) = 3:1 share split)
+    assert 0.19 < got["books"] / total < 0.31
+    # deterministic under repartitioning
+    a = set(r["key"] for r in out.collect())
+    b = set(
+        r["key"]
+        for r in sample.mixture_sample(
+            df.repartition(17), "key", "src", alpha=0.5, target_total=10_000
+        ).collect()
+    )
+    assert a == b
+
+
+def test_mixture_sample_matches_string_threshold_semantics(spark):
+    # the numeric-compare path must agree with deterministic_sample when the
+    # rate sits exactly on the dyadic grid (rate 0.25 = 2^18/2^20)
+    df = spark.range(20_000).select(F.col("id").alias("key"), F.lit("s").alias("src"))
+    thr = sample.mixture_rates({"s": 20_000}, alpha=1.0, target_total=5_000)
+    assert thr["s"] == 2**18
+    via_mix = set(
+        r["key"]
+        for r in sample.mixture_sample(df, "key", "src", 1.0, 5_000).collect()
+    )
+    via_det = set(
+        r["key"] for r in sample.deterministic_sample(df, "key", 0.25).collect()
+    )
+    assert via_mix == via_det
+
+
+# ------------------------------------------------------ bigram LM scoring
+def test_lm_bigram_hand_computed(spark):
+    # corpus: doc 1 = "a b", doc 2 = "a b", doc 3 = "a c", doc 4 = "a"
+    # bigrams: (a,b) x2, (a,c) x1; C1(a)=3, V={a,b,c}=3, k=0.5
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "A B"), (3, "a c"), (4, "a")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.lm_bigram_scores(df, "text", "doc_id").collect()}
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+    p_ac = (1 + 0.5) / (3 + 0.5 * 3)
+    assert out[1]["cross_entropy"] == pytest.approx(-math.log(p_ab), abs=1e-6)
+    assert out[2]["cross_entropy"] == out[1]["cross_entropy"]  # lowercased
+    assert out[3]["cross_entropy"] == pytest.approx(-math.log(p_ac), abs=1e-6)
+    assert out[3]["perplexity"] == pytest.approx(1 / p_ac, abs=1e-4)
+    # short doc: row kept, scores NULL
+    assert out[4]["n_bigrams"] == 0 and out[4]["cross_entropy"] is None
+    # repeated/common text scores LOWER than rare text
+    assert out[1]["cross_entropy"] < out[3]["cross_entropy"]
+
+
+def test_lm_bigram_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 5} w{i % 3} common common") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, text.lm_bigram_scores(df, "text", "doc_id").collect()))
+    b = sorted(
+        map(tuple, text.lm_bigram_scores(df.repartition(13), "text", "doc_id").collect())
+    )
+    assert a == b
