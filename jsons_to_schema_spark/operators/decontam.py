@@ -187,3 +187,64 @@ def decontaminate_bloom(
     candidates = probe.where(_bloom.bloom_contains("ngram", bitmap, bits, k))
     dirty = candidates.join(ev, "ngram").select("_did").distinct()
     return docs.join(dirty, docs[id_col] == dirty["_did"], "left_anti")
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str,
+    eval_vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination — the third member of the family
+    (exact n-gram ``decontaminate``, Bloom-scale ``decontaminate_bloom``,
+    and this): flag training items whose embedding is NEAR an evaluation
+    item even when no n-gram matches (paraphrases, translations,
+    format-shuffled copies — the leakage n-gram checks miss; the
+    Llama-2/GSM8K-style embedding-similarity contamination audit).
+
+    Same asymmetry as the n-gram path: the eval side is small by
+    construction and BROADCASTS; the corpus is scanned once through a
+    broadcast nested-loop cosine probe (all JVM codegen — the zip/
+    aggregate kernel of similarity.py), and only rows whose ROUNDED
+    cosine clears the threshold reach the per-item aggregate, so the one
+    real shuffle carries hits, not the corpus.  Rounding (6 dp) happens
+    BEFORE thresholding so both engines gate on the identical grid value.
+
+    At eval sets too large to broadcast, pre-bucket both sides with
+    ``similarity.band_keys_kernel`` (the embedding_near_dup LSH) and run
+    this probe per bucket — the threshold semantics stay identical.
+
+    Output per contaminated item: (id, n_hits, max_cos_sim,
+    nearest_eval_id) — n_hits counts eval items at/above threshold,
+    nearest_eval_id breaks cosine ties on the smallest eval id
+    (deterministic review evidence).  Clean items produce no row."""
+    from .similarity import cosine
+
+    ev = eval_set.select(
+        F.col(eval_id_col).alias("_eid"), F.col(eval_vec_col).alias("_ev")
+    )
+    hits = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "_id",
+            "_eid",
+            F.round(cosine(F.col("_cv"), F.col("_ev")), 6).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= float(threshold))
+    )
+    best = hits.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max(
+            F.struct(F.col("_cos").alias("c"), (-F.col("_eid")).alias("nid"))
+        ).alias("_best"),
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        "n_hits",
+        F.col("_best.c").alias("max_cos_sim"),
+        (-F.col("_best.nid")).alias("nearest_eval_id"),
+    )

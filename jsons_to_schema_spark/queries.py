@@ -4363,6 +4363,69 @@ def lm_perplexity_documents(spark, sf_dir) -> DataFrame:
     return text.lm_bigram_scores(docs, "text", "doc_id")
 
 
+@query(
+    "decontam_semantic_embeddings",
+    oracle="""
+    WITH vd AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ev AS (
+      SELECT vec_id AS eid, v AS evec FROM vd WHERE vec_id % 25 = 0
+      UNION ALL
+      SELECT vec_id + 1000000, list_prepend(v[1] + 0.25, v[2:])
+      FROM vd WHERE vec_id % 50 = 0
+    ),
+    h AS (
+      SELECT vd.vec_id, ev.eid,
+             round(list_cosine_similarity(vd.v, ev.evec), 6) AS cos
+      FROM vd, ev
+    ),
+    f AS (SELECT * FROM h WHERE cos >= 0.95),
+    r AS (
+      SELECT vec_id, count(*) AS n_hits, max(cos) AS max_cos_sim
+      FROM f GROUP BY 1
+    ),
+    b AS (
+      SELECT vec_id, eid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, eid ASC) AS rk
+      FROM f
+    )
+    SELECT r.vec_id, CAST(r.n_hits AS BIGINT) AS n_hits, r.max_cos_sim,
+           b.eid AS nearest_eval_id
+    FROM r JOIN b ON r.vec_id = b.vec_id AND b.rk = 1
+    """,
+)
+def decontam_semantic_embeddings(spark, sf_dir) -> DataFrame:
+    """Embedding-space decontamination (decontam.decontaminate_semantic):
+    the leakage check n-gram overlap misses — paraphrased/reformatted
+    eval copies.  The eval set plants both EXACT corpus copies (vec_id %
+    25, cosine 1.0) and perturbed near-copies (vec_id % 50, first
+    coordinate +0.25 → cosine ≈ 0.97), so hit counting, the max-cosine
+    evidence, and the deterministic nearest-eval tie-break are all
+    value-checked at threshold 0.95.  Eval broadcasts; the corpus never
+    shuffles — only hits reach the per-item aggregate."""
+    from jsons_to_schema_spark.operators.decontam import decontaminate_semantic
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exact = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("evec")
+    )
+    perturbed = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("eid"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.25)),
+            F.slice("v", 2, F.size("v") - 1),
+        ).alias("evec"),
+    )
+    eval_set = exact.unionByName(perturbed)
+    return decontaminate_semantic(
+        emb, eval_set, "vec_id", "v", "eid", "evec", threshold=0.95
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -4397,7 +4460,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "schema_infer_events_props",        # G1/G2 flagship inference
     "schema_infer_grouped_event_type",  # U8 n-ary fold
     "stats_lineitem",                   # single-pass multi-aggregate
-    "stats_distinct_hll_lineitem",      # HLL distinct w/ error contract
+    # (stats_distinct_hll_lineitem demoted: green r3 driver row; the stats
+    # family keeps stats_lineitem in-window and the HLL error contract is
+    # pytest-oracled every CI run)
     "uniqueness_documents_doc_id",      # salted uniqueness
     "referential_lineitem_dangling_orders",  # anti-join referential
     "drift_events_value_tdigest",       # t-digest drift
@@ -4477,6 +4542,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "table_diff_orders",            # snapshot reconciliation
     "mixture_sample_documents",     # temperature source mixing
     "lm_perplexity_documents",      # bigram-LM quality scoring
+    "decontam_semantic_embeddings",  # embedding-space decontamination
     # (fd_confidence_events stays outside the window: the FD family keeps
     # fd_orders_nation in-window; confidence is pytest-oracled)
 )

@@ -232,3 +232,49 @@ def test_lm_bigram_partition_invariance(spark):
         map(tuple, text.lm_bigram_scores(df.repartition(13), "text", "doc_id").collect())
     )
     assert a == b
+
+
+# -------------------------------------------------- semantic decontamination
+def test_decontam_semantic_planted(spark):
+    from jsons_to_schema_spark.operators.decontam import decontaminate_semantic
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact eval copy
+            (2, [0.0, 1.0, 0.0]),   # near eval copy (cos ~0.995 vs e20)
+            (3, [0.0, 0.0, 1.0]),   # clean
+        ],
+        ["vid", "v"],
+    )
+    eval_set = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.1, 1.0, 0.0]), (30, [2.0, 0.0, 0.0])],
+        ["eid", "ev"],
+    )
+    out = {
+        r["vid"]: r
+        for r in decontaminate_semantic(
+            corpus, eval_set, "vid", "v", "eid", "ev", threshold=0.95
+        ).collect()
+    }
+    # row 1 hits BOTH eid 10 (cos 1.0) and eid 30 (scaled copy, cos 1.0);
+    # the tie breaks to the SMALLEST eval id
+    assert out[1]["n_hits"] == 2 and out[1]["max_cos_sim"] == 1.0
+    assert out[1]["nearest_eval_id"] == 10
+    assert out[2]["n_hits"] == 1 and out[2]["nearest_eval_id"] == 20
+    assert out[2]["max_cos_sim"] == pytest.approx(
+        1 / math.sqrt(1.01), abs=1e-6
+    )
+    assert 3 not in out  # clean rows produce no row
+
+
+def test_decontam_semantic_empty_eval(spark):
+    from jsons_to_schema_spark.operators.decontam import decontaminate_semantic
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vid", "v"])
+    empty = spark.createDataFrame([], "eid long, ev array<double>")
+    assert (
+        decontaminate_semantic(
+            corpus, empty, "vid", "v", "eid", "ev"
+        ).count()
+        == 0
+    )
