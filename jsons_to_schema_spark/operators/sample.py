@@ -17,6 +17,14 @@ threshold string.  Properties:
   no per-stratum scans.
 
 The fraction granularity is 1/16^8 (~6e-10) — ample for any real rate.
+
+COMPOSITION RULE: every operator here decides membership from
+md5(seed, key), so two stages sharing a seed are fully NESTED, never
+independent — sampling 0.9 after a 0.4-rate mixture stage with the same
+seed keeps everything (the survivors are exactly the low-hash rows).
+Nesting is a feature WITHIN one operator (growth-stable re-sampling,
+equal-rate strata admitting the same keys); ACROSS pipeline stages pass
+distinct seeds to get independent draws.
 """
 
 from __future__ import annotations

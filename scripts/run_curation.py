@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """spark-submit entry point: the training-data curation pipeline over a
-documents table — quality/repetition gates, language filter, exact +
-near-dup keep-one, PII redaction, eval-set decontamination, per-source
-quota, deterministic sampling, and sequence packing — one declarative run
+documents table — quality/repetition gates, language filter, bigram-LM
+perplexity gate, exact + near-dup keep-one, PII redaction, eval-set
+decontamination, per-source quota / temperature mixture rebalancing,
+deterministic sampling, and sequence packing — one declarative run
 writing the curated corpus + a stage-by-stage funnel report.
 
 Cluster:
@@ -51,6 +52,9 @@ def main() -> int:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--max-dup-line-frac", type=float, default=0.3)
     ap.add_argument("--near-dup-jaccard", type=float, default=0.7)
+    ap.add_argument("--max-perplexity", type=float, default=0.0,
+                    help="drop docs whose corpus-trained bigram-LM perplexity "
+                    "exceeds this (CCNet-style statistical gate; 0 disables)")
     ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--decontam-bloom", action="store_true",
                     help="probe a Bloom bitmap of the eval n-grams instead "
@@ -58,6 +62,12 @@ def main() -> int:
                     "(results identical: candidates are exactly verified)")
     ap.add_argument("--source-quota", type=int, default=0,
                     help="0 disables the per-source cap")
+    ap.add_argument("--mixture-target", type=int, default=0,
+                    help="temperature-rebalance sources toward ~N total docs "
+                    "(keep rate per source ∝ n^alpha / n; 0 disables)")
+    ap.add_argument("--mixture-alpha", type=float, default=0.5,
+                    help="mixture temperature (1 = natural proportions, "
+                    "<1 flattens the source head)")
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--pack-budget", type=int, default=0,
                     help="0 disables sequence packing output")
@@ -66,6 +76,7 @@ def main() -> int:
     from jsons_to_schema_spark.operators import decontam, dedup, pack, text
     from jsons_to_schema_spark.operators.sample import (
         deterministic_sample,
+        mixture_sample,
         quota_sample,
     )
 
@@ -102,6 +113,20 @@ def main() -> int:
     )
     docs3 = stage("language", docs2.join(lang.select("doc_id"), "doc_id", "left_semi"))
 
+    # 1b. statistical quality gate: bigram-LM perplexity trained on the
+    # post-language survivors (per-keep-set model — training after the
+    # language gate keeps the model from averaging across languages).
+    # More expensive than the row-local gates (model folds + two bounded
+    # joins) but far cheaper than LSH, so it runs before dedup.  NULL
+    # perplexity (sub-bigram docs) passes — unknown is not evidence.
+    if args.max_perplexity > 0:
+        lm = text.lm_bigram_scores(docs3, "text", "doc_id").filter(
+            F.coalesce(F.col("perplexity") <= args.max_perplexity, F.lit(True))
+        )
+        docs3 = stage(
+            "perplexity", docs3.join(lm.select("doc_id"), "doc_id", "left_semi")
+        )
+
     # 2. dedup: exact keep-one, then near-dup cluster keep-one
     docs4 = stage("exact_dedup", dedup.dedup_exact(docs3, "text", "doc_id"))
     pairs = dedup.minhash_lsh_pairs(
@@ -129,15 +154,30 @@ def main() -> int:
     else:
         docs6 = docs5
 
-    # 4. mixture shaping: per-source quota, then deterministic rate
+    # 4. mixture shaping: temperature rebalance and/or per-source quota,
+    # then deterministic rate
+    if args.mixture_target > 0:
+        docs6 = stage(
+            "mixture",
+            mixture_sample(
+                docs6, "doc_id", "source", args.mixture_alpha, args.mixture_target
+            ),
+        )
     if args.source_quota > 0:
         docs6 = stage(
             "source_quota",
             quota_sample(docs6, "doc_id", "source", args.source_quota),
         )
     if args.sample_fraction < 1.0:
+        # DISTINCT seed from the mixture stage: both operators decide
+        # membership from md5(seed, doc_id), so with a shared seed the
+        # mixture survivors are exactly the low-hash rows and a later
+        # same-seed rate filter with fraction >= the mixture rate is a
+        # silent NO-OP (fully nested, not independent).  Different seeds
+        # give independent draws.
         docs6 = stage(
-            "sample", deterministic_sample(docs6, "doc_id", args.sample_fraction)
+            "sample",
+            deterministic_sample(docs6, "doc_id", args.sample_fraction, seed=43),
         )
 
     # 5. PII redaction on the final survivor set (projection, no shuffle)

@@ -278,3 +278,19 @@ def test_decontam_semantic_empty_eval(spark):
         ).count()
         == 0
     )
+
+
+def test_hash_sample_stage_composition_seeds(spark):
+    """Pipeline-stage composition: same-seed hash filters are fully NESTED
+    (a later 0.9-rate filter after a ~0.4-rate mixture keeps everything);
+    distinct seeds give independent draws (the run_curation.py rule)."""
+    df = spark.range(50_000).select(
+        F.col("id").alias("key"), F.lit("s").alias("src")
+    )
+    mixed = sample.mixture_sample(df, "key", "src", alpha=1.0, target_total=20_000)
+    n_mixed = mixed.count()
+    # same seed: no-op
+    assert sample.deterministic_sample(mixed, "key", 0.9, seed=42).count() == n_mixed
+    # distinct seed: independent draw, ~0.9 of the survivors
+    n_indep = sample.deterministic_sample(mixed, "key", 0.9, seed=43).count()
+    assert abs(n_indep - 0.9 * n_mixed) < 0.05 * n_mixed
