@@ -4426,6 +4426,27 @@ def decontam_semantic_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+@query("bpe_vocab_documents")  # pinned-snapshot oracle (oracle_constants.json)
+def bpe_vocab_documents(spark, sf_dir) -> DataFrame:
+    """Distributed BPE vocabulary learning (operators/bpe.py): the
+    rank-ordered merge list trained on the documents corpus — the
+    tokenizer artifact a real pipeline persists.  The distributed half is
+    the Zipf-bounded word count (groupBy word + TakeOrderedAndProject
+    top-K); merge learning folds the bounded table driver-side with exact
+    integer counts and lexicographic tie-breaks, so the output is
+    bit-deterministic at any partitioning (pinned oracle; semantic
+    correctness is established by the hand-computed Sennrich-example and
+    invariance tests in tests/test_bpe.py)."""
+    from jsons_to_schema_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_vocab(docs, "text", num_merges=40, max_words=10_000)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, piece string"
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -4458,7 +4479,9 @@ _load_constant_oracles()
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- representatives of r3-green core families (11) --
     "schema_infer_events_props",        # G1/G2 flagship inference
-    "schema_infer_grouped_event_type",  # U8 n-ary fold
+    # (schema_infer_grouped_event_type demoted: green r3 driver row; the
+    # U8 fold keeps schema_merge_checkpoint_snapshots in-window and the
+    # grouped fold is partition-invariance property-tested every CI run)
     "stats_lineitem",                   # single-pass multi-aggregate
     # (stats_distinct_hll_lineitem demoted: green r3 driver row; the stats
     # family keeps stats_lineitem in-window and the HLL error contract is
@@ -4543,6 +4566,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mixture_sample_documents",     # temperature source mixing
     "lm_perplexity_documents",      # bigram-LM quality scoring
     "decontam_semantic_embeddings",  # embedding-space decontamination
+    "bpe_vocab_documents",           # distributed BPE vocabulary learning
     # (fd_confidence_events stays outside the window: the FD family keeps
     # fd_orders_nation in-window; confidence is pytest-oracled)
 )
