@@ -728,14 +728,7 @@ def freshness(
     shift with the session timezone (the driver's session need not run
     UTC); that wall-clock reading is exactly DuckDB's epoch_us on its
     own naive timestamps."""
-    dt = dict(df.dtypes).get(ts_col)
-    if dt == "timestamp_ntz":
-        ts_us = F.expr(
-            "timestampdiff(MICROSECOND, "
-            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
-        )
-    else:
-        ts_us = F.unix_micros(F.col(ts_col))
+    ts_us = _epoch_us_col(df, ts_col)
     if group_col is None:
         agg = df.agg(F.max(ts_us).alias("max_ts_epoch_us"))
     else:
@@ -751,4 +744,67 @@ def freshness(
         "max_ts_epoch_us",
         lag_s.alias("lag_seconds"),
         (lag_s <= F.lit(int(max_lag_seconds))).alias("fresh"),
+    )
+
+
+def _epoch_us_col(df: DataFrame, ts_col: str):
+    """Integer epoch-microseconds for TIMESTAMP or TIMESTAMP_NTZ columns —
+    shared by freshness and coverage_gaps (same timezone-proof reading:
+    NTZ measures wall-clock micros via timestampdiff, TZ uses
+    unix_micros; both equal DuckDB's epoch_us)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def coverage_gaps(
+    df: DataFrame, ts_col: str, granularity_seconds: int
+) -> DataFrame:
+    """Calendar-completeness analyzer: which time buckets between the
+    table's first and last row have ZERO rows — the "a day of data is
+    missing" check that row counts and null rates cannot see (a feed that
+    silently dropped Tuesday still has a healthy total).
+
+    Shape: one map-side-partial groupBy on the computed bucket id
+    (shuffle bounded by the covered bucket count), then the bucket spine
+    is generated from that BOUNDED count table's own min/max (window over
+    the counts — Catalyst reuses the grouped exchange, so the corpus is
+    scanned once) and anti-joined.  Bucket ids use the identical double
+    expression floor(epoch_us / (granularity·10^6)) in both engines.
+
+    The caller sizes granularity against the table's span (a year at
+    1-second granularity is a 3·10^7-row spine — fine; a millennium is
+    not).  Output: one row per MISSING bucket, (bucket,
+    bucket_start_epoch_s), ordered by bucket; 0 rows = full coverage."""
+    if granularity_seconds <= 0:
+        raise ValueError("coverage_gaps: granularity_seconds must be > 0")
+    from pyspark.sql import Window
+
+    g_us = float(granularity_seconds) * 1_000_000.0
+    bucket = F.floor(_epoch_us_col(df, ts_col) / F.lit(g_us)).cast("long")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    spine = (
+        counts.withColumn("_lo", F.min("bucket").over(w))
+        .withColumn("_hi", F.max("bucket").over(w))
+        .select("_lo", "_hi")
+        .limit(1)
+        .select(F.explode(F.sequence("_lo", "_hi")).alias("bucket"))
+    )
+    return (
+        spine.join(counts, "bucket", "left_anti")
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(int(granularity_seconds))).alias(
+                "bucket_start_epoch_s"
+            ),
+        )
+        .orderBy("bucket")
     )

@@ -4426,6 +4426,43 @@ def decontam_semantic_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "coverage_gaps_events",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE ts IS NOT NULL
+        AND CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) % 7 <> 3
+      GROUP BY 1
+    ),
+    sp AS (
+      SELECT CAST(unnest(range((SELECT min(bucket) FROM c),
+                               (SELECT max(bucket) FROM c) + 1)) AS BIGINT)
+               AS bucket
+    )
+    SELECT sp.bucket, sp.bucket * 3600 AS bucket_start_epoch_s
+    FROM sp LEFT JOIN c USING (bucket)
+    WHERE c.n IS NULL
+    ORDER BY sp.bucket
+    """,
+)
+def coverage_gaps_events(spark, sf_dir) -> DataFrame:
+    """Calendar-completeness analyzer (stats.coverage_gaps): the events
+    table covers 30 days with every hourly bucket populated, so gaps are
+    PLANTED by dropping every 7th hour bucket (the identical bucket
+    expression in both engines) — each reported gap row is value-checked,
+    not vacuously absent.  One bounded groupBy; the spine generates from
+    the count table's own min/max and anti-joins."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(
+        stats._epoch_us_col(events, "ts") / F.lit(3600.0 * 1_000_000.0)
+    ).cast("long")
+    holed = events.filter(bucket % 7 != 3)
+    return stats.coverage_gaps(holed, "ts", 3600)
+
+
 @query("bpe_vocab_documents")  # pinned-snapshot oracle (oracle_constants.json)
 def bpe_vocab_documents(spark, sf_dir) -> DataFrame:
     """Distributed BPE vocabulary learning (operators/bpe.py): the
@@ -4487,7 +4524,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # family keeps stats_lineitem in-window and the HLL error contract is
     # pytest-oracled every CI run)
     "uniqueness_documents_doc_id",      # salted uniqueness
-    "referential_lineitem_dangling_orders",  # anti-join referential
+    # (referential_lineitem_dangling_orders demoted: green r3 driver row;
+    # the anti-join referential shape keeps containment + spans audit
+    # evidence and is pytest-oracled every CI run)
     "drift_events_value_tdigest",       # t-digest drift
     "dedup_minhash_documents",          # MinHash+LSH (campaign mode, r4)
     "dedup_clusters_ngram_documents",   # large-star/small-star CC
@@ -4567,6 +4606,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "lm_perplexity_documents",      # bigram-LM quality scoring
     "decontam_semantic_embeddings",  # embedding-space decontamination
     "bpe_vocab_documents",           # distributed BPE vocabulary learning
+    "coverage_gaps_events",          # calendar-completeness gaps
     # (fd_confidence_events stays outside the window: the FD family keeps
     # fd_orders_nation in-window; confidence is pytest-oracled)
 )

@@ -294,3 +294,29 @@ def test_hash_sample_stage_composition_seeds(spark):
     # distinct seed: independent draw, ~0.9 of the survivors
     n_indep = sample.deterministic_sample(mixed, "key", 0.9, seed=43).count()
     assert abs(n_indep - 0.9 * n_mixed) < 0.05 * n_mixed
+
+
+# ----------------------------------------------------------- coverage gaps
+def test_coverage_gaps_planted(spark):
+    # hourly rows for buckets 100..109 except 103 and 107
+    rows = [
+        (b * 3600 * 1_000_000,) for b in range(100, 110) if b not in (103, 107)
+    ]
+    df = spark.createDataFrame(rows, "us long").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    gaps = stats.coverage_gaps(df, "ts", 3600).collect()
+    assert [(r["bucket"], r["bucket_start_epoch_s"]) for r in gaps] == [
+        (103, 103 * 3600),
+        (107, 107 * 3600),
+    ]
+
+
+def test_coverage_gaps_full_coverage_and_nulls(spark):
+    rows = [(b * 3600 * 1_000_000,) for b in range(5, 9)] + [(None,)]
+    df = spark.createDataFrame(rows, "us long").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    assert stats.coverage_gaps(df, "ts", 3600).count() == 0
+    # sub-bucket granularity: 4 hourly rows at 30-min buckets → 3 gaps
+    assert stats.coverage_gaps(df, "ts", 1800).count() == 3
