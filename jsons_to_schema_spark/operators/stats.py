@@ -808,3 +808,60 @@ def coverage_gaps(
         )
         .orderBy("bucket")
     )
+
+
+def benford_profile(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/corrupted-numbers screen (synthetic or truncated
+    feeds flatten the digit curve; unit mix-ups shift it).
+
+    The value is floored to an integer BEFORE digit extraction and the
+    digit is read from the integer's decimal string — integer→string is
+    byte-identical across engines, where a double's first digit via
+    log10 arithmetic is boundary-hazardous at powers of ten (and double
+    rendering differs by engine).
+
+    Domain: 1 <= |x| < 10^18.  Values at or beyond ~2^63 would SATURATE
+    the long cast and silently misreport digit 9 (the same 2^63 hazard the
+    integrality classifier fixed in r3), so they are excluded by an
+    explicit double-side bound — scale scientific-magnitude columns before
+    profiling.  NULLs and |x| < 1 are likewise excluded (no leading
+    significant digit).
+
+    One map-side-partial groupBy bounded by 9 digit groups + a broadcast
+    spine so absent digits appear with n_rows 0.  Output per digit 1-9:
+    (digit, n_rows, share, benford_p, delta) — share/delta round(6) from
+    exact longs, benford_p = round(log10(1 + 1/d), 6)."""
+    from pyspark.sql import Window
+
+    v = F.floor(F.abs(F.col(column))).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("long")
+    counts = (
+        df.filter(
+            F.col(column).isNotNull()
+            & (F.abs(F.col(column)) < F.lit(1e18))
+            & (v >= 1)
+        )
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = df.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+    w = Window.partitionBy(F.lit(1))
+    joined = (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .select("digit", F.coalesce("n_rows", F.lit(0)).alias("n_rows"))
+        .withColumn("_total", F.sum("n_rows").over(w))
+    )
+    share = F.round(F.col("n_rows") / F.col("_total"), 6)
+    bp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    return joined.select(
+        "digit",
+        "n_rows",
+        share.alias("share"),
+        bp.alias("benford_p"),
+        F.round(
+            F.col("n_rows") / F.col("_total")
+            - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")),
+            6,
+        ).alias("delta"),
+    ).orderBy("digit")

@@ -4463,6 +4463,44 @@ def coverage_gaps_events(spark, sf_dir) -> DataFrame:
     return stats.coverage_gaps(holed, "ts", 3600)
 
 
+@query(
+    "benford_lineitem_extendedprice",
+    oracle="""
+    WITH sp AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+         c AS (
+           SELECT CAST(substring(CAST(CAST(floor(abs(l_extendedprice))
+                        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  count(*) AS n
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND abs(l_extendedprice) < 1e18
+             AND floor(abs(l_extendedprice)) >= 1
+           GROUP BY 1
+         ),
+         j AS (
+           SELECT sp.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+           FROM sp LEFT JOIN c USING (digit)
+         ),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM j)
+    SELECT j.digit, j.n_rows,
+           round(j.n_rows / t.total, 6) AS share,
+           round(log10(1.0 + 1.0 / j.digit), 6) AS benford_p,
+           round(j.n_rows / t.total - log10(1.0 + 1.0 / j.digit), 6) AS delta
+    FROM j, t ORDER BY j.digit
+    """,
+)
+def benford_lineitem_extendedprice(spark, sf_dir) -> DataFrame:
+    """Benford first-digit profile (stats.benford_profile): the
+    fabricated-/corrupted-numbers screen.  Digits are read from the
+    FLOORED integer's decimal string (integer→string is byte-identical
+    across engines; log10 digit extraction is boundary-hazardous at
+    powers of ten), one 9-group map-side-partial aggregate + broadcast
+    spine.  TPC-H prices are NOT Benford-distributed, so the delta
+    column carries real signal to value-check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.benford_profile(li, "l_extendedprice")
+
+
 @query("bpe_vocab_documents")  # pinned-snapshot oracle (oracle_constants.json)
 def bpe_vocab_documents(spark, sf_dir) -> DataFrame:
     """Distributed BPE vocabulary learning (operators/bpe.py): the

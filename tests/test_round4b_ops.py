@@ -320,3 +320,39 @@ def test_coverage_gaps_full_coverage_and_nulls(spark):
     assert stats.coverage_gaps(df, "ts", 3600).count() == 0
     # sub-bucket granularity: 4 hourly rows at 30-min buckets → 3 gaps
     assert stats.coverage_gaps(df, "ts", 1800).count() == 3
+
+
+# ---------------------------------------------------------- Benford profile
+def test_benford_profile_hand_computed(spark):
+    # digits: 1 x3 (1, 12, 199), 2 x1 (25.7 → 25), 9 x1 (-9.2 → 9);
+    # 0.5 and NULL excluded (|x| < 1 has no leading significant digit)
+    df = spark.createDataFrame(
+        [(1.0,), (12.0,), (199.0,), (25.7,), (-9.2,), (0.5,), (None,)],
+        "x double",
+    )
+    rows = {r["digit"]: r for r in stats.benford_profile(df, "x").collect()}
+    assert len(rows) == 9  # spine emits all digits
+    assert rows[1]["n_rows"] == 3 and rows[1]["share"] == 0.6
+    assert rows[2]["n_rows"] == 1 and rows[9]["n_rows"] == 1
+    assert rows[3]["n_rows"] == 0 and rows[3]["share"] == 0.0
+    assert rows[1]["benford_p"] == round(math.log10(2), 6)
+    assert rows[1]["delta"] == round(0.6 - math.log10(2), 6)
+
+
+def test_benford_profile_benford_data_small_delta(spark):
+    # powers of 2 are Benford-distributed to good approximation; exponents
+    # capped at 2^59 so values stay inside the documented < 10^18 domain
+    df = spark.range(0, 1180).select(
+        F.pow(F.lit(2.0), F.col("id") % 59).alias("x")
+    )
+    rows = stats.benford_profile(df, "x").collect()
+    assert sum(r["n_rows"] for r in rows) == 1180
+    assert all(abs(r["delta"]) < 0.06 for r in rows)
+
+
+def test_benford_profile_excludes_saturating_magnitudes(spark):
+    # a value past 2^63 must be EXCLUDED, never misread as digit 9
+    df = spark.createDataFrame([(1e22,), (12.0,)], "x double")
+    rows = {r["digit"]: r for r in stats.benford_profile(df, "x").collect()}
+    assert rows[9]["n_rows"] == 0
+    assert rows[1]["n_rows"] == 1 and rows[1]["share"] == 1.0
