@@ -153,3 +153,105 @@ def psi_score(report: DataFrame) -> DataFrame:
         (F.round(F.sum("psi_term"), 6) >= 0.25).alias("major_shift"),
         (F.round(F.sum("psi_term"), 6) >= 0.10).alias("moderate_shift"),
     )
+
+
+def psi_report_grouped(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Sliced PSI: one drift report PER GROUP (per language, per source,
+    per event type) — global PSI answers "did the table drift", this
+    answers "which segment drifted", and a segment collapse can hide
+    entirely inside a stable global distribution.
+
+    Same arithmetic as psi_report, one level deeper: each side is ONE
+    map-side-partial groupBy on (group, bucket) — shuffle bounded by
+    groups × buckets, never the data; the spine is (groups present on
+    either side) × (all buckets) so empty buckets and one-sided groups
+    keep finite smoothed terms; per-group totals fold via a window
+    partitioned by group over the bounded count table (no re-scan).
+
+    Output: (group, bucket, bucket_lo, bucket_hi, base_n, cur_n,
+    psi_term) — group is the group value cast to string (NULL groups are
+    excluded: slice them explicitly if NULL is a segment of interest)."""
+    if smoothing <= 0:
+        raise ValueError("psi_report_grouped: smoothing must be > 0")
+    if n_buckets <= 0 or not hi > lo:
+        raise ValueError("psi_report_grouped: need n_buckets > 0 and hi > lo")
+    from pyspark.sql import Window
+
+    w_bucket = (hi - lo) / n_buckets
+    s = float(smoothing)
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        c = F.col(column)
+        bucket = F.least(
+            F.floor((c - F.lit(float(lo))) / F.lit(w_bucket)).cast("long"),
+            F.lit(n_buckets - 1),
+        )
+        return (
+            df.filter(
+                F.col(group_col).isNotNull()
+                & c.isNotNull()
+                & (c >= float(lo))
+                & (c <= float(hi))
+            )
+            .groupBy(
+                F.col(group_col).cast("string").alias("group"),
+                bucket.alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    b = _counts(baseline, "base_n")
+    c = _counts(current, "cur_n")
+    groups = b.select("group").union(c.select("group")).distinct()
+    spark = baseline.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    spine = groups.crossJoin(F.broadcast(buckets))
+    joined = (
+        spine.join(b, ["group", "bucket"], "left")
+        .join(c, ["group", "bucket"], "left")
+        .select(
+            "group",
+            "bucket",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    w = Window.partitionBy("group")
+    denom_pad = F.lit(s * n_buckets)
+    with_t = joined.withColumn("_bt", F.sum("base_n").over(w)).withColumn(
+        "_ct", F.sum("cur_n").over(w)
+    )
+    pb = (F.col("base_n") + F.lit(s)) / (F.col("_bt") + denom_pad)
+    pc = (F.col("cur_n") + F.lit(s)) / (F.col("_ct") + denom_pad)
+    return with_t.select(
+        "group",
+        "bucket",
+        (F.lit(float(lo)) + F.col("bucket") * F.lit(w_bucket)).alias("bucket_lo"),
+        (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w_bucket)).alias(
+            "bucket_hi"
+        ),
+        "base_n",
+        "cur_n",
+        F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+    )
+
+
+def psi_score_grouped(report: DataFrame) -> DataFrame:
+    """Per-group PSI verdicts from a grouped report: (group, psi,
+    moderate_shift, major_shift) — the monitor row per segment."""
+    agg = report.groupBy("group").agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+    return agg.select(
+        "group",
+        "psi",
+        (F.col("psi") >= 0.10).alias("moderate_shift"),
+        (F.col("psi") >= 0.25).alias("major_shift"),
+    )

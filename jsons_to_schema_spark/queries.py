@@ -4464,6 +4464,66 @@ def coverage_gaps_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "drift_psi_grouped_events",
+    oracle="""
+    WITH cb AS (
+      SELECT CAST(event_type AS VARCHAR) AS grp,
+             least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+        AND value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+      GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT CAST(event_type AS VARCHAR) AS grp,
+             least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+        AND value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT grp FROM cb UNION SELECT grp FROM cc),
+    sp AS (
+      SELECT g.grp, CAST(unnest(range(0, 10)) AS BIGINT) AS bucket FROM g
+    ),
+    j AS (
+      SELECT sp.grp, sp.bucket,
+             CAST(coalesce(cb.n, 0) AS BIGINT) AS base_n,
+             CAST(coalesce(cc.n, 0) AS BIGINT) AS cur_n
+      FROM sp LEFT JOIN cb USING (grp, bucket) LEFT JOIN cc USING (grp, bucket)
+    ),
+    t AS (
+      SELECT grp, CAST(sum(base_n) AS BIGINT) AS bt,
+             CAST(sum(cur_n) AS BIGINT) AS ct
+      FROM j GROUP BY 1
+    )
+    SELECT j.grp AS "group", j.bucket,
+           0.0 + j.bucket * 50.0 AS bucket_lo,
+           0.0 + (j.bucket + 1) * 50.0 AS bucket_hi,
+           j.base_n, j.cur_n,
+           round(((cur_n + 0.5) / (ct + 5.0) - (base_n + 0.5) / (bt + 5.0))
+                 * ln(((cur_n + 0.5) / (ct + 5.0))
+                      / ((base_n + 0.5) / (bt + 5.0))), 6) AS psi_term
+    FROM j JOIN t USING (grp)
+    """,
+)
+def drift_psi_grouped_events(spark, sf_dir) -> DataFrame:
+    """Sliced PSI drift (drift.psi_report_grouped): per-event-type drift
+    between the event_id-parity slices — "which segment drifted", the
+    check a stable global distribution can hide a segment collapse from.
+    One (group, bucket) aggregate per side (shuffle bounded by groups ×
+    buckets), group-windowed totals, smoothed terms round(6)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    return drift.psi_report_grouped(
+        base, cur, "value", "event_type", 0.0, 500.0, 10
+    )
+
+
+@query(
     "benford_lineitem_extendedprice",
     oracle="""
     WITH sp AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),

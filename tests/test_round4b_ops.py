@@ -356,3 +356,31 @@ def test_benford_profile_excludes_saturating_magnitudes(spark):
     rows = {r["digit"]: r for r in stats.benford_profile(df, "x").collect()}
     assert rows[9]["n_rows"] == 0
     assert rows[1]["n_rows"] == 1 and rows[1]["share"] == 1.0
+
+
+# ------------------------------------------------------------- grouped PSI
+def test_psi_grouped_isolates_drifting_segment(spark):
+    # segment "a" drifts (values shift by 50), segment "b" is stable
+    rows = []
+    for i in range(500):
+        rows.append(("a", float(i % 50), i))          # base a: [0,50)
+        rows.append(("b", float(i % 100), i))         # base b: [0,100)
+    base = spark.createDataFrame(rows, ["g", "x", "i"])
+    rows2 = []
+    for i in range(500):
+        rows2.append(("a", 50.0 + i % 50, i))         # cur a: [50,100) — drift
+        rows2.append(("b", float((i + 7) % 100), i))  # cur b: same distribution
+    cur = spark.createDataFrame(rows2, ["g", "x", "i"])
+    rep = drift.psi_report_grouped(base, cur, "x", "g", 0.0, 100.0, 10)
+    scores = {r["group"]: r for r in drift.psi_score_grouped(rep).collect()}
+    assert scores["a"]["major_shift"] and scores["a"]["psi"] > 0.25
+    assert not scores["b"]["moderate_shift"] and scores["b"]["psi"] < 0.05
+
+
+def test_psi_grouped_one_sided_group_finite(spark):
+    base = spark.createDataFrame([("only_base", 1.0)], ["g", "x"])
+    cur = spark.createDataFrame([("only_cur", 2.0)], ["g", "x"])
+    rep = drift.psi_report_grouped(base, cur, "x", "g", 0.0, 10.0, 5)
+    rows = rep.collect()
+    assert len(rows) == 10  # 2 groups x 5 buckets, both present in the spine
+    assert all(r["psi_term"] is not None for r in rows)
