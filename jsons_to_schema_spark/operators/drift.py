@@ -211,19 +211,32 @@ def psi_report_grouped(
 
     b = _counts(baseline, "base_n")
     c = _counts(current, "cur_n")
-    groups = b.select("group").union(c.select("group")).distinct()
-    spark = baseline.sparkSession
-    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
-    spine = groups.crossJoin(F.broadcast(buckets))
-    joined = (
-        spine.join(b, ["group", "bucket"], "left")
-        .join(c, ["group", "bucket"], "left")
+    # Merge the two bounded count tables ONCE (each corpus side is scanned
+    # exactly once), then pin the merged table before it is used twice
+    # (group discovery + the spine join).  Deriving groups straight from
+    # b/c re-executes their lineage — the column-pruned group projection
+    # makes the subtree non-identical, so ReusedExchange never fires and
+    # each corpus side would scan TWICE (measured).  The lazy
+    # localCheckpoint (dedup._materialize_once precedent) is groups ×
+    # present-buckets sized — KBs, never data-scale.
+    m = (
+        b.join(c, ["group", "bucket"], "full_outer")
         .select(
             "group",
             "bucket",
             F.coalesce("base_n", F.lit(0)).alias("base_n"),
             F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
         )
+        .localCheckpoint(eager=False)
+    )
+    spark = baseline.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    spine = m.select("group").distinct().crossJoin(F.broadcast(buckets))
+    joined = spine.join(m, ["group", "bucket"], "left").select(
+        "group",
+        "bucket",
+        F.coalesce("base_n", F.lit(0)).alias("base_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
     )
     w = Window.partitionBy("group")
     denom_pad = F.lit(s * n_buckets)

@@ -465,3 +465,26 @@ def test_lm_scores_stay_jvm_side(spark):
     plan = audit.executed_plan(q)
     assert "EvalPython" not in plan
     assert audit.has_partial_aggregate(q)
+
+
+def test_psi_grouped_scans_each_side_once(spark):
+    """Grouped PSI pins the merged bounded count table before its double
+    use (group spine + join): after materialization the executed plan
+    reads the checkpointed table — each corpus side was scanned exactly
+    once, never re-executed for group discovery."""
+    from jsons_to_schema_spark.operators import drift
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = drift.psi_report_grouped(
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        0.0,
+        500.0,
+        10,
+    )
+    q.collect()  # materialize the lazy checkpoint
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 0, plan[:1500]
+    assert "EvalPython" not in plan
