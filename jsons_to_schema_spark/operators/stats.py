@@ -769,10 +769,12 @@ def coverage_gaps(
     silently dropped Tuesday still has a healthy total).
 
     Shape: one map-side-partial groupBy on the computed bucket id
-    (shuffle bounded by the covered bucket count), then the bucket spine
-    is generated from that BOUNDED count table's own min/max (window over
-    the counts — Catalyst reuses the grouped exchange, so the corpus is
-    scanned once) and anti-joined.  Bucket ids use the identical double
+    (shuffle bounded by the covered bucket count); the BOUNDED count
+    table is pinned (lazy localCheckpoint, dedup._materialize_once
+    precedent) before its double use — spine generation from its own
+    min/max AND the anti-join — because the two uses carry different
+    projections, so ReusedExchange does not fire and the corpus would
+    scan twice (measured).  Bucket ids use the identical double
     expression floor(epoch_us / (granularity·10^6)) in both engines.
 
     The caller sizes granularity against the table's span (a year at
@@ -789,6 +791,7 @@ def coverage_gaps(
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy(F.lit(1))
     spine = (
