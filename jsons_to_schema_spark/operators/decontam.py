@@ -220,7 +220,9 @@ def decontaminate_semantic(
     Output per contaminated item: (id, n_hits, max_cos_sim,
     nearest_eval_id) — n_hits counts eval items at/above threshold,
     nearest_eval_id breaks cosine ties on the smallest eval id
-    (deterministic review evidence).  Clean items produce no row."""
+    (deterministic review evidence; the tie-break negates the id inside
+    a struct max, so eval ids must be NUMERIC — map string ids to a
+    surrogate first).  Clean items produce no row."""
     from .similarity import cosine
 
     ev = eval_set.select(

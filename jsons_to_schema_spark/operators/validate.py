@@ -955,19 +955,24 @@ def table_diff(
         eq = F.col(f"_ka_{c}") == F.col(f"_kb_{c}")
         cond = eq if cond is None else (cond & eq)
     joined = a.join(b, cond, "full_outer")
-    diffs = F.sort_array(
-        F.array_compact(
-            F.array(
-                *[
-                    F.when(
-                        ~(F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))),
-                        F.lit(c),
-                    )
-                    for c in compare_cols
-                ]
+    if compare_cols:
+        diffs = F.sort_array(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            ~(F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))),
+                            F.lit(c),
+                        )
+                        for c in compare_cols
+                    ]
+                )
             )
         )
-    )
+    else:
+        # key-only diff (membership reconciliation): an argless F.array()
+        # would type changed_cols as array<void>; pin array<string>
+        diffs = F.array().cast("array<string>")
     status = (
         F.when(F.col("_in_b").isNull(), F.lit("removed"))
         .when(F.col("_in_a").isNull(), F.lit("added"))

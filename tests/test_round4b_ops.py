@@ -384,3 +384,14 @@ def test_psi_grouped_one_sided_group_finite(spark):
     rows = rep.collect()
     assert len(rows) == 10  # 2 groups x 5 buckets, both present in the spine
     assert all(r["psi_term"] is not None for r in rows)
+
+
+def test_table_diff_key_only_membership(spark):
+    # no compare columns: pure membership reconciliation, typed correctly
+    a = spark.createDataFrame([(1,), (2,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,)], ["k"])
+    rows = {r["k"]: r for r in validate.table_diff(a, b, ["k"]).collect()}
+    assert rows[1]["status"] == "removed" and rows[3]["status"] == "added"
+    assert 2 not in rows
+    diff = validate.table_diff(a, b, ["k"])
+    assert dict(diff.dtypes)["changed_cols"] == "array<string>"
