@@ -29,6 +29,11 @@ import json
 import sys
 from pathlib import Path
 
+# --py-files puts the package on the path on a cluster; this fallback makes
+# the local smoke invocation work from a bare checkout too (run_curation.py
+# convention).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from pyspark.sql import SparkSession
 
 
@@ -52,6 +57,15 @@ def main() -> int:
         type=int,
         default=None,
         help="metrics run id (default: latest stored + 1)",
+    )
+    ap.add_argument(
+        "--diff-against",
+        default=None,
+        help="previous snapshot of the SAME table (parquet path); when "
+        "set, a doc_id-keyed reconciliation (validate.table_diff) is "
+        "written to <output>/snapshot_diff — added/removed/changed rows "
+        "with changed-column attribution (span arrays compare null-safe "
+        "JVM-side), the backfill/migration audit",
     )
     args = ap.parse_args()
 
@@ -116,6 +130,20 @@ def main() -> int:
                 f"metrics stamped as run {run_id}; "
                 f"{n_flagged} metric(s) anomalous vs history"
             )
+
+    if args.diff_against:
+        from jsons_to_schema_spark.operators.validate import (
+            table_diff,
+            table_diff_summary,
+        )
+
+        prev = spark.read.parquet(args.diff_against)
+        diff = table_diff(prev, df, ["doc_id"])
+        diff.write.mode("overwrite").parquet(str(out / "snapshot_diff"))
+        summary = {
+            r["status"]: r["n_rows"] for r in table_diff_summary(diff).collect()
+        }
+        print(f"snapshot diff vs {args.diff_against}: {summary or 'reconciled'}")
 
     print(
         f"validated {result['n_rows']} rows across {result['splits_total']} splits "
