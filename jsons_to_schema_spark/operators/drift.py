@@ -268,3 +268,51 @@ def psi_score_grouped(report: DataFrame) -> DataFrame:
         (F.col("psi") >= 0.10).alias("moderate_shift"),
         (F.col("psi") >= 0.25).alias("major_shift"),
     )
+
+
+def psi_from_baseline_counts(
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    baseline_counts: "dict[int, int]",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI report of a slice against a PINNED baseline histogram (bucket →
+    count) — the monitoring form: the baseline is profiled once (e.g. from
+    the accepted corpus snapshot, via stats.column_histogram) and stored;
+    every later slice/micro-batch compares against those stored counts
+    without ever re-scanning the baseline data.  Same bucket expression
+    and smoothed-term arithmetic as psi_report."""
+    if smoothing <= 0:
+        raise ValueError("psi_from_baseline_counts: smoothing must be > 0")
+    from .stats import column_histogram
+
+    spark = current.sparkSession
+    base_rows = [
+        (int(b), int(baseline_counts.get(b, 0))) for b in range(n_buckets)
+    ]
+    b = spark.createDataFrame(base_rows, "bucket long, base_n long")
+    c = column_histogram(current, column, lo, hi, n_buckets).select(
+        "bucket", "bucket_lo", "bucket_hi", F.col("n_rows").alias("cur_n")
+    )
+    joined = c.join(F.broadcast(b), "bucket")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    s = float(smoothing)
+    denom_pad = F.lit(s * n_buckets)
+    with_t = joined.withColumn("_bt", F.sum("base_n").over(w)).withColumn(
+        "_ct", F.sum("cur_n").over(w)
+    )
+    pb = (F.col("base_n") + F.lit(s)) / (F.col("_bt") + denom_pad)
+    pc = (F.col("cur_n") + F.lit(s)) / (F.col("_ct") + denom_pad)
+    return with_t.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "base_n",
+        "cur_n",
+        F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+    )

@@ -4038,6 +4038,99 @@ def stream_metric_anomalies(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "stream_psi_drift_events",
+    oracle="""
+    WITH bb AS (
+      SELECT least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE event_id % 3 = 0 AND value IS NOT NULL
+        AND value >= 0.0 AND value <= 500.0
+      GROUP BY 1
+    ),
+    runs AS (
+      SELECT 0 AS run_id,
+             least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket
+      FROM events
+      WHERE event_id % 3 = 1 AND value IS NOT NULL
+        AND value >= 0.0 AND value <= 500.0
+      UNION ALL
+      SELECT 1,
+             least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9)
+      FROM events
+      WHERE event_id % 3 = 2 AND value > 250.0 AND value <= 500.0
+    ),
+    cc AS (SELECT run_id, bucket, count(*) AS n FROM runs GROUP BY 1, 2),
+    sp AS (
+      SELECT r.run_id, CAST(unnest(range(0, 10)) AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT run_id FROM runs) r
+    ),
+    j AS (
+      SELECT sp.run_id, sp.bucket,
+             CAST(coalesce(bb.n, 0) AS BIGINT) AS base_n,
+             CAST(coalesce(cc.n, 0) AS BIGINT) AS cur_n
+      FROM sp LEFT JOIN bb USING (bucket)
+              LEFT JOIN cc ON sp.run_id = cc.run_id AND sp.bucket = cc.bucket
+    ),
+    t AS (
+      SELECT run_id, CAST(sum(base_n) AS BIGINT) AS bt,
+             CAST(sum(cur_n) AS BIGINT) AS ct
+      FROM j GROUP BY 1
+    )
+    SELECT j.run_id, j.bucket, j.base_n, j.cur_n,
+           round(((cur_n + 0.5) / (ct + 5.0) - (base_n + 0.5) / (bt + 5.0))
+                 * ln(((cur_n + 0.5) / (ct + 5.0))
+                      / ((base_n + 0.5) / (bt + 5.0))), 6) AS psi_term
+    FROM j JOIN t USING (run_id)
+    """,
+)
+def stream_psi_drift_events(spark, sf_dir) -> DataFrame:
+    """Continuous drift monitoring (streaming/monitor.psi_drift_stream):
+    the baseline histogram is profiled ONCE from the event_id%3==0 slice
+    and pinned as bucket→count literals; two deterministic micro-batches
+    then stream through — batch 0 (event_id%3==1) carries the same
+    distribution, batch 1 (event_id%3==2, values clamped to > 250) is a
+    planted support collapse, so the streamed PSI verdict FIRES on batch
+    1 while batch 0 stays quiet.  Replay-safe per-batch stamping (dynamic
+    run_id partition overwrite); the oracle recomputes both batches'
+    reports relationally."""
+    from jsons_to_schema_spark.operators import stats as _stats
+    from .streaming.monitor import psi_drift_stream
+
+    events = load_table(spark, sf_dir, "events")
+    baseline = {
+        r["bucket"]: r["n_rows"]
+        for r in _stats.column_histogram(
+            events.filter(F.col("event_id") % 3 == 0), "value", 0.0, 500.0, 10
+        ).collect()
+    }
+    tmp = _stream_tmp("stream_psi_")
+    src = str(tmp / "src")
+    batches = [
+        events.filter(F.col("event_id") % 3 == 1),
+        events.filter((F.col("event_id") % 3 == 2) & (F.col("value") > 250.0)),
+    ]
+    for b in batches:
+        b.select("event_id", "value").write.mode("append").parquet(src)
+        q = psi_drift_stream(
+            spark,
+            src,
+            str(tmp / "out"),
+            str(tmp / "ckpt"),
+            "value",
+            0.0,
+            500.0,
+            10,
+            baseline,
+            source_schema="event_id long, value double",
+        )
+        q.awaitTermination()
+    return spark.read.parquet(str(tmp / "out")).select(
+        "run_id", "bucket", "base_n", "cur_n", "psi_term"
+    )
+
+
+@query(
     "containment_lineitem_events",
     oracle="""
     WITH a1 AS (

@@ -186,3 +186,55 @@ def metrics_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def psi_drift_stream(
+    spark,
+    source_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    baseline_counts: "dict[int, int]",
+    smoothing: float = 0.5,
+    source_format: str = "parquet",
+    source_schema: "str | None" = None,
+    available_now: bool = True,
+):
+    """Continuous distribution-drift monitoring: every micro-batch's PSI
+    report against a PINNED baseline histogram (profiled once from the
+    accepted corpus, shipped as bucket→count literals — the baseline data
+    is never re-scanned).  The per-batch work is one bounded histogram
+    aggregate of the micro-batch; per-batch rows land partitioned by
+    run_id = batch id with dynamic partition overwrite, so an
+    at-least-once replayed batch re-stamps identical rows instead of
+    duplicating them (the foreachBatch idempotence rule every sink in
+    streaming/ follows).  Read the sink and alert on Σ psi_term per run
+    (the conventional 0.1 / 0.25 PSI bands)."""
+    from ..operators.drift import psi_from_baseline_counts
+
+    def _fn(bdf: DataFrame, batch_id: int) -> None:
+        report = psi_from_baseline_counts(
+            bdf, column, lo, hi, n_buckets, baseline_counts, smoothing
+        ).withColumn("run_id", F.lit(int(batch_id)).cast("bigint"))
+        (
+            report.repartition(1, "run_id")
+            .write.mode("overwrite")
+            .partitionBy("run_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    reader = spark.readStream.format(source_format)
+    if source_schema:
+        reader = reader.schema(source_schema)
+    writer = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

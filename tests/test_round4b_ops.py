@@ -395,3 +395,35 @@ def test_table_diff_key_only_membership(spark):
     assert 2 not in rows
     diff = validate.table_diff(a, b, ["k"])
     assert dict(diff.dtypes)["changed_cols"] == "array<string>"
+
+
+def test_psi_drift_stream_fires_on_planted_collapse(spark, tmp_path):
+    from jsons_to_schema_spark.streaming.monitor import psi_drift_stream
+
+    src = str(tmp_path / "src")
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    baseline = {b: 10 for b in range(10)}  # uniform over [0, 100)
+    # batch 0: same uniform distribution; batch 1: collapsed to [0, 10)
+    base.select("x").write.mode("append").parquet(src)
+    q = psi_drift_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        "x", 0.0, 100.0, 10, baseline, source_schema="x double",
+    )
+    q.awaitTermination()
+    spark.range(1000).select((F.col("id") % 10).cast("double").alias("x")).write.mode(
+        "append"
+    ).parquet(src)
+    q = psi_drift_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        "x", 0.0, 100.0, 10, baseline, source_schema="x double",
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    psi = {
+        r["run_id"]: r["psi"]
+        for r in out.groupBy("run_id")
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+        .collect()
+    }
+    assert psi[0] == 0.0          # identical distribution → zero drift
+    assert psi[1] > 0.25          # planted collapse → major shift
