@@ -316,3 +316,100 @@ def psi_from_baseline_counts(
         "cur_n",
         F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
     )
+
+
+def psi_report_multi(
+    baseline: DataFrame,
+    current: DataFrame,
+    specs: "dict[str, tuple[float, float]]",
+    n_buckets: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI for N columns in TWO scans total (one per side), not 2N — the
+    single-multi-aggregate-pass ethos applied to drift: each side melts
+    every monitored column into (column, bucket) rows inside the scan
+    projection (an array-of-structs inline, the column_entropy melt
+    shape), then ONE map-side-partial groupBy bounded by N × buckets.
+
+    ``specs`` maps column name → (lo, hi); each column buckets with its
+    own equi-width expression (identical to column_histogram's).  The
+    spine is built from the spec LITERALS — no lineage reuse, so no
+    checkpoint is needed and each corpus side is scanned exactly once by
+    construction.  Per-column totals fold via a window partitioned by
+    column over the bounded table.
+
+    Output: (column, bucket, bucket_lo, bucket_hi, base_n, cur_n,
+    psi_term) — one row per column × bucket, psi_term round(6).  Fold
+    per column with psi_score_grouped(report.withColumnRenamed("column",
+    "group")) or a groupBy("column").sum("psi_term")."""
+    if smoothing <= 0:
+        raise ValueError("psi_report_multi: smoothing must be > 0")
+    if not specs:
+        raise ValueError("psi_report_multi: specs must be non-empty")
+    for col, (lo, hi) in specs.items():
+        if not hi > lo:
+            raise ValueError(f"psi_report_multi: need hi > lo for {col!r}")
+    from pyspark.sql import Window
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        entries = []
+        for col, (lo, hi) in sorted(specs.items()):
+            w_b = (hi - lo) / n_buckets
+            c = F.col(col)
+            bucket = F.when(
+                c.isNotNull() & (c >= float(lo)) & (c <= float(hi)),
+                F.least(
+                    F.floor((c - F.lit(float(lo))) / F.lit(w_b)).cast("long"),
+                    F.lit(n_buckets - 1),
+                ),
+            )
+            entries.append(
+                F.struct(F.lit(col).alias("column"), bucket.alias("bucket"))
+            )
+        melted = df.select(F.explode(F.array(*entries)).alias("_e")).select(
+            F.col("_e.column").alias("column"), F.col("_e.bucket").alias("bucket")
+        )
+        return (
+            melted.filter(F.col("bucket").isNotNull())
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    spark = baseline.sparkSession
+    spine_rows = []
+    for col, (lo, hi) in sorted(specs.items()):
+        w_b = (hi - lo) / n_buckets
+        for b in range(n_buckets):
+            spine_rows.append((col, b, lo + b * w_b, lo + (b + 1) * w_b))
+    spine = spark.createDataFrame(
+        spine_rows, "column string, bucket long, bucket_lo double, bucket_hi double"
+    )
+    joined = (
+        spine.join(_counts(baseline, "base_n"), ["column", "bucket"], "left")
+        .join(_counts(current, "cur_n"), ["column", "bucket"], "left")
+        .select(
+            "column",
+            "bucket",
+            "bucket_lo",
+            "bucket_hi",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    w = Window.partitionBy("column")
+    s = float(smoothing)
+    denom_pad = F.lit(s * n_buckets)
+    with_t = joined.withColumn("_bt", F.sum("base_n").over(w)).withColumn(
+        "_ct", F.sum("cur_n").over(w)
+    )
+    pb = (F.col("base_n") + F.lit(s)) / (F.col("_bt") + denom_pad)
+    pc = (F.col("cur_n") + F.lit(s)) / (F.col("_ct") + denom_pad)
+    return with_t.select(
+        "column",
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "base_n",
+        "cur_n",
+        F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+    )

@@ -4617,6 +4617,83 @@ def drift_psi_grouped_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "drift_psi_multi_lineitem",
+    oracle="""
+    WITH mb AS (
+      SELECT 'l_quantity' AS col,
+             least(CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT), 9)
+               AS bucket, count(*) AS n
+      FROM lineitem
+      WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+        AND l_quantity >= 0.0 AND l_quantity <= 50.0
+      GROUP BY 2
+      UNION ALL
+      SELECT 'l_discount',
+             least(CAST(floor((l_discount - 0.0) / 0.01) AS BIGINT), 9),
+             count(*)
+      FROM lineitem
+      WHERE l_orderkey % 2 = 0 AND l_discount IS NOT NULL
+        AND l_discount >= 0.0 AND l_discount <= 0.1
+      GROUP BY 2
+    ),
+    mc AS (
+      SELECT 'l_quantity' AS col,
+             least(CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT), 9)
+               AS bucket, count(*) AS n
+      FROM lineitem
+      WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+        AND l_quantity >= 0.0 AND l_quantity <= 50.0
+      GROUP BY 2
+      UNION ALL
+      SELECT 'l_discount',
+             least(CAST(floor((l_discount - 0.0) / 0.01) AS BIGINT), 9),
+             count(*)
+      FROM lineitem
+      WHERE l_orderkey % 2 = 1 AND l_discount IS NOT NULL
+        AND l_discount >= 0.0 AND l_discount <= 0.1
+      GROUP BY 2
+    ),
+    sp AS (
+      SELECT col, CAST(unnest(range(0, 10)) AS BIGINT) AS bucket,
+             lo + CAST(unnest(range(0, 10)) AS BIGINT) * w AS bucket_lo,
+             lo + (CAST(unnest(range(0, 10)) AS BIGINT) + 1) * w AS bucket_hi
+      FROM (SELECT col, CAST(lo AS DOUBLE) AS lo, CAST(w AS DOUBLE) AS w
+            FROM (VALUES ('l_quantity', 0.0, 5.0), ('l_discount', 0.0, 0.01))
+                 v0(col, lo, w)) v
+    ),
+    j AS (
+      SELECT sp.col AS "column", sp.bucket, sp.bucket_lo, sp.bucket_hi,
+             CAST(coalesce(mb.n, 0) AS BIGINT) AS base_n,
+             CAST(coalesce(mc.n, 0) AS BIGINT) AS cur_n
+      FROM sp LEFT JOIN mb ON sp.col = mb.col AND sp.bucket = mb.bucket
+              LEFT JOIN mc ON sp.col = mc.col AND sp.bucket = mc.bucket
+    ),
+    t AS (
+      SELECT "column", CAST(sum(base_n) AS BIGINT) AS bt,
+             CAST(sum(cur_n) AS BIGINT) AS ct
+      FROM j GROUP BY 1
+    )
+    SELECT j."column", j.bucket, j.bucket_lo, j.bucket_hi, j.base_n, j.cur_n,
+           round(((cur_n + 0.5) / (ct + 5.0) - (base_n + 0.5) / (bt + 5.0))
+                 * ln(((cur_n + 0.5) / (ct + 5.0))
+                      / ((base_n + 0.5) / (bt + 5.0))), 6) AS psi_term
+    FROM j JOIN t USING ("column")
+    """,
+)
+def drift_psi_multi_lineitem(spark, sf_dir) -> DataFrame:
+    """Multi-column PSI (drift.psi_report_multi): l_quantity and
+    l_discount drift between the orderkey-parity slices in TWO scans
+    total (one melt per side), not two per column — the
+    single-multi-aggregate-pass ethos applied to drift monitoring."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return drift.psi_report_multi(
+        base, cur, {"l_quantity": (0.0, 50.0), "l_discount": (0.0, 0.1)}, 10
+    )
+
+
+@query(
     "benford_lineitem_extendedprice",
     oracle="""
     WITH sp AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),

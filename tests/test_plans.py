@@ -488,3 +488,22 @@ def test_psi_grouped_scans_each_side_once(spark):
     plan = audit.executed_plan(q)
     assert audit.scan_count(q) == 0, plan[:1500]
     assert "EvalPython" not in plan
+
+
+def test_psi_multi_two_scans_total(spark):
+    """Multi-column PSI melts N columns into one aggregate per side: two
+    scans total regardless of column count (the spine is literal rows,
+    so no lineage reuse and no checkpoint needed)."""
+    from jsons_to_schema_spark.operators import drift
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    q = drift.psi_report_multi(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        {"l_quantity": (0.0, 50.0), "l_discount": (0.0, 0.1)},
+        10,
+    )
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 2, plan[:1500]
+    assert "EvalPython" not in plan
+    assert audit.has_partial_aggregate(q)

@@ -427,3 +427,31 @@ def test_psi_drift_stream_fires_on_planted_collapse(spark, tmp_path):
     }
     assert psi[0] == 0.0          # identical distribution → zero drift
     assert psi[1] > 0.25          # planted collapse → major shift
+
+
+def test_psi_multi_matches_per_column(spark):
+    """The melted multi-column report must equal per-column psi_report."""
+    base = spark.range(2000).select(
+        (F.col("id") % 50).cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+    )
+    cur = spark.range(2000).select(
+        (25 + F.col("id") % 25).cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+    )
+    multi = drift.psi_report_multi(base, cur, {"a": (0.0, 50.0), "b": (0.0, 7.0)}, 10)
+    got_a = sorted(
+        (r["bucket"], r["base_n"], r["cur_n"], r["psi_term"])
+        for r in multi.filter("column = 'a'").collect()
+    )
+    want_a = sorted(
+        (r["bucket"], r["base_n"], r["cur_n"], r["psi_term"])
+        for r in drift.psi_report(base, cur, "a", 0.0, 50.0, 10).collect()
+    )
+    assert got_a == want_a
+    # stable column b scores ~0, drifted column a fires
+    import collections
+    psi = collections.defaultdict(float)
+    for r in multi.collect():
+        psi[r["column"]] += r["psi_term"]
+    assert psi["a"] > 0.25 and abs(psi["b"]) < 0.01
