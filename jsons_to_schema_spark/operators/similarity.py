@@ -1008,3 +1008,270 @@ def ivf_topk_indexed_q8(
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the IVF layout
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> "list[list[list[float]]]":
+    """Product-quantization codebooks: the vector splits into ``m``
+    contiguous subspaces, each learning its own ``n_codes``-centroid
+    codebook, so a vector stores as m small integers (m·log2(n_codes)
+    bits — 4 bytes at the defaults vs 8·dim for doubles, a ~32x index
+    shrink at dim=16 and far more at real dims).
+
+    Training follows the ivf_train_centroids contract exactly: ONE
+    distributed pass collects the hash-smallest ``sample_limit``
+    L2-normalized vectors (bounded, deterministic), then per-subspace
+    Lloyd runs as driver numpy — bit-deterministic, no RNG.  Codebooks
+    quantize the NORMALIZED vectors directly (faiss IVFPQ with
+    by_residual=False): simpler, and the IVF cell only routes, never
+    shifts the code space."""
+    v = corpus.select(
+        l2_normalize_kernel()(F.col(vec_col)).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    rows = (
+        v.select(
+            "_v", F.xxhash64(F.col("_v").cast("string"), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(sample_limit)
+        .collect()
+    )
+    if not rows:
+        return []
+    X = np.asarray([r._v for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[: min(n_codes, len(Xj))].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # deterministic first-min ties
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xj)
+            counts = np.bincount(assign, minlength=len(C))
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode_kernel(codebooks: "list[list[list[float]]]"):
+    """pandas_udf: L2-NORMALIZED vector → array<int> of m PQ codes
+    (per-subspace argmin L2, deterministic first-min ties).  Malformed
+    rows → null (shared _dense_batch contract)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR_ITER (assign_cells_kernel note: stringified hints)
+    @pandas_udf("array<int>", PandasUDFType.SCALAR_ITER)
+    def kern(it):
+        B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        sub = B[0].shape[1] if B else 0
+        dim = sub * len(B)
+        for vals in it:
+            out = [None] * len(vals)
+            idx, rows, _bad = _dense_batch(vals, expect_dim=dim)
+            if rows:
+                X = np.vstack(rows)
+                codes = np.empty((len(rows), len(B)), dtype=np.int64)
+                for j, Cj in enumerate(B):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    d2 = ((Xj[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = np.argmin(d2, axis=1)
+                for row_i, i in enumerate(idx):
+                    out[i] = [int(c) for c in codes[row_i]]
+            yield pd.Series(out)
+
+    return kern
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    index_dir,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    pq_iters: int = 4,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> dict:
+    """IVF-PQ index: the same cells/-partitioned layout as build_ivf_index
+    but storing m PQ CODES per vector — the smallest index variant
+    (m·log2(n_codes) bits/vector), probe-able without reading any floats.
+    Coarse centroids + codebooks land in the JSON sidecar ("pq": true);
+    ivf_topk_indexed_pq probes with zero training jobs and reranks exactly
+    against the source corpus, so quantization affects only candidate
+    recall, never reported scores."""
+    import json
+    from pathlib import Path
+
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    centroids = ivf_train_centroids(
+        corpus, vec_col, n_cells=n_cells, iters=iters, seed=seed,
+        sample_limit=sample_limit,
+    )
+    codebooks = pq_train_codebooks(
+        corpus, vec_col, m=m, n_codes=n_codes, iters=pq_iters, seed=seed,
+        sample_limit=sample_limit,
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize_kernel()(F.col(vec_col)).alias("_nv"),
+        assign_cells_kernel(centroids)(F.col(vec_col)).alias("cell"),
+    ).select(
+        "vec_id",
+        pq_encode_kernel(codebooks)(F.col("_nv")).alias("codes"),
+        "cell",
+    ).filter(F.col("codes").isNotNull())
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(str(out / "cells"))
+    meta = {
+        "centroids": centroids,
+        "codebooks": codebooks,
+        "n_cells": n_cells,
+        "m": m,
+        "n_codes": n_codes,
+        "seed": seed,
+        "pq": True,
+    }
+    (out / "centroids.json").write_text(json.dumps(meta, sort_keys=True))
+    return meta
+
+
+def ivf_topk_indexed_pq(
+    spark,
+    index_dir,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    oversample: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index via asymmetric distance
+    computation (ADC): each query precomputes a lookup table LUT[j][c] =
+    dot(q_j, codebook[j][c]) (an m × n_codes float table, built inside
+    the broadcast query projection), and a candidate's approximate cosine
+    is the JVM expression Σ_j LUT[j][codes[j]] — ``zip_with`` the code
+    array against the LUT rows + ``element_at`` + ``aggregate``: the
+    probe hot path reads ONLY integer codes and never leaves codegen (no
+    Python, no float vectors scanned).
+
+    Candidates keep k·oversample per query by approximate score, then an
+    exact rerank joins the source corpus (broadcast candidate set — the
+    corpus never shuffles); reported cos_sim is full precision, identical
+    in kind to brute_force_topk."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    meta = json.loads((Path(index_dir) / "centroids.json").read_text())
+    if not meta.get("pq"):
+        raise ValueError(f"{index_dir} is not a PQ index")
+    centroids = meta["centroids"]
+    codebooks = meta["codebooks"]
+    cells = spark.read.parquet(str(Path(index_dir) / "cells")).select(
+        F.col("vec_id").alias("neighbor_id"), "codes", "cell"
+    )
+
+    def _lut_kernel():
+        import pandas as pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        @pandas_udf("array<array<double>>", PandasUDFType.SCALAR_ITER)
+        def kern(it):
+            B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+            sub = B[0].shape[1] if B else 0
+            dim = sub * len(B)
+            for vals in it:
+                out = [None] * len(vals)
+                idx, rows, _bad = _dense_batch(vals, expect_dim=dim)
+                if rows:
+                    X = np.vstack(rows)
+                    for row_i, i in enumerate(idx):
+                        q = X[row_i]
+                        out[i] = [
+                            (Cj @ q[j * sub : (j + 1) * sub]).tolist()
+                            for j, Cj in enumerate(B)
+                        ]
+                yield pd.Series(out)
+
+        return kern
+
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize_kernel()(F.col(vec_col)).alias("_nv"),
+        F.explode(
+            topcells_kernel(centroids, n_probe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    q = F.broadcast(
+        qn.select(
+            "query_id", "cell", _lut_kernel()(F.col("_nv")).alias("_lut")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        q.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("_approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    exact = (
+        nv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

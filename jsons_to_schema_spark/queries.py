@@ -1439,6 +1439,36 @@ def similarity_ivf_q8_topk_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+@query("similarity_ivf_pq_topk_embeddings")
+def similarity_ivf_pq_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """PRODUCT-QUANTIZED IVF probe (similarity.build_ivf_pq_index /
+    ivf_topk_indexed_pq): the index stores m=4 PQ codes per vector — the
+    smallest index variant (bits, not floats) — and the probe scores
+    candidates via ADC entirely in codegen (zip_with the code array
+    against the per-query LUT rows; only integer codes are scanned),
+    then reranks exactly against the corpus.  Recall ≥0.85 vs brute
+    force asserted in tests/test_round4b_ops.py (0.96 measured at these
+    parameters); bit-deterministic training → pinned oracle."""
+    from pathlib import Path
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    idx = (
+        Path(__file__).resolve().parents[1]
+        / ".cache"
+        / f"ivfpq_{Path(sf_dir).name}_{_source_fingerprint(sf_dir, 'embeddings')}_c16_m4_n64_s42"
+    )
+    if not (idx / "centroids.json").exists():
+        similarity.build_ivf_pq_index(
+            emb, idx, n_cells=16, m=4, n_codes=64, iters=2, pq_iters=6, seed=42
+        )
+    return similarity.ivf_topk_indexed_pq(
+        spark, idx, queries_df, emb, k=10, n_probe=8, oversample=16
+    )
+
+
 # ===========================================================================
 # Canonical spans table — constraint validation (synthetic input → rows-only;
 # exact-count assertions live in tests/test_validate_spans.py)

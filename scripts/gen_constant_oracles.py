@@ -39,6 +39,7 @@ NAMES = [
     "similarity_lsh_topk_embeddings",
     "similarity_ivf_topk_embeddings",
     "similarity_ivf_q8_topk_embeddings",
+    "similarity_ivf_pq_topk_embeddings",
     "drift_events_value_tdigest",
     "schema_infer_spans_tuple_mode",
 ]

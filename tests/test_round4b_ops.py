@@ -455,3 +455,76 @@ def test_psi_multi_matches_per_column(spark):
     for r in multi.collect():
         psi[r["column"]] += r["psi_term"]
     assert psi["a"] > 0.25 and abs(psi["b"]) < 0.01
+
+
+# ---------------------------------------------------------------- IVF-PQ
+def test_ivf_pq_recall_vs_brute_force(spark, tmp_path):
+    """PQ-index probe (ADC over integer codes, JVM-side) with exact
+    rerank: high recall vs brute force, full-precision reported scores."""
+    from jsons_to_schema_spark.operators import similarity
+    from jsons_to_schema_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    idx = tmp_path / "ivf_pq"
+    meta = similarity.build_ivf_pq_index(
+        emb, idx, n_cells=8, m=4, n_codes=64, iters=2, pq_iters=6, seed=42
+    )
+    assert meta["pq"] and len(meta["codebooks"]) == 4
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.ivf_topk_indexed_pq(
+        spark, idx, queries, emb, k=10, n_probe=8, oversample=16
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    g = {(r.query_id, r.neighbor_id): r.cos_sim for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    recall = len(g.keys() & e.keys()) / len(e)
+    # random 16-dim vectors are PQ's worst case (no structure to code away;
+    # 1.25 bits/dim here); the oversampled rerank recovers ≥0.85 — real
+    # embedding corpora (clustered, higher dim) sit far above this
+    assert recall >= 0.85, recall
+    for key in g.keys() & e.keys():
+        assert abs(g[key] - e[key]) < 1e-9  # rerank scores are exact
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from jsons_to_schema_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+        + [(999, None)],
+        "vec_id long, embedding array<double>",
+    )
+    books = similarity.pq_train_codebooks(df, m=2, n_codes=8, sample_limit=500)
+    assert len(books) == 2 and all(len(b) <= 8 for b in books)
+    normed = df.select(
+        "vec_id",
+        similarity.l2_normalize_kernel()(F.col("embedding")).alias("nv"),
+    )
+    codes = normed.select(
+        "vec_id", similarity.pq_encode_kernel(books)(F.col("nv")).alias("c")
+    )
+    rows = {r["vec_id"]: r["c"] for r in codes.collect()}
+    assert rows[999] is None  # malformed/null rows → null codes
+    assert all(
+        v is None or (len(v) == 2 and all(0 <= x < 8 for x in v))
+        for v in rows.values()
+    )
+    # bit-determinism across partitionings
+    books2 = similarity.pq_train_codebooks(
+        df.repartition(7), m=2, n_codes=8, sample_limit=500
+    )
+    assert books == books2
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from jsons_to_schema_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train_codebooks(df, m=2, n_codes=4)
