@@ -540,7 +540,19 @@ def lm_bigram_scores(
         .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
     dpair = pairs.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
-    c2 = dpair.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    # Pin the MODEL table before its three derived uses (c1, vocab, and the
+    # scoring join): each would otherwise re-derive the corpus-sized dpair
+    # lineage — and with divergent column pruning ReusedExchange never
+    # fires, so the corpus tokenized SIX times per action (measured).  c2
+    # is bounded by the bigram vocabulary (the artifact a campaign would
+    # persist), so the lazy localCheckpoint (dedup._materialize_once
+    # precedent) costs KB-to-GB of executor storage, never corpus scale;
+    # the honest minimum of TWO tokenize passes remains (train + score).
+    c2 = (
+        dpair.groupBy("w1", "w2")
+        .agg(F.sum("m").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         c2.select(F.col("w1").alias("w"))
