@@ -135,9 +135,13 @@ def key_skew_report(
     (a single-partition sort of the whole count table at high key
     cardinality); the key tie-break makes the report deterministic and
     oracle-able.  Shares are round(x, 6) doubles from exact longs."""
+    # counts feeds BOTH the global fold and the top-k with divergent
+    # projections — without the pin the corpus-sized groupBy ran twice
+    # (measured; r4 double-scan sweep).  Pinned size = distinct keys, the
+    # same table this operator exists to shuffle.
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     glob = counts.agg(
         F.sum("cnt").alias("_total"),
         F.count(F.lit(1)).alias("_distinct"),
@@ -248,10 +252,13 @@ def top_values(df: DataFrame, column: str, k: int) -> DataFrame:
     are excluded (profile them with null-rate stats)."""
     from pyspark.sql import Window
 
+    # counts feeds the two-stage rank AND the two total folds — pin it so
+    # the corpus aggregates once (measured 3 scans without; r4 sweep).
     counts = (
         df.filter(F.col(column).isNotNull())
         .groupBy(F.col(column).cast("string").alias("value"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
     )
     staged = counts.withColumn("_pid", F.spark_partition_id())
     w1 = Window.partitionBy("_pid").orderBy(F.desc("n_rows"), F.asc("value"))
@@ -365,10 +372,15 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     terms so the marginals stay consistent with the joint.  Only sensible
     for columns whose cardinality product is bounded (categories, ids
     with known domains) — the joint table is the scale knob."""
+    # the joint table is reused three times (H(a,b) + both marginals) with
+    # DIVERGENT projections, so exchange reuse never fires and the raw data
+    # scanned three times (measured; r4 double-scan sweep) — pin the bounded
+    # joint so "the raw data is scanned once" is true by construction
     joint = (
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
 
     def _h(counts: DataFrame) -> DataFrame:
