@@ -90,6 +90,11 @@ def split_anomalies(
     """
     if not metric_cols:
         raise ValueError("metric_cols must be non-empty")
+    # the metric table is reused (global fold + broadcast-back join); its
+    # LINEAGE may be a corpus-sized aggregation (split_verdicts), which
+    # would run twice without the pin (r4 double-scan sweep) — the pinned
+    # table itself is split-count-sized by this operator's contract
+    metrics = metrics.localCheckpoint(eager=False)
     g_aggs = [F.count(F.lit(1)).alias("_n")]
     for c in metric_cols:
         g_aggs.append(F.sum(F.col(c).cast("long")).alias(f"_s_{c}"))

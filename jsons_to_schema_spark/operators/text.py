@@ -340,12 +340,17 @@ def corpus_line_dedup(
       final aggregate; the shuffle carries hashes, not line bytes);
     - the hot-line table only contains lines ABOVE the frequency cutoff —
       orders of magnitude smaller than the corpus — and joins back as a
-      LEFT ANTI (broadcast when small, AQE otherwise);
-    - ineligible lines get a NULL key, and the anti-join keeps NULL-keyed
-      rows unconditionally (null never equals), so eligibility needs no
-      second pass;
+      LEFT join carrying a hot FLAG (broadcast when small, AQE otherwise):
+      flagging instead of anti-joining lets ONE aggregate produce both the
+      total line count and the kept-line rebuild, so the corpus explodes
+      exactly twice (freq pass + rebuild pass — the honest minimum; the
+      anti-join form needed a third pass for totals, measured in the r4
+      double-scan sweep);
+    - ineligible lines get a NULL key, and a NULL key never joins, so
+      eligibility needs no second pass;
     - per-document rebuild is sort_array(collect_list(struct(idx, line))) —
-      bounded by single-document size, never corpus size.
+      bounded by single-document size, never corpus size; removed lines
+      enter the collect as NULL structs, which collect_list drops.
 
     A 64-bit hash collision could delete a rare line that collides with a
     hot one (probability ~n_hot·n_lines/2^64); the doc-freq count itself is
@@ -367,27 +372,30 @@ def corpus_line_dedup(
         .groupBy("_key")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .filter(F.col("_df") >= min_doc_freq)
-        .select("_key")
+        .select("_key", F.lit(True).alias("_hot"))
     )
-    kept = lines.join(hot, "_key", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    flagged = lines.join(hot, "_key", "left")
+    keep = F.col("_hot").isNull()
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(keep.cast("long")).alias("_n_kept"),
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("_idx", "_line")))
+                ),
                 lambda s: s["_line"],
             ),
         ).alias("text_dedup"),
-        F.count("*").alias("_n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return totals.join(rebuilt, id_col, "left").select(
+    return rebuilt.select(
         F.col(id_col),
-        F.col("n_lines").cast("long").alias("n_lines"),
-        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed_lines"),
-        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        "n_lines",
+        (F.col("n_lines") - F.col("_n_kept")).cast("long").alias(
+            "n_removed_lines"
+        ),
+        "text_dedup",
     )
 
 
