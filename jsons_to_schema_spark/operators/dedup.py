@@ -75,11 +75,22 @@ def exact_duplicate_clusters(df: DataFrame, col: str, id_col: str) -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, col: str, id_col: str) -> DataFrame:
-    """Keep one representative (min id) per identical-text group."""
-    norm = fp_exact_key(col)
-    w = df.withColumn("_fp", norm)
-    keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, [ "_fp", id_col ], "left_semi").drop("_fp")
+    """Keep one representative (min id) per identical-text group.
+
+    ONE min_by aggregate keyed on the fingerprint: the whole min-id row
+    survives per group, with map-side partial aggregation (skew-safe —
+    a massively duplicated document collapses to one partial per task
+    before the shuffle).  The previous groupBy(min) + semi-join form
+    re-derived the input lineage for the join-back — two corpus scans
+    and two shuffles through every upstream gate (measured in the r4
+    double-scan sweep)."""
+    cols = df.columns
+    rep = (
+        df.groupBy(fp_exact_key(col).alias("_fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select(*[F.col("_row").getField(c).alias(c) for c in cols])
+    )
+    return rep
 
 
 # ---------------------------------------------------------------------------
