@@ -208,6 +208,13 @@ def detect_metric_anomalies(
     if strategy == "relative_change" and (rate_lo is None or rate_hi is None):
         raise ValueError("relative_change requires rate_lo and rate_hi")
 
+    # the metric frame is read twice (history aggregates + the current
+    # run's rows); it is metric-row-sized by contract, but when a caller
+    # composes it straight off compute_metrics the lineage is a
+    # corpus-grouped scan that would run twice (r4 double-scan sweep) —
+    # pin it.  Repository reads (the production path) were already cheap.
+    metrics = metrics.localCheckpoint(eager=False)
+
     hist_pred = F.col("run_id") < F.lit(int(current_run))
     if history_window is not None:
         if history_window < 1:

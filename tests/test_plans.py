@@ -507,3 +507,22 @@ def test_psi_multi_two_scans_total(spark):
     assert audit.scan_count(q) == 2, plan[:1500]
     assert "EvalPython" not in plan
     assert audit.has_partial_aggregate(q)
+
+
+def test_single_scan_regressions_r4_sweep(spark):
+    """The r4 double-scan sweep's fixes, pinned: exact dedup, skew report,
+    top-k values, and mutual information each scan their input once (the
+    pinned bounded tables read back as checkpoints after materialization)."""
+    from jsons_to_schema_spark.operators import dedup, stats
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    events = load_table(spark, SF_ORACLE, "events")
+    q = dedup.dedup_exact(docs, "text", "doc_id")
+    assert audit.scan_count(q) == 1 and audit.has_partial_aggregate(q)
+    for q in (
+        stats.key_skew_report(docs, "source"),
+        stats.top_values(docs, "lang", 3),
+        stats.mutual_information(events, "event_type", "user_id"),
+    ):
+        q.collect()  # materialize the lazy checkpoint
+        assert audit.scan_count(q) <= 1
