@@ -1,0 +1,62 @@
+"""Changelog compaction: latest-state reconstruction from a CDC/event log.
+
+A validation engine that audits snapshots (validate.table_diff) needs the
+snapshot itself when the input is a change log — the "compact the upsert
+stream to current state" operator every CDC pipeline (Debezium→lake,
+Iceberg MERGE feeds, mutable-doc re-crawls) runs before any downstream
+check.
+
+Shape: ONE skew-safe aggregate — ``max_by(payload_struct, seq_struct)``
+groups by the key and keeps the payload of the maximal sequence tuple in
+a single partial+final aggregate pass.  The struct-typed buffer is not
+hash-aggregatable, so Spark plans partial+final SortAggregate (verified):
+each partition sorts by the GROUP KEY only and folds a running maximum —
+still map-side combined, still O(1) state per key.  This beats the
+textbook ``row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1``
+formulation at scale twice over: the window shuffles EVERY log row to
+sort each key's full history, while the aggregate pre-collapses
+map-side, so a hot key (a doc re-crawled 10^6 times) ships one partial
+row per map task instead of 10^6 rows to one reducer.  The row_number
+form is kept as the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_changelog(
+    df: DataFrame,
+    key_cols: "list[str]",
+    seq_cols: "list[str]",
+    payload_cols: "list[str]",
+    op_col: "str | None" = None,
+    delete_ops: "tuple[str, ...]" = ("delete",),
+) -> DataFrame:
+    """Latest row per key from a change log, with tombstone handling.
+
+    ``seq_cols`` order the log (e.g. ``[ts, event_id]`` — the tuple must be
+    unique per key or the winner among ties is unspecified); ``payload_cols``
+    are the state columns to carry.  When ``op_col`` is given, keys whose
+    LATEST entry has an op in ``delete_ops`` are dropped entirely (CDC
+    tombstone semantics — earlier upserts must not resurrect the row).
+
+    Output: key cols + payload cols of each key's latest surviving entry.
+    NULL sequence components order first (Spark struct comparison), so a
+    NULL-ts row never beats a real timestamp.
+    """
+    if not key_cols or not seq_cols or not payload_cols:
+        raise ValueError("compact_changelog: key/seq/payload cols must be non-empty")
+    carried = list(payload_cols) + ([op_col] if op_col and op_col not in payload_cols else [])
+    seq = F.struct(*[F.col(c) for c in seq_cols])
+    payload = F.struct(*[F.col(c) for c in carried])
+    latest = df.groupBy(*key_cols).agg(F.max_by(payload, seq).alias("_latest"))
+    out = latest.select(
+        *key_cols, *[F.col(f"_latest.{c}").alias(c) for c in carried]
+    )
+    if op_col:
+        out = out.filter(~F.col(op_col).isin(*delete_ops)).drop(
+            *([op_col] if op_col not in payload_cols else [])
+        )
+    return out

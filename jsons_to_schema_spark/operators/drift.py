@@ -155,6 +155,106 @@ def psi_score(report: DataFrame) -> DataFrame:
     )
 
 
+def divergence_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """The full binned-divergence panel between two slices of a numeric
+    column: per-bucket terms for PSI, Jensen-Shannon divergence,
+    chi-squared, and the Kolmogorov-Smirnov statistic — four drift metrics
+    with different failure sensitivities (PSI/JS weight proportional
+    shifts, chi-squared amplifies shifts in thin buckets, KS catches a
+    cumulative location shift the bucket-local metrics smear out), all
+    from the SAME two bounded histogram passes PSI alone already pays.
+
+    Bucketing is column_histogram's equi-width expression; each side is
+    one map-side-partial groupBy bounded by the bucket count.  PSI/JS/chi2
+    use additively smoothed proportions p = (n + s)/(N + s·B) so empty
+    buckets stay finite; JS is in nats with m = (p_base + p_cur)/2;
+    chi-squared is Σ (o_cur − E)²/E with E = p_base·(N_cur + s·B) (expected
+    current count under the base distribution, on the smoothed grid).  KS
+    uses RAW cumulative shares (the statistic is a CDF property; smoothing
+    would bias it) — an empty side yields NULL ks_term rows, which a
+    monitor must read as an alert, never as zero drift.  Every term is
+    round(6) so the cross-engine comparison is summation-order-proof.
+
+    Returns one row per bucket: (bucket, bucket_lo, bucket_hi, base_n,
+    cur_n, psi_term, js_term, chi2_term, ks_term).  Fold with
+    ``divergence_score`` for the four scalars.
+
+    Scale: identical to psi_report — two corpus scans (one per side), all
+    downstream arithmetic on the ≤ n_buckets-row table via
+    single-partition windows (bounded by construction).
+    """
+    from pyspark.sql import Window
+
+    from .stats import column_histogram
+
+    if smoothing <= 0:
+        raise ValueError("divergence_report: smoothing must be > 0")
+    b = column_histogram(baseline, column, lo, hi, n_buckets).select(
+        "bucket", "bucket_lo", "bucket_hi", F.col("n_rows").alias("base_n")
+    )
+    c = column_histogram(current, column, lo, hi, n_buckets).select(
+        "bucket", F.col("n_rows").alias("cur_n")
+    )
+    joined = b.join(F.broadcast(c), "bucket")
+    w = Window.partitionBy(F.lit(1))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = float(smoothing)
+    denom_pad = F.lit(s * n_buckets)
+    with_t = (
+        joined.withColumn("_bt", F.sum("base_n").over(w))
+        .withColumn("_ct", F.sum("cur_n").over(w))
+        .withColumn("_cb", F.sum("base_n").over(w_cum))
+        .withColumn("_cc", F.sum("cur_n").over(w_cum))
+    )
+    pb = (F.col("base_n") + F.lit(s)) / (F.col("_bt") + denom_pad)
+    pc = (F.col("cur_n") + F.lit(s)) / (F.col("_ct") + denom_pad)
+    m = (pb + pc) / 2
+    expected = pb * (F.col("_ct") + denom_pad)
+    observed = F.col("cur_n") + F.lit(s)
+    # raw CDF shares: NULL when a side is empty (0/0), by design
+    cdf_b = F.when(F.col("_bt") > 0, F.col("_cb") / F.col("_bt"))
+    cdf_c = F.when(F.col("_ct") > 0, F.col("_cc") / F.col("_ct"))
+    return with_t.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "base_n",
+        "cur_n",
+        F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+        F.round(0.5 * pb * F.log(pb / m) + 0.5 * pc * F.log(pc / m), 6).alias(
+            "js_term"
+        ),
+        F.round(F.pow(observed - expected, 2) / expected, 6).alias("chi2_term"),
+        F.round(F.abs(cdf_b - cdf_c), 6).alias("ks_term"),
+    )
+
+
+def divergence_score(report: DataFrame) -> DataFrame:
+    """Collapse a divergence_report to one row of the four scalars:
+    psi = Σ psi_term, js_divergence = Σ js_term (nats), chi2 = Σ chi2_term,
+    ks_stat = max ks_term.  Terms are already round(6); sums re-round so
+    the result is grid-exact.  A NULL ks_stat means a slice was EMPTY —
+    alert, never zero."""
+    return report.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.sum("js_term"), 6).alias("js_divergence"),
+        F.round(F.sum("chi2_term"), 6).alias("chi2"),
+        F.max("ks_term").alias("ks_stat"),
+    )
+
+
 def psi_report_grouped(
     baseline: DataFrame,
     current: DataFrame,

@@ -885,3 +885,63 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
             6,
         ).alias("delta"),
     ).orderBy("digit")
+
+
+def outlier_report(
+    df: DataFrame,
+    column: str,
+    id_cols: "list[str]",
+    method: str = "mad",
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Univariate outlier rows for a numeric column — the row-level
+    companion to split_anomalies (which judges whole splits): which
+    individual records carry implausible values.
+
+    * ``mad`` (default) — robust z-score 0.6745·(x − median)/MAD
+      (Iglewicz-Hoberg modified z; cutoff 3.5 is their recommendation).
+      Median and MAD are breakdown-0.5 estimators, so the outliers being
+      hunted cannot drag the fence the way mean/stddev let them.
+    * ``zscore`` — classic (x − mean)/stddev_pop for normal-ish columns.
+
+    Scale/scan accounting (exact estimators by design — the DuckDB oracle
+    needs bit-equal fences): ``zscore`` is 2 corpus scans (one
+    multi-aggregate stats pass + the filter pass).  ``mad`` is 3 — the MAD
+    needs the median as an input, so exact computation is irreducibly
+    sequential (median scan → MAD scan → filter scan); the 1-row stats
+    frames stay DataFrames cross-joined into the filter (broadcast nested
+    loop over ONE row), nothing collects to the driver.  At campaign scale
+    swap ``percentile`` for ``percentile_approx`` inside ``_median`` — same
+    plan shape, rank-error quantiles, and the scan count is unchanged (the
+    sequential dependency is mathematical, not an implementation artifact).
+
+    Emits one row per outlier: id_cols, the value, and ``score`` round(6)
+    — row-scale output like validate.row_violations, bounded by how dirty
+    the data is.  The cutoff compares UNROUNDED scores (both engines
+    evaluate the identical double expression, so the boundary row set is
+    deterministic).  A zero MAD / zero stddev (constant column) yields no
+    outlier rows — a constant column has no interior distribution to
+    deviate from; profile it with column_stats instead."""
+    if method not in ("mad", "zscore"):
+        raise ValueError("outlier_report: method must be 'mad' or 'zscore'")
+    c = F.col(column)
+    base = df.filter(c.isNotNull())
+    if method == "zscore":
+        stats_row = base.agg(
+            F.avg(c).alias("_center"),
+            F.stddev_pop(c).alias("_spread"),
+        )
+        scale = F.lit(1.0)
+    else:
+        med = base.agg(F.percentile(c, F.lit(0.5)).alias("_center"))
+        stats_row = base.crossJoin(med).agg(
+            F.first("_center").alias("_center"),
+            F.percentile(F.abs(c - F.col("_center")), F.lit(0.5)).alias("_spread"),
+        )
+        scale = F.lit(0.6745)
+    score = scale * (c - F.col("_center")) / F.col("_spread")
+    return (
+        base.crossJoin(F.broadcast(stats_row))
+        .filter((F.col("_spread") > 0) & (F.abs(score) > F.lit(float(cutoff))))
+        .select(*id_cols, c.alias("value"), F.round(score, 6).alias("score"))
+    )

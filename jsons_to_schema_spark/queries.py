@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, drift, multimodal, sample, similarity, stats, text, validate
+from .operators import cdc, dedup, drift, multimodal, sample, similarity, stats, temporal, text, validate
 from .operators.infer import (
     infer_as_dataframe,
     infer_from_json_column,
@@ -4782,6 +4782,270 @@ def bpe_vocab_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "asof_events_snapshots",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts AS snap_ts, value AS snap_value,
+             event_id AS snap_id
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           r.snap_value AS snap_value_asof,
+           r.snap_id AS snap_id_asof,
+           date_diff('microsecond', r.snap_ts, e.ts) AS snap_age_us,
+           (date_diff('microsecond', r.snap_ts, e.ts) <= 86400000000)
+             AS within_1d
+    FROM events e ASOF LEFT JOIN r
+      ON e.event_type = r.event_type AND e.ts >= r.snap_ts
+    """,
+)
+def asof_events_snapshots(spark, sf_dir) -> DataFrame:
+    """As-of join (temporal.asof_join): every event picks up the most
+    recent reference snapshot at or before its timestamp per event_type —
+    the point-in-time enrichment (rate tables, config versions, model
+    snapshots) Spark has no native join for.  The engine's union+keyed-
+    window shape is oracled against DuckDB's NATIVE ASOF LEFT JOIN, so
+    the two independent as-of implementations must agree row-for-row,
+    including the no-match NULLs and the >= boundary (an event that IS a
+    snapshot matches itself).  The sparse snapshot table is
+    parity-derived (event_id % 97); the age and the 24h-tolerance verdict
+    are recomputed from the matched timestamp (NULL when unmatched)."""
+    ev = load_table(spark, sf_dir, "events")
+    right = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_type",
+        F.col("ts").alias("snap_ts"),
+        F.col("value").alias("snap_value"),
+        F.col("event_id").alias("snap_id"),
+    )
+    joined = temporal.asof_join(
+        ev, right, ["event_type"], "ts", "snap_ts", ["snap_value", "snap_id"]
+    )
+    age = F.expr("timestampdiff(MICROSECOND, snap_ts_asof, ts)")
+    return joined.select(
+        "event_id",
+        "event_type",
+        "value",
+        "snap_value_asof",
+        "snap_id_asof",
+        age.alias("snap_age_us"),
+        (age <= F.lit(86_400_000_000)).alias("within_1d"),
+    )
+
+
+@query(
+    "session_overlap_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sess
+      FROM g
+    ),
+    iv AS (
+      SELECT user_id, CAST(sess AS BIGINT) AS sess,
+             epoch_us(min(ts)) AS s0, epoch_us(max(ts)) AS s1
+      FROM s GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, a.sess AS sess_a,
+           b.user_id AS user_b, b.sess AS sess_b,
+           least(a.s1, b.s1) - greatest(a.s0, b.s0) AS overlap_us
+    FROM iv a JOIN iv b
+      ON (a.user_id, a.sess) < (b.user_id, b.sess)
+     AND a.s0 <= b.s1 AND b.s0 <= a.s1
+    """,
+)
+def session_overlap_events(spark, sf_dir) -> DataFrame:
+    """Interval-overlap join (temporal.interval_overlap_join): which user
+    sessions were concurrently active — the range join Spark lacks.  The
+    engine's bucketed shape (explode to hour buckets, equi-join, accept
+    each pair only in the bucket holding max(starts) so no dedup pass
+    exists) is oracled against DuckDB's plain inequality self-join, so
+    the bucketing must introduce no duplicates and lose no pairs.
+    Sessions are the sessionize_events intervals (30-min gap) on the
+    integer epoch-microsecond grid."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = stats._epoch_us_col(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select("user_id", "ts", "event_id", us.alias("us"))
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = (
+        base.withColumn(
+            "ns", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .withColumn(
+            "sess",
+            F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess")
+        .agg(F.min("us").alias("i_start"), F.max("us").alias("i_end"))
+        # the interval frame feeds BOTH sides of the self-join — pin the
+        # bounded (sessions-count-sized) table or the corpus-sized window+
+        # aggregate lineage executes twice (r4 double-scan sweep rule;
+        # dedup._materialize_once precedent).
+        .localCheckpoint(eager=False)
+    )
+    ov = temporal.interval_overlap_join(
+        sess,
+        sess,
+        ["user_id", "sess"],
+        ["user_id", "sess"],
+        ("i_start", "i_end"),
+        3_600_000_000,
+        antisymmetric=True,
+    )
+    return ov.select(
+        F.col("l_user_id").alias("user_a"),
+        F.col("l_sess").alias("sess_a"),
+        F.col("r_user_id").alias("user_b"),
+        F.col("r_sess").alias("sess_b"),
+        F.col("overlap").alias("overlap_us"),
+    )
+
+
+@query(
+    "cdc_compact_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts_us, event_id, event_type, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_compact_events(spark, sf_dir) -> DataFrame:
+    """Changelog compaction (cdc.compact_changelog): latest state per key
+    from an event log with tombstone semantics — events is read as a CDC
+    stream keyed by user_id, ordered by (ts, event_id), and a key whose
+    LATEST entry is an 'error' is dropped entirely (planted tombstone
+    op).  The engine's skew-safe max_by(payload, seq) single aggregate is
+    oracled against the textbook row_number()-window formulation, so the
+    O(1)-per-key shape must reproduce the sort-based answer exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    us = stats._epoch_us_col(ev, "ts")
+    log = ev.select(
+        "user_id", us.alias("ts_us"), "event_id", "event_type", "value"
+    )
+    return cdc.compact_changelog(
+        log,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        ["ts_us", "event_id", "event_type", "value"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+
+
+@query(
+    "drift_divergence_events_value",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+        AND value >= 0.0 AND value <= 500.0
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+        AND value >= 0.0 AND value <= 500.0
+      GROUP BY 1
+    ),
+    sp AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bucket),
+    j AS (
+      SELECT sp.bucket,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS base_n,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS cur_n
+      FROM sp LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)
+    ),
+    t AS (SELECT CAST(sum(base_n) AS BIGINT) AS bt,
+                 CAST(sum(cur_n) AS BIGINT) AS ct FROM j),
+    terms AS (
+      SELECT j.bucket, j.base_n, j.cur_n, t.bt, t.ct,
+             (j.base_n + 0.5) / (t.bt + 5.0) AS pb,
+             (j.cur_n + 0.5) / (t.ct + 5.0) AS pc,
+             CAST(sum(j.base_n) OVER (ORDER BY j.bucket) AS BIGINT) AS cb,
+             CAST(sum(j.cur_n) OVER (ORDER BY j.bucket) AS BIGINT) AS cc
+      FROM j, t
+    ),
+    per AS (
+      SELECT round((pc - pb) * ln(pc / pb), 6) AS psi_term,
+             round(0.5 * pb * ln(pb / ((pb + pc) / 2))
+                   + 0.5 * pc * ln(pc / ((pb + pc) / 2)), 6) AS js_term,
+             round(pow((cur_n + 0.5) - pb * (ct + 5.0), 2)
+                   / (pb * (ct + 5.0)), 6) AS chi2_term,
+             round(abs(cb / bt - cc / ct), 6) AS ks_term
+      FROM terms
+    )
+    SELECT round(sum(psi_term), 6) AS psi,
+           round(sum(js_term), 6) AS js_divergence,
+           round(sum(chi2_term), 6) AS chi2,
+           max(ks_term) AS ks_stat
+    FROM per
+    """,
+)
+def drift_divergence_events_value(spark, sf_dir) -> DataFrame:
+    """Binned divergence panel (drift.divergence_report + score): PSI,
+    Jensen-Shannon, chi-squared, and binned KS between the event_id-parity
+    slices of events.value, all from the same two bounded histogram scans
+    PSI alone costs — four drift metrics with different sensitivities for
+    the price of one.  Every per-bucket term and every folded scalar is
+    round(6) from exact long counts, recomputed relationally by the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    rep = drift.divergence_report(base, cur, "value", 0.0, 500.0, 10)
+    return drift.divergence_score(rep)
+
+
+@query(
+    "outliers_events_value",
+    oracle="""
+    WITH m AS (
+      SELECT quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT (SELECT med FROM m) AS med,
+             quantile_cont(abs(value - (SELECT med FROM m)), 0.5) AS mad
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT e.event_id, e.value AS value,
+           round(0.6745 * (e.value - s.med) / s.mad, 6) AS score
+    FROM events e, s
+    WHERE e.value IS NOT NULL AND s.mad > 0
+      AND abs(0.6745 * (e.value - s.med) / s.mad) > 5.0
+    """,
+)
+def outliers_events_value(spark, sf_dir) -> DataFrame:
+    """Robust outlier rows (stats.outlier_report, MAD method): events
+    whose value has a modified z-score beyond 5.0 — the row-level
+    anomaly check beside the split-level split_anomalies.  Median and
+    MAD are exact (percentile ≡ quantile_cont interpolation) so the
+    fences are engine-identical; the cutoff compares the unrounded score
+    in both engines and the reported score is round(6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.outlier_report(ev, "value", ["event_id"], method="mad", cutoff=5.0)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -4817,15 +5081,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (schema_infer_grouped_event_type demoted: green r3 driver row; the
     # U8 fold keeps schema_merge_checkpoint_snapshots in-window and the
     # grouped fold is partition-invariance property-tested every CI run)
-    "stats_lineitem",                   # single-pass multi-aggregate
-    # (stats_distinct_hll_lineitem demoted: green r3 driver row; the stats
-    # family keeps stats_lineitem in-window and the HLL error contract is
-    # pytest-oracled every CI run)
+    # (stats_lineitem demoted for the r4 fifth wave: green r3 driver row;
+    # the single-pass multi-aggregate shape keeps spans_single_pass_audit
+    # in-window and histogram/candidate-keys/datatype-profile carry the
+    # stats family)
     "uniqueness_documents_doc_id",      # salted uniqueness
     # (referential_lineitem_dangling_orders demoted: green r3 driver row;
     # the anti-join referential shape keeps containment + spans audit
     # evidence and is pytest-oracled every CI run)
-    "drift_events_value_tdigest",       # t-digest drift
+    # (drift_events_value_tdigest demoted for the r4 fifth wave: green r3
+    # driver row; drift keeps PSI and the new divergence panel in-window,
+    # and the t-digest path is pinned-oracle pytest-checked every CI run)
     "dedup_minhash_documents",          # MinHash+LSH (campaign mode, r4)
     "dedup_clusters_ngram_documents",   # large-star/small-star CC
     "similarity_ivf_q8_topk_embeddings",  # persisted quantized ANN
@@ -4851,8 +5117,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "schema_validation_documents_struct",
     # (multimodal_media_features demoted: the stub-era features query is
     # superseded by the four real-codec multimodal reps below)
-    "multimodal_resize_real_images",  # r4: real decode→resize→encode→decode
-    # (replaces the fake-stub resize in the window; that stays registered)
+    # (multimodal_resize_real_images demoted for the r4 fifth wave: the
+    # real-codec family keeps TWO in-window reps — mjpeg_frame_features
+    # and real_codec_features (280 payloads across six formats) — and the
+    # resample kernel stays oracle-pytest-checked at the same sf0.01)
     # (multimodal_mp4_frame_plan demoted for the r4-continuation families:
     # mjpeg_frame_features exercises the same ISO BMFF demux end-to-end)
     "multimodal_mjpeg_frame_features",  # r4: fully real demux→range-read→
@@ -4865,9 +5133,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_incremental_schema",
     # (stream_violation_window_counts demoted: streaming keeps 4 reps and
     # windowed rule counts cover the same watermarked-window shape)
-    "stream_duplicate_doc_ids",
+    # (stream_duplicate_doc_ids demoted for the r4 fifth wave: streaming
+    # keeps incremental-schema and rule-window reps in-window, batch
+    # uniqueness keeps uniqueness_documents_doc_id, and the stateful
+    # stream stays oracle-pytest-checked at the same sf0.01)
     # (stream_schema_drift_alerts demoted for the r4-continuation families:
-    # streaming keeps 3 in-window reps across incremental/stateful/rule shapes)
+    # streaming keeps in-window reps across incremental/rule shapes)
     "stream_rule_window_counts",
     "checkpoint_resume_state",
     "schema_merge_checkpoint_snapshots",
@@ -4887,7 +5158,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dead_columns_documents",
     "skew_report_media_refs",
     "schema_evolution_ddl",
-    "dedup_incremental_minhash",
+    # (dedup_incremental_minhash demoted for the r4 fifth wave: green r3
+    # driver row (pinned); dedup keeps minhash-campaign + CC clusters
+    # in-window and the incremental probe is pytest-oracled every CI run)
     "split_anomaly_verdicts",
     "schema_compat_splits",
     # -- r4 continuation (new families, never driver-checked) --
@@ -4907,6 +5180,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "coverage_gaps_events",          # calendar-completeness gaps
     # (fd_confidence_events stays outside the window: the FD family keeps
     # fd_orders_nation in-window; confidence is pytest-oracled)
+    # -- r4 fifth wave (new families, never driver-checked) --
+    "asof_events_snapshots",         # as-of join vs DuckDB's native ASOF
+    "session_overlap_events",        # bucketed interval-overlap join
+    "cdc_compact_events",            # changelog compaction (CDC)
+    "drift_divergence_events_value", # PSI+JS+chi2+KS panel
+    "outliers_events_value",         # robust MAD outlier rows
 )
 
 

@@ -109,6 +109,12 @@ def test_driver_window_covers_dark_families():
         "schema_evolution_ddl",
         "quota_sample_documents",
         "normalize_text_unicode",
-        "dedup_incremental_minhash",
+        "dedup_minhash_documents",
+        # r4 fifth wave: the new families must land in the window
+        "asof_events_snapshots",
+        "session_overlap_events",
+        "cdc_compact_events",
+        "drift_divergence_events_value",
+        "outliers_events_value",
     ):
         assert must in window, must

@@ -526,3 +526,87 @@ def test_single_scan_regressions_r4_sweep(spark):
     ):
         q.collect()  # materialize the lazy checkpoint
         assert audit.scan_count(q) <= 1
+
+
+def test_asof_join_is_one_shuffle_one_window(spark):
+    """The as-of join's scale contract: union both sides, ONE Exchange on
+    the join key, one keyed window — never an inequality join (no
+    BroadcastNestedLoop/Cartesian), never a sort-merge range join."""
+    from jsons_to_schema_spark import queries as Q
+
+    q = Q.QUERIES["asof_events_snapshots"](spark, SF_ORACLE)
+    plan = audit.executed_plan(q)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """The interval-overlap join must plan as a bucketed EQUI-join (hash
+    or broadcast), never the quadratic BroadcastNestedLoop a raw range
+    predicate would pick; the self-joined session frame is pinned so the
+    corpus-sized sessionize lineage runs once (double-scan sweep rule)."""
+    from jsons_to_schema_spark import queries as Q
+
+    q = Q.QUERIES["session_overlap_events"](spark, SF_ORACLE)
+    q.collect()  # materialize the lazy checkpoint
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) <= 1, plan[:2000]
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "SortMergeJoin" in plan
+    )
+
+
+def test_cdc_compact_is_partial_aggregate_no_window(spark):
+    """Changelog compaction's scale contract: a single partial+final
+    aggregate (map-side combine collapses hot keys before the shuffle) —
+    NOT the row_number window that ships every log row to one reducer per
+    key.  The struct buffer plans as SortAggregate; the partial phase
+    before the single Exchange is what matters."""
+    from jsons_to_schema_spark import queries as Q
+
+    q = Q.QUERIES["cdc_compact_events"](spark, SF_ORACLE)
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 1
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("SortAggregate") == 2 or plan.count("HashAggregate") >= 2
+
+
+def test_divergence_panel_two_scans(spark):
+    """The four-metric divergence panel pays exactly the two histogram
+    scans PSI alone costs — the KS/JS/chi2 additions are windows over the
+    bounded bucket table, never extra corpus passes."""
+    from jsons_to_schema_spark.operators import drift
+
+    events = load_table(spark, SF_ORACLE, "events")
+    rep = drift.divergence_report(
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+        "value",
+        0.0,
+        500.0,
+        10,
+    )
+    q = drift.divergence_score(rep)
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 2, plan[:1500]
+    assert "EvalPython" not in plan
+    assert audit.has_partial_aggregate(q)
+
+
+def test_outlier_report_scan_budget(spark):
+    """Exact-MAD outliers are irreducibly 3 scans (median -> MAD ->
+    filter: the sequential dependency is mathematical); zscore is 2.  The
+    1-row stats frames cross in as broadcast nested loops over ONE row —
+    nothing collects to the driver."""
+    events = load_table(spark, SF_ORACLE, "events")
+    from jsons_to_schema_spark.operators import stats as S
+
+    mad = S.outlier_report(events, "value", ["event_id"], method="mad")
+    assert audit.scan_count(mad) == 3
+    z = S.outlier_report(events, "value", ["event_id"], method="zscore")
+    assert audit.scan_count(z) == 2
+    assert "EvalPython" not in audit.executed_plan(mad)

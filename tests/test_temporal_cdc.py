@@ -1,0 +1,251 @@
+"""Unit tests for temporal joins (asof, interval-overlap), CDC compaction,
+the binned-divergence panel, and robust outlier rows — brute-force
+reference comparisons plus the edge cases the driver oracle can't plant."""
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import cdc, drift, stats, temporal
+
+
+def _asof_rows(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", 10, 1),
+            ("a", 5, 2),
+            ("a", 20, 3),
+            ("b", 7, 4),
+            ("b", 6, 5),
+            ("c", 100, 6),  # key with no right rows at all
+        ],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 5, 50.0),   # equality boundary for lid=2
+            ("a", 12, 120.0),
+            ("b", 7, 70.0),   # equality boundary for lid=4
+            ("b", 9, 90.0),   # later than every b left row
+        ],
+        "k string, t long, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_matches_reference(spark):
+    left, right = _asof_rows(spark)
+    out = temporal.asof_join(left, right, ["k"], "t", "t", ["v"], suffix="_m")
+    got = {r.lid: (r.v_m, r.t_m) for r in out.collect()}
+    assert got == {
+        1: (50.0, 5),     # a@10 -> a@5
+        2: (50.0, 5),     # equality included
+        3: (120.0, 12),   # a@20 -> a@12
+        4: (70.0, 7),     # equality included
+        5: (None, None),  # b@6 predates every b snapshot
+        6: (None, None),  # no c snapshots
+    }
+    # left outer: every left row survives with all original columns
+    assert out.count() == left.count()
+    assert set(left.columns) <= set(out.columns)
+
+
+def test_asof_forward_matches_reference(spark):
+    left, right = _asof_rows(spark)
+    out = temporal.asof_join(
+        left, right, ["k"], "t", "t", ["v"], direction="forward", suffix="_m"
+    )
+    got = {r.lid: (r.v_m, r.t_m) for r in out.collect()}
+    assert got == {
+        1: (120.0, 12),   # a@10 -> next a@12
+        2: (50.0, 5),     # equality included forward too
+        3: (None, None),  # nothing at/after a@20
+        4: (70.0, 7),
+        5: (70.0, 7),     # b@6 -> next b@7
+        6: (None, None),
+    }
+
+
+def test_asof_partition_invariance(spark):
+    left, right = _asof_rows(spark)
+    base = temporal.asof_join(left, right, ["k"], "t", "t", ["v"])
+    shuffled = temporal.asof_join(
+        left.repartition(7), right.repartition(5), ["k"], "t", "t", ["v"]
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+def test_asof_rejects_bad_args(spark):
+    left, right = _asof_rows(spark)
+    with pytest.raises(ValueError, match="direction"):
+        temporal.asof_join(left, right, ["k"], "t", "t", ["v"], direction="x")
+    with pytest.raises(ValueError, match="keys"):
+        temporal.asof_join(left, right, [], "t", "t", ["v"])
+    with pytest.raises(ValueError, match="collides"):
+        temporal.asof_join(
+            left.withColumn("v_asof", F.lit(1)), right, ["k"], "t", "t", ["v"]
+        )
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    rng = random.Random(42)
+    # intervals spanning 0-20 buckets of width 10, incl. zero-length points
+    ivs = []
+    for i in range(120):
+        s = rng.randint(0, 200)
+        ivs.append((i, s, s + rng.choice([0, 1, 3, 7, 25, 60])))
+    df = spark.createDataFrame(ivs, "iid long, i_start long, i_end long")
+    out = temporal.interval_overlap_join(
+        df, df, ["iid"], ["iid"], ("i_start", "i_end"), 10, antisymmetric=True
+    )
+    got = sorted((r.l_iid, r.r_iid, r.overlap) for r in out.collect())
+    exp = sorted(
+        (a[0], b[0], min(a[2], b[2]) - max(a[1], b[1]))
+        for a, b in itertools.combinations(ivs, 2)
+        if a[1] <= b[2] and b[1] <= a[2]
+    )
+    assert got == exp  # exact multiset: no duplicates, no losses
+
+
+def test_interval_overlap_two_frames_and_point_touch(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, i_start long, i_end long")
+    right = spark.createDataFrame(
+        [(1, 10, 20), (2, 11, 20), (3, 5, 7)],
+        "rid long, i_start long, i_end long",
+    )
+    out = temporal.interval_overlap_join(
+        left, right, ["lid"], ["rid"], ("i_start", "i_end"), 4
+    )
+    got = {(r.l_lid, r.r_rid): r.overlap for r in out.collect()}
+    # point-touch at 10 overlaps with length 0; disjoint (11,20) does not
+    assert got == {(1, 1): 0, (1, 3): 2}
+
+
+def test_interval_overlap_rejects_bad_width(spark):
+    df = spark.createDataFrame([(1, 0, 1)], "iid long, i_start long, i_end long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        temporal.interval_overlap_join(df, df, ["iid"], ["iid"], bucket_width=0)
+
+
+def _changelog(spark):
+    return spark.createDataFrame(
+        [
+            # key 1: upsert then delete LAST -> dropped (no resurrection)
+            (1, 10, 1, "upsert", 1.0),
+            (1, 20, 2, "delete", 2.0),
+            # key 2: delete then upsert LAST -> latest upsert wins
+            (2, 10, 3, "delete", 3.0),
+            (2, 30, 4, "upsert", 4.0),
+            # key 3: tie on ts broken by id
+            (3, 10, 5, "upsert", 5.0),
+            (3, 10, 6, "upsert", 6.0),
+            # key 4: NULL ts never beats a real timestamp
+            (4, None, 8, "upsert", 8.0),
+            (4, 5, 7, "upsert", 7.0),
+        ],
+        "k long, t long, i long, op string, v double",
+    )
+
+
+def test_cdc_compact_matches_window_reference(spark):
+    log = _changelog(spark)
+    out = cdc.compact_changelog(
+        log, ["k"], ["t", "i"], ["t", "i", "v"], op_col="op", delete_ops=("delete",)
+    )
+    got = {r.k: (r.t, r.i, r.v) for r in out.collect()}
+    assert got == {2: (30, 4, 4.0), 3: (10, 6, 6.0), 4: (5, 7, 7.0)}
+    assert "op" not in out.columns  # op not requested in payload -> dropped
+
+
+def test_cdc_compact_without_ops_keeps_every_key(spark):
+    log = _changelog(spark)
+    out = cdc.compact_changelog(log, ["k"], ["t", "i"], ["v"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 2.0, 2: 4.0, 3: 6.0, 4: 7.0}
+
+
+def test_cdc_compact_partition_invariance(spark):
+    log = _changelog(spark)
+    a = cdc.compact_changelog(log, ["k"], ["t", "i"], ["v"])
+    b = cdc.compact_changelog(log.repartition(9), ["k"], ["t", "i"], ["v"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cdc_compact_rejects_empty_specs(spark):
+    log = _changelog(spark)
+    with pytest.raises(ValueError):
+        cdc.compact_changelog(log, [], ["t"], ["v"])
+
+
+def test_divergence_report_matches_numpy(spark):
+    base = spark.createDataFrame([(float(x),) for x in [1, 1, 2, 5, 9]], "x double")
+    cur = spark.createDataFrame([(float(x),) for x in [1, 8, 8, 9]], "x double")
+    rep = drift.divergence_report(base, cur, "x", 0.0, 10.0, 5).orderBy("bucket")
+    rows = rep.collect()
+    bn = [r.base_n for r in rows]
+    cn = [r.cur_n for r in rows]
+    assert bn == [2, 1, 1, 0, 1] and cn == [1, 0, 0, 0, 3]
+    s, B = 0.5, 5
+    bt, ct = sum(bn), sum(cn)
+    psi = js = chi2 = 0.0
+    ks = 0.0
+    cb = cc = 0
+    for i in range(B):
+        pb = (bn[i] + s) / (bt + s * B)
+        pc = (cn[i] + s) / (ct + s * B)
+        m = (pb + pc) / 2
+        psi_t = round((pc - pb) * math.log(pc / pb), 6)
+        js_t = round(0.5 * pb * math.log(pb / m) + 0.5 * pc * math.log(pc / m), 6)
+        e = pb * (ct + s * B)
+        chi_t = round((cn[i] + s - e) ** 2 / e, 6)
+        cb += bn[i]
+        cc += cn[i]
+        ks_t = round(abs(cb / bt - cc / ct), 6)
+        r = rows[i]
+        assert (r.psi_term, r.js_term, r.chi2_term, r.ks_term) == (
+            psi_t,
+            js_t,
+            chi_t,
+            ks_t,
+        ), i
+        psi, js, chi2, ks = psi + psi_t, js + js_t, chi2 + chi_t, max(ks, ks_t)
+    score = drift.divergence_score(rep).collect()[0]
+    assert score.psi == round(psi, 6)
+    assert score.js_divergence == round(js, 6)
+    assert score.chi2 == round(chi2, 6)
+    assert score.ks_stat == ks
+
+
+def test_divergence_empty_side_yields_null_ks_not_zero(spark):
+    base = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    cur = base.filter(F.lit(False))
+    rows = drift.divergence_report(base, cur, "x", 0.0, 10.0, 4).collect()
+    assert all(r.ks_term is None for r in rows)  # alert, never "no drift"
+    assert all(r.psi_term is not None for r in rows)  # smoothed stays finite
+
+
+def test_outlier_report_mad_and_zscore(spark):
+    vals = [10.0] * 4 + [11.0, 9.0, 12.0, 8.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    out = stats.outlier_report(df, "x", ["i"], method="mad", cutoff=3.5)
+    rows = out.collect()
+    assert [(r.i, r.value) for r in rows] == [(8, 100.0)]
+    # med=10, mad=1 -> score 0.6745*90
+    assert rows[0].score == round(0.6745 * 90.0, 6)
+    z = stats.outlier_report(df, "x", ["i"], method="zscore", cutoff=2.0)
+    assert [r.i for r in z.collect()] == [8]
+
+
+def test_outlier_report_constant_column_is_silent(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(10)], "i long, x double")
+    assert stats.outlier_report(df, "x", ["i"], method="mad").count() == 0
+    assert stats.outlier_report(df, "x", ["i"], method="zscore").count() == 0
+    with pytest.raises(ValueError, match="method"):
+        stats.outlier_report(df, "x", ["i"], method="iqr")
