@@ -945,3 +945,116 @@ def outlier_report(
         .filter((F.col("_spread") > 0) & (F.abs(score) > F.lit(float(cutoff))))
         .select(*id_cols, c.alias("value"), F.round(score, 6).alias("score"))
     )
+
+
+def equidepth_histogram(df: DataFrame, column: str, k: int) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram: k buckets holding ~equal row
+    counts — the profile that stays informative on skewed columns where
+    the equi-width column_histogram piles everything into one bar.
+
+    Two scans by construction (boundaries, then counts — the assignment
+    needs the boundaries as inputs, the same mathematical sequencing as
+    outlier_report's MAD): one exact ``percentile`` pass for the k−1
+    interior boundaries (swap in percentile_approx at campaign scale —
+    same shape, rank-error bounds), then one map-side-partial groupBy on
+    the computed bucket id, bounded by k.  The 1-row boundary frame
+    cross-joins in (broadcast over ONE row); assignment is "count of
+    interior boundaries strictly below x", so a value EQUAL to a boundary
+    falls in the lower bucket in both engines.  Boundary-ulp honesty: the
+    two engines interpolate quantiles with identical semantics, and a
+    count can only flip if a data value lies strictly between their
+    last-ulp boundary doubles — impossible when the data grid is coarser
+    than 1 ulp of the boundary (the oracle's contract here).
+
+    Output per bucket 0..k−1: (bucket, lo, hi, n_rows) — lo/hi are the
+    round(6) boundary values (min/max of the column for the outer edges),
+    n_rows exact."""
+    if k <= 1:
+        raise ValueError("equidepth_histogram: need k >= 2 buckets")
+    c = F.col(column)
+    probs = [i / k for i in range(1, k)]
+    base = df.filter(c.isNotNull())
+    # the 1-row bounds frame feeds BOTH the count assignment and the edge
+    # report — pin it (lazy localCheckpoint, double-scan sweep rule) or its
+    # corpus-sized aggregate lineage executes twice (measured 3 scans).
+    bounds = base.agg(
+        F.percentile(c, F.array(*[F.lit(p) for p in probs])).alias("_bounds"),
+        F.min(c).alias("_lo"),
+        F.max(c).alias("_hi"),
+    ).localCheckpoint(eager=False)
+    bucket = F.aggregate(
+        "_bounds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < c, 1).otherwise(0),
+    ).cast("long")
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = df.sparkSession.range(k).select(F.col("id").alias("bucket"))
+    edges = spine.crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        F.round(
+            F.when(F.col("bucket") == 0, F.col("_lo")).otherwise(
+                F.element_at("_bounds", F.col("bucket").cast("int"))
+            ),
+            6,
+        ).alias("lo"),
+        F.round(
+            F.when(F.col("bucket") == k - 1, F.col("_hi")).otherwise(
+                F.element_at("_bounds", (F.col("bucket") + 1).cast("int"))
+            ),
+            6,
+        ).alias("hi"),
+    )
+    return edges.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket", "lo", "hi", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
+
+
+def null_cooccurrence(df: DataFrame, columns: "list[str]") -> DataFrame:
+    """Missingness STRUCTURE: which columns go null together — per-column
+    null counts say how much is missing, this says whether the misses are
+    the same rows (one broken upstream join) or independent (N unrelated
+    feeds).  One multi-aggregate scan computes every pairwise
+    both-null count plus the per-column totals; output is one row per
+    unordered column pair (col_a < col_b lexicographically):
+    (col_a, col_b, n_a_null, n_b_null, n_both_null, jaccard) where
+    jaccard = both / (a + b − both), round(6), NULL when neither column
+    has any nulls (no missingness to correlate — distinct from 0.0,
+    which means disjoint misses)."""
+    if len(columns) < 2:
+        raise ValueError("null_cooccurrence: need at least 2 columns")
+    cols = sorted(columns)
+    aggs = []
+    for a in cols:
+        aggs.append(
+            F.sum(F.col(a).isNull().cast("long")).alias(f"_n_{a}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum((F.col(a).isNull() & F.col(b).isNull()).cast("long")).alias(
+                    f"_b_{a}_{b}"
+                )
+            )
+    wide = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"_n_{a}").alias("n_a_null"),
+                    F.col(f"_n_{b}").alias("n_b_null"),
+                    F.col(f"_b_{a}_{b}").alias("n_both_null"),
+                )
+            )
+    melted = wide.select(F.explode(F.array(*pairs)).alias("_p")).select("_p.*")
+    union = F.col("n_a_null") + F.col("n_b_null") - F.col("n_both_null")
+    return melted.withColumn(
+        "jaccard",
+        F.when(union > 0, F.round(F.col("n_both_null") / union, 6)),
+    )

@@ -995,3 +995,44 @@ def table_diff_summary(diff: DataFrame) -> DataFrame:
     """Fold a table_diff to per-status counts — the one-glance
     reconciliation verdict (0 rows means the snapshots reconcile)."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def sequence_integrity(
+    df: DataFrame, key_cols: "list[str]", seq_col: str, start_at: int = 1
+) -> DataFrame:
+    """Per-key sequence audit: within each key, the integer sequence column
+    must be exactly ``start_at .. start_at + n − 1`` — contiguous, no
+    duplicates, no gaps (line numbers within an order, part indices within
+    an upload, chunk ordinals within a document).  Row counts and
+    uniqueness checks can't see a RENUMBERED or hole-punched sequence;
+    this can.
+
+    ONE map-side-partial groupBy per key computes (n, n_distinct, min,
+    max); the verdicts are pure arithmetic on those four numbers:
+    has_dups = distinct < n, has_gaps = span ≠ distinct, bad_start =
+    min ≠ start_at.  NULL sequence values count as rows but not as
+    sequence members, so they surface as gaps/dup anomalies rather than
+    vanish.  Emits only VIOLATING keys (the violation-rows convention):
+    key cols + (n_rows, n_distinct, seq_min, seq_max, has_dups, has_gaps,
+    bad_start).  countDistinct is exact by design — a sketch would
+    mis-certify integrity, the candidate_keys rule."""
+    if not key_cols:
+        raise ValueError("sequence_integrity: key_cols must be non-empty")
+    s = F.col(seq_col)
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(s).alias("n_distinct"),
+        F.min(s).alias("seq_min"),
+        F.max(s).alias("seq_max"),
+    )
+    has_dups = F.col("n_distinct") < F.col("n_rows")
+    has_gaps = (
+        F.col("seq_max").cast("long") - F.col("seq_min").cast("long") + 1
+    ) != F.col("n_distinct")
+    bad_start = F.col("seq_min").cast("long") != F.lit(int(start_at))
+    return (
+        agg.withColumn("has_dups", has_dups)
+        .withColumn("has_gaps", has_gaps)
+        .withColumn("bad_start", bad_start)
+        .filter(has_dups | has_gaps | bad_start)
+    )

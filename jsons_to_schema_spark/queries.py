@@ -5046,6 +5046,132 @@ def outliers_events_value(spark, sf_dir) -> DataFrame:
     return stats.outlier_report(ev, "value", ["event_id"], method="mad", cutoff=5.0)
 
 
+@query(
+    "equidepth_histogram_events_value",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS bounds,
+             min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT len(list_filter(b.bounds, x -> x < e.value)) AS bucket,
+             count(*) AS n
+      FROM events e, b WHERE e.value IS NOT NULL GROUP BY 1
+    ),
+    sp AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS bucket)
+    SELECT sp.bucket,
+           round(CASE WHEN sp.bucket = 0 THEN b.mn
+                      ELSE b.bounds[CAST(sp.bucket AS INT)] END, 6) AS lo,
+           round(CASE WHEN sp.bucket = 3 THEN b.mx
+                      ELSE b.bounds[CAST(sp.bucket AS INT) + 1] END, 6) AS hi,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+    FROM sp CROSS JOIN b LEFT JOIN c USING (bucket)
+    """,
+)
+def equidepth_histogram_events_value(spark, sf_dir) -> DataFrame:
+    """Equi-depth histogram (stats.equidepth_histogram): quartile-binned
+    profile of events.value — the skew-robust companion to the equi-width
+    histogram_events_value.  Exact percentile boundaries (quantile_cont
+    parity), strict-below bucket assignment so boundary ties fall low in
+    both engines, counts exact, edges round(6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.equidepth_histogram(ev, "value", 4)
+
+
+@query(
+    "null_cooccurrence_events",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_id % 14 = 0 THEN NULL ELSE props END AS props_n,
+             CASE WHEN event_id % 35 = 0 THEN NULL ELSE user_id END AS user_n,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n
+      FROM events
+    ),
+    a AS (
+      SELECT count(*) - count(props_n) AS np,
+             count(*) - count(user_n) AS nu,
+             count(*) - count(value_n) AS nv,
+             CAST(sum(CASE WHEN props_n IS NULL AND user_n IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_pu,
+             CAST(sum(CASE WHEN props_n IS NULL AND value_n IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_pv,
+             CAST(sum(CASE WHEN user_n IS NULL AND value_n IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_uv
+      FROM t
+    )
+    SELECT 'props_n' AS col_a, 'user_n' AS col_b, np AS n_a_null,
+           nu AS n_b_null, b_pu AS n_both_null,
+           CASE WHEN np + nu - b_pu > 0
+                THEN round(b_pu / (np + nu - b_pu), 6) END AS jaccard
+    FROM a
+    UNION ALL
+    SELECT 'props_n', 'value_n', np, nv, b_pv,
+           CASE WHEN np + nv - b_pv > 0
+                THEN round(b_pv / (np + nv - b_pv), 6) END
+    FROM a
+    UNION ALL
+    SELECT 'user_n', 'value_n', nu, nv, b_uv,
+           CASE WHEN nu + nv - b_uv > 0
+                THEN round(b_uv / (nu + nv - b_uv), 6) END
+    FROM a
+    """,
+)
+def null_cooccurrence_events(spark, sf_dir) -> DataFrame:
+    """Missingness structure (stats.null_cooccurrence): whether columns go
+    null TOGETHER.  The testdata carries no nulls, so three null patterns
+    are PLANTED with known overlap structure — value null on event_id %
+    7, props on % 14 (a strict subset: jaccard = |%14|/|%7|), user_id on
+    % 35 (subset of value's, overlapping props only at % 70) — and the
+    one-scan pairwise co-occurrence aggregate must recover exactly those
+    containment/overlap fractions."""
+    ev = load_table(spark, sf_dir, "events")
+    planted = ev.select(
+        F.when(F.col("event_id") % 14 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props_n"),
+        F.when(F.col("event_id") % 35 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_n"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+    return stats.null_cooccurrence(planted, ["props_n", "user_n", "value_n"])
+
+
+@query(
+    "sequence_integrity_lineitem",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, count(*) AS n_rows,
+             count(DISTINCT l_linenumber) AS n_distinct,
+             min(l_linenumber) AS seq_min, max(l_linenumber) AS seq_max
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey, n_rows, n_distinct, seq_min, seq_max,
+           (n_distinct < n_rows) AS has_dups,
+           ((CAST(seq_max AS BIGINT) - CAST(seq_min AS BIGINT) + 1)
+              <> n_distinct) AS has_gaps,
+           (CAST(seq_min AS BIGINT) <> 1) AS bad_start
+    FROM a
+    WHERE (n_distinct < n_rows)
+       OR ((CAST(seq_max AS BIGINT) - CAST(seq_min AS BIGINT) + 1)
+             <> n_distinct)
+       OR (CAST(seq_min AS BIGINT) <> 1)
+    """,
+)
+def sequence_integrity_lineitem(spark, sf_dir) -> DataFrame:
+    """Per-key sequence audit (validate.sequence_integrity): orders whose
+    line numbers are not exactly 1..n — duplicates, gaps, or a shifted
+    start.  The synthetic lineitem assigns non-contiguous line numbers,
+    so the violation set is large and every verdict arm (gaps and
+    bad-start both fire, dups occur) carries real signal for the
+    value-hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate.sequence_integrity(li, ["l_orderkey"], "l_linenumber")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -5093,8 +5219,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver row; drift keeps PSI and the new divergence panel in-window,
     # and the t-digest path is pinned-oracle pytest-checked every CI run)
     "dedup_minhash_documents",          # MinHash+LSH (campaign mode, r4)
-    "dedup_clusters_ngram_documents",   # large-star/small-star CC
-    "similarity_ivf_q8_topk_embeddings",  # persisted quantized ANN
+    # (dedup_clusters_ngram_documents demoted for the r4 sixth wave: green
+    # r3 driver row; the CC fixpoint stays guarded by the recursive-CTE
+    # oracle in pytest at the same sf0.01 every CI run)
+    # (similarity_ivf_q8_topk_embeddings demoted for the r4 sixth wave:
+    # green r3 driver row; the similarity family carries four green-r3
+    # rows and all five variants stay pytest-oracled every CI run)
     "curation_full_documents",          # end-to-end funnel
     # -- new in r4 (never driver-checked): subword tokenization --
     "subword_token_count_documents",
@@ -5186,6 +5316,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cdc_compact_events",            # changelog compaction (CDC)
     "drift_divergence_events_value", # PSI+JS+chi2+KS panel
     "outliers_events_value",         # robust MAD outlier rows
+    # -- r4 sixth wave (new families, never driver-checked) --
+    "null_cooccurrence_events",      # missingness structure (planted)
+    "sequence_integrity_lineitem",   # per-key sequence audit
+    # (equidepth_histogram_events_value stays outside the window: the
+    # distribution-profile family keeps histogram_events_value in-window;
+    # equi-depth is pytest-oracled at the same sf0.01 every CI run)
 )
 
 

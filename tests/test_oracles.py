@@ -116,5 +116,8 @@ def test_driver_window_covers_dark_families():
         "cdc_compact_events",
         "drift_divergence_events_value",
         "outliers_events_value",
+        # r4 sixth wave
+        "null_cooccurrence_events",
+        "sequence_integrity_lineitem",
     ):
         assert must in window, must

@@ -610,3 +610,37 @@ def test_outlier_report_scan_budget(spark):
     z = S.outlier_report(events, "value", ["event_id"], method="zscore")
     assert audit.scan_count(z) == 2
     assert "EvalPython" not in audit.executed_plan(mad)
+
+
+def test_equidepth_two_scans_after_pin(spark):
+    """Equi-depth histogram: boundaries scan + counts scan — the pinned
+    1-row bounds frame (double-scan sweep rule) must not re-execute its
+    corpus aggregate for the edge report."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.equidepth_histogram(events, "value", 4)
+    q.collect()  # materialize the lazy checkpoint
+    assert audit.scan_count(q) <= 2
+    assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_null_cooccurrence_single_scan(spark):
+    """All pairwise both-null counts + per-column totals fold in ONE
+    multi-aggregate scan regardless of pair count."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.null_cooccurrence(events, ["props", "user_id", "value"])
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+
+
+def test_sequence_integrity_single_scan(spark):
+    """Per-key sequence audit: one grouped scan (exact countDistinct's
+    two-phase agg still reads the data once), verdicts are arithmetic."""
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    q = validate.sequence_integrity(li, ["l_orderkey"], "l_linenumber")
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in audit.executed_plan(q)

@@ -1,0 +1,97 @@
+"""Unit tests for the wave-6 analyzers: equi-depth histogram, null
+co-occurrence (missingness structure), and per-key sequence integrity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import stats, validate
+
+
+def test_equidepth_histogram_uniform_counts(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    rows = stats.equidepth_histogram(df, "x", 4).orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    # quartiles of 1..100: boundaries 25.75 / 50.5 / 75.25 -> 25/25/25/25
+    assert [r.n_rows for r in rows] == [25, 25, 25, 25]
+    assert rows[0].lo == 1.0 and rows[3].hi == 100.0
+    assert rows[0].hi == 25.75 and rows[1].hi == 50.5 and rows[2].hi == 75.25
+
+
+def test_equidepth_boundary_tie_falls_low(spark):
+    # median of [1,1,1,3] is 1.0 -> the three 1s must all land in bucket 0
+    df = spark.createDataFrame([(1.0,), (1.0,), (1.0,), (3.0,)], "x double")
+    rows = stats.equidepth_histogram(df, "x", 2).orderBy("bucket").collect()
+    assert [r.n_rows for r in rows] == [3, 1]
+
+
+def test_equidepth_empty_and_bad_k(spark):
+    df = spark.createDataFrame([(None,)], "x double")
+    rows = stats.equidepth_histogram(df, "x", 3).collect()
+    assert [r.n_rows for r in rows] == [0, 0, 0]
+    assert all(r.lo is None and r.hi is None for r in rows)
+    with pytest.raises(ValueError, match="k >= 2"):
+        stats.equidepth_histogram(df, "x", 1)
+
+
+def test_null_cooccurrence_structure(spark):
+    rows = [
+        (None, None, 1.0),   # a+b together
+        (None, None, None),  # all three
+        (None, 1.0, 1.0),    # a alone
+        (1.0, 1.0, None),    # c alone
+        (1.0, 1.0, 1.0),     # clean
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r.col_a, r.col_b): (r.n_a_null, r.n_b_null, r.n_both_null, r.jaccard)
+        for r in stats.null_cooccurrence(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == (3, 2, 2, round(2 / 3, 6))
+    assert got[("a", "c")] == (3, 2, 1, 0.25)
+    assert got[("b", "c")] == (2, 2, 1, round(1 / 3, 6))
+
+
+def test_null_cooccurrence_no_nulls_is_null_not_zero(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    r = stats.null_cooccurrence(df, ["a", "b"]).collect()[0]
+    assert (r.n_a_null, r.n_b_null, r.n_both_null) == (0, 0, 0)
+    assert r.jaccard is None  # nothing missing != disjoint misses
+    with pytest.raises(ValueError, match="2 columns"):
+        stats.null_cooccurrence(df, ["a"])
+
+
+def test_sequence_integrity_verdict_arms(spark):
+    rows = [
+        (1, 1), (1, 2), (1, 3),          # clean
+        (2, 1), (2, 2), (2, 2),          # dup (and span 2 != distinct 2? no — gap-free)
+        (3, 1), (3, 3),                  # gap
+        (4, 2), (4, 3),                  # bad start
+        (5, None), (5, 1),               # NULL seq -> surfaces as dup-style anomaly
+    ]
+    df = spark.createDataFrame(rows, "k int, s int")
+    got = {
+        r.k: (r.has_dups, r.has_gaps, r.bad_start)
+        for r in validate.sequence_integrity(df, ["k"], "s").collect()
+    }
+    assert 1 not in got
+    assert got[2] == (True, False, False)
+    assert got[3] == (False, True, False)
+    assert got[4] == (False, False, True)
+    assert got[5][0] is True  # the NULL row can't silently vanish
+    # start_at honors a 0-based contract
+    zero = spark.createDataFrame([(1, 0), (1, 1)], "k int, s int")
+    assert validate.sequence_integrity(zero, ["k"], "s", start_at=0).count() == 0
+    assert validate.sequence_integrity(zero, ["k"], "s").count() == 1
+    with pytest.raises(ValueError, match="key_cols"):
+        validate.sequence_integrity(df, [], "s")
+
+
+def test_sequence_integrity_partition_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(1, 20), rng.randint(1, 8)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k int, s int")
+    a = validate.sequence_integrity(df, ["k"], "s")
+    b = validate.sequence_integrity(df.repartition(13), ["k"], "s")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
