@@ -1058,3 +1058,182 @@ def null_cooccurrence(df: DataFrame, columns: "list[str]") -> DataFrame:
         "jaccard",
         F.when(union > 0, F.round(F.col("n_both_null") / union, 6)),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, column: str, threshold: float, state_size: int | None = None
+) -> DataFrame:
+    """EXACT θ-frequent values without shuffling the full distinct set —
+    the scale path where ``top_values`` is the small-cardinality profile.
+    ``top_values``'s groupBy shuffles one row per DISTINCT value; on a
+    near-unique 10^12-row column that is a corpus-sized shuffle to answer
+    "which values exceed 0.1%?".  This operator bounds the state instead:
+
+    1. a per-partition Misra-Gries summary (mergeable-summaries reduce:
+       merge batch counts, subtract the (k+1)-th largest, keep positive)
+       inside ONE ``mapInArrow`` pass — state ≤ k values per partition,
+       NO shuffle; with k = ⌈1/θ⌉ the undercount is < θ·n_p, and any
+       globally θ-frequent value is ≥ θ-frequent in at least one
+       partition (pigeonhole), so the union of partition candidates is a
+       SUPERSET of every true heavy hitter;
+    2. one exact verification scan: broadcast-semi-join the corpus to the
+       (≤ k × partitions)-sized candidate set, groupBy only those rows —
+       map-side partial, shuffle bounded by candidates × partitions.
+
+    The sketch only generates CANDIDATES; the verify pass restores exact
+    counts, so output is exact and SQL-oracle-able.  The θ comparison is
+    done in EXACT long arithmetic (n_rows·den ≥ num·N via
+    ``Fraction(str(threshold))``) — a double product like 0.007·N is
+    engine-dependent in the last ulp and DuckDB parses 0.007 as DECIMAL,
+    so a float compare would flip boundary values between engines.
+
+    Output: (value:string, n_rows, frac) for every value with
+    n_rows ≥ θ·N_nonnull; NULLs excluded."""
+    import math
+    from fractions import Fraction
+
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("heavy_hitters: threshold must be in (0, 1)")
+    fr = Fraction(str(threshold))
+    k = int(state_size or math.ceil(1.0 / threshold))
+    if k < math.ceil(1.0 / threshold):
+        raise ValueError(
+            "heavy_hitters: state_size must be >= ceil(1/threshold) "
+            "or the candidate set loses the superset guarantee"
+        )
+    if k > 1_000_000:
+        raise ValueError(
+            "heavy_hitters: threshold too small — per-partition state "
+            f"k={k} exceeds 1e6; use top_values or raise the threshold"
+        )
+    vals = df.select(F.col(column).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+
+    def _mg(batches):
+        import pandas as pd  # noqa: F401 (value_counts path)
+        import pyarrow as pa
+
+        state = None
+        n = 0
+        for batch in batches:
+            s = batch.column(0).to_pandas()
+            n += len(s)
+            bc = s.value_counts()
+            state = bc if state is None else state.add(bc, fill_value=0)
+            if len(state) > k:
+                cut = state.nlargest(k + 1).iloc[-1]
+                state = state - cut
+                state = state[state > 0]
+        cand = [] if state is None else [str(v) for v in state.index]
+        yield pa.record_batch(
+            [
+                pa.array(cand + [None], type=pa.string()),
+                pa.array([0] * len(cand) + [n], type=pa.int64()),
+            ],
+            names=["value", "part_rows"],
+        )
+
+    # the MG pass feeds BOTH the candidate set and the nonnull total —
+    # pin it or the corpus sketch executes twice (double-scan sweep rule)
+    mg = vals.mapInArrow(_mg, "value string, part_rows long").localCheckpoint(
+        eager=False
+    )
+    total = mg.agg(F.sum("part_rows").alias("_n"))
+    cands = mg.filter(F.col("value").isNotNull()).select("value").distinct()
+    counts = (
+        vals.join(F.broadcast(cands), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_rows") * F.lit(fr.denominator)
+            >= F.lit(fr.numerator) * F.col("_n")
+        )
+        .select(
+            "value",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_n"), 6).alias("frac"),
+        )
+    )
+
+
+def inclusion_profile(
+    df_a: DataFrame,
+    cols_a: "list[str]",
+    df_b: DataFrame,
+    cols_b: "list[str]",
+) -> DataFrame:
+    """Inclusion-dependency DISCOVERY (SPIDER-style): for EVERY pair
+    (a ∈ cols_a, b ∈ cols_b), what fraction of a's distinct values exist
+    among b's — the profile that finds joinable/foreign-key columns
+    before anyone declares them.  ``containment`` grades ONE declared
+    pair (by row mass and value set); this sweeps the cross product and
+    reports value-set containment for all of them in two scans total,
+    not 2·|pairs|.
+
+    Shape: each table melts ONCE to a distinct (col, value-as-string)
+    set — explode of a struct array, so one scan covers all columns; the
+    two melted sets join on value (shuffle bounded by cols × distinct
+    values, never rows — and each (col,value) is distinct per side, so a
+    hot value contributes at most |cols_a|·|cols_b| joined rows, not a
+    quadratic blow-up); one bounded groupBy counts hits per pair.  The
+    (col_a × col_b) spine left-joins the hits so empty intersections
+    report 0.0 instead of vanishing.  Values compare in their CAST-string
+    canonical form (cross-type discovery needs a shared domain; the
+    docstring contract is that '1' == '1' whether it came from INT or
+    VARCHAR).
+
+    Output per pair: (col_a, col_b, n_distinct_a, n_contained,
+    containment round6, full_inclusion)."""
+    if not cols_a or not cols_b:
+        raise ValueError("inclusion_profile: column lists must be non-empty")
+
+    def _melt(df: DataFrame, cols: "list[str]", name: str) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias(name),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(entries).alias("_e"))
+            .select("_e.*")
+            .filter(F.col("value").isNotNull())
+            .distinct()
+        )
+
+    # the melted A set feeds the per-column totals AND the value join —
+    # pin it (double-scan sweep rule) so A melts once
+    a = _melt(df_a, cols_a, "col_a").localCheckpoint(eager=False)
+    b = _melt(df_b, cols_b, "col_b")
+    totals = a.groupBy("col_a").agg(F.count(F.lit(1)).alias("n_distinct_a"))
+    hits = (
+        a.join(b, "value")
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+    spine = totals.crossJoin(
+        F.broadcast(
+            df_a.sparkSession.createDataFrame(
+                [(c,) for c in cols_b], "col_b string"
+            )
+        )
+    )
+    return spine.join(F.broadcast(hits), ["col_a", "col_b"], "left").select(
+        "col_a",
+        "col_b",
+        "n_distinct_a",
+        F.coalesce("n_contained", F.lit(0)).alias("n_contained"),
+        F.round(
+            F.coalesce("n_contained", F.lit(0)) / F.col("n_distinct_a"), 6
+        ).alias("containment"),
+        (
+            F.coalesce("n_contained", F.lit(0)) == F.col("n_distinct_a")
+        ).alias("full_inclusion"),
+    )

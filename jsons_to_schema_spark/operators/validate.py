@@ -1036,3 +1036,56 @@ def sequence_integrity(
         .withColumn("bad_start", bad_start)
         .filter(has_dups | has_gaps | bad_start)
     )
+
+
+def monotonicity_audit(
+    df: DataFrame,
+    key_cols: "list[str]",
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-key ORDER audit: within each key, ``value_col`` must be
+    nondecreasing (``strict=True``: strictly increasing) when the rows are
+    ordered by ``order_col`` — balances that only grow, timestamps that
+    follow sequence numbers, cumulative counters.  sequence_integrity
+    certifies the ORDER column itself; this certifies a second column's
+    behavior ALONG that order, which per-key aggregates cannot see.
+
+    ONE scan, ONE shuffle+sort (the window's partitionBy(key).orderBy —
+    the minimal plan for an inherently ordered check), then a groupBy on
+    the SAME key, which reuses the window's hash partitioning (no second
+    exchange).  Order ties break on the value ASCENDING, so rows sharing
+    an order key never count as non-strict breaks in either engine (and
+    always count as strict ones when values repeat) — deterministic,
+    hence oracle-able.  Rows with a NULL order or value are EXCLUDED
+    from the chain via ``last(…, ignoreNulls)`` rather than a filter —
+    their masked value contributes nothing to anyone's predecessor, so
+    their engine-dependent sort position (Spark: NULLS FIRST, DuckDB:
+    NULLS LAST) cannot flip a verdict — and they are counted in
+    n_null_rows so they cannot vanish silently (a key whose EVERY row is
+    null still surfaces).  Emits only violating keys: key cols +
+    (n_rows, n_breaks, n_null_rows)."""
+    if not key_cols:
+        raise ValueError("monotonicity_audit: key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    o, v = F.col(order_col), F.col(value_col)
+    isnull = o.isNull() | v.isNull()
+    masked = F.when(~isnull, v)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(o.asc(), v.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(masked, ignorenulls=True).over(w)
+    broke = (masked <= prev) if strict else (masked < prev)
+    flagged = df.select(*key_cols, o, v).withColumn(
+        "_brk", F.when(prev.isNotNull() & broke, 1).otherwise(0)
+    ).withColumn("_isnull", isnull.cast("long"))
+    agg = flagged.groupBy(*key_cols).agg(
+        F.sum(F.lit(1) - F.col("_isnull")).alias("n_rows"),
+        F.sum("_brk").alias("n_breaks"),
+        F.sum("_isnull").alias("n_null_rows"),
+    )
+    return agg.filter((F.col("n_breaks") > 0) | (F.col("n_null_rows") > 0))

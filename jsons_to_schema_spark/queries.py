@@ -5172,6 +5172,110 @@ def sequence_integrity_lineitem(spark, sf_dir) -> DataFrame:
     return validate.sequence_integrity(li, ["l_orderkey"], "l_linenumber")
 
 
+@query(
+    "heavy_hitters_events_user",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS value
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS total FROM t)
+    SELECT value, count(*) AS n_rows,
+           round(count(*) / (SELECT total FROM n), 6) AS frac
+    FROM t GROUP BY value
+    HAVING count(*) * 1000 >= 7 * (SELECT total FROM n)
+    """,
+)
+def heavy_hitters_events_user(spark, sf_dir) -> DataFrame:
+    """Exact θ-frequent values via Misra-Gries candidates + exact verify
+    (stats.heavy_hitters): users holding ≥ 0.7% of the event stream.
+    user row counts scatter around the 0.7% line (Poisson at ~0.67%
+    uniform), so the threshold genuinely splits the key set and the
+    boundary arithmetic (n_rows·1000 ≥ 7·N in exact longs — a double
+    0.007·N product differs between engines in the last ulp) carries
+    real signal.  The oracle is the plain exact GROUP BY the sketch
+    must reproduce verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.heavy_hitters(ev, "user_id", 0.007)
+
+
+@query(
+    "inclusion_profile_orders_customer",
+    oracle="""
+    WITH a AS (
+      SELECT 'o_custkey' AS col_a, CAST(o_custkey AS VARCHAR) AS value
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION
+      SELECT 'o_orderstatus', o_orderstatus
+      FROM orders WHERE o_orderstatus IS NOT NULL
+    ),
+    b AS (
+      SELECT 'c_custkey' AS col_b, CAST(c_custkey AS VARCHAR) AS value
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION
+      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_nationkey IS NOT NULL
+    ),
+    tot AS (SELECT col_a, count(*) AS n_distinct_a FROM a GROUP BY 1),
+    hit AS (
+      SELECT a.col_a, b.col_b, count(*) AS n_contained
+      FROM a JOIN b USING (value) GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT col_a, n_distinct_a, col_b FROM tot
+      CROSS JOIN (SELECT 'c_custkey' AS col_b UNION ALL SELECT 'c_nationkey')
+    )
+    SELECT col_a, col_b, n_distinct_a,
+           CAST(coalesce(n_contained, 0) AS BIGINT) AS n_contained,
+           round(coalesce(n_contained, 0) / n_distinct_a, 6) AS containment,
+           coalesce(n_contained, 0) = n_distinct_a AS full_inclusion
+    FROM spine LEFT JOIN hit USING (col_a, col_b)
+    """,
+)
+def inclusion_profile_orders_customer(spark, sf_dir) -> DataFrame:
+    """Inclusion-dependency discovery (stats.inclusion_profile): sweep
+    (o_custkey, o_orderstatus) × (c_custkey, c_nationkey).  The four
+    verdicts span the whole signal range: o_custkey ⊆ c_custkey is the
+    true FK (full_inclusion), o_custkey vs c_nationkey overlaps only on
+    the small shared integer prefix (a graded fraction), and the status
+    column matches nothing (0.0 — the spine row that must not vanish)."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return stats.inclusion_profile(
+        od, ["o_custkey", "o_orderstatus"], cu, ["c_custkey", "c_nationkey"]
+    )
+
+
+@query(
+    "monotonicity_events_value",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             lag(value) OVER (
+               PARTITION BY user_id ORDER BY event_id ASC, value ASC
+             ) AS pv
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_rows,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks,
+           CAST(0 AS BIGINT) AS n_null_rows
+    FROM s GROUP BY 1
+    HAVING sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END) > 0
+    """,
+)
+def monotonicity_events_value(spark, sf_dir) -> DataFrame:
+    """Per-key monotonicity audit (validate.monotonicity_audit): users
+    whose metric value ever DECREASES along the event_id order — ~all
+    keys violate on this synthetic stream, so the break counts carry a
+    dense value-hash.  The testdata has no NULLs, so the oracle's plain
+    lag() is the full ignore-nulls semantics (the null arms are
+    unit-tested with planted NULL rows in
+    tests/test_discovery_audits.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return validate.monotonicity_audit(ev, ["user_id"], "event_id", "value")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -5211,7 +5315,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # the single-pass multi-aggregate shape keeps spans_single_pass_audit
     # in-window and histogram/candidate-keys/datatype-profile carry the
     # stats family)
-    "uniqueness_documents_doc_id",      # salted uniqueness
+    # (uniqueness_documents_doc_id demoted for the r4 seventh wave: green
+    # r3 driver row, operator unchanged since; exact-distinct uniqueness
+    # evidence stays in-window via candidate_keys_orders and the salted
+    # path is pytest-oracled at the same sf0.01 every CI run)
     # (referential_lineitem_dangling_orders demoted: green r3 driver row;
     # the anti-join referential shape keeps containment + spans audit
     # evidence and is pytest-oracled every CI run)
@@ -5232,7 +5339,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # for the r4-continuation families: subword keeps token_count in-window
     # and word-mode packing + chunking stay in-window)
     # -- the 36 queries with no (or stale-r2) driver row (VERDICT r3) --
-    "spans_violation_rows",
+    # (spans_violation_rows demoted for the r4 seventh wave: green r2
+    # driver row, operator unchanged since; the violation-rows shape keeps
+    # the fused spans_single_pass_audit and rule_verdicts_events in-window
+    # and stays pytest-oracled at the same sf0.01 every CI run)
     "histogram_events_value",  # r4: distribution-profile family
     # (spans_duplicate_doc_ids demoted past the window: salted uniqueness
     # keeps two in-window reps — uniqueness_documents_doc_id and
@@ -5298,7 +5408,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "candidate_keys_orders",        # key discovery
     "fd_orders_nation",             # functional dependencies
     "datatype_profile_events",      # datatype-consistency analyzer
-    "decontam_bloom_documents",     # Bloom-prefilter decontamination
+    # (decontam_bloom_documents demoted for the r4 seventh wave: its
+    # results are exact-anti-join-equivalent BY CONSTRUCTION (bitmap
+    # prefilter + exact verification), decontam keeps exact + semantic
+    # reps in-window, and the Bloom path is plan-asserted + pytest-oracled
+    # at the same sf0.01 every CI run)
     # -- r4 second continuation (new families) --
     "drift_psi_events_value",       # PSI binned drift
     "freshness_events",             # recency analyzer
@@ -5322,6 +5436,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (equidepth_histogram_events_value stays outside the window: the
     # distribution-profile family keeps histogram_events_value in-window;
     # equi-depth is pytest-oracled at the same sf0.01 every CI run)
+    # -- r4 seventh wave (new families, never driver-checked) --
+    "heavy_hitters_events_user",     # MG candidates + exact verify
+    "inclusion_profile_orders_customer",  # IND / FK discovery sweep
+    "monotonicity_events_value",     # per-key order audit
 )
 
 

@@ -1,0 +1,121 @@
+"""Unit tests for the wave-7 analyzers: heavy hitters (Misra-Gries
+candidates + exact verify), inclusion-dependency discovery, and the
+per-key monotonicity audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsons_to_schema_spark.operators import stats, validate
+
+
+def test_heavy_hitters_exact_counts(spark):
+    # 60×a, 25×b, 15 singletons -> θ=0.2 keeps a and b (b exactly at 20%),
+    # θ just above 0.2 drops b: the boundary must be EXACT long arithmetic
+    rows = [("a",)] * 60 + [("b",)] * 25 + [(f"u{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    got = {
+        r.value: (r.n_rows, r.frac)
+        for r in stats.heavy_hitters(df, "v", 0.25).collect()
+    }
+    assert got == {"a": (60, 0.6), "b": (25, 0.25)}
+    above = stats.heavy_hitters(df, "v", 0.251).collect()
+    assert {r.value for r in above} == {"a"}
+
+
+def test_heavy_hitters_mg_reduce_under_pressure(spark):
+    # 500 distinct light values + one 30% heavy value, state of only
+    # ceil(1/0.2)=5 counters per partition: the MG reduce must still
+    # surface the heavy value (superset guarantee) and the exact verify
+    # must reject every light candidate that sneaks through
+    rows = [("HOT",)] * 300 + [(f"u{i}",) for i in range(500)] * 1
+    rows += [(f"w{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = stats.heavy_hitters(df, "v", 0.2).collect()
+    assert [(r.value, r.n_rows) for r in out] == [("HOT", 300)]
+    assert out[0].frac == 0.3
+
+
+def test_heavy_hitters_nulls_and_errors(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "v string")
+    got = {r.value: r.n_rows for r in stats.heavy_hitters(df, "v", 0.5).collect()}
+    assert got == {"a": 2}  # N_nonnull = 3, threshold = 1.5 -> a only
+    with pytest.raises(ValueError, match="threshold"):
+        stats.heavy_hitters(df, "v", 0.0)
+    with pytest.raises(ValueError, match="state_size"):
+        stats.heavy_hitters(df, "v", 0.1, state_size=5)
+    with pytest.raises(ValueError, match="too small"):
+        stats.heavy_hitters(df, "v", 1e-9)
+
+
+def test_inclusion_profile_structure(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (3, "z")], "k int, s string"
+    )
+    b = spark.createDataFrame(
+        [("1", 9.0), ("2", 8.0), ("9", 7.0)], "ks string, junk double"
+    )
+    got = {
+        (r.col_a, r.col_b): (r.n_distinct_a, r.n_contained, r.containment,
+                             r.full_inclusion)
+        for r in stats.inclusion_profile(a, ["k", "s"], b, ["ks", "junk"]).collect()
+    }
+    # k={1,2,3} vs ks={'1','2','9'}: 2/3 via the cast-string domain
+    assert got[("k", "ks")] == (3, 2, round(2 / 3, 6), False)
+    assert got[("k", "junk")] == (3, 0, 0.0, False)
+    assert got[("s", "ks")] == (3, 0, 0.0, False)
+    assert got[("s", "junk")] == (3, 0, 0.0, False)
+    assert len(got) == 4
+    with pytest.raises(ValueError, match="non-empty"):
+        stats.inclusion_profile(a, [], b, ["ks"])
+
+
+def test_inclusion_profile_full_inclusion_and_nulls(spark):
+    a = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    b = spark.createDataFrame([(1,), (2,), (3,)], "k2 int")
+    r = stats.inclusion_profile(a, ["k"], b, ["k2"]).collect()[0]
+    # NULL is not a value: distinct_a = 2, fully contained
+    assert (r.n_distinct_a, r.n_contained, r.containment, r.full_inclusion) == (
+        2, 2, 1.0, True,
+    )
+
+
+def test_monotonicity_audit_verdicts(spark):
+    rows = [
+        (1, 1, 10.0), (1, 2, 10.0), (1, 3, 11.0),   # clean (non-strict)
+        (2, 1, 5.0), (2, 2, 4.0), (2, 3, 6.0), (2, 4, 2.0),  # 2 breaks
+        (3, 1, 1.0), (3, 2, None), (3, 3, 2.0),     # null row, chain clean
+        (4, None, 1.0), (4, 1, 0.5),                # null order row
+        (5, 1, None), (5, 2, None),                 # every row null
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    got = {
+        r.k: (r.n_rows, r.n_breaks, r.n_null_rows)
+        for r in validate.monotonicity_audit(df, ["k"], "o", "v").collect()
+    }
+    assert 1 not in got
+    assert got[2] == (4, 2, 0)
+    assert got[3] == (2, 0, 1)   # the null row surfaces, the chain is clean
+    assert got[4] == (1, 0, 1)
+    assert got[5] == (0, 0, 2)   # an all-null key cannot vanish
+    # strict mode: the tie in key 1 becomes a break
+    strict = {
+        r.k: r.n_breaks
+        for r in validate.monotonicity_audit(df, ["k"], "o", "v", strict=True).collect()
+    }
+    assert strict[1] == 1
+    with pytest.raises(ValueError, match="key_cols"):
+        validate.monotonicity_audit(df, [], "o", "v")
+
+
+def test_monotonicity_audit_partition_invariance(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(1, 12), rng.randint(1, 50), float(rng.randint(0, 9)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    a = validate.monotonicity_audit(df, ["k"], "o", "v")
+    b = validate.monotonicity_audit(df.repartition(17), ["k"], "o", "v")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

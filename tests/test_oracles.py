@@ -119,5 +119,9 @@ def test_driver_window_covers_dark_families():
         # r4 sixth wave
         "null_cooccurrence_events",
         "sequence_integrity_lineitem",
+        # r4 seventh wave
+        "heavy_hitters_events_user",
+        "inclusion_profile_orders_customer",
+        "monotonicity_events_value",
     ):
         assert must in window, must

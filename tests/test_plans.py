@@ -644,3 +644,52 @@ def test_sequence_integrity_single_scan(spark):
     assert audit.scan_count(q) == 1
     assert audit.has_partial_aggregate(q)
     assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_monotonicity_audit_one_scan_one_exchange(spark):
+    """The order audit is ONE scan and ONE shuffle: the window hash-
+    partitions by key, and the per-key break aggregate reuses that
+    partitioning — no second Exchange (the scale property: the check
+    costs exactly one sort of the corpus, nothing more)."""
+    events = load_table(spark, SF_ORACLE, "events")
+    q = validate.monotonicity_audit(events, ["user_id"], "event_id", "value")
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_two_scans_bounded_state(spark):
+    """MG candidate pass + exact verify = two corpus scans; the pinned
+    sketch output must not re-execute, the candidate set must BROADCAST
+    into the verify join (never shuffle the corpus on value), and the
+    verify aggregate must be map-side partial."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.heavy_hitters(events, "user_id", 0.007)
+    q.collect()  # materialize the lazy checkpoint
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) <= 2
+    assert "BroadcastHashJoin" in plan
+    assert audit.has_partial_aggregate(q)
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
+
+
+def test_inclusion_profile_two_scans(spark):
+    """IND discovery melts each table ONCE (the pinned A melt feeds both
+    the totals and the value join) — two scans total for the whole
+    cols_a × cols_b sweep, not 2·|pairs|."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    od = load_table(spark, SF_ORACLE, "orders")
+    cu = load_table(spark, SF_ORACLE, "customer")
+    q = S.inclusion_profile(
+        od, ["o_custkey", "o_orderstatus"], cu, ["c_custkey", "c_nationkey"]
+    )
+    q.collect()
+    assert audit.scan_count(q) <= 2
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in audit.executed_plan(q)
