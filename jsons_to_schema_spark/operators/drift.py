@@ -513,3 +513,65 @@ def psi_report_multi(
         "cur_n",
         F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
     )
+
+
+def category_shift(
+    baseline: DataFrame, current: DataFrame, column: str
+) -> DataFrame:
+    """CATEGORICAL domain drift: which category values appeared, vanished,
+    or moved mass between a baseline snapshot and the current slice.  The
+    numeric drift family (PSI / divergence / quantiles) bins values and
+    cannot say "a brand-new enum member showed up" — the single most
+    common schema-adjacent regression in categorical feeds — or "a member
+    silently disappeared"; this names them.
+
+    One grouped count per side (map-side partial, shuffle bounded by the
+    category cardinality — this operator is FOR categorical columns; a
+    near-unique column belongs to heavy_hitters/top_values), full-outer
+    join on the category, then pure arithmetic: per-category baseline and
+    current shares (round(6) from exact longs), share delta, and a status
+    verdict — 'new' (no baseline mass), 'vanished' (no current mass),
+    'stable' otherwise.  NULL categories are excluded (null-rate is
+    missingness's number, not a domain member); values compare in their
+    cast-string form so the report is type-stable across snapshots whose
+    physical type widened."""
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.col(column).cast("string").alias("category"))
+            .filter(F.col("category").isNotNull())
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    joined = _counts(baseline, "base_n").join(
+        _counts(current, "cur_n"), "category", "full_outer"
+    )
+    # totals fold over the bounded category table, broadcast back — the
+    # corpus never rescans (drift.py psi pattern)
+    joined = joined.select(
+        "category",
+        F.coalesce("base_n", F.lit(0)).alias("base_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    ).localCheckpoint(eager=False)
+    totals = joined.agg(
+        F.sum("base_n").alias("_bt"), F.sum("cur_n").alias("_ct")
+    )
+    base_share = F.when(
+        F.col("_bt") > 0, F.round(F.col("base_n") / F.col("_bt"), 6)
+    ).otherwise(F.lit(0.0))
+    cur_share = F.when(
+        F.col("_ct") > 0, F.round(F.col("cur_n") / F.col("_ct"), 6)
+    ).otherwise(F.lit(0.0))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "base_n",
+        "cur_n",
+        base_share.alias("base_share"),
+        cur_share.alias("cur_share"),
+        F.round(cur_share - base_share, 6).alias("share_delta"),
+        F.when(F.col("base_n") == 0, F.lit("new"))
+        .when(F.col("cur_n") == 0, F.lit("vanished"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )

@@ -1237,3 +1237,98 @@ def inclusion_profile(
             F.coalesce("n_contained", F.lit(0)) == F.col("n_distinct_a")
         ).alias("full_inclusion"),
     )
+
+
+def mask_profile(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Pattern-mask profile: collapse every string to its character-class
+    MASK (ASCII letters → 'A', digits → '9', everything else kept
+    verbatim) and report the top-k masks with counts and corpus share —
+    how a profiler shows "this column is 'AAA-9999' 98% of the time, and
+    here are the stragglers".  datatype_profile classifies into a fixed
+    type lattice; this discovers the column's own formats.
+
+    The mask is two chained ``regexp_replace`` calls — whole-stage
+    codegen, no Python.  Classes are EXPLICITLY ASCII ([A-Za-z], [0-9]):
+    Unicode letter classes differ between regex engines, and a profile
+    that two engines disagree on is not oracle-able.  Masking collapses
+    cardinality by design (every phone number is one mask), so the mask
+    count table is small; the top-k still goes through the two-stage
+    per-partition row_number prefilter (top_values' WindowGroupLimit
+    shape) so a pathological high-variety column cannot funnel its full
+    mask set through one reducer.  Ties break on mask ascending.
+
+    Output: (mask, n_rows, share round6, rk) for the top k masks;
+    NULLs excluded."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("mask_profile: k must be >= 1")
+    masked = df.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col(column).cast("string"), "[A-Za-z]", "A"),
+            "[0-9]",
+            "9",
+        ).alias("mask")
+    ).filter(F.col("mask").isNotNull())
+    # the mask count table feeds the two-stage rank AND the total fold —
+    # pin it so the corpus aggregates once (double-scan sweep rule)
+    counts = (
+        masked.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    staged = counts.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("_pid").orderBy(F.desc("n_rows"), F.asc("mask"))
+    w2 = Window.orderBy(F.desc("n_rows"), F.asc("mask"))
+    ranked = (
+        staged.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "mask",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        "rk",
+    )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: "list[str]", k: int) -> DataFrame:
+    """Re-identification risk profile: treating ``quasi_cols`` as a
+    quasi-identifier, how many rows sit in equivalence groups smaller
+    than k — the k-anonymity criterion a release gate checks before a
+    dataset with demographic-ish columns ships.  The PII scrubbers
+    (text.py) handle direct identifiers; this measures the LINKAGE risk
+    that survives them.
+
+    ONE grouped count on the quasi-identifier (map-side partial — the
+    same shuffle any join on these columns would pay), then a single
+    bounded fold over the group-size table.  Exact by design: a sketch
+    that under-counts a group mis-certifies anonymity (the
+    candidate_keys rule).  Output one row: (k, n_rows, n_groups,
+    groups_below_k, rows_below_k, risk_fraction round6,
+    min_group_size, k_anonymous)."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    below = F.col("_n") < k
+    return groups.agg(
+        F.lit(int(k)).alias("k"),
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(below.cast("long")).alias("groups_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("_n"))), F.lit(0)).alias(
+            "rows_below_k"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.when(below, F.col("_n"))), F.lit(0))
+            / F.sum("_n"),
+            6,
+        ).alias("risk_fraction"),
+        F.min("_n").alias("min_group_size"),
+        (F.min("_n") >= k).alias("k_anonymous"),
+    )

@@ -5276,6 +5276,121 @@ def monotonicity_events_value(spark, sf_dir) -> DataFrame:
     return validate.monotonicity_audit(ev, ["user_id"], "event_id", "value")
 
 
+@query(
+    "category_shift_documents_source",
+    oracle="""
+    WITH base AS (
+      SELECT source AS category, count(*) AS base_n
+      FROM documents WHERE doc_id % 2 = 0 AND source IS NOT NULL
+      GROUP BY 1
+    ),
+    cur AS (
+      SELECT CASE WHEN source = 'src0' THEN 'srcNEW' ELSE source END
+               AS category,
+             count(*) AS cur_n
+      FROM documents WHERE doc_id % 2 = 1 AND source IS NOT NULL
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(base.category, cur.category) AS category,
+             coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n
+      FROM base FULL OUTER JOIN cur USING (category)
+    ),
+    t AS (SELECT sum(base_n) AS bt, sum(cur_n) AS ct FROM j)
+    SELECT category, base_n, cur_n,
+           CASE WHEN bt > 0 THEN round(base_n / bt, 6) ELSE 0.0 END
+             AS base_share,
+           CASE WHEN ct > 0 THEN round(cur_n / ct, 6) ELSE 0.0 END
+             AS cur_share,
+           round((CASE WHEN ct > 0 THEN round(cur_n / ct, 6) ELSE 0.0 END)
+               - (CASE WHEN bt > 0 THEN round(base_n / bt, 6) ELSE 0.0 END),
+               6) AS share_delta,
+           CASE WHEN base_n = 0 THEN 'new'
+                WHEN cur_n = 0 THEN 'vanished'
+                ELSE 'stable' END AS status
+    FROM j CROSS JOIN t
+    """,
+)
+def category_shift_documents_source(spark, sf_dir) -> DataFrame:
+    """Categorical domain drift (drift.category_shift): even-doc_id docs
+    are the baseline snapshot, odd-doc_id docs the current slice with
+    'src0' REMAPPED to 'srcNEW' — planting exactly one 'new' and one
+    'vanished' member the report must name, with every other source
+    graded 'stable' and its share delta computed from exact longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "source",
+        F.when(F.col("source") == "src0", F.lit("srcNEW")).otherwise(
+            F.col("source")
+        ),
+    )
+    return drift.category_shift(base, cur, "source")
+
+
+@query(
+    "mask_profile_events_props",
+    oracle="""
+    WITH m AS (
+      SELECT regexp_replace(
+               regexp_replace(props, '[A-Za-z]', 'A', 'g'),
+               '[0-9]', '9', 'g') AS mask
+      FROM events WHERE props IS NOT NULL
+    ),
+    c AS (SELECT mask, count(*) AS n_rows FROM m GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS total FROM c),
+    r AS (
+      SELECT mask, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, mask ASC) AS rk
+      FROM c
+    )
+    SELECT mask, n_rows, round(n_rows / (SELECT total FROM t), 6) AS share,
+           CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def mask_profile_events_props(spark, sf_dir) -> DataFrame:
+    """Pattern-mask profile (stats.mask_profile): the top-5 character-
+    class masks of the raw JSON props strings — every '{"plan": "gold",
+    "seats": 12}' collapses to one shared mask per shape, so the profile
+    recovers the generator's few JSON layouts with exact counts.  ASCII
+    classes only (Unicode letter classes differ between regex engines);
+    ties break on mask ascending in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.mask_profile(ev, "props", k=5)
+
+
+@query(
+    "k_anonymity_customer",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS INT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             AS rows_below_k,
+           round(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) / sum(n), 6)
+             AS risk_fraction,
+           min(n) AS min_group_size,
+           min(n) >= 5 AS k_anonymous
+    FROM g
+    """,
+)
+def k_anonymity_customer(spark, sf_dir) -> DataFrame:
+    """k-anonymity risk (stats.k_anonymity): treating (c_nationkey,
+    c_mktsegment) as the quasi-identifier, the 5-anonymity report — at
+    sf0.01 the ~125 equivalence groups scatter around size 12, so both
+    at-risk and safe groups exist and every output column carries
+    signal."""
+    cu = load_table(spark, sf_dir, "customer")
+    return stats.k_anonymity(cu, ["c_nationkey", "c_mktsegment"], 5)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -693,3 +693,47 @@ def test_inclusion_profile_two_scans(spark):
     assert audit.scan_count(q) <= 2
     assert audit.has_partial_aggregate(q)
     assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_category_shift_one_scan_per_side(spark):
+    """Categorical domain shift: one grouped count per side, the bounded
+    category table pinned so the totals fold never rescans a corpus."""
+    from jsons_to_schema_spark.operators import drift as D
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = D.category_shift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "source",
+    )
+    q.collect()  # materialize the lazy checkpoint
+    assert audit.scan_count(q) <= 2
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_mask_profile_one_scan_two_stage_topk(spark):
+    """Mask profile: the corpus scans once (pinned mask-count table feeds
+    both the rank and the total), the top-k goes through the per-partition
+    WindowGroupLimit prefilter, and the masking regexes stay JVM-side."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.mask_profile(events, "props", 5)
+    q.collect()
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) <= 1
+    assert "WindowGroupLimit" in plan
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in plan
+
+
+def test_k_anonymity_single_scan(spark):
+    """k-anonymity: one grouped scan + one bounded fold, exact counts."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    cu = load_table(spark, SF_ORACLE, "customer")
+    q = S.k_anonymity(cu, ["c_nationkey", "c_mktsegment"], 5)
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in audit.executed_plan(q)
