@@ -5391,6 +5391,64 @@ def k_anonymity_customer(spark, sf_dir) -> DataFrame:
     return stats.k_anonymity(cu, ["c_nationkey", "c_mktsegment"], 5)
 
 
+@query(
+    "stream_new_category_alerts",
+    oracle="""
+    SELECT category, count(*) AS n_rows FROM (
+      SELECT CASE WHEN event_id % 101 = 0 THEN 'beta_signup'
+                  WHEN event_id % 103 = 1 THEN 'promo_click'
+                  ELSE event_type END AS category
+      FROM events
+    )
+    WHERE category NOT IN ('click', 'view', 'purchase', 'error', 'signup')
+    GROUP BY 1
+    """,
+)
+def stream_new_category_alerts(spark, sf_dir) -> DataFrame:
+    """Streaming domain monitor (streaming/stateful.py::
+    new_category_alerts_stream): two planted novel categories
+    ('beta_signup' on event_id%101==0, 'promo_click' on %103==1 — CASE
+    order matters and matches the oracle) trickle across TWO separate
+    stream runs sharing one checkpoint (the second run resumes the first
+    run's state store, proving cross-batch state survival); lifetime
+    counts re-emit on growth, so max(n_rows) per category equals the
+    batch GROUP BY over the novel slice."""
+    from .streaming.stateful import new_category_alerts_stream
+
+    baseline = {"click", "view", "purchase", "error", "signup"}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 101 == 0, F.lit("beta_signup"))
+        .when(F.col("event_id") % 103 == 1, F.lit("promo_click"))
+        .otherwise(F.col("event_type"))
+        .alias("category"),
+    )
+    tmp = _stream_tmp("stream_newcat_")
+    src = str(tmp / "src")
+    for half in (0, 1):
+        ev.filter(F.col("event_id") % 2 == half).write.mode("append").parquet(
+            src
+        )
+        stream = spark.readStream.schema(
+            "event_id long, category string"
+        ).parquet(src)
+        alerts = new_category_alerts_stream(stream, "category", baseline)
+        q = (
+            alerts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp / "out"))
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(str(tmp / "out"))
+        .groupBy("category")
+        .agg(F.max("n_rows").alias("n_rows"))
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -24,6 +24,7 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "doc_id string, cnt long"
@@ -52,5 +53,55 @@ def duplicate_doc_ids_stream(spans_stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEW_CATEGORY_OUTPUT = "category string, n_rows long"
+NEW_CATEGORY_STATE = "cnt long"
+
+
+def _update_new_categories(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prev = state.get[0] if state.exists else 0
+    rows = 0
+    for pdf in pdfs:
+        rows += len(pdf)
+    total = prev + rows
+    state.update((total,))
+    if rows > 0:
+        yield pd.DataFrame({"category": [key[0]], "n_rows": [total]})
+
+
+def new_category_alerts_stream(
+    stream: DataFrame, column: str, baseline: "set[str]"
+) -> DataFrame:
+    """Streaming DOMAIN monitor: alert when a category value outside the
+    pinned baseline domain appears on the stream — the batch
+    drift.category_shift 'new' verdict, continuously.  A schema check
+    cannot see it (the column type is unchanged) and a windowed count
+    cannot either (the novel member may trickle in one row per hour
+    across micro-batches), so the detector needs durable per-category
+    state.
+
+    The baseline membership test runs JVM-SIDE (``isin`` over the
+    enum-scale baseline — for a large domain swap in the bloom.py
+    prefilter), so only NOVEL rows ever reach Python and the state store:
+    state is one long per novel category, hash-partitioned by category.
+    Each micro-batch that grows a novel category's lifetime count
+    re-emits (category, lifetime n_rows); the batching-agnostic reduction
+    max(n_rows) per category equals the batch GROUP BY count over the
+    novel slice — which is exactly how the oracle checks it."""
+    cat = F.col(column).cast("string")
+    novel = stream.select(cat.alias("category")).filter(
+        F.col("category").isNotNull()
+        & ~F.col("category").isin(*sorted(baseline))
+    )
+    return novel.groupBy("category").applyInPandasWithState(
+        _update_new_categories,
+        outputStructType=NEW_CATEGORY_OUTPUT,
+        stateStructType=NEW_CATEGORY_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -338,3 +338,43 @@ def test_metrics_stream_stamps_and_judges_batches(spark, tmp_path):
     }
     assert v2[("v", "completeness")] is True  # the planted regression
     assert v2[("*", "size")] is False
+
+
+def test_new_category_alerts_across_batches(spark, tmp_path):
+    """Streaming domain monitor: baseline members never alert; a novel
+    category trickling across TWO micro-batches (maxFilesPerTrigger=1)
+    re-emits with its growing LIFETIME count — the state store carries the
+    first batch's count into the second."""
+    from jsons_to_schema_spark.streaming.stateful import (
+        new_category_alerts_stream,
+    )
+
+    src = str(tmp_path / "cat_src")
+    ckpt = str(tmp_path / "cat_ckpt")
+    spark.createDataFrame(
+        [("ok",), ("ok",), ("weird",), (None,)], "c string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("weird",), ("weird",), ("odd",), ("ok",)], "c string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("c string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = new_category_alerts_stream(stream, "c", {"ok"})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("new_cats")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from new_cats").collect()
+    got = sorted((r.category, r.n_rows) for r in rows)
+    # 'weird' emits at lifetime 1 (batch 1) then 3 (batch 2); 'odd' once at 1;
+    # 'ok' (baseline) and NULL never reach the state store
+    assert got == [("odd", 1), ("weird", 1), ("weird", 3)]
