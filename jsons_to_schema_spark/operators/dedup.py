@@ -907,3 +907,129 @@ def minhash_probe_index(
     return verified.select(
         "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def _deletion_variants(col: Column, max_dist: int) -> Column:
+    """array<string> of every string reachable from ``col`` by deleting at
+    most ``max_dist`` characters — computed entirely with Catalyst
+    higher-order functions (transform over a position sequence + substr),
+    so variant generation is whole-stage JVM work, no Python.  Sizes are
+    the SymSpell trade: O(len^d) variants per row (19 for an 18-char name
+    at d=1, ~190 at d=2) — the operator contract bounds this via
+    max_len."""
+
+    def one_deletion(s: Column) -> Column:
+        return F.when(
+            F.length(s) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - F.lit(1)),
+                    s.substr(i + F.lit(1), F.length(s)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tiers = [F.array(col)]
+    for _ in range(max_dist):
+        tiers.append(
+            F.array_distinct(
+                F.flatten(F.transform(tiers[-1], one_deletion))
+            )
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = F.array_union(out, t)
+    return out
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """Record linkage within a table: every pair of rows whose ``text_col``
+    values are within Levenshtein distance ``max_dist`` — near-identical
+    names, titles, codes — WITHOUT the all-pairs cross join (1500 rows is
+    2.25M levenshtein calls; 10^9 rows is 10^18 — the design constraint).
+
+    Blocking is symmetric-delete (SymSpell): if lev(a, b) ≤ d then, by
+    the alignment argument, deleting a's substituted+deleted characters
+    and b's substituted+inserted characters (each ≤ d of them) reaches a
+    COMMON string — so rows within distance d always share a deletion
+    variant, and joining on variants yields a candidate SUPERSET.  The
+    exact ``levenshtein`` verify (plus the |len_a − len_b| ≤ d cheap
+    pre-filter) then restores exact semantics — the same
+    sketch-candidates + exact-verify contract as heavy_hitters and the
+    Bloom decontaminator.
+
+    Scale shape: variants generate LOCALLY per row (JVM higher-order
+    functions, O(len^d) each — max_len caps the explode; longer strings
+    raise, because silently skipping them would mis-certify "no
+    duplicates"); the only shuffle is the variant-bucket join, keyed on
+    near-unique strings.  Candidate pairs dedupe BEFORE verification
+    (id_a < id_b canonicalization), and the verify join brings values
+    back by key.  Output: (id_a, id_b, text_a, text_b, dist).
+    max_dist ∈ {1, 2} — d ≥ 3 explodes the variant count cubically;
+    MinHash/SimHash are the right tool past that."""
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_self_pairs: max_dist must be 1 or 2")
+    # refuse, don't skip: a silently-unblocked long string would make the
+    # report claim "no near-duplicates" where none were checked.  The guard
+    # is IN the plan (raise_error arm of the projection) — zero plan-build
+    # Spark jobs (the similarity.py _resolve_dim rule), it fires lazily on
+    # the first offending row.  (When several partitions hit it at once the
+    # driver may surface a STAGE_MATERIALIZATION aggregate wrapper around
+    # the USER_RAISED_EXCEPTION; the refusal itself is unconditional.)
+    # NULLs pass THROUGH the guard (length(NULL) is NULL, which would fall
+    # into the raise arm and fire raise_error(NULL)); the isNotNull filter
+    # below then drops them
+    checked = F.when(
+        F.col(text_col).isNull() | (F.length(text_col) <= max_len),
+        F.col(text_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"fuzzy_self_pairs: {text_col} value longer than "
+                    f"max_len={max_len} (variant cost grows O(len^d)); "
+                    "raise max_len or pre-filter: "
+                ),
+                F.col(text_col),
+            )
+        )
+    )
+    base = df.select(
+        F.col(key_col).alias("_id"), checked.alias("_t")
+    ).filter(F.col("_t").isNotNull())
+    # variant explode feeds a self-join: pin it so the higher-order
+    # generation runs once (double-scan sweep rule)
+    exploded = base.select(
+        "_id",
+        "_t",
+        F.explode(_deletion_variants(F.col("_t"), max_dist)).alias("_v"),
+    ).localCheckpoint(eager=False)
+    left = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("text_a"), "_v"
+    )
+    right = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("text_b"), "_v"
+    )
+    cands = (
+        left.join(right, "_v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
+        )
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.levenshtein("text_a", "text_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

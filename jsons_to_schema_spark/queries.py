@@ -5449,6 +5449,27 @@ def stream_new_category_alerts(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_pairs_customer_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS text_a, b.c_name AS text_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_pairs_customer_names(spark, sf_dir) -> DataFrame:
+    """Fuzzy record linkage (dedup.fuzzy_self_pairs): every customer-name
+    pair within Levenshtein distance 1 — names differing in one digit.
+    The oracle pays the all-pairs cross join (2.25M levenshtein calls at
+    sf0.01, the thing the operator exists to avoid); the SymSpell
+    deletion-variant blocking + exact verify must reproduce it verbatim
+    (~19.5k pairs — a dense value-hash over ids, names, and distances)."""
+    cu = load_table(spark, sf_dir, "customer")
+    return dedup.fuzzy_self_pairs(cu, "c_custkey", "c_name", 1)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

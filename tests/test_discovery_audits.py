@@ -119,3 +119,59 @@ def test_monotonicity_audit_partition_invariance(spark):
     a = validate.monotonicity_audit(df, ["k"], "o", "v")
     b = validate.monotonicity_audit(df.repartition(17), ["k"], "o", "v")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fuzzy_self_pairs_exact_vs_bruteforce(spark):
+    """SymSpell blocking + exact verify must equal the brute-force
+    all-pairs answer — at both supported distances, over strings
+    exercising substitution/insertion/deletion/duplicate cases."""
+    import itertools
+
+    from jsons_to_schema_spark.operators import dedup
+
+    words = ["cat", "car", "cart", "dog", "cat", "zebra", "ct", "coat",
+             "start", "smart", "itch", "pitch"]
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id int, w string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for d in (1, 2):
+        want = sorted(
+            (i, j, a, b, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= d
+        )
+        got = sorted(
+            map(tuple, dedup.fuzzy_self_pairs(df, "id", "w", d).collect())
+        )
+        assert got == want, (d, got, want)
+
+
+def test_fuzzy_self_pairs_guard_and_nulls(spark):
+    from jsons_to_schema_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, None), (3, "x" * 80)], "id int, w string"
+    )
+    # the in-plan raise_error guard fires during the pinned subtree's
+    # materialization; Spark may aggregate multi-partition failures into a
+    # STAGE_MATERIALIZATION wrapper that elides the USER_RAISED message,
+    # so assert the refusal itself and accept either message form
+    with pytest.raises(Exception) as ei:
+        dedup.fuzzy_self_pairs(df, "id", "w", 1).collect()
+    assert "max_len" in str(ei.value) or "MATERIALIZATION" in str(ei.value)
+    ok = dedup.fuzzy_self_pairs(
+        df.filter("id < 3"), "id", "w", 1
+    ).collect()
+    assert ok == []  # the NULL row is excluded, not a crash
+    with pytest.raises(ValueError, match="max_dist"):
+        dedup.fuzzy_self_pairs(df, "id", "w", 3)

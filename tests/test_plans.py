@@ -737,3 +737,20 @@ def test_k_anonymity_single_scan(spark):
     assert audit.scan_count(q) == 1
     assert audit.has_partial_aggregate(q)
     assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """The record-linkage join goes through the deletion-variant buckets —
+    NEVER a CartesianProduct / BroadcastNestedLoopJoin (the all-pairs plan
+    the blocking exists to avoid); variant generation is JVM higher-order
+    functions, no Python."""
+    from jsons_to_schema_spark.operators import dedup as D
+
+    cu = load_table(spark, SF_ORACLE, "customer")
+    q = D.fuzzy_self_pairs(cu, "c_custkey", "c_name", 1)
+    q.collect()  # materialize the pinned variant explode
+    plan = audit.executed_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert audit.scan_count(q) <= 1  # one corpus scan feeds the pin
