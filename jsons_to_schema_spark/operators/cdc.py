@@ -56,7 +56,11 @@ def compact_changelog(
         *key_cols, *[F.col(f"_latest.{c}").alias(c) for c in carried]
     )
     if op_col:
-        out = out.filter(~F.col(op_col).isin(*delete_ops)).drop(
-            *([op_col] if op_col not in payload_cols else [])
-        )
+        # a NULL op is NOT a tombstone: ~isin evaluates to NULL for NULL
+        # ops and the filter would silently drop the key (snapshot/backfill
+        # rows commonly carry op=NULL) — keep unless op is a known delete
+        # (review finding)
+        out = out.filter(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*delete_ops)
+        ).drop(*([op_col] if op_col not in payload_cols else []))
     return out

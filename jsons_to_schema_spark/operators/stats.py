@@ -1027,29 +1027,33 @@ def null_cooccurrence(df: DataFrame, columns: "list[str]") -> DataFrame:
     if len(columns) < 2:
         raise ValueError("null_cooccurrence: need at least 2 columns")
     cols = sorted(columns)
+    # internal aliases are INDEX-based: name-joined aliases ('_b_{a}_{b}')
+    # collide for distinct pairs when column names contain underscores
+    # (['a','b_c'] vs ['a_b','c']) and the melt then dies with an
+    # ambiguous-reference AnalysisException (review finding)
     aggs = []
-    for a in cols:
+    for i, a in enumerate(cols):
         aggs.append(
-            F.sum(F.col(a).isNull().cast("long")).alias(f"_n_{a}")
+            F.sum(F.col(a).isNull().cast("long")).alias(f"_n_{i}")
         )
     for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
+        for j, b in enumerate(cols[i + 1:], start=i + 1):
             aggs.append(
                 F.sum((F.col(a).isNull() & F.col(b).isNull()).cast("long")).alias(
-                    f"_b_{a}_{b}"
+                    f"_b_{i}_{j}"
                 )
             )
     wide = df.agg(*aggs)
     pairs = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
+        for j, b in enumerate(cols[i + 1:], start=i + 1):
             pairs.append(
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
-                    F.col(f"_n_{a}").alias("n_a_null"),
-                    F.col(f"_n_{b}").alias("n_b_null"),
-                    F.col(f"_b_{a}_{b}").alias("n_both_null"),
+                    F.col(f"_n_{i}").alias("n_a_null"),
+                    F.col(f"_n_{j}").alias("n_b_null"),
+                    F.col(f"_b_{i}_{j}").alias("n_both_null"),
                 )
             )
     melted = wide.select(F.explode(F.array(*pairs)).alias("_p")).select("_p.*")
@@ -1218,23 +1222,38 @@ def inclusion_profile(
         .groupBy("col_a", "col_b")
         .agg(F.count(F.lit(1)).alias("n_contained"))
     )
-    spine = totals.crossJoin(
-        F.broadcast(
-            df_a.sparkSession.createDataFrame(
-                [(c,) for c in cols_b], "col_b string"
+    # the spine is the LITERAL cols_a × cols_b cross — built from totals it
+    # would silently drop an all-NULL (or empty) A column instead of
+    # reporting it with n_distinct_a = 0 (review finding)
+    spark = df_a.sparkSession
+    spine = (
+        spark.createDataFrame([(c,) for c in cols_a], "col_a string")
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(c,) for c in cols_b], "col_b string")
             )
         )
+        .join(F.broadcast(totals), "col_a", "left")
+        .withColumn("n_distinct_a", F.coalesce("n_distinct_a", F.lit(0)))
     )
+    graded = F.col("n_distinct_a") > 0
     return spine.join(F.broadcast(hits), ["col_a", "col_b"], "left").select(
         "col_a",
         "col_b",
         "n_distinct_a",
         F.coalesce("n_contained", F.lit(0)).alias("n_contained"),
-        F.round(
-            F.coalesce("n_contained", F.lit(0)) / F.col("n_distinct_a"), 6
+        # a column with no values grades NULL, not 0.0 (nothing to contain
+        # is different from containing nothing) — same stance as
+        # null_cooccurrence's jaccard
+        F.when(
+            graded,
+            F.round(
+                F.coalesce("n_contained", F.lit(0)) / F.col("n_distinct_a"), 6
+            ),
         ).alias("containment"),
-        (
-            F.coalesce("n_contained", F.lit(0)) == F.col("n_distinct_a")
+        F.when(
+            graded,
+            F.coalesce("n_contained", F.lit(0)) == F.col("n_distinct_a"),
         ).alias("full_inclusion"),
     )
 

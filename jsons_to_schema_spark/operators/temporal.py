@@ -106,7 +106,10 @@ def asof_join(
         F.col(right_ts).alias(matched_ts),
     ).select(*l2.columns)  # positional alignment by name
 
-    u = l2.unionByName(r2)
+    # A right row with NULL right_ts can satisfy neither <= nor >= — drop
+    # it BEFORE the union, or (sorting NULLS FIRST/LAST) its payload would
+    # leak into left rows that match nothing (review finding).
+    u = l2.unionByName(r2.filter(F.col("_ts").isNotNull()))
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
@@ -119,11 +122,32 @@ def asof_join(
             .orderBy(F.col("_ts").desc(), F.col("_side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+    # Carry the matched right row as ONE struct, not per-column
+    # last(ignorenulls) calls: independent per-column carries would skip a
+    # matched row's genuinely-NULL value and return a STALE value from an
+    # older right row — mixing columns from different right rows (review
+    # finding).  The struct is non-null exactly on right rows, so one
+    # ignorenulls carry picks the matched ROW atomically and its NULL
+    # fields stay NULL.
+    pay = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(matched_ts).alias("_mts"),
+            *[F.col(o).alias(o) for o in out_vals],
+        ),
+    )
+    u = u.withColumn("_pay", pay)
+    # A left row with NULL left_ts matches nothing in either direction
+    # (comparisons with NULL are never true) — mask its carry rather than
+    # trusting its engine-dependent sort position.
+    matched = F.when(
+        F.col("_ts").isNotNull(), F.last("_pay", ignorenulls=True).over(w)
+    )
     carried = u.select(
         *left_payload,
         "_side",
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
-        F.last(matched_ts, ignorenulls=True).over(w).alias(matched_ts),
+        *[matched[o].alias(o) for o in out_vals],
+        matched["_mts"].alias(matched_ts),
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
 

@@ -175,3 +175,21 @@ def test_fuzzy_self_pairs_guard_and_nulls(spark):
     assert ok == []  # the NULL row is excluded, not a crash
     with pytest.raises(ValueError, match="max_dist"):
         dedup.fuzzy_self_pairs(df, "id", "w", 3)
+
+
+def test_inclusion_profile_all_null_a_column_reported_not_dropped(spark):
+    # an all-NULL A column must appear with n_distinct_a=0 and NULL grades,
+    # not vanish from the spine (review finding)
+    a = spark.createDataFrame([(None, 1), (None, 2)], "dead int, live int")
+    b = spark.createDataFrame([(1,), (2,)], "r int")
+    rows = {
+        (r.col_a, r.col_b): r
+        for r in stats.inclusion_profile(a, ["dead", "live"], b, ["r"]).collect()
+    }
+    assert set(rows) == {("dead", "r"), ("live", "r")}
+    dead = rows[("dead", "r")]
+    assert (dead.n_distinct_a, dead.n_contained) == (0, 0)
+    assert dead.containment is None and dead.full_inclusion is None
+    live = rows[("live", "r")]
+    assert (live.n_distinct_a, live.containment, live.full_inclusion) == (
+        2, 1.0, True)

@@ -95,3 +95,17 @@ def test_sequence_integrity_partition_invariance(spark):
     a = validate.sequence_integrity(df, ["k"], "s")
     b = validate.sequence_integrity(df.repartition(13), ["k"], "s")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_null_cooccurrence_underscore_names_do_not_collide(spark):
+    # ['a','b_c'] and ['a_b','c'] produced the same name-joined internal
+    # alias before the index-based fix (review finding)
+    df = spark.createDataFrame(
+        [(None, 1, None, None), (1, None, 2, 3)],
+        "a long, b_c long, a_b long, c long",
+    )
+    rows = stats.null_cooccurrence(df, ["a", "b_c", "a_b", "c"]).collect()
+    assert len(rows) == 6
+    by_pair = {(r.col_a, r.col_b): r.n_both_null for r in rows}
+    assert by_pair[("a", "a_b")] == 1
+    assert by_pair[("a", "b_c")] == 0

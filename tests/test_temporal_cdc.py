@@ -249,3 +249,46 @@ def test_outlier_report_constant_column_is_silent(spark):
     assert stats.outlier_report(df, "x", ["i"], method="zscore").count() == 0
     with pytest.raises(ValueError, match="method"):
         stats.outlier_report(df, "x", ["i"], method="iqr")
+
+
+def test_asof_null_timestamps_and_atomic_carry(spark):
+    # Three review findings in one scenario:
+    # (1) right rows with NULL ts must match nothing (not leak payload),
+    # (2) a matched right row's genuinely-NULL value must stay NULL rather
+    #     than falling back to a STALE value from an older right row,
+    # (3) a left row with NULL ts matches nothing.
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", None, 3)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 50.0), ("a", 15, None), ("a", None, 999.0)],
+        "k string, t long, v double",
+    )
+    rows = {
+        r.lid: (r.v_asof, r.t_asof)
+        for r in temporal.asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    }
+    assert rows[1] == (50.0, 5)       # normal backward match
+    assert rows[2] == (None, 15)      # matched row at t=15; its NULL v stays NULL
+    assert rows[3] == (None, None)    # NULL left ts -> no match at all
+    fwd = {
+        r.lid: (r.v_asof, r.t_asof)
+        for r in temporal.asof_join(
+            left, right, ["k"], "t", "t", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == (None, 15)       # nearest forward is t=15 with NULL v
+    assert fwd[3] == (None, None)
+
+
+def test_cdc_compact_null_op_is_not_a_tombstone(spark):
+    # snapshot/backfill rows carry op=NULL; ~isin would evaluate NULL and
+    # silently drop the key (review finding)
+    df = spark.createDataFrame(
+        [("k1", 1, "x", None), ("k2", 1, "y", "upsert"), ("k3", 1, "z", "delete")],
+        "id string, ts long, val string, op string",
+    )
+    out = cdc.compact_changelog(df, ["id"], ["ts"], ["val"], op_col="op")
+    got = {(r.id, r.val) for r in out.collect()}
+    assert got == {("k1", "x"), ("k2", "y")}
