@@ -1351,3 +1351,146 @@ def k_anonymity(df: DataFrame, quasi_cols: "list[str]", k: int) -> DataFrame:
         F.min("_n").alias("min_group_size"),
         (F.min("_n") >= k).alias("k_anonymous"),
     )
+
+
+def categorical_association(
+    df: DataFrame, pairs: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Chi-squared association + Cramér's V for N categorical column
+    pairs — the dependency number mutual_information gives for ONE pair,
+    normalized to [0,1] and swept across a pair list in ONE scan of the
+    data: every pair's (value_a, value_b) cell melts via
+    explode(array(struct...)) into a single grouped count (the
+    column_entropy shape), so the shuffle is sized by the summed joint
+    cardinalities, never rows × pairs reshuffles.
+
+    Margins and totals come from WINDOWS over the bounded cell table
+    (partition keys handle NULL categories as ordinary groups — an
+    equi-join would silently drop NULL-valued cells), chained linearly so
+    the corpus still scans once.  Zero-observed cells never materialize:
+    Σ_all exp = n algebraically, so χ² = Σ_present((o−e)²/e − e) + n —
+    no r×c spine is ever built.  NULL category values are real levels on
+    both engines (GROUP BY keeps the NULL group); each χ² term rounds to
+    6 decimals before the sum and the sum rounds again, so the
+    cross-engine hash is summation-order-independent (the
+    divergence_report convention).
+
+    Output per pair: (col_a, col_b, n_rows, r_levels, c_levels, dof,
+    chi2, cramers_v) — cramers_v = sqrt(χ²/(n·min(r−1,c−1))), NULL when
+    either side is constant (dof 0: association is undefined, not 0).
+    Only sensible for bounded-cardinality columns (the
+    mutual_information scale rule): the joint cell table is the scale
+    knob."""
+    from pyspark.sql import Window
+
+    if not pairs:
+        raise ValueError("categorical_association: need at least one pair")
+    for a, b in pairs:
+        if a == b:
+            raise ValueError(f"categorical_association: self-pair {a!r}")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(a).cast("string").alias("_va"),
+                        F.col(b).cast("string").alias("_vb"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    cells = melted.groupBy("col_a", "col_b", "_va", "_vb").agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    wp = Window.partitionBy("col_a", "col_b")
+    wa = Window.partitionBy("col_a", "col_b", "_va")
+    wb = Window.partitionBy("col_a", "col_b", "_vb")
+    exp = (F.sum("_o").over(wa) * F.sum("_o").over(wb)) / F.sum("_o").over(wp)
+    graded = cells.withColumn(
+        "_term",
+        F.round((F.col("_o") - exp) * (F.col("_o") - exp) / exp - exp, 6),
+    ).withColumn("_tot", F.sum("_o").over(wp))
+    out = graded.groupBy("col_a", "col_b").agg(
+        F.first("_tot").alias("n_rows"),
+        (
+            F.countDistinct("_va") + F.max(F.col("_va").isNull().cast("long"))
+        ).alias("r_levels"),
+        (
+            F.countDistinct("_vb") + F.max(F.col("_vb").isNull().cast("long"))
+        ).alias("c_levels"),
+        F.round(F.sum("_term") + F.first("_tot"), 6).alias("_chi2"),
+    )
+    dof = (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+    return out.select(
+        "col_a",
+        "col_b",
+        "n_rows",
+        "r_levels",
+        "c_levels",
+        dof.alias("dof"),
+        # χ² is mathematically ≥ 0; per-term rounding can dip the sum a
+        # hair below — clamp so the report never shows -0.000001
+        F.greatest(F.col("_chi2"), F.lit(0.0)).alias("chi2"),
+        F.when(
+            dof > 0,
+            F.round(
+                F.sqrt(
+                    F.greatest(F.col("_chi2"), F.lit(0.0))
+                    / (
+                        F.col("n_rows")
+                        * F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+                    )
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: "list[str]", sensitive_col: str, l: int
+) -> DataFrame:
+    """l-diversity risk profile — k_anonymity's companion: a group can be
+    large (k-anonymous) yet expose its members anyway when every row in
+    it shares ONE sensitive value (the homogeneity attack).  This counts
+    rows in quasi-identifier equivalence groups whose sensitive column
+    carries fewer than l DISTINCT non-null values.
+
+    ONE grouped aggregate on the quasi-identifier (count + exact
+    countDistinct — a sketch that over-counts diversity mis-certifies a
+    release, the candidate_keys rule), then a single bounded fold.  NULL
+    sensitive values contribute nothing to diversity (an all-NULL group
+    has diversity 0 and always flags).  Output mirrors k_anonymity:
+    (l, n_rows, n_groups, groups_below_l, rows_below_l, risk_fraction
+    round6, min_diversity, l_diverse)."""
+    if not quasi_cols:
+        raise ValueError("l_diversity: quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError("l_diversity: sensitive_col inside quasi_cols")
+    if l < 2:
+        raise ValueError("l_diversity: l must be >= 2")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_d"),
+    )
+    below = F.col("_d") < l
+    return groups.agg(
+        F.lit(int(l)).alias("l"),
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(below.cast("long")).alias("groups_below_l"),
+        F.coalesce(F.sum(F.when(below, F.col("_n"))), F.lit(0)).alias(
+            "rows_below_l"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.when(below, F.col("_n"))), F.lit(0))
+            / F.sum("_n"),
+            6,
+        ).alias("risk_fraction"),
+        F.min("_d").alias("min_diversity"),
+        (F.min("_d") >= l).alias("l_diverse"),
+    )

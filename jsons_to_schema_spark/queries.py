@@ -5470,6 +5470,135 @@ def fuzzy_pairs_customer_names(spark, sf_dir) -> DataFrame:
     return dedup.fuzzy_self_pairs(cu, "c_custkey", "c_name", 1)
 
 
+@query(
+    "categorical_association_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN 's' || CAST(event_id % 2 AS VARCHAR)
+                  ELSE 't' || CAST(event_id % 3 AS VARCHAR) END AS seg,
+             CAST(event_id % 2 AS VARCHAR) AS par
+      FROM events
+    ),
+    m AS (
+      SELECT 'event_type' AS col_a, 'seg' AS col_b,
+             event_type AS va, seg AS vb FROM src
+      UNION ALL
+      SELECT 'event_type', 'par', event_type, par FROM src
+    ),
+    cells AS (
+      SELECT col_a, col_b, va, vb, count(*) AS o FROM m GROUP BY 1, 2, 3, 4
+    ),
+    g AS (
+      SELECT *,
+             sum(o) OVER (PARTITION BY col_a, col_b, va) AS ra,
+             sum(o) OVER (PARTITION BY col_a, col_b, vb) AS cb,
+             sum(o) OVER (PARTITION BY col_a, col_b) AS n
+      FROM cells
+    ),
+    t AS (
+      SELECT col_a, col_b, n,
+             round((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)
+                   - ra * cb / n, 6) AS term,
+             va, vb
+      FROM g
+    ),
+    agg AS (
+      SELECT col_a, col_b,
+             CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT va)
+                  + max(CASE WHEN va IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_levels,
+             CAST(count(DISTINCT vb)
+                  + max(CASE WHEN vb IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_levels,
+             round(sum(term) + max(n), 6) AS chi2_raw
+      FROM t GROUP BY 1, 2
+    )
+    SELECT col_a, col_b, n_rows, r_levels, c_levels,
+           (r_levels - 1) * (c_levels - 1) AS dof,
+           greatest(chi2_raw, 0.0) AS chi2,
+           CASE WHEN (r_levels - 1) * (c_levels - 1) > 0 THEN
+             round(sqrt(greatest(chi2_raw, 0.0)
+                        / (n_rows * least(r_levels - 1, c_levels - 1))), 6)
+           END AS cramers_v
+    FROM agg
+    """,
+)
+def categorical_association_events(spark, sf_dir) -> DataFrame:
+    """Categorical association sweep (stats.categorical_association):
+    chi-squared + Cramér's V for two planted pairs in ONE scan — a
+    dependent pair (event_type vs a segment column whose prefix is
+    derived FROM event_type, so V lands high) and a near-independent one
+    (event_type vs event-id parity, V ≈ 0).  The oracle rebuilds the
+    melt, the window margins, and the zero-cell-free χ² identity
+    (Σ_all exp = n) relationally, so every level count, dof, χ² term sum,
+    and the normalized V must agree to the shared round(6) grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.concat(F.lit("s"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string"))
+        )
+        .alias("seg"),
+        (F.col("event_id") % 2).cast("string").alias("par"),
+    )
+    return stats.categorical_association(
+        ev, [("event_type", "seg"), ("event_type", "par")]
+    )
+
+
+@query(
+    "l_diversity_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, user_id % 25 AS bucket,
+             CASE WHEN event_type = 'error' THEN 'E'
+                  ELSE 'v' || CAST(event_id % 7 AS VARCHAR) END AS sensitive
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, bucket, count(*) AS n,
+             count(DISTINCT sensitive) AS d
+      FROM src GROUP BY 1, 2
+    )
+    SELECT CAST(2 AS INT) AS l,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l,
+           CAST(coalesce(sum(CASE WHEN d < 2 THEN n END), 0) AS BIGINT)
+             AS rows_below_l,
+           round(coalesce(sum(CASE WHEN d < 2 THEN n END), 0) / sum(n), 6)
+             AS risk_fraction,
+           min(d) AS min_diversity,
+           min(d) >= 2 AS l_diverse
+    FROM g
+    """,
+)
+def l_diversity_events(spark, sf_dir) -> DataFrame:
+    """l-diversity risk (stats.l_diversity) — the homogeneity-attack
+    check k_anonymity cannot see: quasi-identifier (event_type, user
+    bucket), sensitive column planted so every 'error' group is
+    single-valued (diversity 1, flags at l=2) while other groups carry
+    ~7 values (safe) — both verdict arms present and every column of the
+    one-row report value-checked."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 25).alias("bucket"),
+        F.when(F.col("event_type") == "error", F.lit("E"))
+        .otherwise(
+            F.concat(F.lit("v"), (F.col("event_id") % 7).cast("string"))
+        )
+        .alias("sensitive"),
+    )
+    return stats.l_diversity(ev, ["event_type", "bucket"], "sensitive", 2)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -73,3 +73,109 @@ def test_k_anonymity_report(spark):
         stats.k_anonymity(df, [], 2)
     with pytest.raises(ValueError, match="k must be"):
         stats.k_anonymity(df, ["nat"], 1)
+
+
+def _chi2_ref(rows, a_idx, b_idx):
+    # textbook chi-squared over the full r x c contingency table
+    from collections import Counter
+
+    cells = Counter((r[a_idx], r[b_idx]) for r in rows)
+    ra = Counter(r[a_idx] for r in rows)
+    cb = Counter(r[b_idx] for r in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for av in ra:
+        for bv in cb:
+            e = ra[av] * cb[bv] / n
+            o = cells.get((av, bv), 0)
+            chi2 += (o - e) ** 2 / e
+    return chi2
+
+
+def test_categorical_association_matches_textbook_chi2(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        a = rng.choice(["x", "y", "z"])
+        # b depends on a for a correlated pair; c is independent
+        b = a.upper() if rng.random() < 0.7 else rng.choice(["X", "Y", "Z"])
+        c = rng.choice(["p", "q"])
+        rows.append((i, a, b, c))
+    df = spark.createDataFrame(rows, "i long, a string, b string, c string")
+    got = {
+        (r.col_a, r.col_b): r
+        for r in stats.categorical_association(
+            df, [("a", "b"), ("a", "c")]
+        ).collect()
+    }
+    for (ai, bi), key in [((1, 2), ("a", "b")), ((1, 3), ("a", "c"))]:
+        ref = _chi2_ref(rows, ai, bi)
+        r = got[key]
+        assert abs(r.chi2 - ref) < 1e-4, (key, r.chi2, ref)
+        assert r.n_rows == 400
+        import math
+
+        v = math.sqrt(ref / (400 * (min(r.r_levels, r.c_levels) - 1)))
+        assert abs(r.cramers_v - v) < 1e-4
+    # the dependent pair must score far above the independent one
+    assert got[("a", "b")].cramers_v > 0.5 > got[("a", "c")].cramers_v
+
+
+def test_categorical_association_null_level_and_constant_column(spark):
+    df = spark.createDataFrame(
+        [("x", None, "k"), ("x", "u", "k"), ("y", None, "k"), ("y", "v", "k")],
+        "a string, b string, c string",
+    )
+    rows = {
+        (r.col_a, r.col_b): r
+        for r in stats.categorical_association(df, [("a", "b"), ("a", "c")]).collect()
+    }
+    ab = rows[("a", "b")]
+    assert (ab.r_levels, ab.c_levels) == (2, 3)  # NULL is a real b level
+    assert ab.chi2 >= 0.0
+    ac = rows[("a", "c")]
+    assert (ac.dof, ac.cramers_v) == (0, None)  # constant side: undefined
+    assert ac.chi2 == 0.0
+    with pytest.raises(ValueError, match="self-pair"):
+        stats.categorical_association(df, [("a", "a")])
+    with pytest.raises(ValueError, match="at least one"):
+        stats.categorical_association(df, [])
+
+
+def test_categorical_association_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [(i, str(i % 5), str(i % 3)) for i in range(200)],
+        "i long, a string, b string",
+    )
+    one = stats.categorical_association(df, [("a", "b")]).collect()
+    many = stats.categorical_association(
+        df.repartition(17), [("a", "b")]
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_l_diversity_report(spark):
+    # group (1): sensitive {s1,s2} -> diverse at l=2
+    # group (2): sensitive {s1} twice + NULL -> diversity 1, flags
+    # group (3): all NULL -> diversity 0, flags
+    df = spark.createDataFrame(
+        [
+            (1, "s1"), (1, "s2"),
+            (2, "s1"), (2, "s1"), (2, None),
+            (3, None),
+        ],
+        "q long, s string",
+    )
+    r = stats.l_diversity(df, ["q"], "s", 2).collect()[0]
+    assert (r.l, r.n_rows, r.n_groups) == (2, 6, 3)
+    assert (r.groups_below_l, r.rows_below_l) == (2, 4)
+    assert r.risk_fraction == round(4 / 6, 6)
+    assert (r.min_diversity, r.l_diverse) == (0, False)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        stats.l_diversity(df, [], "s", 2)
+    with pytest.raises(ValueError, match="sensitive_col"):
+        stats.l_diversity(df, ["s"], "s", 2)
+    with pytest.raises(ValueError, match=">= 2"):
+        stats.l_diversity(df, ["q"], "s", 1)
