@@ -250,3 +250,67 @@ def decontaminate_semantic(
         F.col("_best.c").alias("max_cos_sim"),
         (-F.col("_best.nid")).alias("nearest_eval_id"),
     )
+
+
+def contamination_share(
+    docs: DataFrame,
+    eval_ngrams: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 5,
+    tokenizer: str = "words",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Graded contamination: the FRACTION of each document's distinct word
+    n-grams that appear in the eval set — the review-queue companion to
+    the binary ``decontaminate`` gate.  A doc quoting one benchmark
+    sentence scores ~1%, a near-copy of an eval item scores ~100%; the
+    binary rule treats both identically, this operator ranks them.
+
+    ONE corpus scan: the distinct-shingle array is built once in a layered
+    select (the dedup_consecutive lambda rule), its size becomes the
+    denominator inline, and explode_outer + broadcast LEFT join against
+    the eval set marks hits — the per-doc groupBy is map-side combined,
+    so the shuffle carries ~one row per document, not per n-gram (and the
+    corpus never reshuffles; the eval side broadcasts by the module-head
+    asymmetry argument).
+
+    Docs with zero n-grams (shorter than n tokens) are ungradeable: share
+    and flagged are NULL, never 0.0 (the inclusion_profile stance).
+    Output: (id, n_ngrams, n_contaminated, share round6,
+    flagged = share >= threshold)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("contamination_share: threshold must be in (0, 1]")
+    arr = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            shingles_from_tokens(_tok(F.col(col), tokenizer), n)
+        ).alias("_g"),
+    )
+    probe = arr.select(
+        "id",
+        F.coalesce(F.size("_g"), F.lit(0)).alias("n_ngrams"),
+        F.explode_outer("_g").alias("ngram"),
+    )
+    marked = probe.join(
+        F.broadcast(
+            eval_ngrams.select("ngram").distinct().withColumn("_hit", F.lit(1))
+        ),
+        "ngram",
+        "left",
+    )
+    counts = marked.groupBy("id").agg(
+        F.max("n_ngrams").alias("n_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    gradable = F.col("n_ngrams") > 0
+    share = F.when(
+        gradable, F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6)
+    )
+    return counts.select(
+        "id",
+        "n_ngrams",
+        "n_contaminated",
+        share.alias("share"),
+        (share >= F.lit(float(threshold))).alias("flagged"),
+    )

@@ -598,3 +598,73 @@ def lm_bigram_scores(
             F.round(F.exp("_ce"), 6).alias("perplexity"),
         )
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, §2.2 — the published
+    heuristics, not a port): line level, keep only lines that end in a
+    terminal punctuation mark (``. ! ? "``), carry at least
+    ``min_words_per_line`` whitespace-separated words, and do not mention
+    ``javascript`` (case-insensitive); document level, drop pages
+    containing ``lorem ipsum`` or a curly brace, and pages with fewer
+    than ``min_kept_lines`` surviving lines.
+
+    Entirely Catalyst higher-order functions over the split-lines array
+    (filter/transform/size — whole-stage codegen, zero Python, no
+    shuffle): the narrow-projection shape of quality_features.  NULL text
+    is treated as empty (0 lines → ``too_few_lines``), never a NULL
+    verdict.  Word counts split on ``\\s+`` AFTER trimming, so the count
+    is engine-identical; the emptiness guard keeps ``split('') == ['']``
+    from counting one word.
+
+    Output: (id, n_lines, n_kept_lines, doc_kept, drop_reason —
+    ``lorem_ipsum`` | ``brace`` | ``too_few_lines`` | NULL, clean_text —
+    the kept lines re-joined, NULL for dropped docs)."""
+    if min_words_per_line < 1 or min_kept_lines < 1:
+        raise ValueError("c4_clean: thresholds must be >= 1")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    nonempty = F.filter(
+        F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+
+    def _keeps(x):
+        t = F.trim(x)
+        words = F.size(F.split(t, r"\s+"))
+        return (
+            F.substring(t, -1, 1).isin(".", "!", "?", '"')
+            & (words >= F.lit(min_words_per_line))
+            & ~F.lower(t).contains("javascript")
+        )
+
+    base = df.select(
+        F.col(id_col),
+        text.alias("_t"),
+        F.size(nonempty).alias("n_lines"),
+        F.transform(
+            F.filter(nonempty, _keeps), lambda x: F.trim(x)
+        ).alias("_kept"),
+    )
+    has_lorem = F.lower(F.col("_t")).contains("lorem ipsum")
+    has_brace = F.col("_t").contains("{")
+    enough = F.size("_kept") >= F.lit(min_kept_lines)
+    reason = (
+        F.when(has_lorem, F.lit("lorem_ipsum"))
+        .when(has_brace, F.lit("brace"))
+        .when(~enough, F.lit("too_few_lines"))
+    )
+    return base.select(
+        F.col(id_col),
+        "n_lines",
+        F.size("_kept").alias("n_kept_lines"),
+        reason.isNull().alias("doc_kept"),
+        reason.alias("drop_reason"),
+        F.when(reason.isNull(), F.array_join("_kept", "\n")).alias(
+            "clean_text"
+        ),
+    )

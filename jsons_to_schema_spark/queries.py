@@ -5599,6 +5599,145 @@ def l_diversity_events(spark, sf_dir) -> DataFrame:
     return stats.l_diversity(ev, ["event_type", "bucket"], "sensitive", 2)
 
 
+@query(
+    "c4_clean_documents",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id,
+        'This opening sentence has plenty of words.' || chr(10) ||
+        substr(text, 1, 40) || chr(10) ||
+        CASE WHEN doc_id % 7 = 0
+             THEN 'Please enable javascript to continue browsing now.'
+             ELSE 'Another fine sentence appears right here.' END
+        || chr(10) ||
+        CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+             ELSE 'Closing sentence ends with a period.' END ||
+        CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{ code block }'
+             ELSE '' END AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, t,
+        list_filter(string_split(t, chr(10)),
+                    x -> len(trim(x)) > 0) AS nonempty
+      FROM src
+    ),
+    k AS (
+      SELECT doc_id, t, len(nonempty) AS n_lines,
+        list_transform(
+          list_filter(nonempty, x ->
+            right(trim(x), 1) IN ('.', '!', '?', '"')
+            AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+            AND NOT contains(lower(trim(x)), 'javascript')),
+          x -> trim(x)) AS kept
+      FROM l
+    ),
+    v AS (
+      SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+        CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+             WHEN contains(t, '{') THEN 'brace'
+             WHEN len(kept) < 3 THEN 'too_few_lines' END AS drop_reason,
+        kept
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(n_kept_lines AS INT) AS n_kept_lines,
+           drop_reason IS NULL AS doc_kept,
+           drop_reason,
+           CASE WHEN drop_reason IS NULL
+                THEN array_to_string(kept, chr(10)) END AS clean_text
+    FROM v
+    """,
+)
+def c4_clean_documents(spark, sf_dir) -> DataFrame:
+    """C4 cleaning rules (text.c4_clean) over planted multi-line pages:
+    every doc gets one always-kept sentence, one terminal-punct-less
+    line (always dropped), a javascript line on doc_id%7 (line-dropped),
+    a lorem-ipsum line on %11 (page-dropped), and a brace tail on %13
+    (page-dropped) — so all four verdict arms (kept / lorem_ipsum /
+    brace / too_few_lines) appear and the oracle re-derives the line
+    filters with DuckDB list lambdas."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat_ws(
+        "\n",
+        F.lit("This opening sentence has plenty of words."),
+        F.substring(F.col("text"), 1, 40),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("Please enable javascript to continue browsing now."),
+        ).otherwise(F.lit("Another fine sentence appears right here.")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("lorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("Closing sentence ends with a period.")),
+    )
+    txt = F.concat(
+        base,
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\n{ code block }")).otherwise(
+            F.lit("")
+        ),
+    )
+    planted = docs.select("doc_id", txt.alias("t"))
+    return text.c4_clean(planted, "doc_id", "t")
+
+
+@query(
+    "contamination_share_documents",
+    oracle="""
+    WITH ng AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) >= 5
+             THEN list_transform(generate_series(1, len(t) - 4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4])
+             ELSE [] END) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents)
+    ), ev AS (
+      SELECT DISTINCT unnest(g) AS ngram FROM ng WHERE doc_id % 83 = 0
+    ), probe AS (
+      SELECT doc_id, unnest(g) AS ngram FROM ng
+    ), h AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM probe JOIN ev USING (ngram) GROUP BY 1
+    ), base AS (
+      SELECT doc_id, CAST(len(g) AS INT) AS n_ngrams FROM ng
+    )
+    SELECT b.doc_id, b.n_ngrams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN b.n_ngrams > 0
+                THEN round(coalesce(h.n_contaminated, 0) / b.n_ngrams, 6)
+           END AS share,
+           CASE WHEN b.n_ngrams > 0
+                THEN round(coalesce(h.n_contaminated, 0) / b.n_ngrams, 6)
+                     >= CAST(0.5 AS DOUBLE)
+           END AS flagged
+    FROM base b LEFT JOIN h USING (doc_id)
+    """,
+)
+def contamination_share_documents(spark, sf_dir) -> DataFrame:
+    """Graded contamination (decontam.contamination_share): the fraction
+    of each training document's distinct 5-grams found in the synthetic
+    eval set (doc_id % 83, the decontam_documents convention) — eval
+    members themselves grade 1.0 and flag at the 0.5 near-copy
+    threshold, incidental single-shingle overlaps grade ~0.03 and pass;
+    every doc gets a row (the binary gate only reports hits).  The
+    threshold compares against CAST(0.5 AS DOUBLE) in the oracle — DuckDB
+    would otherwise parse the literal as DECIMAL and flip boundary
+    values (the heavy_hitters rule)."""
+    from .operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
+    )
+    out = decontam.contamination_share(
+        docs, ev, "text", "doc_id", n=5, threshold=0.5
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -1041,3 +1041,70 @@ def test_minhash_campaign_rejects_foreign_corpus(spark, tmp_path):
     dedup.append_to_minhash_index(b, idx)
     combined = a.unionByName(b)
     dedup.minhash_lsh_pairs(combined, "text", "doc_id", min_jaccard=0.5, index_dir=idx)
+
+
+def test_contamination_share_graded(spark):
+    """share = distinct overlapping 5-grams / distinct doc 5-grams; short
+    docs are ungradeable (NULL, not 0.0); flagged at the threshold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # 5 grams, 2 hits
+            (2, "completely different words in this training document here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps",),
+            ("brown fox jumps over the",),
+            ("brown fox jumps over the",),  # duplicate must not double-count
+        ],
+        "ngram string",
+    )
+    out = {
+        r.id: r
+        for r in decontam.contamination_share(
+            docs, eval_df, "text", "doc_id", n=5, threshold=0.3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert (r1.n_ngrams, r1.n_contaminated) == (5, 2)
+    assert r1.share == 0.4 and r1.flagged is True
+    r2 = out[2]
+    assert (r2.n_ngrams, r2.n_contaminated, r2.share, r2.flagged) == (
+        4, 0, 0.0, False)
+    r3 = out[3]
+    assert (r3.n_ngrams, r3.n_contaminated) == (0, 0)
+    assert r3.share is None and r3.flagged is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        decontam.contamination_share(docs, eval_df, "text", "doc_id", threshold=0.0)
+
+
+def test_contamination_share_agrees_with_hits(spark):
+    """Every doc with a positive share is exactly the contamination_hits
+    id set, with matching distinct-overlap counts."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common phrase core tail{i} extra words here now") for i in range(30)],
+        "doc_id long, text string",
+    )
+    eval_df = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", n=5
+    )
+    share = {
+        r.id: r.n_contaminated
+        for r in decontam.contamination_share(
+            docs, eval_df, "text", "doc_id", n=5
+        ).collect()
+        if r.n_contaminated > 0
+    }
+    hits = {
+        r.id: r.n_hits
+        for r in decontam.contamination_hits(
+            docs, eval_df, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert share == hits and hits  # non-empty by construction

@@ -177,3 +177,55 @@ def test_corpus_line_dedup(spark):
     assert out[4].text_dedup == "no boiler at all\nshort"
     assert out[4].n_removed_lines == 0
     assert out[5].text_dedup == "" and out[5].n_removed_lines == 1
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from jsons_to_schema_spark.operators import text as T
+
+    good = "Here is a perfectly ordinary sentence."
+    docs = [
+        # kept: 3 qualifying lines
+        (1, good + "\nAnother proper sentence sits right here.\n"
+            "A third complete sentence finishes things off."),
+        # line drops: no terminal punct / too few words / javascript
+        (2, good + "\nno terminal punctuation here\nToo few.\n"
+            "Please enable javascript to continue browsing now.\n"
+            "Second proper sentence stays in the document.\n"
+            "Third proper sentence stays in the document too."),
+        # doc drops
+        (3, good + "\nlorem ipsum dolor sit amet consectetur adipiscing."),
+        (4, good + "\nfunction f() { return 1; } is code."),
+        (5, "Only one good line survives in this page."),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "id long, t string")
+    out = {r.id: r for r in T.c4_clean(df, "id", "t").collect()}
+    assert out[1].doc_kept and out[1].n_kept_lines == 3
+    assert out[1].clean_text.count("\n") == 2
+    r2 = out[2]
+    assert (r2.n_lines, r2.n_kept_lines) == (6, 3)
+    assert r2.doc_kept and "javascript" not in r2.clean_text
+    assert (out[3].doc_kept, out[3].drop_reason) == (False, "lorem_ipsum")
+    assert (out[4].doc_kept, out[4].drop_reason) == (False, "brace")
+    assert (out[5].doc_kept, out[5].drop_reason) == (False, "too_few_lines")
+    assert (out[6].n_lines, out[6].drop_reason) == (0, "too_few_lines")
+    assert out[3].clean_text is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="thresholds"):
+        T.c4_clean(df, "id", "t", min_words_per_line=0)
+
+
+def test_c4_clean_whitespace_word_count_parity(spark):
+    from jsons_to_schema_spark.operators import text as T
+
+    # leading/trailing/multiple whitespace must not inflate word counts
+    df = spark.createDataFrame(
+        [(1, "   one  two\tthree   four five.   \n"
+             "Second proper sentence sits right here.\n"
+             "Third proper sentence finishes the page.")],
+        "id long, t string",
+    )
+    r = T.c4_clean(df, "id", "t").collect()[0]
+    assert r.n_kept_lines == 3  # 5 words exactly after trim/collapse
+    assert r.clean_text.startswith("one  two")
