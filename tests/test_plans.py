@@ -754,3 +754,59 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert audit.scan_count(q) <= 1  # one corpus scan feeds the pin
+
+
+def test_categorical_association_one_scan(spark):
+    """The pair sweep melts in ONE corpus scan; margins are windows over
+    the bounded cell table chained linearly (no self-join, no rescan)."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.categorical_association(
+        events, [("event_type", "props"), ("event_type", "user_id")]
+    )
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in plan
+
+
+def test_l_diversity_single_scan(spark):
+    """Group + bounded fold: one corpus scan, map-side partials."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.l_diversity(events, ["event_type"], "user_id", 2)
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+
+
+def test_c4_clean_no_shuffle_no_python(spark):
+    """The C4 rules are a pure narrow projection: zero Exchange, zero
+    Python eval, whole-stage codegen."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = text.c4_clean(docs, "doc_id", "text")
+    plan = audit.executed_plan(q)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert audit.scan_count(q) == 1
+    assert audit.codegen_stage_count(q) >= 1
+
+
+def test_contamination_share_broadcast_probe_one_scan(spark):
+    """Graded contamination scans the corpus ONCE: the eval set broadcasts
+    into the probe (the corpus never shuffles on ngram) and the per-doc
+    fold is map-side combined."""
+    from jsons_to_schema_spark.operators import decontam
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
+    )
+    q = decontam.contamination_share(docs, ev, "text", "doc_id", n=5)
+    plan = audit.executed_plan(q)
+    # two scans total: one for the eval set, one for the corpus probe
+    assert audit.scan_count(q) <= 2
+    assert "BroadcastHashJoin" in plan
+    assert audit.has_partial_aggregate(q)
+    assert "BatchEvalPython" not in plan
