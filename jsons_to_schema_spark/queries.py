@@ -5738,6 +5738,73 @@ def contamination_share_documents(spark, sf_dir) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
+@query(
+    "stream_attribution_join_events",
+    oracle="""
+    SELECT i.event_id AS imp_id, c.event_id AS conv_id, i.user_id,
+           date_diff('microsecond', i.ts, c.ts) AS delay_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') i
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+      ON i.user_id = c.user_id AND c.ts >= i.ts
+     AND c.ts <= i.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_attribution_join_events(spark, sf_dir) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py::
+    attribution_join_stream): every purchase pairs with the same user's
+    views from the preceding 4 hours, with watermarked join state on
+    BOTH sides.  Drained with availableNow into a memory sink; since no
+    row is late past its watermark in the drain, the streaming inner
+    join's output must EQUAL the batch inequality join — which is
+    exactly what the oracle computes.  Cross-micro-batch state survival
+    is pinned separately (tests/test_streaming.py, maxFilesPerTrigger
+    harness)."""
+    import uuid
+
+    from .streaming.joins import attribution_join_stream
+
+    ddl = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    def _stream():
+        # the file stream source requires a DIRECTORY path — glob-filter
+        # the one events file out of the shared sf_dir
+        return (
+            spark.readStream.format("parquet")
+            .schema(ddl)
+            .option("pathGlobFilter", "events.parquet")
+            .option("recursiveFileLookup", "false")
+            .load(sf_dir)
+        )
+
+    imp = _stream().filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("imp_id"),
+        "user_id",
+        F.col("ts").alias("imp_ts"),
+    )
+    conv = _stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    pairs = attribution_join_stream(
+        imp, conv, "user_id", "imp_ts", "conv_ts", max_delay="4 hours"
+    )
+    tmp = _stream_tmp("stream_attr_")
+    name = f"sattr_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("imp_id", "conv_id", "user_id", "delay_us")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

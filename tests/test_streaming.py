@@ -378,3 +378,75 @@ def test_new_category_alerts_across_batches(spark, tmp_path):
     # 'weird' emits at lifetime 1 (batch 1) then 3 (batch 2); 'odd' once at 1;
     # 'ok' (baseline) and NULL never reach the state store
     assert got == [("odd", 1), ("weird", 1), ("weird", 3)]
+
+
+def test_attribution_join_cross_batch_state(spark, tmp_path):
+    """Stream-stream interval join: a conversion arriving in a LATER
+    micro-batch must still pair with an impression held in batch-1 join
+    state; pairs outside max_delay never emit; inner semantics drop
+    unmatched rows."""
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.streaming.joins import attribution_join_stream
+
+    imp_src = str(tmp_path / "imp")
+    conv_src = str(tmp_path / "conv")
+    ckpt = str(tmp_path / "attr_ckpt")
+
+    def _write(path, rows, schema):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    imp_schema = "imp_id string, user string, ts string"
+    conv_schema = "conv_id string, user string, ts string"
+    # impressions batch 1: i1 (u1), i2 (u2); batch 2: i3 (u1)
+    _write(imp_src, [("i1", "u1", "2024-01-01 10:00:00"),
+                     ("i2", "u2", "2024-01-01 10:05:00")], imp_schema)
+    _write(imp_src, [("i3", "u1", "2024-01-01 11:00:00")], imp_schema)
+    # conversions batch 1: c1 (u1 @10:10 -> i1); batch 2: c2 (u1 @11:20 ->
+    # i3 only, i1 is 80 min stale), c3 (u2 @10:20 -> i2 ACROSS batches),
+    # c4 (u3, no impression at all)
+    _write(conv_src, [("c1", "u1", "2024-01-01 10:10:00")], conv_schema)
+    _write(conv_src, [("c2", "u1", "2024-01-01 11:20:00"),
+                      ("c3", "u2", "2024-01-01 10:20:00"),
+                      ("c4", "u3", "2024-01-01 10:00:00")], conv_schema)
+
+    def _stream(src, ddl):
+        return (
+            spark.readStream.schema(
+                ddl.replace("ts string", "ts timestamp")
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    imp = _stream(imp_src, imp_schema).withColumnRenamed("ts", "imp_ts")
+    conv = _stream(conv_src, conv_schema).withColumnRenamed("ts", "conv_ts")
+    out = attribution_join_stream(
+        imp, conv, "user", "imp_ts", "conv_ts", max_delay="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from attr_pairs").collect()
+    got = {(r.imp_id, r.conv_id, r.delay_us) for r in rows}
+    assert got == {
+        ("i1", "c1", 600_000_000),
+        ("i3", "c2", 1_200_000_000),
+        ("i2", "c3", 900_000_000),
+    }
+
+    # guards: batch inputs and ambiguous columns are refused
+    b = spark.createDataFrame([("i", "u", None)], imp_schema)
+    with pytest.raises(ValueError, match="must be streaming"):
+        attribution_join_stream(b, conv, "user", "imp_ts", "conv_ts")
+    clash = _stream(imp_src, imp_schema)  # shares 'ts' with conversions
+    with pytest.raises(ValueError, match="ambiguous"):
+        attribution_join_stream(
+            clash, _stream(conv_src, conv_schema), "user", "ts", "ts"
+        )
