@@ -228,3 +228,59 @@ def interval_overlap_join(
             "overlap"
         ),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing-window profile: for every row, the count / mean / min /
+    max / sample-stddev of ``value_col`` over the SAME key's rows in the
+    closed interval ``[ts − window_seconds, ts]``, plus the row's
+    deviation from that trailing mean — the per-entity drift signal the
+    corpus-level drift family (PSI, divergence) aggregates away.
+
+    ONE Exchange on the keys + one sort: a range-frame window over exact
+    integer epoch microseconds (``stats._epoch_us_col`` — timezone-proof
+    for TIMESTAMP and TIMESTAMP_NTZ alike, never a float or a session-TZ
+    cast, the freshness rule), so the frame boundary is
+    engine-identical.  RANGE frames include event-time ties (peers) on
+    both engines.  NULL values stay out of the moments (SQL aggregate
+    semantics) but still anchor their own output row — n_window counts
+    VALUE rows, so an all-NULL window reports 0 with NULL moments.
+    round(6) on every float keeps the cross-engine hash summation-order-
+    independent.  A NULL timestamp sorts to an engine-dependent end and
+    its epoch is outside every numeric range frame, so such rows are
+    MASKED (all six outputs NULL) rather than trusted — the asof_join
+    stance — and they never enter another row's frame.
+
+    Output: all input columns plus (n_window, mean_value round6,
+    min_value, max_value, stddev_value round6, deviation round6)."""
+    from pyspark.sql import Window
+
+    if window_seconds <= 0:
+        raise ValueError("rolling_stats: window_seconds must be positive")
+    if not keys:
+        raise ValueError("rolling_stats: keys must be non-empty")
+    from .stats import _epoch_us_col
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_epoch_us_col(df, ts_col))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    ok = F.col(ts_col).isNotNull()
+    v = F.col(value_col)
+    mean = F.avg(v).over(w)
+    return df.select(
+        "*",
+        F.when(ok, F.count(v).over(w)).alias("n_window"),
+        F.when(ok, F.round(mean, 6)).alias("mean_value"),
+        F.when(ok, F.min(v).over(w)).alias("min_value"),
+        F.when(ok, F.max(v).over(w)).alias("max_value"),
+        F.when(ok, F.round(F.stddev_samp(v).over(w), 6)).alias("stddev_value"),
+        F.when(ok, F.round(v - mean, 6)).alias("deviation"),
+    )

@@ -5805,6 +5805,42 @@ def stream_attribution_join_events(spark, sf_dir) -> DataFrame:
     return spark.table(name).select("imp_id", "conv_id", "user_id", "delay_us")
 
 
+@query(
+    "rolling_stats_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(value) OVER w AS BIGINT) AS n_window,
+           round(avg(value) OVER w, 6) AS mean_value,
+           min(value) OVER w AS min_value,
+           max(value) OVER w AS max_value,
+           round(stddev_samp(value) OVER w, 6) AS stddev_value,
+           round(value - avg(value) OVER w, 6) AS deviation
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 48 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_stats_events(spark, sf_dir) -> DataFrame:
+    """Trailing-window profile (temporal.rolling_stats): every event's
+    48-hour same-user trailing count/mean/min/max/stddev and its
+    deviation from the trailing mean — exact integer-microsecond range
+    frames, so Spark's rangeBetween over unix_micros and DuckDB's
+    RANGE BETWEEN INTERVAL must agree on every frame boundary (ties
+    included) across all 10k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal.rolling_stats(ev, ["user_id"], "ts", "value", 48 * 3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_window",
+        "mean_value",
+        "min_value",
+        "max_value",
+        "stddev_value",
+        "deviation",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -810,3 +810,18 @@ def test_contamination_share_broadcast_probe_one_scan(spark):
     assert "BroadcastHashJoin" in plan
     assert audit.has_partial_aggregate(q)
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_stats_one_scan_one_exchange(spark):
+    """The trailing-window profile costs exactly one shuffle (hash by
+    key) + one sort — all six outputs share the single range-frame
+    window."""
+    from jsons_to_schema_spark.operators import temporal
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = temporal.rolling_stats(events, ["user_id"], "ts", "value", 3600)
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "EvalPython" not in plan

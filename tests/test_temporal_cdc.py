@@ -292,3 +292,71 @@ def test_cdc_compact_null_op_is_not_a_tombstone(spark):
     out = cdc.compact_changelog(df, ["id"], ["ts"], ["val"], op_col="op")
     got = {(r.id, r.val) for r in out.collect()}
     assert got == {("k1", "x"), ("k2", "y")}
+
+
+def test_rolling_stats_matches_brute_force(spark):
+    import datetime as dt
+    import statistics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    rng = random.Random(11)
+    for k in ["a", "b"]:
+        for i in range(40):
+            ts = base + dt.timedelta(seconds=rng.randrange(0, 600))
+            rows.append((k, len(rows), ts, float(rng.randrange(0, 100))))
+    # edge rows: a tie pair, a NULL value, a NULL timestamp
+    rows += [
+        ("a", 100, base + dt.timedelta(seconds=50), 7.0),
+        ("a", 101, base + dt.timedelta(seconds=50), 9.0),
+        ("a", 102, base + dt.timedelta(seconds=51), None),
+        ("a", 103, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, ts timestamp, v double")
+    got = {r.rid: r for r in temporal.rolling_stats(df, ["k"], "ts", "v", 60).collect()}
+
+    for k, rid, ts, v in rows:
+        r = got[rid]
+        if ts is None:
+            assert all(
+                getattr(r, c) is None
+                for c in ["n_window", "mean_value", "min_value", "max_value",
+                          "stddev_value", "deviation"]
+            )
+            continue
+        in_win = [
+            v2 for k2, _, ts2, v2 in rows
+            if k2 == k and ts2 is not None and v2 is not None
+            and ts - dt.timedelta(seconds=60) <= ts2 <= ts
+        ]
+        assert r.n_window == len(in_win), rid
+        if in_win:
+            assert r.mean_value == round(statistics.fmean(in_win), 6), rid
+            assert (r.min_value, r.max_value) == (min(in_win), max(in_win))
+            if len(in_win) >= 2:
+                assert abs(r.stddev_value - statistics.stdev(in_win)) < 1e-6
+            else:
+                assert r.stddev_value is None
+        if v is not None and in_win:
+            assert r.deviation == round(v - statistics.fmean(in_win), 6)
+        elif v is None:
+            assert r.deviation is None
+
+    with pytest.raises(ValueError, match="window_seconds"):
+        temporal.rolling_stats(df, ["k"], "ts", "v", 0)
+    with pytest.raises(ValueError, match="keys"):
+        temporal.rolling_stats(df, [], "ts", "v", 60)
+
+
+def test_rolling_stats_partition_invariance(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k%d" % (i % 3), i, base + dt.timedelta(seconds=i * 7 % 300), float(i))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, ts timestamp, v double")
+    one = temporal.rolling_stats(df, ["k"], "ts", "v", 45).collect()
+    many = temporal.rolling_stats(df.repartition(13), ["k"], "ts", "v", 45).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
