@@ -173,6 +173,7 @@ def detect_metric_anomalies(
     rate_lo: float | None = None,
     rate_hi: float | None = None,
     history_window: int | None = None,
+    alpha: float = 0.3,
 ) -> DataFrame:
     """Anomaly verdicts for ``current_run`` against earlier runs —
     all of them, or only the trailing ``history_window`` runs.
@@ -197,12 +198,29 @@ def detect_metric_anomalies(
     * ``absolute_change`` — |value − last| > max_delta.
     * ``relative_change`` — value/last < rate_lo or > rate_hi (NULL-safe:
       last == 0 flags unless value is also 0).
+    * ``ewma`` — the Roberts control chart online_normal cannot replace:
+      the test statistic z = α·value + (1−α)·EWMA(history) ACCUMULATES a
+      slow drift run over run, so a creep whose every single point stays
+      inside k·σ of the all-time mean still pushes z out of
+      |z − hist_mean| > k·σ·sqrt(α/(2−α)·(1−(1−α)^{2(T+1)})) (the
+      standard EWMA variance inflation at step T+1).  The history EWMA
+      folds as an explicit weight-per-run sum over the KB-scale history
+      rows (closed form of the recurrence, so it is order-independent
+      and SQL-oracle-able); this strategy adds ``hist_ewma``, ``ewma_z``
+      and ``ewma_limit`` columns to the output.
 
     Metrics with fewer than ``min_history`` history points get
     ``is_anomaly = NULL`` (not enough evidence), never a silent pass/fail.
     """
-    if strategy not in ("online_normal", "absolute_change", "relative_change"):
+    if strategy not in (
+        "online_normal",
+        "absolute_change",
+        "relative_change",
+        "ewma",
+    ):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "ewma" and not 0.0 < alpha < 1.0:
+        raise ValueError("ewma requires 0 < alpha < 1")
     if strategy == "absolute_change" and max_delta is None:
         raise ValueError("absolute_change requires max_delta")
     if strategy == "relative_change" and (rate_lo is None or rate_hi is None):
@@ -237,10 +255,76 @@ def detect_metric_anomalies(
             F.count("value").alias("n_history"),
         )
     )
+    if strategy == "ewma":
+        # closed form of m_t = α·x_t + (1−α)·m_{t−1} started at the first
+        # history value: weights α(1−α)^(T−t), first term (1−α)^(T−1) —
+        # an explicit per-run weight sum over the KB-scale history, so
+        # the fold is order-independent and the oracle recomputes it
+        from pyspark.sql import Window
+
+        a = float(alpha)
+        hw = Window.partitionBy(*key).orderBy("run_id")
+        hall = Window.partitionBy(*key)
+        ranked = (
+            metrics.filter(hist_pred & F.col("value").isNotNull())
+            .select(*key, "run_id", "value")
+            .withColumn("_rn", F.row_number().over(hw))
+            .withColumn("_t", F.count(F.lit(1)).over(hall))
+        )
+        w = F.when(
+            F.col("_rn") == 1, F.pow(F.lit(1.0 - a), F.col("_t") - 1)
+        ).otherwise(F.lit(a) * F.pow(F.lit(1.0 - a), F.col("_t") - F.col("_rn")))
+        hist = ranked.groupBy(*key).agg(
+            F.round(F.avg("value"), 6).alias("hist_mean"),
+            F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias(
+                "hist_stddev"
+            ),
+            F.round(F.max_by("value", "run_id"), 6).alias("hist_last"),
+            F.count("value").alias("n_history"),
+            F.round(F.sum(w * F.col("value")), 6).alias("hist_ewma"),
+            F.round(
+                F.lit(float(k))
+                * F.round(
+                    F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6
+                )
+                * F.sqrt(
+                    F.lit(a / (2.0 - a))
+                    * (
+                        F.lit(1.0)
+                        - F.pow(F.lit(1.0 - a), 2 * (F.count("value") + 1))
+                    )
+                ),
+                6,
+            ).alias("ewma_limit"),
+        )
+
     cur = metrics.filter(F.col("run_id") == F.lit(int(current_run))).select(
         *key, F.round("value", 6).alias("value")
     )
     j = cur.join(F.broadcast(hist), key, "left")
+
+    if strategy == "ewma":
+        z = F.round(
+            F.lit(float(alpha)) * F.col("value")
+            + F.lit(1.0 - float(alpha)) * F.col("hist_ewma"),
+            6,
+        )
+        flag = F.abs(z - F.col("hist_mean")) > F.col("ewma_limit")
+        return j.select(
+            *key,
+            "value",
+            "hist_mean",
+            "hist_stddev",
+            "hist_last",
+            "hist_ewma",
+            z.alias("ewma_z"),
+            "ewma_limit",
+            F.coalesce("n_history", F.lit(0)).alias("n_history"),
+            F.when(
+                F.coalesce("n_history", F.lit(0)) >= F.lit(int(min_history)),
+                flag,
+            ).alias("is_anomaly"),
+        )
 
     if strategy == "online_normal":
         flag = F.abs(F.col("value") - F.col("hist_mean")) > F.lit(float(k)) * F.col(

@@ -1494,3 +1494,78 @@ def l_diversity(
         F.min("_d").alias("min_diversity"),
         (F.min("_d") >= l).alias("l_diverse"),
     )
+
+
+def mutual_information_pairs(
+    df: DataFrame, pairs: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Mutual information for N column pairs in ONE scan of the data —
+    the sweep face of mutual_information, sharing categorical_
+    association's melt: every pair's joint cells land in a single
+    grouped count (shuffle sized by summed joint cardinalities), and all
+    three entropy terms per pair fold from that bounded table.
+
+    Rows where EITHER side is NULL are excluded from that pair's terms
+    (the mutual_information convention — marginals must stay consistent
+    with the joint), independently per pair.  The joint table is PINNED
+    (lazy localCheckpoint): H(a,b) and both marginal re-aggregations use
+    divergent projections, so without the pin the corpus would scan
+    three times (the double-scan sweep rule; measured on
+    mutual_information in r4).  A broadcast pair spine keeps pairs with
+    zero non-null rows in the output with NULL mi.
+
+    Output per pair: (col_a, col_b, mi round6) — bit-compatible with
+    mutual_information for a single pair."""
+    if not pairs:
+        raise ValueError("mutual_information_pairs: need at least one pair")
+    for a, b in pairs:
+        if a == b:
+            raise ValueError(f"mutual_information_pairs: self-pair {a!r}")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(a).cast("string").alias("_a"),
+                        F.col(b).cast("string").alias("_b"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    joint = (
+        melted.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("col_a", "col_b", "_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _h(counts: DataFrame, name: str) -> DataFrame:
+        return counts.groupBy("col_a", "col_b").agg(
+            (
+                F.log2(F.sum("_c"))
+                - F.sum(F.col("_c") * F.log2("_c")) / F.sum("_c")
+            ).alias(name)
+        )
+
+    hab = _h(joint, "_hab")
+    ha = _h(
+        joint.groupBy("col_a", "col_b", "_a").agg(F.sum("_c").alias("_c")),
+        "_ha",
+    )
+    hb = _h(
+        joint.groupBy("col_a", "col_b", "_b").agg(F.sum("_c").alias("_c")),
+        "_hb",
+    )
+    spine = df.sparkSession.createDataFrame(
+        [(a, b) for a, b in pairs], "col_a string, col_b string"
+    )
+    folded = ha.join(hb, ["col_a", "col_b"]).join(hab, ["col_a", "col_b"])
+    return spine.join(F.broadcast(folded), ["col_a", "col_b"], "left").select(
+        "col_a",
+        "col_b",
+        F.round(F.col("_ha") + F.col("_hb") - F.col("_hab"), 6).alias("mi"),
+    )

@@ -5841,6 +5841,134 @@ def rolling_stats_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "mutual_information_pairs_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN 's' || CAST(event_id % 2 AS VARCHAR)
+                  ELSE 't' || CAST(event_id % 3 AS VARCHAR) END AS seg,
+             CAST(event_id % 2 AS VARCHAR) AS par
+      FROM events
+    )
+    SELECT 'event_type' AS col_a, 'seg' AS col_b,
+           round(entropy(event_type) + entropy(seg)
+                 - entropy(row(event_type, seg)), 6) AS mi
+    FROM src WHERE event_type IS NOT NULL AND seg IS NOT NULL
+    UNION ALL
+    SELECT 'event_type', 'par',
+           round(entropy(event_type) + entropy(par)
+                 - entropy(row(event_type, par)), 6)
+    FROM src WHERE event_type IS NOT NULL AND par IS NOT NULL
+    """,
+)
+def mutual_information_pairs_events(spark, sf_dir) -> DataFrame:
+    """MI sweep (stats.mutual_information_pairs): the same planted
+    dependent/independent pairs as categorical_association_events,
+    graded in bits from ONE corpus scan — the dependent (event_type,
+    seg) pair carries real information (seg's prefix is a function of
+    event_type) while (event_type, parity) lands at ~0; DuckDB's native
+    base-2 entropy() aggregate recomputes all three terms per pair."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.concat(F.lit("s"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string"))
+        )
+        .alias("seg"),
+        (F.col("event_id") % 2).cast("string").alias("par"),
+    )
+    return stats.mutual_information_pairs(
+        ev, [("event_type", "seg"), ("event_type", "par")]
+    )
+
+
+@query(
+    "metric_anomalies_ewma_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_id % 8 AS run_id,
+             value * (1.0 + 0.03 * (event_id % 8)) AS value
+      FROM events
+    ), wide AS (
+      SELECT run_id, count(*) AS n,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls,
+             avg(value) AS meanv, min(value) AS minv, max(value) AS maxv
+      FROM base GROUP BY run_id
+    ), m AS (
+      SELECT run_id, 'events' AS dataset, '*' AS instance,
+             'size' AS metric, CAST(n AS DOUBLE) AS value FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'completeness',
+             1.0 - CAST(nulls AS DOUBLE) / n FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'mean', meanv FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'minimum', minv FROM wide
+      UNION ALL SELECT run_id, 'events', 'value', 'maximum', maxv FROM wide
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY dataset, instance, metric
+                                ORDER BY run_id) AS rn,
+             count(*) OVER (PARTITION BY dataset, instance, metric) AS t
+      FROM m WHERE run_id < 7 AND value IS NOT NULL
+    ), hist AS (
+      SELECT dataset, instance, metric,
+             round(avg(value), 6) AS hist_mean,
+             round(coalesce(stddev_samp(value), 0.0), 6) AS hist_stddev,
+             round(arg_max(value, run_id), 6) AS hist_last,
+             count(value) AS n_history,
+             round(sum((CASE WHEN rn = 1 THEN pow(0.7, t - 1)
+                             ELSE 0.3 * pow(0.7, t - rn) END) * value), 6)
+               AS hist_ewma,
+             round(3.0 * round(coalesce(stddev_samp(value), 0.0), 6)
+                   * sqrt(0.3 / 1.7
+                          * (1 - pow(0.7, 2 * (count(value) + 1)))), 6)
+               AS ewma_limit
+      FROM ranked GROUP BY 1, 2, 3
+    ), cur AS (
+      SELECT dataset, instance, metric, round(value, 6) AS value
+      FROM m WHERE run_id = 7
+    )
+    SELECT cur.dataset, cur.instance, cur.metric, cur.value,
+           hist_mean, hist_stddev, hist_last, hist_ewma,
+           round(0.3 * cur.value + 0.7 * hist_ewma, 6) AS ewma_z,
+           ewma_limit,
+           CAST(coalesce(n_history, 0) AS BIGINT) AS n_history,
+           CASE WHEN coalesce(n_history, 0) >= 2
+                THEN abs(round(0.3 * cur.value + 0.7 * hist_ewma, 6)
+                         - hist_mean) > ewma_limit
+           END AS is_anomaly
+    FROM cur LEFT JOIN hist USING (dataset, instance, metric)
+    """,
+)
+def metric_anomalies_ewma_events(spark, sf_dir) -> DataFrame:
+    """EWMA control chart over run history (metrics_repo strategy
+    'ewma'): events split into 8 runs with a planted 3%-per-run creep in
+    value scale, run 7 judged against runs 0-6 — the statistic
+    z = α·value + (1−α)·EWMA(history) accumulates the drift while the
+    constant metrics (size, completeness) sit exactly on their centers;
+    every column (history EWMA, z, the variance-inflated limit, both
+    verdict arms) is recomputed relationally by the oracle on the shared
+    round-6 grid."""
+    from .operators import metrics_repo
+
+    events = load_table(spark, sf_dir, "events")
+    runs = events.select(
+        (F.col("event_id") % 8).alias("run"),
+        (F.col("value") * (1.0 + 0.03 * (F.col("event_id") % 8))).alias(
+            "value"
+        ),
+    )
+    m = metrics_repo.compute_metrics(
+        runs, columns=["value"], dataset="events", run_col="run"
+    )
+    return metrics_repo.detect_metric_anomalies(
+        m, current_run=7, strategy="ewma", k=3.0, alpha=0.3, min_history=2
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -179,3 +179,44 @@ def test_l_diversity_report(spark):
         stats.l_diversity(df, ["s"], "s", 2)
     with pytest.raises(ValueError, match=">= 2"):
         stats.l_diversity(df, ["q"], "s", 1)
+
+
+def test_mutual_information_pairs_matches_single_pair(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (str(rng.randrange(4)), str(rng.randrange(3)), rng.randrange(2),
+         None if rng.random() < 0.2 else str(rng.randrange(3)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, c long, d string")
+    sweep = {
+        (r.col_a, r.col_b): r.mi
+        for r in stats.mutual_information_pairs(
+            df, [("a", "b"), ("a", "c"), ("a", "d")]
+        ).collect()
+    }
+    for a, b in [("a", "b"), ("a", "c"), ("a", "d")]:
+        single = stats.mutual_information(df, a, b).collect()[0].mi
+        assert sweep[(a, b)] == single, (a, b)
+
+
+def test_mutual_information_pairs_bounds_and_empty_pair(spark):
+    # perfect dependence: MI(a, a_copy) == H(a); independence: MI ~ 0;
+    # an all-NULL side yields a NULL mi row, not a missing one
+    rows = [(str(i % 4), str(i % 4), str((i // 4) % 2), None) for i in range(400)]
+    df = spark.createDataFrame(rows, "a string, acopy string, ind string, dead string")
+    got = {
+        (r.col_a, r.col_b): r.mi
+        for r in stats.mutual_information_pairs(
+            df, [("a", "acopy"), ("a", "ind"), ("a", "dead")]
+        ).collect()
+    }
+    assert got[("a", "acopy")] == 2.0  # H(uniform 4 levels) = 2 bits
+    assert abs(got[("a", "ind")]) < 1e-9
+    assert got[("a", "dead")] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="self-pair"):
+        stats.mutual_information_pairs(df, [("a", "a")])

@@ -402,3 +402,61 @@ def test_containment_grades_and_edges(spark):
     empty = spark.createDataFrame([], "y int")
     row = stats.containment(a, "x", empty, "y").collect()[0]
     assert row["rows_matched"] == 0 and row["row_containment"] == 0.0
+
+
+def _ewma_ref(values, alpha):
+    m = values[0]
+    for x in values[1:]:
+        m = alpha * x + (1 - alpha) * m
+    return m
+
+
+def test_ewma_strategy_matches_recurrence(spark):
+    import math
+
+    hist = [10.0, 12.0, 11.0, 14.0, 13.0, 15.0]
+    m = _anomaly_frame(spark, hist + [16.0])
+    out = metrics_repo.detect_metric_anomalies(
+        m, current_run=6, strategy="ewma", k=3.0, alpha=0.3
+    ).collect()[0]
+    ref = _ewma_ref(hist, 0.3)
+    assert out["hist_ewma"] == round(ref, 6)
+    z = round(0.3 * 16.0 + 0.7 * round(ref, 6), 6)
+    assert out["ewma_z"] == z
+    sd = round(float(np.std(hist, ddof=1)), 6)
+    t = len(hist)
+    limit = round(
+        3.0 * sd * math.sqrt(0.3 / 1.7 * (1 - 0.7 ** (2 * (t + 1)))), 6
+    )
+    assert out["ewma_limit"] == limit
+    assert out["is_anomaly"] == (
+        abs(z - round(float(np.mean(hist)), 6)) > limit
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        metrics_repo.detect_metric_anomalies(m, 6, strategy="ewma", alpha=1.0)
+
+
+def test_ewma_catches_slow_drift_online_normal_misses(spark):
+    # a stable metric that starts creeping: no single point breaks 3 sigma
+    # of the all-time history, but the EWMA statistic accumulates the
+    # drift and escapes its (tighter) control limit
+    hist = [100.3, 99.6, 100.1, 99.8, 100.4, 99.7, 100.2, 99.9,
+            101.5, 103.0, 104.5, 106.0]
+    m = _anomaly_frame(spark, hist + [107.5])
+    on = metrics_repo.detect_metric_anomalies(
+        m, current_run=12, strategy="online_normal", k=3.0
+    ).collect()[0]
+    ew = metrics_repo.detect_metric_anomalies(
+        m, current_run=12, strategy="ewma", k=3.0, alpha=0.3
+    ).collect()[0]
+    assert on["is_anomaly"] is False
+    assert ew["is_anomaly"] is True
+
+
+def test_ewma_min_history_null(spark):
+    m = _anomaly_frame(spark, [10.0, 12.0])
+    out = metrics_repo.detect_metric_anomalies(
+        m, current_run=1, strategy="ewma", min_history=2
+    ).collect()[0]
+    assert out["is_anomaly"] is None and out["n_history"] == 1
+

@@ -825,3 +825,18 @@ def test_rolling_stats_one_scan_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
     assert "EvalPython" not in plan
+
+
+def test_mutual_information_pairs_one_scan(spark):
+    """The MI sweep scans the corpus ONCE: the pinned joint cell table
+    feeds H(a,b) and both marginal re-aggregations."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.mutual_information_pairs(
+        events, [("event_type", "props"), ("event_type", "user_id")]
+    )
+    q.collect()  # materialize the lazy checkpoint
+    assert audit.scan_count(q) <= 1
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in audit.executed_plan(q)
