@@ -2084,3 +2084,51 @@ def audio_features(payload: bytes) -> dict:
         "zero_crossings": zc,
         "dominant_freq_hz": dominant,
     }
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """Perceptual difference hash (dHash, 64-bit) of a decoded image —
+    the standard near-duplicate IMAGE signature (public algorithm: gray,
+    downsample to an 8x9 grid, bit = right cell brighter than left).
+
+    Exact integer arithmetic end to end, so the hash is bit-deterministic
+    on every platform: gray = 299R + 587G + 114B (Rec.601 numerators,
+    scale-invariant for comparisons, no division), images smaller than
+    the grid upsample by integer ``np.repeat``, grid cells are the exact
+    floor-boundary blocks, and adjacent cells compare via cross-
+    multiplied Python-int sums (``sum_r·n_l > sum_l·n_r`` — no float
+    means, no overflow).  Bit (r, c) of the result is ``1 << (8r + c)``;
+    the value is returned in SIGNED 64-bit range so it stores in a Spark
+    ``long`` (the simhash64 convention)."""
+    px = np.asarray(pixels)
+    if px.ndim == 3:
+        c64 = px.astype(np.int64)
+        gray = 299 * c64[..., 0] + 587 * c64[..., 1] + 114 * c64[..., 2]
+    elif px.ndim == 2:
+        gray = px.astype(np.int64) * 1000
+    else:
+        raise ValueError(f"dhash64: bad pixel array ndim={px.ndim}")
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("dhash64: empty image")
+    if h < 8:
+        gray = np.repeat(gray, -(-8 // h), axis=0)
+    if w < 9:
+        gray = np.repeat(gray, -(-9 // w), axis=1)
+    hh, ww = gray.shape
+    rb = [hh * r // 8 for r in range(9)]
+    cb = [ww * c // 9 for c in range(10)]
+    sums = [
+        [int(gray[rb[r]:rb[r + 1], cb[c]:cb[c + 1]].sum()) for c in range(9)]
+        for r in range(8)
+    ]
+    ns = [
+        [(rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c]) for c in range(9)]
+        for r in range(8)
+    ]
+    out = 0
+    for r in range(8):
+        for c in range(8):
+            if sums[r][c + 1] * ns[r][c] > sums[r][c] * ns[r][c + 1]:
+                out |= 1 << (8 * r + c)
+    return out - (1 << 64) if out >= 1 << 63 else out

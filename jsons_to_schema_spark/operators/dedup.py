@@ -542,6 +542,61 @@ def simhash_near_dup_pairs(
     )
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame, hash_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All id pairs whose PRECOMPUTED 64-bit hashes differ in ≤
+    ``max_hamming`` bits — the simhash_near_dup_pairs candidate scheme
+    (4 × 16-bit band bucket join + exact ``bit_count(xor)`` verify),
+    factored over an arbitrary signature column so perceptual image
+    hashes (codecs.dhash64), audio fingerprints, or externally computed
+    simhashes reuse it without re-deriving the banding proof.
+
+    Same pigeonhole bound, same guard: ≤ 3 only — a wider radius loses
+    recall under 4 bands.  The (id, hash) frame is pinned before the
+    self-join so an expensive upstream (a mapInPandas image decode)
+    never runs twice.  Output: (id_a < id_b, hamming), exact."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3 loses recall under 4x16-bit "
+            "banding (a pair can differ in every band); use more bands or "
+            "a different candidate scheme"
+        )
+    with_h = _materialize_once(
+        df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    )
+    bands = F.array(
+        *[
+            F.shiftright("_h", b * 16).bitwiseAND(F.lit(0xFFFF)).cast("long")
+            for b in range(4)
+        ]
+    )
+    buckets = with_h.select("_id", "_h", F.posexplode(bands).alias("_band", "_key"))
+    cand = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._h").alias("_ha"),
+            F.col("r._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster assignment (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

@@ -430,3 +430,56 @@ def frame_features_mp4(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(extract, MP4_FRAME_FEATURES_SCHEMA)
+
+
+IMAGE_DHASH_SCHEMA = "media_ref string, width int, height int, dhash long"
+
+
+def image_dhash(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
+    """Perceptual 64-bit dHash per image payload (codecs.dhash64 over the
+    stdlib pixel decode — PNG/BMP/PPM/GIF/baseline-JPEG), one Arrow batch
+    at a time: the image-dedup signature stage.  Raises
+    NotImplementedError for non-image payloads (decode_features
+    convention: pre-filter mixed corpora on magic bytes)."""
+    from . import codecs
+
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, hashes = [], [], []
+            for p in pdf["_payload"]:
+                px = codecs.decode_pixels(bytes(p or b""))
+                heights.append(int(px.shape[0]))
+                widths.append(int(px.shape[1]))
+                hashes.append(codecs.dhash64(px))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "dhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(extract, IMAGE_DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame, ref_col: str, bytes_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash signatures (one mapInPandas
+    decode pass) → the shared 4×16-bit Hamming band join
+    (dedup.hamming_near_dup_pairs, which pins the signature frame so the
+    decode never runs twice).  The image twin of the text corpus's
+    simhash near-dup stage — resized/re-encoded/brightness-shifted
+    copies keep their block-gradient structure and land within a few
+    bits, while distinct images scatter.  Output: (id_a < id_b,
+    hamming), exact over the candidate set."""
+    from . import dedup
+
+    return dedup.hamming_near_dup_pairs(
+        image_dhash(df, ref_col, bytes_col), "dhash", "media_ref", max_hamming
+    )

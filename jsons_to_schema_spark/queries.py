@@ -5969,6 +5969,52 @@ def metric_anomalies_ewma_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_near_dup",
+    oracle="""
+    SELECT 'cpy-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_a,
+           'img-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM (SELECT CAST(unnest(range(0, 25)) AS INT) AS i)
+    """,
+)
+def multimodal_image_near_dup(spark, sf_dir) -> DataFrame:
+    """Perceptual image dedup end to end (codecs.dhash64 →
+    multimodal.image_dhash → dedup.hamming_near_dup_pairs): 75
+    synthesized PNGs — 25 gradient families with distinct row/col slope
+    pairs, each with a brightness-shifted near-copy and a mirrored
+    distractor — run the full decode → signature → band-join →
+    exact-verify pipeline.  The oracle is derived from the CONSTRUCTION:
+    a uniform unsaturated brightness shift preserves every dHash block
+    comparison (copy ⇒ Hamming 0), mirroring reverses the gradient
+    (distractor ⇒ far), and the slope grid keeps families > 3 bits apart
+    (verified property of these exact payloads; the hash itself is exact
+    integer arithmetic, bit-deterministic at any partitioning) — so the
+    output must be EXACTLY the 25 planted (cpy-i, img-i, 0) pairs."""
+    import numpy as np
+
+    from .operators.codecs import encode_png
+
+    rows = []
+    for i in range(25):
+        a = (i % 5) * 11 + 3
+        b = (i // 5) * 13 + 5
+        base = (
+            (np.add.outer(np.arange(24) * a, np.arange(27) * b) // (1 + i % 3))
+            % 180
+            + 30
+        ).astype(np.uint8)
+        rgb = np.stack([base] * 3, -1)
+        copy = (rgb.astype(np.int16) + 15).clip(0, 255).astype(np.uint8)
+        rows.append((f"img-{i:02d}", bytearray(encode_png(27, 24, pixels=rgb))))
+        rows.append((f"cpy-{i:02d}", bytearray(encode_png(27, 24, pixels=copy))))
+        rows.append(
+            (f"inv-{i:02d}", bytearray(encode_png(27, 24, pixels=rgb[:, ::-1])))
+        )
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return multimodal.image_near_dup_pairs(df, "media_ref", "payload", 3)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

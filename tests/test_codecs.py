@@ -624,3 +624,51 @@ def test_ppm_trailing_bytes_do_not_shift_channels():
     p = codecs.encode_ppm(2, 2, (10, 20, 30)) + b"\n"
     assert codecs.decode_pixels(p)[0, 0].tolist() == [10, 20, 30]
     assert codecs.decode_ppm(p)["mean_value"] == 20.0
+
+
+# ---------------------------------------------------------------------------
+# dHash (perceptual image hash)
+# ---------------------------------------------------------------------------
+
+def test_dhash64_gradient_constant_and_sign():
+    from jsons_to_schema_spark.operators.codecs import dhash64
+
+    g = np.tile(np.arange(10, 190, 20, dtype=np.uint8), (8, 1))
+    rising = np.stack([g] * 3, axis=-1)
+    assert dhash64(rising) == -1  # all 64 bits set -> signed -1
+    falling = rising[:, ::-1]
+    assert dhash64(falling) == 0  # right cell never brighter
+    assert dhash64(np.full((16, 16, 3), 99, np.uint8)) == 0
+    with pytest.raises(ValueError, match="empty"):
+        dhash64(np.zeros((0, 5), np.uint8))
+    with pytest.raises(ValueError, match="ndim"):
+        dhash64(np.zeros((2, 2, 3, 1), np.uint8))
+
+
+def test_dhash64_invariances():
+    from jsons_to_schema_spark.operators.codecs import (
+        decode_pixels,
+        dhash64,
+        encode_png,
+    )
+
+    base = (np.add.outer(np.arange(64) * 3, np.arange(64) * 5) % 200 + 20)
+    rgb = np.stack([base] * 3, -1).astype(np.uint8)
+    h = dhash64(rgb)
+    # encode/decode round trip preserves the hash exactly
+    assert dhash64(decode_pixels(encode_png(64, 64, pixels=rgb))) == h
+    # uniform brightness shift (no saturation) preserves every comparison
+    shifted = (rgb.astype(np.int16) + 25).clip(0, 255).astype(np.uint8)
+    assert dhash64(shifted) == h
+    # 2x nearest-neighbor upscale preserves block structure exactly
+    up = np.repeat(np.repeat(rgb, 2, axis=0), 2, axis=1)
+    assert dhash64(up) == h
+    # an unrelated pattern lands far away
+    other = np.stack(
+        [(np.add.outer(np.arange(64) * 7, -np.arange(64) * 2) % 200 + 20)] * 3,
+        -1,
+    ).astype(np.uint8)
+    d = bin((dhash64(other) ^ h) & (2**64 - 1)).count("1")
+    assert d > 10
+    # tiny images upsample to the grid instead of failing
+    assert isinstance(dhash64(np.arange(6, dtype=np.uint8).reshape(2, 3)), int)

@@ -800,3 +800,77 @@ def test_l2_normalize_kernel_bit_identical(spark):
         for x, y in zip(va, vb):
             # nan == nan is False; compare raw bit patterns instead
             assert math.isnan(x) and math.isnan(y) or x == y, (k, x, y)
+
+
+def test_image_dhash_stage_matches_pure_function(spark):
+    from jsons_to_schema_spark.operators.codecs import dhash64, encode_png
+
+    mats, rows = {}, []
+    for i in range(12):
+        base = (np.add.outer(np.arange(16) * (i + 1), np.arange(20) * 2) % 200
+                + 20).astype(np.uint8)
+        rgb = np.stack([base] * 3, -1)
+        mats[f"m-{i:02d}"] = rgb
+        rows.append((f"m-{i:02d}", bytearray(encode_png(20, 16, pixels=rgb))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {r.media_ref: r for r in multimodal.image_dhash(df, "media_ref", "payload").collect()}
+    assert set(got) == set(mats)
+    for ref, rgb in mats.items():
+        r = got[ref]
+        assert (r.width, r.height) == (20, 16)
+        assert r.dhash == dhash64(rgb), ref
+
+
+def test_hamming_near_dup_pairs_equals_brute_force(spark):
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    base = [rng.getrandbits(63) for _ in range(12)]
+    hashes = []
+    for i, h in enumerate(base):
+        hashes.append((f"h{i:02d}a", h))
+        flip = 0
+        for b in rng.sample(range(64), rng.randrange(0, 6)):
+            flip |= 1 << b
+        hashes.append((f"h{i:02d}b", (h ^ flip) - (1 << 64) if (h ^ flip) >= 1 << 63 else h ^ flip))
+    df = spark.createDataFrame(hashes, "id string, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_near_dup_pairs(df, "h", "id", 3).collect()
+    }
+    vals = dict(hashes)
+    expect = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+        d = bin((ha ^ hb) & (2**64 - 1)).count("1")
+        if d <= 3:
+            a, b = sorted((ia, ib))
+            expect.add((a, b, d))
+    assert got == expect and expect  # non-empty by construction
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_near_dup_pairs(df, "h", "id", 4)
+
+
+def test_image_near_dup_pairs_planted_copies(spark):
+    from jsons_to_schema_spark.operators.codecs import encode_png
+
+    rows = []
+    for i in range(10):
+        base = (np.add.outer(np.arange(24) * (i + 2), np.arange(27) * 3) % 180
+                + 30).astype(np.uint8)
+        rgb = np.stack([base] * 3, -1)
+        # brightness-shifted copy: every block comparison survives
+        copy = (rgb.astype(np.int16) + 15).clip(0, 255).astype(np.uint8)
+        inverted = rgb[:, ::-1]  # unrelated distractor
+        rows.append((f"img-{i:02d}", bytearray(encode_png(27, 24, pixels=rgb))))
+        rows.append((f"cpy-{i:02d}", bytearray(encode_png(27, 24, pixels=copy))))
+        rows.append((f"inv-{i:02d}", bytearray(encode_png(27, 24, pixels=inverted))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    pairs = multimodal.image_near_dup_pairs(df, "media_ref", "payload", 3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for i in range(10):
+        assert got[(f"cpy-{i:02d}", f"img-{i:02d}")] == 0
+    # no inverted distractor pairs with its source family
+    assert not any("inv-" in a and ("img-" in b or "cpy-" in b) or
+                   ("img-" in a or "cpy-" in a) and "inv-" in b
+                   for a, b in got)

@@ -840,3 +840,29 @@ def test_mutual_information_pairs_one_scan(spark):
     assert audit.scan_count(q) <= 1
     assert audit.has_partial_aggregate(q)
     assert "EvalPython" not in audit.executed_plan(q)
+
+
+def test_image_near_dup_banded_join_decode_once(spark):
+    """Image dedup: the mapInPandas decode is PINNED before the self-join
+    (one decode pass, not two), candidates come from the band bucket
+    equi-join (no CartesianProduct)."""
+    import numpy as np
+
+    from jsons_to_schema_spark.operators import multimodal
+    from jsons_to_schema_spark.operators.codecs import encode_png
+
+    rows = []
+    for i in range(6):
+        base = (np.add.outer(np.arange(16) * (i + 3), np.arange(18) * 5)
+                % 180 + 30).astype(np.uint8)
+        rows.append(
+            (f"m-{i}", bytearray(encode_png(18, 16, pixels=np.stack([base] * 3, -1))))
+        )
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    q = multimodal.image_near_dup_pairs(df, "media_ref", "payload", 3)
+    q.collect()  # materialize the lazy checkpoint
+    plan = audit.executed_plan(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the decode stage must not appear twice: the pinned signature table
+    # feeds both sides of the band join
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 1
