@@ -2132,3 +2132,74 @@ def dhash64(pixels: np.ndarray) -> int:
             if sums[r][c + 1] * ns[r][c] > sums[r][c] * ns[r][c + 1]:
                 out |= 1 << (8 * r + c)
     return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def encode_wav_pcm(samples: np.ndarray, rate: int = 8192) -> bytes:
+    """16-bit mono PCM WAV from an explicit int16 sample array — lets a
+    test construct EXACT sample-space transforms of another clip (e.g. a
+    power-of-two amplitude scale, which commutes with float rounding and
+    therefore preserves audio_fingerprint64 bit-for-bit)."""
+    arr = np.asarray(samples)
+    if arr.dtype != np.int16:
+        raise ValueError("encode_wav_pcm: samples must be int16")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(arr.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_samples(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode a PCM WAV to (mono float64 samples, rate): multi-channel
+    clips average their channels; 8/16/32-bit widths via the same table
+    the feature decoders use."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, ch, width, rate = (
+            w.getnframes(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+        )
+        raw = w.readframes(n)
+    if width not in _WIDTHS:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    arr = np.frombuffer(raw, _WIDTHS[width]).astype(np.float64)
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
+def audio_fingerprint64(payload: bytes) -> int:
+    """Perceptual 64-bit audio fingerprint of a PCM WAV — the dhash64 of
+    sound (Haitsma-Kalker-style band-energy differences): the mono
+    signal splits into 8 equal time segments (floor boundaries), each
+    segment's rFFT magnitude-squared folds into 9 frequency bands over
+    bins 1..N/2 (DC excluded — level offsets are not content), and
+    bit (t, f) = band f+1 louder than band f in segment t.
+
+    Scale-invariant by construction: energies scale uniformly with
+    amplitude, so every comparison survives a gain change (exactly so
+    for power-of-two sample scaling, which commutes with float
+    rounding).  Deterministic for fixed payload bytes: numpy rFFT is
+    reproducible, and the comparisons consume energies derived from the
+    same code path on every executor.  Requires ≥ 8 segments × 18 bins
+    → 288 samples; shorter clips raise (a fingerprint of a click is not
+    evidence)."""
+    arr, _rate = wav_samples(payload)
+    n = arr.shape[0]
+    if n < 288:
+        raise ValueError(f"audio_fingerprint64: clip too short ({n} < 288 samples)")
+    tb = [n * t // 8 for t in range(9)]
+    out = 0
+    for t in range(8):
+        seg = arr[tb[t]:tb[t + 1]]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        nb = spec.shape[0] - 1  # usable bins 1..nb
+        fb = [1 + nb * f // 9 for f in range(10)]
+        e = [float(spec[fb[f]:fb[f + 1]].sum()) for f in range(9)]
+        for f in range(8):
+            if e[f + 1] > e[f]:
+                out |= 1 << (8 * t + f)
+    return out - (1 << 64) if out >= 1 << 63 else out

@@ -483,3 +483,61 @@ def image_near_dup_pairs(
     return dedup.hamming_near_dup_pairs(
         image_dhash(df, ref_col, bytes_col), "dhash", "media_ref", max_hamming
     )
+
+
+AUDIO_FP_SCHEMA = "media_ref string, sample_rate int, n_samples int, fingerprint long"
+
+
+def audio_fingerprint(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
+    """Perceptual 64-bit audio fingerprint per WAV payload
+    (codecs.audio_fingerprint64: 8 time segments × 9 band energies,
+    Haitsma-Kalker-style difference bits), one Arrow batch at a time —
+    the audio twin of image_dhash.  The bits encode band-profile SHAPE:
+    gain changes never flip them, while content whose energy ordering
+    differs in any adjacent band pair lands ≥ 8 bits away (one flip per
+    segment).  Raises for non-WAV payloads and clips under 288 samples
+    (decode_features convention: pre-filter on magic bytes)."""
+    from . import codecs
+
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, fps = [], [], []
+            for p in pdf["_payload"]:
+                payload = bytes(p or b"")
+                arr, rate = codecs.wav_samples(payload)
+                rates.append(int(rate))
+                counts.append(int(arr.shape[0]))
+                fps.append(codecs.audio_fingerprint64(payload))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_samples": pd.array(counts, dtype="int32"),
+                    "fingerprint": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(extract, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, ref_col: str, bytes_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: fingerprints (one mapInPandas decode
+    pass) → the shared 4×16-bit Hamming band join (dedup.hamming_near_
+    dup_pairs pins the signature frame, so the decode never runs twice).
+    Catches re-gained / re-encoded-to-PCM copies; distinct band profiles
+    scatter.  Output: (id_a < id_b, hamming), exact over the candidate
+    set."""
+    from . import dedup
+
+    return dedup.hamming_near_dup_pairs(
+        audio_fingerprint(df, ref_col, bytes_col),
+        "fingerprint",
+        "media_ref",
+        max_hamming,
+    )

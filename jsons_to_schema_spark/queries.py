@@ -6015,6 +6015,48 @@ def multimodal_image_near_dup(spark, sf_dir) -> DataFrame:
     return multimodal.image_near_dup_pairs(df, "media_ref", "payload", 3)
 
 
+@query(
+    "multimodal_audio_near_dup",
+    oracle="""
+    SELECT 'dup-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_a,
+           'src-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM (SELECT CAST(unnest(range(1, 21)) AS INT) AS i)
+    """,
+)
+def multimodal_audio_near_dup(spark, sf_dir) -> DataFrame:
+    """Perceptual audio dedup end to end (codecs.audio_fingerprint64 →
+    multimodal.audio_fingerprint → dedup.hamming_near_dup_pairs): 40
+    synthesized multi-tone WAVs — 20 families whose per-band amplitude
+    ladder REALIZES bit pattern i in every time segment (verified
+    construction: the fingerprint equals the pattern replicated 8×, so
+    distinct families sit ≥ 8 bits apart), each with an exact
+    power-of-two-gain duplicate (scaling by 2 commutes with float
+    rounding ⇒ Hamming 0).  The oracle is therefore derived from the
+    construction: exactly the 20 planted (dup-i, src-i, 0) pairs."""
+    import numpy as np
+
+    from .operators.codecs import encode_wav_pcm
+
+    n = np.arange(2048, dtype=np.float64)
+    rows = []
+    for i in range(1, 21):
+        amps = [300.0]
+        for f in range(8):
+            amps.append(amps[-1] * 1.5 if (i >> f) & 1 else amps[-1] / 1.5)
+        x = np.zeros(2048)
+        for f, a in enumerate(amps):
+            k = 8 * (8 + 14 * f)
+            x += a * np.sin(2 * np.pi * k * (n + 0.31) / 2048)
+        s = np.floor(x + 0.5).astype(np.int16)
+        rows.append((f"src-{i:02d}", bytearray(encode_wav_pcm(s))))
+        rows.append(
+            (f"dup-{i:02d}", bytearray(encode_wav_pcm((s * 2).astype(np.int16))))
+        )
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return multimodal.audio_near_dup_pairs(df, "media_ref", "payload", 3)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -672,3 +672,40 @@ def test_dhash64_invariances():
     assert d > 10
     # tiny images upsample to the grid instead of failing
     assert isinstance(dhash64(np.arange(6, dtype=np.uint8).reshape(2, 3)), int)
+
+
+def test_audio_fingerprint64_invariances():
+    from jsons_to_schema_spark.operators.codecs import (
+        audio_fingerprint64,
+        encode_wav_pcm,
+        wav_samples,
+    )
+
+    n = np.arange(2048, dtype=np.float64)
+    # multi-band content: one tone per band with a distinct amplitude
+    # profile (band-energy ORDERING is the fingerprint's signal)
+    def clip(amps):
+        x = np.zeros(2048)
+        for f, a in enumerate(amps):
+            # one tone per PER-SEGMENT band: segments are 256 samples, so
+            # clip-bin k lands on segment-bin k/8; band f spans ~14
+            # segment-bins starting at 1 + 128f//9
+            k = 8 * (8 + 14 * f)
+            x += a * np.sin(2 * np.pi * k * (n + 0.31) / 2048)
+        return np.floor(x + 0.5).astype(np.int16)
+
+    base = clip([900, 300, 1200, 500, 1500, 400, 2000, 700, 1100])
+    p = encode_wav_pcm(base)
+    h = audio_fingerprint64(p)
+    # exact power-of-two gain: bit-identical fingerprint
+    assert audio_fingerprint64(encode_wav_pcm((base * 2).astype(np.int16))) == h
+    # monotone-increasing amplitude profile: the base's 4 'falling'
+    # comparisons flip in every segment -> >= 32 bits away
+    mono = clip([200, 400, 600, 800, 1000, 1200, 1400, 1600, 1800])
+    d = bin((audio_fingerprint64(encode_wav_pcm(mono)) ^ h) & (2**64 - 1)).count("1")
+    assert d >= 32
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint64(encode_wav_pcm(np.zeros(100, np.int16)))
+    # decode helper: stereo averages channels
+    samples, rate = wav_samples(p)
+    assert samples.shape[0] == 2048 and rate == 8192

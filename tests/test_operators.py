@@ -874,3 +874,39 @@ def test_image_near_dup_pairs_planted_copies(spark):
     assert not any("inv-" in a and ("img-" in b or "cpy-" in b) or
                    ("img-" in a or "cpy-" in a) and "inv-" in b
                    for a, b in got)
+
+
+def test_audio_near_dup_pairs_planted_duplicates(spark):
+    from jsons_to_schema_spark.operators.codecs import encode_wav_pcm
+
+    n = np.arange(2048, dtype=np.float64)
+
+    def clip_for_pattern(p):
+        amps = [300.0]
+        for f in range(8):
+            amps.append(amps[-1] * 1.5 if (p >> f) & 1 else amps[-1] / 1.5)
+        x = np.zeros(2048)
+        for f, a in enumerate(amps):
+            k = 8 * (8 + 14 * f)
+            x += a * np.sin(2 * np.pi * k * (n + 0.31) / 2048)
+        return np.floor(x + 0.5).astype(np.int16)
+
+    rows = []
+    for i in range(1, 9):
+        s = clip_for_pattern(i)
+        rows.append((f"src-{i:02d}", bytearray(encode_wav_pcm(s))))
+        rows.append(
+            (f"dup-{i:02d}", bytearray(encode_wav_pcm((s * 2).astype(np.int16))))
+        )
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    pairs = multimodal.audio_near_dup_pairs(df, "media_ref", "payload", 3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got == {(f"dup-{i:02d}", f"src-{i:02d}"): 0 for i in range(1, 9)}
+    hashes = {
+        r.media_ref: r.fingerprint
+        for r in multimodal.audio_fingerprint(df, "media_ref", "payload").collect()
+    }
+    # the fingerprint is construction-predictable: pattern i in every segment
+    for i in range(1, 9):
+        expect = sum(((i >> f) & 1) << (8 * t + f) for t in range(8) for f in range(8))
+        assert hashes[f"src-{i:02d}"] & (2**64 - 1) == expect
