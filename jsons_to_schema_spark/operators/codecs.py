@@ -2203,3 +2203,34 @@ def audio_fingerprint64(payload: bytes) -> int:
             if e[f + 1] > e[f]:
                 out |= 1 << (8 * t + f)
     return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def video_fingerprint64(payload: bytes) -> int:
+    """Perceptual 64-bit video fingerprint from the MP4 CONTAINER: the
+    coded-frame BYTE-SIZE sequence (stsz) is a strong content signature —
+    re-muxing, re-timestamping, or resizing metadata leaves it intact,
+    and scene structure (I-frame spikes, motion-driven P-frame swell)
+    shapes it — and it needs no pixel decode, so it works exactly where
+    the coded-frame seam (H.264 decode) begins.
+
+    dhash-style over the sequence: 65 floor-boundary blocks of the size
+    array, bit f = block f+1 heavier than block f, compared by exact
+    cross-multiplied Python-int sums (the dhash64 arithmetic — bit-
+    deterministic, no float means).  Sequences shorter than 65 frames
+    upsample by integer repeat.  Requires ≥ 2 frames."""
+    info = parse_mp4(payload)
+    sizes = np.asarray(info["sizes"], dtype=np.int64)
+    n = sizes.shape[0]
+    if n < 2:
+        raise ValueError(f"video_fingerprint64: need >= 2 frames, got {n}")
+    if n < 65:
+        sizes = np.repeat(sizes, -(-65 // n))
+        n = sizes.shape[0]
+    bb = [n * b // 65 for b in range(66)]
+    sums = [int(sizes[bb[b]:bb[b + 1]].sum()) for b in range(65)]
+    ns = [bb[b + 1] - bb[b] for b in range(65)]
+    out = 0
+    for b in range(64):
+        if sums[b + 1] * ns[b] > sums[b] * ns[b + 1]:
+            out |= 1 << b
+    return out - (1 << 64) if out >= 1 << 63 else out

@@ -541,3 +541,59 @@ def audio_near_dup_pairs(
         "media_ref",
         max_hamming,
     )
+
+
+VIDEO_FP_SCHEMA = "media_ref string, width int, height int, n_frames int, fingerprint long"
+
+
+def video_fingerprint(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
+    """Perceptual 64-bit video fingerprint per MP4 payload
+    (codecs.video_fingerprint64: dhash over the coded-frame byte-size
+    sequence from the container sample table — no pixel decode, so it
+    works exactly where the coded-frame seam begins), one Arrow batch at
+    a time.  Re-muxed / re-timestamped / geometry-relabelled copies keep
+    their size sequence and land at Hamming 0."""
+    from . import codecs
+
+    src = df.select(
+        F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nf, fps = [], [], [], []
+            for p in pdf["_payload"]:
+                payload = bytes(p or b"")
+                info = codecs.parse_mp4(payload)
+                ws.append(int(info["width"]))
+                hs.append(int(info["height"]))
+                nf.append(int(info["n_frames"]))
+                fps.append(codecs.video_fingerprint64(payload))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_frames": pd.array(nf, dtype="int32"),
+                    "fingerprint": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(extract, VIDEO_FP_SCHEMA)
+
+
+def video_near_dup_pairs(
+    df: DataFrame, ref_col: str, bytes_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: container fingerprints (one
+    mapInPandas parse pass) → the shared 4×16-bit Hamming band join
+    (dedup.hamming_near_dup_pairs pins the signature frame).  Output:
+    (id_a < id_b, hamming), exact over the candidate set."""
+    from . import dedup
+
+    return dedup.hamming_near_dup_pairs(
+        video_fingerprint(df, ref_col, bytes_col),
+        "fingerprint",
+        "media_ref",
+        max_hamming,
+    )

@@ -6057,6 +6057,44 @@ def multimodal_audio_near_dup(spark, sf_dir) -> DataFrame:
     return multimodal.audio_near_dup_pairs(df, "media_ref", "payload", 3)
 
 
+@query(
+    "multimodal_video_near_dup",
+    oracle="""
+    SELECT 'mux-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_a,
+           'vid-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM (SELECT CAST(unnest(range(1, 21)) AS INT) AS i)
+    """,
+)
+def multimodal_video_near_dup(spark, sf_dir) -> DataFrame:
+    """Perceptual video dedup end to end (codecs.video_fingerprint64 →
+    multimodal.video_fingerprint → dedup.hamming_near_dup_pairs): 40
+    synthesized MP4s — 20 families whose coded-frame SIZE LADDER
+    realizes bit pattern i across the 65 fingerprint blocks (families
+    ≥ 8 bits apart by construction), each with a re-muxed copy (same
+    sample table, different geometry metadata ⇒ identical size sequence
+    ⇒ Hamming 0).  No pixel decode anywhere — the fingerprint reads the
+    container sample table, which is exactly what survives the
+    coded-frame (H.264) seam.  The oracle is the construction-derived
+    planted (mux-i, vid-i, 0) list."""
+    from .operators.codecs import encode_mp4
+
+    def sizes_for_pattern(p, frames=130):
+        vals, v = [], 4000
+        for b in range(65):
+            vals += [v, v]
+            v = int(v * 1.2) if (p >> (b % 8)) & 1 else max(int(v / 1.2), 10)
+        return vals[:frames]
+
+    rows = []
+    for i in range(1, 21):
+        s = sizes_for_pattern(i)
+        rows.append((f"vid-{i:02d}", bytearray(encode_mp4(64, 48, s))))
+        rows.append((f"mux-{i:02d}", bytearray(encode_mp4(128, 96, s))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return multimodal.video_near_dup_pairs(df, "media_ref", "payload", 3)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

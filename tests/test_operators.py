@@ -910,3 +910,31 @@ def test_audio_near_dup_pairs_planted_duplicates(spark):
     for i in range(1, 9):
         expect = sum(((i >> f) & 1) << (8 * t + f) for t in range(8) for f in range(8))
         assert hashes[f"src-{i:02d}"] & (2**64 - 1) == expect
+
+
+def test_video_near_dup_pairs_remux_invariance(spark):
+    from jsons_to_schema_spark.operators.codecs import encode_mp4
+
+    def sizes_for_pattern(p, frames=130):
+        vals, v = [], 4000
+        for b in range(65):
+            vals += [v, v]
+            v = int(v * 1.2) if (p >> (b % 8)) & 1 else max(int(v / 1.2), 10)
+        return vals[:frames]
+
+    rows = []
+    for i in range(1, 9):
+        s = sizes_for_pattern(i)
+        rows.append((f"vid-{i:02d}", bytearray(encode_mp4(64, 48, s))))
+        # re-mux: same coded frames, different geometry metadata
+        rows.append((f"mux-{i:02d}", bytearray(encode_mp4(128, 96, s))))
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    pairs = multimodal.video_near_dup_pairs(df, "media_ref", "payload", 3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got == {(f"mux-{i:02d}", f"vid-{i:02d}"): 0 for i in range(1, 9)}
+    fps = {
+        r.media_ref: r
+        for r in multimodal.video_fingerprint(df, "media_ref", "payload").collect()
+    }
+    assert fps["vid-01"].fingerprint == fps["mux-01"].fingerprint
+    assert (fps["vid-01"].width, fps["mux-01"].width) == (64, 128)
