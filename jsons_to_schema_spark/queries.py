@@ -6095,6 +6095,80 @@ def multimodal_video_near_dup(spark, sf_dir) -> DataFrame:
     return multimodal.video_near_dup_pairs(df, "media_ref", "payload", 3)
 
 
+@query(
+    "stream_session_windows_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows_events(spark, sf_dir) -> DataFrame:
+    """Streaming sessionization via the NATIVE session_window aggregation
+    (streaming/monitor.py::session_stream): per-user 30-min-gap sessions
+    over the events stream, closed for a finite drain by a sentinel flush
+    row 10 days past the data (second micro-batch advances the watermark
+    past every real session end; the sentinel user is filtered back out).
+    The emitted sessions must EQUAL the batch lag+cumsum sessionizer —
+    which is exactly what the oracle computes, including the
+    end = last event + gap convention."""
+    import uuid
+
+    from .streaming.monitor import session_stream
+
+    ddl = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    tmp = _stream_tmp("stream_sess_")
+    src = str(tmp / "src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    flush = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sessions = session_stream(stream, "user_id", "ts", gap="30 minutes")
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

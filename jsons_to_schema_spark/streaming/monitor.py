@@ -238,3 +238,37 @@ def psi_drift_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_stream(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's NATIVE
+    ``session_window`` aggregation — the streaming twin of the batch
+    lag+cumsum sessionizer, with the window-merge logic (two sessions
+    fusing when a bridging event arrives, across micro-batches) done by
+    the engine's session state store rather than reimplemented.
+
+    Append mode emits a session only once the watermark passes its end
+    (last event + gap), so a finite drain holds back every session still
+    open at end of input; the driver query closes them with a SENTINEL
+    flush row far in the future (filtered back out) — the documented
+    finite-drain pattern, same trap family as the stream-stream outer
+    join.  Output: (key, session_start_us, session_end_us = last event
+    + gap, n_events), epoch microseconds."""
+    w = F.session_window(F.col(event_time_col), gap).alias("_w")
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.col(key_col), w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

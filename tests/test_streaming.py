@@ -450,3 +450,56 @@ def test_attribution_join_cross_batch_state(spark, tmp_path):
         attribution_join_stream(
             clash, _stream(conv_src, conv_schema), "user", "ts", "ts"
         )
+
+
+def test_session_stream_merges_across_batches(spark, tmp_path):
+    """Native session_window streaming: a batch-2 event that bridges two
+    batch-1 sessions must MERGE them in the session state store; the
+    sentinel flush row closes everything so append mode emits the final
+    sessions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.streaming.monitor import session_stream
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _write(rows):
+        spark.createDataFrame(rows, "user string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    m = dt.timedelta(minutes=1)
+    # batch 1: u1 has two sessions 40 min apart (gap 30m); u2 one session
+    _write([("u1", base), ("u1", base + 5 * m), ("u1", base + 45 * m),
+            ("u2", base + 10 * m)])
+    # batch 2: u1 bridging event at +25m MERGES the two u1 sessions;
+    # sentinel row closes all sessions
+    _write([("u1", base + 25 * m), ("zz", base + dt.timedelta(days=30))])
+
+    stream = (
+        spark.readStream.schema("user string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = session_stream(stream, "user", "ts", gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from sess_out where user <> 'zz'").collect()
+    got = {(r.user, r.session_start_us, r.session_end_us, r.n_events) for r in rows}
+    us = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    gap_us = 30 * 60 * 1_000_000
+    assert got == {
+        ("u1", us(base), us(base + 45 * m) + gap_us, 4),  # merged session
+        ("u2", us(base + 10 * m), us(base + 10 * m) + gap_us, 1),
+    }
