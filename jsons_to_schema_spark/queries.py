@@ -6169,6 +6169,52 @@ def stream_session_windows_events(spark, sf_dir) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+@query(
+    "multimodal_image_dup_clusters",
+    oracle="""
+    SELECT p || '-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id,
+           'a-' || lpad(CAST(i AS VARCHAR), 2, '0') AS cluster
+    FROM (SELECT CAST(unnest(range(0, 15)) AS INT) AS i),
+         (SELECT unnest(['a', 'b', 'c']) AS p)
+    """,
+)
+def multimodal_image_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Image duplicate CLUSTERS end to end: dHash pairs
+    (multimodal.image_near_dup_pairs) feed the large-star/small-star
+    connected components (dedup.duplicate_clusters) — 15 gradient
+    families × three brightness-shifted copies (a/b/c at +0/+15/+30,
+    all Hamming 0 → a triangle per family) plus a mirrored distractor
+    per family that pairs with nothing and therefore appears in NO
+    cluster row.  The oracle is construction-derived: every family
+    collapses to cluster 'a-i' with exactly its three members — 45
+    rows."""
+    import numpy as np
+
+    from .operators.codecs import encode_png
+
+    rows = []
+    for i in range(15):
+        a = (i % 5) * 11 + 3
+        b = (i // 5) * 13 + 5
+        base = (
+            (np.add.outer(np.arange(24) * a, np.arange(27) * b) // (1 + i % 3))
+            % 180
+            + 30
+        ).astype(np.uint8)
+        rgb = np.stack([base] * 3, -1)
+        for tag, shift in (("a", 0), ("b", 15), ("c", 30)):
+            px = (rgb.astype(np.int16) + shift).clip(0, 255).astype(np.uint8)
+            rows.append(
+                (f"{tag}-{i:02d}", bytearray(encode_png(27, 24, pixels=px)))
+            )
+        rows.append(
+            (f"x-{i:02d}", bytearray(encode_png(27, 24, pixels=rgb[:, ::-1])))
+        )
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    pairs = multimodal.image_near_dup_pairs(df, "media_ref", "payload", 3)
+    return dedup.duplicate_clusters(pairs)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
