@@ -1569,3 +1569,86 @@ def mutual_information_pairs(
         "col_b",
         F.round(F.col("_ha") + F.col("_hb") - F.col("_hab"), 6).alias("mi"),
     )
+
+
+def outlier_report_grouped(
+    df: DataFrame,
+    column: str,
+    id_cols: "list[str]",
+    group_cols: "list[str]",
+    method: str = "mad",
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Per-GROUP outlier rows — outlier_report with the fences computed
+    inside each group, for populations whose segments live on different
+    scales (a $5 'error' event is normal, a $5 'purchase' is not): a
+    global fence either floods the small-scale group with false alarms
+    or goes blind in it.
+
+    Same estimators and scan accounting as outlier_report (mad: median →
+    MAD → filter, irreducibly 3 scans; zscore: 2), except the 1-row
+    stats frame becomes a GROUP-KEYED bounded table broadcast-joined
+    back on the group columns (cardinality-bounded by contract — the
+    mutual_information scale rule).  NULL group keys form their own
+    group (groupBy semantics, both engines).  Constant groups (zero
+    spread) emit no rows.  Output: group_cols + id_cols + value +
+    score round(6); cutoff compares unrounded scores."""
+    if method not in ("mad", "zscore"):
+        raise ValueError("outlier_report_grouped: method must be 'mad' or 'zscore'")
+    if not group_cols:
+        raise ValueError("outlier_report_grouped: group_cols must be non-empty")
+    import functools
+
+    c = F.col(column)
+    base = df.filter(c.isNotNull())
+
+    def _nullsafe_join(left: DataFrame, keyed: DataFrame) -> DataFrame:
+        # an equi-join on the group columns would silently drop NULL
+        # group keys (the inclusion_profile review finding) — join
+        # null-safely on renamed fence keys.  The fence frame derives
+        # FROM `left`, so unqualified refs would self-join-misbind;
+        # alias both sides and qualify every key reference.
+        renamed = keyed.select(
+            *[F.col(g).alias(f"_gk_{i}") for i, g in enumerate(group_cols)],
+            *[col for col in keyed.columns if col not in group_cols],
+        )
+        lhs, rhs = left.alias("_lhs"), renamed.alias("_rhs")
+        quoted = [g.replace("`", "``") for g in group_cols]
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"_lhs.`{q}`").eqNullSafe(F.col(f"_rhs._gk_{i}"))
+                for i, q in enumerate(quoted)
+            ],
+        )
+        return lhs.join(F.broadcast(rhs), cond).drop(
+            *[f"_gk_{i}" for i in range(len(group_cols))]
+        )
+
+    if method == "zscore":
+        fences = base.groupBy(*group_cols).agg(
+            F.avg(c).alias("_center"),
+            F.stddev_pop(c).alias("_spread"),
+        )
+        scale = F.lit(1.0)
+    else:
+        med = base.groupBy(*group_cols).agg(
+            F.percentile(c, F.lit(0.5)).alias("_center")
+        )
+        fences = (
+            _nullsafe_join(base, med)
+            .groupBy(*group_cols)
+            .agg(
+                F.first("_center").alias("_center"),
+                F.percentile(F.abs(c - F.col("_center")), F.lit(0.5)).alias(
+                    "_spread"
+                ),
+            )
+        )
+        scale = F.lit(0.6745)
+    score = scale * (c - F.col("_center")) / F.col("_spread")
+    return (
+        _nullsafe_join(base, fences)
+        .filter((F.col("_spread") > 0) & (F.abs(score) > F.lit(float(cutoff))))
+        .select(*group_cols, *id_cols, c.alias("value"), F.round(score, 6).alias("score"))
+    )

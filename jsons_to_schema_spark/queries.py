@@ -6215,6 +6215,50 @@ def multimodal_image_dup_clusters(spark, sf_dir) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+@query(
+    "outliers_grouped_events_value",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 499 = 0 THEN value * 50 + 5000
+                  ELSE value END AS x
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(x, 0.5) AS center
+      FROM src GROUP BY 1
+    ), mad AS (
+      SELECT s.event_type, max(m.center) AS center,
+             quantile_cont(abs(s.x - m.center), 0.5) AS spread
+      FROM src s JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT s.event_type, s.event_id, s.x AS value,
+           round(0.6745 * (s.x - center) / spread, 6) AS score
+    FROM src s JOIN mad USING (event_type)
+    WHERE spread > 0 AND abs(0.6745 * (s.x - center) / spread) > 3.5
+    """,
+)
+def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
+    """Per-group robust outliers (stats.outlier_report_grouped): MAD
+    fences computed INSIDE each event_type — spikes planted on
+    event_id % 499 (50× + 5000) must flag against their own segment's
+    scale; the oracle recomputes group medians and MADs with
+    quantile_cont (the percentile ≡ quantile_cont interpolation parity
+    the global outlier_report established) and the identical unrounded
+    cutoff expression."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 499 == 0, F.col("value") * 50 + 5000
+        )
+        .otherwise(F.col("value"))
+        .alias("x"),
+    )
+    return stats.outlier_report_grouped(
+        ev, "x", ["event_id"], ["event_type"], method="mad", cutoff=3.5
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -360,3 +360,41 @@ def test_rolling_stats_partition_invariance(spark):
     one = temporal.rolling_stats(df, ["k"], "ts", "v", 45).collect()
     many = temporal.rolling_stats(df.repartition(13), ["k"], "ts", "v", 45).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_outlier_report_grouped_per_group_fences(spark):
+    # group 'a' is tight around 10 (spike 100 flags); group 'b' lives at
+    # scale 1000 where 100 would be a LOW value — a global fence gets both
+    # wrong; NULL group keys form their own group (null-safe join)
+    rows = (
+        [(i, "a", v) for i, v in enumerate(
+            [10.0, 10.0, 10.0, 10.0, 11.0, 9.0, 12.0, 8.0, 100.0])]
+        + [(100 + i, "b", v) for i, v in enumerate(
+            [1000.0, 1000.0, 1000.0, 1000.0, 1010.0, 990.0, 1020.0, 980.0,
+             5000.0])]
+        + [(200, None, 5.0), (201, None, 5.0), (202, None, 5.0),
+           (203, None, 6.0), (204, None, 4.0), (205, None, 99.0)]
+    )
+    df = spark.createDataFrame(rows, "i long, g string, x double")
+    out = stats.outlier_report_grouped(df, "x", ["i"], ["g"], method="mad")
+    got = {(r.g, r.i, r.value) for r in out.collect()}
+    assert got == {("a", 8, 100.0), ("b", 108, 5000.0), (None, 205, 99.0)}
+    # zscore arm + guards
+    z = stats.outlier_report_grouped(df, "x", ["i"], ["g"], method="zscore", cutoff=2.0)
+    assert {(r.g, r.i) for r in z.collect()} == {("a", 8), ("b", 108), (None, 205)}
+    with pytest.raises(ValueError, match="group_cols"):
+        stats.outlier_report_grouped(df, "x", ["i"], [])
+    with pytest.raises(ValueError, match="method"):
+        stats.outlier_report_grouped(df, "x", ["i"], ["g"], method="iqr")
+
+
+def test_outlier_report_grouped_matches_global_on_one_group(spark):
+    vals = [10.0] * 4 + [11.0, 9.0, 12.0, 8.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, "only", v) for i, v in enumerate(vals)], "i long, g string, x double"
+    )
+    grouped = stats.outlier_report_grouped(df, "x", ["i"], ["g"]).collect()
+    global_ = stats.outlier_report(df, "x", ["i"]).collect()
+    assert [(r.i, r.value, r.score) for r in grouped] == [
+        (r.i, r.value, r.score) for r in global_
+    ]
