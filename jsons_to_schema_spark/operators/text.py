@@ -668,3 +668,122 @@ def c4_clean(
             "clean_text"
         ),
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    §A1.1 — thresholds verbatim, not a port), as ONE narrow projection of
+    Catalyst higher-order functions beside c4_clean:
+
+    * 50 ≤ word count ≤ 100,000
+    * 3 ≤ mean word length ≤ 10
+    * symbol-to-word ratio (``#`` plus ``...``/``…``) ≤ 0.1
+    * ≤ 90% of lines start with a bullet (``-``, ``*``, ``•``)
+    * ≤ 30% of lines end with an ellipsis
+    * ≥ 80% of words contain an alphabetic character
+    * ≥ 2 distinct members of the Gopher stop-word list present
+
+    (The paper's repetition clauses live in repetition_features — they
+    need the lines/shingle machinery, not these scalar signals.)
+
+    All ratios round(6); counting uses the length-difference-after-
+    replace idiom for substrings so both correctness engines share
+    non-overlapping-match semantics.  NULL text counts zero words and
+    fails the word-count rule (never a NULL verdict).  Output: id, the
+    seven signals, ``keep`` boolean, and ``drop_reason`` — the FIRST
+    failing rule in the order above, NULL when kept."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+    def _count_sub(col, sub):
+        return (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit("")))) / len(sub)
+
+    base = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        lines.alias("_l"),
+        (_count_sub(text, "#") + _count_sub(text, "...") + _count_sub(text, "…")).alias("_sym"),
+    )
+    n_words = F.size("_w")
+    n_lines = F.size("_l")
+    sig = base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.round(
+                F.aggregate(
+                    "_w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                )
+                / n_words,
+                6,
+            ),
+        ).alias("mean_word_len"),
+        F.when(n_words > 0, F.round(F.col("_sym") / n_words, 6)).alias(
+            "symbol_word_ratio"
+        ),
+        F.when(
+            n_lines > 0,
+            F.round(
+                F.size(
+                    F.filter(
+                        "_l",
+                        lambda x: F.substring(F.trim(x), 1, 1).isin("-", "*", "•"),
+                    )
+                )
+                / n_lines,
+                6,
+            ),
+        ).alias("frac_bullet_lines"),
+        F.when(
+            n_lines > 0,
+            F.round(
+                F.size(
+                    F.filter(
+                        "_l",
+                        lambda x: F.trim(x).endswith("...")
+                        | F.trim(x).endswith("…"),
+                    )
+                )
+                / n_lines,
+                6,
+            ),
+        ).alias("frac_ellipsis_lines"),
+        F.when(
+            n_words > 0,
+            F.round(
+                F.size(F.filter("_w", lambda x: x.rlike("[A-Za-z]"))) / n_words,
+                6,
+            ),
+        ).alias("frac_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform("_w", lambda x: F.lower(x))),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        ).alias("n_stop_hits"),
+    )
+    reason = (
+        F.when(
+            (F.col("n_words") < 50) | (F.col("n_words") > 100_000),
+            F.lit("word_count"),
+        )
+        .when(
+            (F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10),
+            F.lit("mean_word_length"),
+        )
+        .when(F.col("symbol_word_ratio") > 0.1, F.lit("symbol_ratio"))
+        .when(F.col("frac_bullet_lines") > 0.9, F.lit("bullet_lines"))
+        .when(F.col("frac_ellipsis_lines") > 0.3, F.lit("ellipsis_lines"))
+        .when(F.col("frac_alpha_words") < 0.8, F.lit("alpha_words"))
+        .when(F.col("n_stop_hits") < 2, F.lit("stop_words"))
+    )
+    return sig.select(
+        "*",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -6259,6 +6259,119 @@ def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "gopher_quality_documents",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 1 THEN 'the cat and the dog have fun with that ball of yarn to be sure '
+                      || substr(text, 1, 200) || ' ' || repeat('#### ', 30)
+          WHEN 2 THEN trim(repeat('12345 ', 60))
+          WHEN 3 THEN 'tiny doc.'
+          WHEN 4 THEN trim(repeat('aa ', 60))
+          WHEN 5 THEN repeat('- bullet item words listed here' || chr(10), 10)
+          WHEN 6 THEN repeat('the cat and the dog have fun with that ball of yarn...' || chr(10), 4)
+                      || 'the clean tail line of words here'
+          ELSE 'the cat and the dog have fun with that ball of yarn to be sure '
+               || substr(text, 1, 200)
+        END AS t
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, t,
+        list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS w,
+        list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS l,
+        (len(t) - len(replace(t, '#', ''))) / 1.0
+          + (len(t) - len(replace(t, '...', ''))) / 3.0
+          + (len(t) - len(replace(t, '…', ''))) / 1.0 AS sym
+      FROM src
+    ), sig AS (
+      SELECT doc_id,
+        CAST(len(w) AS INT) AS n_words,
+        CASE WHEN len(w) > 0 THEN
+          round(list_sum(list_transform(w, x -> len(x))) / len(w), 6)
+        END AS mean_word_len,
+        CASE WHEN len(w) > 0 THEN round(sym / len(w), 6) END
+          AS symbol_word_ratio,
+        CASE WHEN len(l) > 0 THEN
+          round(len(list_filter(l, x ->
+            substr(trim(x), 1, 1) = '-' OR substr(trim(x), 1, 1) = '*'
+            OR substr(trim(x), 1, 1) = '•')) / len(l), 6)
+        END AS frac_bullet_lines,
+        CASE WHEN len(l) > 0 THEN
+          round(len(list_filter(l, x ->
+            trim(x) LIKE '%...' OR trim(x) LIKE '%…')) / len(l), 6)
+        END AS frac_ellipsis_lines,
+        CASE WHEN len(w) > 0 THEN
+          round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                / len(w), 6)
+        END AS frac_alpha_words,
+        CAST(len(list_intersect(
+          list_distinct(list_transform(w, x -> lower(x))),
+          ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+          AS INT) AS n_stop_hits
+      FROM parts
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+           n_stop_hits, drop_reason IS NULL AS keep, drop_reason FROM (
+      SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+             frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+             n_stop_hits,
+             CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                  WHEN mean_word_len < 3 OR mean_word_len > 10
+                    THEN 'mean_word_length'
+                  WHEN symbol_word_ratio > 0.1 THEN 'symbol_ratio'
+                  WHEN frac_bullet_lines > 0.9 THEN 'bullet_lines'
+                  WHEN frac_ellipsis_lines > 0.3 THEN 'ellipsis_lines'
+                  WHEN frac_alpha_words < 0.8 THEN 'alpha_words'
+                  WHEN n_stop_hits < 2 THEN 'stop_words'
+             END AS drop_reason
+      FROM sig
+    )
+    """,
+)
+def gopher_quality_documents(spark, sf_dir) -> DataFrame:
+    """The published Gopher quality rules (text.gopher_quality_filter)
+    over planted pages exercising every rule arm: doc_id % 7 selects
+    keep / symbol-flood / digit-words / too-short / one-letter-words /
+    all-bullets / ellipsis-lines variants (each constructed to pass the
+    rules ORDERED BEFORE its target, so the first-failing-rule
+    attribution is value-checked, not just the boolean); the oracle
+    re-derives all seven signals with DuckDB list lambdas and the same
+    length-difference substring counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepbase = F.concat(
+        F.lit(
+            "the cat and the dog have fun with that ball of yarn to be sure "
+        ),
+        F.substring(F.col("text"), 1, 200),
+    )
+    arm = F.col("doc_id") % 7
+    t = (
+        F.when(arm == 1, F.concat(keepbase, F.lit(" "), F.repeat(F.lit("#### "), 30)))
+        .when(arm == 2, F.trim(F.repeat(F.lit("12345 "), 60)))
+        .when(arm == 3, F.lit("tiny doc."))
+        .when(arm == 4, F.trim(F.repeat(F.lit("aa "), 60)))
+        .when(arm == 5, F.repeat(F.lit("- bullet item words listed here\n"), 10))
+        .when(
+            arm == 6,
+            F.concat(
+                F.repeat(
+                    F.lit(
+                        "the cat and the dog have fun with that ball of yarn...\n"
+                    ),
+                    4,
+                ),
+                F.lit("the clean tail line of words here"),
+            ),
+        )
+        .otherwise(keepbase)
+    )
+    planted = docs.select("doc_id", t.alias("t"))
+    return text.gopher_quality_filter(planted, "doc_id", "t")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -229,3 +229,49 @@ def test_c4_clean_whitespace_word_count_parity(spark):
     r = T.c4_clean(df, "id", "t").collect()[0]
     assert r.n_kept_lines == 3  # 5 words exactly after trim/collapse
     assert r.clean_text.startswith("one  two")
+
+
+def test_gopher_quality_filter_rule_arms(spark):
+    from jsons_to_schema_spark.operators import text as T
+
+    good_words = ("the cat and the dog have fun with that ball of yarn "
+                  "to be sure " * 5)  # 65 words, stop words present
+    docs = [
+        (1, good_words),                                    # keep
+        (2, "short doc with few words."),                   # word_count
+        (3, " ".join(["a"] * 60)),                          # mean_word_length (1.0)
+        (4, good_words + " " + "#" * 1 + " #### ## # " * 3),  # symbol_ratio
+        (5, "\n".join(["- bullet item number %d listed" % i for i in range(20)])
+            + "\nplain trailing sentence words here"),      # bullet_lines
+        (6, good_words.replace(" ", "... ", 25)),           # ellipsis? words keep alpha
+        (7, " ".join(["123456"] * 60)),                     # alpha_words (digits)
+        (8, " ".join(["giraffe elephant zebra lion tiger"] * 13)),  # stop_words
+        (9, None),                                          # NULL -> word_count
+    ]
+    df = spark.createDataFrame(docs, "id long, t string")
+    out = {r.id: r for r in T.gopher_quality_filter(df, "id", "t").collect()}
+    assert out[1].keep and out[1].drop_reason is None
+    assert out[1].n_stop_hits >= 2
+    assert out[2].drop_reason == "word_count"
+    assert out[3].drop_reason == "mean_word_length"
+    assert out[4].drop_reason == "symbol_ratio"
+    assert out[7].drop_reason == "alpha_words"
+    assert out[8].drop_reason == "stop_words"
+    assert out[9].drop_reason == "word_count" and out[9].n_words == 0
+    # doc 5: 20 of 21 lines are bullets (0.952 > 0.9) but word_count fires
+    # first if < 50 words — it has 80 words, so bullet_lines is the verdict
+    assert out[5].drop_reason == "bullet_lines"
+    # doc 6: 25 ellipsis insertions inside ONE line -> line fraction is 0;
+    # the '...' tokens raise the symbol ratio instead
+    assert out[6].drop_reason == "symbol_ratio"
+
+
+def test_gopher_ellipsis_lines_arm(spark):
+    from jsons_to_schema_spark.operators import text as T
+
+    body = "the cat and the dog have fun with that ball here now "
+    lines = [body + "more words..." for _ in range(4)] + [body + "clean tail"]
+    df = spark.createDataFrame([(1, "\n".join(lines))], "id long, t string")
+    r = T.gopher_quality_filter(df, "id", "t").collect()[0]
+    assert r.frac_ellipsis_lines == 0.8
+    assert r.drop_reason == "ellipsis_lines"
