@@ -50,6 +50,12 @@ def main() -> int:
                     help="benchmark documents table for decontamination")
     ap.add_argument("--langs", default="en", help="comma-separated keep set")
     ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 page rules (lorem-ipsum / brace / "
+                         "too-few-surviving-lines) as a filter gate")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher document-quality rules as a "
+                         "filter gate")
     ap.add_argument("--max-dup-line-frac", type=float, default=0.3)
     ap.add_argument("--near-dup-jaccard", type=float, default=0.7)
     ap.add_argument("--max-perplexity", type=float, default=0.0,
@@ -103,6 +109,22 @@ def main() -> int:
         F.col("n_tokens") >= args.min_tokens
     )
     docs1 = stage("quality", docs.join(q.select("doc_id"), "doc_id", "left_semi"))
+
+    # 1a. published-rule gates (still row-local narrow projections):
+    # C4 page rules and/or Gopher quality rules, filter-only — the text
+    # is NOT rewritten, so dedup fingerprints downstream see original
+    # bytes (the transforms-after-gates rule above).
+    if args.c4:
+        c4 = text.c4_clean(docs1, "doc_id", "text").filter(F.col("doc_kept"))
+        docs1 = stage("c4", docs1.join(c4.select("doc_id"), "doc_id", "left_semi"))
+    if args.gopher:
+        gq = text.gopher_quality_filter(docs1, "doc_id", "text").filter(
+            F.col("keep")
+        )
+        docs1 = stage(
+            "gopher", docs1.join(gq.select("doc_id"), "doc_id", "left_semi")
+        )
+
     rep = text.repetition_features(docs1, "text", "doc_id").filter(
         F.col("dup_line_char_frac") <= args.max_dup_line_frac
     )
