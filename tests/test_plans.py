@@ -866,3 +866,32 @@ def test_image_near_dup_banded_join_decode_once(spark):
     # the decode stage must not appear twice: the pinned signature table
     # feeds both sides of the band join
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 1
+
+
+def test_gopher_filter_no_shuffle_no_python(spark):
+    """The Gopher rules are a pure narrow projection (the c4_clean
+    shape): zero Exchange, zero Python, one scan."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = text.gopher_quality_filter(docs, "doc_id", "text")
+    plan = audit.executed_plan(q)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert audit.scan_count(q) == 1
+
+
+def test_outlier_report_grouped_scan_budget(spark):
+    """Grouped MAD fences: median scan -> MAD scan -> filter scan (the
+    irreducible 3, same as the global report), group fences broadcast
+    back — no corpus reshuffle, no cartesian product."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.outlier_report_grouped(events, "value", ["event_id"], ["event_type"])
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) <= 3
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    z = S.outlier_report_grouped(
+        events, "value", ["event_id"], ["event_type"], method="zscore"
+    )
+    assert audit.scan_count(z) <= 2
