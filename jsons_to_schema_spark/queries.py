@@ -6264,7 +6264,7 @@ def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
     oracle=r"""
     WITH src AS (
       SELECT doc_id,
-        CASE doc_id % 7
+        CASE doc_id % 8
           WHEN 1 THEN 'the cat and the dog have fun with that ball of yarn to be sure '
                       || substr(text, 1, 200) || ' ' || repeat('#### ', 30)
           WHEN 2 THEN trim(repeat('12345 ', 60))
@@ -6273,6 +6273,7 @@ def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
           WHEN 5 THEN repeat('- bullet item words listed here' || chr(10), 10)
           WHEN 6 THEN repeat('the cat and the dog have fun with that ball of yarn...' || chr(10), 4)
                       || 'the clean tail line of words here'
+          WHEN 7 THEN trim(repeat('giraffe elephant zebra lion tiger ', 13))
           ELSE 'the cat and the dog have fun with that ball of yarn to be sure '
                || substr(text, 1, 200)
         END AS t
@@ -6335,7 +6336,7 @@ def gopher_quality_documents(spark, sf_dir) -> DataFrame:
     """The published Gopher quality rules (text.gopher_quality_filter)
     over planted pages exercising every rule arm: doc_id % 7 selects
     keep / symbol-flood / digit-words / too-short / one-letter-words /
-    all-bullets / ellipsis-lines variants (each constructed to pass the
+    all-bullets / ellipsis-lines / no-stop-words variants (doc_id % 8) (each constructed to pass the
     rules ORDERED BEFORE its target, so the first-failing-rule
     attribution is value-checked, not just the boolean); the oracle
     re-derives all seven signals with DuckDB list lambdas and the same
@@ -6347,7 +6348,7 @@ def gopher_quality_documents(spark, sf_dir) -> DataFrame:
         ),
         F.substring(F.col("text"), 1, 200),
     )
-    arm = F.col("doc_id") % 7
+    arm = F.col("doc_id") % 8
     t = (
         F.when(arm == 1, F.concat(keepbase, F.lit(" "), F.repeat(F.lit("#### "), 30)))
         .when(arm == 2, F.trim(F.repeat(F.lit("12345 "), 60)))
@@ -6366,6 +6367,7 @@ def gopher_quality_documents(spark, sf_dir) -> DataFrame:
                 F.lit("the clean tail line of words here"),
             ),
         )
+        .when(arm == 7, F.trim(F.repeat(F.lit("giraffe elephant zebra lion tiger "), 13)))
         .otherwise(keepbase)
     )
     planted = docs.select("doc_id", t.alias("t"))
