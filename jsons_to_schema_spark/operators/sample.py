@@ -214,3 +214,45 @@ def mixture_sample(
         sample_key(F.col(key_col).cast("string"), seed), 16, 10
     ).cast("long")
     return df.filter(prefix_num < thr_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    keep the k rows with the largest ``u^(1/w)`` where u is a uniform
+    draw — the curation move "sample 100k documents ∝ quality score"
+    that plain rate sampling cannot express.
+
+    Deterministic and engine-portable like every sampler here: u derives
+    from the md5 decision prefix ((v + 0.5) / 16^8 — exactly
+    representable, never 0), and the selection key is
+    ``round(ln(u)/w, 6)`` — maximizing it is equivalent to maximizing
+    u^(1/w), the log form avoids pow's precision spread, and the
+    round(6) makes cross-engine ordering exact with ties broken by the
+    row key.  Same-seed stages NEST (module composition rule): pass
+    distinct seeds for independent draws.
+
+    Scale shape: ONE narrow projection + a global top-k
+    (TakeOrderedAndProject — per-partition heaps, never a single-
+    partition window).  Rows with NULL or non-positive weight are
+    excluded (a zero-weight row has selection probability 0; NULL weight
+    is not evidence of weight).  Output: input columns + ``es_key``."""
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    w = F.col(weight_col)
+    v = F.conv(sample_key(F.col(key_col).cast("string"), seed), 16, 10).cast(
+        "long"
+    )
+    u = (v + F.lit(0.5)) / F.lit(float(_SPACE))
+    es_key = F.round(F.log(u) / w, 6)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select("*", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+        .limit(int(k))
+    )

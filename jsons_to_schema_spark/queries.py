@@ -6374,6 +6374,31 @@ def gopher_quality_documents(spark, sf_dir) -> DataFrame:
     return text.gopher_quality_filter(planted, "doc_id", "t")
 
 
+@query(
+    "weighted_sample_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             round(ln((CAST('0x' || substr(md5('11' || chr(31)
+                        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       + 0.5) / 4294967296.0) / n_chars, 6) AS es_key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars, es_key FROM t
+    ORDER BY es_key DESC, doc_id ASC LIMIT 75
+    """,
+)
+def weighted_sample_documents(spark, sf_dir) -> DataFrame:
+    """Weighted sampling without replacement (sample.weighted_sample,
+    Efraimidis-Spirakis): 75 documents drawn ∝ n_chars — longer docs
+    proportionally likelier, decided by the same md5-derived uniform
+    both engines compute, with the round-6 log-key ordering and doc_id
+    tie-break making the selected SET (not just its size) exact; the
+    oracle replays the identical key arithmetic and top-k."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sample.weighted_sample(docs, "doc_id", "n_chars", 75, seed=11)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -75,3 +75,43 @@ def test_stratified_equal_rates_equal_keys(spark):
     ).collect()}
     flat = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
     assert strat == flat
+
+
+def test_weighted_sample_exact_top_k_and_bias(spark):
+    import hashlib
+    import math
+
+    from jsons_to_schema_spark.operators import sample as S
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = S.weighted_sample(df, "id", "w", 50, seed=7).collect()
+    assert len(out) == 50
+
+    # brute-force reference: identical md5-derived u and rounded log key
+    def key(i, w):
+        h = hashlib.md5(f"7\x1f{i}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 16**8
+        return round(math.log(u) / w, 6)
+
+    expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:50]
+    assert sorted((r.id, r.w) for r in out) == sorted(expect)
+    for r in out:
+        assert r.es_key == key(r.id, r.w)
+    # heavy weights must dominate: 100 of 1000 rows carry w=100 and should
+    # win the large majority of 50 slots
+    heavy = sum(1 for r in out if r.w == 100.0)
+    assert heavy >= 40
+
+    # determinism under partitioning; exclusion of null/zero weights
+    again = S.weighted_sample(df.repartition(17), "id", "w", 50, seed=7).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    dirty = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, -1.0), (4, 5.0)], "id long, w double"
+    )
+    kept = S.weighted_sample(dirty, "id", "w", 10).collect()
+    assert [r.id for r in kept] == [4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        S.weighted_sample(df, "id", "w", 0)
