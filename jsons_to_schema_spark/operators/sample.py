@@ -256,3 +256,44 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
         .limit(int(k))
     )
+
+
+def weighted_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    quota: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum WEIGHTED draw: at most ``quota`` rows per stratum,
+    selected without replacement ∝ ``weight_col`` (the Efraimidis-
+    Spirakis key of weighted_sample, ranked inside each stratum) —
+    "top-N per domain, quality-weighted", the composition of the quota
+    rule with the weighted draw.
+
+    Same determinism contract as the rest of the module: the key is
+    round6(ln(u)/w) with u from the md5 decision prefix, ties break by
+    row key, NULL / non-positive weights are excluded.  Plan: one window
+    row_number per stratum (the quota_sample shape and its mega-stratum
+    caveat — pre-filter with stratified_sample on heavy tails).
+    Output: input columns + ``es_key``."""
+    from pyspark.sql import Window
+
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    w = F.col(weight_col)
+    v = F.conv(sample_key(F.col(key_col).cast("string"), seed), 16, 10).cast(
+        "long"
+    )
+    es_key = F.round(F.log((v + F.lit(0.5)) / F.lit(float(_SPACE))) / w, 6)
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.col("es_key").desc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("es_key", es_key)
+        .withColumn("_qrank", F.row_number().over(win))
+        .filter(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )

@@ -6399,6 +6399,38 @@ def weighted_sample_documents(spark, sf_dir) -> DataFrame:
     return sample.weighted_sample(docs, "doc_id", "n_chars", 75, seed=11)
 
 
+@query(
+    "weighted_quota_sample_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((CAST('0x' || substr(md5('13' || chr(31)
+                        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       + 0.5) / 4294967296.0) / n_chars, 6) AS es_key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source
+        ORDER BY es_key DESC, CAST(doc_id AS VARCHAR) ASC) AS rk
+      FROM t
+    )
+    SELECT doc_id, source, n_chars, es_key FROM r WHERE rk <= 20
+    """,
+)
+def weighted_quota_sample_documents(spark, sf_dir) -> DataFrame:
+    """Per-stratum weighted draw (sample.weighted_quota_sample): the 20
+    highest-ES-key documents per source, weighted by n_chars — the
+    "top-N per domain, quality-weighted" mixture rule; the oracle
+    replays the identical key arithmetic and per-stratum rank with the
+    same tie-break."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sample.weighted_quota_sample(
+        docs, "doc_id", "source", "n_chars", 20, seed=13
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -115,3 +115,31 @@ def test_weighted_sample_exact_top_k_and_bias(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         S.weighted_sample(df, "id", "w", 0)
+
+
+def test_weighted_quota_sample_per_stratum(spark):
+    import hashlib
+    import math
+
+    from jsons_to_schema_spark.operators import sample as S
+
+    rows = [(i, "s%d" % (i % 3), float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = S.weighted_quota_sample(df, "id", "g", "w", 10, seed=5).collect()
+    from collections import Counter
+
+    assert Counter(r.g for r in out) == {"s0": 10, "s1": 10, "s2": 10}
+
+    def key(i, w):
+        h = hashlib.md5(f"5\x1f{i}".encode()).hexdigest()[:8]
+        return round(math.log((int(h, 16) + 0.5) / 16**8) / w, 6)
+
+    for g in ["s0", "s1", "s2"]:
+        expect = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-key(r[0], r[2]), str(r[0]))
+        )[:10]
+        got = sorted((r.id, r.g, r.w) for r in out if r.g == g)
+        assert got == sorted(expect)
+    # partition invariance
+    again = S.weighted_quota_sample(df.repartition(13), "id", "g", "w", 10, seed=5)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
