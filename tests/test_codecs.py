@@ -652,20 +652,21 @@ def test_dhash64_invariances():
         encode_png,
     )
 
-    base = (np.add.outer(np.arange(64) * 3, np.arange(64) * 5) % 200 + 20)
+    base = (np.add.outer(np.arange(64) * 3, np.arange(72) * 5) % 200 + 20)
     rgb = np.stack([base] * 3, -1).astype(np.uint8)
     h = dhash64(rgb)
     # encode/decode round trip preserves the hash exactly
-    assert dhash64(decode_pixels(encode_png(64, 64, pixels=rgb))) == h
+    assert dhash64(decode_pixels(encode_png(72, 64, pixels=rgb))) == h
     # uniform brightness shift (no saturation) preserves every comparison
     shifted = (rgb.astype(np.int16) + 25).clip(0, 255).astype(np.uint8)
     assert dhash64(shifted) == h
-    # 2x nearest-neighbor upscale preserves block structure exactly
+    # 2x nearest-neighbor upscale preserves block structure exactly for
+    # GRID-ALIGNED dims (8 | 64, 9 | 72)
     up = np.repeat(np.repeat(rgb, 2, axis=0), 2, axis=1)
     assert dhash64(up) == h
     # an unrelated pattern lands far away
     other = np.stack(
-        [(np.add.outer(np.arange(64) * 7, -np.arange(64) * 2) % 200 + 20)] * 3,
+        [(np.add.outer(np.arange(64) * 7, -np.arange(72) * 2) % 200 + 20)] * 3,
         -1,
     ).astype(np.uint8)
     d = bin((dhash64(other) ^ h) & (2**64 - 1)).count("1")
@@ -709,3 +710,59 @@ def test_audio_fingerprint64_invariances():
     # decode helper: stereo averages channels
     samples, rate = wav_samples(p)
     assert samples.shape[0] == 2048 and rate == 8192
+
+
+# ---------------------------------------------------------------------------
+# dHash property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(2, 40),
+    w=st.integers(2, 48),
+    hf=st.integers(1, 5),
+    wf=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+    shift=st.integers(1, 40),
+)
+def test_dhash64_properties(h, w, hf, wf, seed, shift):
+    """Random images: uniform unsaturated brightness shifts never change
+    the hash (any dims); integer nearest-neighbor upscales preserve it
+    when the dims are GRID-ALIGNED (8 | h, 9 | w — unaligned dims shift
+    the floor-boundary blocks, so no general upscale claim is made); the
+    hash is a pure function of the pixels (recompute-equal)."""
+    from jsons_to_schema_spark.operators.codecs import dhash64
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 215, size=(h, w, 3), dtype=np.uint8)  # headroom
+    hh = dhash64(base)
+    assert dhash64(base.copy()) == hh
+    shifted = (base.astype(np.int16) + shift).clip(0, 255).astype(np.uint8)
+    assert dhash64(shifted) == hh
+    assert -(2**63) <= hh < 2**63  # stores in a Spark long
+    aligned = rng.integers(0, 215, size=(8 * hf, 9 * wf, 3), dtype=np.uint8)
+    up = np.repeat(np.repeat(aligned, 2, axis=0), 3, axis=1)
+    assert dhash64(up) == dhash64(aligned)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(300, 3000))
+def test_audio_fingerprint64_gain_property(seed, n):
+    """Random int16 clips: an exact power-of-two gain never changes the
+    fingerprint (scaling commutes with float rounding), and the value
+    stores in a Spark long."""
+    from jsons_to_schema_spark.operators.codecs import (
+        audio_fingerprint64,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-8000, 8000, size=n, dtype=np.int16)
+    f = audio_fingerprint64(encode_wav_pcm(s))
+    assert audio_fingerprint64(encode_wav_pcm((s * 2).astype(np.int16))) == f
+    assert audio_fingerprint64(encode_wav_pcm((s * 4).astype(np.int16))) == f
+    assert -(2**63) <= f < 2**63
