@@ -2153,8 +2153,10 @@ def encode_wav_pcm(samples: np.ndarray, rate: int = 8192) -> bytes:
 
 def wav_samples(payload: bytes) -> "tuple[np.ndarray, int]":
     """Decode a PCM WAV to (mono float64 samples, rate): multi-channel
-    clips average their channels; 8/16/32-bit widths via the same table
-    the feature decoders use."""
+    clips average their channels.  8-bit PCM is UNSIGNED with a 128
+    midpoint per the RIFF spec (decoding it signed would wrap digital
+    silence into a ±128 square wave — review finding; decode_wav already
+    centers it the same way); 16/32-bit are signed little-endian."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         n, ch, width, rate = (
             w.getnframes(),
@@ -2165,7 +2167,10 @@ def wav_samples(payload: bytes) -> "tuple[np.ndarray, int]":
         raw = w.readframes(n)
     if width not in _WIDTHS:
         raise NotImplementedError(f"WAV sample width {width} unsupported")
-    arr = np.frombuffer(raw, _WIDTHS[width]).astype(np.float64)
+    if width == 1:
+        arr = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+    else:
+        arr = np.frombuffer(raw, _WIDTHS[width]).astype(np.float64)
     if ch > 1:
         arr = arr.reshape(-1, ch).mean(axis=1)
     return arr, rate
@@ -2188,6 +2193,14 @@ def audio_fingerprint64(payload: bytes) -> int:
     → 288 samples; shorter clips raise (a fingerprint of a click is not
     evidence)."""
     arr, _rate = wav_samples(payload)
+    return audio_fingerprint64_from_samples(arr)
+
+
+def audio_fingerprint64_from_samples(arr: np.ndarray) -> int:
+    """audio_fingerprint64 over ALREADY-DECODED mono samples — the batch
+    stage decodes once and feeds both the metadata columns and this
+    kernel (review finding: taking bytes here made the hot mapInPandas
+    loop decode every payload twice)."""
     n = arr.shape[0]
     if n < 288:
         raise ValueError(f"audio_fingerprint64: clip too short ({n} < 288 samples)")
@@ -2218,8 +2231,15 @@ def video_fingerprint64(payload: bytes) -> int:
     cross-multiplied Python-int sums (the dhash64 arithmetic — bit-
     deterministic, no float means).  Sequences shorter than 65 frames
     upsample by integer repeat.  Requires ≥ 2 frames."""
-    info = parse_mp4(payload)
-    sizes = np.asarray(info["sizes"], dtype=np.int64)
+    return video_fingerprint64_from_sizes(parse_mp4(payload)["sizes"])
+
+
+def video_fingerprint64_from_sizes(frame_sizes) -> int:
+    """video_fingerprint64 over an ALREADY-PARSED frame-size sequence —
+    the batch stage parses the container once for metadata and this
+    kernel (review finding: taking bytes here parsed every payload
+    twice)."""
+    sizes = np.asarray(frame_sizes, dtype=np.int64)
     n = sizes.shape[0]
     if n < 2:
         raise ValueError(f"video_fingerprint64: need >= 2 frames, got {n}")

@@ -281,11 +281,16 @@ def contamination_share(
     flagged = share >= threshold)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("contamination_share: threshold must be in (0, 1]")
-    arr = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            shingles_from_tokens(_tok(F.col(col), tokenizer), n)
-        ).alias("_g"),
+    # tokenize in its OWN layer so the shingle expression's n+2 references
+    # read a cheap attribute, not n+2 re-evaluations of the tokenizer (the
+    # contamination_hits/decontaminate pattern; with tokenizer='subword'
+    # the unlayered form ran the UDF n+2 times per row — review finding)
+    toks = docs.select(
+        F.col(id_col).alias("id"), _tok(F.col(col), tokenizer).alias("_t")
+    )
+    arr = toks.select(
+        "id",
+        F.array_distinct(shingles_from_tokens(F.col("_t"), n)).alias("_g"),
     )
     probe = arr.select(
         "id",

@@ -202,12 +202,14 @@ def detect_metric_anomalies(
       the test statistic z = α·value + (1−α)·EWMA(history) ACCUMULATES a
       slow drift run over run, so a creep whose every single point stays
       inside k·σ of the all-time mean still pushes z out of
-      |z − hist_mean| > k·σ·sqrt(α/(2−α)·(1−(1−α)^{2(T+1)})) (the
-      standard EWMA variance inflation at step T+1).  The history EWMA
-      folds as an explicit weight-per-run sum over the KB-scale history
-      rows (closed form of the recurrence, so it is order-independent
-      and SQL-oracle-able); this strategy adds ``hist_ewma``, ``ewma_z``
-      and ``ewma_limit`` columns to the output.
+      |z − hist_mean| > k·σ·sqrt(α/(2−α)·(1−(1−α)^{2(T+1)})) — the
+      standard variance inflation at step T+1, EXACT because the
+      recursion initializes at z₀ = hist_mean (the textbook chart).  The
+      history EWMA folds as an explicit weight-per-run sum over the
+      KB-scale history rows (closed form of the recurrence — order-
+      independent and SQL-oracle-able); this strategy adds ``hist_ewma``,
+      ``ewma_z`` and ``ewma_limit`` columns, and its history stats are
+      over NON-NULL values by construction.
 
     Metrics with fewer than ``min_history`` history points get
     ``is_anomaly = NULL`` (not enough evidence), never a silent pass/fail.
@@ -241,25 +243,19 @@ def detect_metric_anomalies(
             F.col("run_id") >= F.lit(int(current_run) - int(history_window))
         )
     key = ["dataset", "instance", "metric"]
-    hist = (
-        metrics.filter(hist_pred)
-        .groupBy(*key)
-        .agg(
-            F.round(F.avg("value"), 6).alias("hist_mean"),
-            F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias(
-                "hist_stddev"
-            ),
-            F.round(
-                F.max_by("value", "run_id"), 6
-            ).alias("hist_last"),
-            F.count("value").alias("n_history"),
-        )
-    )
     if strategy == "ewma":
-        # closed form of m_t = α·x_t + (1−α)·m_{t−1} started at the first
-        # history value: weights α(1−α)^(T−t), first term (1−α)^(T−1) —
-        # an explicit per-run weight sum over the KB-scale history, so
-        # the fold is order-independent and the oracle recomputes it
+        # closed form of the TEXTBOOK Roberts chart recursion
+        # z_t = α·x_t + (1−α)·z_{t−1} initialized at z_0 = hist_mean (the
+        # in-control center): history value x_t carries weight
+        # α(1−α)^(T−t) and the center carries (1−α)^T — with this
+        # initialization the variance-inflation factor below is EXACT
+        # (review finding: starting at x_1 gave x_1 the full (1−α)^(T−1)
+        # weight, understating Var(z) and over-flagging short histories).
+        # One agg over the NULL-filtered ranked history (so n_history and
+        # the EWMA weights agree; the base-strategy agg is not built at
+        # all on this branch — review finding: the dead copy diverged on
+        # hist_last for NULL-valued latest runs, a difference now explicit:
+        # ewma's history stats are over non-null values by construction).
         from pyspark.sql import Window
 
         a = float(alpha)
@@ -271,9 +267,7 @@ def detect_metric_anomalies(
             .withColumn("_rn", F.row_number().over(hw))
             .withColumn("_t", F.count(F.lit(1)).over(hall))
         )
-        w = F.when(
-            F.col("_rn") == 1, F.pow(F.lit(1.0 - a), F.col("_t") - 1)
-        ).otherwise(F.lit(a) * F.pow(F.lit(1.0 - a), F.col("_t") - F.col("_rn")))
+        w = F.lit(a) * F.pow(F.lit(1.0 - a), F.col("_t") - F.col("_rn"))
         hist = ranked.groupBy(*key).agg(
             F.round(F.avg("value"), 6).alias("hist_mean"),
             F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias(
@@ -281,7 +275,11 @@ def detect_metric_anomalies(
             ),
             F.round(F.max_by("value", "run_id"), 6).alias("hist_last"),
             F.count("value").alias("n_history"),
-            F.round(F.sum(w * F.col("value")), 6).alias("hist_ewma"),
+            F.round(
+                F.sum(w * F.col("value"))
+                + F.pow(F.lit(1.0 - a), F.count("value")) * F.avg("value"),
+                6,
+            ).alias("hist_ewma"),
             F.round(
                 F.lit(float(k))
                 * F.round(
@@ -296,6 +294,21 @@ def detect_metric_anomalies(
                 ),
                 6,
             ).alias("ewma_limit"),
+        )
+    else:
+        hist = (
+            metrics.filter(hist_pred)
+            .groupBy(*key)
+            .agg(
+                F.round(F.avg("value"), 6).alias("hist_mean"),
+                F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias(
+                    "hist_stddev"
+                ),
+                F.round(
+                    F.max_by("value", "run_id"), 6
+                ).alias("hist_last"),
+                F.count("value").alias("n_history"),
+            )
         )
 
     cur = metrics.filter(F.col("run_id") == F.lit(int(current_run))).select(

@@ -507,11 +507,10 @@ def audio_fingerprint(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
         for pdf in batches:
             rates, counts, fps = [], [], []
             for p in pdf["_payload"]:
-                payload = bytes(p or b"")
-                arr, rate = codecs.wav_samples(payload)
+                arr, rate = codecs.wav_samples(bytes(p or b""))
                 rates.append(int(rate))
                 counts.append(int(arr.shape[0]))
-                fps.append(codecs.audio_fingerprint64(payload))
+                fps.append(codecs.audio_fingerprint64_from_samples(arr))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"].values,
@@ -563,12 +562,11 @@ def video_fingerprint(df: DataFrame, ref_col: str, bytes_col: str) -> DataFrame:
         for pdf in batches:
             ws, hs, nf, fps = [], [], [], []
             for p in pdf["_payload"]:
-                payload = bytes(p or b"")
-                info = codecs.parse_mp4(payload)
+                info = codecs.parse_mp4(bytes(p or b""))
                 ws.append(int(info["width"]))
                 hs.append(int(info["height"]))
                 nf.append(int(info["n_frames"]))
-                fps.append(codecs.video_fingerprint64(payload))
+                fps.append(codecs.video_fingerprint64_from_sizes(info["sizes"]))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"].values,

@@ -1353,6 +1353,30 @@ def k_anonymity(df: DataFrame, quasi_cols: "list[str]", k: int) -> DataFrame:
     )
 
 
+def _melt_pairs(
+    df: DataFrame, pairs: "list[tuple[str, str]]", a_alias: str, b_alias: str
+) -> DataFrame:
+    """Shared pair melt for the association sweeps (categorical_association
+    and mutual_information_pairs advertise matching semantics, so they must
+    share ONE melt — review finding): every pair's two values, cast to
+    string, under (col_a, col_b) labels, exploded from a single scan."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(a).cast("string").alias(a_alias),
+                        F.col(b).cast("string").alias(b_alias),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+
+
 def categorical_association(
     df: DataFrame, pairs: "list[tuple[str, str]]"
 ) -> DataFrame:
@@ -1388,21 +1412,7 @@ def categorical_association(
     for a, b in pairs:
         if a == b:
             raise ValueError(f"categorical_association: self-pair {a!r}")
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(a).alias("col_a"),
-                        F.lit(b).alias("col_b"),
-                        F.col(a).cast("string").alias("_va"),
-                        F.col(b).cast("string").alias("_vb"),
-                    )
-                    for a, b in pairs
-                ]
-            )
-        ).alias("e")
-    ).select("e.*")
+    melted = _melt_pairs(df, pairs, "_va", "_vb")
     cells = melted.groupBy("col_a", "col_b", "_va", "_vb").agg(
         F.count(F.lit(1)).alias("_o")
     )
@@ -1521,21 +1531,7 @@ def mutual_information_pairs(
     for a, b in pairs:
         if a == b:
             raise ValueError(f"mutual_information_pairs: self-pair {a!r}")
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(a).alias("col_a"),
-                        F.lit(b).alias("col_b"),
-                        F.col(a).cast("string").alias("_a"),
-                        F.col(b).cast("string").alias("_b"),
-                    )
-                    for a, b in pairs
-                ]
-            )
-        ).alias("e")
-    ).select("e.*")
+    melted = _melt_pairs(df, pairs, "_a", "_b")
     joint = (
         melted.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
         .groupBy("col_a", "col_b", "_a", "_b")

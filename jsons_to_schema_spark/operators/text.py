@@ -680,7 +680,9 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
     * 50 ≤ word count ≤ 100,000
     * 3 ≤ mean word length ≤ 10
-    * symbol-to-word ratio (``#`` plus ``...``/``…``) ≤ 0.1
+    * symbol-to-word ratio ≤ 0.1 for EACH of ``#`` and the ellipsis
+      (``...``/``…``) — tested separately, as published (review finding:
+      summing them dropped pages the paper keeps)
     * ≤ 90% of lines start with a bullet (``-``, ``*``, ``•``)
     * ≤ 30% of lines end with an ellipsis
     * ≥ 80% of words contain an alphabetic character
@@ -706,7 +708,8 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.col(id_col),
         words.alias("_w"),
         lines.alias("_l"),
-        (_count_sub(text, "#") + _count_sub(text, "...") + _count_sub(text, "…")).alias("_sym"),
+        _count_sub(text, "#").alias("_hash"),
+        (_count_sub(text, "...") + _count_sub(text, "…")).alias("_ell"),
     )
     n_words = F.size("_w")
     n_lines = F.size("_l")
@@ -723,8 +726,11 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFram
                 6,
             ),
         ).alias("mean_word_len"),
-        F.when(n_words > 0, F.round(F.col("_sym") / n_words, 6)).alias(
-            "symbol_word_ratio"
+        F.when(n_words > 0, F.round(F.col("_hash") / n_words, 6)).alias(
+            "hash_word_ratio"
+        ),
+        F.when(n_words > 0, F.round(F.col("_ell") / n_words, 6)).alias(
+            "ellipsis_word_ratio"
         ),
         F.when(
             n_lines > 0,
@@ -776,7 +782,11 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFram
             (F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10),
             F.lit("mean_word_length"),
         )
-        .when(F.col("symbol_word_ratio") > 0.1, F.lit("symbol_ratio"))
+        .when(
+            (F.col("hash_word_ratio") > 0.1)
+            | (F.col("ellipsis_word_ratio") > 0.1),
+            F.lit("symbol_ratio"),
+        )
         .when(F.col("frac_bullet_lines") > 0.9, F.lit("bullet_lines"))
         .when(F.col("frac_ellipsis_lines") > 0.3, F.lit("ellipsis_lines"))
         .when(F.col("frac_alpha_words") < 0.8, F.lit("alpha_words"))

@@ -5919,8 +5919,8 @@ def mutual_information_pairs_events(spark, sf_dir) -> DataFrame:
              round(coalesce(stddev_samp(value), 0.0), 6) AS hist_stddev,
              round(arg_max(value, run_id), 6) AS hist_last,
              count(value) AS n_history,
-             round(sum((CASE WHEN rn = 1 THEN pow(0.7, t - 1)
-                             ELSE 0.3 * pow(0.7, t - rn) END) * value), 6)
+             round(sum(0.3 * pow(0.7, t - rn) * value)
+                   + pow(0.7, count(value)) * avg(value), 6)
                AS hist_ewma,
              round(3.0 * round(coalesce(stddev_samp(value), 0.0), 6)
                    * sqrt(0.3 / 1.7
@@ -6282,9 +6282,9 @@ def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
       SELECT doc_id, t,
         list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS w,
         list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS l,
-        (len(t) - len(replace(t, '#', ''))) / 1.0
-          + (len(t) - len(replace(t, '...', ''))) / 3.0
-          + (len(t) - len(replace(t, '…', ''))) / 1.0 AS sym
+        (len(t) - len(replace(t, '#', ''))) / 1.0 AS hsh,
+        (len(t) - len(replace(t, '...', ''))) / 3.0
+          + (len(t) - len(replace(t, '…', ''))) / 1.0 AS ell
       FROM src
     ), sig AS (
       SELECT doc_id,
@@ -6292,8 +6292,10 @@ def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
         CASE WHEN len(w) > 0 THEN
           round(list_sum(list_transform(w, x -> len(x))) / len(w), 6)
         END AS mean_word_len,
-        CASE WHEN len(w) > 0 THEN round(sym / len(w), 6) END
-          AS symbol_word_ratio,
+        CASE WHEN len(w) > 0 THEN round(hsh / len(w), 6) END
+          AS hash_word_ratio,
+        CASE WHEN len(w) > 0 THEN round(ell / len(w), 6) END
+          AS ellipsis_word_ratio,
         CASE WHEN len(l) > 0 THEN
           round(len(list_filter(l, x ->
             substr(trim(x), 1, 1) = '-' OR substr(trim(x), 1, 1) = '*'
@@ -6313,16 +6315,19 @@ def outliers_grouped_events_value(spark, sf_dir) -> DataFrame:
           AS INT) AS n_stop_hits
       FROM parts
     )
-    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+    SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+           ellipsis_word_ratio,
            frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
            n_stop_hits, drop_reason IS NULL AS keep, drop_reason FROM (
-      SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+      SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+             ellipsis_word_ratio,
              frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
              n_stop_hits,
              CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
                   WHEN mean_word_len < 3 OR mean_word_len > 10
                     THEN 'mean_word_length'
-                  WHEN symbol_word_ratio > 0.1 THEN 'symbol_ratio'
+                  WHEN hash_word_ratio > 0.1 OR ellipsis_word_ratio > 0.1
+                    THEN 'symbol_ratio'
                   WHEN frac_bullet_lines > 0.9 THEN 'bullet_lines'
                   WHEN frac_ellipsis_lines > 0.3 THEN 'ellipsis_lines'
                   WHEN frac_alpha_words < 0.8 THEN 'alpha_words'

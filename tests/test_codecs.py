@@ -766,3 +766,24 @@ def test_audio_fingerprint64_gain_property(seed, n):
     assert audio_fingerprint64(encode_wav_pcm((s * 2).astype(np.int16))) == f
     assert audio_fingerprint64(encode_wav_pcm((s * 4).astype(np.int16))) == f
     assert -(2**63) <= f < 2**63
+
+
+def test_wav_samples_8bit_unsigned_midpoint():
+    """8-bit PCM is unsigned with a 128 midpoint (RIFF spec): digital
+    silence must decode to zeros, not a sign-wrapped square wave
+    (review finding)."""
+    import io
+    import wave
+
+    from jsons_to_schema_spark.operators.codecs import wav_samples
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 300 + [255, 1] * 50))
+    arr, rate = wav_samples(buf.getvalue())
+    assert rate == 8000 and arr.shape[0] == 400
+    assert (arr[:300] == 0.0).all()
+    assert arr[300] == 127.0 and arr[301] == -127.0

@@ -405,8 +405,10 @@ def test_containment_grades_and_edges(spark):
 
 
 def _ewma_ref(values, alpha):
-    m = values[0]
-    for x in values[1:]:
+    # textbook Roberts chart: the recursion initializes at the in-control
+    # mean, so the variance-inflation factor in the limit is exact
+    m = sum(values) / len(values)
+    for x in values:
         m = alpha * x + (1 - alpha) * m
     return m
 
