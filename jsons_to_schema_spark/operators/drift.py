@@ -166,11 +166,14 @@ def divergence_report(
 ) -> DataFrame:
     """The full binned-divergence panel between two slices of a numeric
     column: per-bucket terms for PSI, Jensen-Shannon divergence,
-    chi-squared, and the Kolmogorov-Smirnov statistic — four drift metrics
-    with different failure sensitivities (PSI/JS weight proportional
-    shifts, chi-squared amplifies shifts in thin buckets, KS catches a
-    cumulative location shift the bucket-local metrics smear out), all
-    from the SAME two bounded histogram passes PSI alone already pays.
+    chi-squared, the Kolmogorov-Smirnov statistic, and the Wasserstein-1
+    (earth mover) distance — five drift metrics with different failure
+    sensitivities (PSI/JS weight proportional shifts, chi-squared
+    amplifies shifts in thin buckets, KS catches a cumulative location
+    shift the bucket-local metrics smear out, Wasserstein alone is
+    MAGNITUDE-aware: a one-bucket nudge and a nine-bucket jump give the
+    same KS but very different transport cost), all from the SAME two
+    bounded histogram passes PSI alone already pays.
 
     Bucketing is column_histogram's equi-width expression; each side is
     one map-side-partial groupBy bounded by the bucket count.  PSI/JS/chi2
@@ -178,14 +181,18 @@ def divergence_report(
     buckets stay finite; JS is in nats with m = (p_base + p_cur)/2;
     chi-squared is Σ (o_cur − E)²/E with E = p_base·(N_cur + s·B) (expected
     current count under the base distribution, on the smoothed grid).  KS
-    uses RAW cumulative shares (the statistic is a CDF property; smoothing
-    would bias it) — an empty side yields NULL ks_term rows, which a
-    monitor must read as an alert, never as zero drift.  Every term is
+    and Wasserstein use RAW cumulative shares (both are CDF properties;
+    smoothing would bias them) — an empty side yields NULL ks_term /
+    emd_term rows, which a monitor must read as an alert, never as zero
+    drift.  emd_term = |CDF_base − CDF_cur| × bucket_width, so Σ emd_term
+    is the exact W₁ distance between the two BINNED distributions (each
+    bucket's mass at its grid point; the overflow bucket counts one
+    width — the binned estimator's documented truncation).  Every term is
     round(6) so the cross-engine comparison is summation-order-proof.
 
     Returns one row per bucket: (bucket, bucket_lo, bucket_hi, base_n,
-    cur_n, psi_term, js_term, chi2_term, ks_term).  Fold with
-    ``divergence_score`` for the four scalars.
+    cur_n, psi_term, js_term, chi2_term, ks_term, emd_term).  Fold with
+    ``divergence_score`` for the five scalars.
 
     Scale: identical to psi_report — two corpus scans (one per side), all
     downstream arithmetic on the ≤ n_buckets-row table via
@@ -238,20 +245,25 @@ def divergence_report(
         ),
         F.round(F.pow(observed - expected, 2) / expected, 6).alias("chi2_term"),
         F.round(F.abs(cdf_b - cdf_c), 6).alias("ks_term"),
+        F.round(
+            F.abs(cdf_b - cdf_c) * F.lit((hi - lo) / n_buckets), 6
+        ).alias("emd_term"),
     )
 
 
 def divergence_score(report: DataFrame) -> DataFrame:
-    """Collapse a divergence_report to one row of the four scalars:
+    """Collapse a divergence_report to one row of the five scalars:
     psi = Σ psi_term, js_divergence = Σ js_term (nats), chi2 = Σ chi2_term,
-    ks_stat = max ks_term.  Terms are already round(6); sums re-round so
-    the result is grid-exact.  A NULL ks_stat means a slice was EMPTY —
-    alert, never zero."""
+    ks_stat = max ks_term, wasserstein = Σ emd_term (column units — the
+    mean transport distance between the binned distributions).  Terms are
+    already round(6); sums re-round so the result is grid-exact.  A NULL
+    ks_stat / wasserstein means a slice was EMPTY — alert, never zero."""
     return report.agg(
         F.round(F.sum("psi_term"), 6).alias("psi"),
         F.round(F.sum("js_term"), 6).alias("js_divergence"),
         F.round(F.sum("chi2_term"), 6).alias("chi2"),
         F.max("ks_term").alias("ks_stat"),
+        F.round(F.sum("emd_term"), 6).alias("wasserstein"),
     )
 
 

@@ -4991,24 +4991,26 @@ def cdc_compact_events(spark, sf_dir) -> DataFrame:
                    + 0.5 * pc * ln(pc / ((pb + pc) / 2)), 6) AS js_term,
              round(pow((cur_n + 0.5) - pb * (ct + 5.0), 2)
                    / (pb * (ct + 5.0)), 6) AS chi2_term,
-             round(abs(cb / bt - cc / ct), 6) AS ks_term
+             round(abs(cb / bt - cc / ct), 6) AS ks_term,
+             round(abs(cb / bt - cc / ct) * 50.0, 6) AS emd_term
       FROM terms
     )
     SELECT round(sum(psi_term), 6) AS psi,
            round(sum(js_term), 6) AS js_divergence,
            round(sum(chi2_term), 6) AS chi2,
-           max(ks_term) AS ks_stat
+           max(ks_term) AS ks_stat,
+           round(sum(emd_term), 6) AS wasserstein
     FROM per
     """,
 )
 def drift_divergence_events_value(spark, sf_dir) -> DataFrame:
     """Binned divergence panel (drift.divergence_report + score): PSI,
-    Jensen-Shannon, chi-squared, and binned KS between the event_id-parity
-    slices of events.value, all from the same two bounded histogram scans
-    PSI alone costs — four drift metrics with different sensitivities for
-    the price of one.  Every per-bucket term and every folded scalar is
-    round(6) from exact long counts, recomputed relationally by the
-    oracle."""
+    Jensen-Shannon, chi-squared, binned KS, and Wasserstein-1 between the
+    event_id-parity slices of events.value, all from the same two bounded
+    histogram scans PSI alone costs — five drift metrics with different
+    sensitivities for the price of one.  Every per-bucket term and every
+    folded scalar is round(6) from exact long counts, recomputed
+    relationally by the oracle."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)

@@ -192,7 +192,7 @@ def test_divergence_report_matches_numpy(spark):
     assert bn == [2, 1, 1, 0, 1] and cn == [1, 0, 0, 0, 3]
     s, B = 0.5, 5
     bt, ct = sum(bn), sum(cn)
-    psi = js = chi2 = 0.0
+    psi = js = chi2 = emd = 0.0
     ks = 0.0
     cb = cc = 0
     for i in range(B):
@@ -206,19 +206,46 @@ def test_divergence_report_matches_numpy(spark):
         cb += bn[i]
         cc += cn[i]
         ks_t = round(abs(cb / bt - cc / ct), 6)
+        emd_t = round(abs(cb / bt - cc / ct) * 2.0, 6)  # width = 10/5
         r = rows[i]
-        assert (r.psi_term, r.js_term, r.chi2_term, r.ks_term) == (
+        assert (r.psi_term, r.js_term, r.chi2_term, r.ks_term, r.emd_term) == (
             psi_t,
             js_t,
             chi_t,
             ks_t,
+            emd_t,
         ), i
-        psi, js, chi2, ks = psi + psi_t, js + js_t, chi2 + chi_t, max(ks, ks_t)
+        psi, js, chi2, ks, emd = (
+            psi + psi_t,
+            js + js_t,
+            chi2 + chi_t,
+            max(ks, ks_t),
+            emd + emd_t,
+        )
     score = drift.divergence_score(rep).collect()[0]
     assert score.psi == round(psi, 6)
     assert score.js_divergence == round(js, 6)
     assert score.chi2 == round(chi2, 6)
     assert score.ks_stat == ks
+    assert score.wasserstein == round(emd, 6)
+
+
+def test_wasserstein_is_magnitude_aware_where_ks_saturates(spark):
+    """A one-bucket nudge and a four-bucket jump both saturate KS at 1.0;
+    only the Wasserstein scalar ranks them — the reason the panel carries
+    both CDF metrics."""
+    base = spark.createDataFrame([(0.5,)] * 4, "x double")
+    near = spark.createDataFrame([(2.5,)] * 4, "x double")
+    far = spark.createDataFrame([(8.5,)] * 4, "x double")
+    s_near = drift.divergence_score(
+        drift.divergence_report(base, near, "x", 0.0, 10.0, 5)
+    ).collect()[0]
+    s_far = drift.divergence_score(
+        drift.divergence_report(base, far, "x", 0.0, 10.0, 5)
+    ).collect()[0]
+    assert s_near.ks_stat == s_far.ks_stat == 1.0
+    assert s_near.wasserstein == 2.0  # one bucket × width 2
+    assert s_far.wasserstein == 8.0  # four buckets × width 2
 
 
 def test_divergence_empty_side_yields_null_ks_not_zero(spark):
@@ -226,6 +253,7 @@ def test_divergence_empty_side_yields_null_ks_not_zero(spark):
     cur = base.filter(F.lit(False))
     rows = drift.divergence_report(base, cur, "x", 0.0, 10.0, 4).collect()
     assert all(r.ks_term is None for r in rows)  # alert, never "no drift"
+    assert all(r.emd_term is None for r in rows)  # same CDF-property stance
     assert all(r.psi_term is not None for r in rows)  # smoothed stays finite
 
 
