@@ -589,6 +589,57 @@ def uniqueness_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
     )
 
 
+def completeness_profile(
+    df: DataFrame, columns: "list[str]", group_col: str | None = None
+) -> DataFrame:
+    """Per-segment × per-column completeness matrix — deequ's Completeness
+    analyzer sliced by a segment column: "which FEED broke" where the
+    global null rate only says "something broke" (a feed that nulls one
+    column entirely can hide inside a healthy global average when the
+    segment is small).
+
+    Shape: ONE multi-aggregate grouped scan — count(*) plus one
+    sum(isnull) per column as COLUMNS of the per-group aggregate
+    (map-side partial, shuffle bounded by the number of segments), then
+    the BOUNDED group table melts via ``stack`` into (group, column,
+    n_rows, n_null) rows.  Aggregating before melting keeps the shuffle
+    at groups-many wide rows instead of groups × columns × partials;
+    the melt itself touches only the bounded aggregate.
+
+    group_col=None profiles the whole frame as one segment labeled
+    '_all'.  NULL group values are a real segment (labeled as the cast
+    string or kept NULL) — a feed that forgot its segment tag is exactly
+    the feed to inspect.  completeness = (n_rows − n_null)/n_rows,
+    round(6) for cross-engine bit-stability.
+    """
+    if not columns:
+        raise ValueError("completeness_profile: columns must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.isnull(c).cast("long")).alias(f"_null_{i}")
+        for i, c in enumerate(columns)
+    ]
+    if group_col is None:
+        per_group = df.agg(*aggs).select(F.lit("_all").alias("_grp"), "*")
+    else:
+        per_group = df.groupBy(
+            F.col(group_col).cast("string").alias("_grp")
+        ).agg(*aggs)
+    stack = ", ".join(f"'{c}', _null_{i}" for i, c in enumerate(columns))
+    return per_group.select(
+        "_grp",
+        "_n",
+        F.expr(f"stack({len(columns)}, {stack}) AS (column, n_null)"),
+    ).select(
+        F.col("_grp").alias("group_value"),
+        "column",
+        F.col("_n").alias("n_rows"),
+        "n_null",
+        F.round((F.col("_n") - F.col("n_null")) / F.col("_n"), 6).alias(
+            "completeness"
+        ),
+    )
+
+
 def functional_dependencies(
     df: DataFrame, determinant: "list[str]", dependents: "list[str]"
 ) -> DataFrame:

@@ -5143,6 +5143,58 @@ def null_cooccurrence_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "completeness_by_segment_events",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'click' AND event_id % 5 = 0
+                  THEN NULL ELSE value END AS value_n,
+             CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props_n
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_value,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(value_n) AS BIGINT) AS nv,
+             CAST(count(*) - count(props_n) AS BIGINT) AS np
+      FROM t GROUP BY 1
+    )
+    SELECT group_value, 'value_n' AS "column", n_rows, nv AS n_null,
+           round((n_rows - nv) / n_rows, 6) AS completeness
+    FROM g
+    UNION ALL
+    SELECT group_value, 'props_n', n_rows, np,
+           round((n_rows - np) / n_rows, 6)
+    FROM g
+    """,
+)
+def completeness_by_segment_events(spark, sf_dir) -> DataFrame:
+    """Per-segment completeness matrix (stats.completeness_profile): null
+    rates per (event_type, column) from ONE grouped multi-aggregate scan.
+    The testdata carries no nulls, so a segment-correlated outage is
+    PLANTED — value goes null on every fifth click event (a broken feed
+    localized to ONE segment) beside a uniform %10 props outage — and the
+    profile must attribute ~20% incompleteness to the click segment
+    alone while every other segment reads 1.0 for value."""
+    ev = load_table(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_type",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("event_id") % 5 == 0),
+            F.lit(None),
+        )
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+        F.when(F.col("event_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props_n"),
+    )
+    return stats.completeness_profile(
+        planted, ["value_n", "props_n"], "event_type"
+    )
+
+
+@query(
     "sequence_integrity_lineitem",
     oracle="""
     WITH a AS (

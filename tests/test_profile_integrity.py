@@ -109,3 +109,54 @@ def test_null_cooccurrence_underscore_names_do_not_collide(spark):
     by_pair = {(r.col_a, r.col_b): r.n_both_null for r in rows}
     assert by_pair[("a", "a_b")] == 1
     assert by_pair[("a", "b_c")] == 0
+
+
+def test_completeness_profile_grouped(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x"),
+            ("a", None, "y"),
+            ("a", None, None),
+            ("b", 4, "z"),
+        ],
+        "g string, v int, s string",
+    )
+    rows = {
+        (r.group_value, r.column): r
+        for r in stats.completeness_profile(df, ["v", "s"], "g").collect()
+    }
+    assert rows[("a", "v")].n_rows == 3 and rows[("a", "v")].n_null == 2
+    assert rows[("a", "v")].completeness == round(1 / 3, 6)
+    assert rows[("a", "s")].n_null == 1
+    assert rows[("b", "v")].completeness == 1.0
+    assert rows[("b", "s")].completeness == 1.0
+
+
+def test_completeness_profile_ungrouped_and_null_group(spark):
+    df = spark.createDataFrame(
+        [(None, None), ("g1", 1)], "g string, v int"
+    )
+    whole = stats.completeness_profile(df, ["v"]).collect()
+    assert len(whole) == 1
+    assert whole[0].group_value == "_all"
+    assert whole[0].n_rows == 2 and whole[0].n_null == 1
+    # a NULL segment tag is a real segment, not a dropped row
+    grouped = {
+        r.group_value: r
+        for r in stats.completeness_profile(df, ["v"], "g").collect()
+    }
+    assert None in grouped and grouped[None].n_null == 1
+    assert grouped["g1"].completeness == 1.0
+    with pytest.raises(ValueError):
+        stats.completeness_profile(df, [])
+
+
+def test_completeness_profile_single_scan(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id")).alias("v"),
+        F.col("id").cast("string").alias("s"),
+    )
+    plan = stats.completeness_profile(df, ["v", "s"], "g")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Range") == 1  # one corpus scan feeds the whole matrix
