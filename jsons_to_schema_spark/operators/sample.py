@@ -297,3 +297,68 @@ def weighted_quota_sample(
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    splits: "dict[str, float]",
+    pairs: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+) -> DataFrame:
+    """Named train/val/test assignment that CANNOT leak near-duplicates
+    across the split boundary: the decision hash is taken over the row's
+    duplicate-CLUSTER representative, not the row itself, so every member
+    of a connected dup component lands in the same split.  Hashing raw
+    row ids — the common mistake — puts a near-copy of a training page in
+    the eval split, and the eval score silently measures memorization.
+
+    ``pairs`` is any near-dup pair list (MinHash/SimHash/embedding/dHash —
+    whatever the dedup family produced); rows in no pair are their own
+    singleton cluster.  ``splits`` maps name → fraction in CALLER order;
+    fractions must sum to 1 (±1e-9).  Assignment carves [0, 16^8) into
+    cumulative hex intervals of the module's md5 decision prefix — the
+    LAST split takes everything above the penultimate threshold, so
+    rounding on the 1/16^8 grid can never orphan a row.  Deterministic
+    under any partitioning, and growth-stable per cluster: new members
+    join their cluster's existing split (unless new edges MERGE two
+    clusters — then the merged component re-decides together, which is
+    exactly the leakage-safe behavior).
+
+    Plan: the connected-components rounds of ``duplicate_clusters`` (pair
+    table-sized, O(log² n) bounded rounds) + ONE join of the corpus
+    against the bounded cluster table + a narrow split projection — the
+    corpus itself is scanned once and never reshuffled.
+
+    Returns df + (cluster_id, split).
+    """
+    from .dedup import assign_duplicate_clusters
+
+    if not splits:
+        raise ValueError("leakage_safe_split: splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"leakage_safe_split: fractions must sum to 1, got {total}"
+        )
+    if any(f < 0 for f in splits.values()):
+        raise ValueError("leakage_safe_split: fractions must be >= 0")
+    if pairs is not None:
+        labeled = assign_duplicate_clusters(df, pairs, key_col, id_a, id_b).drop(
+            "keep"
+        )
+    else:
+        labeled = df.withColumn("cluster_id", F.col(key_col))
+    k = sample_key(F.col("cluster_id").cast("string"), seed)
+    names = list(splits)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    thresholds = []
+    for name in names[:-1]:
+        cum += splits[name]
+        thresholds.append((name, _hex_threshold(cum)))
+    for name, thr in reversed(thresholds):
+        expr = F.when(k < F.lit(thr), F.lit(name)).otherwise(expr)
+    return labeled.withColumn("split", expr)

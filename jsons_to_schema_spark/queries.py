@@ -6490,6 +6490,51 @@ def weighted_quota_sample_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "leakage_safe_split_documents",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id < 200 THEN doc_id - doc_id % 4
+                  ELSE doc_id END AS cluster_id
+      FROM documents
+    )
+    SELECT doc_id, lang, cluster_id,
+           CASE WHEN substr(md5('7' || chr(31)
+                     || CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccd'
+                THEN 'train'
+                WHEN substr(md5('7' || chr(31)
+                     || CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM c
+    """,
+)
+def leakage_safe_split_documents(spark, sf_dir) -> DataFrame:
+    """Leakage-safe train/val/test split (sample.leakage_safe_split):
+    every doc below 200 is linked to the head of its group of four, so
+    the connected components are 50 four-doc clusters plus 300
+    singletons, and the 80/10/10 decision hashes the CLUSTER
+    representative — near-duplicates can never straddle the train/eval
+    boundary.  The oracle derives the same cluster ids from the planted
+    construction and replays the identical md5-interval assignment, so a
+    hash match proves the CC labels AND the split decision row-for-row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = docs.filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 4 != 0)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("id_b"),
+    )
+    return sample.leakage_safe_split(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        pairs,
+        seed=7,
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -143,3 +143,67 @@ def test_weighted_quota_sample_per_stratum(spark):
     # partition invariance
     again = S.weighted_quota_sample(df.repartition(13), "id", "g", "w", 10, seed=5)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from jsons_to_schema_spark.operators.sample import leakage_safe_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # chains linking each doc below 800 to the head of its group of 4
+    pairs = (
+        spark.range(800)
+        .filter(F.col("id") % 4 != 0)
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") - F.col("id") % 4).alias("id_b"),
+        )
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, pairs, seed=7
+    )
+    rows = out.collect()
+    assert len(rows) == 2000
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # no cluster straddles a split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # clustered docs inherit the head's cluster
+    m = {r.doc_id: r for r in rows}
+    for i in range(800):
+        assert m[i].cluster_id == i - i % 4
+    for i in range(800, 2000):
+        assert m[i].cluster_id == i
+    # fractions roughly honored over the ~1400 clusters
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_leakage_safe_split_partition_and_pairless(spark):
+    from jsons_to_schema_spark.operators.sample import leakage_safe_split
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = leakage_safe_split(docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=3)
+    b = leakage_safe_split(
+        docs.repartition(13), "doc_id", {"a": 0.5, "b": 0.5}, seed=3
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # pairless == deterministic hash split of the row key itself
+    import hashlib
+
+    for r in a.collect():
+        h = hashlib.md5(f"3\x1f{r.doc_id}".encode()).hexdigest()[:8]
+        assert r.split == ("a" if h < _hex_threshold(0.5) else "b")
+
+
+def test_leakage_safe_split_validates(spark):
+    from jsons_to_schema_spark.operators.sample import leakage_safe_split
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, "doc_id", {})
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
