@@ -5525,6 +5525,73 @@ def fuzzy_pairs_customer_names(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "entity_clusters_customer_names",
+    oracle="""
+    WITH RECURSIVE cu AS (
+      SELECT c_custkey,
+             'e' || lpad(CAST(11 * (c_custkey % 300) AS VARCHAR), 4, '0')
+                 || CASE CAST(floor(c_custkey / 300) AS BIGINT) % 5
+                      WHEN 1 THEN 'x' WHEN 2 THEN 'xx'
+                      WHEN 3 THEN 'y' WHEN 4 THEN 'z' ELSE '' END AS name
+      FROM customer
+    ), pr AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM cu a JOIN cu b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.name, b.name) <= 1
+    ), e(src, dst) AS (
+      SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr
+    ), reach(id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+    ), lab AS (
+      SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+    )
+    SELECT c.c_custkey, c.name,
+           coalesce(lab.cluster, c.c_custkey) AS cluster_id,
+           coalesce(lab.cluster, c.c_custkey) = c.c_custkey AS keep
+    FROM cu c LEFT JOIN lab ON lab.id = c.c_custkey
+    """,
+)
+def entity_clusters_customer_names(spark, sf_dir) -> DataFrame:
+    """Entity resolution end-to-end: the SymSpell-blocked fuzzy pair list
+    composed with large-star/small-star connected components and the
+    keep-one representative policy (dedup.assign_duplicate_clusters) —
+    what a master-data pipeline consumes, since pairs alone resolve
+    nothing.  Names are PLANTED with structure the raw customer names
+    lack (those chain into one giant component): 300 entity bases that
+    are pairwise Levenshtein ≥ 2 apart (multiples of 11 zero-padded —
+    a single-digit edit changes the value by d·10^k ≢ 0 mod 11, so no
+    one-substitution path between bases exists) each carrying five
+    variant suffixes ('', x, xx, y, z) where 'xx' reaches '' only
+    THROUGH 'x' — the components are genuinely multi-hop, so the CC
+    rounds are exercised, not just echoed.  The oracle recomputes the
+    closure from the all-pairs Levenshtein list with a recursive CTE and
+    must match every row's cluster label AND representative flag."""
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    m = (F.floor(F.col("c_custkey") / 300).cast("long") % 5)
+    suffix = (
+        F.when(m == 1, F.lit("x"))
+        .when(m == 2, F.lit("xx"))
+        .when(m == 3, F.lit("y"))
+        .when(m == 4, F.lit("z"))
+        .otherwise(F.lit(""))
+    )
+    planted = cu.select(
+        "c_custkey",
+        F.concat(
+            F.lit("e"),
+            F.lpad((11 * (F.col("c_custkey") % 300)).cast("string"), 4, "0"),
+            suffix,
+        ).alias("name"),
+    )
+    pairs = dedup.fuzzy_self_pairs(planted, "c_custkey", "name", 1).select(
+        "id_a", "id_b"
+    )
+    return dedup.assign_duplicate_clusters(planted, pairs, "c_custkey")
+
+
+@query(
     "categorical_association_events",
     oracle="""
     WITH src AS (
