@@ -252,6 +252,77 @@ def decontaminate_semantic(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    eval_ngrams: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 5,
+    tokenizer: str = "words",
+) -> DataFrame:
+    """Span-level contamination evidence: the MAXIMAL token ranges of each
+    document covered by eval-set n-grams — what you need to surgically
+    EXCISE a leaked passage instead of dropping the whole document (the
+    doc-level verdicts of ``contamination_hits`` can only drop; a 50k-token
+    page quoting one benchmark question is mostly salvageable).
+
+    Positions come free from the aligned-slice shingle kernel: element i
+    of the shingle array starts at token i, so ``posexplode`` yields
+    (start_token, ngram) with no second tokenization.  Hit positions
+    merge into maximal runs by the islands rule — hit p covers
+    [p, p+n), and two hits merge iff the later start is ≤ the earlier
+    start + n (overlapping or exactly adjacent coverage) — via one
+    lag + running-sum window pair per document.
+
+    Plan shape: same broadcast probe as ``contamination_hits`` (the
+    corpus never shuffles; the positional explode pipelines inside the
+    scan stage), then ONE hash Exchange on doc id carrying only the HIT
+    positions (rare by definition) for the island windows.
+
+    Returns (id, span_start, span_end, n_tokens, n_hit_grams): token
+    index range [span_start, span_end) in the document's own token
+    sequence, n_hit_grams = how many eval n-grams the run contains.
+    """
+    from pyspark.sql import Window
+
+    probe = docs.select(
+        F.col(id_col).alias("id"), _tok(F.col(col), tokenizer).alias("_t")
+    ).select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), n)).alias(
+            "pos", "ngram"
+        ),
+    )
+    hits = probe.join(
+        F.broadcast(eval_ngrams.select("ngram").distinct()), "ngram"
+    ).select("id", F.col("pos").cast("long").alias("pos"))
+    w = Window.partitionBy("id").orderBy("pos")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_island = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w_cum))
+    return (
+        with_island.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_hit_grams"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+            "n_hit_grams",
+        )
+    )
+
+
 def contamination_share(
     docs: DataFrame,
     eval_ngrams: DataFrame,

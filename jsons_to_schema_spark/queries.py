@@ -2600,6 +2600,66 @@ def decontam_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "contamination_spans_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] AS ngram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks WHERE doc_id % 83 = 0 AND len(t) >= 5)
+    ), probe AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             t[i+3] || ' ' || t[i+4] AS ngram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            FROM toks WHERE len(t) >= 5)
+    ), hits AS (
+      SELECT p.doc_id, p.pos FROM probe p JOIN ev USING (ngram)
+    ), lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 5
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+           max(pos) + 5 - min(pos) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def contamination_spans_documents(spark, sf_dir) -> DataFrame:
+    """Span-level contamination evidence (decontam.contamination_spans):
+    the maximal token ranges of each training document covered by eval
+    5-grams (eval = the %83 doc slice) — the surgical-excision companion
+    to the doc-level verdicts.  Eval members report their full text as
+    one span; incidental sharers report short interior runs.  The oracle
+    replays the positional probe and the islands merge relationally, so
+    every span boundary and per-run gram count is value-checked."""
+    from .operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
+    )
+    sp = decontam.contamination_spans(docs, ev, "text", "doc_id", n=5)
+    return sp.select(
+        F.col("id").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "n_tokens",
+        "n_hit_grams",
+    )
+
+
+@query(
     "pack_sequences_documents",
     oracle="""
     WITH t AS (

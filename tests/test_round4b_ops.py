@@ -528,3 +528,53 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train_codebooks(df, m=2, n_codes=4)
+
+
+# -------------------------------------------------- span-level contamination
+def test_contamination_spans_island_merge_geometry(spark):
+    """Hits at token positions {0, 3} merge (3 <= 0+5); a hit at exactly
+    prev+n is ADJACENT coverage and merges; prev+n+1 starts a new span."""
+    from jsons_to_schema_spark.operators import decontam
+
+    # 30 tokens w0..w29; eval grams plant hits at positions 0, 5 (adjacent
+    # to 0: 5 == 0+5 merges), and 11 (11 - 5 = 6 > 5: new span)
+    words = [f"w{i}" for i in range(30)]
+    doc = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+
+    def gram(p):
+        return " ".join(words[p : p + 5])
+
+    ev = spark.createDataFrame(
+        [(gram(0),), (gram(5),), (gram(11),)], "ngram string"
+    )
+    rows = sorted(
+        decontam.contamination_spans(doc, ev, "text", "doc_id", n=5).collect(),
+        key=lambda r: r.span_start,
+    )
+    assert [(r.span_start, r.span_end, r.n_tokens, r.n_hit_grams) for r in rows] == [
+        (0, 10, 10, 2),   # 0 and 5 merged: coverage [0,5)+[5,10)
+        (11, 16, 5, 1),   # isolated run
+    ]
+
+
+def test_contamination_spans_partition_invariance_and_no_hits(spark):
+    from jsons_to_schema_spark.operators import decontam
+
+    words = [f"t{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i % 3 :])) for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(" ".join(words[10:15]),)], "ngram string"
+    )
+    a = decontam.contamination_spans(docs, ev, "text", "doc_id", n=5)
+    b = decontam.contamination_spans(
+        docs.repartition(7), ev, "text", "doc_id", n=5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    none = decontam.contamination_spans(
+        docs, spark.createDataFrame([("zz zz zz zz zz",)], "ngram string"),
+        "text", "doc_id", n=5,
+    )
+    assert none.count() == 0
