@@ -595,3 +595,83 @@ def video_near_dup_pairs(
         "media_ref",
         max_hamming,
     )
+
+
+MEDIA_VALIDATION_SCHEMA = (
+    "media_ref string, claimed string, sniffed string, status string, "
+    "ok boolean"
+)
+
+
+def validate_media_payloads(
+    df: DataFrame, ref_col: str, bytes_col: str, claimed_col: str | None = None
+) -> DataFrame:
+    """Payload-parses-as-claimed validation — the binary-column arm of the
+    constraint-validation engine: referential checks prove a media_ref
+    RESOLVES; this proves the bytes behind it actually ARE what the row
+    claims.  One Arrow-batched pass grades each payload:
+
+    * ``empty``         — NULL or zero-length payload
+    * ``unknown_magic`` — no known format signature in the header
+    * ``kind_mismatch`` — sniffed format ≠ the row's claimed kind (graded
+      BEFORE decoding: a valid JPEG in a column declared 'png' is a
+      violation, and skipping the decode keeps the rejection cheap)
+    * ``corrupt``       — magic bytes fine, full stdlib decode raised
+      (truncated/damaged payloads)
+    * ``unsupported``   — the decode hit the documented per-format seam
+      (NotImplementedError: coded video frames etc.)
+    * ``ok``            — full decode succeeded
+
+    ok = (status == 'ok').  The full decode (not just a header parse) is
+    deliberate: a PNG whose IDAT stream is truncated has a perfect header
+    and is still useless to a training pipeline.
+
+    Scale: mapInPandas over the payload column — decode cost is the
+    irreducible term; rows carry only (ref, claimed) beside the bytes and
+    the output is five narrow columns, so nothing payload-sized survives
+    the stage.  Same per-batch decode budget as ``decode_features``.
+    """
+    from . import codecs
+
+    cols = [F.col(ref_col).alias("media_ref"), F.col(bytes_col).alias("_payload")]
+    cols.append(
+        (F.col(claimed_col) if claimed_col else F.lit(None)).cast("string").alias(
+            "claimed"
+        )
+    )
+    src = df.select(*cols)
+
+    def grade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed, status = [], []
+            for p, claimed in zip(pdf["_payload"], pdf["claimed"]):
+                raw = bytes(p) if p is not None else b""
+                if not raw:
+                    sniffed.append(None)
+                    status.append("empty")
+                    continue
+                fmt = codecs.sniff_format(raw)
+                sniffed.append(fmt)
+                if fmt is None:
+                    status.append("unknown_magic")
+                elif claimed is not None and claimed != fmt:
+                    status.append("kind_mismatch")
+                else:
+                    try:
+                        codecs.decode_media(raw)
+                        status.append("ok")
+                    except NotImplementedError:
+                        status.append("unsupported")
+                    except Exception:
+                        status.append("corrupt")
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "claimed": pdf["claimed"].values,
+                    "sniffed": sniffed,
+                    "status": status,
+                    "ok": [s == "ok" for s in status],
+                }
+            )
+
+    return src.mapInPandas(grade, MEDIA_VALIDATION_SCHEMA)

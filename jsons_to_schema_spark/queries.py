@@ -2069,6 +2069,105 @@ def multimodal_mjpeg_frame_features(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "multimodal_validate_payloads",
+    oracle="""
+    WITH ids AS (SELECT CAST(unnest(range(0, 25)) AS BIGINT) AS i)
+    SELECT 'ok-bmp-' || CAST(i AS VARCHAR) AS media_ref, 'bmp' AS claimed,
+           'bmp' AS sniffed, 'ok' AS status, true AS ok FROM ids
+    UNION ALL
+    SELECT 'ok-gif-' || CAST(i AS VARCHAR), 'gif', 'gif', 'ok', true FROM ids
+    UNION ALL
+    SELECT 'corrupt-png-' || CAST(i AS VARCHAR), 'png', 'png', 'corrupt',
+           false FROM ids
+    UNION ALL
+    SELECT 'mismatch-' || CAST(i AS VARCHAR), 'png', 'wav', 'kind_mismatch',
+           false FROM ids
+    UNION ALL
+    SELECT 'empty-' || CAST(i AS VARCHAR), 'wav', NULL, 'empty', false
+    FROM ids
+    UNION ALL
+    SELECT 'junk-' || CAST(i AS VARCHAR), 'bin', NULL, 'unknown_magic',
+           false FROM ids
+    UNION ALL
+    SELECT 'wav24-' || CAST(i AS VARCHAR), 'wav', 'wav', 'unsupported',
+           false FROM ids
+    """,
+)
+def multimodal_validate_payloads(spark, sf_dir) -> DataFrame:
+    """Payload-parses-as-claimed validation (multimodal.
+    validate_media_payloads) — the binary-column arm of the constraint
+    engine: 175 payloads across seven construction arms whose verdicts
+    are provable from how each was built.  Valid BMP/GIF decode to 'ok';
+    a PNG truncated inside its IHDR keeps perfect magic bytes but fails
+    the full decode ('corrupt' — the arm a header-only check would pass);
+    a valid WAV in a column claiming 'png' grades 'kind_mismatch' before
+    any decode; empty and garbage payloads grade 'empty'/'unknown_magic';
+    and a 24-bit WAV lands on the documented NotImplementedError seam
+    ('unsupported'), distinguished from corruption.  The oracle is the
+    construction itself, written as literal rows."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from .operators.codecs import encode_bmp, encode_gif, encode_png, encode_wav
+
+    rows = []
+    for i in range(25):
+        rows.append(
+            (
+                f"ok-bmp-{i}",
+                "bmp",
+                bytearray(
+                    encode_bmp(
+                        4 + i % 5,
+                        3 + i % 4,
+                        (i % 256, (3 * i) % 256, (7 * i) % 256),
+                    )
+                ),
+            )
+        )
+        px = np.full(
+            (5, 4, 3),
+            ((11 * i) % 256, (5 * i) % 256, (2 * i) % 256),
+            dtype=np.uint8,
+        )
+        rows.append((f"ok-gif-{i}", "gif", bytearray(encode_gif(4, 5, px))))
+        rows.append(
+            (
+                f"corrupt-png-{i}",
+                "png",
+                bytearray(
+                    encode_png(6 + i % 3, 6, ((13 * i) % 256, 0, 255))[
+                        : 16 + i % 5
+                    ]
+                ),
+            )
+        )
+        rows.append(
+            (f"mismatch-{i}", "png", bytearray(encode_wav(50 + i, 1000 + i)))
+        )
+        rows.append((f"empty-{i}", "wav", bytearray(b"")))
+        rows.append(
+            (f"junk-{i}", "bin", bytearray(b"XYZW" + bytes([i % 256]) * 8))
+        )
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(bytes([i % 256, 1, 2]) * 60)
+        w.close()
+        rows.append((f"wav24-{i}", "wav", bytearray(buf.getvalue())))
+    df = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary"
+    )
+    return multimodal.validate_media_payloads(
+        df, "media_ref", "payload", "kind"
+    )
+
+
+@query(
     "multimodal_frame_plan_from_durations",
     oracle="""
     WITH i AS (SELECT unnest(range(0, 40)) AS i),

@@ -787,3 +787,45 @@ def test_wav_samples_8bit_unsigned_midpoint():
     assert rate == 8000 and arr.shape[0] == 400
     assert (arr[:300] == 0.0).all()
     assert arr[300] == 127.0 and arr[301] == -127.0
+
+
+def test_validate_media_payloads_statuses_and_unclaimed(spark):
+    """validate_media_payloads: every status arm, plus the claimed_col=None
+    path where a sniffable valid payload is 'ok' regardless of kind and a
+    NULL payload grades 'empty'."""
+    import numpy as np
+
+    from jsons_to_schema_spark.operators import multimodal
+    from jsons_to_schema_spark.operators.codecs import encode_bmp, encode_png
+
+    bmp = bytearray(encode_bmp(4, 3, (1, 2, 3)))
+    png_trunc = bytearray(encode_png(5, 5, (9, 9, 9))[:18])
+    rows = [
+        ("a", "bmp", bmp),
+        ("b", "png", bmp),          # mismatch
+        ("c", "png", png_trunc),    # corrupt
+        ("d", "wav", None),         # NULL payload -> empty
+        ("e", "bin", bytearray(b"NOTAMAGIC###")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary"
+    )
+    out = {
+        r.media_ref: r
+        for r in multimodal.validate_media_payloads(
+            df, "media_ref", "payload", "kind"
+        ).collect()
+    }
+    assert out["a"].status == "ok" and out["a"].ok
+    assert out["b"].status == "kind_mismatch" and out["b"].sniffed == "bmp"
+    assert out["c"].status == "corrupt" and not out["c"].ok
+    assert out["d"].status == "empty" and out["d"].sniffed is None
+    assert out["e"].status == "unknown_magic"
+    # no claimed column: the mismatch row becomes a plain successful decode
+    free = {
+        r.media_ref: r
+        for r in multimodal.validate_media_payloads(
+            df, "media_ref", "payload"
+        ).collect()
+    }
+    assert free["b"].status == "ok" and free["b"].claimed is None
