@@ -163,6 +163,33 @@ def test_decontam_probe_broadcasts_eval(spark):
     assert "LeftAnti" in aplan, aplan[:2000]
 
 
+def test_contamination_spans_broadcast_probe_one_exchange(spark):
+    """Span-level contamination: the positional probe still broadcasts the
+    eval set (corpus never shuffles pre-join), everything stays JVM-side,
+    and only ONE hash Exchange (the hits-only islands windows + the island
+    groupBy reusing its partitioning) appears downstream."""
+    from jsons_to_schema_spark.operators import decontam
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ev = decontam.eval_ngrams_from_docs(
+        docs.filter(F.col("doc_id") % 83 == 0), "text", n=5
+    )
+    q = decontam.contamination_spans(docs, ev, "text", "doc_id", n=5)
+    plan = audit.executed_plan(q)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+    # exactly two hash Exchanges: the eval-side distinct (bounded by the
+    # eval set) and the single hits-only doc-id Exchange that BOTH island
+    # windows and the island groupBy reuse
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 2, plan[:3000]
+    assert sum("id#" in e for e in exchanges) == 1, exchanges
+
+
 def test_pack_window_is_per_shard_never_global(spark):
     """Sequence packing must hash-partition by shard for its window — a
     global orderBy window (Exchange SinglePartition) is the 100-TB
