@@ -280,3 +280,57 @@ def test_dict_api_store_resumes(spark, corpus, tmp_path):
     single = checkpointed_validate(spark, data, tmp_path / "state2")
     assert canonical_json(r3["schema"]) == canonical_json(single["schema"])
     assert r3["n_rows"] == single["n_rows"] and r3["fails"] == single["fails"]
+
+
+def test_expire_snapshots_retention(tmp_path):
+    """expire_snapshots drops superseded snapshot files, keeps every commit
+    marker (the version counter), keeps the current + grace snapshots, and
+    the store still merges and reads correctly afterwards."""
+    from jsons_to_schema_spark.checkpoint import TableStateStore
+
+    store = TableStateStore(tmp_path / "state")
+    for i in range(5):
+        store.merge([{"split": f"s{j}", "n": i} for j in range(3)])
+    assert store._version() == 5
+    snaps_before = sorted((tmp_path / "state").glob("snap-*.parquet"))
+    assert len(snaps_before) == 5
+    removed = store.expire_snapshots(keep_last=2)
+    assert removed == 3
+    left = sorted(p.name for p in (tmp_path / "state").glob("snap-*.parquet"))
+    assert left == ["snap-000004.parquet", "snap-000005.parquet"]
+    # markers untouched -> version unchanged
+    assert store._version() == 5
+    assert len(list((tmp_path / "state").glob("commit-*"))) == 5
+    # reads and further merges keep working on the compacted store
+    assert {r["split"]: r["n"] for r in store._rows()} == {
+        "s0": 4, "s1": 4, "s2": 4,
+    }
+    store.merge([{"split": "s0", "n": 99}])
+    assert store.committed()["s0"]["n"] == 99
+    # idempotent; second call removes nothing new beyond the new cutoff
+    assert store.expire_snapshots(keep_last=2) == 1  # snap-4 now past cutoff
+    with pytest.raises(ValueError):
+        store.expire_snapshots(keep_last=1)
+
+
+def test_checkpointed_validate_with_inline_expiry(spark, corpus, tmp_path):
+    """A kill/resume campaign run with expire_keep_last compacts the store
+    between runs and still recomputes ZERO committed splits, producing the
+    identical final schema."""
+    from jsons_to_schema_spark.checkpoint import checkpointed_validate
+
+    data = str(corpus / "documents_spans")
+    state = tmp_path / "st"
+    first = checkpointed_validate(
+        spark, data, state, max_splits=2, expire_keep_last=2
+    )
+    assert first["splits_computed_this_run"] == 2
+    rest = checkpointed_validate(spark, data, state, expire_keep_last=2)
+    assert rest["splits_computed_this_run"] == rest["splits_total"] - 2
+    again = checkpointed_validate(spark, data, state, expire_keep_last=2)
+    assert again["splits_computed_this_run"] == 0
+    oneshot = checkpointed_validate(spark, data, tmp_path / "st2")
+    assert again["schema"] == oneshot["schema"]
+    assert again["fails"] == oneshot["fails"]
+    snaps = list((state).glob("snap-*.parquet"))
+    assert len(snaps) <= 2
