@@ -34,6 +34,39 @@ def write_table(
     w.save(str(path))
 
 
+def write_table_observed(
+    df: DataFrame,
+    path: str | Path,
+    metrics: "dict[str, object]",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> dict:
+    """Write a table AND collect aggregate metrics from the SAME pass via
+    Spark's native Observation API — the validated-write primitive: "write
+    the verdicts and tell me the violation total" without re-scanning what
+    was just written (at 100 TB the naive write-then-recount doubles the
+    job; observed metrics ride the write job's own tasks for free).
+
+    ``metrics`` maps name → aggregate Column (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(F.col("n_violations"))``).  Returns the observed values as a
+    dict after the write completes.  Works for batch writes; streaming
+    sinks use the query-progress surface instead.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = {}
+    for name, col in metrics.items():
+        named[name] = col.alias(name) if hasattr(col, "alias") else col
+    observed = df.observe(obs, *named.values())
+    w = observed.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(str(path))
+    return dict(obs.get)
+
+
 def write_audit_outputs(result, out_dir: str | Path) -> dict[str, str]:
     """Materialize one AuditResult as a table directory:
 

@@ -476,3 +476,27 @@ def test_struct_conformance_enum_complex_arrays(spark):
         expected = not validate_value(doc, schema)
         assert got[r.id] == expected, (r.id, doc, got[r.id], expected)
     assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_write_table_observed_metrics_match_recount(spark, tmp_path):
+    """write_table_observed: the observed aggregates equal a full recount of
+    what landed on disk — one pass, no second scan."""
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.sources.sinks import write_table_observed
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7 == 0).cast("long").alias("viol"),
+    )
+    got = write_table_observed(
+        df,
+        tmp_path / "verdicts",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_violations": F.sum("viol"),
+        },
+    )
+    back = spark.read.parquet(str(tmp_path / "verdicts"))
+    assert got["n_rows"] == 1000 == back.count()
+    assert got["n_violations"] == back.agg(F.sum("viol")).first()[0] == 143
