@@ -103,9 +103,21 @@ def main() -> int:
 
     cat = spark.read.parquet(args.catalog)
     df = spark.read.parquet(args.data)
-    all_violations(df, cat, cap_per_check=args.cap_per_check).write.mode(
-        "overwrite"
-    ).parquet(str(out / "violations"))
+    from pyspark.sql import functions as _F
+
+    from jsons_to_schema_spark.sources.sinks import write_table_observed
+
+    viol_metrics = write_table_observed(
+        all_violations(df, cat, cap_per_check=args.cap_per_check),
+        out / "violations",
+        {
+            "n_violation_rows": _F.count(_F.lit(1)),
+            "n_violating_docs": _F.approx_count_distinct("doc_id"),
+        },
+    )
+    (out / "violation_metrics.json").write_text(
+        json.dumps(viol_metrics, sort_keys=True)
+    )
 
     if args.metrics_repo:
         from pyspark.sql import functions as F
