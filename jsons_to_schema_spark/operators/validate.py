@@ -1089,3 +1089,77 @@ def monotonicity_audit(
         F.sum("_isnull").alias("n_null_rows"),
     )
     return agg.filter((F.col("n_breaks") > 0) | (F.col("n_null_rows") > 0))
+
+
+def repair_spans(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Span repair — the FIX side of the row-local span checks: drop spans
+    violating the kind-specific presence rules (text spans must carry
+    text, non-text spans must carry media_ref — the ROW_CHECKS semantics)
+    and restore offset order with a STABLE sort, emitting the repaired
+    sequence as rows.  Detection tells you a doc is broken; a curation
+    pipeline usually wants the salvageable sequence, not a dropped doc.
+
+    Everything is array-LOCAL Catalyst (filter → indexed transform →
+    array_sort with an explicit comparator → posexplode): zero shuffle,
+    one scan — a 100-TB repair is a map job.  Sort key is
+    (coalesce(offset, -1), original position): NULL offsets sort first
+    deterministically, and equal offsets preserve input order, so the
+    output is bit-stable under any partitioning AND reproducible by
+    engines whose list sort is lexicographic-on-structs (the oracle).
+
+    Returns (id, span_idx, kind, text, media_ref, offset, n_dropped):
+    span_idx = position in the REPAIRED sequence; n_dropped = spans
+    removed from that document.  Documents whose every span was dropped
+    produce no rows (their doc-level verdict is the checks' job).
+    """
+    spans = F.col(spans_col)
+    kept = F.filter(
+        spans,
+        lambda s: F.when(s["kind"] == "text", s["text"].isNotNull()).otherwise(
+            s["media_ref"].isNotNull()
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        kept.alias("_kept"),
+        (F.size(spans) - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+    indexed = F.transform(
+        F.col("_kept"),
+        lambda s, i: F.struct(
+            F.coalesce(s["offset"], F.lit(-1)).alias("k1"),
+            i.alias("k2"),
+            s.alias("span"),
+        ),
+    )
+
+    def _cmp(l, r):  # noqa: E741 - comparator args
+        return (
+            F.when(l["k1"] < r["k1"], F.lit(-1))
+            .when(l["k1"] > r["k1"], F.lit(1))
+            .when(l["k2"] < r["k2"], F.lit(-1))
+            .when(l["k2"] > r["k2"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    sorted_spans = F.transform(
+        F.array_sort(indexed, _cmp), lambda e: e["span"]
+    )
+    return (
+        base.select(
+            "id",
+            "n_dropped",
+            F.posexplode(sorted_spans).alias("span_idx", "_s"),
+        )
+        .select(
+            "id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.col("_s.kind").alias("kind"),
+            F.col("_s.text").alias("text"),
+            F.col("_s.media_ref").alias("media_ref"),
+            F.col("_s.offset").alias("offset"),
+            "n_dropped",
+        )
+    )

@@ -1512,6 +1512,50 @@ def spans_partition_verdicts(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "spans_repair",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             list_filter(spans, s -> CASE WHEN s.kind = 'text'
+                                          THEN s.text IS NOT NULL
+                                          ELSE s.media_ref IS NOT NULL END)
+               AS k,
+             len(spans) AS n0
+      FROM read_parquet('__SPANS_GLOB__')
+    ), idx AS (
+      SELECT doc_id, CAST(n0 - len(k) AS BIGINT) AS n_dropped,
+             list_sort(list_transform(generate_series(1, len(k)),
+               i -> {'k1': coalesce(k[i]."offset", -1), 'k2': i,
+                     'sp': k[i]})) AS srt
+      FROM src
+    ), pos AS (
+      SELECT doc_id, n_dropped,
+             unnest(list_transform(generate_series(1, len(srt)),
+               i -> {'oidx': i - 1, 'e': srt[i]})) AS u
+      FROM idx
+    )
+    SELECT doc_id AS id, CAST(u.oidx AS BIGINT) AS span_idx,
+           u.e.sp.kind AS kind, u.e.sp.text AS text,
+           u.e.sp.media_ref AS media_ref, u.e.sp."offset" AS "offset",
+           n_dropped
+    FROM pos
+    """,
+)
+def spans_repair(spark, sf_dir) -> DataFrame:
+    """Span repair (validate.repair_spans) — the FIX side of the row-local
+    checks: presence-violating spans dropped (the generator plants null-
+    text and null-media_ref spans), offsets restored by a stable
+    (coalesce(offset,−1), original-position) sort, repaired sequences
+    emitted as rows with their new positions.  Entirely array-local (zero
+    shuffle, one scan); the oracle replays filter + indexed struct sort +
+    positional unnest with DuckDB list lambdas, so every output position
+    of every repaired document is value-checked — including the planted
+    non-monotonic doc's re-ordering."""
+    df = load_spans(spark, _spans_corpus(spark))
+    return validate.repair_spans(df)
+
+
+@query(
     "spans_violation_rows",
     oracle="""
     WITH t AS (SELECT doc_id, spans,

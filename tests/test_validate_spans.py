@@ -500,3 +500,46 @@ def test_write_table_observed_metrics_match_recount(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "verdicts"))
     assert got["n_rows"] == 1000 == back.count()
     assert got["n_violations"] == back.agg(F.sum("viol")).first()[0] == 143
+
+
+def test_repair_spans_drops_sorts_and_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.operators.validate import repair_spans
+
+    rows = [
+        # out-of-order offsets + one null-text text span (dropped) + one
+        # null-media_ref image span (dropped); equal offsets keep input
+        # order (b1 before b2); NULL offset sorts first
+        (
+            "d1",
+            [
+                ("text", "b1", None, 5),
+                ("text", None, None, 2),        # dropped: null text
+                ("image", None, None, 1),       # dropped: null media_ref
+                ("text", "b2", None, 5),
+                ("image", None, "m1", 3),
+                ("text", "n0", None, None),     # NULL offset -> first
+            ],
+        ),
+        ("d2", [("text", None, None, 1)]),      # every span dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = repair_spans(df).collect()
+    d1 = sorted((r for r in out if r.id == "d1"), key=lambda r: r.span_idx)
+    assert [(r.text or r.media_ref, r.offset) for r in d1] == [
+        ("n0", None),   # null offset first
+        ("m1", 3),
+        ("b1", 5),      # stable: b1 kept before b2 at equal offset
+        ("b2", 5),
+    ]
+    assert all(r.n_dropped == 2 for r in d1)
+    assert [r.span_idx for r in d1] == [0, 1, 2, 3]
+    assert not [r for r in out if r.id == "d2"]  # fully-dropped doc: no rows
+    # partition invariance
+    out2 = repair_spans(df.repartition(5)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
