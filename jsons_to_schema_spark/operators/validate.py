@@ -1163,3 +1163,66 @@ def repair_spans(
             "n_dropped",
         )
     )
+
+
+def render_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_fmt: str = "<media:{ref}>",
+) -> DataFrame:
+    """Render each interleaved document to linear text — the read-side
+    companion to the span checks/repair: text spans contribute their text,
+    media spans an inline placeholder carrying the ref, in offset order
+    (stable on ties by original position, the repair_spans sort rule).
+    This is what a training pipeline feeds the tokenizer, and what a
+    reviewer reads next to a violation row.
+
+    Array-local Catalyst end-to-end (indexed transform → array_sort
+    comparator → transform → concat_ws): zero shuffle, one scan.  NULL
+    text / NULL media_ref render as empty ('' / the placeholder with an
+    empty ref) rather than nulling the whole document — render what is
+    there; flagging what is missing is the checks' job.
+
+    Returns (id, text, n_spans, n_media).
+    """
+    prefix, suffix = media_fmt.split("{ref}")
+    spans = F.col(spans_col)
+    indexed = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            F.coalesce(s["offset"], F.lit(-1)).alias("k1"),
+            i.alias("k2"),
+            s.alias("span"),
+        ),
+    )
+
+    def _cmp(l, r):  # noqa: E741
+        return (
+            F.when(l["k1"] < r["k1"], F.lit(-1))
+            .when(l["k1"] > r["k1"], F.lit(1))
+            .when(l["k2"] < r["k2"], F.lit(-1))
+            .when(l["k2"] > r["k2"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    pieces = F.transform(
+        F.array_sort(indexed, _cmp),
+        lambda e: F.when(
+            e["span"]["kind"] == "text", F.coalesce(e["span"]["text"], F.lit(""))
+        ).otherwise(
+            F.concat(
+                F.lit(prefix),
+                F.coalesce(e["span"]["media_ref"], F.lit("")),
+                F.lit(suffix),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(pieces, "").alias("text"),
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(
+            F.filter(spans, lambda s: s["kind"] != "text")
+        ).cast("long").alias("n_media"),
+    )

@@ -1556,6 +1556,42 @@ def spans_repair(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "spans_render_documents",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             list_sort(list_transform(generate_series(1, len(spans)),
+               i -> {'k1': coalesce(spans[i]."offset", -1), 'k2': i,
+                     'sp': spans[i]})) AS srt,
+             CAST(len(spans) AS BIGINT) AS n_spans,
+             CAST(len(list_filter(spans, s -> s.kind <> 'text'))
+                  AS BIGINT) AS n_media
+      FROM read_parquet('__SPANS_GLOB__')
+    )
+    SELECT doc_id AS id,
+           array_to_string(list_transform(srt,
+             e -> CASE WHEN e.sp.kind = 'text'
+                       THEN coalesce(e.sp.text, '')
+                       ELSE '<media:' || coalesce(e.sp.media_ref, '')
+                            || '>' END), '') AS text,
+           n_spans, n_media
+    FROM idx
+    """,
+)
+def spans_render_documents(spark, sf_dir) -> DataFrame:
+    """Interleaved-document rendering (validate.render_documents): every
+    doc's spans linearized to text in stable offset order with inline
+    media placeholders — what the tokenizer eats and the per-row
+    span-sequence invariant made READABLE (kind, text, media_ref, order
+    all fold into the rendered string, so the value-hash over 5,005
+    rendered documents checks the whole sequence at once).  Array-local,
+    zero shuffle; oracle replays the indexed struct sort and the
+    placeholder rendering with DuckDB list lambdas."""
+    df = load_spans(spark, _spans_corpus(spark))
+    return validate.render_documents(df)
+
+
+@query(
     "spans_violation_rows",
     oracle="""
     WITH t AS (SELECT doc_id, spans,

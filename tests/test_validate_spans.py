@@ -543,3 +543,34 @@ def test_repair_spans_drops_sorts_and_is_stable(spark):
     # partition invariance
     out2 = repair_spans(df.repartition(5)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_render_documents_order_placeholders_nulls(spark):
+    from jsons_to_schema_spark.operators.validate import render_documents
+
+    rows = [
+        (
+            "d1",
+            [
+                ("text", "world", None, 7),
+                ("image", None, "img9", 3),
+                ("text", "hello ", None, 0),
+                ("text", None, None, 5),     # NULL text renders ''
+            ],
+        ),
+        ("d2", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r.id: r for r in render_documents(df).collect()}
+    assert out["d1"].text == "hello <media:img9>world"
+    assert out["d1"].n_spans == 4 and out["d1"].n_media == 1
+    assert out["d2"].text == "" and out["d2"].n_spans == 0
+    custom = {
+        r.id: r
+        for r in render_documents(df, media_fmt="[[{ref}]]").collect()
+    }
+    assert custom["d1"].text == "hello [[img9]]world"
