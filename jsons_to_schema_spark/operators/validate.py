@@ -1226,3 +1226,42 @@ def render_documents(
             F.filter(spans, lambda s: s["kind"] != "text")
         ).cast("long").alias("n_media"),
     )
+
+
+def kind_mismatch_refs(
+    spans_df: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True
+) -> DataFrame:
+    """Cross-table SEMANTIC referential check: a media span whose ref
+    RESOLVES but to an entry of a different kind (an 'image' span pointing
+    at an 'audio' asset) — the corruption class dangling_media_refs cannot
+    see, and the row-level twin of multimodal.validate_media_payloads'
+    kind_mismatch verdict (catalog-declared kind here; sniffed bytes
+    there).
+
+    Plan: explode only the (kind, media_ref) subfields via arrays_zip
+    (nested-column pruning keeps the text payloads unread), broadcast the
+    catalog (or sort-merge with AQE skew handling for a huge one), filter
+    on inequality.  Returns (doc_id, media_ref, span_kind, catalog_kind).
+    """
+    pairs = (
+        spans_df.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(F.col("spans")["kind"], F.col("spans")["media_ref"])
+            ).alias("_z"),
+        )
+        .select(
+            "doc_id",
+            F.col("_z.kind").alias("span_kind"),
+            F.col("_z.media_ref").alias("media_ref"),
+        )
+        .filter(F.col("media_ref").isNotNull())
+    )
+    dim = catalog.select(
+        "media_ref", F.col("media_kind").alias("catalog_kind")
+    )
+    if broadcast_catalog:
+        dim = F.broadcast(dim)
+    return pairs.join(dim, "media_ref").filter(
+        F.col("span_kind") != F.col("catalog_kind")
+    ).select("doc_id", "media_ref", "span_kind", "catalog_kind")

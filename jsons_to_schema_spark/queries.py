@@ -1556,6 +1556,32 @@ def spans_repair(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "spans_kind_mismatch_refs",
+    oracle="""
+    SELECT t.doc_id, t.s.media_ref AS media_ref,
+           t.s.kind AS span_kind, cat.media_kind AS catalog_kind
+    FROM (SELECT doc_id, unnest(spans) AS s
+          FROM read_parquet('__SPANS_GLOB__')) t
+    JOIN read_parquet('__CATALOG_PQ__') cat
+      ON t.s.media_ref = cat.media_ref
+    WHERE t.s.kind <> cat.media_kind
+    """,
+)
+def spans_kind_mismatch_refs(spark, sf_dir) -> DataFrame:
+    """Semantic referential check (validate.kind_mismatch_refs): media
+    spans whose ref resolves to a catalog entry of a DIFFERENT kind — the
+    corruption dangling-ref checks can't see.  The synthetic corpus
+    assigns refs independently of span kinds, so ~⅔ of resolving media
+    spans mismatch (≈5k evidence rows), making the value-hash a dense
+    check of the exploded join.  Nested pruning reads only the
+    (kind, media_ref) subfields; the catalog broadcasts."""
+    corpus = _spans_corpus(spark)
+    df = load_spans(spark, corpus)
+    cat = load_media_catalog(spark, corpus)
+    return validate.kind_mismatch_refs(df, cat)
+
+
+@query(
     "spans_render_documents",
     oracle="""
     WITH idx AS (

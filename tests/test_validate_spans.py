@@ -574,3 +574,23 @@ def test_render_documents_order_placeholders_nulls(spark):
         for r in render_documents(df, media_fmt="[[{ref}]]").collect()
     }
     assert custom["d1"].text == "hello [[img9]]world"
+
+
+def test_kind_mismatch_refs_planted(spark):
+    from jsons_to_schema_spark.operators.validate import kind_mismatch_refs
+
+    spans = spark.createDataFrame(
+        [
+            ("d1", [("image", None, "m1", 0), ("text", "x", None, 1)]),
+            ("d2", [("audio", None, "m2", 0), ("image", None, "mX", 1)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    cat = spark.createDataFrame(
+        [("m1", "audio"), ("m2", "audio")], "media_ref string, media_kind string"
+    )
+    rows = sorted(map(tuple, kind_mismatch_refs(spans, cat).collect()))
+    # m1: image span -> audio asset (mismatch); m2 matches; mX dangling
+    # (not this check's job); text spans never join (NULL ref filtered)
+    assert rows == [("d1", "m1", "image", "audio")]
