@@ -77,11 +77,18 @@ def main() -> int:
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--pack-budget", type=int, default=0,
                     help="0 disables sequence packing output")
+    ap.add_argument("--splits", default=None,
+                    help="name=frac,... (fractions summing to 1): assign a "
+                    "leakage-safe train/val/test 'split' column -- the "
+                    "decision hashes the near-dup CLUSTER representative "
+                    "from the dedup stage's own pair list, so a surviving "
+                    "rep lands where its (dropped) near-copies would have")
     args = ap.parse_args()
 
     from jsons_to_schema_spark.operators import decontam, dedup, pack, text
     from jsons_to_schema_spark.operators.sample import (
         deterministic_sample,
+        leakage_safe_split,
         mixture_sample,
         quota_sample,
     )
@@ -204,6 +211,17 @@ def main() -> int:
 
     # 5. PII redaction on the final survivor set (projection, no shuffle)
     curated = docs6.withColumn("text", text.redact_pii(F.col("text")))
+
+    # 6. leakage-safe split assignment (optional): hash the dedup stage's
+    # cluster representative, not the doc id, so near-copies of a training
+    # page can never have landed in eval (seed 47: distinct from every
+    # rate/mixture stage -- the nested-draw composition rule above)
+    if args.splits:
+        fracs = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.splits.split(","))
+        }
+        curated = leakage_safe_split(curated, "doc_id", fracs, pairs, seed=47)
 
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
