@@ -797,3 +797,105 @@ def gopher_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFram
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    window: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The CUT half of repeated-span dedup (Lee et al., "Deduplicating
+    Training Data"): remove from every document the token ranges covered
+    by any ``window``-token span appearing in ≥ ``min_docs`` DISTINCT
+    documents — boilerplate, licenses, templates excised in place, the
+    document's unique content kept (dropping whole docs over one shared
+    license header throws away the corpus).
+
+    Two corpus scans — the honest train+apply minimum (the bigram-LM
+    precedent): scan 1 counts distinct-doc frequency per span, scan 2
+    re-derives positional windows and joins the hot-span table.  Hit
+    positions merge into maximal ranges by the islands rule (coverage
+    [p, p+window); later start ≤ earlier + window merges — the
+    contamination_spans geometry), and the rebuild keeps exactly the
+    uncovered tokens via array-local HOFs.  Only HIT positions shuffle
+    (per-doc islands windows); clean documents take the left-join fast
+    path.  At campaign scale count on xxhash64(span) instead of the raw
+    string to keep the count shuffle narrow (64-bit collision excises an
+    innocent span — at 10^12 spans choose 128-bit); this implementation
+    counts raw spans so the semantics are engine-replayable.
+
+    Output text is the token rebuild (single-space joined) for EVERY row
+    — one consistent normalization whether or not anything was excised.
+    Returns (id, text, n_tokens, n_tokens_removed, n_spans_excised).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(col)).alias("_t")
+    )
+    pos_spans = toks.select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), window)).alias(
+            "pos", "span"
+        ),
+    )
+    hot = (
+        pos_spans.groupBy("span")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("span")
+    )
+    hits = pos_spans.join(hot, "span").select(
+        "id", F.col("pos").cast("long").alias("pos")
+    )
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    w_cum = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranges = (
+        hits.withColumn(
+            "_new",
+            F.when(
+                F.lag("pos").over(w_doc).isNull()
+                | (F.col("pos") - F.lag("pos").over(w_doc) > window),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_island", F.sum("_new").over(w_cum))
+        .groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + window).alias("e"),  # exclusive, 0-based
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("_ranges"),
+            F.count(F.lit(1)).alias("n_spans_excised"),
+        )
+    )
+    joined = toks.join(ranges, "id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_ranges"), lambda r: (i >= r["s"]) & (i < r["e"])
+    )
+    kept = F.when(
+        F.col("_ranges").isNull(), F.col("_t")
+    ).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.col("_t"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+                ),
+                lambda e: ~covered(e["i"].cast("long")),
+            ),
+            lambda e: e["t"],
+        )
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.coalesce(F.col("n_spans_excised"), F.lit(0)).cast("long").alias(
+            "n_spans_excised"
+        ),
+    )

@@ -2932,6 +2932,73 @@ def repeated_spans_documents(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "excise_repeated_spans_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), p AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(t[i:i+7], ' ') AS span
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ), hot AS (
+      SELECT span FROM p GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT p.doc_id, p.pos FROM p JOIN hot USING (span)
+    ), lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 8
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    ), rg AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    ), rga AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS ranges,
+             CAST(count(*) AS BIGINT) AS n_spans_excised
+      FROM rg GROUP BY doc_id
+    ), built AS (
+      SELECT toks.doc_id,
+             CASE WHEN rga.doc_id IS NULL
+                  THEN t
+                  ELSE list_transform(
+                         list_filter(generate_series(1, len(t)),
+                           i -> len(list_filter(rga.ranges,
+                                  r -> i - 1 >= r.s AND i - 1 < r.e)) = 0),
+                         i -> t[i]) END AS kept,
+             t, coalesce(rga.n_spans_excised, 0) AS n_spans_excised
+      FROM toks LEFT JOIN rga USING (doc_id)
+    )
+    SELECT doc_id AS id,
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed,
+           n_spans_excised
+    FROM built
+    """,
+)
+def excise_repeated_spans_documents(spark, sf_dir) -> DataFrame:
+    """Repeated-span EXCISION (text.excise_repeated_spans) — the cut half
+    of Lee-et-al exact-substring dedup: every token range covered by an
+    8-gram shared across ≥2 documents is removed in place (1,015 hot
+    spans occur naturally at sf0.01, so the excision set is dense), the
+    unique remainder kept under one consistent token-rebuild
+    normalization.  The oracle replays windows → hot set → islands →
+    range-filtered rebuild relationally, value-checking every rebuilt
+    document string and removal count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.excise_repeated_spans(
+        docs, "text", "doc_id", window=8, min_docs=2
+    )
+
+
+@query(
     "schema_history_transitions",
     oracle="""
     SELECT * FROM (VALUES

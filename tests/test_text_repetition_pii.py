@@ -275,3 +275,52 @@ def test_gopher_ellipsis_lines_arm(spark):
     r = T.gopher_quality_filter(df, "id", "t").collect()[0]
     assert r.frac_ellipsis_lines == 0.8
     assert r.drop_reason == "ellipsis_lines"
+
+
+def test_excise_repeated_spans_geometry(spark):
+    """Shared 5-token spans excise with island merging; unique content and
+    clean docs survive; the rebuild normalization is single-space."""
+    from jsons_to_schema_spark.operators.text import excise_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon"          # 5 tokens, in 2 docs
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} zz yy xx ww vv"),
+        (3, "totally unique words only here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in excise_repeated_spans(df, "text", "doc_id", window=5).collect()
+    }
+    assert out[1].text == "one two three four"
+    assert out[1].n_tokens_removed == 5 and out[1].n_spans_excised == 1
+    assert out[2].text == "zz yy xx ww vv"
+    assert out[3].text == "totally unique words only here now"
+    assert out[3].n_tokens_removed == 0 and out[3].n_spans_excised == 0
+
+
+def test_excise_repeated_spans_overlap_merge_and_invariance(spark):
+    """Overlapping hot windows merge into ONE excised range (no double
+    counting), and the result is partition-invariant."""
+    from jsons_to_schema_spark.operators.text import excise_repeated_spans
+
+    # 7 shared tokens -> three overlapping hot 5-windows in both docs;
+    # they must merge to one 7-token range
+    shared = "a1 a2 a3 a4 a5 a6 a7"
+    rows = [
+        (1, f"pre {shared} post"),
+        (2, f"{shared} tail1 tail2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in excise_repeated_spans(df, "text", "doc_id", window=5).collect()
+    }
+    assert out[1].text == "pre post"
+    assert out[1].n_tokens_removed == 7 and out[1].n_spans_excised == 1
+    a = excise_repeated_spans(df, "text", "doc_id", window=5).collect()
+    b = excise_repeated_spans(
+        df.repartition(6), "text", "doc_id", window=5
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
