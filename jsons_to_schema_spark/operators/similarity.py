@@ -1275,3 +1275,64 @@ def ivf_topk_indexed_pq(
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_profile(
+    df: DataFrame, col: str, expected_dim: "int | None" = None
+) -> DataFrame:
+    """Vector-column hygiene audit — the validation pass every ANN /
+    semantic-dedup operator in this module silently assumes has already
+    happened: NULL vectors, dimension drift (a re-embedding job that
+    changed models mid-corpus), NaN/Inf poison (one NaN makes a cosine
+    NaN, which then fails every threshold comparison differently per
+    engine), and zero vectors (cosine undefined — the IVF trainers here
+    guard against them individually).
+
+    ONE multi-aggregate scan over array-local HOF expressions:
+
+    * n_rows / n_null
+    * dim_min / dim_max, and n_wrong_dim when ``expected_dim`` is given
+    * n_with_nan, n_with_inf  (any element)
+    * n_zero_vec  (sum of squares == 0 over finite vectors)
+    * norm_min / norm_max / norm_mean over CLEAN vectors (non-null, right
+      shape irrelevant, finite) — each norm round(6) before the row fold
+      so the stats are summation-order-proof cross-engine
+
+    Elements promote to double before squaring (float32 → double is
+    exact), the in-vector fold is list-ordered on both engines.
+    """
+    v = F.col(col)
+    elem_nan = F.exists(v, lambda x: F.isnan(x))
+    elem_inf = F.exists(
+        v,
+        lambda x: (x == F.lit(float("inf"))) | (x == F.lit(float("-inf"))),
+    )
+    sumsq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    clean = v.isNotNull() & ~elem_nan & ~elem_inf
+    norm = F.when(clean, F.round(F.sqrt(sumsq), 6))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("n_null"),
+        F.min(F.size(v)).alias("dim_min"),
+        F.max(F.size(v)).alias("dim_max"),
+        F.sum(F.coalesce(elem_nan, F.lit(False)).cast("long")).alias(
+            "n_with_nan"
+        ),
+        F.sum(F.coalesce(elem_inf, F.lit(False)).cast("long")).alias(
+            "n_with_inf"
+        ),
+        F.sum((clean & (sumsq == 0.0)).cast("long")).alias("n_zero_vec"),
+        F.min(norm).alias("norm_min"),
+        F.max(norm).alias("norm_max"),
+        F.round(F.avg(norm), 6).alias("norm_mean"),
+    ]
+    if expected_dim is not None:
+        aggs.insert(
+            4,
+            F.sum(
+                (v.isNotNull() & (F.size(v) != expected_dim)).cast("long")
+            ).alias("n_wrong_dim"),
+        )
+    return df.agg(*aggs)

@@ -403,6 +403,95 @@ def null_rate_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "embedding_profile_embeddings",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+        CASE WHEN vec_id % 83 = 0 THEN NULL
+             WHEN vec_id % 89 = 0 THEN embedding[1:32]
+             WHEN vec_id % 97 = 0
+               THEN list_append(embedding[1:63], CAST('nan' AS FLOAT))
+             WHEN vec_id % 79 = 0
+               THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+             WHEN vec_id % 73 = 0
+               THEN list_append(embedding[1:63], CAST('inf' AS FLOAT))
+             ELSE embedding END AS v
+      FROM embeddings
+    ), e AS (
+      SELECT v,
+        CASE WHEN v IS NULL THEN NULL
+             ELSE len(list_filter(v, x -> isnan(x))) > 0 END AS has_nan,
+        CASE WHEN v IS NULL THEN NULL
+             ELSE len(list_filter(v, x -> isinf(x))) > 0 END AS has_inf,
+        CASE WHEN v IS NULL THEN NULL
+             ELSE list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS ss
+      FROM p
+    ), n AS (
+      SELECT *,
+        CASE WHEN v IS NOT NULL AND NOT has_nan AND NOT has_inf
+             THEN round(sqrt(ss), 6) END AS norm
+      FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(v) AS BIGINT) AS n_null,
+           CAST(min(len(v)) AS INT) AS dim_min,
+           CAST(max(len(v)) AS INT) AS dim_max,
+           CAST(sum(CASE WHEN v IS NOT NULL AND len(v) <> 64
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(sum(CASE WHEN coalesce(has_nan, false)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+           CAST(sum(CASE WHEN coalesce(has_inf, false)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_inf,
+           CAST(sum(CASE WHEN v IS NOT NULL AND NOT has_nan
+                          AND NOT has_inf AND ss = 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+           min(norm) AS norm_min,
+           max(norm) AS norm_max,
+           round(avg(norm), 6) AS norm_mean
+    FROM n
+    """,
+)
+def embedding_profile_embeddings(spark, sf_dir) -> DataFrame:
+    """Vector-column hygiene audit (similarity.embedding_profile): the
+    testdata embeddings are clean, so every defect class is PLANTED on
+    disjoint id slices — NULL vectors (%83), truncated 32-dim re-embeds
+    (%89), a NaN element (%97), zero vectors (%79), an Inf element
+    (%73) — and the one-scan profile must count each class exactly while
+    the norm stats ignore poisoned vectors (round-6 per-vector norms keep
+    the fold order-proof).  The oracle replays the plants and every
+    aggregate with DuckDB list lambdas."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    fzero = F.lit(0.0).cast("float")
+    planted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 83 == 0, F.lit(None))
+        .when(F.col("vec_id") % 89 == 0, F.slice(v, 1, 32))
+        .when(
+            F.col("vec_id") % 97 == 0,
+            F.concat(
+                F.slice(v, 1, 63),
+                F.array(F.lit(float("nan")).cast("float")),
+            ),
+        )
+        .when(
+            F.col("vec_id") % 79 == 0, F.transform(v, lambda x: fzero)
+        )
+        .when(
+            F.col("vec_id") % 73 == 0,
+            F.concat(
+                F.slice(v, 1, 63),
+                F.array(F.lit(float("inf")).cast("float")),
+            ),
+        )
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    return similarity.embedding_profile(planted, "embedding", expected_dim=64)
+
+
 # ===========================================================================
 # Uniqueness + referential (oracled)
 # ===========================================================================

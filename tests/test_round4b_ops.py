@@ -578,3 +578,38 @@ def test_contamination_spans_partition_invariance_and_no_hits(spark):
         "text", "doc_id", n=5,
     )
     assert none.count() == 0
+
+
+# -------------------------------------------------- embedding hygiene profile
+def test_embedding_profile_counts_each_defect_class(spark):
+    from jsons_to_schema_spark.operators.similarity import embedding_profile
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, None),
+        (3, [3.0, 4.0]),                     # wrong dim
+        (4, [float("nan"), 1.0, 1.0]),
+        (5, [0.0, 0.0, 0.0]),                # zero vector
+        (6, [float("inf"), 1.0, 1.0]),
+        (7, [0.0, 3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_profile(df, "embedding", expected_dim=3).collect()[0]
+    assert r.n_rows == 7 and r.n_null == 1
+    assert r.dim_min == 2 and r.dim_max == 3 and r.n_wrong_dim == 1
+    assert r.n_with_nan == 1 and r.n_with_inf == 1
+    assert r.n_zero_vec == 1
+    # clean vectors: norms 1.0, 5.0, 0.0, 5.0 -> min 0, max 5, mean 2.75
+    assert r.norm_min == 0.0 and r.norm_max == 5.0
+    assert r.norm_mean == 2.75
+
+
+def test_embedding_profile_without_expected_dim(spark):
+    from jsons_to_schema_spark.operators.similarity import embedding_profile
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    r = embedding_profile(df, "embedding").collect()[0]
+    assert "n_wrong_dim" not in r.asDict()
+    assert r.dim_min == r.dim_max == 2
