@@ -37,7 +37,7 @@ from .operators.infer import (
     infer_from_struct,
     infer_grouped,
 )
-from .sources.jsonl import export_table_jsonl, infer_jsonl
+from .sources.jsonl import export_table_jsonl, infer_jsonl, read_jsonl, with_json_validity
 from .sources.spans import ensure_corpus
 from .sources.tables import load_media_catalog, load_spans, load_table
 
@@ -178,6 +178,48 @@ def schema_infer_jsonl_documents(spark, sf_dir) -> DataFrame:
     path = export_table_jsonl(sf_dir, "documents", "doc_id")
     schema, n = infer_jsonl(spark, path)
     return infer_as_dataframe(spark, schema, n)
+
+
+@query(
+    "jsonl_quarantine_documents",
+    oracle="""
+    WITH raw AS (
+      SELECT unnest(string_split(content, chr(10))) AS json
+      FROM read_text('__JSONL_DOCS__')
+    ), lines AS (
+      SELECT json FROM raw WHERE json <> ''
+      UNION ALL
+      SELECT '{"doc_id": ' || CAST(i AS VARCHAR) || ' broken'
+      FROM (SELECT unnest(range(0, 25)) AS i)
+    )
+    SELECT json_valid(json) AS is_valid,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(len(json)) AS BIGINT) AS min_len,
+           CAST(max(len(json)) AS BIGINT) AS max_len
+    FROM lines GROUP BY 1
+    """,
+)
+def jsonl_quarantine_documents(spark, sf_dir) -> DataFrame:
+    """JSONL ingest quarantine (sources.jsonl.with_json_validity): 25
+    structurally broken lines are unioned into the exported documents
+    JSONL, and the JVM-side try_parse_json verdict must quarantine
+    exactly them — two independent JSON parsers (Spark variant, DuckDB
+    json_valid) must agree line-for-line on the whole file for the
+    grouped counts and length ranges to hash-match."""
+    lines = read_jsonl(
+        spark, export_table_jsonl(sf_dir, "documents", "doc_id")
+    )
+    bad = spark.range(25).select(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("id").cast("string"), F.lit(" broken")
+        ).alias("json")
+    )
+    v = with_json_validity(lines.unionByName(bad))
+    return v.groupBy("is_valid").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min(F.length("json")).cast("long").alias("min_len"),
+        F.max(F.length("json")).cast("long").alias("max_len"),
+    )
 
 
 @query(

@@ -24,6 +24,7 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.infer import infer_from_json_column
 from ..schema_algebra import Schema, SchemaGenerationConfig
@@ -84,3 +85,20 @@ def export_table_jsonl(sf_dir: str | Path, table: str, order_by: str) -> Path:
         con.close()
     os.replace(tmp, out)
     return out
+
+
+def with_json_validity(df: DataFrame, json_col: str = "json") -> DataFrame:
+    """Ingest hygiene for JSONL: append ``is_valid`` = does the line parse
+    as JSON at all (Spark 4's variant ``try_parse_json`` — JVM-side, no
+    Python), so malformed lines can be QUARANTINED instead of silently
+    poisoning inference (the schema kernel would otherwise see them as
+    absent documents).  NULL / whitespace-only lines are invalid.
+
+    Split valid/quarantine with two filters off this one projection —
+    Catalyst shares the scan.  Engine caveat: exotic edge cases (huge
+    numbers, duplicate keys) may grade differently across JSON parsers;
+    the quarantine contract is for structurally broken lines, which every
+    parser rejects alike."""
+    return df.withColumn(
+        "is_valid", F.try_parse_json(F.col(json_col)).isNotNull()
+    )

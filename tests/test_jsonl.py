@@ -51,3 +51,28 @@ def test_export_is_idempotent_and_deterministic(tmp_path):
         j._CACHE_BASE = old
     assert p3 != p1
     assert hashlib.md5(p3.read_bytes()).hexdigest() == h1
+
+
+def test_with_json_validity_quarantine_arms(spark):
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.sources.jsonl import with_json_validity
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1}',),
+            ("42",),            # bare scalar IS valid JSON
+            ("[1, 2]",),
+            ("{broken",),
+            ("",),
+            (None,),
+        ],
+        "json string",
+    )
+    rows = with_json_validity(df).collect()
+    got = {r.json: r.is_valid for r in rows}
+    assert got['{"a": 1}'] and got["42"] and got["[1, 2]"]
+    assert not got["{broken"] and not got[""] and not got[None]
+    # JVM-side: no Python stage in the plan
+    plan = with_json_validity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
