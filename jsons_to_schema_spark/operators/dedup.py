@@ -1088,3 +1088,70 @@ def fuzzy_self_pairs(
         "text_b",
         F.levenshtein("text_a", "text_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def fuzzy_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str,
+    text_a: str,
+    key_b: str,
+    text_b: str,
+    max_dist: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """Cross-TABLE record linkage: every (a, b) pair with
+    lev(a.text, b.text) ≤ max_dist — matching an incoming batch against a
+    master table (the fuzzy_self_pairs machinery, two-sided).  Same
+    SymSpell symmetric-delete blocking (within distance d the two sides
+    always share a ≤d-deletion variant), same exact-verify contract, same
+    in-plan max_len refusal; the only shuffle is the variant join, and an
+    asymmetric deployment (small batch vs huge master) gets a broadcast
+    variant join from AQE for free.
+
+    Output: (id_a, id_b, text_a, text_b, dist) — one row per matching
+    pair (candidates dedupe before the verify).  max_dist ∈ {1, 2}.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_join: max_dist must be 1 or 2")
+
+    def _side(df, key, text, ki, ti):
+        checked = F.when(
+            F.col(text).isNull() | (F.length(text) <= max_len), F.col(text)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fuzzy_join: {text} value longer than "
+                        f"max_len={max_len} (variant cost grows O(len^d)); "
+                        "raise max_len or pre-filter: "
+                    ),
+                    F.col(text),
+                )
+            )
+        )
+        return (
+            df.select(F.col(key).alias(ki), checked.alias(ti))
+            .filter(F.col(ti).isNotNull())
+            .select(
+                ki,
+                ti,
+                F.explode(_deletion_variants(F.col(ti), max_dist)).alias("_v"),
+            )
+        )
+
+    a = _side(df_a, key_a, text_a, "id_a", "text_a")
+    b = _side(df_b, key_b, text_b, "id_b", "text_b")
+    cands = (
+        a.join(b, "_v")
+        .filter(F.abs(F.length("text_a") - F.length("text_b")) <= max_dist)
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.levenshtein("text_a", "text_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

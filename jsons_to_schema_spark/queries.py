@@ -6055,6 +6055,41 @@ def entity_clusters_customer_names(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "fuzzy_join_incoming_customers",
+    oracle="""
+    WITH inc AS (
+      SELECT c_custkey AS ik,
+             substr(c_name, 1, len(c_name) - 1) || 'X' AS iname
+      FROM customer WHERE c_custkey % 15 = 0
+    )
+    SELECT inc.ik AS id_a, c.c_custkey AS id_b,
+           inc.iname AS text_a, c.c_name AS text_b,
+           CAST(levenshtein(inc.iname, c.c_name) AS INT) AS dist
+    FROM inc JOIN customer c
+      ON levenshtein(inc.iname, c.c_name) <= 1
+    """,
+)
+def fuzzy_join_incoming_customers(spark, sf_dir) -> DataFrame:
+    """Cross-table record linkage (dedup.fuzzy_join): an incoming batch of
+    100 typo'd customer names (last character replaced by 'X') matched
+    against the full master table at Levenshtein ≤ 1 — each typo links
+    back to its source AND to every same-prefix sibling, so the match set
+    is dense and multi-valued.  The oracle pays the 150k-call all-pairs
+    join the SymSpell blocking exists to avoid and must be reproduced
+    verbatim."""
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    incoming = cu.filter(F.col("c_custkey") % 15 == 0).select(
+        F.col("c_custkey").alias("ik"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("iname"),
+    )
+    return dedup.fuzzy_join(
+        incoming, cu, "ik", "iname", "c_custkey", "c_name", max_dist=1
+    )
+
+
+@query(
     "categorical_association_events",
     oracle="""
     WITH src AS (

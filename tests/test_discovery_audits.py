@@ -193,3 +193,58 @@ def test_inclusion_profile_all_null_a_column_reported_not_dropped(spark):
     live = rows[("live", "r")]
     assert (live.n_distinct_a, live.containment, live.full_inclusion) == (
         2, 1.0, True)
+
+
+def test_fuzzy_join_matches_bruteforce_both_distances(spark):
+    import itertools
+
+    from jsons_to_schema_spark.operators.dedup import fuzzy_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names_a = ["kitten", "sitting", "abc", "abd", "xyz", "ab", "kitte"]
+    names_b = ["kitten", "sittin", "abcd", "abe", "zzz", "a"]
+    a = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names_a)], "ka long, ta string"
+    )
+    b = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names_b)], "kb long, tb string"
+    )
+    for d in (1, 2):
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_join(a, b, "ka", "ta", "kb", "tb", max_dist=d).collect()
+        )
+        want = sorted(
+            (i, j, lev(x, y))
+            for (i, x), (j, y) in itertools.product(
+                enumerate(names_a), enumerate(names_b)
+            )
+            if lev(x, y) <= d
+        )
+        assert got == want, d
+
+
+def test_fuzzy_join_null_and_guard(spark):
+    import pytest as _pytest
+
+    from jsons_to_schema_spark.operators.dedup import fuzzy_join
+
+    a = spark.createDataFrame([(1, None), (2, "ok")], "ka long, ta string")
+    b = spark.createDataFrame([(1, "ok")], "kb long, tb string")
+    rows = fuzzy_join(a, b, "ka", "ta", "kb", "tb").collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in rows] == [(2, 1, 0)]
+    long = spark.createDataFrame([(1, "x" * 99)], "ka long, ta string")
+    with _pytest.raises(Exception):
+        fuzzy_join(long, b, "ka", "ta", "kb", "tb", max_len=8).collect()
