@@ -1699,3 +1699,40 @@ def outlier_report_grouped(
         .filter((F.col("_spread") > 0) & (F.abs(score) > F.lit(float(cutoff))))
         .select(*group_cols, *id_cols, c.alias("value"), F.round(score, 6).alias("score"))
     )
+
+
+def distinct_overlap(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Snapshot set comparison at SKETCH cost: distinct counts of A, B and
+    A ∪ B from three HyperLogLog sketches — "how many NEW keys did this
+    batch add" / "how much does it overlap the baseline" without the
+    exact-distinct shuffle (new ≈ union − B, common ≈ A + B − union by
+    inclusion-exclusion).  Each side is ONE map-side-mergeable sketch
+    aggregate; the union merges two 1-row frames, so comparing 10^12-key
+    snapshots costs two scans and KBs of sketch state.
+
+    Returns one row: (n_a_est, n_b_est, n_union_est, n_new_in_a_est,
+    n_common_est) as longs.  Estimates carry HLL's ~1–2% relative error
+    (the driver query checks the ≤5% contract against exact counts — the
+    stats_distinct_hll pattern); the derived differences compound both
+    errors, so tiny true differences can read as 0 (floored) — a NEW-key
+    ALARM should trigger on thresholds far above the error floor.
+    """
+    sa = df_a.agg(F.hll_sketch_agg(col).alias("_sa"))
+    sb = df_b.agg(F.hll_sketch_agg(col).alias("_sb"))
+    both = sa.crossJoin(sb).select(
+        F.hll_sketch_estimate("_sa").alias("n_a_est"),
+        F.hll_sketch_estimate("_sb").alias("n_b_est"),
+        F.hll_sketch_estimate(F.hll_union("_sa", "_sb")).alias("n_union_est"),
+    )
+    return both.select(
+        "n_a_est",
+        "n_b_est",
+        "n_union_est",
+        F.greatest(
+            F.col("n_union_est") - F.col("n_b_est"), F.lit(0)
+        ).alias("n_new_in_a_est"),
+        F.greatest(
+            F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
+            F.lit(0),
+        ).alias("n_common_est"),
+    )

@@ -6055,6 +6055,66 @@ def entity_clusters_customer_names(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "distinct_overlap_events_users",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1),
+         u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+    SELECT true AS ok_a, true AS ok_b, true AS ok_union,
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT count(*) FROM u) AS BIGINT) AS exact_union,
+           CAST((SELECT count(*) FROM u) - (SELECT count(*) FROM b)
+                AS BIGINT) AS exact_new_in_a,
+           CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                - (SELECT count(*) FROM u) AS BIGINT) AS exact_common
+    """,
+)
+def distinct_overlap_events_users(spark, sf_dir) -> DataFrame:
+    """Sketch-grade snapshot overlap (stats.distinct_overlap): the user_id
+    sets of the event_id-parity slices compared via three HLL sketches —
+    new-keys / common-keys at KB sketch cost instead of an exact-distinct
+    shuffle.  Raw sketch estimates are not partition-invariant, so the
+    oracle-able output is the error CONTRACT (|est − exact| ≤ 5%·exact
+    per primary estimate — the stats_distinct_hll pattern) beside exact
+    counts computed as real SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    est = stats.distinct_overlap(a, b, "user_id")
+    ex = (
+        a.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(
+            b.select("user_id").distinct().agg(F.count(F.lit(1)).alias("exact_b"))
+        )
+        .crossJoin(
+            a.select("user_id")
+            .union(b.select("user_id"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+    )
+    j = est.crossJoin(ex)
+    ok = lambda e, x: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) <= 0.05 * F.col(x)
+    )
+    return j.select(
+        ok("n_a_est", "exact_a").alias("ok_a"),
+        ok("n_b_est", "exact_b").alias("ok_b"),
+        ok("n_union_est", "exact_union").alias("ok_union"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_union") - F.col("exact_b")).alias("exact_new_in_a"),
+        (
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+        ).alias("exact_common"),
+    )
+
+
+@query(
     "fuzzy_join_incoming_customers",
     oracle="""
     WITH inc AS (

@@ -613,3 +613,21 @@ def test_embedding_profile_without_expected_dim(spark):
     r = embedding_profile(df, "embedding").collect()[0]
     assert "n_wrong_dim" not in r.asDict()
     assert r.dim_min == r.dim_max == 2
+
+
+# -------------------------------------------------- sketch snapshot overlap
+def test_distinct_overlap_known_sets(spark):
+    """Small disjoint/overlapping sets: HLL is exact at these cardinalities,
+    so the derived new/common estimates equal the true values."""
+    from jsons_to_schema_spark.operators.stats import distinct_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(60, 160)], "k long")
+    r = distinct_overlap(a, b, "k").collect()[0]
+    assert r.n_a_est == 100 and r.n_b_est == 100
+    assert r.n_union_est == 160
+    assert r.n_new_in_a_est == 60 and r.n_common_est == 40
+    # partition invariance of the CONTRACT (sketch estimates themselves are
+    # partition-stable for identical input data under hll_union semantics)
+    r2 = distinct_overlap(a.repartition(7), b.repartition(3), "k").collect()[0]
+    assert abs(r2.n_union_est - 160) <= 8
