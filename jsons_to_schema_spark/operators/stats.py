@@ -1736,3 +1736,49 @@ def distinct_overlap(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
             F.lit(0),
         ).alias("n_common_est"),
     )
+
+
+def quantile_profile(
+    df: DataFrame,
+    col: str,
+    probs: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Exact grouped quantiles — deequ's ApproxQuantiles as a PROFILE
+    analyzer, exact because a certification threshold sitting on an
+    approximate quantile flips with the sketch seed: ONE grouped
+    ``percentile`` aggregate computes every requested quantile per
+    segment (linear-interpolation definition, ≡ SQL quantile_cont, the
+    engine-parity rule from outlier_report), melted to one
+    (group, p, q) row per quantile over the bounded group table.
+
+    Exact percentile holds each group's column values for the sort —
+    the group-sized memory bound; for heavy-tailed segments at extreme
+    scale swap in t-digest (operators/tdigest.py) and accept the
+    approximation contract.  q is round(6); NULL values are excluded by
+    the aggregate, an all-NULL group keeps its row with NULL q.
+    """
+    if not probs:
+        raise ValueError("quantile_profile: probs must be non-empty")
+    pr = [float(p) for p in probs]
+    if any(not 0.0 <= p <= 1.0 for p in pr):
+        raise ValueError(f"quantile_profile: probs must be in [0,1]: {pr}")
+    agg = [
+        F.round(F.percentile(F.col(col), F.lit(p)), 6).alias(f"_q{i}")
+        for i, p in enumerate(pr)
+    ]
+    if group_col is None:
+        wide = df.agg(*agg).select(F.lit("_all").alias("_grp"), "*")
+    else:
+        wide = df.groupBy(
+            F.col(group_col).cast("string").alias("_grp")
+        ).agg(*agg)
+    entries = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.col(f"_q{i}").alias("q"))
+            for i, p in enumerate(pr)
+        ]
+    )
+    return wide.select(
+        F.col("_grp").alias("group_value"), F.explode(entries).alias("e")
+    ).select("group_value", "e.p", "e.q")

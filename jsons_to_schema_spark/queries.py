@@ -6055,6 +6055,34 @@ def entity_clusters_customer_names(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "quantile_profile_events",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(event_type AS VARCHAR) AS group_value,
+             round(quantile_cont(value, 0.1), 6) AS q0,
+             round(quantile_cont(value, 0.5), 6) AS q1,
+             round(quantile_cont(value, 0.9), 6) AS q2
+      FROM events GROUP BY 1
+    )
+    SELECT group_value, CAST(0.1 AS DOUBLE) AS p, q0 AS q FROM g
+    UNION ALL SELECT group_value, CAST(0.5 AS DOUBLE), q1 FROM g
+    UNION ALL SELECT group_value, CAST(0.9 AS DOUBLE), q2 FROM g
+    """,
+)
+def quantile_profile_events(spark, sf_dir) -> DataFrame:
+    """Exact grouped quantiles (stats.quantile_profile): the p10/p50/p90
+    of events.value per event_type from ONE grouped percentile aggregate
+    — exact because a certification threshold on an approximate quantile
+    flips with the sketch seed.  Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, so every
+    (segment, p, q) row is value-checked at round(6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.quantile_profile(
+        ev, "value", probs=(0.1, 0.5, 0.9), group_col="event_type"
+    )
+
+
+@query(
     "distinct_overlap_events_users",
     oracle="""
     WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),

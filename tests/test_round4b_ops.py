@@ -631,3 +631,27 @@ def test_distinct_overlap_known_sets(spark):
     # partition-stable for identical input data under hll_union semantics)
     r2 = distinct_overlap(a.repartition(7), b.repartition(3), "k").collect()[0]
     assert abs(r2.n_union_est - 160) <= 8
+
+
+def test_quantile_profile_exact_and_null_group_handling(spark):
+    from jsons_to_schema_spark.operators.stats import quantile_profile
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", None)],
+        "g string, v double",
+    )
+    rows = {
+        (r.group_value, r.p): r.q
+        for r in quantile_profile(df, "v", (0.5,), "g").collect()
+    }
+    assert rows[("a", 0.5)] == 2.5  # linear interpolation
+    assert rows[("b", 0.5)] is None  # all-NULL group keeps its row
+    whole = quantile_profile(df, "v", (0.0, 1.0)).collect()
+    got = {r.p: r.q for r in whole}
+    assert got[0.0] == 1.0 and got[1.0] == 4.0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        quantile_profile(df, "v", ())
+    with _p.raises(ValueError):
+        quantile_profile(df, "v", (1.5,))
