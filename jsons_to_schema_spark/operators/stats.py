@@ -1782,3 +1782,82 @@ def quantile_profile(
     return wide.select(
         F.col("_grp").alias("group_value"), F.explode(entries).alias("e")
     ).select("group_value", "e.p", "e.q")
+
+
+# Anchored, engine-portable format patterns: the Java ∩ RE2 ∩ DuckDB
+# dialect (explicit ASCII classes, no backreferences, no lookaround —
+# the PII-scrub parity rule), so Spark rlike and DuckDB regexp_matches
+# grade every value identically.
+FORMAT_PATTERNS: "dict[str, str]" = {
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "uuid": (
+        r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    ),
+    "ipv4": (
+        r"^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+    ),
+    "iso_date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "url": r"^https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+$",
+}
+
+
+def format_profile(
+    df: DataFrame,
+    columns: "list[str]",
+    formats: "list[str] | None" = None,
+) -> DataFrame:
+    """String-format discovery — deequ's pattern analyzers (containsEmail,
+    containsURL, …) as a grid: for every (column, format) pair, how many
+    non-null values match the anchored pattern.  A column that is 99.8%
+    UUID is a key wearing a string type; a 40%-email column is two feeds
+    mixed together.
+
+    ONE multi-aggregate scan (count + per-column non-null count + one
+    rlike sum per cell — all codegen, no Python), melted over the bounded
+    wide row.  match_rate = n_match / n_nonnull, round(6), NULL when the
+    column is all-NULL.  Patterns come from FORMAT_PATTERNS (the
+    Java ∩ RE2 ∩ DuckDB dialect) so two engines grade identically —
+    extend that dict, not the regex dialect.
+    """
+    if not columns:
+        raise ValueError("format_profile: columns must be non-empty")
+    fmts = list(formats) if formats is not None else list(FORMAT_PATTERNS)
+    unknown = [f for f in fmts if f not in FORMAT_PATTERNS]
+    if unknown:
+        raise ValueError(f"format_profile: unknown formats {unknown}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(columns):
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{i}"))
+        for j, fmt in enumerate(fmts):
+            aggs.append(
+                F.sum(
+                    F.col(c).rlike(FORMAT_PATTERNS[fmt]).cast("long")
+                ).alias(f"_m_{i}_{j}")
+            )
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(fmt).alias("format"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{i}").alias("n_nonnull"),
+                F.coalesce(F.col(f"_m_{i}_{j}"), F.lit(0)).alias("n_match"),
+            )
+            for i, c in enumerate(columns)
+            for j, fmt in enumerate(fmts)
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select(
+        "e.column",
+        "e.format",
+        "e.n_rows",
+        "e.n_nonnull",
+        "e.n_match",
+        F.when(
+            F.col("e.n_nonnull") > 0,
+            F.round(F.col("e.n_match") / F.col("e.n_nonnull"), 6),
+        ).alias("match_rate"),
+    )

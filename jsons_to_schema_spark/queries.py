@@ -6055,6 +6055,101 @@ def entity_clusters_customer_names(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "format_profile_documents",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN doc_id % 4 = 0
+                  THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  WHEN doc_id % 4 = 1 THEN 'not-an-email'
+                  WHEN doc_id % 4 = 2 THEN NULL
+                  ELSE 'https://example.com/d/' || CAST(doc_id AS VARCHAR)
+             END AS contact,
+             CASE WHEN doc_id % 3 = 0 THEN '1234'
+                  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-'
+                    || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-'
+                    || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-'
+                    || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-'
+                    || substr(md5(CAST(doc_id AS VARCHAR)), 21, 12)
+             END AS token_id
+      FROM documents
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(contact) AS BIGINT) AS nn_c,
+             CAST(count(token_id) AS BIGINT) AS nn_t,
+             CAST(sum(CASE WHEN regexp_matches(contact,
+               '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_email,
+             CAST(sum(CASE WHEN regexp_matches(contact,
+               '^https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_url,
+             CAST(sum(CASE WHEN regexp_matches(contact,
+               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_uuid,
+             CAST(sum(CASE WHEN regexp_matches(token_id,
+               '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS t_email,
+             CAST(sum(CASE WHEN regexp_matches(token_id,
+               '^https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS t_url,
+             CAST(sum(CASE WHEN regexp_matches(token_id,
+               '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS t_uuid
+      FROM t
+    )
+    SELECT 'contact' AS "column", 'email' AS format, n AS n_rows,
+           nn_c AS n_nonnull, c_email AS n_match,
+           CASE WHEN nn_c > 0 THEN round(c_email / nn_c, 6) END AS match_rate
+    FROM a
+    UNION ALL SELECT 'contact', 'url', n, nn_c, c_url,
+           CASE WHEN nn_c > 0 THEN round(c_url / nn_c, 6) END FROM a
+    UNION ALL SELECT 'contact', 'uuid', n, nn_c, c_uuid,
+           CASE WHEN nn_c > 0 THEN round(c_uuid / nn_c, 6) END FROM a
+    UNION ALL SELECT 'token_id', 'email', n, nn_t, t_email,
+           CASE WHEN nn_t > 0 THEN round(t_email / nn_t, 6) END FROM a
+    UNION ALL SELECT 'token_id', 'url', n, nn_t, t_url,
+           CASE WHEN nn_t > 0 THEN round(t_url / nn_t, 6) END FROM a
+    UNION ALL SELECT 'token_id', 'uuid', n, nn_t, t_uuid,
+           CASE WHEN nn_t > 0 THEN round(t_uuid / nn_t, 6) END FROM a
+    """,
+)
+def format_profile_documents(spark, sf_dir) -> DataFrame:
+    """String-format discovery grid (stats.format_profile): two planted
+    columns — a mixed email/garbage/NULL/url feed and a mostly-UUID key
+    with a corrupted %3 slice — profiled against the email/url/uuid
+    patterns in ONE codegen scan.  The patterns are the Java ∩ RE2 ∩
+    DuckDB dialect, so both engines grade every value identically and
+    each of the six (column, format) cells value-checks exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.md5(did)
+    planted = docs.select(
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("user"), did, F.lit("@example.com")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("not-an-email"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(None))
+        .otherwise(F.concat(F.lit("https://example.com/d/"), did))
+        .alias("contact"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("1234"))
+        .otherwise(
+            F.concat_ws(
+                "-",
+                m.substr(1, 8),
+                m.substr(9, 4),
+                m.substr(13, 4),
+                m.substr(17, 4),
+                m.substr(21, 12),
+            )
+        )
+        .alias("token_id"),
+    )
+    return stats.format_profile(
+        planted, ["contact", "token_id"], formats=["email", "url", "uuid"]
+    )
+
+
+@query(
     "quantile_profile_events",
     oracle="""
     WITH g AS (

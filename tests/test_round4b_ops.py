@@ -655,3 +655,34 @@ def test_quantile_profile_exact_and_null_group_handling(spark):
         quantile_profile(df, "v", ())
     with _p.raises(ValueError):
         quantile_profile(df, "v", (1.5,))
+
+
+def test_format_profile_grades_known_values(spark):
+    from jsons_to_schema_spark.operators.stats import format_profile
+
+    df = spark.createDataFrame(
+        [
+            ("a@b.co", "550e8400-e29b-41d4-a716-446655440000"),
+            ("no", "1.2.3.4"),
+            (None, "2024-01-31"),
+            ("http://x.io/p?q=1", "255.255.255.256"),
+        ],
+        "c1 string, c2 string",
+    )
+    rows = {
+        (r.column, r.format): r
+        for r in format_profile(df, ["c1", "c2"]).collect()
+    }
+    assert rows[("c1", "email")].n_match == 1
+    assert rows[("c1", "url")].n_match == 1
+    assert rows[("c1", "email")].n_nonnull == 3
+    assert rows[("c1", "email")].match_rate == round(1 / 3, 6)
+    assert rows[("c2", "uuid")].n_match == 1
+    assert rows[("c2", "ipv4")].n_match == 1  # .256 octet must NOT match
+    assert rows[("c2", "iso_date")].n_match == 1
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        format_profile(df, [])
+    with _p.raises(ValueError):
+        format_profile(df, ["c1"], formats=["nope"])
