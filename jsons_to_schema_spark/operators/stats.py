@@ -1861,3 +1861,40 @@ def format_profile(
             F.round(F.col("e.n_match") / F.col("e.n_nonnull"), 6),
         ).alias("match_rate"),
     )
+
+
+def corpus_composition(
+    df: DataFrame,
+    group_col: str,
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """Corpus composition report — "what share of my training mix is each
+    source/language": per-group document count and weight mass (tokens,
+    chars — any additive weight) with round-6 shares, the one-scan
+    readout every mixture decision (mixture_rates, quota_sample,
+    weighted draws) starts from.
+
+    ONE grouped aggregate + share fold via a window over the BOUNDED
+    group table.  NULL group values are a real segment; NULL weights
+    count 0 toward mass but the doc still counts.
+    """
+    from pyspark.sql import Window
+
+    w = F.coalesce(F.col(weight_col), F.lit(0)).cast("double") if weight_col else F.lit(1.0)
+    per = df.groupBy(F.col(group_col).cast("string").alias("group_value")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(w).alias("_mass"),
+    )
+    tot = Window.partitionBy(F.lit(1))
+    return per.select(
+        "group_value",
+        "n_docs",
+        F.col("_mass").cast("double").alias("mass"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6).alias(
+            "doc_share"
+        ),
+        F.when(
+            F.sum("_mass").over(tot) > 0,
+            F.round(F.col("_mass") / F.sum("_mass").over(tot), 6),
+        ).alias("mass_share"),
+    )

@@ -6055,6 +6055,30 @@ def entity_clusters_customer_names(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "corpus_composition_documents",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(source AS VARCHAR) AS group_value,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) AS mass
+      FROM documents GROUP BY 1
+    ), t AS (SELECT sum(n_docs) AS td, sum(mass) AS tm FROM g)
+    SELECT g.group_value, g.n_docs, g.mass,
+           round(g.n_docs / t.td, 6) AS doc_share,
+           CASE WHEN t.tm > 0 THEN round(g.mass / t.tm, 6) END AS mass_share
+    FROM g, t
+    """,
+)
+def corpus_composition_documents(spark, sf_dir) -> DataFrame:
+    """Corpus composition (stats.corpus_composition): per-source document
+    counts and char-mass with round-6 shares — the one-scan readout every
+    mixture decision starts from; shares fold via a window over the
+    bounded group table (the corpus never rescans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stats.corpus_composition(docs, "source", "n_chars")
+
+
+@query(
     "format_profile_documents",
     oracle="""
     WITH t AS (

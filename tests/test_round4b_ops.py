@@ -686,3 +686,21 @@ def test_format_profile_grades_known_values(spark):
         format_profile(df, [])
     with _p.raises(ValueError):
         format_profile(df, ["c1"], formats=["nope"])
+
+
+def test_corpus_composition_shares_and_null_weight(spark):
+    from jsons_to_schema_spark.operators.stats import corpus_composition
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", 30), (None, 60)],
+        "src string, w int",
+    )
+    rows = {r.group_value: r for r in corpus_composition(df, "src", "w").collect()}
+    assert rows["a"].n_docs == 2 and rows["a"].mass == 10.0
+    assert rows["a"].doc_share == 0.5
+    assert rows["a"].mass_share == 0.1
+    assert rows[None].mass_share == 0.6  # NULL group is a real segment
+    unweighted = {
+        r.group_value: r for r in corpus_composition(df, "src").collect()
+    }
+    assert unweighted["b"].mass == 1.0 and unweighted["b"].doc_share == 0.25
