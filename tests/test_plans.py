@@ -922,3 +922,23 @@ def test_outlier_report_grouped_scan_budget(spark):
         events, "value", ["event_id"], ["event_type"], method="zscore"
     )
     assert audit.scan_count(z) <= 2
+
+
+def test_wave16_profiles_single_scan_no_python(spark):
+    """format_profile / quantile_profile / corpus_composition: one corpus
+    scan each, zero Python stages — profile analyzers must stay codegen."""
+    from jsons_to_schema_spark.operators import stats
+
+    df = spark.range(200).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+        F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("@x.io")).alias("s"),
+    )
+    for q in (
+        stats.format_profile(df, ["s"], formats=["email", "uuid"]),
+        stats.quantile_profile(df, "v", (0.5, 0.9), "g"),
+        stats.corpus_composition(df, "g", "v"),
+    ):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range") == 1, plan[:1500]
+        assert "EvalPython" not in plan
