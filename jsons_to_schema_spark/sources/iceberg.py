@@ -146,6 +146,25 @@ class IcebergStateStore:
     def commit(self, rec: dict) -> None:
         self.merge([rec])
 
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Retention — the same contract as TableStateStore.expire_snapshots
+        (checkpointed_validate(expire_keep_last=) calls whichever store it
+        holds): Iceberg's ``expire_snapshots`` procedure keeps the newest
+        ``keep_last`` snapshots and drops the orphaned data/manifest files
+        they alone referenced.  ≥ 2 retained preserves the concurrent-
+        committer grace window exactly like the local store.  Returns the
+        number of data files deleted (0 when nothing was expirable)."""
+        if keep_last < 2:
+            raise ValueError(
+                f"expire_snapshots: keep_last must be >= 2, got {keep_last}"
+            )
+        cat, _, _ = self.table.partition(".")
+        row = self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots("
+            f"table => '{self.table}', retain_last => {keep_last})"
+        ).first()
+        return int(row["deleted_data_files_count"] or 0)
+
 
 def write_partitioned_violations(
     violations: DataFrame, table: str = "local.db.violations"

@@ -78,6 +78,14 @@ def main(jar: str, warehouse: str) -> None:
         spark.createDataFrame([("c", "{}", 4)], "split string, draft string, n_rows long")
     )
     assert set(contract.committed()) == {"a", "b", "c"}
+    # retention: three merges above = three snapshots; expire to the last 2
+    # and the table must still read identically (r4 expire_snapshots seam)
+    contract.expire_snapshots(keep_last=2)
+    assert set(contract.committed()) == {"a", "b", "c"}
+    snaps = spark.sql(
+        "SELECT count(*) AS n FROM local.db.contract_state.snapshots"
+    ).first()["n"]
+    assert snaps <= 2, snaps
 
     # --- check-partitioned violations sink ---------------------------------
     df = load_spans(spark, corpus)

@@ -40,7 +40,10 @@ def test_iceberg_store_contract_matches_table_store():
     from jsons_to_schema_spark.checkpoint import TableStateStore
     from jsons_to_schema_spark.sources.iceberg import STATE_DDL, IcebergStateStore
 
-    for attr in ("committed", "merge", "commit", "committed_df", "merge_df"):
+    for attr in (
+        "committed", "merge", "commit", "committed_df", "merge_df",
+        "expire_snapshots",
+    ):
         assert callable(getattr(IcebergStateStore, attr))
         assert callable(getattr(TableStateStore, attr))
     ddl_cols = {c.split()[0] for c in STATE_DDL.split(", ")}
