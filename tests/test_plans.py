@@ -942,3 +942,26 @@ def test_wave16_profiles_single_scan_no_python(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Range") == 1, plan[:1500]
         assert "EvalPython" not in plan
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
+    """The sorted layout's footer stats must be pairwise disjoint on the
+    sort column (the data-skipping evidence); a hash-shuffled write of the
+    same data must NOT be — proving the improvement is the layout, not the
+    data."""
+    from jsons_to_schema_spark.sources.layout import file_stat_ranges, write_sorted
+
+    df = load_table(spark, SF_ORACLE, "events").select("event_id", "value")
+    write_sorted(df, tmp_path / "sorted", ["value"], n_files=8)
+    ranges = file_stat_ranges(tmp_path / "sorted", "value")
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # contiguous, non-overlapping
+    df.repartition(8).write.mode("overwrite").parquet(str(tmp_path / "hashed"))
+    hashed = file_stat_ranges(tmp_path / "hashed", "value")
+    overlaps = sum(
+        1 for (l1, h1), (l2, h2) in zip(hashed, hashed[1:]) if h1 > l2
+    )
+    assert overlaps > 0  # hash layout: every file spans ~the full range
+    with pytest.raises(ValueError):
+        write_sorted(df, tmp_path / "bad", [])
