@@ -71,3 +71,37 @@ def file_stat_ranges(path: str | Path, column: str) -> "list[tuple]":
         if lo is not None:
             ranges.append((lo, hi))
     return sorted(ranges)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "list[str]",
+    n_buckets: int,
+    sort_cols: "list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key —
+    the layout that makes every future equi-join/aggregation on that key
+    SHUFFLE-FREE: two tables bucketed into the same bucket count on the
+    join key co-locate bucket-for-bucket, so the sort-merge join reads
+    both sides with zero Exchange (and zero sort, when sorted).  For a
+    fact table joined every run (orders ⋈ lineitem; spans ⋈ media
+    catalog), this amortizes the shuffle ONCE into the write.
+
+    Catalog-table based (``saveAsTable``) because bucket metadata lives in
+    the table catalog — path-based parquet reads cannot recover it; at
+    cluster scale the same call targets the Iceberg/Hive metastore.
+    """
+    if not bucket_cols:
+        raise ValueError("write_bucketed: bucket_cols must be non-empty")
+    if n_buckets <= 0:
+        raise ValueError(f"write_bucketed: n_buckets must be > 0, got {n_buckets}")
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

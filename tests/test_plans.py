@@ -965,3 +965,37 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
     assert overlaps > 0  # hash layout: every file spans ~the full range
     with pytest.raises(ValueError):
         write_sorted(df, tmp_path / "bad", [])
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count must
+    sort-merge join with ZERO Exchange — the write amortizes the shuffle
+    once for every future join (the co-located-join layout)."""
+    from jsons_to_schema_spark.sources.layout import write_bucketed
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_lineitem")
+        q = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderkey").count()
+        plan = audit.executed_plan(q)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        join_part = plan.split("SortMergeJoin")[0]
+        assert "Exchange" not in join_part, plan[:3000]
+        # the whole plan: the only permissible Exchange would be for the
+        # groupBy — but it groups on the bucket key, so none at all
+        assert "Exchange" not in plan, plan[:3000]
+        assert q.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
