@@ -27,6 +27,7 @@ Cross-engine value-hash hygiene (learned the hard way, keep it):
 
 from __future__ import annotations
 
+from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,9 +90,56 @@ _CATALOG_PQ_TOKEN = "__CATALOG_PQ__"
 _JSONL_DOCS_TOKEN = "__JSONL_DOCS__"
 
 
+_FOOTER_DIR_TOKEN = "__FOOTER_AUDIT_DIR__"
+
+
+def _footer_audit_dir() -> str:
+    """Deterministic mixed-writer audit directory: the 32 spans corpus
+    files plus ONE divergent file carrying an extra column — built once,
+    cache-keyed to the corpus, so the footer-audit query and its oracle
+    read the same bytes."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = _spans_corpus()
+    src = Path(corpus) / "documents_spans"
+    out = Path(corpus) / "footer_audit"
+    marker = out / "_COMPLETE"
+    if marker.exists():
+        return str(out)
+    tmp = Path(corpus) / "footer_audit.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for f in sorted(src.glob("*.parquet")):
+        shutil.copy(f, tmp / f.name)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["zz-1"], pa.string()),
+                "extra": pa.array([1.5], pa.float64()),
+            }
+        ),
+        tmp / "part-divergent.parquet",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        tmp.rename(out)
+    except OSError:
+        pass  # concurrent builder won the rename — same bytes
+    (out / "_COMPLETE").touch()
+    return str(out)
+
+
 def resolve_oracles() -> dict:
     """ORACLES with corpus-path tokens substituted (lazy corpus creation)."""
     out = dict(ORACLES)
+    if any(_FOOTER_DIR_TOKEN in sql for sql in out.values()):
+        d = _footer_audit_dir()
+        out = {
+            name: sql.replace(_FOOTER_DIR_TOKEN, d) for name, sql in out.items()
+        }
     if any(
         _SPANS_GLOB_TOKEN in sql or _CATALOG_PQ_TOKEN in sql for sql in out.values()
     ):
@@ -1684,6 +1732,46 @@ def spans_repair(spark, sf_dir) -> DataFrame:
     non-monotonic doc's re-ordering."""
     df = load_spans(spark, _spans_corpus(spark))
     return validate.repair_spans(df)
+
+
+@query(
+    "parquet_footer_audit_spans",
+    oracle="""
+    WITH m AS (
+      SELECT file_name, num_rows, num_row_groups
+      FROM parquet_file_metadata('__FOOTER_AUDIT_DIR__/*.parquet')
+    ), s AS (
+      SELECT file_name,
+             string_agg(name || ':' || type, ';' ORDER BY name, type) AS fp
+      FROM parquet_schema('__FOOTER_AUDIT_DIR__/*.parquet')
+      WHERE type IS NOT NULL GROUP BY file_name
+    ), c AS (
+      SELECT fp, count(*) AS nf FROM s GROUP BY fp
+    ), t AS (SELECT count(*) AS total FROM s)
+    SELECT regexp_extract(m.file_name, '[^/\\\\]+$') AS file,
+           CAST(m.num_rows AS BIGINT) AS n_rows,
+           CAST(m.num_row_groups AS INT) AS n_row_groups,
+           round(c.nf / t.total, 6) AS schema_group_share,
+           c.nf / t.total > 0.5 AS is_majority_schema
+    FROM m JOIN s USING (file_name) JOIN c ON s.fp = c.fp, t
+    """,
+)
+def parquet_footer_audit_spans(spark, sf_dir) -> DataFrame:
+    """Distributed parquet metadata audit (sources.layout.
+    parquet_footer_audit): executor-side footer reads over the 33-file
+    audit dir — the 32 corpus files plus ONE divergent file with an extra
+    column — must grade the 32 as the majority schema group (share
+    32/33) and isolate the outlier (share 1/33, is_majority false).
+    Engine-specific schema fingerprints are excluded from the compared
+    output; the GROUPING they induce (share + verdict per file) must
+    agree, along with per-file row and row-group counts."""
+    from .sources.layout import parquet_footer_audit
+
+    d = _footer_audit_dir()
+    return parquet_footer_audit(spark, d).select(
+        "file", "n_rows", "n_row_groups", "schema_group_share",
+        "is_majority_schema",
+    )
 
 
 @query(

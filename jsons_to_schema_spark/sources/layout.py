@@ -105,3 +105,75 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def parquet_footer_audit(spark, path: str | Path) -> DataFrame:
+    """Distributed parquet METADATA audit: every file's footer read on the
+    EXECUTORS (pyarrow, metadata-only IO — no data pages move) yielding
+    (file, n_rows, n_row_groups, schema_fp), then a bounded fold grades
+    each file's schema group share.  The mixed-writer audit for a
+    10^6-file corpus: a writer that silently changed schema mid-campaign
+    shows up as a minority fingerprint, found for the cost of listing +
+    footer reads.
+
+    The path LIST is driver-side (one string per file — bounded); footer
+    IO is mapInPandas over a repartitioned path table so a huge corpus
+    fans out.  schema_fp hashes the sorted (column-path, physical-type)
+    leaf list — layout-level identity (what readers actually bind to),
+    not logical-type cosmetics.
+
+    Returns (file, n_rows, n_row_groups, schema_fp, schema_group_share,
+    is_majority_schema); share = fraction of files with this exact
+    fingerprint, round(6).
+    """
+    import hashlib
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    paths = sorted(str(p) for p in Path(path).glob("*.parquet"))
+    if not paths:
+        raise ValueError(f"parquet_footer_audit: no parquet files under {path}")
+    src = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+
+    def read_footers(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = {"file": [], "n_rows": [], "n_row_groups": [], "schema_fp": []}
+            for p in b["path"]:
+                md = pq.read_metadata(p)
+                leaves = sorted(
+                    f"{md.schema.column(i).path}:{md.schema.column(i).physical_type}"
+                    for i in range(md.num_columns)
+                )
+                out["file"].append(os.path.basename(p))
+                out["n_rows"].append(md.num_rows)
+                out["n_row_groups"].append(md.num_row_groups)
+                out["schema_fp"].append(
+                    hashlib.sha256(";".join(leaves).encode()).hexdigest()[:16]
+                )
+            yield pd.DataFrame(out)
+
+    footers = src.mapInPandas(
+        read_footers,
+        "file string, n_rows long, n_row_groups int, schema_fp string",
+    )
+    w_fp = Window.partitionBy("schema_fp")
+    w_all = Window.partitionBy(F.lit(1))
+    share = F.round(
+        F.count(F.lit(1)).over(w_fp) / F.count(F.lit(1)).over(w_all), 6
+    )
+    return footers.select(
+        "file",
+        "n_rows",
+        "n_row_groups",
+        "schema_fp",
+        share.alias("schema_group_share"),
+        (share > 0.5).alias("is_majority_schema"),
+    )
