@@ -1775,6 +1775,36 @@ def parquet_footer_audit_spans(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "small_files_report_spans",
+    oracle="""
+    WITH f AS (
+      SELECT file_name, CAST(sum(row_group_bytes) AS BIGINT) AS bytes
+      FROM (SELECT DISTINCT file_name, row_group_id, row_group_bytes
+            FROM parquet_metadata('__FOOTER_AUDIT_DIR__/*.parquet'))
+      GROUP BY file_name
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN bytes < 524288 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           round(avg(bytes), 6) AS avg_file_bytes,
+           greatest(1, CAST(ceil(sum(bytes) / 524288.0) AS BIGINT))
+             AS suggested_files
+    FROM f
+    """,
+)
+def small_files_report_spans(spark, sf_dir) -> DataFrame:
+    """Small-files audit (sources.layout.small_files_report): the 33-file
+    audit dir summed by executor-side footer reads against a 512 KiB
+    target — every file is tiny, so the report must say so and suggest
+    the compaction count; both engines sum the same uncompressed
+    row-group byte totals from the same footers."""
+    from .sources.layout import small_files_report
+
+    return small_files_report(spark, _footer_audit_dir(), 524288)
+
+
+@query(
     "spans_kind_mismatch_refs",
     oracle="""
     SELECT t.doc_id, t.s.media_ref AS media_ref,

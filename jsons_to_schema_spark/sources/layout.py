@@ -177,3 +177,56 @@ def parquet_footer_audit(spark, path: str | Path) -> DataFrame:
         share.alias("schema_group_share"),
         (share > 0.5).alias("is_majority_schema"),
     )
+
+
+def small_files_report(spark, path: str | Path, target_bytes: int) -> DataFrame:
+    """The small-files audit — the classic large-table killer: a corpus
+    written as 10^6 KB-scale files pays per-file open/seek/footer cost on
+    every scan and floods the driver's split planning.  Executor-side
+    footer reads (the parquet_footer_audit fan-out) sum each file's
+    UNCOMPRESSED row-group bytes; the report says how bad it is and what
+    to do: ``suggested_files`` = the compaction target count at
+    ``target_bytes`` per file (feed it to write_sorted's n_files and the
+    compaction preserves the skipping layout).
+
+    Returns one row: (n_files, n_small, total_bytes, avg_file_bytes,
+    suggested_files); small = file bytes < target_bytes.
+    """
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if target_bytes <= 0:
+        raise ValueError("small_files_report: target_bytes must be > 0")
+    paths = sorted(str(p) for p in Path(path).glob("*.parquet"))
+    if not paths:
+        raise ValueError(f"small_files_report: no parquet files under {path}")
+    src = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+
+    def read_sizes(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            sizes = []
+            for p in b["path"]:
+                md = pq.read_metadata(p)
+                sizes.append(
+                    sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+                )
+            yield pd.DataFrame({"bytes": pd.Series(sizes, dtype="int64")})
+
+    sizes = src.mapInPandas(read_sizes, "bytes long")
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum((F.col("bytes") < target_bytes).cast("long")).alias("n_small"),
+        F.sum("bytes").alias("total_bytes"),
+        F.round(F.avg("bytes"), 6).alias("avg_file_bytes"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.sum("bytes") / F.lit(float(target_bytes))),
+        ).cast("long").alias("suggested_files"),
+    )
