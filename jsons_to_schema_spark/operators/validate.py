@@ -1186,6 +1186,11 @@ def render_documents(
 
     Returns (id, text, n_spans, n_media).
     """
+    if media_fmt.count("{ref}") != 1:
+        raise ValueError(
+            "render_documents: media_fmt must contain exactly one {ref} "
+            f"placeholder, got {media_fmt!r}"
+        )
     prefix, suffix = media_fmt.split("{ref}")
     spans = F.col(spans_col)
     indexed = F.transform(

@@ -594,3 +594,19 @@ def test_kind_mismatch_refs_planted(spark):
     # m1: image span -> audio asset (mismatch); m2 matches; mX dangling
     # (not this check's job); text spans never join (NULL ref filtered)
     assert rows == [("d1", "m1", "image", "audio")]
+
+
+def test_render_documents_rejects_bad_media_fmt(spark):
+    import pytest as _p
+
+    from jsons_to_schema_spark.operators.validate import render_documents
+
+    df = spark.createDataFrame(
+        [("d", [])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    with _p.raises(ValueError):
+        render_documents(df, media_fmt="<media>")
+    with _p.raises(ValueError):
+        render_documents(df, media_fmt="{ref}{ref}")
