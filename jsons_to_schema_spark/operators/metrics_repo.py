@@ -174,6 +174,7 @@ def detect_metric_anomalies(
     rate_hi: float | None = None,
     history_window: int | None = None,
     alpha: float = 0.3,
+    season: "int | None" = None,
 ) -> DataFrame:
     """Anomaly verdicts for ``current_run`` against earlier runs —
     all of them, or only the trailing ``history_window`` runs.
@@ -198,6 +199,11 @@ def detect_metric_anomalies(
     * ``absolute_change`` — |value − last| > max_delta.
     * ``relative_change`` — value/last < rate_lo or > rate_hi (NULL-safe:
       last == 0 flags unless value is also 0).
+    * ``seasonal_normal`` — online_normal against SAME-PHASE history only
+      (runs with run_id ≡ current mod ``season``): the weekly/daily
+      pattern detector — a Sunday volume that is normal for Sundays but
+      half the weekday mean must not flag, and a weekday value landing on
+      a Sunday baseline must.  Composes with ``history_window``.
     * ``ewma`` — the Roberts control chart online_normal cannot replace:
       the test statistic z = α·value + (1−α)·EWMA(history) ACCUMULATES a
       slow drift run over run, so a creep whose every single point stays
@@ -219,8 +225,11 @@ def detect_metric_anomalies(
         "absolute_change",
         "relative_change",
         "ewma",
+        "seasonal_normal",
     ):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "seasonal_normal" and (season is None or season < 2):
+        raise ValueError("seasonal_normal requires season >= 2")
     if strategy == "ewma" and not 0.0 < alpha < 1.0:
         raise ValueError("ewma requires 0 < alpha < 1")
     if strategy == "absolute_change" and max_delta is None:
@@ -236,6 +245,15 @@ def detect_metric_anomalies(
     metrics = metrics.localCheckpoint(eager=False)
 
     hist_pred = F.col("run_id") < F.lit(int(current_run))
+    if strategy == "seasonal_normal":
+        # same-PHASE history only: a Sunday run is judged against Sundays.
+        # The phase filter composes with history_window; everything after
+        # it is the online_normal math, so a zero-stddev phase history
+        # (the common planted-seasonality case) flags ANY deviation.
+        hist_pred = hist_pred & (
+            F.col("run_id") % F.lit(int(season))
+            == F.lit(int(current_run) % int(season))
+        )
     if history_window is not None:
         if history_window < 1:
             raise ValueError("history_window must be >= 1")
@@ -339,7 +357,7 @@ def detect_metric_anomalies(
             ).alias("is_anomaly"),
         )
 
-    if strategy == "online_normal":
+    if strategy in ("online_normal", "seasonal_normal"):
         flag = F.abs(F.col("value") - F.col("hist_mean")) > F.lit(float(k)) * F.col(
             "hist_stddev"
         )

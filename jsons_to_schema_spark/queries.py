@@ -6914,6 +6914,72 @@ def metric_anomalies_ewma_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "metric_anomalies_seasonal_events",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(event_id % 15 AS BIGINT) AS run_id,
+             CASE WHEN event_id % 15 % 7 = 0 THEN 100.0 ELSE 200.0 END AS sv,
+             200.0 AS cv
+      FROM events
+    ), runs AS (
+      SELECT run_id, round(avg(sv), 6) AS v_seasonal,
+             round(avg(cv), 6) AS v_const
+      FROM m GROUP BY 1
+    ), hist AS (
+      SELECT round(avg(v_seasonal), 6) AS mean_s,
+             round(coalesce(stddev_samp(v_seasonal), 0.0), 6) AS sd_s,
+             round(avg(v_const), 6) AS mean_c,
+             round(coalesce(stddev_samp(v_const), 0.0), 6) AS sd_c,
+             CAST(count(*) AS BIGINT) AS nh
+      FROM runs WHERE run_id < 14 AND run_id % 7 = 14 % 7
+    ), cur AS (SELECT v_seasonal, v_const FROM runs WHERE run_id = 14)
+    SELECT 'events' AS dataset, 'v_seasonal' AS instance, 'mean' AS metric,
+           cur.v_seasonal AS value, hist.mean_s AS hist_mean,
+           hist.sd_s AS hist_stddev, hist.mean_s AS hist_last,
+           hist.nh AS n_history,
+           abs(cur.v_seasonal - hist.mean_s) > 3.0 * hist.sd_s AS is_anomaly
+    FROM cur, hist
+    UNION ALL
+    SELECT 'events', 'v_const', 'mean', cur.v_const, hist.mean_c,
+           hist.sd_c, hist.mean_c, hist.nh,
+           abs(cur.v_const - hist.mean_c) > 3.0 * hist.sd_c
+    FROM cur, hist
+    """,
+)
+def metric_anomalies_seasonal_events(spark, sf_dir) -> DataFrame:
+    """Seasonal anomaly strategy (metrics_repo.detect_metric_anomalies,
+    strategy='seasonal_normal', season=7): a planted weekly pattern —
+    runs ≡ 0 mod 7 carry value 100, every other run 200 — where run 14
+    (phase 0) arrives with the WEEKDAY value 200.  Against all history the
+    global mean (~186) hides it; against the same-phase history {100, 100}
+    the zero-stddev rule flags ANY deviation, so the seasonal strategy
+    fires while the constant companion metric stays quiet — discrimination
+    value-checked, not just the booleans.  Size/completeness metrics are
+    excluded (columns=) so both verdict rows are the planted means."""
+    from .operators import metrics_repo
+
+    events = load_table(spark, sf_dir, "events")
+    runs = events.select(
+        (F.col("event_id") % 15).alias("run"),
+        F.when((F.col("event_id") % 15) % 7 == 0, F.lit(100.0))
+        .otherwise(F.lit(200.0))
+        .alias("v_seasonal"),
+        F.lit(200.0).alias("v_const"),
+    )
+    m = metrics_repo.compute_metrics(
+        runs, columns=["v_seasonal", "v_const"], dataset="events", run_col="run"
+    ).filter(F.col("metric") == "mean")
+    return metrics_repo.detect_metric_anomalies(
+        m,
+        current_run=14,
+        strategy="seasonal_normal",
+        season=7,
+        k=3.0,
+        min_history=2,
+    )
+
+
+@query(
     "multimodal_image_near_dup",
     oracle="""
     SELECT 'cpy-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_a,

@@ -462,3 +462,42 @@ def test_ewma_min_history_null(spark):
     ).collect()[0]
     assert out["is_anomaly"] is None and out["n_history"] == 1
 
+
+
+def test_seasonal_normal_flags_what_global_hides(spark):
+    """A weekday value arriving on a Sunday slot: global online_normal
+    passes (the mixed history has huge stddev), seasonal_normal flags it
+    against the same-phase history; a phase-conforming value passes."""
+    from jsons_to_schema_spark.operators import metrics_repo as mr
+
+    rows = [
+        (r, "d", "m", "mean", 100.0 if r % 7 == 0 else 200.0)
+        for r in range(14)
+    ] + [(14, "d", "m", "mean", 200.0)]
+    m = spark.createDataFrame(
+        rows, "run_id long, dataset string, instance string, metric string, value double"
+    )
+    glob = mr.detect_metric_anomalies(m, 14, strategy="online_normal").collect()[0]
+    seas = mr.detect_metric_anomalies(
+        m, 14, strategy="seasonal_normal", season=7
+    ).collect()[0]
+    assert glob.is_anomaly is False
+    assert seas.is_anomaly is True
+    assert seas.hist_mean == 100.0 and seas.n_history == 2
+    # conforming Sunday value passes the seasonal check
+    ok = spark.createDataFrame(
+        rows[:-1] + [(14, "d", "m", "mean", 100.0)],
+        "run_id long, dataset string, instance string, metric string, value double",
+    )
+    assert (
+        mr.detect_metric_anomalies(ok, 14, strategy="seasonal_normal", season=7)
+        .collect()[0]
+        .is_anomaly
+        is False
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        mr.detect_metric_anomalies(m, 14, strategy="seasonal_normal")
+    with _p.raises(ValueError):
+        mr.detect_metric_anomalies(m, 14, strategy="seasonal_normal", season=1)
