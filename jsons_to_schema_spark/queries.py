@@ -6918,7 +6918,9 @@ def metric_anomalies_ewma_events(spark, sf_dir) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT CAST(event_id % 15 AS BIGINT) AS run_id,
-             CASE WHEN event_id % 15 % 7 = 0 THEN 100.0 ELSE 200.0 END AS sv,
+             CASE WHEN event_id % 15 = 14 THEN 200.0
+                  WHEN event_id % 15 % 7 = 0 THEN 100.0
+                  ELSE 200.0 END AS sv,
              200.0 AS cv
       FROM events
     ), runs AS (
@@ -6949,19 +6951,21 @@ def metric_anomalies_ewma_events(spark, sf_dir) -> DataFrame:
 def metric_anomalies_seasonal_events(spark, sf_dir) -> DataFrame:
     """Seasonal anomaly strategy (metrics_repo.detect_metric_anomalies,
     strategy='seasonal_normal', season=7): a planted weekly pattern —
-    runs ≡ 0 mod 7 carry value 100, every other run 200 — where run 14
-    (phase 0) arrives with the WEEKDAY value 200.  Against all history the
-    global mean (~186) hides it; against the same-phase history {100, 100}
-    the zero-stddev rule flags ANY deviation, so the seasonal strategy
-    fires while the constant companion metric stays quiet — discrimination
-    value-checked, not just the booleans.  Size/completeness metrics are
+    history runs ≡ 0 mod 7 carry value 100, every other run 200 — and the
+    CURRENT run 14 (phase 0, a "Sunday" slot) arrives with the WEEKDAY
+    value 200.  Against the same-phase history {100, 100} the zero-stddev
+    rule flags ANY deviation, so the seasonal strategy fires (is_anomaly
+    true) while the constant companion metric stays quiet (false) — both
+    verdict arms value-checked; the global-vs-seasonal discrimination is
+    pinned separately in tests/test_metrics_bloom.py.  Size/completeness metrics are
     excluded (columns=) so both verdict rows are the planted means."""
     from .operators import metrics_repo
 
     events = load_table(spark, sf_dir, "events")
     runs = events.select(
         (F.col("event_id") % 15).alias("run"),
-        F.when((F.col("event_id") % 15) % 7 == 0, F.lit(100.0))
+        F.when(F.col("event_id") % 15 == 14, F.lit(200.0))
+        .when((F.col("event_id") % 15) % 7 == 0, F.lit(100.0))
         .otherwise(F.lit(200.0))
         .alias("v_seasonal"),
         F.lit(200.0).alias("v_const"),
