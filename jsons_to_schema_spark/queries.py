@@ -6320,6 +6320,51 @@ def quantile_profile_events(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "aggregate_reconciliation_orders",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, round(sum(CAST(l_extendedprice AS DOUBLE)), 6) AS t,
+             CAST(count(*) AS BIGINT) AS n_children
+      FROM lineitem GROUP BY 1
+    ), p AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 2 = 1 THEN round(t + 5.0, 6)
+                  ELSE t END AS expected
+      FROM s
+    )
+    SELECT p.l_orderkey, p.expected, s.t AS actual,
+           round(abs(p.expected - s.t), 6) AS abs_diff, s.n_children
+    FROM p JOIN s USING (l_orderkey)
+    WHERE round(abs(p.expected - s.t), 6) > 0.000001
+    """,
+)
+def aggregate_reconciliation_orders(spark, sf_dir) -> DataFrame:
+    """Cross-table aggregate reconciliation (validate.
+    aggregate_reconciliation): every parent's stored total must equal the
+    sum of its children — the warehouse invariant dangling-ref checks
+    can't see.  The parent table is derived from lineitem itself with
+    every odd order's total corrupted by +5, so the violation set is
+    exactly the odd orderkeys, each with its expected/actual/diff
+    value-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parent = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("double")), 6).alias("_t"))
+        .select(
+            "l_orderkey",
+            F.when(
+                F.col("l_orderkey") % 2 == 1, F.round(F.col("_t") + 5.0, 6)
+            )
+            .otherwise(F.col("_t"))
+            .alias("total"),
+        )
+    )
+    return validate.aggregate_reconciliation(
+        parent, li, ["l_orderkey"], "total", "l_extendedprice", tolerance=1e-6
+    )
+
+
+@query(
     "distinct_overlap_events_users",
     oracle="""
     WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),

@@ -610,3 +610,33 @@ def test_render_documents_rejects_bad_media_fmt(spark):
         render_documents(df, media_fmt="<media>")
     with _p.raises(ValueError):
         render_documents(df, media_fmt="{ref}{ref}")
+
+
+def test_aggregate_reconciliation_arms(spark):
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.operators.validate import aggregate_reconciliation
+
+    parent = spark.createDataFrame(
+        [(1, 30.0), (2, 99.0), (3, 7.0), (4, 0.0)],
+        "k long, total double",
+    )
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 50.0), (3, None)],
+        "k long, amt double",
+    )
+    rows = {
+        r.k: r
+        for r in aggregate_reconciliation(
+            parent, child, ["k"], "total", "amt", tolerance=0.5
+        ).collect()
+    }
+    assert 1 not in rows                      # reconciles exactly
+    assert rows[2].abs_diff == 49.0           # corrupted total
+    assert rows[3].actual == 0.0              # all-NULL children sum -> 0
+    assert rows[3].n_children == 1
+    assert 4 not in rows                      # no children, total 0 -> ok
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        aggregate_reconciliation(parent, child, [], "total", "amt")
