@@ -394,9 +394,18 @@ def stamp_run(
     strategy: str = "online_normal",
     k: float = 3.0,
     min_history: int = 2,
+    extra_metrics: "DataFrame | None" = None,
 ) -> tuple[int, "DataFrame | None"]:
     """The pipeline-facing composition: compute this run's metrics, append
     them to the repository, and judge them against the stored history.
+
+    ``extra_metrics`` lets a pipeline stamp DERIVED numbers it already
+    holds (per-check violation counts, observed-write totals) into the
+    SAME run partition — rows of (dataset, instance, metric, value); the
+    run_id column is stamped here so callers cannot mis-file them.  They
+    must be unioned before the save: the repository's per-run dynamic
+    overwrite is idempotent per run_id, so a second save for the same run
+    would REPLACE the first instead of adding to it.
 
     ``run_id`` defaults to latest_run() + 1 (0 for an empty repository).
     Returns (run_id, anomalies) — anomalies is None when the repository
@@ -415,6 +424,15 @@ def stamp_run(
     if run_id is None:
         run_id = 0 if latest is None else latest + 1
     metrics = compute_metrics(df, columns, dataset=dataset, run_id=run_id)
+    if extra_metrics is not None:
+        extra = extra_metrics.select(
+            F.lit(int(run_id)).cast("bigint").alias("run_id"),
+            F.col("dataset").cast("string"),
+            F.col("instance").cast("string"),
+            F.col("metric").cast("string"),
+            F.col("value").cast("double"),
+        )
+        metrics = metrics.unionByName(extra)
     repo.save(metrics)
     if latest is None:
         return int(run_id), None

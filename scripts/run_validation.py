@@ -124,12 +124,24 @@ def main() -> int:
 
         from jsons_to_schema_spark.operators.metrics_repo import stamp_run
 
+        # per-check violation counts ride the same run partition, so a
+        # violation-count spike alarms exactly like a size collapse
+        viol_rows = spark.read.parquet(str(out / "violations"))
+        per_check = viol_rows.groupBy("check").agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        ).select(
+            F.lit("violations").alias("dataset"),
+            F.col("check").alias("instance"),
+            F.lit("count").alias("metric"),
+            "value",
+        )
         run_id, anomalies = stamp_run(
             spark,
             df.select("doc_id", F.size("spans").alias("n_spans")),
             args.metrics_repo,
             dataset="spans",
             run_id=args.run_id,
+            extra_metrics=per_check,
         )
         if anomalies is None:
             print(f"metrics stamped as run {run_id} (first run, no history)")

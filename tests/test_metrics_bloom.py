@@ -501,3 +501,38 @@ def test_seasonal_normal_flags_what_global_hides(spark):
         mr.detect_metric_anomalies(m, 14, strategy="seasonal_normal")
     with _p.raises(ValueError):
         mr.detect_metric_anomalies(m, 14, strategy="seasonal_normal", season=1)
+
+
+def test_stamp_run_extra_metrics_same_partition(spark, tmp_path):
+    """extra_metrics rows land in the SAME run partition as the computed
+    metrics (one dynamic overwrite), and are judged with the history like
+    any other metric."""
+    from pyspark.sql import functions as F
+
+    from jsons_to_schema_spark.operators.metrics_repo import (
+        MetricsRepository,
+        stamp_run,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    extra = spark.createDataFrame(
+        [("violations", "text_present", "count", 3.0)],
+        "dataset string, instance string, metric string, value double",
+    )
+    stamp_run(spark, df, tmp_path / "repo", "d", run_id=0, extra_metrics=extra)
+    stamp_run(spark, df, tmp_path / "repo", "d", run_id=1, extra_metrics=extra)
+    big = spark.createDataFrame(
+        [("violations", "text_present", "count", 500.0)],
+        "dataset string, instance string, metric string, value double",
+    )
+    run_id, anomalies = stamp_run(
+        spark, df, tmp_path / "repo", "d", run_id=2, extra_metrics=big
+    )
+    repo = MetricsRepository(spark, tmp_path / "repo")
+    stored = repo.load().filter("dataset = 'violations' AND run_id = 2").collect()
+    assert [(r.instance, r.value) for r in stored] == [("text_present", 500.0)]
+    flagged = {
+        (r.dataset, r.instance): r.is_anomaly for r in anomalies.collect()
+    }
+    assert flagged[("violations", "text_present")] is True  # 3,3 -> 500 spikes
+    assert flagged[("d", "v")] is False
