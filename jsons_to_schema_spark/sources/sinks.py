@@ -55,6 +55,11 @@ def write_table_observed(
     """
     from pyspark.sql import Observation
 
+    if not metrics:
+        raise ValueError(
+            "write_table_observed: metrics must be non-empty (use "
+            "write_table for a plain write)"
+        )
     obs = Observation()
     named = {}
     for name, col in metrics.items():

@@ -640,3 +640,12 @@ def test_aggregate_reconciliation_arms(spark):
 
     with _p.raises(ValueError):
         aggregate_reconciliation(parent, child, [], "total", "amt")
+
+
+def test_write_table_observed_rejects_empty_metrics(spark, tmp_path):
+    import pytest as _p
+
+    from jsons_to_schema_spark.sources.sinks import write_table_observed
+
+    with _p.raises(ValueError):
+        write_table_observed(spark.range(3), tmp_path / "x", {})
