@@ -1711,7 +1711,10 @@ def distinct_overlap(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     snapshots costs two scans and KBs of sketch state.
 
     Returns one row: (n_a_est, n_b_est, n_union_est, n_new_in_a_est,
-    n_common_est) as longs.  Estimates carry HLL's ~1–2% relative error
+    n_common_est) as longs.  NULL keys are NOT counted (HLL aggregates
+    skip them) — note that ``distinct().count()`` on the same column
+    counts a NULL row, so an exact-count comparison must filter NULLs to
+    share semantics.  Estimates carry HLL's ~1–2% relative error
     (the driver query checks the ≤5% contract against exact counts — the
     stats_distinct_hll pattern); the derived differences compound both
     errors, so tiny true differences can read as 0 (floored) — a NEW-key
