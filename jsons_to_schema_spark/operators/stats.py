@@ -1557,6 +1557,80 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df: DataFrame, quasi_cols: "list[str]", sensitive_col: str, t: float
+) -> DataFrame:
+    """t-closeness risk profile — the third member of the privacy triple
+    (k_anonymity: groups too small; l_diversity: groups too uniform;
+    t_closeness: groups whose sensitive DISTRIBUTION sits too far from
+    the table's).  A group can be large AND carry l distinct values yet
+    still leak — e.g. 99% one diagnosis where the corpus is uniform —
+    the skewness attack l-diversity cannot see.
+
+    Distance is total variation (= Earth Mover's Distance under the
+    equal-ground-distance metric the original paper uses for categorical
+    attributes): tv(g) = ½ Σ_v |P(v|g) − P(v)|.  Values absent from a
+    group contribute P(v) each, so instead of materializing the missing
+    (group × value) combinations we fold only observed cells with the
+    identity  tv(g) = ½·(1 + Σ_{v∈g} (|p_gv − q_v| − q_v)).
+
+    Plan shape: ONE data-sized shuffle — the joint (quasi, sensitive)
+    grouped count.  Group totals, global value shares, and the per-group
+    fold are windows/aggregates over that BOUNDED cell table (≤ groups ×
+    values rows), never a second corpus scan.  NULL sensitive values are
+    a value level on both sides of the comparison (consistent with how
+    GROUP BY treats them in Spark and DuckDB alike).  Per-cell terms are
+    rounded to 6 decimals before the group fold and the fold result is
+    rounded again, so the cross-engine comparison is summation-order-
+    proof (repo oracle hygiene, the psi_report rule).
+
+    Output mirrors k_anonymity / l_diversity: one row — (t, n_rows,
+    n_groups, groups_above_t, rows_above_t, risk_fraction round6,
+    max_tv, t_close)."""
+    if not quasi_cols:
+        raise ValueError("t_closeness: quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError("t_closeness: sensitive_col inside quasi_cols")
+    if not (0.0 < t < 1.0):
+        raise ValueError("t_closeness: t must be in (0, 1)")
+    from pyspark.sql import Window
+
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_group = Window.partitionBy(*quasi_cols)
+    w_value = Window.partitionBy(sensitive_col)
+    w_all = Window.partitionBy(F.lit(1))
+    p = F.col("_n") / F.sum("_n").over(w_group)
+    q = F.sum("_n").over(w_value) / F.sum("_n").over(w_all)
+    terms = cells.select(
+        *quasi_cols,
+        F.col("_n").alias("_cell_n"),
+        F.round(F.abs(p - q) - q, 6).alias("_term"),
+    )
+    groups = terms.groupBy(*quasi_cols).agg(
+        F.sum("_cell_n").alias("_gn"),
+        F.round((F.lit(1.0) + F.sum("_term")) / 2.0, 6).alias("_tv"),
+    )
+    above = F.col("_tv") > t
+    return groups.agg(
+        F.round(F.lit(float(t)), 6).alias("t"),
+        F.sum("_gn").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(above.cast("long")).alias("groups_above_t"),
+        F.coalesce(F.sum(F.when(above, F.col("_gn"))), F.lit(0)).alias(
+            "rows_above_t"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.when(above, F.col("_gn"))), F.lit(0))
+            / F.sum("_gn"),
+            6,
+        ).alias("risk_fraction"),
+        F.max("_tv").alias("max_tv"),
+        (F.max("_tv") <= t).alias("t_close"),
+    )
+
+
 def mutual_information_pairs(
     df: DataFrame, pairs: "list[tuple[str, str]]"
 ) -> DataFrame:

@@ -7540,6 +7540,71 @@ def leakage_safe_split_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "t_closeness_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, user_id % 25 AS bucket,
+             CASE WHEN event_type = 'error' THEN 'E'
+                  ELSE 'v' || CAST(event_id % 7 AS VARCHAR) END AS sensitive
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bucket, sensitive, count(*) AS n
+      FROM src GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT event_type, bucket, n,
+             round(abs(CAST(n AS DOUBLE)
+                       / sum(n) OVER (PARTITION BY event_type, bucket)
+                     - CAST(sum(n) OVER (PARTITION BY sensitive) AS DOUBLE)
+                       / sum(n) OVER ())
+                   - CAST(sum(n) OVER (PARTITION BY sensitive) AS DOUBLE)
+                     / sum(n) OVER (), 6) AS term
+      FROM cells
+    ),
+    g AS (
+      SELECT event_type, bucket, sum(n) AS gn,
+             round((1.0 + sum(term)) / 2.0, 6) AS tv
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT CAST(0.5 AS DOUBLE) AS t,
+           CAST(sum(gn) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN tv > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_above_t,
+           CAST(coalesce(sum(CASE WHEN tv > 0.5 THEN gn END), 0) AS BIGINT)
+             AS rows_above_t,
+           round(coalesce(sum(CASE WHEN tv > 0.5 THEN gn END), 0)
+                 / sum(gn), 6) AS risk_fraction,
+           max(tv) AS max_tv,
+           max(tv) <= 0.5 AS t_close
+    FROM g
+    """,
+)
+def t_closeness_events(spark, sf_dir) -> DataFrame:
+    """t-closeness risk (stats.t_closeness) — the skewness-attack check
+    the other two privacy analyzers cannot see: the quasi-identifier is
+    (event_type, user bucket) and the sensitive plant makes every
+    'error' group single-valued 'E' (its distribution sits ~1−e total
+    variation from the corpus mixture → above t=0.5) while the other
+    groups are near-uniform over 7 values (tv ≈ the corpus error share
+    ≈ 0.2 → below t) — both verdict arms present, and the oracle replays
+    the observed-cell fold identity tv = ½(1 + Σ(|p−q| − q)) with the
+    same per-cell round(6), so every column of the one-row report is
+    value-checked."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 25).alias("bucket"),
+        F.when(F.col("event_type") == "error", F.lit("E"))
+        .otherwise(
+            F.concat(F.lit("v"), (F.col("event_id") % 7).cast("string"))
+        )
+        .alias("sensitive"),
+    )
+    return stats.t_closeness(ev, ["event_type", "bucket"], "sensitive", 0.5)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

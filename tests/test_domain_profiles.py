@@ -181,6 +181,59 @@ def test_l_diversity_report(spark):
         stats.l_diversity(df, ["q"], "s", 1)
 
 
+def test_t_closeness_skewness_attack(spark):
+    # Group A is l-diverse at l=2 (two distinct values) yet 90% one value
+    # while the corpus mixes ~55/44 — the skewness attack only
+    # t-closeness sees.  Group C's support is disjoint from the rest, so
+    # it exercises the absent-value side of the fold identity
+    # tv = ½(1 + Σ_observed(|p−q| − q)); expected values below replay
+    # the operator's own per-term round(6) arithmetic by hand.
+    rows = (
+        [("A", "x")] * 90 + [("A", "y")] * 10
+        + [("B", "x")] * 300 + [("B", "y")] * 300
+        + [("C", "z")] * 10
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    qx, qy, qz = 390 / 710, 310 / 710, 10 / 710
+
+    def tv(ps):  # ps: {value: in-group share} over observed cells
+        total = sum(
+            round(abs(p - {"x": qx, "y": qy, "z": qz}[v]) -
+                  {"x": qx, "y": qy, "z": qz}[v], 6)
+            for v, p in ps.items()
+        )
+        return round((1.0 + total) / 2.0, 6)
+
+    tv_a, tv_b, tv_c = (
+        tv({"x": 0.9, "y": 0.1}),
+        tv({"x": 0.5, "y": 0.5}),
+        tv({"z": 1.0}),
+    )
+    assert tv_a > 0.2 > tv_b  # the discrimination the plant relies on
+    assert abs(tv_c - (1.0 - qz)) < 1e-6  # disjoint support ⇒ tv = 1 − q_z
+    r = stats.t_closeness(df, ["q"], "s", 0.2).collect()[0]
+    assert (r.t, r.n_rows, r.n_groups) == (0.2, 710, 3)
+    # 1e-6 tolerance: tv_c lands exactly on a .xxxxxx5 tie, where Spark's
+    # HALF_UP and Python's banker's rounding differ in the last decimal
+    assert abs(r.max_tv - max(tv_a, tv_b, tv_c)) <= 1.5e-6
+    assert (r.groups_above_t, r.rows_above_t) == (2, 110)
+    assert r.risk_fraction == round(110 / 710, 6)
+    assert r.t_close is False
+    # same report from any partitioning (per-term round(6) keeps the
+    # group fold summation-order-proof)
+    r17 = stats.t_closeness(df.repartition(17), ["q"], "s", 0.2).collect()[0]
+    assert tuple(r) == tuple(r17)
+    # a table whose every group mirrors itself is t-close at any t
+    ok = stats.t_closeness(df.filter("q = 'B'"), ["q"], "s", 0.05).collect()[0]
+    assert ok.t_close is True and ok.max_tv == 0.0
+    with pytest.raises(ValueError, match="quasi_cols"):
+        stats.t_closeness(df, [], "s", 0.2)
+    with pytest.raises(ValueError, match="sensitive_col"):
+        stats.t_closeness(df, ["s"], "s", 0.2)
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        stats.t_closeness(df, ["q"], "s", 1.5)
+
+
 def test_mutual_information_pairs_matches_single_pair(spark):
     import random
 

@@ -808,6 +808,21 @@ def test_l_diversity_single_scan(spark):
     assert audit.has_partial_aggregate(q)
 
 
+def test_t_closeness_single_scan(spark):
+    """The joint (quasi, sensitive) grouped count is the ONLY data-sized
+    shuffle; group totals / value shares / the tv fold are windows and
+    aggregates over that bounded cell table — never a second corpus scan,
+    never Python."""
+    from jsons_to_schema_spark.operators import stats as S
+
+    events = load_table(spark, SF_ORACLE, "events")
+    q = S.t_closeness(events, ["event_type"], "user_id", 0.5)
+    plan = audit.executed_plan(q)
+    assert audit.scan_count(q) == 1
+    assert audit.has_partial_aggregate(q)
+    assert "EvalPython" not in plan
+
+
 def test_c4_clean_no_shuffle_no_python(spark):
     """The C4 rules are a pure narrow projection: zero Exchange, zero
     Python eval, whole-stage codegen."""
