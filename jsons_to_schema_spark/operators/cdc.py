@@ -64,3 +64,85 @@ def compact_changelog(
             F.col(op_col).isNull() | ~F.col(op_col).isin(*delete_ops)
         ).drop(*([op_col] if op_col not in payload_cols else []))
     return out
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: "list[str]",
+    seq_col: str,
+    payload_cols: "list[str]",
+    op_col: "str | None" = None,
+    delete_ops: "tuple[str, ...]" = ("delete",),
+) -> DataFrame:
+    """SCD Type-2 dimension build from a change log: one versioned row per
+    DISTINCT consecutive state of each key, with validity interval and
+    current-flag — the other half of the CDC story (compact_changelog
+    keeps only the final state; downstream as-of joins and drift-vs-then
+    audits need the full history table).
+
+    Semantics per key, ordered by ``seq_col`` (contract: unique per key —
+    ties would make the winner unspecified):
+
+    * consecutive rows with an IDENTICAL payload collapse into one version
+      (a re-crawl that found nothing new must not open a version) — field
+      comparison is null-safe, so NULL→value and value→NULL transitions DO
+      open versions;
+    * a delete row (``op_col`` in ``delete_ops``; NULL op is NOT a
+      tombstone, the compact_changelog review rule) CLOSES the open
+      version at the delete's seq and emits nothing — a later re-insert
+      opens a fresh version even if its payload equals the pre-delete
+      state;
+    * ``valid_from`` = the seq that opened the version, ``valid_to`` = the
+      seq of the NEXT state change (NULL = still open), ``version`` =
+      1-based rank among the key's surviving versions, ``is_current`` =
+      open and not deleted.
+
+    Shape: ONE data-sized shuffle — the hash partition on the key for the
+    change-detection window (lag per compared field; Spark fuses them into
+    one Window exec).  The boundary filter collapses the log to the
+    version table (sized by state CHANGES, not log rows) before the lead /
+    row_number windows, which reuse the same key partitioning — no second
+    exchange (plan-asserted).  Hot keys (a doc re-crawled 10^6 times) ship
+    their history to one reducer: inherent, because the output IS the
+    per-key ordered history; the map-side story is the boundary collapse.
+    """
+    if not key_cols or not payload_cols:
+        raise ValueError("scd2_from_changelog: key/payload cols must be non-empty")
+    if seq_col in payload_cols or seq_col in key_cols:
+        raise ValueError("scd2_from_changelog: seq_col overlaps key/payload")
+    if op_col and op_col in payload_cols:
+        raise ValueError("scd2_from_changelog: op_col inside payload_cols")
+    from pyspark.sql import Window
+
+    is_del = (
+        F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
+        if op_col
+        else F.lit(False)
+    )
+    base = df.select(
+        *key_cols,
+        F.col(seq_col).alias("valid_from"),
+        is_del.alias("_del"),
+        *payload_cols,
+    )
+    w = Window.partitionBy(*key_cols).orderBy("valid_from")
+    change = F.lag("valid_from").over(w).isNull()
+    for c in ["_del", *payload_cols]:
+        change = change | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    bounds = (
+        base.withColumn("_chg", change)
+        .filter(F.col("_chg"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+    )
+    return (
+        bounds.filter(~F.col("_del"))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            *key_cols,
+            *payload_cols,
+            "valid_from",
+            "valid_to",
+            "version",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -549,6 +549,87 @@ def datatype_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
     )
 
 
+# Shape-mask character classes — ASCII-only on purpose: Java regex (Spark
+# rlike/regexp_replace) and RE2 (the DuckDB oracle) agree byte-for-byte on
+# ASCII ranges; non-ASCII characters pass through verbatim on both engines.
+_MASK_CLASSES = (("[A-Z]", "A"), ("[a-z]", "a"), ("[0-9]", "9"))
+
+
+def pattern_profile(
+    df: DataFrame, columns: "list[str]", top_k: int = 5
+) -> DataFrame:
+    """Shape-mask pattern profile of string columns — the format-discovery
+    analyzer (deequ/profilers' "patterns" output) that datatype_profile's
+    type classifier cannot see: '12-345 Ab' → '99-999 Aa' (uppercase→A,
+    lowercase→a, digit→9, everything else verbatim), then the top_k masks
+    per column with their coverage.  This is how a pipeline notices an
+    upstream export switching phone formats or padding keys.
+
+    ONE scan and ONE data-sized shuffle: the columns melt via a ``stack``
+    projection, the mask is a JVM regexp_replace chain inside whole-stage
+    codegen, and the (column, mask) grouped count is map-side partial — the
+    shuffle is bounded by the summed DISTINCT-MASK cardinalities (masks
+    collapse values: every 'Customer#000000042' is one mask), not by rows.
+    Rank and coverage are windows over that bounded mask table.  Ties
+    break deterministically by (n desc, mask asc).
+
+    NULLs are excluded from masks (share = n / column non-null count,
+    round(6)); an all-NULL column still reports one row (rank/mask/share
+    NULL, n 0) via a broadcast column spine — the inclusion_profile rule:
+    a profiler that silently drops the degenerate column hides exactly
+    the anomaly it exists to catch.
+
+    Output: (column, rank, mask, n, share)."""
+    if not columns:
+        raise ValueError("pattern_profile: columns must be non-empty")
+    if top_k < 1:
+        raise ValueError("pattern_profile: top_k must be >= 1")
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType
+
+    for c in columns:
+        if not isinstance(df.schema[c].dataType, StringType):
+            raise ValueError(
+                f"pattern_profile: column {c!r} is not a string column "
+                "(cast explicitly — engine-specific number formatting "
+                "would make masks oracle-unstable)"
+            )
+    stack = ", ".join(f"'{c}', {c}" for c in columns)
+    pairs = df.select(
+        F.expr(f"stack({len(columns)}, {stack}) AS (column, _v)")
+    )
+    mask = F.col("_v")
+    for pat, rep in _MASK_CLASSES:
+        mask = F.regexp_replace(mask, pat, rep)
+    cells = (
+        pairs.filter(F.col("_v").isNotNull())
+        .select("column", mask.alias("mask"))
+        .groupBy("column", "mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.partitionBy("column").orderBy(
+        F.col("n").desc(), F.col("mask").asc()
+    )
+    w_col = Window.partitionBy("column")
+    ranked = (
+        cells.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(w_col), 6)
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+    )
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column string"
+    )
+    return spine.join(F.broadcast(ranked), "column", "left").select(
+        "column",
+        "rank",
+        "mask",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "share",
+    )
+
+
 def uniqueness_profile(df: DataFrame, columns: "list[str]") -> DataFrame:
     """deequ's Uniqueness + UniqueValueRatio for N columns with ONE scan
     and ONE shuffle: rows melt to (column, value) pairs via a ``stack``

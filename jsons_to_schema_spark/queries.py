@@ -7605,6 +7605,134 @@ def t_closeness_events(spark, sf_dir) -> DataFrame:
     return stats.t_closeness(ev, ["event_type", "bucket"], "sensitive", 0.5)
 
 
+@query(
+    "cdc_scd2_events",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id AS valid_from,
+             (event_type = 'error') AS del,
+             CAST(floor(value / 100.0) AS BIGINT) AS state
+      FROM events
+    ),
+    chg AS (
+      SELECT *,
+        (lag(valid_from) OVER w IS NULL
+         OR del IS DISTINCT FROM lag(del) OVER w
+         OR state IS DISTINCT FROM lag(state) OVER w) AS is_chg
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    ),
+    bounds AS (
+      SELECT user_id, del, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      FROM chg WHERE is_chg
+    )
+    SELECT user_id, state, valid_from, valid_to,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY valid_from) AS INT) AS version,
+           (valid_to IS NULL) AS is_current
+    FROM bounds WHERE NOT del
+    """,
+)
+def cdc_scd2_events(spark, sf_dir) -> DataFrame:
+    """SCD Type-2 history build (cdc.scd2_from_changelog): events replayed
+    as a per-user changelog ordered by event_id (globally unique →
+    tie-free seq), payload = the value quintile (floor(value/100), 5
+    states → real consecutive-identical collapses), 'error' rows as
+    tombstones that CLOSE the open version.  Completes the CDC pair:
+    cdc_compact_events keeps only the final state; this emits every
+    surviving version with [valid_from, valid_to) and is_current.  The
+    oracle replays the identical boundary-detection window formulation in
+    DuckDB (IS DISTINCT FROM = Spark's eqNullSafe negation), so collapse,
+    tombstone-close, and resurrect-after-delete semantics are all
+    value-checked at sf0.01."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") / 100.0).cast("long").alias("state"),
+    )
+    return cdc.scd2_from_changelog(
+        log,
+        ["user_id"],
+        "event_id",
+        ["state"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+
+
+@query(
+    "pattern_profile_customer",
+    oracle="""
+    WITH src AS (
+      SELECT c_name,
+             c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN 'ID-' || CAST(c_custkey AS VARCHAR)
+                  ELSE lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS ckey
+      FROM customer
+    ),
+    cells AS (
+      SELECT col AS "column", mask, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 'c_name' AS col,
+               regexp_replace(regexp_replace(regexp_replace(
+                 c_name, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                 '[0-9]', '9', 'g') AS mask
+        FROM src WHERE c_name IS NOT NULL
+        UNION ALL
+        SELECT 'c_mktsegment',
+               regexp_replace(regexp_replace(regexp_replace(
+                 c_mktsegment, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                 '[0-9]', '9', 'g')
+        FROM src WHERE c_mktsegment IS NOT NULL
+        UNION ALL
+        SELECT 'ckey',
+               regexp_replace(regexp_replace(regexp_replace(
+                 ckey, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                 '[0-9]', '9', 'g')
+        FROM src WHERE ckey IS NOT NULL
+      ) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT "column", mask, n,
+             round(CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY "column"), 6) AS share,
+             CAST(row_number() OVER (PARTITION BY "column"
+                    ORDER BY n DESC, mask ASC) AS INT) AS rank
+      FROM cells
+    )
+    SELECT "column", rank, mask, n, share FROM ranked WHERE rank <= 5
+    """,
+)
+def pattern_profile_customer(spark, sf_dir) -> DataFrame:
+    """Shape-mask pattern profile (stats.pattern_profile): top-5 format
+    masks per string column over customer, with a PLANTED mixed-format
+    key — c_custkey rendered 'ID-<n>' for every third customer and
+    zero-padded to 9 digits otherwise — so the profiler demonstrably
+    surfaces the upstream-export format split ('AA-9…' family vs
+    '999999999') that datatype_profile's type classifier cannot see.
+    c_name collapses 1,500 values into ONE mask ('Aaaaaaaa#999999999'),
+    evidencing that the shuffle is bounded by distinct-mask cardinality,
+    not rows.  Oracle replays the identical ASCII-only mask chain in
+    DuckDB RE2 (the Java∩RE2 dialect rule from the PII scrubber) with the
+    same (n desc, mask asc) tie-break and round(6) share."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_name",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("ID-"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+        .alias("ckey"),
+    )
+    return stats.pattern_profile(
+        cust, ["c_name", "c_mktsegment", "ckey"], top_k=5
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

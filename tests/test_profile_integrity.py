@@ -160,3 +160,65 @@ def test_completeness_profile_single_scan(spark):
     plan = stats.completeness_profile(df, ["v", "s"], "g")._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Range") == 1  # one corpus scan feeds the whole matrix
+
+
+def test_pattern_profile_masks_ranks_and_spine(spark):
+    rows = (
+        [("12-345", "Customer#001")] * 5
+        + [("98-760", "Customer#777")] * 3   # same masks as above
+        + [("abc", "Customer#9")] * 4        # second mask family
+        + [("ABC", None)] * 2                # NULL excluded from name masks
+        + [(None, "x1")]                     # NULL excluded from code masks
+    )
+    df = spark.createDataFrame(rows, "code string, name string").withColumn(
+        "empty", F.lit(None).cast("string")
+    )
+    out = stats.pattern_profile(df, ["code", "name", "empty"], top_k=2)
+    got = {(r.column, r.rank): r for r in out.collect()}
+    # code: '99-999' x8, 'aaa' x4 beats 'AAA' x2 on count; top_k=2 drops AAA
+    assert got[("code", 1)].mask == "99-999" and got[("code", 1)].n == 8
+    assert got[("code", 2)].mask == "aaa" and got[("code", 2)].n == 4
+    assert got[("code", 1)].share == round(8 / 14, 6)
+    # name: 'Aaaaaaaa#999' x8 (5+3 collapse into ONE mask), then '#9' family
+    assert got[("name", 1)].mask == "Aaaaaaaa#999" and got[("name", 1)].n == 8
+    assert got[("name", 2)].mask == "Aaaaaaaa#9" and got[("name", 2)].n == 4
+    # the all-NULL column keeps its spine row instead of vanishing
+    assert got[("empty", None)].mask is None
+    assert got[("empty", None)].n == 0 and got[("empty", None)].share is None
+    assert len(got) == 5
+
+
+def test_pattern_profile_tie_break_and_contracts(spark):
+    # equal counts -> deterministic mask-ascending order
+    df = spark.createDataFrame(
+        [("a1",), ("1a",), ("b2",), ("2b",)], "v string"
+    )
+    rows = stats.pattern_profile(df, ["v"], top_k=10).orderBy("rank").collect()
+    assert [(r.rank, r.mask, r.n) for r in rows] == [
+        (1, "9a", 2), (2, "a9", 2)
+    ]
+    with pytest.raises(ValueError, match="non-empty"):
+        stats.pattern_profile(df, [])
+    with pytest.raises(ValueError, match="top_k"):
+        stats.pattern_profile(df, ["v"], top_k=0)
+    with pytest.raises(ValueError, match="not a string column"):
+        stats.pattern_profile(df.select(F.length("v").alias("n")), ["n"])
+
+
+def test_pattern_profile_partition_invariance_and_one_scan(spark):
+    df = spark.range(300).select(
+        F.concat(
+            F.lit("u"), (F.col("id") % 7).cast("string"),
+            F.lit("-"), F.upper(F.hex(F.col("id") % 19)),
+        ).alias("tag"),
+        F.col("id").cast("string").alias("sid"),
+    )
+    a = stats.pattern_profile(df, ["tag", "sid"], 3).collect()
+    b = stats.pattern_profile(df.repartition(17), ["tag", "sid"], 3).collect()
+    key = lambda r: (r.column, r.rank if r.rank is not None else -1)
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[1] or 0)) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[1] or 0)
+    )
+    plan = stats.pattern_profile(df, ["tag", "sid"], 3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Range") == 1  # the melt feeds every column's profile

@@ -426,3 +426,92 @@ def test_outlier_report_grouped_matches_global_on_one_group(spark):
     assert [(r.i, r.value, r.score) for r in grouped] == [
         (r.i, r.value, r.score) for r in global_
     ]
+
+
+def _scd2_log(spark):
+    # one key's life: insert A, no-op A (collapses), update B, delete,
+    # re-insert B (equal to pre-delete payload -> STILL a new version),
+    # update to NULL payload (null-safe change), back to C
+    rows = [
+        ("k1", 1, "upsert", "A"),
+        ("k1", 2, "upsert", "A"),      # identical consecutive -> collapse
+        ("k1", 3, "upsert", "B"),
+        ("k1", 4, "delete", None),
+        ("k1", 5, "upsert", "B"),      # resurrect after tombstone
+        ("k1", 6, "upsert", None),     # value -> NULL opens a version
+        ("k1", 7, "upsert", "C"),
+        ("k2", 1, "upsert", "X"),      # still-open single version
+        ("k3", 1, "delete", None),     # key that only ever died
+    ]
+    return spark.createDataFrame(rows, "k string, seq long, op string, state string")
+
+
+def test_scd2_versions_intervals_tombstones(spark):
+    from jsons_to_schema_spark.operators import cdc
+
+    out = cdc.scd2_from_changelog(
+        _scd2_log(spark), ["k"], "seq", ["state"], op_col="op"
+    )
+    got = sorted(
+        (r.k, r.version, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        ("k1", 1, "A", 1, 3, False),
+        ("k1", 2, "B", 3, 4, False),   # closed BY the delete's seq
+        ("k1", 3, "B", 5, 6, False),   # re-insert = fresh version
+        ("k1", 4, None, 6, 7, False),  # NULL payload is a real state
+        ("k1", 5, "C", 7, None, True),
+        ("k2", 1, "X", 1, None, True),
+    ]  # k3 never has a surviving version
+
+
+def test_scd2_null_op_is_not_tombstone_and_no_op_col(spark):
+    from jsons_to_schema_spark.operators import cdc
+
+    df = spark.createDataFrame(
+        [("k", 1, None, "A"), ("k", 2, None, "B")],
+        "k string, seq long, op string, state string",
+    )
+    rows = cdc.scd2_from_changelog(
+        df, ["k"], "seq", ["state"], op_col="op"
+    ).orderBy("version").collect()
+    assert [(r.version, r.state, r.is_current) for r in rows] == [
+        (1, "A", False), (2, "B", True)
+    ]
+    # without op_col everything is an upsert
+    rows2 = cdc.scd2_from_changelog(df, ["k"], "seq", ["state"]).collect()
+    assert len(rows2) == 2
+
+
+def test_scd2_partition_invariance_and_contracts(spark):
+    from jsons_to_schema_spark.operators import cdc
+
+    log = _scd2_log(spark)
+    a = cdc.scd2_from_changelog(log, ["k"], "seq", ["state"], op_col="op")
+    b = cdc.scd2_from_changelog(
+        log.repartition(17), ["k"], "seq", ["state"], op_col="op"
+    )
+    none_safe = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, a.collect()), key=none_safe) == sorted(
+        map(tuple, b.collect()), key=none_safe
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        cdc.scd2_from_changelog(log, [], "seq", ["state"])
+    with _pt.raises(ValueError, match="overlaps"):
+        cdc.scd2_from_changelog(log, ["k"], "state", ["state"])
+    with _pt.raises(ValueError, match="op_col inside"):
+        cdc.scd2_from_changelog(log, ["k"], "seq", ["op"], op_col="op")
+
+
+def test_scd2_single_exchange(spark):
+    # the boundary filter, lead, and row_number windows all reuse the ONE
+    # hash partitioning on the key — the docstring's single-shuffle claim
+    from jsons_to_schema_spark.operators import cdc
+
+    plan = cdc.scd2_from_changelog(
+        _scd2_log(spark), ["k"], "seq", ["state"], op_col="op"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
