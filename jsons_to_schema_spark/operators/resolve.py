@@ -1,0 +1,115 @@
+"""Golden-record survivorship: the MERGE step of entity resolution.
+
+The dedup family finds duplicate clusters (``dedup.duplicate_clusters``,
+``dedup.fuzzy_join``/``fuzzy_self_pairs``) and the curation funnel keeps a
+representative row — but a real master-data pipeline does not keep ONE
+member, it FUSES the cluster: the freshest status, the maximum observed
+amount, the most frequently asserted category.  ``survivorship`` is that
+fuse, with per-column rules, expressed as one skew-safe grouped aggregate
+plus one bounded join per frequency-rule column.
+
+Rules:
+
+* ``latest`` / ``earliest`` — the column value from the cluster row with
+  the max/min ``seq_col``, considering ONLY rows where the column is
+  non-NULL (a fresher row with a missing attribute must not erase an
+  older observed one — the completeness-beats-recency convention).
+  Expressed as ``max_by(c, CASE WHEN c IS NOT NULL THEN seq END)``:
+  NULL ordering keys never win in Spark's max_by, and DuckDB's arg_max
+  ignores NULL-valued ordering rows identically (probed, not assumed).
+  Contract: ``seq_col`` must be tie-free within a cluster among rows
+  where the column is non-NULL (e.g. a unique event/record id) — a tie
+  would make the winner engine-unspecified.
+* ``max`` / ``min`` — plain null-skipping extremes.
+* ``mode`` — the most frequent non-NULL value, ties broken by value
+  ascending (deterministic under any partitioning).  Each mode column
+  costs one extra groupBy bounded by the cluster×distinct-value
+  cardinality (values collapse — never row-sized) and one keyed join
+  back that reuses the cluster hash partitioning.
+
+An all-NULL column within a cluster resolves to NULL under every rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+_RULES = ("latest", "earliest", "max", "min", "mode")
+
+
+def survivorship(
+    df: DataFrame,
+    cluster_col: str,
+    rules: "dict[str, str]",
+    seq_col: "str | None" = None,
+) -> DataFrame:
+    """One golden record per cluster: ``rules`` maps column → rule (see
+    module docstring).  Output: (cluster_col, n_members, *resolved columns
+    under their original names), one row per cluster — clusters are the
+    unit of output, so even a cluster of one row passes through its
+    values verbatim.
+
+    Shape: ONE corpus-sized shuffle (the grouped aggregate on the cluster
+    key, map-side partial); mode columns add value-bounded groupBys and
+    cluster-keyed joins that reuse the same partitioning.  Skewed giant
+    clusters hit the same single-aggregate path the stats family uses —
+    no per-cluster sort, no window over the corpus."""
+    if not rules:
+        raise ValueError("survivorship: rules must be non-empty")
+    bad = {c: r for c, r in rules.items() if r not in _RULES}
+    if bad:
+        raise ValueError(f"survivorship: unknown rules {bad} (allowed {_RULES})")
+    if cluster_col in rules:
+        raise ValueError("survivorship: cluster_col cannot carry a rule")
+    needs_seq = [c for c, r in rules.items() if r in ("latest", "earliest")]
+    if needs_seq and not seq_col:
+        raise ValueError(
+            f"survivorship: columns {needs_seq} need seq_col for latest/earliest"
+        )
+    if seq_col in rules:
+        raise ValueError("survivorship: seq_col cannot carry a rule")
+
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for c, r in rules.items():
+        if r == "latest":
+            aggs.append(
+                F.expr(
+                    f"max_by({c}, CASE WHEN {c} IS NOT NULL THEN {seq_col} END)"
+                ).alias(c)
+            )
+        elif r == "earliest":
+            aggs.append(
+                F.expr(
+                    f"min_by({c}, CASE WHEN {c} IS NOT NULL THEN {seq_col} END)"
+                ).alias(c)
+            )
+        elif r == "max":
+            aggs.append(F.max(c).alias(c))
+        elif r == "min":
+            aggs.append(F.min(c).alias(c))
+        else:  # mode: resolved separately, bounded by distinct values
+            continue
+    golden = df.groupBy(cluster_col).agg(*aggs)
+
+    for c, r in rules.items():
+        if r != "mode":
+            continue
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(cluster_col, c)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("_n").desc(), F.col(c).asc()
+        )
+        winner = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(cluster_col, c)
+        )
+        golden = golden.join(winner, cluster_col, "left")
+
+    # re-emit in a stable column order: cluster, n_members, rules order
+    return golden.select(cluster_col, "n_members", *rules.keys())

@@ -2056,3 +2056,96 @@ def corpus_composition(
             F.round(F.col("_mass") / F.sum("_mass").over(tot), 6),
         ).alias("mass_share"),
     )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_items_per_basket: "int | None" = None,
+) -> DataFrame:
+    """Frequent item PAIRS with support / confidence / lift — the
+    market-basket association analyzer (the 2-itemset core of Apriori,
+    which is where real pipelines stop: higher orders explode and lift on
+    pairs already surfaces the co-occurrence structure).  Over an events
+    log this answers "which event types co-occur in the same user's
+    history far above chance" — input-mix structure no per-column
+    profile sees.
+
+    Shape: baskets collapse to DISTINCT (basket, item) memberships first
+    (map-side partial), so a user firing the same event 10^6 times costs
+    one membership.  Pair candidates come from a self-join keyed on the
+    basket id with ``item_a < item_b`` — per-basket work is quadratic in
+    the basket's DISTINCT-item count, which for typed event logs is the
+    (tiny) item domain; for unbounded domains ``max_items_per_basket``
+    drops wider baskets (count measured on distinct items) and the drop
+    count should be reported by the caller — a silent cap would bias
+    support invisibly, so the cap is opt-in and default-off.  Item and
+    pair counts are basket counts (support counting), n_baskets joins in
+    as a broadcast scalar.
+
+    Metrics (all round6, computed from raw counts — never from rounded
+    intermediates): support = n_ab / n_baskets; conf_a_b = n_ab / n_a;
+    conf_b_a = n_ab / n_b; lift = n_ab * n_baskets / (n_a * n_b).  NULL
+    baskets and NULL items carry no membership evidence and are excluded.
+
+    Output: (item_a, item_b, n_ab, n_a, n_b, support, conf_a_b, conf_b_a,
+    lift), item_a < item_b, filtered to n_ab >= min_count."""
+    if min_count < 1:
+        raise ValueError("frequent_pairs: min_count must be >= 1")
+    memb = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    if max_items_per_basket is not None:
+        wide = (
+            memb.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") > max_items_per_basket)
+            .select("_b")
+        )
+        memb = memb.join(wide, "_b", "left_anti")
+    memb = memb.localCheckpoint(eager=False)  # feeds 4 branches; one compute
+    n_baskets = memb.groupBy().agg(
+        F.countDistinct("_b").alias("_nb")
+    )
+    item_counts = memb.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    left = memb.select(F.col("_b"), F.col("_i").alias("item_a"))
+    right = memb.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(right, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    out = (
+        pairs.join(
+            item_counts.select(
+                F.col("_i").alias("item_a"), F.col("_ni").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("_i").alias("item_b"), F.col("_ni").alias("n_b")
+            ),
+            "item_b",
+        )
+        .join(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_ab") / F.col("_nb"), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+        F.round(
+            F.col("n_ab") * F.col("_nb") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )

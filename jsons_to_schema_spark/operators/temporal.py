@@ -284,3 +284,173 @@ def rolling_stats(
         F.when(ok, F.round(F.stddev_samp(v).over(w), 6)).alias("stddev_value"),
         F.when(ok, F.round(v - mean, 6)).alias("deviation"),
     )
+
+
+_COHORT_UNITS = ("day", "week", "month")
+
+
+def cohort_retention(
+    df: DataFrame, key_col: str, ts_col: str, unit: str = "week"
+) -> DataFrame:
+    """Cohort retention matrix — the user-lifecycle analytic every events
+    pipeline eventually needs: keys are cohorted by the ``unit`` bucket of
+    their FIRST activity, and each (cohort, offset) cell counts how many
+    of that cohort were active ``offset`` buckets later.  A corpus whose
+    week-3 retention collapses after an ingestion change is drifting in a
+    way no per-column profile shows.
+
+    ONE data-sized shuffle: groupBy key folds each key's activity to
+    (first bucket, collect_set of distinct buckets) — the set is bounded
+    by the calendar (a year of weekly buckets is 52 entries), NOT by the
+    key's row count, so hot keys cost map-side dedup only.  The explode
+    and the (cohort, offset) count run over the per-key frame (keys-sized,
+    already tiny), and cohort_size rides a window over the bounded matrix
+    instead of a second corpus pass.
+
+    Offsets are exact integers by construction: buckets are truncated to
+    ``unit`` starts, so day/week offsets divide evenly and month offsets
+    are whole months.  NULL timestamps carry no activity evidence and are
+    excluded; a key with only NULL timestamps drops entirely.  Every key
+    is active in its own first bucket, so offset 0 exists for every
+    cohort and retention(0) = 1.0 — the sanity row.  Cohorts render as
+    'yyyy-MM-dd' strings (the oracled-timestamp formatting rule).
+
+    Output: (cohort, offset, n_active, cohort_size, retention round6),
+    one row per observed (cohort, offset)."""
+    if unit not in _COHORT_UNITS:
+        raise ValueError(f"cohort_retention: unit must be one of {_COHORT_UNITS}")
+    from .stats import _epoch_us_col  # tz-proof guard: reject non-timestamp
+
+    _ = _epoch_us_col(df, ts_col)
+    bucket = F.to_date(F.date_trunc(unit, F.col(ts_col)))
+    per_key = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.min(bucket).alias("_cohort"),
+            F.collect_set(bucket).alias("_active"),
+        )
+    )
+    act = per_key.select(
+        "_cohort", F.explode("_active").alias("_bucket")
+    )
+    if unit == "month":
+        offset = F.months_between(F.col("_bucket"), F.col("_cohort")).cast("int")
+    else:
+        days = F.datediff(F.col("_bucket"), F.col("_cohort"))
+        offset = (days / (7 if unit == "week" else 1)).cast("int")
+    cells = act.select(
+        F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+        offset.alias("offset"),
+    ).groupBy("cohort", "offset").agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy("cohort")
+    size = F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(w)
+    return cells.select(
+        "cohort",
+        "offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(F.col("n_active") / size, 6).alias("retention"),
+    )
+
+
+_RESAMPLE_AGGS = ("avg", "sum", "min", "max", "count")
+
+
+def resample(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+    agg: str = "avg",
+    fill: str = "ffill",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-grid resampling with gap fill — snap each key's event stream
+    to ``every_seconds`` buckets, aggregate the value per bucket, emit a
+    COMPLETE per-key grid from the key's first to last bucket (gaps
+    included), and optionally forward-fill gap values.  This is the
+    regularization step before any per-entity time-series comparison
+    (rolling_stats and the drift family assume aligned grids).
+
+    Scale shape, three keyed exchanges — each justified: (1) the corpus
+    collapses to (key, bucket) cells via one map-side-partial groupBy, so
+    everything after is grid-sized, not row-sized; (2) the per-key spine
+    generates buckets DISTRIBUTED via sequence()+explode over the per-key
+    min/max (never a driver-side calendar); (3) the left join back and
+    the forward-fill window both run keyed on the grid.  A key whose span
+    would exceed ``max_buckets_per_key`` raises inside the executor
+    (raise_error) instead of silently exploding the spine — the sequence
+    guard.
+
+    Bucket = epoch_us − pmod(epoch_us, every_us): exact integer floor at
+    any epoch sign (never a double division — 1e15-scale microseconds
+    lose low bits in float64).  NULL timestamps carry no evidence and are
+    excluded.  ``filled`` marks grid rows with no observed cell; ffill
+    carries the last OBSERVED aggregate forward (leading gaps stay NULL —
+    there is nothing to carry), fill='none' leaves gaps NULL.
+
+    Output: (*keys, bucket_us, value round6 for avg/sum, filled)."""
+    if agg not in _RESAMPLE_AGGS:
+        raise ValueError(f"resample: agg must be one of {_RESAMPLE_AGGS}")
+    if fill not in ("ffill", "none"):
+        raise ValueError("resample: fill must be 'ffill' or 'none'")
+    if every_seconds <= 0:
+        raise ValueError("resample: every_seconds must be positive")
+    if not keys:
+        raise ValueError("resample: keys must be non-empty")
+    from .stats import _epoch_us_col
+
+    every_us = every_seconds * 1_000_000
+    us = _epoch_us_col(df, ts_col)
+    bucket = (us - F.pmod(us, F.lit(every_us))).alias("bucket_us")
+    agg_fn = {
+        "avg": lambda c: F.round(F.avg(c), 6),
+        "sum": lambda c: F.round(F.sum(c), 6),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "count": lambda c: F.count(c),
+    }[agg]
+    cells = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*keys, bucket, F.col(value_col).alias("_v"))
+        .groupBy(*keys, "bucket_us")
+        .agg(agg_fn(F.col("_v")).alias("_val"))
+    )
+    spans = cells.groupBy(*keys).agg(
+        F.min("bucket_us").alias("_mn"), F.max("bucket_us").alias("_mx")
+    )
+    spine = spans.select(
+        *keys,
+        F.explode(
+            F.expr(
+                f"CASE WHEN (_mx - _mn) DIV {every_us} >= {max_buckets_per_key} "
+                f"THEN raise_error('resample: key exceeds max_buckets_per_key') "
+                f"ELSE sequence(_mn, _mx, CAST({every_us} AS BIGINT)) END"
+            )
+        ).alias("bucket_us"),
+    )
+    # presence must come from the join, not the value: an observed cell can
+    # itself aggregate to NULL (all-NULL values under avg/min/max), and such
+    # a cell is NOT a gap — it keeps its NULL and is never forward-filled.
+    cells_flag = cells.withColumn("_present", F.lit(True))
+    grid = spine.join(cells_flag, [*keys, "bucket_us"], "left")
+    present = F.coalesce(F.col("_present"), F.lit(False))
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        val = F.when(present, F.col("_val")).otherwise(
+            F.last("_val", ignorenulls=True).over(w)
+        )
+    else:
+        val = F.col("_val")
+    return grid.select(
+        *keys,
+        "bucket_us",
+        val.alias("value"),
+        (~present).alias("filled"),
+    )

@@ -119,9 +119,15 @@ def test_driver_window_covers_dark_families():
         # r4 sixth wave
         "null_cooccurrence_events",
         "sequence_integrity_lineitem",
-        # r4 seventh wave
+        # r4 seventh wave (monotonicity rotated out in the eighth wave:
+        # sequence_integrity_lineitem keeps the per-key order-audit family
+        # in-window)
         "heavy_hitters_events_user",
         "inclusion_profile_orders_customer",
-        "monotonicity_events_value",
+        # r4 eighth wave
+        "frequent_pairs_events",
+        "cohort_retention_events",
+        "resample_events_daily",
+        "survivorship_orders",
     ):
         assert must in window, must
