@@ -587,3 +587,104 @@ def category_shift(
         .otherwise(F.lit("stable"))
         .alias("status"),
     )
+
+
+def level_shift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+    min_side: int = 2,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Single most-likely level-shift changepoint in a time series — the
+    binary-segmentation first step: bucket the column to a fixed grid,
+    then scan every boundary for the largest standardized mean difference
+    between the left and right segments.  Catches WHEN a distribution
+    moved, which the PSI/divergence panels (two fixed slices) cannot
+    locate.
+
+    Shape: the corpus collapses to (bucket, round6 mean) cells in ONE
+    map-side-partial groupBy; the boundary scan is prefix sums + windows
+    over the calendar-bounded cell table (a year of hourly buckets is
+    8,760 rows), never a second corpus pass.  Buckets weigh equally in
+    the scan (the series view), documented contract.
+
+    Statistic at split i of n buckets: |mean_L − mean_R| / (s·√(1/i +
+    1/(n−i))) with s the bucket-level sample stddev — Welford-stable in
+    both engines, and the statistic is round(6)-ed BEFORE the argmax
+    ranking so low-bit engine differences cannot flip the winner (ties
+    break to the earliest boundary).  Splits leaving fewer than
+    ``min_side`` buckets on either side are not scanned.
+
+    Output: ONE row (boundary_bucket_us = first bucket of the right
+    segment, n_buckets, mean_before, mean_after, shift, stat — all
+    round6, shifted = stat > threshold); zero rows when fewer than
+    2·min_side buckets exist (nothing scannable, never a fake verdict)."""
+    if every_seconds <= 0:
+        raise ValueError("level_shift: every_seconds must be positive")
+    if min_side < 1:
+        raise ValueError("level_shift: min_side must be >= 1")
+    from pyspark.sql import Window
+    from .stats import _epoch_us_col
+
+    every_us = every_seconds * 1_000_000
+    us = _epoch_us_col(df, ts_col)
+    cells = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select((us - F.pmod(us, F.lit(every_us))).alias("bucket_us"),
+                F.col(value_col).alias("_v"))
+        .groupBy("bucket_us")
+        .agg(F.round(F.avg("_v"), 6).alias("_m"))
+    )
+    w_ord = Window.orderBy("bucket_us")
+    w_all = Window.partitionBy()
+    scan = cells.select(
+        "bucket_us",
+        F.row_number().over(w_ord).alias("_i"),
+        F.sum("_m").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.sum("_m").over(w_all).alias("_tot"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.stddev_samp("_m").over(w_all).alias("_s"),
+        F.lead("bucket_us").over(w_ord).alias("_next_bucket"),
+    ).filter(
+        (F.col("_i") >= F.lit(min_side))
+        & (F.col("_i") <= F.col("_n") - F.lit(min_side))
+    )
+    mean_l = F.col("_cum") / F.col("_i")
+    mean_r = (F.col("_tot") - F.col("_cum")) / (F.col("_n") - F.col("_i"))
+    # try_divide: a constant series (s = 0) yields stat NULL, not an ANSI
+    # divide-by-zero failure
+    stat = F.round(
+        F.try_divide(
+            F.abs(mean_l - mean_r),
+            F.col("_s")
+            * F.sqrt(1.0 / F.col("_i") + 1.0 / (F.col("_n") - F.col("_i"))),
+        ),
+        6,
+    )
+    ranked = scan.select(
+        F.col("_next_bucket").alias("boundary_bucket_us"),
+        F.col("_n").cast("long").alias("n_buckets"),
+        F.round(mean_l, 6).alias("mean_before"),
+        F.round(mean_r, 6).alias("mean_after"),
+        F.round(mean_r - mean_l, 6).alias("shift"),
+        stat.alias("stat"),
+        F.row_number().over(
+            Window.orderBy(stat.desc(), F.col("bucket_us").asc())
+        ).alias("_rn"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "boundary_bucket_us",
+        "n_buckets",
+        "mean_before",
+        "mean_after",
+        "shift",
+        "stat",
+        # a constant series has s = 0 → stat NULL → verdict false, not NULL
+        F.coalesce(
+            F.col("stat") > F.lit(float(threshold)), F.lit(False)
+        ).alias("shifted"),
+    )

@@ -2149,3 +2149,78 @@ def frequent_pairs(
             F.col("n_ab") * F.col("_nb") / (F.col("n_a") * F.col("n_b")), 6
         ).alias("lift"),
     )
+
+
+_BENFORD_CRITICAL_P05_DF8 = 15.507  # chi-square upper 5% point, 8 df
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: "str | None" = None,
+    critical: float = _BENFORD_CRITICAL_P05_DF8,
+) -> DataFrame:
+    """Benford first-digit conformance — the fabricated-amounts /
+    unit-mix-change detector used on financial and measurement columns:
+    the distribution of leading significant digits of |value| vs
+    Benford's law p(d) = log10(1 + 1/d), with a chi-square statistic per
+    group and a verdict against the 5% critical value (df = 8).
+
+    Exactness contract: digits come from the INTEGER part — rows with
+    |value| < 1 (no integer digit) or ≥ 9e18 (BIGINT overflow) are
+    excluded, and the digit is the first character of the BIGINT's
+    decimal rendering.  Integer rendering is exact and identical in every
+    engine, unlike log10-of-double digit extraction, whose floor can flip
+    on 1-ulp differences (the cross-engine value-hash rule).
+
+    Shape: ONE data-sized shuffle (grouped digit counts, map-side
+    partial); the 9-digit spine per group and the chi-square fold are
+    windows over the bounded (groups × 9) cell table.  Zero-observed
+    digits still contribute their expected mass to chi2 — dropping them
+    would understate the statistic exactly when the data is least
+    Benford.
+
+    Output: (group?, digit 1-9, n, observed_p round6, expected_p round6,
+    chi2 round6, benford_violate), 9 rows per group."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    src = df.filter(
+        v.isNotNull() & (F.abs(v) >= 1) & (F.abs(v) < 9.0e18)
+    )
+    gcols = [group_col] if group_col else []
+    if group_col:
+        src = src.filter(F.col(group_col).isNotNull())
+    digit = F.substring(
+        F.floor(F.abs(v)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = src.select(*gcols, digit.alias("digit")).groupBy(
+        *gcols, "digit"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # spine = the observed groups (or one all-rows group); an empty source
+    # yields an empty spine and therefore an empty report, never fake rows
+    spine = (
+        counts.select(*gcols).distinct()
+        if group_col
+        else counts.select(F.lit(1).alias("_g")).distinct().drop("_g")
+    )
+    digits = spine.select(
+        *gcols, F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    )
+    cells = digits.join(counts, [*gcols, "digit"], "left").select(
+        *gcols, "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    total = F.sum("n").over(w)
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    term = (F.col("n") - total * exp_p) ** 2 / (total * exp_p)
+    chi2 = F.round(F.sum(term).over(w), 6)
+    return cells.select(
+        *gcols,
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("observed_p"),
+        F.round(exp_p, 6).alias("expected_p"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(float(critical))).alias("benford_violate"),
+    )

@@ -454,3 +454,100 @@ def resample(
         val.alias("value"),
         (~present).alias("filled"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: "list[str]",
+    within_seconds: "int | None" = None,
+) -> DataFrame:
+    """Ordered funnel conversion — for a step sequence (e.g. view → click
+    → purchase), count the keys that reach each step IN ORDER, each step
+    STRICTLY after the previous one's first completion (same-instant
+    events do not count as progression), optionally within a conversion
+    window of ``within_seconds`` per hop.  The events analytic that
+    sessionization and retention don't answer: where does the sequence
+    leak.
+
+    Shape: stage 1 is one filtered keys-sized groupBy (min event time per
+    key); each later stage joins the (shrinking) survivor frame back to
+    that step's filtered events on the key and takes the min qualifying
+    time — k−1 keyed joins for k steps, every frame keys-sized, the
+    corpus itself is scanned once per step WITH the step filter pushed
+    down (never materialized whole).  Step counts are k tiny single-row
+    aggregates unioned and windowed for the conversion ratios — no
+    corpus-sized work after stage frames exist.
+
+    Timestamps compare as integer epoch-µs (`_epoch_us_col`, tz-proof).
+    NULL keys/timestamps carry no evidence and are excluded.
+
+    Output: (step int 1-based, step_name, n_keys, conv_from_first round6,
+    conv_from_prev round6), one row per step; an empty first stage yields
+    n_keys=0 rows with NULL ratios."""
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel: steps must be distinct")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError("funnel: within_seconds must be positive")
+    from .stats import _epoch_us_col
+
+    us = _epoch_us_col(df, ts_col)
+    ev = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), us.alias("_us"), F.col(step_col).alias("_s"))
+    )
+    cur = (
+        ev.filter(F.col("_s") == steps[0])
+        .groupBy("_k")
+        .agg(F.min("_us").alias("_t"))
+    )
+    stage_counts = [
+        cur.agg(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        cond = F.col("_us") > F.col("_t")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("_us") <= F.col("_t") + F.lit(within_seconds * 1_000_000)
+            )
+        cur = (
+            ev.filter(F.col("_s") == s)
+            .join(cur.select("_k", "_t"), "_k")
+            .filter(cond)
+            .groupBy("_k")
+            .agg(F.min("_us").alias("_t"))
+        )
+        stage_counts.append(
+            cur.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count(F.lit(1)).alias("n_keys"),
+            )
+        )
+    out = stage_counts[0]
+    for sc in stage_counts[1:]:
+        out = out.unionByName(sc)
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    first_n = F.first("n_keys").over(w)
+    prev_n = F.lag("n_keys").over(Window.orderBy("step"))
+    return out.select(
+        "step",
+        "step_name",
+        "n_keys",
+        F.when(first_n > 0, F.round(F.col("n_keys") / first_n, 6)).alias(
+            "conv_from_first"
+        ),
+        F.when(prev_n > 0, F.round(F.col("n_keys") / prev_n, 6)).alias(
+            "conv_from_prev"
+        ),
+    )

@@ -7946,6 +7946,238 @@ def survivorship_orders(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "funnel_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS k, epoch_us(ts) AS us, event_type AS s FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    s1 AS (SELECT k, min(us) AS t FROM ev WHERE s = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.k, min(e.us) AS t FROM ev e JOIN s1 ON e.k = s1.k
+      WHERE e.s = 'click' AND e.us > s1.t AND e.us <= s1.t + 172800000000
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.k, min(e.us) AS t FROM ev e JOIN s2 ON e.k = s2.k
+      WHERE e.s = 'purchase' AND e.us > s2.t AND e.us <= s2.t + 172800000000
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS n_keys FROM s1
+      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    )
+    SELECT step, step_name, n_keys,
+      CASE WHEN first_value(n_keys) OVER (ORDER BY step) > 0
+           THEN round(n_keys / first_value(n_keys) OVER (ORDER BY step), 6)
+      END AS conv_from_first,
+      CASE WHEN lag(n_keys) OVER (ORDER BY step) > 0
+           THEN round(n_keys / lag(n_keys) OVER (ORDER BY step), 6)
+      END AS conv_from_prev
+    FROM c
+    """,
+)
+def funnel_events(spark, sf_dir) -> DataFrame:
+    """Ordered funnel conversion (temporal.funnel): view → click →
+    purchase per user, each hop strictly after the previous step's first
+    completion and within a 2-day conversion window — where the sequence
+    leaks is the events analytic sessionization and retention can't
+    answer.  The window binds (unwindowed, nearly every user completes —
+    a vacuous funnel): counts drop hop over hop at sf0.01.  The oracle
+    replays the identical min-time chained joins on integer epoch-µs, so
+    every step count and round(6) conversion ratio is value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_seconds=2 * 86400,
+    )
+
+
+# Benford quantile thresholds: cumulative log10 digit boundaries, embedded
+# as IDENTICAL shortest-round-trip double literals in the Spark plan and the
+# DuckDB SQL so the planted CASE branches bit-agree in both engines.
+_BENFORD_CUM = (
+    0.3010299956639812,   # log10(2)
+    0.47712125471966244,  # log10(3)
+    0.6020599913279624,
+    0.6989700043360189,
+    0.7781512503836436,
+    0.8450980400142568,
+    0.9030899869919435,
+    0.9542425094393249,   # log10(9)
+)
+
+
+@query(
+    "benford_events",
+    oracle="""
+    WITH src AS (
+      SELECT 'planted_benford' AS series,
+             CASE
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.3010299956639812 AS DOUBLE) THEN 1
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.47712125471966244 AS DOUBLE) THEN 2
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.6020599913279624 AS DOUBLE) THEN 3
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.6989700043360189 AS DOUBLE) THEN 4
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.7781512503836436 AS DOUBLE) THEN 5
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.8450980400142568 AS DOUBLE) THEN 6
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.9030899869919435 AS DOUBLE) THEN 7
+               WHEN CAST(event_id % 10000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                    < CAST(0.9542425094393249 AS DOUBLE) THEN 8
+               ELSE 9
+             END * pow(10, event_id % 3) AS v
+      FROM events
+      UNION ALL
+      SELECT 'uniform', floor(value) + 1 FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT series, v FROM src
+      WHERE v IS NOT NULL AND abs(v) >= 1 AND abs(v) < 9e18
+    ),
+    cnt AS (
+      SELECT series,
+             CAST(substr(CAST(CAST(floor(abs(v)) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2
+    ),
+    digits AS (
+      SELECT series, CAST(unnest(range(1, 10)) AS INT) AS digit
+      FROM (SELECT DISTINCT series FROM cnt)
+    ),
+    cells AS (
+      SELECT d.series, d.digit, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+      FROM digits d LEFT JOIN cnt USING (series, digit)
+    ),
+    calc AS (
+      SELECT series, digit, n,
+             CAST(sum(n) OVER (PARTITION BY series) AS DOUBLE) AS tot,
+             log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) AS ep
+      FROM cells
+    ),
+    rep AS (
+      SELECT series, digit, n,
+             round(n / tot, 6) AS observed_p,
+             round(ep, 6) AS expected_p,
+             round(sum((n - tot * ep) * (n - tot * ep) / (tot * ep))
+                   OVER (PARTITION BY series), 6) AS chi2
+      FROM calc
+    )
+    SELECT series, digit, n, observed_p, expected_p, chi2,
+           chi2 > CAST(15.507 AS DOUBLE) AS benford_violate
+    FROM rep
+    """,
+)
+def benford_events(spark, sf_dir) -> DataFrame:
+    """Benford first-digit conformance (stats.benford_profile) over two
+    PLANTED series so both verdict arms demonstrably fire:
+    'planted_benford' draws leading digits from the exact Benford
+    quantile of event_id/10000 (uniform grid → per-digit counts within 1
+    of expected → chi2 ≈ 0.02, conforming) scaled by a 1/10/100 decade
+    mix, while 'uniform' takes floor(value)+1 (uniform 1..500 → digits
+    1-4 overweighted → chi2 in the thousands, violating).  Digits come
+    from exact BIGINT decimal rendering (never log10-of-double floors);
+    the quantile thresholds are identical shortest-round-trip double
+    literals in both engines, so every count, share, chi2, and verdict is
+    value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (F.col("event_id") % 10000).cast("double") / F.lit(10000.0)
+    d = F.lit(9)
+    for digit in range(8, 0, -1):
+        d = F.when(u < F.lit(_BENFORD_CUM[digit - 1]), digit).otherwise(d)
+    benford_side = ev.select(
+        F.lit("planted_benford").alias("series"),
+        (d * F.pow(F.lit(10.0), (F.col("event_id") % 3).cast("double"))).alias(
+            "v"
+        ),
+    )
+    uniform_side = ev.filter(F.col("value").isNotNull()).select(
+        F.lit("uniform").alias("series"),
+        (F.floor("value") + 1).cast("double").alias("v"),
+    )
+    return stats.benford_profile(
+        benford_side.unionByName(uniform_side), "v", group_col="series"
+    )
+
+
+@query(
+    "level_shift_events",
+    oracle="""
+    WITH cells AS (
+      SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS bucket_us,
+             round(avg(CASE WHEN epoch_us(ts) >= 1705795200000000
+                            THEN value + CAST(150.0 AS DOUBLE)
+                            ELSE value END), 6) AS m
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    scan AS (
+      SELECT bucket_us,
+             row_number() OVER (ORDER BY bucket_us) AS i,
+             sum(m) OVER (ORDER BY bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(m) OVER () AS tot,
+             count(*) OVER () AS n,
+             stddev_samp(m) OVER () AS s,
+             lead(bucket_us) OVER (ORDER BY bucket_us) AS nxt
+      FROM cells
+    ),
+    st AS (
+      SELECT bucket_us, nxt AS boundary_bucket_us,
+             CAST(n AS BIGINT) AS n_buckets,
+             round(cum / i, 6) AS mean_before,
+             round((tot - cum) / (n - i), 6) AS mean_after,
+             round((tot - cum) / (n - i) - cum / i, 6) AS shift,
+             round(abs(cum / i - (tot - cum) / (n - i))
+                   / (s * sqrt(CAST(1 AS DOUBLE) / i
+                               + CAST(1 AS DOUBLE) / (n - i))), 6) AS stat
+      FROM scan WHERE i >= 2 AND i <= n - 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY stat DESC, bucket_us ASC) AS rn
+      FROM st
+    )
+    SELECT boundary_bucket_us, n_buckets, mean_before, mean_after, shift,
+           stat, coalesce(stat > CAST(4.0 AS DOUBLE), false) AS shifted
+    FROM rk WHERE rn = 1
+    """,
+)
+def level_shift_events(spark, sf_dir) -> DataFrame:
+    """Level-shift changepoint scan (drift.level_shift): daily means of
+    events.value with a PLANTED +150 jump from epoch 1705795200
+    (2024-01-21 UTC, integer epoch-µs comparison in both engines), so
+    the scan demonstrably locates the boundary (stat ≈ 5+, shifted=true)
+    instead of vacuously reporting quiet data.  The oracle replays the
+    identical prefix-sum boundary scan over round(6) bucket means with
+    the stat rounded BEFORE the argmax ranking (ties → earliest), so the
+    located boundary, both segment means, and the verdict are all
+    value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    us = stats._epoch_us_col(ev, "ts")
+    planted = ev.filter(F.col("value").isNotNull()).select(
+        "ts",
+        F.when(
+            us >= F.lit(1705795200000000), F.col("value") + F.lit(150.0)
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return drift.level_shift(planted, "ts", "v", 86400)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -8081,7 +8313,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- r4 continuation (new families, never driver-checked) --
     "metric_anomalies_events",      # metrics repo + history anomalies
     "candidate_keys_orders",        # key discovery
-    "fd_orders_nation",             # functional dependencies
+    # (fd_orders_nation demoted for the r4 ninth wave: the dependency-
+    # discovery family keeps candidate_keys_orders + the IND sweep
+    # inclusion_profile_orders_customer in-window; FD confidence stays
+    # oracle-pytest-checked at the same sf0.01 every CI run)
     "datatype_profile_events",      # datatype-consistency analyzer
     # (decontam_bloom_documents demoted for the r4 seventh wave: its
     # results are exact-anti-join-equivalent BY CONSTRUCTION (bitmap
@@ -8096,11 +8331,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # oracle-pytest-checked at the same sf0.01 every CI run)
     "freshness_events",             # recency analyzer
     "table_diff_orders",            # snapshot reconciliation
-    "mixture_sample_documents",     # temperature source mixing
+    # (mixture_sample_documents demoted for the r4 ninth wave: sampling
+    # keeps quota_sample_documents in-window and det/stratified carry
+    # green r3 rows; the temperature-mixing path stays oracle-pytest-
+    # checked at the same sf0.01 every CI run)
     "lm_perplexity_documents",      # bigram-LM quality scoring
     "decontam_semantic_embeddings",  # embedding-space decontamination
     "bpe_vocab_documents",           # distributed BPE vocabulary learning
-    "coverage_gaps_events",          # calendar-completeness gaps
+    # (coverage_gaps_events demoted for the r4 ninth wave: the calendar-
+    # spine gap shape is evidenced in-window by resample_events_daily,
+    # whose filled=true rows ARE the coverage gaps on the same per-key
+    # sequence()+explode spine; stays oracle-pytest-checked at sf0.01)
     # (fd_confidence_events stays outside the window: the FD family keeps
     # fd_orders_nation in-window; confidence is pytest-oracled)
     # -- r4 fifth wave (new families, never driver-checked) --
@@ -8132,6 +8373,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cohort_retention_events",       # weekly cohort retention matrix
     "resample_events_daily",         # fixed-grid resample + ffill
     "survivorship_orders",           # golden-record survivorship fuse
+    # -- r4 ninth wave (new families, never driver-checked) --
+    "funnel_events",                 # ordered funnel conversion
+    "benford_events",                # Benford first-digit conformance
+    "level_shift_events",            # changepoint boundary scan
 )
 
 

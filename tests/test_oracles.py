@@ -129,5 +129,9 @@ def test_driver_window_covers_dark_families():
         "cohort_retention_events",
         "resample_events_daily",
         "survivorship_orders",
+        # r4 ninth wave
+        "funnel_events",
+        "benford_events",
+        "level_shift_events",
     ):
         assert must in window, must
