@@ -498,6 +498,16 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
             ok = ok & (F.length(col) >= F.lit(schema["minLength"]))
         if "maxLength" in schema:
             ok = ok & (F.length(col) <= F.lit(schema["maxLength"]))
+        if "format" in schema:
+            # Draft-4 §7 format (engine extension, operators/formats.py):
+            # same Java∩RE2∩re dialect pattern the pure validator applies;
+            # unknown format names are ignored per spec (open vocabulary),
+            # keeping compiled/pure parity.
+            from .formats import FORMAT_PATTERNS
+
+            _pat = FORMAT_PATTERNS.get(schema["format"])
+            if _pat is not None:
+                ok = ok & col.rlike(_pat)
     if isinstance(dt, T.ArrayType):
         if "minItems" in schema:
             ok = ok & (F.size(col) >= F.lit(schema["minItems"]))

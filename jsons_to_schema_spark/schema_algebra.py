@@ -273,6 +273,19 @@ def _unify_unique_items(a: Schema, b: Schema, out: Schema) -> None:
         out["uniqueItems"] = True
 
 
+def _unify_format(a: Schema, b: Schema, out: Schema) -> None:
+    """format (ENGINE EXTENSION, Draft-4 §7) — equal formats survive the
+    merge, unequal formats drop to absent (the union of an email column
+    and a uri column asserts neither).  Absent absorbs (absent ∪ x =
+    absent), so reference-generated schemas — which never carry format —
+    unify exactly as before and fixture parity is untouched.  Associative
+    + commutative + idempotent: the rule is a semilattice meet on the
+    flat domain {absent} ∪ formats."""
+    fa, fb = a.get("format"), b.get("format")
+    if fa is not None and fa == fb:
+        out["format"] = fa
+
+
 def unify(a: Schema, b: Schema) -> Schema:
     """U0 — binary schema unification (the reference's ``unifySchemas``).
 
@@ -290,6 +303,7 @@ def unify(a: Schema, b: Schema) -> Schema:
     _unify_range(a, b, out)
     _unify_enum(a, b, out)
     _unify_unique_items(a, b, out)
+    _unify_format(a, b, out)
     return out
 
 
@@ -405,6 +419,21 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
             errors.append(f"{path}: length {len(value)} < minLength")
         if "maxLength" in schema and len(value) > schema["maxLength"]:
             errors.append(f"{path}: length {len(value)} > maxLength")
+        if "format" in schema:
+            # Draft-4 §7 optional assertion; annotated via
+            # operators.formats.annotate_formats.  Same Java∩RE2∩re
+            # dialect patterns as the Spark rlike path; unknown format
+            # names are ignored per spec (format is open-vocabulary).
+            import re
+
+            from .operators.formats import FORMAT_PATTERNS
+
+            pat = FORMAT_PATTERNS.get(schema["format"])
+            if pat is not None and not re.match(pat, value):
+                errors.append(
+                    f"{path}: value does not match format "
+                    f"{schema['format']!r}"
+                )
     elif isinstance(value, dict):
         props = schema.get("properties", {})
         for k in schema.get("required", []):

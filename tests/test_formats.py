@@ -1,0 +1,195 @@
+"""Unit tests for the Draft-4 ``format`` extension: discovery profile,
+violations, schema annotation, the unification rule, and pure-validator
+parity (operators/formats.py, schema_algebra._unify_format)."""
+
+import re
+
+import pytest
+
+from jsons_to_schema_spark.operators import formats
+from jsons_to_schema_spark.operators.formats import (
+    FORMAT_PATTERNS,
+    annotate_formats,
+    format_profile,
+    format_violations,
+)
+from jsons_to_schema_spark.schema_algebra import unify, validate
+
+
+# -------------------------------------------------------------- patterns ----
+
+
+def test_patterns_have_no_whitespace_and_are_anchored():
+    for fmt, pat in FORMAT_PATTERNS.items():
+        assert " " not in pat and "\n" not in pat, fmt
+        assert pat.startswith("^") and pat.endswith("$"), fmt
+        re.compile(pat)  # valid in Python re (the pure-validator engine)
+
+
+@pytest.mark.parametrize(
+    "fmt,good,bad",
+    [
+        ("uuid", "000005dc-05dc-05dc-05dc-0000000005dc", "0005dc-x"),
+        ("ipv4", "10.0.255.1", "256.1.1.1"),
+        ("date-time", "2024-01-02T03:04:05Z", "2024-01-02 03:04:05"),
+        ("date", "2024-12-31", "2024-13-01"),
+        ("email", "a.b+c@ex-ample.co", "not an email"),
+        ("uri", "https://x.y/z?q=1", "x.y/z"),
+        ("hostname", "a-1.example.com", "-bad.example"),
+    ],
+)
+def test_pattern_semantics(fmt, good, bad):
+    pat = FORMAT_PATTERNS[fmt]
+    assert re.match(pat, good), (fmt, good)
+    assert not re.match(pat, bad), (fmt, bad)
+
+
+# --------------------------------------------------------------- profile ----
+
+
+def _profile_df(spark):
+    rows = []
+    for k in range(40):
+        rows.append(
+            (
+                f"user{k}@example.com" if k % 10 else "nope",   # 90% email
+                f"10.0.{k % 256}.{(k * 7) % 256}",              # ipv4 (and hostname)
+                f"2024-{(k % 12) + 1:02d}-{(k % 28) + 1:02d}",  # date
+                None,                                           # all-NULL col
+            )
+        )
+    return spark.createDataFrame(rows, "e string, ip string, d string, z string")
+
+
+def test_format_profile_inference_and_priority(spark):
+    df = _profile_df(spark)
+    out = format_profile(df, ["e", "ip", "d", "z"])
+    assert out.count() == 4 * len(FORMAT_PATTERNS)
+    by = {(r["column"], r["format"]): r for r in out.collect()}
+    # ipv4 wins priority over hostname although both fully match
+    assert by[("ip", "ipv4")].inferred and by[("ip", "ipv4")].qualifies
+    assert by[("ip", "hostname")].qualifies and not by[("ip", "hostname")].inferred
+    # date infers; date-time does not match
+    assert by[("d", "date")].inferred
+    assert by[("d", "date-time")].n_match == 0
+    # 90% emails: not inferred at threshold 1.0
+    assert by[("e", "email")].n_match == 36 and not by[("e", "email")].qualifies
+    assert by[("e", "email")].match_rate == 0.9
+    # all-NULL column qualifies for nothing, rate NULL
+    assert not any(by[("z", f)].qualifies for f in FORMAT_PATTERNS)
+    assert by[("z", "email")].match_rate is None
+
+
+def test_format_profile_threshold_and_min_n(spark):
+    df = _profile_df(spark)
+    out = {
+        (r["column"], r["format"]): r
+        for r in format_profile(df, ["e"], threshold=0.8).collect()
+    }
+    assert out[("e", "email")].qualifies and out[("e", "email")].inferred
+    # min_n above the row count: nothing qualifies
+    out2 = format_profile(df, ["e"], min_n=1000).collect()
+    assert not any(r.qualifies for r in out2)
+
+
+def test_format_profile_validates(spark):
+    df = _profile_df(spark)
+    with pytest.raises(ValueError, match="cols"):
+        format_profile(df, [])
+    with pytest.raises(ValueError, match="threshold"):
+        format_profile(df, ["e"], threshold=0.0)
+    with pytest.raises(ValueError, match="min_n"):
+        format_profile(df, ["e"], min_n=0)
+
+
+# ------------------------------------------------------------ violations ----
+
+
+def test_format_violations_rows(spark):
+    df = _profile_df(spark).selectExpr("e", "monotonically_increasing_id() AS rid")
+    out = format_violations(df, "e", "email", keep=["rid"]).collect()
+    assert len(out) == 4  # k % 10 == 0 rows
+    assert all(r.value == "nope" and r.format == "email" for r in out)
+    assert format_violations(df, "e", "email").columns == [
+        "column", "format", "value",
+    ]
+    with pytest.raises(ValueError, match="unknown format"):
+        format_violations(df, "e", "zipcode")
+
+
+# -------------------------------------------------- annotate + unify + V1 ----
+
+
+def _schema():
+    return {
+        "type": "object",
+        "properties": {
+            "user": {
+                "type": "object",
+                "properties": {"email": {"type": "string"}},
+            },
+            "day": {"type": "string"},
+        },
+    }
+
+
+def test_annotate_formats_paths_and_errors():
+    s = annotate_formats(_schema(), {"user.email": "email", "day": "date"})
+    assert s["properties"]["user"]["properties"]["email"]["format"] == "email"
+    assert s["properties"]["day"]["format"] == "date"
+    assert "format" not in _schema()["properties"]["day"]  # input not mutated
+    with pytest.raises(ValueError, match="unknown format"):
+        annotate_formats(_schema(), {"day": "zipcode"})
+    with pytest.raises(ValueError, match="no property"):
+        annotate_formats(_schema(), {"ghost.path": "email"})
+
+
+def test_unify_format_semilattice():
+    e = {"type": "string", "format": "email"}
+    d = {"type": "string", "format": "date"}
+    bare = {"type": "string"}
+    assert unify(e, e).get("format") == "email"          # idempotent
+    assert "format" not in unify(e, d)                   # unequal drops
+    assert "format" not in unify(e, bare)                # absent absorbs
+    assert unify(e, d) == unify(d, e)                    # commutative
+    # associative over a mixed triple
+    assert unify(unify(e, e), d) == unify(e, unify(e, d))
+
+
+def test_pure_validator_checks_format():
+    s = annotate_formats(_schema(), {"user.email": "email", "day": "date"})
+    ok = {"user": {"email": "a@b.io"}, "day": "2024-01-02"}
+    assert validate(ok, s) == []
+    bad = {"user": {"email": "nope"}, "day": "2024-13-01"}
+    errs = validate(bad, s)
+    assert len(errs) == 2 and all("format" in e for e in errs)
+    # unknown format names are ignored per Draft-4 (open vocabulary)
+    s2 = _schema()
+    s2["properties"]["day"]["format"] = "zipcode"
+    assert validate({"day": "anything"}, s2) == []
+
+
+def test_compiled_validator_format_parity(spark):
+    from jsons_to_schema_spark.operators import validate as vmod
+
+    ddl = "id long, email string, day string"
+    rows = [
+        (1, "a@b.io", "2024-01-02"),
+        (2, "nope", "2024-01-02"),
+        (3, "a@b.io", "2024-13-01"),
+        (4, None, None),  # absent: format does not apply
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            "email": {"type": "string", "format": "email"},
+            "day": {"type": "string", "format": "date"},
+        },
+    }
+    got = {
+        r.id: r.ok_schema
+        for r in vmod.struct_conformance_flags(df, schema).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True}

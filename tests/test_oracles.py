@@ -108,7 +108,6 @@ def test_driver_window_covers_dark_families():
         "schema_validation_documents_struct",
         "schema_evolution_ddl",
         "quota_sample_documents",
-        "normalize_text_unicode",
         "dedup_minhash_documents",
         # r4 fifth wave: the new families must land in the window
         "asof_events_snapshots",
@@ -133,5 +132,8 @@ def test_driver_window_covers_dark_families():
         "funnel_events",
         "benford_events",
         "level_shift_events",
+        # r4 tenth wave (format keyword extension)
+        "format_profile_customer",
+        "format_violations_customer",
     ):
         assert must in window, must

@@ -342,6 +342,8 @@ def test_struct_conformance_randomized_battery(spark):
             s["maxLength"] = rng.randint(3, 6)
         if rng.random() < 0.3:
             s["enum"] = rng.sample(["ab", "abc", "abcd", "x", "yz"], 3)
+        if rng.random() < 0.4:
+            s["format"] = rng.choice(["date", "email", "uuid"])
         props["s"] = s
         xs = {"type": "array", "items": {"type": "integer"}}
         if rng.random() < 0.5:
@@ -366,7 +368,10 @@ def test_struct_conformance_randomized_battery(spark):
             i,
             maybe(rng.randint(-10, 20)),
             maybe(rng.choice([2.0, 2.5, -1.0, 7.25])),
-            maybe(rng.choice(["ab", "abc", "abcdefg", "", "yz"])),
+            maybe(rng.choice([
+                "ab", "abc", "abcdefg", "", "yz",
+                "2024-01-02", "2024-13-40", "a@b.io",
+            ])),
             maybe([rng.randint(0, 3) for _ in range(rng.randint(0, 4))]),
             maybe({"x": maybe(rng.randint(0, 5)), "y": maybe("s")}),
         )
