@@ -193,3 +193,39 @@ def test_compiled_validator_format_parity(spark):
         for r in vmod.struct_conformance_flags(df, schema).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+# ------------------------------------------------------- hypothesis laws ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsons_to_schema_spark.schema_algebra import canonical_json
+
+_fmt_or_none = st.sampled_from([None, "email", "date", "uuid", "ipv4"])
+
+
+def _str_schema(fmt):
+    s = {"type": "string"}
+    if fmt:
+        s["format"] = fmt
+    return s
+
+
+@settings(max_examples=200, deadline=None)
+@given(_fmt_or_none, _fmt_or_none, _fmt_or_none)
+def test_format_unify_semilattice_laws(fa, fb, fc):
+    a, b, d = _str_schema(fa), _str_schema(fb), _str_schema(fc)
+    cj = canonical_json
+    assert cj(unify(a, a)) == cj(a)                                # idempotent
+    assert cj(unify(a, b)) == cj(unify(b, a))                      # commutative
+    assert cj(unify(unify(a, b), d)) == cj(unify(a, unify(b, d)))  # associative
+
+
+@settings(max_examples=150, deadline=None)
+@given(_fmt_or_none, _fmt_or_none)
+def test_format_unify_nested_properties(fa, fb):
+    a = {"type": "object", "properties": {"x": _str_schema(fa)}, "required": ["x"]}
+    b = {"type": "object", "properties": {"x": _str_schema(fb)}, "required": ["x"]}
+    got = unify(a, b)["properties"]["x"].get("format")
+    assert got == (fa if fa == fb else None)
