@@ -113,3 +113,65 @@ def survivorship(
 
     # re-emit in a stable column order: cluster, n_members, rules order
     return golden.select(cluster_col, "n_members", *rules.keys())
+
+
+def fingerprint_clusters(
+    df: DataFrame, col: str, min_values: int = 2
+) -> DataFrame:
+    """Key-collision value clustering — the OpenRefine 'fingerprint'
+    method, the standard first pass of interactive data cleaning: values
+    that normalize to the same key (trim → lowercase → punctuation to
+    spaces → whitespace-split → distinct → sort → rejoin) are spelling /
+    formatting variants of one canonical value ('Acme Corp.', ' ACME
+    corp', 'acme-corp' all key to 'acme corp').  Complements the
+    similarity dedup family: exact on the normalized key, so zero
+    false candidates and no banding parameters.
+
+    Shape: everything is bounded by DISTINCT raw values, never rows —
+    the first groupBy collapses the corpus to (fingerprint, value, count)
+    with map-side partials, the second folds values per key.  The member
+    list is the sorted distinct raw values joined by '|' (cross-engine
+    comparable; a giant pathological cluster would be caught by the
+    n_values count before the string could grow unbounded).
+
+    NULL values carry no evidence; an all-punctuation value keys to the
+    empty fingerprint and clusters with its like.  Only keys with at
+    least ``min_values`` DISTINCT raw spellings are reported — a key with
+    one spelling needs no cleaning.
+
+    Output: (fingerprint, n_values, n_rows, members), one row per
+    reported cluster."""
+    if min_values < 1:
+        raise ValueError("fingerprint_clusters: min_values must be >= 1")
+    c = F.col(col)
+    fp = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower(F.trim(c)), "[^a-z0-9]+", " "),
+                        " ",
+                    ),
+                    lambda x: x != "",
+                )
+            )
+        ),
+        " ",
+    )
+    per_val = (
+        df.filter(c.isNotNull())
+        .select(fp.alias("fingerprint"), c.alias("_v"))
+        .groupBy("fingerprint", "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_val.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("_n").alias("n_rows"),
+            F.array_join(F.array_sort(F.collect_list("_v")), "|").alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n_values") >= F.lit(int(min_values)))
+    )

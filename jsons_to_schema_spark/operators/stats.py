@@ -2224,3 +2224,120 @@ def benford_profile(
         chi2.alias("chi2"),
         (chi2 > F.lit(float(critical))).alias("benford_violate"),
     )
+
+
+_ARITH_OPS = ("add", "sub", "mul", "div")
+
+
+def _arith_expected(left: str, op: str, right: str):
+    lc, rc = F.col(left), F.col(right)
+    if op == "add":
+        return lc + rc
+    if op == "sub":
+        return lc - rc
+    if op == "mul":
+        return lc * rc
+    return F.try_divide(lc, rc)  # div: right = 0 → NULL → row not checked
+
+
+def arithmetic_consistency(
+    df: DataFrame,
+    rules: "list[tuple[str, str, str, str]]",
+    tolerance: float = 1e-6,
+) -> DataFrame:
+    """Cross-field arithmetic invariants — the warehouse checks
+    ``aggregate_reconciliation`` runs ACROSS tables, applied WITHIN a row:
+    does ``target ≈ left op right`` hold (gross = net × tax factor,
+    total = price + freight)?  Each rule is (target, left, op, right)
+    with op ∈ add/sub/mul/div.
+
+    A row is CHECKED when target, left, right are all non-NULL and the
+    expected value is defined (div by zero → undefined → not checked,
+    not violated).  A checked row VIOLATES when |target − expected| >
+    tolerance · max(1, |expected|) — relative above 1, absolute below,
+    so the test neither drowns near zero nor pinches at magnitude.
+
+    Shape: ONE corpus scan — all per-rule checked/violation counts are a
+    single multi-aggregate (map-side partial); the report unpivots the
+    one-row result.  Output: (rule, n_checked, n_violations,
+    violation_rate round6, holds), one row per rule."""
+    if not rules:
+        raise ValueError("arithmetic_consistency: rules must be non-empty")
+    for r in rules:
+        if len(r) != 4 or r[2] not in _ARITH_OPS:
+            raise ValueError(
+                f"arithmetic_consistency: bad rule {r!r} (op in {_ARITH_OPS})"
+            )
+    if tolerance <= 0:
+        raise ValueError("arithmetic_consistency: tolerance must be positive")
+    aggs = []
+    labels = []
+    for i, (tgt, left, op, right) in enumerate(rules):
+        exp = _arith_expected(left, op, right)
+        checked = (
+            F.col(tgt).isNotNull()
+            & F.col(left).isNotNull()
+            & F.col(right).isNotNull()
+            & exp.isNotNull()
+        )
+        bad = checked & (
+            F.abs(F.col(tgt) - exp)
+            > F.lit(float(tolerance)) * F.greatest(F.lit(1.0), F.abs(exp))
+        )
+        aggs.append(F.count(F.when(checked, 1)).alias(f"_c_{i}"))
+        aggs.append(F.count(F.when(bad, 1)).alias(f"_b_{i}"))
+        sym = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[op]
+        labels.append(f"{tgt}={left}{sym}{right}")
+    row = df.agg(*aggs)
+    stack_args = []
+    for i, lab in enumerate(labels):
+        stack_args += [f"'{lab}'", f"_c_{i}", f"_b_{i}"]
+    long = row.select(
+        F.expr(
+            f"stack({len(rules)}, {', '.join(stack_args)}) AS "
+            "(rule, n_checked, n_violations)"
+        )
+    )
+    rate = F.round(F.try_divide(F.col("n_violations"), F.col("n_checked")), 6)
+    return long.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("holds"),
+    )
+
+
+def arithmetic_violations(
+    df: DataFrame,
+    rule: "tuple[str, str, str, str]",
+    tolerance: float = 1e-6,
+    keep: "list[str] | None" = None,
+) -> DataFrame:
+    """Row-level complement of one ``arithmetic_consistency`` rule: the
+    checked-and-violating rows with observed vs expected and the round6
+    delta.  Filter pushed to the scan; output is violations-sized.
+
+    Output: (*keep, rule, observed, expected, delta round6)."""
+    if len(rule) != 4 or rule[2] not in _ARITH_OPS:
+        raise ValueError(f"arithmetic_violations: bad rule {rule!r}")
+    tgt, left, op, right = rule
+    exp = _arith_expected(left, op, right)
+    checked = (
+        F.col(tgt).isNotNull()
+        & F.col(left).isNotNull()
+        & F.col(right).isNotNull()
+        & exp.isNotNull()
+    )
+    bad = checked & (
+        F.abs(F.col(tgt) - exp)
+        > F.lit(float(tolerance)) * F.greatest(F.lit(1.0), F.abs(exp))
+    )
+    sym = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[op]
+    return df.filter(bad).select(
+        *(keep or []),
+        F.lit(f"{tgt}={left}{sym}{right}").alias("rule"),
+        F.col(tgt).alias("observed"),
+        exp.alias("expected"),
+        F.round(F.col(tgt) - exp, 6).alias("delta"),
+    )

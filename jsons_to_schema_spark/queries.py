@@ -8332,6 +8332,163 @@ def format_violations_customer(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "fingerprint_clusters_customer",
+    oracle="""
+    WITH src AS (
+      SELECT CASE c_custkey % 3
+               WHEN 0 THEN 'Customer#' || CAST(c_custkey // 3 AS VARCHAR)
+               WHEN 1 THEN ' CUSTOMER ' || CAST(c_custkey // 3 AS VARCHAR)
+                           || ' '
+               ELSE 'customer--' || CAST(c_custkey // 3 AS VARCHAR)
+             END AS v
+      FROM customer
+      UNION ALL
+      SELECT 'solo-' || CAST(c_custkey AS VARCHAR) FROM customer
+      WHERE c_custkey < 90
+    ),
+    pv AS (
+      SELECT coalesce(array_to_string(list_sort(list_distinct(list_filter(
+               string_split(regexp_replace(lower(trim(v)), '[^a-z0-9]+',
+                                           ' ', 'g'), ' '),
+               x -> x <> ''))), ' '), '') AS fingerprint,
+             v, count(*) AS n
+      FROM src WHERE v IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           array_to_string(list_sort(list(v)), '|') AS members
+    FROM pv GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def fingerprint_clusters_customer(spark, sf_dir) -> DataFrame:
+    """Key-collision value clustering (resolve.fingerprint_clusters — the
+    OpenRefine fingerprint method): three planted spellings per canonical
+    value ('Customer#g', '  CUSTOMER g ', 'customer--g') fuse into 500
+    three-member clusters, while 90 planted singletons ('solo-k') are
+    demonstrably ABSENT at min_values=2 (a one-spelling key needs no
+    cleaning).  Work is bounded by distinct raw values, never rows; the
+    oracle replays the identical normalize→split→distinct→sort→rejoin
+    pipeline in DuckDB (regexp_replace 'g' flag = Spark's global default;
+    empty-list array_to_string coalesced to '' — the known DuckDB NULL
+    gap), so every cluster key, member list, and count is value-checked."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    g = F.expr("CAST(c_custkey DIV 3 AS BIGINT)").cast("string")
+    v = (
+        F.when(k % 3 == 0, F.concat(F.lit("Customer#"), g))
+        # single-space literal: the oracle registrar collapses whitespace
+        # runs, so a two-space plant would diverge between engines
+        .when(k % 3 == 1, F.concat(F.lit(" CUSTOMER "), g, F.lit(" ")))
+        .otherwise(F.concat(F.lit("customer--"), g))
+    )
+    solo = cust.filter(k < 90).select(
+        F.concat(F.lit("solo-"), k.cast("string")).alias("v")
+    )
+    src = cust.select(v.alias("v")).unionByName(solo)
+    return resolve.fingerprint_clusters(src, "v", min_values=2)
+
+
+@query(
+    "arithmetic_consistency_lineitem",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice, l_discount,
+             CAST(1.0 AS DOUBLE) + l_tax AS taxf
+      FROM lineitem
+    ),
+    d AS (
+      SELECT *,
+        l_extendedprice * taxf
+          + CASE WHEN l_orderkey % 97 = 0 THEN CAST(5.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS gross,
+        l_quantity + l_discount AS total,
+        l_extendedprice / l_quantity AS unit
+      FROM src
+    ),
+    r AS (
+      SELECT 'gross=l_extendedprice*taxf' AS rule,
+             CAST(count(CASE WHEN gross IS NOT NULL
+                              AND l_extendedprice IS NOT NULL
+                              AND taxf IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_checked,
+             CAST(count(CASE WHEN abs(gross - l_extendedprice * taxf)
+                              > 1e-6 * greatest(CAST(1.0 AS DOUBLE),
+                                                abs(l_extendedprice * taxf))
+                         THEN 1 END) AS BIGINT) AS n_violations
+      FROM d
+      UNION ALL
+      SELECT 'total=l_quantity+l_discount',
+             CAST(count(CASE WHEN total IS NOT NULL
+                              AND l_quantity IS NOT NULL
+                              AND l_discount IS NOT NULL THEN 1 END)
+                  AS BIGINT),
+             CAST(count(CASE WHEN abs(total - (l_quantity + l_discount))
+                              > 1e-6 * greatest(CAST(1.0 AS DOUBLE),
+                                                abs(l_quantity + l_discount))
+                         THEN 1 END) AS BIGINT)
+      FROM d
+      UNION ALL
+      SELECT 'unit=l_extendedprice/l_quantity',
+             CAST(count(CASE WHEN unit IS NOT NULL
+                              AND l_extendedprice IS NOT NULL
+                              AND l_quantity IS NOT NULL
+                              AND l_quantity <> 0 THEN 1 END) AS BIGINT),
+             CAST(count(CASE WHEN l_quantity <> 0
+                              AND abs(unit - l_extendedprice / l_quantity)
+                              > 1e-6 * greatest(CAST(1.0 AS DOUBLE),
+                                                abs(l_extendedprice
+                                                    / l_quantity))
+                         THEN 1 END) AS BIGINT)
+      FROM d
+    )
+    SELECT rule, n_checked, n_violations,
+           round(CAST(n_violations AS DOUBLE) / n_checked, 6)
+             AS violation_rate,
+           n_violations = 0 AS holds
+    FROM r
+    """,
+)
+def arithmetic_consistency_lineitem(spark, sf_dir) -> DataFrame:
+    """Cross-field arithmetic invariants (stats.arithmetic_consistency):
+    three rules over lineitem with both verdict arms planted — gross =
+    extendedprice × (1+tax) is broken by +5.0 on every 97th order key
+    (violates, rate value-checked), total = quantity + discount and
+    unit = extendedprice / quantity hold exactly (same double ops in the
+    same order in both engines, so the |observed − expected| comparisons
+    are bit-stable; planted offsets sit 6 orders of magnitude above the
+    tolerance boundary).  ONE corpus scan computes all six counts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.lit(1.0) + F.col("l_tax")).alias("taxf"),
+    )
+    li = li.select(
+        "*",
+        (
+            F.col("l_extendedprice") * F.col("taxf")
+            + F.when(F.col("l_orderkey") % 97 == 0, F.lit(5.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("gross"),
+        (F.col("l_quantity") + F.col("l_discount")).alias("total"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "unit"
+        ),
+    )
+    return stats.arithmetic_consistency(
+        li,
+        [
+            ("gross", "l_extendedprice", "mul", "taxf"),
+            ("total", "l_quantity", "add", "l_discount"),
+            ("unit", "l_extendedprice", "div", "l_quantity"),
+        ],
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -8452,7 +8609,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # sliding-window distinct-doc-frequency shape is evidenced in-window
     # by heavy_hitters_events_user and the r3-green corpus line-dedup;
     # stays oracle-pytest-checked at the same sf0.01 every CI run)
-    "schema_history_transitions",
+    # (schema_history_transitions demoted for the r4 eleventh wave: the
+    # schema-lifecycle family keeps merge-snapshots, evolution-DDL, and
+    # checkpoint_resume_state in-window; transitions stay oracle-pytest-
+    # checked at the same sf0.01 every CI run)
     # (normalize_text_unicode demoted for the r4 tenth wave: text keeps
     # lm_perplexity_documents in-window and quality/pii/repetition carry
     # r3-green rows; the JVM-side normalization path stays oracle-pytest-
@@ -8468,7 +8628,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (dedup_incremental_minhash demoted for the r4 fifth wave: green r3
     # driver row (pinned); dedup keeps minhash-campaign + CC clusters
     # in-window and the incremental probe is pytest-oracled every CI run)
-    "split_anomaly_verdicts",
+    # (split_anomaly_verdicts demoted for the r4 eleventh wave: the
+    # anomaly-verdict family keeps metric_anomalies_events in-window and
+    # the spans-audit shape keeps spans_single_pass_audit; stays
+    # oracle-pytest-checked at the same sf0.01 every CI run)
     # (schema_compat_splits demotion rationale at the tail of this tuple)
     # -- r4 continuation (new families, never driver-checked) --
     "metric_anomalies_events",      # metrics repo + history anomalies
@@ -8540,6 +8703,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- r4 tenth wave (format keyword extension, never driver-checked) --
     "format_profile_customer",       # Draft-4 format discovery profile
     "format_violations_customer",    # format violation rows
+    # -- r4 eleventh wave (new families, never driver-checked) --
+    "fingerprint_clusters_customer",   # key-collision value clustering
+    "arithmetic_consistency_lineitem", # cross-field invariants
 )
 
 

@@ -135,5 +135,8 @@ def test_driver_window_covers_dark_families():
         # r4 tenth wave (format keyword extension)
         "format_profile_customer",
         "format_violations_customer",
+        # r4 eleventh wave
+        "fingerprint_clusters_customer",
+        "arithmetic_consistency_lineitem",
     ):
         assert must in window, must

@@ -1,0 +1,165 @@
+"""Unit tests for the round-4 sixth-continuation operators: OpenRefine-style
+fingerprint value clustering and cross-field arithmetic consistency."""
+
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from jsons_to_schema_spark.operators.resolve import fingerprint_clusters
+from jsons_to_schema_spark.operators.stats import (
+    arithmetic_consistency,
+    arithmetic_violations,
+)
+
+
+# ---------------------------------------------------------- fingerprints ----
+
+
+def _fp(s):
+    toks = [t for t in re.sub(r"[^a-z0-9]+", " ", s.strip().lower()).split(" ") if t]
+    return " ".join(sorted(set(toks)))
+
+
+def _fp_rows():
+    return [
+        ("Acme Corp.",),
+        (" ACME corp",),
+        ("acme-corp",),
+        ("acme corp",),          # 4 spellings, one key
+        ("Beta LLC",),
+        ("beta  llc",),          # 2 spellings
+        ("Gamma",),              # singleton: filtered at min_values=2
+        ("Gamma",),              # same spelling twice: still 1 value
+        ("###",),                # all punctuation -> empty fingerprint
+        ("...",),
+        (None,),                 # no evidence
+    ]
+
+
+def _brute_clusters(rows, min_values):
+    vals = Counter(v for (v,) in rows if v is not None)
+    by_key = defaultdict(Counter)
+    for v, n in vals.items():
+        by_key[_fp(v)][v] = n
+    out = {}
+    for k, c in by_key.items():
+        if len(c) >= min_values:
+            out[k] = (len(c), sum(c.values()), "|".join(sorted(c)))
+    return out
+
+
+def test_fingerprint_clusters_matches_brute_force(spark):
+    rows = _fp_rows()
+    df = spark.createDataFrame(rows, "v string")
+    got = {
+        r.fingerprint: (r.n_values, r.n_rows, r.members)
+        for r in fingerprint_clusters(df, "v").collect()
+    }
+    assert got == _brute_clusters(rows, 2)
+    # the acme cluster fuses 4 spellings; gamma (1 spelling) is absent
+    assert got["acme corp"][0] == 4
+    assert "gamma" not in got
+    # the all-punctuation values cluster under the empty fingerprint
+    assert got[""] == (2, 2, "###|...")
+
+
+def test_fingerprint_clusters_min_values_one_reports_singletons(spark):
+    df = spark.createDataFrame(_fp_rows(), "v string")
+    got = {r.fingerprint for r in fingerprint_clusters(df, "v", min_values=1).collect()}
+    assert "gamma" in got
+    with pytest.raises(ValueError, match="min_values"):
+        fingerprint_clusters(df, "v", min_values=0)
+
+
+def test_fingerprint_clusters_partition_invariance(spark):
+    rows = [(f"Val {i % 7} variant-{i % 3}",) for i in range(60)]
+    base = None
+    for k in (1, 8):
+        df = spark.createDataFrame(rows, "v string").repartition(k)
+        got = sorted(tuple(r) for r in fingerprint_clusters(df, "v").collect())
+        base = got if base is None else base
+        assert got == base
+
+
+# ------------------------------------------------------------ arithmetic ----
+
+
+def _arith_df(spark):
+    rows = []
+    for k in range(200):
+        left = float(k + 1)
+        right = 2.0 + (k % 5)
+        gross = left * right + (5.0 if k % 10 == 0 else 0.0)  # planted breaks
+        total = left + right
+        ratio_den = float(k % 4)  # zeros: div rows not checked
+        rows.append((k, left, right, gross, total, ratio_den))
+    rows.append((999, None, 1.0, 1.0, 1.0, 1.0))  # NULL left: not checked
+    return spark.createDataFrame(
+        rows, "k long, left double, right double, gross double, total double, den double"
+    )
+
+
+def test_arithmetic_consistency_report(spark):
+    df = _arith_df(spark)
+    out = {
+        r.rule: r
+        for r in arithmetic_consistency(
+            df,
+            [
+                ("gross", "left", "mul", "right"),
+                ("total", "left", "add", "right"),
+                ("gross", "gross", "div", "den"),
+            ],
+        ).collect()
+    }
+    mul = out["gross=left*right"]
+    assert mul.n_checked == 200 and mul.n_violations == 20
+    assert mul.violation_rate == 0.1 and not mul.holds
+    add = out["total=left+right"]
+    assert add.n_checked == 200 and add.n_violations == 0 and add.holds
+    # div: rows with den == 0 (k % 4 == 0 -> 50 rows) are not checked;
+    # row 999 (gross/den both present) IS checked -> 150 + 1
+    div = out["gross=gross/den"]
+    assert div.n_checked == 151
+
+
+def test_arithmetic_tolerance_regimes(spark):
+    # |expected| >= 1: relative tolerance; |expected| < 1: absolute
+    df = spark.createDataFrame(
+        [
+            (100.0, 100.0 + 2e-5, 1.0),   # rel 2e-7 < 1e-6: holds
+            (100.0, 100.0 + 2e-4, 2.0),   # rel 2e-6 > 1e-6: violates
+            (0.5, 0.5 + 2e-6, 3.0),       # abs 2e-6 > 1e-6: violates
+            (0.5, 0.5 + 5e-7, 4.0),       # abs 5e-7 < 1e-6: holds
+        ],
+        "expected double, target double, k double",
+    )
+    out = arithmetic_consistency(
+        df.selectExpr("target", "expected AS l", "CAST(1.0 AS DOUBLE) AS r"),
+        [("target", "l", "mul", "r")],
+    ).collect()[0]
+    assert out.n_checked == 4 and out.n_violations == 2
+
+
+def test_arithmetic_violations_rows(spark):
+    df = _arith_df(spark)
+    out = arithmetic_violations(
+        df, ("gross", "left", "mul", "right"), keep=["k"]
+    ).collect()
+    assert len(out) == 20
+    assert all(r.k % 10 == 0 for r in out)
+    assert all(r.delta == 5.0 for r in out)
+    assert all(r.observed == r.expected + 5.0 for r in out)
+
+
+def test_arithmetic_validates(spark):
+    df = _arith_df(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        arithmetic_consistency(df, [])
+    with pytest.raises(ValueError, match="bad rule"):
+        arithmetic_consistency(df, [("a", "b", "pow", "c")])
+    with pytest.raises(ValueError, match="tolerance"):
+        arithmetic_consistency(df, [("gross", "left", "mul", "right")], tolerance=0)
+    with pytest.raises(ValueError, match="bad rule"):
+        arithmetic_violations(df, ("a", "b", "pow", "c"))
