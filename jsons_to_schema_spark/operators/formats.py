@@ -8,6 +8,10 @@ to the algebra (equal formats survive, unequal drop, absent absorbs) makes
 ``format`` invisible unless a user annotates it in.  Draft-4 §7 defines
 format as an OPTIONAL assertion; this module implements the six interop
 formats plus uuid as a discovery profile + opt-in validator.
+(Sibling: ``stats.format_profile`` is the open-vocabulary deequ-style
+match-count GRID with its own pattern list; this module is the Draft-4
+KEYWORD — priority inference, schema annotation, unification rule, and
+validator integration.)
 
 Dialect contract (the PII-scrubber rule): every pattern is written in the
 Java-regex ∩ RE2 ∩ Python-re common dialect — no lookaround, no
@@ -52,7 +56,7 @@ FORMAT_PATTERNS: "dict[str, str]" = {
 }
 
 
-def format_profile(
+def infer_formats(
     df: DataFrame,
     cols: "list[str]",
     threshold: float = 1.0,
@@ -74,11 +78,11 @@ def format_profile(
     Output: (column, format, priority, n_nonnull, n_match, match_rate
     round6, qualifies, inferred) — |cols| × |formats| rows."""
     if not cols:
-        raise ValueError("format_profile: cols must be non-empty")
+        raise ValueError("infer_formats: cols must be non-empty")
     if not 0.0 < threshold <= 1.0:
-        raise ValueError("format_profile: threshold must be in (0, 1]")
+        raise ValueError("infer_formats: threshold must be in (0, 1]")
     if min_n < 1:
-        raise ValueError("format_profile: min_n must be >= 1")
+        raise ValueError("infer_formats: min_n must be >= 1")
     from pyspark.sql import Window
 
     aggs = []

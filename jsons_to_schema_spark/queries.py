@@ -8245,7 +8245,7 @@ def _fmt_values_sql() -> str:
 
 
 @query(
-    "format_profile_customer",
+    "format_inference_customer",
     oracle=f"""
     WITH src AS ({_FMT_SRC_SQL}),
     fmts(format, priority, pat) AS (VALUES {_fmt_values_sql()}),
@@ -8278,8 +8278,8 @@ def _fmt_values_sql() -> str:
     FROM rep
     """,
 )
-def format_profile_customer(spark, sf_dir) -> DataFrame:
-    """Draft-4 ``format`` discovery (formats.format_profile — ENGINE
+def format_inference_customer(spark, sf_dir) -> DataFrame:
+    """Draft-4 ``format`` inference (formats.infer_formats — ENGINE
     EXTENSION, the reference never generates format): one multi-aggregate
     corpus scan counts every column × format rlike match, then the
     one-row result unpivots to the report.  Plants cover all the report's
@@ -8290,9 +8290,9 @@ def format_profile_customer(spark, sf_dir) -> DataFrame:
     SAME constant strings in both engines (Java∩RE2∩re dialect, injected
     from FORMAT_PATTERNS at registration), so every count, rate, and
     verdict is value-checked."""
-    from .operators.formats import format_profile
+    from .operators.formats import infer_formats
 
-    return format_profile(
+    return infer_formats(
         _fmt_planted_frame(spark, sf_dir),
         ["cemail", "cuuid", "cip", "cdate"],
     )
@@ -8701,7 +8701,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "benford_events",                # Benford first-digit conformance
     "level_shift_events",            # changepoint boundary scan
     # -- r4 tenth wave (format keyword extension, never driver-checked) --
-    "format_profile_customer",       # Draft-4 format discovery profile
+    "format_inference_customer",       # Draft-4 format discovery profile
     "format_violations_customer",    # format violation rows
     # -- r4 eleventh wave (new families, never driver-checked) --
     "fingerprint_clusters_customer",   # key-collision value clustering

@@ -10,7 +10,7 @@ from jsons_to_schema_spark.operators import formats
 from jsons_to_schema_spark.operators.formats import (
     FORMAT_PATTERNS,
     annotate_formats,
-    format_profile,
+    infer_formats,
     format_violations,
 )
 from jsons_to_schema_spark.schema_algebra import unify, validate
@@ -61,9 +61,9 @@ def _profile_df(spark):
     return spark.createDataFrame(rows, "e string, ip string, d string, z string")
 
 
-def test_format_profile_inference_and_priority(spark):
+def test_infer_formats_inference_and_priority(spark):
     df = _profile_df(spark)
-    out = format_profile(df, ["e", "ip", "d", "z"])
+    out = infer_formats(df, ["e", "ip", "d", "z"])
     assert out.count() == 4 * len(FORMAT_PATTERNS)
     by = {(r["column"], r["format"]): r for r in out.collect()}
     # ipv4 wins priority over hostname although both fully match
@@ -80,26 +80,26 @@ def test_format_profile_inference_and_priority(spark):
     assert by[("z", "email")].match_rate is None
 
 
-def test_format_profile_threshold_and_min_n(spark):
+def test_infer_formats_threshold_and_min_n(spark):
     df = _profile_df(spark)
     out = {
         (r["column"], r["format"]): r
-        for r in format_profile(df, ["e"], threshold=0.8).collect()
+        for r in infer_formats(df, ["e"], threshold=0.8).collect()
     }
     assert out[("e", "email")].qualifies and out[("e", "email")].inferred
     # min_n above the row count: nothing qualifies
-    out2 = format_profile(df, ["e"], min_n=1000).collect()
+    out2 = infer_formats(df, ["e"], min_n=1000).collect()
     assert not any(r.qualifies for r in out2)
 
 
-def test_format_profile_validates(spark):
+def test_infer_formats_validates(spark):
     df = _profile_df(spark)
     with pytest.raises(ValueError, match="cols"):
-        format_profile(df, [])
+        infer_formats(df, [])
     with pytest.raises(ValueError, match="threshold"):
-        format_profile(df, ["e"], threshold=0.0)
+        infer_formats(df, ["e"], threshold=0.0)
     with pytest.raises(ValueError, match="min_n"):
-        format_profile(df, ["e"], min_n=0)
+        infer_formats(df, ["e"], min_n=0)
 
 
 # ------------------------------------------------------------ violations ----

@@ -133,7 +133,7 @@ def test_driver_window_covers_dark_families():
         "benford_events",
         "level_shift_events",
         # r4 tenth wave (format keyword extension)
-        "format_profile_customer",
+        "format_inference_customer",
         "format_violations_customer",
         # r4 eleventh wave
         "fingerprint_clusters_customer",
