@@ -2197,6 +2197,9 @@ def benford_profile(
     counts = src.select(*gcols, digit.alias("digit")).groupBy(
         *gcols, "digit"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # counts feeds both the group spine and the cell join; without this the
+    # corpus is scanned twice (measured) — the frame is ≤ groups × 9 rows
+    counts = counts.localCheckpoint(eager=False)
     # spine = the observed groups (or one all-rows group); an empty source
     # yields an empty spine and therefore an empty report, never fake rows
     spine = (

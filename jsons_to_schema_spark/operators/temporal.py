@@ -417,6 +417,9 @@ def resample(
         .select(*keys, bucket, F.col(value_col).alias("_v"))
         .groupBy(*keys, "bucket_us")
         .agg(agg_fn(F.col("_v")).alias("_val"))
+        # cells feeds both the span bounds and the grid join; without this
+        # the corpus is scanned twice (measured) — the frame is grid-sized
+        .localCheckpoint(eager=False)
     )
     spans = cells.groupBy(*keys).agg(
         F.min("bucket_us").alias("_mn"), F.max("bucket_us").alias("_mx")
@@ -500,10 +503,15 @@ def funnel(
         df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .select(F.col(key_col).alias("_k"), us.alias("_us"), F.col(step_col).alias("_s"))
     )
+    # each stage frame feeds BOTH its count aggregate and the next stage's
+    # join; the lazy checkpoint stops the per-step corpus scan from running
+    # twice per stage (measured 2k−1 scans for k steps without it) — the
+    # frames are keys-sized and shrinking
     cur = (
         ev.filter(F.col("_s") == steps[0])
         .groupBy("_k")
         .agg(F.min("_us").alias("_t"))
+        .localCheckpoint(eager=False)
     )
     stage_counts = [
         cur.agg(
@@ -524,6 +532,7 @@ def funnel(
             .filter(cond)
             .groupBy("_k")
             .agg(F.min("_us").alias("_t"))
+            .localCheckpoint(eager=False)
         )
         stage_counts.append(
             cur.agg(

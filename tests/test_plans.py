@@ -1014,3 +1014,45 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_round4_continuation_ops_scan_budget_no_python(spark):
+    """Waves 19-23: the single-scan analyzers stay single-scan and fully
+    JVM-side; the checkpointed ones (benford/resample/funnel stages) cut
+    lineage, so the budget there is 'no Python' plus the measured-once
+    guarantee documented in the operators."""
+    from datetime import datetime
+
+    from jsons_to_schema_spark.operators import drift, resolve, stats, temporal
+    from jsons_to_schema_spark.operators.formats import infer_formats
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    single_scan = [
+        drift.level_shift(ev, "ts", "value", 86400),
+        temporal.cohort_retention(ev, "user_id", "ts"),
+        stats.arithmetic_consistency(
+            ev.selectExpr("value AS a", "value AS b", "value+value AS t"),
+            [("t", "a", "add", "b")],
+        ),
+        resolve.fingerprint_clusters(
+            ev.selectExpr("event_type AS v"), "v", min_values=1
+        ),
+        infer_formats(ev.selectExpr("event_type AS s"), ["s"]),
+    ]
+    for q in single_scan:
+        assert audit.scan_count(q) == 1, audit.executed_plan(q)[:1200]
+    lineage_cut = [
+        stats.benford_profile(ev.selectExpr("value AS v"), "v"),
+        temporal.resample(ev, ["user_id"], "ts", "value", 86400),
+        temporal.funnel(ev, "user_id", "ts", "event_type", ["view", "click"]),
+        stats.frequent_pairs(ev, "user_id", "event_type"),
+        resolve.survivorship(
+            ev.selectExpr("user_id AS c", "event_id AS seq", "event_type AS nm"),
+            "c",
+            {"nm": "latest"},
+            seq_col="seq",
+        ),
+    ]
+    for q in single_scan + lineage_cut:
+        plan = audit.executed_plan(q)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
