@@ -508,6 +508,10 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
             _pat = FORMAT_PATTERNS.get(schema["format"])
             if _pat is not None:
                 ok = ok & col.rlike(_pat)
+        if "pattern" in schema:
+            # Draft-4 §5.2.3: rlike is unanchored search, matching the
+            # pure validator's re.search (common-dialect contract)
+            ok = ok & col.rlike(schema["pattern"])
     if isinstance(dt, T.ArrayType):
         if "minItems" in schema:
             ok = ok & (F.size(col) >= F.lit(schema["minItems"]))

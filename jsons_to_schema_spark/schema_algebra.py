@@ -273,6 +273,17 @@ def _unify_unique_items(a: Schema, b: Schema, out: Schema) -> None:
         out["uniqueItems"] = True
 
 
+def _unify_pattern(a: Schema, b: Schema, out: Schema) -> None:
+    """pattern (ENGINE EXTENSION, Draft-4 §5.2.3) — same flat semilattice
+    as format: byte-identical patterns survive, different ones drop (the
+    union admits strings matching either, which neither pattern alone
+    expresses), absent absorbs.  Generation never emits pattern, so
+    reference fixture parity is untouched."""
+    pa, pb = a.get("pattern"), b.get("pattern")
+    if pa is not None and pa == pb:
+        out["pattern"] = pa
+
+
 def _unify_format(a: Schema, b: Schema, out: Schema) -> None:
     """format (ENGINE EXTENSION, Draft-4 §7) — equal formats survive the
     merge, unequal formats drop to absent (the union of an email column
@@ -304,6 +315,7 @@ def unify(a: Schema, b: Schema) -> Schema:
     _unify_enum(a, b, out)
     _unify_unique_items(a, b, out)
     _unify_format(a, b, out)
+    _unify_pattern(a, b, out)
     return out
 
 
@@ -433,6 +445,18 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
                 errors.append(
                     f"{path}: value does not match format "
                     f"{schema['format']!r}"
+                )
+        if "pattern" in schema:
+            # Draft-4 §5.2.3: UNANCHORED search semantics (re.search ≡
+            # Spark rlike ≡ DuckDB regexp_matches).  User-supplied
+            # patterns must stay in the Java∩RE2∩re common dialect for
+            # the compiled path to agree.
+            import re
+
+            if not re.search(schema["pattern"], value):
+                errors.append(
+                    f"{path}: value does not match pattern "
+                    f"{schema['pattern']!r}"
                 )
     elif isinstance(value, dict):
         props = schema.get("properties", {})

@@ -229,3 +229,33 @@ def test_format_unify_nested_properties(fa, fb):
     b = {"type": "object", "properties": {"x": _str_schema(fb)}, "required": ["x"]}
     got = unify(a, b)["properties"]["x"].get("format")
     assert got == (fa if fa == fb else None)
+
+
+# ---------------------------------------------------------------- pattern ----
+
+
+def test_pattern_keyword_pure_and_unify():
+    s = {"type": "string", "pattern": "^ab"}
+    assert validate("abc", s) == []
+    assert validate("zab", s) != []          # anchored prefix fails
+    assert validate("xabcx", {"type": "string", "pattern": "ab"}) == []  # search
+    t = {"type": "string", "pattern": "c$"}
+    assert unify(s, s).get("pattern") == "^ab"
+    assert "pattern" not in unify(s, t)
+    assert "pattern" not in unify(s, {"type": "string"})
+
+
+def test_pattern_keyword_compiled_parity(spark):
+    from jsons_to_schema_spark.operators import validate as vmod
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "zab"), (3, "xxabyy"), (4, None)],
+        "id long, s string",
+    )
+    schema = {
+        "type": "object",
+        "properties": {"s": {"type": "string", "pattern": "^ab"}},
+    }
+    got = {r.id: r.ok_schema
+           for r in vmod.struct_conformance_flags(df, schema).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}

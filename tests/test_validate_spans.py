@@ -344,6 +344,9 @@ def test_struct_conformance_randomized_battery(spark):
             s["enum"] = rng.sample(["ab", "abc", "abcd", "x", "yz"], 3)
         if rng.random() < 0.4:
             s["format"] = rng.choice(["date", "email", "uuid"])
+        if rng.random() < 0.3:
+            # unanchored-search semantics: re.search ≡ rlike
+            s["pattern"] = rng.choice(["^ab", "c$", "[0-9]", "a.c"])
         props["s"] = s
         xs = {"type": "array", "items": {"type": "integer"}}
         if rng.random() < 0.5:
