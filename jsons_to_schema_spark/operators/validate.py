@@ -463,6 +463,15 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
         if schema.get("exclusiveMaximum"):
             bound = col < F.lit(schema["maximum"])
         ok = ok & bound
+    if schema.get("multipleOf") and isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+             T.DoubleType, T.FloatType, T.DecimalType)
+    ):
+        # Draft-4 §5.1.1.  pmod(a, m) and Python's a % m both reduce to
+        # fmod-plus-sign-adjust on the same doubles, so compiled and pure
+        # agree bitwise — including the float cases where the remainder is
+        # mathematically surprising (0.3 % 0.1 != 0 in IEEE, both engines).
+        ok = ok & (F.pmod(col, F.lit(schema["multipleOf"])) == F.lit(0))
     if "enum" in schema:
         if not isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
             # null-safe membership: SQL IN yields NULL (not False) for a
@@ -547,6 +556,17 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
             for fname in dt.fieldNames():
                 if fname not in props:
                     ok = ok & col[fname].isNull()
+        if "minProperties" in schema or "maxProperties" in schema:
+            # present-key count under the null = absent convention
+            present = F.lit(0)
+            for fname in dt.fieldNames():
+                present = present + F.when(
+                    col[fname].isNotNull(), 1
+                ).otherwise(0)
+            if "minProperties" in schema:
+                ok = ok & (present >= F.lit(schema["minProperties"]))
+            if "maxProperties" in schema:
+                ok = ok & (present <= F.lit(schema["maxProperties"]))
     if isinstance(dt, T.ArrayType):
         items = schema.get("items")
         if isinstance(items, dict):

@@ -424,6 +424,12 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
         if mx is not None:
             if value > mx or (value == mx and schema.get("exclusiveMaximum")):
                 errors.append(f"{path}: {value} > maximum {mx}")
+        if "multipleOf" in schema:
+            # Draft-4 §5.1.1; % matches the compiled pmod bitwise (both
+            # are fmod-plus-sign-adjust on identical doubles)
+            m = schema["multipleOf"]
+            if m and value % m != 0:
+                errors.append(f"{path}: {value} not a multiple of {m}")
     elif isinstance(value, str):
         # engine-side validation keywords (never GENERATED — the reference
         # emits none of these, so fixture parity is unaffected)
@@ -460,6 +466,10 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
                 )
     elif isinstance(value, dict):
         props = schema.get("properties", {})
+        if "minProperties" in schema and len(value) < schema["minProperties"]:
+            errors.append(f"{path}: {len(value)} keys < minProperties")
+        if "maxProperties" in schema and len(value) > schema["maxProperties"]:
+            errors.append(f"{path}: {len(value)} keys > maxProperties")
         for k in schema.get("required", []):
             if k not in value:
                 errors.append(f"{path}: missing required key {k!r}")

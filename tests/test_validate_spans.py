@@ -332,8 +332,12 @@ def test_struct_conformance_randomized_battery(spark):
                 a["exclusiveMinimum"] = True
         if rng.random() < 0.6:
             a["maximum"] = rng.randint(5, 15)
+        if rng.random() < 0.4:
+            a["multipleOf"] = rng.choice([2, 3])
         props["a"] = a
         b = {"type": rng.choice(["integer", "number"])}
+        if rng.random() < 0.4:
+            b["multipleOf"] = rng.choice([0.5, 2])
         props["b"] = b
         s = {"type": "string"}
         if rng.random() < 0.5:
@@ -357,6 +361,10 @@ def test_struct_conformance_randomized_battery(spark):
         o = {"type": "object", "properties": {"x": {"type": "integer"}}}
         if rng.random() < 0.5:
             o["required"] = ["x"]
+        if rng.random() < 0.3:
+            o["minProperties"] = rng.randint(0, 2)
+        if rng.random() < 0.3:
+            o["maxProperties"] = rng.randint(0, 2)
         props["o"] = o
         out = {"type": "object", "properties": props}
         req = [k for k in props if rng.random() < 0.4]
