@@ -983,7 +983,9 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
     One map-side-partial groupBy bounded by 9 digit groups + a broadcast
     spine so absent digits appear with n_rows 0.  Output per digit 1-9:
     (digit, n_rows, share, benford_p, delta) — share/delta round(6) from
-    exact longs, benford_p = round(log10(1 + 1/d), 6)."""
+    exact longs, benford_p = round(log10(1 + 1/d), 6).  Sibling:
+    ``benford_conformance`` adds per-group chi-square + a critical-value
+    verdict on top of the same exact digit extraction."""
     from pyspark.sql import Window
 
     v = F.floor(F.abs(F.col(column))).cast("long")
@@ -2154,7 +2156,7 @@ def frequent_pairs(
 _BENFORD_CRITICAL_P05_DF8 = 15.507  # chi-square upper 5% point, 8 df
 
 
-def benford_profile(
+def benford_conformance(
     df: DataFrame,
     value_col: str,
     group_col: "str | None" = None,

@@ -8082,7 +8082,7 @@ _BENFORD_CUM = (
     """,
 )
 def benford_events(spark, sf_dir) -> DataFrame:
-    """Benford first-digit conformance (stats.benford_profile) over two
+    """Benford first-digit conformance (stats.benford_conformance) over two
     PLANTED series so both verdict arms demonstrably fire:
     'planted_benford' draws leading digits from the exact Benford
     quantile of event_id/10000 (uniform grid → per-digit counts within 1
@@ -8108,7 +8108,7 @@ def benford_events(spark, sf_dir) -> DataFrame:
         F.lit("uniform").alias("series"),
         (F.floor("value") + 1).cast("double").alias("v"),
     )
-    return stats.benford_profile(
+    return stats.benford_conformance(
         benford_side.unionByName(uniform_side), "v", group_col="series"
     )
 

@@ -1042,7 +1042,7 @@ def test_round4_continuation_ops_scan_budget_no_python(spark):
     for q in single_scan:
         assert audit.scan_count(q) == 1, audit.executed_plan(q)[:1200]
     lineage_cut = [
-        stats.benford_profile(ev.selectExpr("value AS v"), "v"),
+        stats.benford_conformance(ev.selectExpr("value AS v"), "v"),
         temporal.resample(ev, ["user_id"], "ts", "value", 86400),
         temporal.funnel(ev, "user_id", "ts", "event_type", ["view", "click"]),
         stats.frequent_pairs(ev, "user_id", "event_type"),

@@ -160,7 +160,7 @@ def test_benford_profile_matches_brute_force(spark):
     values = [float(rng.randint(1, 99999)) for _ in range(600)]
     values += [None, 0.5, -273.0, 9.5e18]  # excluded: null, <1, overflow; kept: -273
     df = spark.createDataFrame([(v,) for v in values], "v double")
-    out = stats.benford_profile(df, "v").collect()
+    out = stats.benford_conformance(df, "v").collect()
     c, n, chi2, violate = _brute_benford(values)
     assert len(out) == 9
     for r in out:
@@ -174,7 +174,7 @@ def test_benford_profile_matches_brute_force(spark):
 def test_benford_zero_observed_digit_still_counts(spark):
     # all values lead with 1: digits 2-9 unobserved but contribute n*p to chi2
     df = spark.createDataFrame([(float(10 + i),) for i in range(10)], "v double")
-    out = {r.digit: r for r in stats.benford_profile(df, "v").collect()}
+    out = {r.digit: r for r in stats.benford_conformance(df, "v").collect()}
     assert set(out) == set(range(1, 10))
     assert out[1].n == 10 and out[9].n == 0
     c, n, chi2, violate = _brute_benford([float(10 + i) for i in range(10)])
@@ -186,7 +186,7 @@ def test_benford_grouped_and_negative(spark):
         ("b", -float(10 ** (i % 4) * d)) for i, d in enumerate([1, 2, 3] * 50)
     ]
     df = spark.createDataFrame(rows, "g string, v double")
-    out = stats.benford_profile(df, "v", group_col="g").collect()
+    out = stats.benford_conformance(df, "v", group_col="g").collect()
     assert len(out) == 18  # 9 digits per group
     ga = [r for r in out if r.g == "a"]
     gb = [r for r in out if r.g == "b"]
@@ -199,7 +199,7 @@ def test_benford_grouped_and_negative(spark):
 
 def test_benford_empty_source_empty_report(spark):
     df = spark.createDataFrame([(0.2,), (None,)], "v double")
-    assert stats.benford_profile(df, "v").count() == 0
+    assert stats.benford_conformance(df, "v").count() == 0
 
 
 # ----------------------------------------------------------- level shift ----
