@@ -472,6 +472,26 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
         # agree bitwise — including the float cases where the remainder is
         # mathematically surprising (0.3 % 0.1 != 0 in IEEE, both engines).
         ok = ok & (F.pmod(col, F.lit(schema["multipleOf"])) == F.lit(0))
+    # Draft-4 §5.5 combinators: recursive composition of compiled checks.
+    # Evaluated for PRESENT values only (the caller owns null = absent),
+    # mirroring _validate_at; empty anyOf/oneOf lists are unsatisfiable in
+    # both validators, empty allOf is vacuous truth.
+    if "allOf" in schema:
+        for sub in schema["allOf"]:
+            ok = ok & _compile_value_check(sub, col, dt)
+    if "anyOf" in schema:
+        any_ok = None
+        for sub in schema["anyOf"]:
+            c = _compile_value_check(sub, col, dt)
+            any_ok = c if any_ok is None else (any_ok | c)
+        ok = ok & (any_ok if any_ok is not None else F.lit(False))
+    if "oneOf" in schema:
+        total = F.lit(0)
+        for sub in schema["oneOf"]:
+            total = total + _compile_value_check(sub, col, dt).cast("int")
+        ok = ok & (total == F.lit(1))
+    if "not" in schema:
+        ok = ok & ~_compile_value_check(schema["not"], col, dt)
     if "enum" in schema:
         if not isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
             # null-safe membership: SQL IN yields NULL (not False) for a

@@ -502,6 +502,33 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
         cv = canonical_json_value(value)
         if cv not in {canonical_json_value(e) for e in schema["enum"]}:
             errors.append(f"{path}: value not in enum")
+    # Draft-4 §5.5 combinators (ENGINE EXTENSION — generation never emits
+    # them, unify drops them (absent absorbs = the loosening union), but a
+    # user-authored schema may carry them and both validators must agree).
+    if "allOf" in schema:
+        for i, sub in enumerate(schema["allOf"]):
+            _validate_at(value, sub, f"{path}<allOf[{i}]>", errors)
+    if "anyOf" in schema:
+        if not any(_is_valid(value, sub) for sub in schema["anyOf"]):
+            errors.append(f"{path}: value matches no anyOf branch")
+    if "oneOf" in schema:
+        n = sum(_is_valid(value, sub) for sub in schema["oneOf"])
+        if n != 1:
+            errors.append(
+                f"{path}: value matches {n} oneOf branches (need exactly 1)"
+            )
+    if "not" in schema:
+        if _is_valid(value, schema["not"]):
+            errors.append(f"{path}: value matches the 'not' schema")
+
+
+def _is_valid(value: Any, schema: Schema) -> bool:
+    """Boolean validity for combinator branches — branch-internal errors
+    must not leak into the parent's error list (Draft-4 §5.5: anyOf is
+    satisfied by ANY valid branch; the failing branches are not faults)."""
+    errs: list[str] = []
+    _validate_at(value, schema, "$", errs)
+    return not errs
 
 
 # NOTE: {} is NOT a unify identity — ``required``/``minimum``/``enum`` treat

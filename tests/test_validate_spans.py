@@ -334,6 +334,18 @@ def test_struct_conformance_randomized_battery(spark):
             a["maximum"] = rng.randint(5, 15)
         if rng.random() < 0.4:
             a["multipleOf"] = rng.choice([2, 3])
+        # Draft-4 combinators over the numeric column
+        if rng.random() < 0.25:
+            a["anyOf"] = [
+                {"maximum": rng.randint(-2, 5)},
+                {"minimum": rng.randint(6, 12)},
+            ]
+        if rng.random() < 0.2:
+            a["oneOf"] = [{"minimum": 0}, {"maximum": rng.randint(0, 10)}]
+        if rng.random() < 0.2:
+            a["allOf"] = [{"minimum": -3}, {"maximum": rng.randint(0, 12)}]
+        if rng.random() < 0.2:
+            a["not"] = {"minimum": rng.randint(0, 10)}
         props["a"] = a
         b = {"type": rng.choice(["integer", "number"])}
         if rng.random() < 0.4:
@@ -665,3 +677,34 @@ def test_write_table_observed_rejects_empty_metrics(spark, tmp_path):
 
     with _p.raises(ValueError):
         write_table_observed(spark.range(3), tmp_path / "x", {})
+
+
+def test_combinators_pure_and_compiled_parity(spark):
+    """Draft-4 §5.5 allOf/anyOf/oneOf/not: hand-built cases covering every
+    arm (0/1/2 oneOf matches, empty anyOf unsatisfiable, empty allOf
+    vacuous, not inversion), pure vs compiled."""
+    from jsons_to_schema_spark.schema_algebra import validate as validate_value
+
+    ddl = "id long, a long"
+    rows = [(i, v) for i, v in enumerate([-5, 0, 3, 7, 15])]
+    df = spark.createDataFrame(rows, ddl)
+    cases = [
+        {"anyOf": [{"maximum": -1}, {"minimum": 10}]},     # -5, 15 pass
+        {"oneOf": [{"minimum": 0}, {"maximum": 5}]},       # exactly-one zone
+        {"allOf": [{"minimum": -1}, {"maximum": 8}]},      # band
+        {"not": {"minimum": 1}},                           # v < 1 passes
+        {"allOf": []},                                     # vacuous truth
+        {"anyOf": []},                                     # unsatisfiable
+        {"oneOf": [{"minimum": -100}, {"maximum": 100}]},  # always 2 -> invalid
+        {"not": {"enum": [3, 7]}},
+    ]
+    for sub in cases:
+        schema = {"type": "object",
+                  "properties": {"a": dict({"type": "integer"}, **sub)}}
+        got = {
+            r.id: r.ok_schema
+            for r in validate.struct_conformance_flags(df, schema).collect()
+        }
+        for r in df.collect():
+            expected = not validate_value({"id": r.id, "a": r.a}, schema)
+            assert got[r.id] == expected, (sub, r.a, got[r.id], expected)
