@@ -570,12 +570,54 @@ def _compile_value_check(schema: Schema, col: "F.Column", dt) -> "F.Column":
         for req in required:
             if req not in dt.fieldNames():
                 ok = F.lit(False)
+            elif req not in props:
+                # required WITHOUT a properties entry still demands
+                # presence (pre-existing gap: the props loop was the only
+                # place required-ness compiled, so bare-required keys went
+                # unchecked — caught by the dependencies parity test)
+                ok = ok & col[req].isNotNull()
+        pprops = schema.get("patternProperties") or {}
+        if pprops:
+            # field names are STATIC in a struct type, so pattern matching
+            # on names resolves at compile time (Python re; the dialect
+            # contract applies to patterns that must also run on values)
+            import re as _re
+
+            for pat, sub in pprops.items():
+                for fname in dt.fieldNames():
+                    if _re.search(pat, fname):
+                        fdt2 = dt[fname].dataType
+                        fc = col[fname]
+                        ok = ok & F.when(fc.isNull(), F.lit(True)).otherwise(
+                            _compile_value_check(sub, fc, fdt2)
+                        )
         if schema.get("additionalProperties") is False:
-            # nested sealed object: any PRESENT field outside properties
-            # fails (null = absent key, the engine's pinned convention).
+            # nested sealed object: any PRESENT field matched by neither
+            # properties nor patternProperties fails (null = absent key,
+            # the engine's pinned convention).
+            import re as _re
+
             for fname in dt.fieldNames():
-                if fname not in props:
+                if fname not in props and not any(
+                    _re.search(p, fname) for p in pprops
+                ):
                     ok = ok & col[fname].isNull()
+        for dk, dv in (schema.get("dependencies") or {}).items():
+            # Draft-4 §5.4.5: triggered only when the key is PRESENT
+            if dk not in dt.fieldNames():
+                continue
+            trigger = col[dk].isNotNull()
+            if isinstance(dv, (list, tuple)):
+                need_ok = F.lit(True)
+                for need in dv:
+                    need_ok = need_ok & (
+                        col[need].isNotNull()
+                        if need in dt.fieldNames()
+                        else F.lit(False)
+                    )
+                ok = ok & (~trigger | need_ok)
+            elif isinstance(dv, dict):
+                ok = ok & (~trigger | _compile_value_check(dv, col, dt))
         if "minProperties" in schema or "maxProperties" in schema:
             # present-key count under the null = absent convention
             present = F.lit(0)
@@ -696,38 +738,16 @@ def struct_conformance_flags(df: DataFrame, schema: Schema) -> DataFrame:
     optional column passes regardless of declared type)."""
     from pyspark.sql import types as T
 
-    required = set(schema.get("required") or ())
-    props = schema.get("properties") or {}
-    ok = F.lit(True)
-    tset = _schema_type_set(schema)
-    if tset and "object" not in tset:
-        ok = F.lit(False)
-    for f in df.schema.fields:
-        sub = props.get(f.name)
-        col = F.col(f.name)
-        if sub is None:
-            if schema.get("additionalProperties") is False:
-                # sealed: any PRESENT extra key fails
-                ok = ok & col.isNull()
-            continue
-        ok = ok & F.when(
-            col.isNull(), F.lit(f.name not in required)
-        ).otherwise(_compile_value_check(sub, col, f.dataType))
-    for req in required:
-        if req not in df.columns:
-            ok = F.lit(False)
-    if "enum" in schema:
-        # root-level enum over the whole document (r3 review: nested enums
-        # compiled via _enum_literal_match, the root never did) — compare
-        # the row as a struct literal; unrepresentable values drop.
-        row_struct = F.struct(*[F.col(f.name) for f in df.schema.fields])
-        row_dt = T.StructType(list(df.schema.fields))
-        match = None
-        for e in schema["enum"]:
-            m = _enum_literal_match(e, row_struct, row_dt)
-            if m is not None:
-                match = m if match is None else (match | m)
-        ok = ok & (match if match is not None else F.lit(False))
+    # ONE compile path: wrap the row as a struct literal and reuse
+    # _compile_value_check's StructType branch — before this refactor the
+    # root level hand-rolled a subset of the object keywords, so later
+    # additions (patternProperties, dependencies, min/maxProperties,
+    # combinators) silently applied only to NESTED structs.  Catalyst's
+    # SimplifyExtractValueOps collapses GetStructField(CreateNamedStruct),
+    # so the wrapper costs nothing at runtime.
+    row_struct = F.struct(*[F.col(f.name) for f in df.schema.fields])
+    row_dt = T.StructType(list(df.schema.fields))
+    ok = _compile_value_check(schema, row_struct, row_dt)
     return df.withColumn("ok_schema", ok)
 
 

@@ -465,7 +465,10 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
                     f"{schema['pattern']!r}"
                 )
     elif isinstance(value, dict):
+        import re as _re
+
         props = schema.get("properties", {})
+        pprops = schema.get("patternProperties", {})
         if "minProperties" in schema and len(value) < schema["minProperties"]:
             errors.append(f"{path}: {len(value)} keys < minProperties")
         if "maxProperties" in schema and len(value) > schema["maxProperties"]:
@@ -474,12 +477,33 @@ def _validate_at(value: Any, schema: Schema, path: str, errors: list[str]) -> No
             if k not in value:
                 errors.append(f"{path}: missing required key {k!r}")
         if schema.get("additionalProperties") is False:
+            # Draft-4 §5.4.4: "additional" = matched by neither properties
+            # nor any patternProperties pattern
             for k in value:
-                if k not in props:
+                if k not in props and not any(
+                    _re.search(p, k) for p in pprops
+                ):
                     errors.append(f"{path}: additional property {k!r} not allowed")
         for k, v in value.items():
             if k in props:
                 _validate_at(v, props[k], f"{path}.{k}", errors)
+            for pat, sub in pprops.items():
+                # a key can match several patterns AND properties; the child
+                # must validate against every applicable subschema (§8.3.3)
+                if _re.search(pat, k):
+                    _validate_at(v, sub, f"{path}.{k}<pp:{pat}>", errors)
+        for dk, dv in schema.get("dependencies", {}).items():
+            if dk not in value:
+                continue
+            if isinstance(dv, (list, tuple)):
+                for need in dv:
+                    if need not in value:
+                        errors.append(
+                            f"{path}: key {dk!r} requires key {need!r}"
+                            " (dependencies)"
+                        )
+            elif isinstance(dv, dict):
+                _validate_at(value, dv, f"{path}<dep:{dk}>", errors)
     elif isinstance(value, (list, tuple)):
         if "minItems" in schema and len(value) < schema["minItems"]:
             errors.append(f"{path}: {len(value)} items < minItems")

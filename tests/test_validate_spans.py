@@ -708,3 +708,62 @@ def test_combinators_pure_and_compiled_parity(spark):
         for r in df.collect():
             expected = not validate_value({"id": r.id, "a": r.a}, schema)
             assert got[r.id] == expected, (sub, r.a, got[r.id], expected)
+
+
+def test_pattern_properties_and_dependencies_parity(spark):
+    """Draft-4 §5.4.4/§5.4.5: patternProperties (incl. interplay with a
+    sealed object) and both dependency forms, pure vs compiled."""
+    from jsons_to_schema_spark.schema_algebra import validate as validate_value
+
+    ddl = "id long, x_a long, x_b long, other string, card string, cvv string"
+    rows = [
+        (1, 5, 7, "ok", None, None),
+        (2, -5, 7, "ok", None, None),       # x_a breaks the ^x_ bound
+        (3, None, None, "ok", None, None),
+        (4, 5, 7, None, "4111", "123"),     # card present with cvv: ok
+        (5, 5, 7, None, "4111", None),      # card without cvv: dependency fails
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    schema = {
+        "type": "object",
+        "properties": {"id": {"type": "integer"}},
+        "patternProperties": {"^x_": {"type": "integer", "minimum": 0}},
+        "dependencies": {"card": ["cvv"]},
+    }
+    got = {r.id: r.ok_schema
+           for r in validate.struct_conformance_flags(df, schema).collect()}
+
+    def to_doc(row):
+        return {k: v for k, v in row.asDict().items() if v is not None}
+
+    for r in df.collect():
+        expected = not validate_value(to_doc(r), schema)
+        assert got[r.id] == expected, (r.id, to_doc(r), got[r.id], expected)
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: False}
+
+    # sealed + patternProperties: x_* fields are NOT "additional"
+    sealed = {
+        "type": "object",
+        "properties": {"id": {"type": "integer"}, "other": {"type": "string"},
+                       "card": {}, "cvv": {}},
+        "patternProperties": {"^x_": {}},
+        "additionalProperties": False,
+    }
+    got2 = {r.id: r.ok_schema
+            for r in validate.struct_conformance_flags(df, sealed).collect()}
+    for r in df.collect():
+        expected = not validate_value(to_doc(r), sealed)
+        assert got2[r.id] == expected, (r.id, to_doc(r))
+    assert all(got2.values())  # every field is matched by one of the three
+
+    # schema-form dependency: card present => other must be present
+    dep_schema = {
+        "type": "object",
+        "dependencies": {"card": {"required": ["other"]}},
+    }
+    got3 = {r.id: r.ok_schema
+            for r in validate.struct_conformance_flags(df, dep_schema).collect()}
+    for r in df.collect():
+        expected = not validate_value(to_doc(r), dep_schema)
+        assert got3[r.id] == expected, (r.id, to_doc(r))
+    assert got3[4] is False and got3[5] is False and got3[1] is True
