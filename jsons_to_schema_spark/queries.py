@@ -8489,6 +8489,88 @@ def arithmetic_consistency_lineitem(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "draft4_keywords_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN 'X1' ELSE event_type END
+               AS event_type,
+             CASE WHEN event_id % 17 = 0 THEN CAST(250.0 AS DOUBLE)
+                  ELSE value END AS value,
+             CASE WHEN event_id % 101 = 0 THEN NULL ELSE user_id END
+               AS user_id
+      FROM events
+    ),
+    flags AS (
+      SELECT (
+        event_id IS NOT NULL
+        AND event_type IS NOT NULL
+        AND regexp_matches(event_type, '^[a-z]+$')
+        AND length(event_type) >= 3
+        AND (value IS NULL OR (
+          value >= CAST(0 AS DOUBLE) AND value <= CAST(500 AS DOUBLE)
+          AND (CASE WHEN value >= CAST(250 AS DOUBLE) THEN 1 ELSE 0 END
+               + CASE WHEN value <= CAST(250 AS DOUBLE) THEN 1 ELSE 0 END)
+              = 1))
+        AND (user_id IS NULL OR user_id <= 100 OR user_id % 2 = 0)
+        AND (value IS NULL OR user_id IS NOT NULL)
+      ) AS valid
+      FROM src
+    )
+    SELECT valid, CAST(count(*) AS BIGINT) AS n_docs
+    FROM flags GROUP BY 1
+    """,
+)
+def draft4_keywords_events(spark, sf_dir) -> DataFrame:
+    """Full-vocabulary Draft-4 validation (validate.struct_conformance_
+    report): a hand-authored schema exercising pattern, minLength,
+    required, anyOf, oneOf, and dependencies over events rows with a
+    planted failure in EVERY arm — event_type 'X1' every 13th id (pattern
+    + minLength), value exactly 250.0 every 17th (matches BOTH oneOf
+    branches → invalid), user_id NULLed every 101st (the schema-
+    dependency value → user_id fires; the anyOf over user_id passes
+    vacuously on absent).  The oracle replays the compiled boolean in SQL
+    under the same null-means-absent convention, so both verdict counts
+    are value-checked."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit("X1"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 17 == 0, F.lit(250.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 101 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "event_id": {"type": "integer"},
+            "event_type": {
+                "type": "string",
+                "pattern": "^[a-z]+$",
+                "minLength": 3,
+            },
+            "value": {
+                "type": "number",
+                "minimum": 0,
+                "maximum": 500,
+                "oneOf": [{"minimum": 250}, {"maximum": 250}],
+            },
+            "user_id": {
+                "type": "integer",
+                "anyOf": [{"maximum": 100}, {"multipleOf": 2}],
+            },
+        },
+        "required": ["event_id", "event_type"],
+        "dependencies": {"value": ["user_id"]},
+    }
+    return validate.struct_conformance_report(ev, schema)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -8622,7 +8704,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # stream_rule_window_counts in-window)
     "quota_sample_documents",
     "schema_apply_events_props",
-    "dead_columns_documents",
+    # (dead_columns_documents demoted for the r4 twelfth wave: the
+    # profile family keeps datatype_profile_events +
+    # null_cooccurrence_events + histogram_events_value in-window;
+    # stays oracle-pytest-checked at the same sf0.01 every CI run)
     "skew_report_media_refs",
     "schema_evolution_ddl",
     # (dedup_incremental_minhash demoted for the r4 fifth wave: green r3
@@ -8706,6 +8791,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- r4 eleventh wave (new families, never driver-checked) --
     "fingerprint_clusters_customer",   # key-collision value clustering
     "arithmetic_consistency_lineitem", # cross-field invariants
+    # -- r4 twelfth wave (full Draft-4 keyword vocabulary) --
+    "draft4_keywords_events",          # pattern/anyOf/oneOf/dependencies
 )
 
 

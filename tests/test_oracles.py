@@ -138,5 +138,7 @@ def test_driver_window_covers_dark_families():
         # r4 eleventh wave
         "fingerprint_clusters_customer",
         "arithmetic_consistency_lineitem",
+        # r4 twelfth wave
+        "draft4_keywords_events",
     ):
         assert must in window, must
