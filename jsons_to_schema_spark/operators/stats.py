@@ -49,6 +49,32 @@ def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def merge_column_stats(
+    parts: DataFrame, columns: "list[str]", distinct: "str | None" = None
+) -> DataFrame:
+    """Fold a frame of ``column_stats`` rows (one per batch / split /
+    snapshot) into the stats of their union WITHOUT rescanning any data —
+    the mergeable-accumulator law that makes profiling incremental at
+    10^12 docs: stats(A ∪ B) = merge(stats(A), stats(B)).  Exact for
+    n_rows (sum), min/max (min-of-mins / max-of-maxes; an all-NULL batch
+    contributes nothing, matching the global semantics), and null counts
+    (sum).  ``distinct='hll'`` folds sketch columns via hll_union_agg
+    (estimates merge; exact distinct counts are NOT mergeable without the
+    sketch).  The fold input is batches-sized — never data-sized."""
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for c in columns:
+        aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+        aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        aggs.append(F.sum(f"nulls_{c}").cast("long").alias(f"nulls_{c}"))
+        if distinct == "hll":
+            aggs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(f"hll_{c}")).alias(
+                    f"distinct_{c}"
+                )
+            )
+    return parts.agg(*aggs)
+
+
 def hll_merge(sketch_df: DataFrame, cols: list[str]) -> DataFrame:
     """Merge HLL sketch columns from independent stats passes (e.g. one per
     Iceberg snapshot) — the mergeability that makes distinct counts

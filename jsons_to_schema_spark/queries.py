@@ -8571,6 +8571,54 @@ def draft4_keywords_events(spark, sf_dir) -> DataFrame:
     return validate.struct_conformance_report(ev, schema)
 
 
+@query(
+    "stats_merge_incremental_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, user_id,
+             CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(count(*) - count(value) AS BIGINT) AS nulls_value,
+           min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+           CAST(count(*) - count(user_id) AS BIGINT) AS nulls_user_id,
+           min(event_type) AS min_event_type,
+           max(event_type) AS max_event_type,
+           CAST(count(*) - count(event_type) AS BIGINT) AS nulls_event_type
+    FROM src
+    """,
+)
+def stats_merge_incremental_events(spark, sf_dir) -> DataFrame:
+    """Mergeable-stats maintenance (stats.merge_column_stats): the corpus
+    is profiled as THREE independent batches (event_id mod 3 — the
+    incremental-snapshot shape) and the three one-row stats frames are
+    folded WITHOUT rescanning any data; the oracle computes the same
+    stats over the whole table in one pass, so the merge law
+    stats(A∪B∪C) = merge(stats(A), stats(B), stats(C)) is value-checked
+    on min/max/null-count/row-count across double, bigint, and string
+    columns (NULLs planted on every 19th value so the null fold is
+    non-trivial).  This is the accumulator algebra the 10^12-doc
+    checkpoint/resume path relies on, proven exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(F.col("event_id") % 19 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    cols = ["value", "user_id", "event_type"]
+    parts = None
+    for i in range(3):
+        batch = stats.column_stats(
+            ev.filter(F.col("event_id") % 3 == i).drop("event_id"), cols
+        )
+        parts = batch if parts is None else parts.unionByName(batch)
+    return stats.merge_column_stats(parts, cols)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -5,6 +5,7 @@ import re
 from collections import Counter, defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from jsons_to_schema_spark.operators.resolve import fingerprint_clusters
 from jsons_to_schema_spark.operators.stats import (
@@ -163,3 +164,43 @@ def test_arithmetic_validates(spark):
         arithmetic_consistency(df, [("gross", "left", "mul", "right")], tolerance=0)
     with pytest.raises(ValueError, match="bad rule"):
         arithmetic_violations(df, ("a", "b", "pow", "c"))
+
+
+# ------------------------------------------------------------ stats merge ----
+
+
+def test_merge_column_stats_law(spark):
+    from jsons_to_schema_spark.operators.stats import column_stats, merge_column_stats
+
+    rows = [(i, float(i % 7) if i % 5 else None, f"s{i % 11}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, v double, s string")
+    cols = ["v", "s"]
+    whole = column_stats(df, cols).collect()[0]
+    for nparts in (2, 5):
+        parts = None
+        for i in range(nparts):
+            b = column_stats(df.filter(F.col("k") % nparts == i), cols)
+            parts = b if parts is None else parts.unionByName(b)
+        merged = merge_column_stats(parts, cols).collect()[0]
+        assert tuple(merged) == tuple(whole), (nparts, merged, whole)
+
+
+def test_merge_column_stats_hll_and_all_null_batch(spark):
+    from jsons_to_schema_spark.operators.stats import column_stats, merge_column_stats
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 40}") for i in range(200)], "k long, s string"
+    )
+    allnull = spark.createDataFrame([(None,)], "s string").selectExpr(
+        "CAST(1 AS LONG) AS k", "s"
+    )
+    a = column_stats(df.filter("k < 100").drop("k"), ["s"], distinct="hll")
+    b = column_stats(df.filter("k >= 100").drop("k"), ["s"], distinct="hll")
+    c = column_stats(allnull.drop("k"), ["s"], distinct="hll")
+    merged = merge_column_stats(
+        a.unionByName(b).unionByName(c), ["s"], distinct="hll"
+    ).collect()[0]
+    assert merged.n_rows == 201 and merged.nulls_s == 1
+    assert merged.min_s == "u0" and merged.max_s == "u9"
+    # HLL estimate error contract: within 5% of the exact 40
+    assert abs(merged.distinct_s - 40) <= 2
