@@ -2372,3 +2372,106 @@ def arithmetic_violations(
         exp.alias("expected"),
         F.round(F.col(tgt) - exp, 6).alias("delta"),
     )
+
+
+def join_explosion_report(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Pre-join blast-radius profiler — answers "what happens if I join
+    these on this key" WITHOUT materializing the join: exact inner-join
+    output size Σ_k n_left(k)·n_right(k), per-side key cardinalities and
+    multiplicities, match/only-key splits, and the explosion factor
+    (join rows per max input row).  At 100 TB an unprofiled many-to-many
+    join is the classic cluster-killer; this report costs two key-bounded
+    groupBys plus one join of the COUNT frames (key-cardinality-sized,
+    never row-sized).
+
+    NULL keys never match in SQL joins — they are counted per side and
+    excluded from all match arithmetic.  max_pair_product is the hottest
+    single key's output contribution (the skew headline: one key
+    producing 10^10 rows is invisible in the total until it kills a
+    task).
+
+    Output: ONE row (n_left, n_right, left_null_keys, right_null_keys,
+    left_keys, right_keys, matched_keys, left_only_keys, right_only_keys,
+    join_rows, max_left_mult, max_right_mult, max_pair_product,
+    explosion_factor round6)."""
+    # each count frame feeds the match join AND its null-key aggregate;
+    # the lazy checkpoint keeps the corpus at one scan per side
+    lk = (
+        left.select(F.col(left_key).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .localCheckpoint(eager=False)
+    )
+    rk = (
+        right.select(F.col(right_key).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nr"))
+        .localCheckpoint(eager=False)
+    )
+    j = lk.filter(F.col("_k").isNotNull()).join(
+        rk.filter(F.col("_k").isNotNull()), "_k", "full"
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("_nl").isNotNull(), F.col("_nl")).otherwise(0)).alias("_n_left_nn"),
+        F.sum(F.when(F.col("_nr").isNotNull(), F.col("_nr")).otherwise(0)).alias("_n_right_nn"),
+        F.count(F.when(F.col("_nl").isNotNull(), 1)).alias("left_keys"),
+        F.count(F.when(F.col("_nr").isNotNull(), 1)).alias("right_keys"),
+        F.count(
+            F.when(F.col("_nl").isNotNull() & F.col("_nr").isNotNull(), 1)
+        ).alias("matched_keys"),
+        F.count(F.when(F.col("_nr").isNull(), 1)).alias("left_only_keys"),
+        F.count(F.when(F.col("_nl").isNull(), 1)).alias("right_only_keys"),
+        F.sum(
+            F.when(
+                F.col("_nl").isNotNull() & F.col("_nr").isNotNull(),
+                F.col("_nl") * F.col("_nr"),
+            ).otherwise(0)
+        ).alias("join_rows"),
+        F.max(F.col("_nl")).alias("max_left_mult"),
+        F.max(F.col("_nr")).alias("max_right_mult"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("_nl").isNotNull() & F.col("_nr").isNotNull(),
+                    F.col("_nl") * F.col("_nr"),
+                )
+            ),
+            F.lit(0),
+        ).alias("max_pair_product"),
+    )
+    null_l = lk.filter(F.col("_k").isNull()).agg(
+        F.coalesce(F.sum("_nl"), F.lit(0)).alias("left_null_keys")
+    )
+    null_r = rk.filter(F.col("_k").isNull()).agg(
+        F.coalesce(F.sum("_nr"), F.lit(0)).alias("right_null_keys")
+    )
+    out = agg.crossJoin(F.broadcast(null_l)).crossJoin(F.broadcast(null_r))
+    n_left = (F.col("_n_left_nn") + F.col("left_null_keys")).alias("n_left")
+    n_right = (F.col("_n_right_nn") + F.col("right_null_keys")).alias("n_right")
+    return out.select(
+        n_left,
+        n_right,
+        "left_null_keys",
+        "right_null_keys",
+        "left_keys",
+        "right_keys",
+        "matched_keys",
+        "left_only_keys",
+        "right_only_keys",
+        "join_rows",
+        "max_left_mult",
+        "max_right_mult",
+        "max_pair_product",
+        F.round(
+            F.try_divide(
+                F.col("join_rows"),
+                F.greatest(
+                    F.col("_n_left_nn") + F.col("left_null_keys"),
+                    F.col("_n_right_nn") + F.col("right_null_keys"),
+                ),
+            ),
+            6,
+        ).alias("explosion_factor"),
+    )

@@ -8619,6 +8619,82 @@ def stats_merge_incremental_events(spark, sf_dir) -> DataFrame:
     return stats.merge_column_stats(parts, cols)
 
 
+@query(
+    "join_explosion_orders_customer",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 127 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders
+    ),
+    r AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 1400),
+    lc AS (SELECT k, CAST(count(*) AS BIGINT) AS nl FROM l
+           WHERE k IS NOT NULL GROUP BY 1),
+    rc AS (SELECT k, CAST(count(*) AS BIGINT) AS nr FROM r
+           WHERE k IS NOT NULL GROUP BY 1),
+    m AS (SELECT * FROM lc FULL JOIN rc USING (k)),
+    a AS (
+      SELECT
+        CAST(coalesce(sum(nl), 0) AS BIGINT) AS n_left_nn,
+        CAST(coalesce(sum(nr), 0) AS BIGINT) AS n_right_nn,
+        CAST(count(nl) AS BIGINT) AS left_keys,
+        CAST(count(nr) AS BIGINT) AS right_keys,
+        CAST(count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 END)
+             AS BIGINT) AS matched_keys,
+        CAST(count(CASE WHEN nr IS NULL THEN 1 END) AS BIGINT)
+          AS left_only_keys,
+        CAST(count(CASE WHEN nl IS NULL THEN 1 END) AS BIGINT)
+          AS right_only_keys,
+        CAST(coalesce(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                               THEN nl * nr END), 0) AS BIGINT) AS join_rows,
+        max(nl) AS max_left_mult,
+        max(nr) AS max_right_mult,
+        CAST(coalesce(max(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                               THEN nl * nr END), 0) AS BIGINT)
+          AS max_pair_product
+      FROM m
+    ),
+    nl2 AS (SELECT CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT)
+              AS left_null_keys FROM l),
+    nr2 AS (SELECT CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT)
+              AS right_null_keys FROM r)
+    SELECT a.n_left_nn + nl2.left_null_keys AS n_left,
+           a.n_right_nn + nr2.right_null_keys AS n_right,
+           nl2.left_null_keys, nr2.right_null_keys,
+           a.left_keys, a.right_keys, a.matched_keys,
+           a.left_only_keys, a.right_only_keys,
+           a.join_rows, a.max_left_mult, a.max_right_mult,
+           a.max_pair_product,
+           round(CAST(a.join_rows AS DOUBLE)
+                 / greatest(a.n_left_nn + nl2.left_null_keys,
+                            a.n_right_nn + nr2.right_null_keys), 6)
+             AS explosion_factor
+    FROM a, nl2, nr2
+    """,
+)
+def join_explosion_orders_customer(spark, sf_dir) -> DataFrame:
+    """Pre-join blast-radius profile (stats.join_explosion_report):
+    orders ⋈ customer on custkey WITHOUT materializing the join — exact
+    Σ n_l(k)·n_r(k) output size, per-side cardinalities/multiplicities,
+    match/only splits, hottest-key contribution, and the explosion
+    factor.  Plants cover every report arm at sf0.01: o_custkey NULLed
+    on every 127th order key (NULL keys never match — counted, excluded
+    from match arithmetic) and customers ≥ 1400 dropped from the right
+    side (those custkeys' orders become left-only).  Two key-bounded
+    groupBys + one count-frame join; every cell value-checked."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 127 == 0, F.lit(None).cast("long")
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 1400
+    ).select("c_custkey")
+    return stats.join_explosion_report(orders, cust, "k", "c_custkey")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -8813,7 +8889,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # distribution-profile family keeps histogram_events_value in-window;
     # equi-depth is pytest-oracled at the same sf0.01 every CI run)
     # -- r4 seventh wave (new families, never driver-checked) --
-    "heavy_hitters_events_user",     # MG candidates + exact verify
+    # (heavy_hitters_events_user demoted for the r4 thirteenth wave: the
+    # hot-key family keeps skew_report_media_refs in-window — the north
+    # star's named skew check — and the MG-sketch path stays oracle-
+    # pytest-checked at the same sf0.01 every CI run)
     "inclusion_profile_orders_customer",  # IND / FK discovery sweep
     # (monotonicity_events_value demoted for the r4 eighth wave: the
     # per-key order-audit family keeps sequence_integrity_lineitem
@@ -8841,6 +8920,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "arithmetic_consistency_lineitem", # cross-field invariants
     # -- r4 twelfth wave (full Draft-4 keyword vocabulary) --
     "draft4_keywords_events",          # pattern/anyOf/oneOf/dependencies
+    # -- r4 thirteenth wave (join planning, never driver-checked) --
+    "join_explosion_orders_customer",  # pre-join blast-radius profile
 )
 
 

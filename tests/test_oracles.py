@@ -118,10 +118,9 @@ def test_driver_window_covers_dark_families():
         # r4 sixth wave
         "null_cooccurrence_events",
         "sequence_integrity_lineitem",
-        # r4 seventh wave (monotonicity rotated out in the eighth wave:
-        # sequence_integrity_lineitem keeps the per-key order-audit family
-        # in-window)
-        "heavy_hitters_events_user",
+        # r4 seventh wave (monotonicity rotated out in the eighth wave,
+        # heavy_hitters in the thirteenth: sequence_integrity_lineitem
+        # keeps the order-audit family, skew_report the hot-key family)
         "inclusion_profile_orders_customer",
         # r4 eighth wave
         "frequent_pairs_events",
@@ -140,5 +139,7 @@ def test_driver_window_covers_dark_families():
         "arithmetic_consistency_lineitem",
         # r4 twelfth wave
         "draft4_keywords_events",
+        # r4 thirteenth wave
+        "join_explosion_orders_customer",
     ):
         assert must in window, must

@@ -204,3 +204,49 @@ def test_merge_column_stats_hll_and_all_null_batch(spark):
     assert merged.min_s == "u0" and merged.max_s == "u9"
     # HLL estimate error contract: within 5% of the exact 40
     assert abs(merged.distinct_s - 40) <= 2
+
+
+# --------------------------------------------------------- join explosion ----
+
+
+def test_join_explosion_report_brute_force(spark):
+    from itertools import product
+
+    from jsons_to_schema_spark.operators.stats import join_explosion_report
+
+    import random
+    rng = random.Random(47)
+    lkeys = [rng.choice([None, *range(8)]) for _ in range(120)]
+    rkeys = [rng.choice([None, *range(5, 12)]) for _ in range(90)]
+    ldf = spark.createDataFrame([(k,) for k in lkeys], "k long")
+    rdf = spark.createDataFrame([(k,) for k in rkeys], "j long")
+    r = join_explosion_report(ldf, rdf, "k", "j").collect()[0]
+
+    ln = Counter(k for k in lkeys if k is not None)
+    rn = Counter(k for k in rkeys if k is not None)
+    matched = set(ln) & set(rn)
+    join_rows = sum(ln[k] * rn[k] for k in matched)
+    assert r.n_left == 120 and r.n_right == 90
+    assert r.left_null_keys == sum(1 for k in lkeys if k is None)
+    assert r.right_null_keys == sum(1 for k in rkeys if k is None)
+    assert r.left_keys == len(ln) and r.right_keys == len(rn)
+    assert r.matched_keys == len(matched)
+    assert r.left_only_keys == len(set(ln) - matched)
+    assert r.right_only_keys == len(set(rn) - matched)
+    assert r.join_rows == join_rows
+    assert r.max_left_mult == max(ln.values())
+    assert r.max_pair_product == max((ln[k] * rn[k] for k in matched), default=0)
+    assert r.explosion_factor == round(join_rows / 120, 6)
+    # ground truth: the report's join_rows equals the materialized join
+    assert r.join_rows == ldf.join(rdf, ldf.k == rdf.j).count()
+
+
+def test_join_explosion_disjoint_and_empty(spark):
+    from jsons_to_schema_spark.operators.stats import join_explosion_report
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(9,)], "k long")
+    r = join_explosion_report(a, b, "k", "k").collect()[0]
+    assert r.join_rows == 0 and r.matched_keys == 0
+    assert r.left_only_keys == 2 and r.right_only_keys == 1
+    assert r.max_pair_product == 0 and r.explosion_factor == 0.0
