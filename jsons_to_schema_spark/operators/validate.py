@@ -360,6 +360,11 @@ def validate_json_against_schema(
     (KB-scale — the broadcast analog); verdicts are computed batch-at-a-time
     in Arrow.  Returns (doc json, valid boolean, errors array<string>).
     """
+    # inline local $refs ONCE here, not per document in the hot loop
+    from ..schema_algebra import _has_ref, resolve_refs
+
+    if _has_ref(schema):
+        schema = resolve_refs(schema)
     schema_blob = json.dumps(schema)
     out_schema = pa.schema(
         [("doc", pa.string()), ("valid", pa.bool_()), ("errors", pa.list_(pa.string()))]
@@ -737,6 +742,12 @@ def struct_conformance_flags(df: DataFrame, schema: Schema) -> DataFrame:
     the key is ABSENT (so a null in a required column fails; a null in an
     optional column passes regardless of declared type)."""
     from pyspark.sql import types as T
+
+    from ..schema_algebra import _has_ref, resolve_refs
+
+    if _has_ref(schema):
+        # inline local $refs once at compile time; cycles/remote refs raise
+        schema = resolve_refs(schema)
 
     # ONE compile path: wrap the row as a struct literal and reuse
     # _compile_value_check's StructType branch — before this refactor the

@@ -379,12 +379,81 @@ def parse_schema(text: str) -> Schema:
 # hjsonschema validator in its test loop; here it is a first-class operator)
 # ---------------------------------------------------------------------------
 
-def validate(value: Any, schema: Schema) -> list[str]:
-    """Validate one JSON value against the Draft-4 subset this engine emits.
+def _json_pointer(root: Any, ref: str) -> Any:
+    """Resolve a local JSON Pointer ('#', '#/definitions/addr', …) against
+    the document root, with ~0/~1 unescaping per RFC 6901."""
+    if ref == "#":
+        return root
+    if not ref.startswith("#/"):
+        raise ValueError(f"resolve_refs: malformed local $ref {ref!r}")
+    node = root
+    for raw in ref[2:].split("/"):
+        key = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            try:
+                node = node[int(key)]
+                continue
+            except (ValueError, IndexError):
+                raise ValueError(f"resolve_refs: unresolvable $ref {ref!r}")
+        if isinstance(node, dict) and key in node:
+            node = node[key]
+        else:
+            raise ValueError(f"resolve_refs: unresolvable $ref {ref!r}")
+    return node
 
-    Returns a list of violation strings (empty = valid).  Only the keywords
-    the algebra produces are checked; paths use JSON-pointer-ish syntax.
+
+def _has_ref(node: Any) -> bool:
+    if isinstance(node, dict):
+        return "$ref" in node or any(_has_ref(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_ref(v) for v in node)
+    return False
+
+
+def resolve_refs(schema: Schema) -> Schema:
+    """Inline every LOCAL ``$ref`` (``#/definitions/…`` and friends) so the
+    validators, the merge lattice, and the Catalyst compiler never see a
+    reference — Draft-4 §7/RFC 6901 local pointers only.  Per spec, a
+    ``$ref`` object is REPLACED by its target (sibling keywords ignored).
+
+    Cycles raise: a recursive schema denotes an unbounded structure that
+    cannot compile to a bounded Catalyst expression (and cannot be
+    inlined); remote/external references raise as documented out of
+    scope.  The root ``definitions`` container is dropped from the output
+    (it is dead weight once inlined); a PROPERTY literally named
+    'definitions' is untouched (the walk never special-cases keys below
+    the root)."""
+    def deref(node: Any, stack: frozenset) -> Any:
+        if isinstance(node, dict):
+            ref = node.get("$ref")
+            if isinstance(ref, str):
+                if not ref.startswith("#"):
+                    raise ValueError(
+                        f"resolve_refs: non-local $ref {ref!r} unsupported"
+                    )
+                if ref in stack:
+                    raise ValueError(f"resolve_refs: $ref cycle at {ref!r}")
+                return deref(_json_pointer(schema, ref), stack | {ref})
+            return {k: deref(v, stack) for k, v in node.items()}
+        if isinstance(node, list):
+            return [deref(v, stack) for v in node]
+        return node
+
+    out = deref(schema, frozenset())
+    if isinstance(out, dict):
+        out.pop("definitions", None)
+    return out
+
+
+def validate(value: Any, schema: Schema) -> list[str]:
+    """Validate one JSON value against the engine's Draft-4 keyword set.
+
+    Returns a list of violation strings (empty = valid).  Local ``$ref``
+    schemas are inlined first (``resolve_refs``); paths use
+    JSON-pointer-ish syntax.
     """
+    if _has_ref(schema):
+        schema = resolve_refs(schema)
     errors: list[str] = []
     _validate_at(value, schema, "$", errors)
     return errors

@@ -259,3 +259,70 @@ def test_pattern_keyword_compiled_parity(spark):
     got = {r.id: r.ok_schema
            for r in vmod.struct_conformance_flags(df, schema).collect()}
     assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+# ------------------------------------------------------------------- $ref ----
+
+from jsons_to_schema_spark.schema_algebra import resolve_refs
+
+
+def _ref_schema():
+    return {
+        "type": "object",
+        "definitions": {
+            "addr": {
+                "type": "object",
+                "properties": {"zip": {"$ref": "#/definitions/zipcode"}},
+                "required": ["zip"],
+            },
+            "zipcode": {"type": "string", "pattern": "^[0-9]{5}$"},
+        },
+        "properties": {
+            "home": {"$ref": "#/definitions/addr"},
+            "work": {"$ref": "#/definitions/addr"},
+            "definitions": {"type": "integer"},  # property NAMED definitions
+        },
+    }
+
+
+def test_resolve_refs_inlines_shared_and_chained():
+    out = resolve_refs(_ref_schema())
+    assert "definitions" not in out  # root container dropped
+    for k in ("home", "work"):
+        sub = out["properties"][k]
+        assert sub["required"] == ["zip"]
+        assert sub["properties"]["zip"]["pattern"] == "^[0-9]{5}$"
+    # the property literally named definitions survives untouched
+    assert out["properties"]["definitions"] == {"type": "integer"}
+
+
+def test_resolve_refs_errors():
+    with pytest.raises(ValueError, match="cycle"):
+        resolve_refs({"definitions": {"a": {"$ref": "#/definitions/a"}},
+                      "$ref": "#/definitions/a"})
+    with pytest.raises(ValueError, match="non-local"):
+        resolve_refs({"$ref": "http://example.com/s.json"})
+    with pytest.raises(ValueError, match="unresolvable"):
+        resolve_refs({"$ref": "#/definitions/ghost"})
+    # RFC 6901 escaping: ~1 -> '/', ~0 -> '~'
+    s = {"definitions": {"a/b": {"type": "integer"}},
+         "$ref": "#/definitions/a~1b"}
+    assert resolve_refs(s) == {"type": "integer"}
+
+
+def test_ref_schema_pure_and_compiled_parity(spark):
+    from jsons_to_schema_spark.operators import validate as vmod
+
+    schema = _ref_schema()
+    ok_doc = {"home": {"zip": "12345"}, "work": {"zip": "99999"}}
+    bad_doc = {"home": {"zip": "1234"}, "work": {"zip": "99999"}}
+    assert validate(ok_doc, schema) == []        # auto-resolves
+    assert validate(bad_doc, schema) != []
+
+    df = spark.createDataFrame(
+        [(1, ("12345",), ("99999",)), (2, ("1234",), ("99999",)), (3, None, None)],
+        "id long, home struct<zip: string>, work struct<zip: string>",
+    )
+    got = {r.id: r.ok_schema
+           for r in vmod.struct_conformance_flags(df, schema).collect()}
+    assert got == {1: True, 2: False, 3: True}
