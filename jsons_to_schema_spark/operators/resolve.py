@@ -175,3 +175,67 @@ def fingerprint_clusters(
         )
         .filter(F.col("n_values") >= F.lit(int(min_values)))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key_col: str,
+    block_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the third classic
+    blocking strategy beside LSH (``dedup``/``similarity``) and key
+    collision (``fingerprint_clusters``): within each block, rows sort by
+    a key (e.g. a name or a normalized address) and every pair within
+    ``window`` rank positions becomes a candidate.  Catches near-misses
+    that hash-exact blocking splits (``smith, john`` / ``smyth, john``
+    sort adjacently but fingerprint apart).
+
+    Scale contract: ``block_col`` is REQUIRED — the sort runs per block
+    (one keyed exchange + within-partition sort), never globally; an
+    unpartitioned sorted-neighborhood pass would serialize the corpus
+    through one task.  Use a coarse prefix/soundex/segment block for a
+    "global" pass.  Pair fan-out is rows × window by construction.
+
+    Determinism: ranks order by (sort_key, id) — tie-free for unique ids
+    — so candidate pairs are stable under any partitioning.  NULL ids,
+    keys, or blocks carry no evidence and are excluded.
+
+    Output: (block, id_a, id_b, key_a, key_b, rank_distance 1..window),
+    where id_a is the lower-ranked (sort-order) member."""
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 1")
+    from pyspark.sql import Window as W
+
+    src = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(sort_key_col).isNotNull()
+        & F.col(block_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("_id"),
+        F.col(sort_key_col).alias("_key"),
+    )
+    w = W.partitionBy("block").orderBy(F.col("_key").asc(), F.col("_id").asc())
+    ranked = src.select(
+        "block", "_id", "_key", F.row_number().over(w).alias("_r")
+    ).localCheckpoint(eager=False)  # feeds both sides of the rank join
+    left = ranked.withColumn(
+        "_off", F.explode(F.sequence(F.lit(1), F.lit(int(window))))
+    ).select(
+        "block",
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        (F.col("_r") + F.col("_off")).alias("_tr"),
+        F.col("_off").alias("rank_distance"),
+    )
+    right = ranked.select(
+        "block",
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_r").alias("_tr"),
+    )
+    return left.join(right, ["block", "_tr"]).select(
+        "block", "id_a", "id_b", "key_a", "key_b", "rank_distance"
+    )

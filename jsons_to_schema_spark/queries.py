@@ -8695,6 +8695,45 @@ def join_explosion_orders_customer(spark, sf_dir) -> DataFrame:
     return stats.join_explosion_report(orders, cust, "k", "c_custkey")
 
 
+@query(
+    "sorted_neighborhood_customer",
+    oracle="""
+    WITH src AS (
+      SELECT c_mktsegment AS block, c_custkey AS id, c_name AS key
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL AND c_custkey IS NOT NULL
+        AND c_name IS NOT NULL
+    ),
+    rk AS (
+      SELECT block, id, key,
+             row_number() OVER (PARTITION BY block ORDER BY key, id) AS r
+      FROM src
+    )
+    SELECT a.block, a.id AS id_a, b.id AS id_b,
+           a.key AS key_a, b.key AS key_b,
+           CAST(b.r - a.r AS INT) AS rank_distance
+    FROM rk a JOIN rk b
+      ON a.block = b.block AND b.r - a.r BETWEEN 1 AND 2
+    """,
+)
+def sorted_neighborhood_customer(spark, sf_dir) -> DataFrame:
+    """Sorted-neighborhood candidate generation (resolve.
+    sorted_neighborhood_pairs): customers blocked by market segment,
+    sorted by name, window 2 — the classic third blocking strategy
+    beside LSH and fingerprint keys, catching sort-adjacent near-misses
+    exact blocking splits.  Per-block sort (one keyed exchange), pair
+    fan-out rows × window by construction; ranks order by (key, id) so
+    candidates are partition-stable.  The oracle replays the identical
+    row_number + bounded-offset self-join; every pair, key, and rank
+    distance is value-checked (outside the 50-window: the ER family
+    carries fingerprint + survivorship in-window reps; this is
+    parity-checked at the driver's own sf0.01 every CI run)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return resolve.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", "c_mktsegment", window=2
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

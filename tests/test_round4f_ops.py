@@ -250,3 +250,64 @@ def test_join_explosion_disjoint_and_empty(spark):
     assert r.join_rows == 0 and r.matched_keys == 0
     assert r.left_only_keys == 2 and r.right_only_keys == 1
     assert r.max_pair_product == 0 and r.explosion_factor == 0.0
+
+
+# ------------------------------------------------- sorted neighborhood ----
+
+
+def test_sorted_neighborhood_matches_brute_force(spark):
+    import random
+
+    from jsons_to_schema_spark.operators.resolve import sorted_neighborhood_pairs
+
+    rng = random.Random(48)
+    rows = [
+        (i, f"name{rng.randint(0, 30):02d}", rng.choice("AB"))
+        for i in range(80)
+    ] + [(None, "x", "A"), (900, None, "A"), (901, "y", None)]
+    df = spark.createDataFrame(rows, "id long, key string, blk string")
+    for w in (1, 3):
+        got = {
+            (r.block, r.id_a, r.id_b, r.rank_distance)
+            for r in sorted_neighborhood_pairs(df, "id", "key", "blk", w).collect()
+        }
+        expect = set()
+        for blk in "AB":
+            ordered = sorted(
+                (k, i) for i, k, b in rows
+                if b == blk and i is not None and k is not None
+            )
+            for x in range(len(ordered)):
+                for off in range(1, w + 1):
+                    if x + off < len(ordered):
+                        expect.add((blk, ordered[x][1], ordered[x + off][1], off))
+        assert got == expect, (w, len(got), len(expect))
+
+
+def test_sorted_neighborhood_adjacent_spellings_pair(spark):
+    from jsons_to_schema_spark.operators.resolve import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "smith john", "S"), (2, "smyth john", "S"), (3, "zzz", "S")],
+        "id long, key string, blk string",
+    )
+    out = sorted_neighborhood_pairs(df, "id", "key", "blk", window=1).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs  # the near-miss fingerprinting would split
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", "key", "blk", window=0)
+
+
+def test_sorted_neighborhood_partition_invariance(spark):
+    from jsons_to_schema_spark.operators.resolve import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{i % 13}", f"b{i % 3}") for i in range(60)]
+    base = None
+    for k in (1, 8):
+        df = spark.createDataFrame(rows, "id long, key string, blk string").repartition(k)
+        got = sorted(
+            tuple(r)
+            for r in sorted_neighborhood_pairs(df, "id", "key", "blk", 2).collect()
+        )
+        base = got if base is None else base
+        assert got == base
