@@ -239,3 +239,49 @@ def sorted_neighborhood_pairs(
     return left.join(right, ["block", "_tr"]).select(
         "block", "id_a", "id_b", "key_a", "key_b", "rank_distance"
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    seq_col: str,
+    rules: "dict[str, str]",
+    window: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """END-TO-END entity resolution — the full master-data funnel in one
+    declarative plan, composing this module's stages: sorted-neighborhood
+    candidates → Levenshtein match (edit distance ≤ ``max_distance`` on
+    the sort key) → connected components (``dedup.duplicate_clusters``,
+    large-star/small-star) → golden-record ``survivorship`` under
+    ``rules``.  Rows matching nothing survive as their own singleton
+    cluster (cluster id = own id — the resolve must not drop clean rows).
+
+    Scale shape: inherits each stage's contract — per-block sort, rows ×
+    window candidate fan-out, O(log² n) CC rounds, one grouped aggregate
+    for the fuse.  Levenshtein runs only on the candidate pairs, never
+    all-pairs.
+
+    Output: the ``survivorship`` report keyed by ``cluster``."""
+    if max_distance < 0:
+        raise ValueError("resolve_entities: max_distance must be >= 0")
+    from . import dedup
+
+    pairs = sorted_neighborhood_pairs(df, id_col, name_col, block_col, window)
+    matches = pairs.filter(
+        F.levenshtein(F.col("key_a"), F.col("key_b")) <= F.lit(int(max_distance))
+    )
+    clusters = dedup.duplicate_clusters(matches, "id_a", "id_b")
+    labeled = df.join(
+        clusters.withColumnRenamed("id", id_col).withColumnRenamed(
+            "cluster", "_cluster"
+        ),
+        id_col,
+        "left",
+    ).select(
+        F.coalesce(F.col("_cluster"), F.col(id_col)).alias("cluster"),
+        *[c for c in df.columns],
+    )
+    return survivorship(labeled, "cluster", rules, seq_col=seq_col)

@@ -8734,6 +8734,102 @@ def sorted_neighborhood_customer(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "resolve_entities_customer",
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT c_custkey AS id,
+             'b' || CAST((c_custkey // 3) % 17 AS VARCHAR) AS blk,
+             'entity-' || CAST((c_custkey // 3) * 7 + 1000 AS VARCHAR)
+               || CASE c_custkey % 3 WHEN 0 THEN '' WHEN 1 THEN 'x'
+                  ELSE 'xy' END AS nm,
+             CAST(c_custkey % 100 AS DOUBLE) AS acct,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    rk AS (
+      SELECT blk, id, nm,
+             row_number() OVER (PARTITION BY blk ORDER BY nm, id) AS r
+      FROM src
+    ),
+    pr AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM rk a JOIN rk b ON a.blk = b.blk AND b.r - a.r BETWEEN 1 AND 2
+      WHERE levenshtein(a.nm, b.nm) <= 2
+    ),
+    e(s, d) AS (SELECT id_a, id_b FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+    reach(id, lbl) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN e ON e.s = r.id
+    ),
+    cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+    lab AS (
+      SELECT coalesce(cl.cluster, src.id) AS cluster, src.*
+      FROM src LEFT JOIN cl ON src.id = cl.id
+    ),
+    base AS (
+      SELECT cluster,
+             CAST(count(*) AS BIGINT) AS n_members,
+             arg_max(nm, CASE WHEN nm IS NOT NULL THEN id END) AS nm,
+             max(acct) AS acct
+      FROM lab GROUP BY 1
+    ),
+    mc AS (SELECT cluster, seg, count(*) AS n FROM lab
+           WHERE seg IS NOT NULL GROUP BY 1, 2),
+    win AS (
+      SELECT cluster, seg,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, seg ASC) AS rn
+      FROM mc
+    )
+    SELECT b.cluster, b.n_members, b.nm, b.acct, w.seg
+    FROM base b LEFT JOIN win w ON b.cluster = w.cluster AND w.rn = 1
+    """,
+)
+def resolve_entities_customer(spark, sf_dir) -> DataFrame:
+    """END-TO-END entity resolution (resolve.resolve_entities): planted
+    three-spelling entities ('entity-N', 'entity-Nx', 'entity-Nxy' —
+    sort-adjacent, pairwise edit distance ≤ 2) are blocked, candidate-
+    paired by sorted neighborhood, matched by Levenshtein, clustered by
+    connected components, and fused to golden records (latest non-NULL
+    name by id, max account, modal segment).  Entity numbers step by 7
+    so distinct entities in a block sit ≥ 3 edits apart.  The oracle
+    replays the identical funnel: row_number SNM, DuckDB levenshtein
+    (same edit-distance semantics as Spark's), a recursive-CTE
+    transitive closure with min-label clusters, singleton fallback to
+    the own id, and the arg_max/mode survivorship — every golden record
+    value-checked at sf0.01."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ent = F.expr("CAST(c_custkey DIV 3 AS BIGINT)")
+    nm = F.concat(
+        F.lit("entity-"),
+        (ent * 7 + 1000).cast("string"),
+        F.when(k % 3 == 1, F.lit("x"))
+        .when(k % 3 == 2, F.lit("xy"))
+        .otherwise(F.lit("")),
+    )
+    src = cust.select(
+        k.alias("id"),
+        F.concat(F.lit("b"), (ent % 17).cast("string")).alias("blk"),
+        nm.alias("nm"),
+        (k % 100).cast("double").alias("acct"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return resolve.resolve_entities(
+        src,
+        "id",
+        "nm",
+        "blk",
+        "id",
+        {"nm": "latest", "acct": "max", "seg": "mode"},
+        window=2,
+        max_distance=2,
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -8946,7 +9042,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "frequent_pairs_events",         # market-basket association pairs
     "cohort_retention_events",       # weekly cohort retention matrix
     "resample_events_daily",         # fixed-grid resample + ffill
-    "survivorship_orders",           # golden-record survivorship fuse
+    # (survivorship_orders demoted for the r4 fourteenth wave: the
+    # end-to-end resolve_entities_customer below runs survivorship as
+    # its final stage with all three rule kinds — a strict superset;
+    # the standalone query stays oracle-pytest-checked at sf0.01)
     # -- r4 ninth wave (new families, never driver-checked) --
     "funnel_events",                 # ordered funnel conversion
     "benford_events",                # Benford first-digit conformance
@@ -8961,6 +9060,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "draft4_keywords_events",          # pattern/anyOf/oneOf/dependencies
     # -- r4 thirteenth wave (join planning, never driver-checked) --
     "join_explosion_orders_customer",  # pre-join blast-radius profile
+    # -- r4 fourteenth wave (end-to-end entity resolution) --
+    "resolve_entities_customer",       # SNM -> lev -> CC -> survivorship
 )
 
 

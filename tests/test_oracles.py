@@ -126,7 +126,6 @@ def test_driver_window_covers_dark_families():
         "frequent_pairs_events",
         "cohort_retention_events",
         "resample_events_daily",
-        "survivorship_orders",
         # r4 ninth wave
         "funnel_events",
         "benford_events",
@@ -141,5 +140,8 @@ def test_driver_window_covers_dark_families():
         "draft4_keywords_events",
         # r4 thirteenth wave
         "join_explosion_orders_customer",
+        # r4 fourteenth wave (survivorship_orders rotated out: the
+        # resolve funnel runs survivorship as its final stage)
+        "resolve_entities_customer",
     ):
         assert must in window, must

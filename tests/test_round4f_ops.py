@@ -311,3 +311,50 @@ def test_sorted_neighborhood_partition_invariance(spark):
         )
         base = got if base is None else base
         assert got == base
+
+
+# -------------------------------------------------------- resolve funnel ----
+
+
+def test_resolve_entities_end_to_end(spark):
+    from jsons_to_schema_spark.operators.resolve import resolve_entities
+
+    rows = [
+        # entity A: three spellings, fused; latest non-NULL name wins
+        (1, "acme corp", "B1", 10.0, "red"),
+        (2, "acme corpx", "B1", 30.0, "blue"),
+        (3, None, "B1", 20.0, "blue"),       # NULL name: no SNM evidence
+        # entity B: two spellings in another block
+        (7, "beta llc", "B2", 5.0, "red"),
+        (8, "beta llcz", "B2", 6.0, None),
+        # singleton: survives as its own cluster
+        (9, "unrelated name", "B2", 1.0, "red"),
+    ]
+    df = spark.createDataFrame(rows, "id long, nm string, blk string, amt double, col string")
+    out = {
+        r.cluster: (r.n_members, r.nm, r.amt, r.col)
+        for r in resolve_entities(
+            df, "id", "nm", "blk", "id",
+            {"nm": "latest", "amt": "max", "col": "mode"},
+            window=2, max_distance=2,
+        ).collect()
+    }
+    # row 3 has a NULL name: it is never a candidate, so it stays a singleton
+    assert out[1] == (2, "acme corpx", 30.0, "blue")
+    assert out[3] == (1, None, 20.0, "blue")
+    assert out[7] == (2, "beta llcz", 6.0, "red")
+    assert out[9] == (1, "unrelated name", 1.0, "red")
+    assert len(out) == 4
+
+
+def test_resolve_entities_no_matches_all_singletons(spark):
+    from jsons_to_schema_spark.operators.resolve import resolve_entities
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa", "B", 1.0), (2, "zzzzzzzz", "B", 2.0)],
+        "id long, nm string, blk string, amt double",
+    )
+    out = resolve_entities(
+        df, "id", "nm", "blk", "id", {"amt": "max"}, max_distance=1
+    ).collect()
+    assert {r.cluster: r.amt for r in out} == {1: 1.0, 2: 2.0}
