@@ -2475,3 +2475,82 @@ def join_explosion_report(
             6,
         ).alias("explosion_factor"),
     )
+
+
+def generalization_search(
+    df: DataFrame,
+    ladders: "dict[str, list[tuple[str, object]]]",
+    k: int,
+    max_combos: int = 64,
+) -> DataFrame:
+    """k-anonymity ENFORCEMENT search — the transform decision the
+    ``k_anonymity`` report cannot make: given a generalization ladder per
+    quasi-identifier (exact → coarser → suppressed, each level a name +
+    Column expression), evaluate EVERY ladder combination's minimum group
+    size and mark the combo to publish: the k-satisfying one with the
+    least total generalization (sum of level indices; ties break to the
+    lexicographically smallest combo string — deterministic).
+
+    Shape: one corpus-sized grouped count per combination — the combo
+    count is bounded by the ladder product (guarded at ``max_combos``),
+    each pass map-side partial, and the report itself is combos-sized.
+    No combo satisfying k leaves ``chosen`` false everywhere (the caller
+    must add a ladder level or suppress — silently publishing the least-
+    bad combo would leak).
+
+    Output: one row per combo — (combo 'col=level|col2=level', cost,
+    n_groups, min_group_size, satisfies_k, chosen)."""
+    import itertools
+
+    if k < 1:
+        raise ValueError("generalization_search: k must be >= 1")
+    if not ladders or any(not lv for lv in ladders.values()):
+        raise ValueError("generalization_search: every ladder needs >= 1 level")
+    cols = sorted(ladders)
+    combos = list(itertools.product(*[range(len(ladders[c])) for c in cols]))
+    if len(combos) > max_combos:
+        raise ValueError(
+            f"generalization_search: {len(combos)} combos exceeds "
+            f"max_combos={max_combos}"
+        )
+    from pyspark.sql import Window
+
+    reports = []
+    for combo in combos:
+        label = "|".join(
+            f"{c}={ladders[c][i][0]}" for c, i in zip(cols, combo)
+        )
+        cost = int(sum(combo))
+        exprs = [
+            ladders[c][i][1].alias(f"_g{j}")
+            for j, (c, i) in enumerate(zip(cols, combo))
+        ]
+        counts = df.select(*exprs).groupBy(
+            *[f"_g{j}" for j in range(len(cols))]
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        reports.append(
+            counts.agg(
+                F.lit(label).alias("combo"),
+                F.lit(cost).alias("cost"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.min("_n").alias("min_group_size"),
+            )
+        )
+    rep = reports[0]
+    for r in reports[1:]:
+        rep = rep.unionByName(r)
+    satisfies = F.coalesce(
+        F.col("min_group_size") >= F.lit(int(k)), F.lit(False)
+    )
+    w = Window.orderBy(
+        satisfies.cast("int").desc(), F.col("cost").asc(), F.col("combo").asc()
+    )
+    rn = F.row_number().over(w)
+    return rep.select(
+        "combo",
+        "cost",
+        "n_groups",
+        "min_group_size",
+        satisfies.alias("satisfies_k"),
+        ((rn == 1) & satisfies).alias("chosen"),
+    )

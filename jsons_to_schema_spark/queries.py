@@ -8830,6 +8830,89 @@ def resolve_entities_customer(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "generalization_search_events",
+    oracle="""
+    WITH c AS (
+      SELECT 'user=band10|value=band100' AS combo, 1 + 1 AS cost,
+             user_id - user_id % 10 AS g0,
+             CAST(floor(coalesce(value, -1) / 100.0) AS BIGINT) AS g1
+      FROM events
+      UNION ALL
+      SELECT 'user=exact|value=band100', 0 + 1, user_id,
+             CAST(floor(coalesce(value, -1) / 100.0) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user=band10|value=any', 1 + 2, user_id - user_id % 10, 0
+      FROM events
+      UNION ALL
+      SELECT 'user=exact|value=any', 0 + 2, user_id, 0 FROM events
+      UNION ALL
+      SELECT 'user=any|value=band100', 2 + 1, 0,
+             CAST(floor(coalesce(value, -1) / 100.0) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user=any|value=any', 2 + 2, 0, 0 FROM events
+      UNION ALL
+      SELECT 'user=band10|value=exact', 1 + 0, user_id - user_id % 10,
+             CAST(floor(coalesce(value, -1)) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user=exact|value=exact', 0 + 0, user_id,
+             CAST(floor(coalesce(value, -1)) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user=any|value=exact', 2 + 0, 0,
+             CAST(floor(coalesce(value, -1)) AS BIGINT) FROM events
+    ),
+    g AS (
+      SELECT combo, cost, g0, g1, count(*) AS n FROM c GROUP BY 1, 2, 3, 4
+    ),
+    rep AS (
+      SELECT combo, CAST(cost AS INT) AS cost,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(n) AS BIGINT) AS min_group_size
+      FROM g GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, (min_group_size >= 25) AS satisfies_k,
+             row_number() OVER (
+               ORDER BY CASE WHEN min_group_size >= 25 THEN 1 ELSE 0 END DESC,
+                        cost ASC, combo ASC) AS rn
+      FROM rep
+    )
+    SELECT combo, cost, n_groups, min_group_size, satisfies_k,
+           (rn = 1 AND satisfies_k) AS chosen
+    FROM rk
+    """,
+)
+def generalization_search_events(spark, sf_dir) -> DataFrame:
+    """k-anonymity enforcement search (stats.generalization_search): the
+    (user_id, value) quasi-identifier with 3×3 generalization ladders —
+    exact → band → suppressed on both axes — evaluated at k=25.  Exact
+    combos demonstrably fail (singleton groups) while coarse ones pass,
+    and exactly ONE k-satisfying, least-cost combo is marked chosen; the
+    oracle replays all nine grouped counts with the identical level
+    expressions and ranking (NULL values coalesce to a sentinel bucket
+    on both sides so the group keys hash identically).  Nine bounded
+    passes, each map-side partial; the report is combos-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    ladders = {
+        "user": [
+            ("exact", F.col("user_id")),
+            ("band10", F.col("user_id") - F.col("user_id") % 10),
+            ("any", F.lit(0)),
+        ],
+        "value": [
+            ("exact", F.floor(F.coalesce(F.col("value"), F.lit(-1.0))).cast("long")),
+            (
+                "band100",
+                F.floor(
+                    F.coalesce(F.col("value"), F.lit(-1.0)) / F.lit(100.0)
+                ).cast("long"),
+            ),
+            ("any", F.lit(0)),
+        ],
+    }
+    return stats.generalization_search(ev, ladders, k=25)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -9013,7 +9096,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # fd_orders_nation in-window; confidence is pytest-oracled)
     # -- r4 fifth wave (new families, never driver-checked) --
     "asof_events_snapshots",         # as-of join vs DuckDB's native ASOF
-    "session_overlap_events",        # bucketed interval-overlap join
+    # (session_overlap_events demoted for the r4 fifteenth wave: the
+    # temporal-join family keeps asof_events_snapshots in-window; the
+    # bucketed overlap join stays oracle-pytest-checked at sf0.01)
     "cdc_compact_events",            # changelog compaction (CDC)
     "drift_divergence_events_value", # PSI+JS+chi2+KS panel
     "outliers_events_value",         # robust MAD outlier rows
@@ -9062,6 +9147,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_explosion_orders_customer",  # pre-join blast-radius profile
     # -- r4 fourteenth wave (end-to-end entity resolution) --
     "resolve_entities_customer",       # SNM -> lev -> CC -> survivorship
+    # -- r4 fifteenth wave (privacy enforcement — first in-window privacy rep) --
+    "generalization_search_events",    # k-anon ladder search, chosen combo
 )
 
 

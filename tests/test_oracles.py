@@ -111,7 +111,6 @@ def test_driver_window_covers_dark_families():
         "dedup_minhash_documents",
         # r4 fifth wave: the new families must land in the window
         "asof_events_snapshots",
-        "session_overlap_events",
         "cdc_compact_events",
         "drift_divergence_events_value",
         "outliers_events_value",
@@ -143,5 +142,7 @@ def test_driver_window_covers_dark_families():
         # r4 fourteenth wave (survivorship_orders rotated out: the
         # resolve funnel runs survivorship as its final stage)
         "resolve_entities_customer",
+        # r4 fifteenth wave
+        "generalization_search_events",
     ):
         assert must in window, must

@@ -358,3 +358,56 @@ def test_resolve_entities_no_matches_all_singletons(spark):
         df, "id", "nm", "blk", "id", {"amt": "max"}, max_distance=1
     ).collect()
     assert {r.cluster: r.amt for r in out} == {1: 1.0, 2: 2.0}
+
+
+# ------------------------------------------------- generalization search ----
+
+
+def test_generalization_search_picks_minimal_satisfying(spark):
+    from jsons_to_schema_spark.operators.stats import generalization_search
+
+    # 60 rows: ids 0..59, attr = id % 6
+    df = spark.createDataFrame([(i, i % 6) for i in range(60)], "id long, a long")
+    ladders = {
+        "id": [("exact", F.col("id")), ("band10", F.col("id") - F.col("id") % 10),
+               ("any", F.lit("*"))],
+        "a": [("exact", F.col("a")), ("any", F.lit("*"))],
+    }
+    out = {r.combo: r for r in generalization_search(df, ladders, k=10).collect()}
+    assert len(out) == 6
+    # exact x exact: every group is a single row
+    assert out["a=exact|id=exact"].min_group_size == 1
+    assert not out["a=exact|id=exact"].satisfies_k
+    # id banded to 10s with a suppressed: groups of 10 -> satisfies
+    assert out["a=any|id=band10"].min_group_size == 10
+    assert out["a=any|id=band10"].satisfies_k
+    chosen = [c for c, r in out.items() if r.chosen]
+    # minimal cost satisfying combo wins; exactly one chosen
+    assert len(chosen) == 1
+    ch = out[chosen[0]]
+    assert ch.satisfies_k
+    assert all(
+        r.cost > ch.cost or not r.satisfies_k or r.combo >= ch.combo
+        for r in out.values()
+    )
+
+
+def test_generalization_search_nothing_satisfies(spark):
+    from jsons_to_schema_spark.operators.stats import generalization_search
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    ladders = {"id": [("exact", F.col("id"))]}
+    out = generalization_search(df, ladders, k=10).collect()
+    assert len(out) == 1 and not out[0].chosen and not out[0].satisfies_k
+
+
+def test_generalization_search_validates(spark):
+    from jsons_to_schema_spark.operators.stats import generalization_search
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="k must"):
+        generalization_search(df, {"id": [("e", F.col("id"))]}, k=0)
+    with pytest.raises(ValueError, match="ladder"):
+        generalization_search(df, {"id": []}, k=2)
+    with pytest.raises(ValueError, match="combos exceeds"):
+        generalization_search(df, {f"c{i}": [("a", F.col("id")), ("b", F.lit(1))] for i in range(8)}, k=2)
