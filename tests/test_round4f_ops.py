@@ -411,3 +411,42 @@ def test_generalization_search_validates(spark):
         generalization_search(df, {"id": []}, k=2)
     with pytest.raises(ValueError, match="combos exceeds"):
         generalization_search(df, {f"c{i}": [("a", F.col("id")), ("b", F.lit(1))] for i in range(8)}, k=2)
+
+
+# ------------------------------------------- batch partition invariance ----
+
+
+def test_wave19_29_partition_invariance_batch(spark):
+    """Every new analyzer must produce identical results at 1 and 9 input
+    partitions — the distributed-correctness floor."""
+    from datetime import datetime, timedelta
+
+    from jsons_to_schema_spark.operators import drift, stats, temporal
+    from jsons_to_schema_spark.operators.resolve import resolve_entities
+
+    ev_rows = [
+        (i, datetime(2024, 1, 1) + timedelta(hours=i % 400),
+         float((i * 37) % 500), f"u{i % 21}", ["view", "click", "purchase"][i % 3])
+        for i in range(400)
+    ]
+    base = {}
+    for k in (1, 9):
+        ev = spark.createDataFrame(
+            ev_rows, "id long, ts timestamp, v double, u string, t string"
+        ).repartition(k)
+        outs = {
+            "benford": stats.benford_conformance(ev, "v"),
+            "funnel": temporal.funnel(ev, "u", "ts", "t", ["view", "click"]),
+            "pairs": stats.frequent_pairs(ev, "u", "t"),
+            "shift": drift.level_shift(ev, "ts", "v", 86400),
+            "explode": stats.join_explosion_report(ev, ev.selectExpr("u AS u2"), "u", "u2"),
+            "gen": stats.generalization_search(
+                ev, {"u": [("e", F.col("u")), ("any", F.lit("*"))]}, k=15
+            ),
+        }
+        got = {name: sorted(tuple(r) for r in df.collect()) for name, df in outs.items()}
+        if not base:
+            base = got
+        else:
+            for name in got:
+                assert got[name] == base[name], name
