@@ -560,3 +560,121 @@ def funnel(
             "conv_from_prev"
         ),
     )
+
+
+_ATTRIBUTION_MODELS = ("last", "first", "linear")
+
+
+def attribution(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_types: "list[str]",
+    conversion_type: str,
+    lookback_seconds: int,
+    model: str = "last",
+) -> DataFrame:
+    """Touch attribution — credit each conversion to the same key's touch
+    events within ``lookback_seconds`` STRICTLY before it (a touch at the
+    conversion instant is not a cause), under the three standard models:
+    ``last`` / ``first`` (the extreme touch takes credit 1, ties broken
+    by ``id_col`` — contract: unique ids) and ``linear`` (each of the n
+    touches takes 1/n).  Complements ``funnel`` (ordered completion) and
+    ``asof_join`` (single nearest record): attribution needs EVERY touch
+    in the window.
+
+    Scale shape: conversions and touches join on (key, time band) — the
+    lookback window spans at most two lookback-sized bands, so each
+    conversion probes exactly two buckets instead of the key's whole
+    history (the banding trick the overlap join uses); per-conversion
+    work is bounded by touches-per-window.  NULL keys/ids/timestamps
+    carry no evidence and are excluded.
+
+    Output: one row per touch type plus '(none)' for unattributed
+    conversions — (touch_type, conversions, credit round6); conversions
+    counts the conversions in which the type participates (for linear)
+    or wins (for first/last)."""
+    if model not in _ATTRIBUTION_MODELS:
+        raise ValueError(f"attribution: model must be one of {_ATTRIBUTION_MODELS}")
+    if lookback_seconds <= 0:
+        raise ValueError("attribution: lookback_seconds must be positive")
+    if not touch_types or conversion_type in touch_types:
+        raise ValueError(
+            "attribution: touch_types must be non-empty and exclude the "
+            "conversion type"
+        )
+    from .stats import _epoch_us_col
+
+    w_us = lookback_seconds * 1_000_000
+    us = _epoch_us_col(df, ts_col)
+    src = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        F.col(type_col).alias("_t"),
+    )
+    conv = src.filter(F.col("_t") == conversion_type).select(
+        "_k", F.col("_id").alias("_cid"), F.col("_us").alias("_cus")
+    ).localCheckpoint(eager=False)  # feeds the pair join AND the unattributed count
+    touch = src.filter(F.col("_t").isin(list(touch_types))).select(
+        "_k",
+        F.col("_id").alias("_tid"),
+        F.col("_us").alias("_tus"),
+        F.col("_t").alias("touch_type"),
+        (F.col("_us") - F.pmod(F.col("_us"), F.lit(w_us))).alias("_tb"),
+    )
+    probes = conv.withColumn(
+        "_tb",
+        F.explode(
+            F.array(
+                (F.col("_cus") - F.pmod(F.col("_cus"), F.lit(w_us))),
+                (F.col("_cus") - F.pmod(F.col("_cus"), F.lit(w_us)) - F.lit(w_us)),
+            )
+        ),
+    )
+    pairs = probes.join(touch, ["_k", "_tb"]).filter(
+        (F.col("_tus") < F.col("_cus"))
+        & (F.col("_tus") >= F.col("_cus") - F.lit(w_us))
+    )
+    if model == "linear":
+        per_conv = Window.partitionBy("_k", "_cid")
+        credited = pairs.select(
+            "_k",
+            "_cid",
+            "touch_type",
+            (F.lit(1.0) / F.count(F.lit(1)).over(per_conv)).alias("_credit"),
+        )
+        by_type = credited.groupBy("touch_type").agg(
+            F.countDistinct("_cid", "_k").alias("conversions"),
+            F.round(F.sum(F.round(F.col("_credit"), 6)), 6).alias("credit"),
+        )
+    else:
+        direction = [F.col("_tus").desc(), F.col("_tid").desc()] if model == "last" \
+            else [F.col("_tus").asc(), F.col("_tid").asc()]
+        rn = F.row_number().over(
+            Window.partitionBy("_k", "_cid").orderBy(*direction)
+        )
+        winners = pairs.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+        by_type = winners.groupBy("touch_type").agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.count(F.lit(1)).cast("double"), 6).alias("credit"),
+        )
+    attributed = pairs.select("_k", "_cid").distinct()
+    none_row = (
+        conv.join(attributed, ["_k", "_cid"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            "conversions",
+            F.lit(0.0).alias("credit"),
+        )
+    )
+    return by_type.select("touch_type", "conversions", "credit").unionByName(
+        none_row
+    )

@@ -8913,6 +8913,72 @@ def generalization_search_events(spark, sf_dir) -> DataFrame:
     return stats.generalization_search(ev, ladders, k=25)
 
 
+@query(
+    "attribution_events",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+             event_type AS t
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    conv AS (SELECT k, id AS cid, us AS cus FROM src WHERE t = 'purchase'),
+    touch AS (SELECT k, id AS tid, us AS tus, t AS touch_type FROM src
+              WHERE t IN ('view', 'click')),
+    pairs AS (
+      SELECT c.k, c.cid, tch.touch_type, tch.tus, tch.tid
+      FROM conv c JOIN touch tch
+        ON c.k = tch.k AND tch.tus < c.cus
+       AND tch.tus >= c.cus - 21600000000
+    ),
+    credited AS (
+      SELECT k, cid, touch_type,
+             round(CAST(1.0 AS DOUBLE)
+                   / count(*) OVER (PARTITION BY k, cid), 6) AS credit
+      FROM pairs
+    ),
+    by_type AS (
+      SELECT touch_type,
+             CAST(count(DISTINCT (k, cid)) AS BIGINT) AS conversions,
+             round(sum(credit), 6) AS credit
+      FROM credited GROUP BY 1
+    ),
+    none_row AS (
+      SELECT '(none)' AS touch_type,
+             CAST(count(*) AS BIGINT) AS conversions,
+             CAST(0.0 AS DOUBLE) AS credit
+      FROM conv c
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.k = c.k AND p.cid = c.cid)
+    )
+    SELECT * FROM by_type UNION ALL SELECT * FROM none_row
+    """,
+)
+def attribution_events(spark, sf_dir) -> DataFrame:
+    """Linear touch attribution (temporal.attribution): purchases credited
+    across the same user's view/click touches within a 6-hour lookback,
+    each touch taking 1/n — the marketing analytic funnel (ordered
+    completion) and as-of join (single nearest) cannot answer.  The
+    6-hour window BINDS at sf0.01 (unattributed purchases exist → the
+    '(none)' row is non-trivial).  Conversions probe exactly two
+    lookback-sized (key, band) buckets — never the key's whole history;
+    the oracle replays the window join directly (sf-scale) with the same
+    per-credit AND final round(6), so every type's conversion count and
+    credit mass is value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.attribution(
+        ev,
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        ["view", "click"],
+        "purchase",
+        lookback_seconds=6 * 3600,
+        model="linear",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

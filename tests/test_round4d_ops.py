@@ -425,3 +425,100 @@ def test_survivorship_validates(spark):
         survivorship(df, "c", {"c": "max"})
     with pytest.raises(ValueError, match="seq_col cannot"):
         survivorship(df, "c", {"seq": "max", "name": "latest"}, seq_col="seq")
+
+
+# ------------------------------------------------------------ attribution ----
+
+
+def _attr_rows():
+    rng = random.Random(49)
+    rows = []
+    eid = 0
+    for u in range(25):
+        for _ in range(rng.randint(2, 12)):
+            eid += 1
+            rows.append(
+                (f"u{u}", eid, _ts_h(rng.randint(0, 300)),
+                 rng.choice(["view", "click", "buy", "noise"]))
+            )
+    rows.append((None, 9000, _ts_h(1), "buy"))
+    rows.append(("uX", 9001, None, "view"))
+    return rows
+
+
+def _ts_h(h):
+    return datetime(2024, 1, 1) + timedelta(hours=h)
+
+
+def _brute_attr(rows, lookback_h, model):
+    from collections import defaultdict
+
+    evs = [
+        (u, i, t, ty) for u, i, t, ty in rows if u is not None and t is not None
+    ]
+    convs = [(u, i, t) for u, i, t, ty in evs if ty == "buy"]
+    per_type = defaultdict(lambda: [set(), 0.0])  # type -> [conv set, credit]
+    none_count = 0
+    for u, cid, ct in convs:
+        touches = [
+            (t, i, ty)
+            for (uu, i, t, ty) in evs
+            if uu == u and ty in ("view", "click")
+            and t < ct and t >= ct - timedelta(hours=lookback_h)
+        ]
+        if not touches:
+            none_count += 1
+            continue
+        if model == "linear":
+            n = len(touches)
+            for _, _, ty in touches:
+                per_type[ty][0].add((u, cid))
+                per_type[ty][1] += round(1.0 / n, 6)
+        else:
+            win = max(touches) if model == "last" else min(touches)
+            per_type[win[2]][0].add((u, cid))
+            per_type[win[2]][1] += 1.0
+    out = {
+        ty: (len(s), round(c, 6)) for ty, (s, c) in per_type.items()
+    }
+    out["(none)"] = (none_count, 0.0)
+    return out
+
+
+@pytest.mark.parametrize("model", ["last", "first", "linear"])
+def test_attribution_matches_brute_force(spark, model):
+    rows = _attr_rows()
+    df = spark.createDataFrame(rows, "u string, id long, ts timestamp, t string")
+    got = {
+        r.touch_type: (r.conversions, r.credit)
+        for r in temporal.attribution(
+            df, "u", "id", "ts", "t", ["view", "click"], "buy",
+            lookback_seconds=48 * 3600, model=model,
+        ).collect()
+    }
+    expect = _brute_attr(rows, 48, model)
+    # credit sums are rounded doubles: compare with tolerance, counts exact
+    assert set(got) == set(expect)
+    for ty in expect:
+        assert got[ty][0] == expect[ty][0], (ty, got[ty], expect[ty])
+        assert abs(got[ty][1] - expect[ty][1]) < 1e-6, ty
+
+
+def test_attribution_conservation_and_validates(spark):
+    rows = _attr_rows()
+    df = spark.createDataFrame(rows, "u string, id long, ts timestamp, t string")
+    out = temporal.attribution(
+        df, "u", "id", "ts", "t", ["view", "click"], "buy",
+        lookback_seconds=48 * 3600, model="linear",
+    ).collect()
+    n_conv = df.filter("t = 'buy' AND u IS NOT NULL AND ts IS NOT NULL").count()
+    total_credit = sum(r.credit for r in out)
+    none = [r for r in out if r.touch_type == "(none)"][0]
+    # linear credits conserve: credit mass + unattributed = conversions
+    assert abs(total_credit + none.conversions - n_conv) < 1e-3
+    with pytest.raises(ValueError, match="model"):
+        temporal.attribution(df, "u", "id", "ts", "t", ["view"], "buy", 60, model="ushape")
+    with pytest.raises(ValueError, match="lookback"):
+        temporal.attribution(df, "u", "id", "ts", "t", ["view"], "buy", 0)
+    with pytest.raises(ValueError, match="touch_types"):
+        temporal.attribution(df, "u", "id", "ts", "t", ["buy"], "buy", 60)
