@@ -2554,3 +2554,53 @@ def generalization_search(
         satisfies.alias("satisfies_k"),
         ((rn == 1) & satisfies).alias("chosen"),
     )
+
+
+def fit_quantile_bins(df: DataFrame, column: str, k: int) -> DataFrame:
+    """FIT half of the quantile-bucketizer pair: the k−1 interior
+    boundaries of ``column`` as a persistable (idx, boundary) frame — the
+    'model' a training snapshot exports so serving/eval datasets bucket
+    on the SAME grid (``equidepth_histogram`` fits and assigns on one
+    frame; real pipelines fit once and apply everywhere — the IVF-index
+    pattern applied to binning).  Boundaries are round(6): the persisted
+    artifact must re-load bit-identically through any writer/reader pair,
+    and fit + apply use the same rounded values so the rounding never
+    splits a dataset against itself."""
+    if k <= 1:
+        raise ValueError("fit_quantile_bins: need k >= 2 buckets")
+    c = F.col(column)
+    probs = [i / k for i in range(1, k)]
+    bounds = df.filter(c.isNotNull()).agg(
+        F.percentile(c, F.array(*[F.lit(p) for p in probs])).alias("_b")
+    )
+    return bounds.select(
+        F.posexplode("_b").alias("idx", "_raw")
+    ).select("idx", F.round("_raw", 6).alias("boundary"))
+
+
+def apply_bins(
+    df: DataFrame, column: str, edges, out_col: str = "bucket"
+) -> DataFrame:
+    """APPLY half: bucket ``column`` against fitted edges (a
+    ``fit_quantile_bins`` frame or a plain float list).  Assignment is
+    "count of boundaries strictly below x" — a value EQUAL to a boundary
+    falls in the lower bucket, the ``equidepth_histogram`` convention.
+    NULL values get a NULL bucket (absent, not bucket 0).
+
+    The edges collect to the driver (k-bounded — the persisted-model
+    read, same shape as the IVF index load) and ride into the plan as an
+    array literal, so assignment is pure codegen — no join, no Python."""
+    if isinstance(edges, DataFrame):
+        boundaries = [r.boundary for r in edges.orderBy("idx").collect()]
+    else:
+        boundaries = [float(b) for b in edges]
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError(
+            "apply_bins: edges must be a non-empty ascending boundary list"
+        )
+    c = F.col(column)
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    bucket = F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(b < c, 1).otherwise(0)
+    ).cast("long")
+    return df.withColumn(out_col, F.when(c.isNotNull(), bucket))

@@ -8979,6 +8979,47 @@ def attribution_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "quantile_bins_fit_apply_events",
+    oracle="""
+    WITH tr AS (SELECT value FROM events
+                WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    ed AS (
+      SELECT list_transform(
+               quantile_cont(value, [0.25, 0.5, 0.75]),
+               x -> round(x, 6)) AS b
+      FROM tr
+    ),
+    sv AS (SELECT value FROM events WHERE event_id % 2 = 1),
+    assigned AS (
+      SELECT CASE WHEN value IS NULL THEN NULL
+                  ELSE len(list_filter(ed.b, x -> x < value)) END AS bucket
+      FROM sv, ed
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM assigned GROUP BY 1
+    """,
+)
+def quantile_bins_fit_apply_events(spark, sf_dir) -> DataFrame:
+    """Quantile-bucketizer fit/transform split (stats.fit_quantile_bins +
+    apply_bins): quartile edges FIT on the even-id half of events.value
+    and APPLIED to the odd half — the train-once-bucket-everywhere
+    pattern (persisted round6 edges, the IVF-index shape applied to
+    feature prep).  Assignment = count of boundaries strictly below x
+    (the equidepth convention), edges ride as an array literal so the
+    transform is pure codegen.  The oracle fits with quantile_cont (the
+    percentile-equivalent interpolation) on the same half and replays
+    the list-count assignment; every bucket count is value-checked —
+    near-quartile counts with genuine train/serve drift."""
+    ev = load_table(spark, sf_dir, "events")
+    train = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    serve = ev.filter(F.col("event_id") % 2 == 1).select("value")
+    edges = stats.fit_quantile_bins(train, "value", 4)
+    out = stats.apply_bins(serve, "value", edges)
+    return out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

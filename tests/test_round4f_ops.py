@@ -450,3 +450,45 @@ def test_wave19_29_partition_invariance_batch(spark):
         else:
             for name in got:
                 assert got[name] == base[name], name
+
+
+# ------------------------------------------------------- bin fit/transform ----
+
+
+def test_fit_apply_bins_cross_dataset(spark):
+    from jsons_to_schema_spark.operators.stats import apply_bins, fit_quantile_bins
+
+    train = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    serve = spark.createDataFrame(
+        [(float(i) + 0.5,) for i in range(100)] + [(None,), (-50.0,), (500.0,)],
+        "v double",
+    )
+    edges = fit_quantile_bins(train, "v", 4)
+    bl = [r.boundary for r in edges.orderBy("idx").collect()]
+    assert len(bl) == 3 and bl == sorted(bl)
+    out = apply_bins(serve, "v", edges)
+    got = {r.v: r.bucket for r in out.collect()}
+    for v, b in got.items():
+        if v is None:
+            assert b is None
+        else:
+            assert b == sum(1 for x in bl if x < v)
+    # out-of-range values clamp to the extreme buckets by construction
+    assert got[-50.0] == 0 and got[500.0] == 3
+    # equal-to-boundary falls in the LOWER bucket
+    eq = apply_bins(
+        spark.createDataFrame([(bl[0],)], "v double"), "v", bl
+    ).collect()[0]
+    assert eq.bucket == 0
+
+
+def test_fit_apply_bins_validates(spark):
+    from jsons_to_schema_spark.operators.stats import apply_bins, fit_quantile_bins
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="k >= 2"):
+        fit_quantile_bins(df, "v", 1)
+    with pytest.raises(ValueError, match="ascending"):
+        apply_bins(df, "v", [3.0, 1.0])
+    with pytest.raises(ValueError, match="ascending"):
+        apply_bins(df, "v", [])
