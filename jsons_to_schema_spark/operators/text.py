@@ -899,3 +899,70 @@ def excise_repeated_spans(
             "n_spans_excised"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (round-4 wave 32)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF — the
+    corpus-keyword primitive behind topic tagging, mixture labelling, and
+    near-dup *explanation* (which terms make two docs cluster).
+
+    Semantics (engine-portable, exactly reproducible in ANSI SQL):
+
+    - terms = whitespace tokens (``tokens()``; empty strings dropped);
+    - tf(d, t)  = raw count of t in d;
+    - df(t)     = number of DISTINCT documents containing t — derived from
+      the (doc, term) aggregate itself (rows-per-term), never a second
+      corpus scan;
+    - idf(t)    = round(ln((1 + N) / (1 + df)) + 1, 6)  (scikit-style
+      smoothing; N = total documents in ``df`` including token-less ones),
+      rounded BEFORE the multiply so both engines rank identical doubles;
+    - score     = round(tf * idf, 6); top-k per doc by
+      (score DESC, term ASC) — fully deterministic tie-break;
+    - terms with df < min_df are dropped before ranking (noise floor).
+
+    Scale shape: one corpus scan → explode → two-stage hash aggregate on
+    (doc, term); the doc-frequency table folds from that aggregate
+    (groupBy term), so the expensive explode runs ONCE (lazy localCheckpoint
+    pins the (doc, term) frame feeding both sides); the tf⋈df join
+    shuffles on term — vocabulary-sized, AQE broadcasts it when small.
+    Ranking is a per-doc window over ≤ vocabulary rows, never the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"tfidf_top_terms: k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()  # one job over the narrow id column; N is a scalar
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(col)).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds both the df() fold and the join
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("_df") >= min_df)
+    idf = F.round(
+        F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("_df"))) + 1.0, 6
+    )
+    scored = tf.join(dfreq, "_t").select(
+        F.col(id_col),
+        F.col("_t").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -9020,6 +9020,49 @@ def quantile_bins_fit_apply_events(spark, sf_dir) -> DataFrame:
     return out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+@query(
+    "tfidf_top_terms_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1 HAVING count(*) >= 2),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(CAST(tf.tf AS DOUBLE)
+                   * round(ln((1.0 + n.n) / (1.0 + dfreq.dfc)) + 1.0, 6),
+                   6) AS score
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_documents(spark, sf_dir) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (text.tfidf_top_terms, k=3, min_df=2): one explode → two-stage hash
+    aggregate on (doc, term); document frequency folds from that aggregate
+    (rows-per-term — never a second corpus scan); idf is rounded to 6
+    digits BEFORE the multiply so both engines rank identical doubles; the
+    (score DESC, term ASC) tie-break is fully deterministic.  The oracle
+    replays every step — tokenization, the df >= 2 noise floor, the
+    smoothed-idf arithmetic, and the window rank — so all 1,500 rows at
+    sf0.01 are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "text", "doc_id", k=3, min_df=2)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
