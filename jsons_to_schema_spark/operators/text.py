@@ -966,3 +966,131 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weighting (round-4 wave 33)
+# ---------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023, public
+# arXiv 2302.03169): score every raw document by how much more likely its
+# hashed n-gram profile is under a TARGET distribution (e.g. wiki/books/"en")
+# than under the RAW distribution, then keep the top fraction.  The classic
+# lever for steering a 100-TB crawl toward a quality domain without training
+# a classifier.
+
+_DSIR_MICRO = 1_000_000
+
+
+def hashed_gram_buckets(col: str | Column, hexlen: int = 3) -> Column:
+    """Unigram + bigram hash buckets for a text column: each gram maps to
+    substring(md5(gram), 1, hexlen) — a 16^hexlen-ary feature space that is
+    byte-identical in every engine (the DuckDB oracle replays it verbatim).
+    Buckets, not raw grams, bound the model table at 16^hexlen rows no
+    matter how large the corpus vocabulary grows."""
+    toks = tokens(col)
+    grams = F.concat(toks, shingles_from_tokens(toks, 2))
+    return F.transform(grams, lambda g: F.substring(F.md5(g), 1, hexlen))
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    col: str,
+    id_col: str,
+    hexlen: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight over ``raw``:
+
+        log w(d) = Σ_b count_d(b) · [ln p_target(b) − ln p_raw(b)]
+
+    with Laplace-α smoothed bucket probabilities p(b) = (c_b + α)/(T + α·B),
+    B = 16^hexlen.  The per-bucket log-ratio is rounded to INTEGER
+    micro-units (×1e6) once, in the B-row model table — so the per-document
+    score is a SUM OF LONGS: exact, partition-order-free, and bit-identical
+    across engines (no floating-point accumulation anywhere).  Output:
+    (id_col, lr_micro: long, log_weight: double = round(lr_micro/1e6, 6)).
+    Documents with no grams score exactly 0.
+
+    Scale shape: one raw scan and one target scan build the two bucket-count
+    aggregates (explode → two-stage hash aggregate, map-side partial); the
+    model table is ≤ B rows and BROADCAST into the scoring scan, so scoring
+    is explode → broadcast-join → per-doc sum — the raw corpus shuffles only
+    on doc id for the final narrow aggregate, and nothing data-sized is ever
+    pinned or collected (the two count frames collected for totals are
+    ≤ B rows each).
+    """
+    import math
+
+    B = 16**hexlen
+    bucket = hashed_gram_buckets(col, hexlen)
+    rawb = raw.select(F.col(id_col), F.explode(bucket).alias("_b"))
+    rawc = (
+        rawb.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+        .localCheckpoint(eager=False)  # ≤ B rows; feeds the total and the model
+    )
+    tgtc = (
+        target.select(F.explode(bucket).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .localCheckpoint(eager=False)
+    )
+    tr = rawc.agg(F.sum("_cr")).collect()[0][0] or 0
+    tt = tgtc.agg(F.sum("_ct")).collect()[0][0] or 0
+    lr = rawc.join(tgtc, "_b", "left").select(
+        "_b",
+        F.round(
+            F.lit(float(_DSIR_MICRO))
+            * (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha))
+                      / F.lit(float(tt + alpha * B)))
+                - F.log((F.col("_cr") + F.lit(alpha)) / F.lit(float(tr + alpha * B)))
+            )
+        ).cast("long").alias("_lrm"),
+    )
+    scored = (
+        rawb.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(F.sum("_lrm").alias("lr_micro"))
+    )
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lr_micro"), F.lit(0)).cast("long").alias("lr_micro"),
+        F.round(
+            F.coalesce(F.col("lr_micro"), F.lit(0)) / F.lit(float(_DSIR_MICRO)), 6
+        ).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    col: str,
+    id_col: str,
+    fraction: float = 0.25,
+    hexlen: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """``importance_weights`` plus a ``selected`` flag: keep the documents
+    whose lr_micro is at or above the (1 − fraction) quantile — a
+    THRESHOLD, never a global sort (at 10^12 docs a rank would serialize
+    through one task; a quantile of the narrow weight column is one
+    aggregate).  Ties at the threshold all keep (the kept count may exceed
+    round(fraction·N) — documented over-admission, never a nondeterministic
+    drop).  The quantile interpolates between exact integers, so both
+    engines compute the identical threshold double."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"dsir_select: fraction must be in (0, 1], got {fraction}")
+    w = importance_weights(raw, target, col, id_col, hexlen, alpha).localCheckpoint(
+        eager=False
+    )
+    thr = w.agg(
+        F.expr(f"percentile(cast(lr_micro as double), {1.0 - fraction!r})").alias("_t")
+    )
+    return w.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "lr_micro",
+        "log_weight",
+        (F.col("lr_micro") >= F.col("_t")).alias("selected"),
+    )

@@ -9063,6 +9063,63 @@ def tfidf_top_terms_documents(spark, sf_dir) -> DataFrame:
     return text.tfidf_top_terms(docs, "text", "doc_id", k=3, min_df=2)
 
 
+@query(
+    "dsir_importance_documents",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(tk) AS gram FROM docs
+      UNION ALL
+      SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS gram
+      FROM docs, unnest(range(1, len(tk))) AS r(i)
+    ),
+    b AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bucket FROM grams),
+    rawc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+    tgtc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM b) AS tr,
+                   (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+    lr AS (
+      SELECT rawc.bucket,
+             CAST(round(1000000.0 * (
+               ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+               - ln((cr + 1.0) / (tr + 4096.0)))) AS BIGINT) AS lrm
+      FROM rawc LEFT JOIN tgtc USING (bucket), tot
+    ),
+    dw AS (SELECT b.doc_id, sum(lrm) AS lr_micro
+           FROM b JOIN lr USING (bucket) GROUP BY 1),
+    alld AS (
+      SELECT d.doc_id, CAST(coalesce(dw.lr_micro, 0) AS BIGINT) AS lr_micro
+      FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+    ),
+    thr AS (SELECT quantile_cont(CAST(lr_micro AS DOUBLE),
+                                 CAST(0.75 AS DOUBLE)) AS t FROM alld)
+    SELECT doc_id, lr_micro,
+           round(lr_micro / 1000000.0, 6) AS log_weight,
+           lr_micro >= thr.t AS selected
+    FROM alld, thr
+    """,
+)
+def dsir_importance_documents(spark, sf_dir) -> DataFrame:
+    """DSIR importance resampling (text.dsir_select, arXiv 2302.03169):
+    every document scored by how much likelier its hashed unigram+bigram
+    profile is under the lang='en' TARGET slice than under the raw corpus,
+    top 25% selected by quantile threshold.  The per-bucket log-ratio is
+    rounded to integer micro-units in the 4096-row model table, so the
+    per-doc score is a sum of LONGS — exact, partition-order-free,
+    bit-identical in both engines; the model table broadcasts into the
+    scoring scan and selection is a threshold, never a global sort.  The
+    oracle replays tokenization, md5 bucketing, Laplace smoothing, the
+    micro-int rounding, and the quantile threshold — all 500 rows
+    value-checked, with both selected arms populated."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return text.dsir_select(docs, target, "text", "doc_id", fraction=0.25)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

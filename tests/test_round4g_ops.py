@@ -93,3 +93,107 @@ def test_tfidf_partition_invariance(spark):
 def test_tfidf_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         tfidf_top_terms(_docs(spark), "text", "id", k=0)
+
+
+# ----------------------------------------------------------------- dsir ----
+
+import hashlib
+
+from jsons_to_schema_spark.operators.text import dsir_select, importance_weights
+
+
+def _bucket(gram, hexlen=3):
+    return hashlib.md5(gram.encode()).hexdigest()[:hexlen]
+
+
+def _grams(text):
+    toks = [t for t in text.split(" ") if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _dsir_expected(raw, target, hexlen=3, alpha=1.0):
+    B = 16**hexlen
+    rawc, tgtc = {}, {}
+    for _, t in raw:
+        for g in _grams(t):
+            b = _bucket(g, hexlen)
+            rawc[b] = rawc.get(b, 0) + 1
+    for _, t in target:
+        for g in _grams(t):
+            b = _bucket(g, hexlen)
+            tgtc[b] = tgtc.get(b, 0) + 1
+    tr, tt = sum(rawc.values()), sum(tgtc.values())
+    lrm = {
+        b: int(
+            round(
+                1e6
+                * (
+                    math.log((tgtc.get(b, 0) + alpha) / (tt + alpha * B))
+                    - math.log((cr + alpha) / (tr + alpha * B))
+                )
+            )
+        )
+        for b, cr in rawc.items()
+    }
+    out = {}
+    for i, t in raw:
+        out[i] = sum(lrm[_bucket(g, hexlen)] for g in _grams(t))
+    return out
+
+
+def _dsir_rows():
+    return [
+        (1, "alpha beta alpha"),
+        (2, "gamma delta"),
+        (3, "alpha beta"),
+        (4, ""),  # no grams: weight exactly 0
+        (5, "epsilon zeta eta"),
+    ]
+
+
+def test_dsir_weights_hand_computed(spark):
+    rows = _dsir_rows()
+    raw = spark.createDataFrame(rows, "id long, text string")
+    target = raw.filter(F.col("id").isin(1, 3))  # alpha/beta-heavy slice
+    got = {
+        r["id"]: r["lr_micro"]
+        for r in importance_weights(raw, target, "text", "id").collect()
+    }
+    exp = _dsir_expected(rows, [rows[0], rows[2]])
+    exp[4] = 0
+    assert got == exp
+    # target-like docs must outscore off-target docs
+    assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_dsir_select_threshold_and_ties(spark):
+    rows = _dsir_rows()
+    raw = spark.createDataFrame(rows, "id long, text string")
+    target = raw.filter(F.col("id").isin(1, 3))
+    out = dsir_select(raw, target, "text", "id", fraction=0.4).collect()
+    sel = {r["id"] for r in out if r["selected"]}
+    exp = _dsir_expected(rows, [rows[0], rows[2]])
+    exp[4] = 0
+    order = sorted(exp.values(), reverse=True)
+    thr_expected = {i for i, v in exp.items() if v >= order[1]}  # top 2 of 5
+    assert sel == thr_expected
+    lw = {r["id"]: r["log_weight"] for r in out}
+    assert lw[1] == round(exp[1] / 1e6, 6)
+
+
+def test_dsir_partition_invariance(spark):
+    rows = _dsir_rows()
+    outs = []
+    for parts in (1, 7):
+        raw = spark.createDataFrame(rows, "id long, text string").repartition(parts)
+        target = raw.filter(F.col("id").isin(1, 3))
+        outs.append(
+            sorted(tuple(r) for r in dsir_select(raw, target, "text", "id").collect())
+        )
+    assert outs[0] == outs[1]
+
+
+def test_dsir_rejects_bad_fraction(spark):
+    raw = spark.createDataFrame(_dsir_rows(), "id long, text string")
+    with pytest.raises(ValueError):
+        dsir_select(raw, raw, "text", "id", fraction=0.0)
