@@ -10,7 +10,7 @@ of the reference's U6 range union / U3 required tracking (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -2604,3 +2604,57 @@ def apply_bins(
         arr, F.lit(0), lambda acc, b: acc + F.when(b < c, 1).otherwise(0)
     ).cast("long")
     return df.withColumn(out_col, F.when(c.isNotNull(), bucket))
+
+
+# ---------------------------------------------------------------------------
+# Keyed pseudonymization (round-4 wave 34)
+# ---------------------------------------------------------------------------
+
+
+def pseudonym_key(
+    col: Column, domain: str, secret: str, length: int = 32
+) -> Column:
+    """Deterministic keyed surrogate for one value: the first ``length`` hex
+    chars of sha256(secret \\x1f domain \\x1f value-as-string).  Same
+    (secret, domain, value) → same surrogate in every table, every run,
+    every engine — which is exactly what keeps foreign keys joinable after
+    scrubbing.  NULL stays NULL (no evidence → no surrogate).  The default
+    128-bit surrogate keeps the birthday collision probability ≈ 1.5e-15
+    even at 10^12 distinct keys; per-column ``domain`` labels separate
+    namespaces so unrelated columns sharing raw values cannot be linked
+    through their surrogates."""
+    if not secret:
+        raise ValueError("pseudonym_key: secret must be non-empty")
+    if not 8 <= length <= 64:
+        raise ValueError(f"pseudonym_key: length must be in [8, 64], got {length}")
+    h = F.sha2(
+        F.concat_ws("\x1f", F.lit(secret), F.lit(domain), col.cast("string")), 256
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.substring(h, 1, length)
+    )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: "dict[str, str] | list[str]",
+    secret: str,
+    length: int = 32,
+) -> DataFrame:
+    """Replace identifier columns with keyed surrogates, preserving
+    referential integrity ACROSS tables: pass the same ``domain`` label for
+    the two sides of a foreign key (e.g. ``{"c_custkey": "custkey"}`` on
+    customer and ``{"o_custkey": "custkey"}`` on orders) and every join
+    still lines up on the surrogates.  ``cols`` as a list uses each column
+    name as its own domain.  Purely row-local (one projection, no shuffle,
+    whole-stage codegen) — the GDPR-pipeline primitive that the k-anonymity
+    / l-diversity / t-closeness REPORTS assume has already run on direct
+    identifiers."""
+    mapping = {c: c for c in cols} if not isinstance(cols, dict) else dict(cols)
+    missing = [c for c in mapping if c not in df.columns]
+    if missing:
+        raise ValueError(f"pseudonymize: columns not in frame: {missing}")
+    out = df
+    for c, dom in mapping.items():
+        out = out.withColumn(c, pseudonym_key(F.col(c), dom, secret, length))
+    return out

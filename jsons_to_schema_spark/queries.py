@@ -9120,6 +9120,52 @@ def dsir_importance_documents(spark, sf_dir) -> DataFrame:
     return text.dsir_select(docs, target, "text", "doc_id", fraction=0.25)
 
 
+@query(
+    "pseudonymize_customer_orders",
+    oracle="""
+    WITH c AS (
+      SELECT substr(sha256('s3cr3t' || chr(31) || 'custkey' || chr(31)
+                    || CAST(c_custkey AS VARCHAR)), 1, 32) AS pk
+      FROM customer
+    ),
+    o AS (
+      SELECT substr(sha256('s3cr3t' || chr(31) || 'custkey' || chr(31)
+                    || CAST(o_custkey AS VARCHAR)), 1, 32) AS pk
+      FROM orders
+    )
+    SELECT c.pk AS pseudo_custkey, CAST(count(o.pk) AS BIGINT) AS n_orders
+    FROM c LEFT JOIN o ON c.pk = o.pk
+    GROUP BY 1
+    """,
+)
+def pseudonymize_customer_orders(spark, sf_dir) -> DataFrame:
+    """Keyed pseudonymization preserving referential integrity
+    (stats.pseudonymize): customer.c_custkey and orders.o_custkey are
+    replaced by 128-bit keyed sha256 surrogates under the SHARED 'custkey'
+    domain, then the foreign key is joined ON THE SURROGATES — per-customer
+    order counts must equal the plaintext join's.  Row-local projection
+    (no shuffle beyond the join itself); NULL keys stay NULL; the oracle
+    recomputes the identical sha256 surrogate per row, so every one of the
+    1,500 surrogate values AND the join preservation are value-checked
+    (customers without orders appear with n_orders = 0 via the left
+    join — both arms populated)."""
+    cust = stats.pseudonymize(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        {"c_custkey": "custkey"},
+        secret="s3cr3t",
+    )
+    ords = stats.pseudonymize(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        {"o_custkey": "custkey"},
+        secret="s3cr3t",
+    )
+    return (
+        cust.join(ords, cust["c_custkey"] == ords["o_custkey"], "left")
+        .groupBy(cust["c_custkey"].alias("pseudo_custkey"))
+        .agg(F.count(ords["o_custkey"]).alias("n_orders"))
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -197,3 +197,60 @@ def test_dsir_rejects_bad_fraction(spark):
     raw = spark.createDataFrame(_dsir_rows(), "id long, text string")
     with pytest.raises(ValueError):
         dsir_select(raw, raw, "text", "id", fraction=0.0)
+
+
+# -------------------------------------------------------- pseudonymize ----
+
+from jsons_to_schema_spark.operators.stats import pseudonym_key, pseudonymize
+
+
+def _pk_rows(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k long, v string"
+    )
+
+
+def test_pseudonym_referential_consistency(spark):
+    # same (secret, domain, value) -> same surrogate across two frames
+    a = pseudonymize(_pk_rows(spark), {"k": "key"}, secret="s")
+    b = pseudonymize(
+        spark.createDataFrame([(1,), (2,)], "k long"), {"k": "key"}, secret="s"
+    )
+    sa = {r["v"]: r["k"] for r in a.collect()}
+    sb = sorted(r["k"] for r in b.collect())
+    assert sorted([sa["a"], sa["b"]]) == sb
+    assert sa["c"] is None  # NULL stays NULL
+
+
+def test_pseudonym_hand_computed_sha256(spark):
+    import hashlib
+
+    got = {r["v"]: r["k"] for r in
+           pseudonymize(_pk_rows(spark), {"k": "key"}, secret="s").collect()}
+    exp = hashlib.sha256("s\x1fkey\x1f1".encode()).hexdigest()[:32]
+    assert got["a"] == exp
+
+
+def test_pseudonym_domain_and_secret_separate_namespaces(spark):
+    base = pseudonymize(_pk_rows(spark), {"k": "key"}, secret="s")
+    other_dom = pseudonymize(_pk_rows(spark), {"k": "key2"}, secret="s")
+    other_sec = pseudonymize(_pk_rows(spark), {"k": "key"}, secret="t")
+    v = lambda df: {r["v"]: r["k"] for r in df.collect()}  # noqa: E731
+    assert v(base)["a"] != v(other_dom)["a"]
+    assert v(base)["a"] != v(other_sec)["a"]
+
+
+def test_pseudonym_injective_on_range(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = pseudonymize(df, ["k"], secret="s", length=16)
+    assert out.select("k").distinct().count() == 2000
+
+
+def test_pseudonym_rejects_bad_args(spark):
+    df = _pk_rows(spark)
+    with pytest.raises(ValueError):
+        pseudonymize(df, ["nope"], secret="s")
+    with pytest.raises(ValueError):
+        pseudonymize(df, ["k"], secret="")
+    with pytest.raises(ValueError):
+        pseudonymize(df, ["k"], secret="s", length=4)
