@@ -230,3 +230,160 @@ def small_files_report(spark, path: str | Path, target_bytes: int) -> DataFrame:
             F.ceil(F.sum("bytes") / F.lit(float(target_bytes))),
         ).cast("long").alias("suggested_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-column layout (round-4 wave 35)
+# ---------------------------------------------------------------------------
+#
+# ``write_sorted`` prunes on ONE leading column; a point/box predicate over
+# two independent columns (user AND time; key AND value) defeats it — the
+# second column's per-file span stays ~full-range.  Interleaving the bits of
+# both columns (the Morton / Z-order curve) makes every KEY-PREFIX bucket a
+# bounding BOX in all dimensions at once, so footer min/max stats prune on
+# every z-ordered column.  All arithmetic below is exact BIGINT — the DuckDB
+# oracle replays it bit-for-bit, and the key is partition-order-free.
+
+_MORTON_MAX_BITS = 63
+
+
+def fit_zorder_bounds(df: DataFrame, cols: "list[str]") -> "dict[str, tuple]":
+    """Per-column (min, max) over integer-valued columns — ONE multi-agg
+    scan, a 2·len(cols)-value collect (bounded).  Quantize doubles to longs
+    yourself before fitting (e.g. round(v * 1e6)): the scaling arithmetic
+    is exact-integer by design."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("long")).alias(f"_lo_{c}"),
+                 F.max(F.col(c).cast("long")).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        if lo is None:
+            raise ValueError(f"fit_zorder_bounds: column {c} is all NULL")
+        out[c] = (int(lo), int(hi))
+    return out
+
+
+def _zorder_scaled_sql(col: str, lo: int, hi: int, bits: int) -> str:
+    """Exact-integer scaling of ``col`` into [0, 2^bits): engine-portable
+    SQL (Spark `div` ≡ DuckDB `//`; the caller substitutes the operator)."""
+    m = (1 << bits) - 1
+    if hi == lo:
+        return "0"
+    if (hi - lo) * m >= (1 << 62):
+        raise ValueError(
+            f"zorder: range of {col} ({hi - lo}) too wide for {bits} bits"
+        )
+    return (
+        f"((CAST({col} AS BIGINT) - {lo}) * {m}) DIV ({hi} - {lo})"
+    )
+
+
+def _morton_interleave_sql(scaled: "list[str]", bits: int) -> str:
+    """OR of shifted bit extractions: bit b of dimension i lands at position
+    b·n + i.  n·bits ≤ 63 enforced by the caller."""
+    n = len(scaled)
+    terms = []
+    for i, e in enumerate(scaled):
+        for b in range(bits):
+            terms.append(f"shiftleft(shiftright({e}, {b}) & 1, {b * n + i})")
+    return " | ".join(terms)
+
+
+def zorder_key_expr(
+    cols: "list[str]", bounds: "dict[str, tuple]", bits: int = 16
+) -> str:
+    """Spark-SQL expression string for the Morton key of ``cols`` under
+    fitted ``bounds`` — NULL if any dimension is NULL (no evidence, no
+    placement; such rows form their own bucket in the report)."""
+    if not cols or len(cols) < 2:
+        raise ValueError("zorder_key_expr: need >= 2 columns (1-D is write_sorted)")
+    if len(cols) * bits > _MORTON_MAX_BITS:
+        raise ValueError(
+            f"zorder_key_expr: {len(cols)} cols x {bits} bits exceeds 63"
+        )
+    scaled = [
+        _zorder_scaled_sql(c, bounds[c][0], bounds[c][1], bits).replace(
+            "DIV", "div"
+        )
+        for c in cols
+    ]
+    null_guard = " OR ".join(f"{c} IS NULL" for c in cols)
+    return (
+        f"CASE WHEN {null_guard} THEN CAST(NULL AS BIGINT) "
+        f"ELSE {_morton_interleave_sql(scaled, bits)} END"
+    )
+
+
+def zorder_bucket_report(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = 16,
+    bucket_bits: int = 4,
+    bounds: "dict[str, tuple] | None" = None,
+) -> DataFrame:
+    """The skipping evidence for a Z-order layout WITHOUT writing files:
+    bucket every row by the TOP ``bucket_bits`` bits of its Morton key
+    (exactly the prefix ranges a range-partitioned write would cut into
+    files) and report each bucket's per-column (min, max) plus row count.
+    On a z-ordered layout every bucket is a tight bounding box in ALL
+    ``cols`` — the min/max spread per bucket IS what parquet footers would
+    carry, so `span_fraction` (bucket span / global span, averaged over
+    dims) says how much a box predicate would prune: ~(1/2^bucket_bits)^(1/n)
+    per dim for uniform data vs ~1.0 for a random layout.
+
+    One scan → one ``bucket_bits``-ary groupBy (map-side partial, no skew:
+    buckets are equal-measure curve segments).  Rows NULL in any dim group
+    under bucket NULL.
+    """
+    from pyspark.sql import functions as F
+
+    if bounds is None:
+        bounds = fit_zorder_bounds(df, cols)
+    key = zorder_key_expr(cols, bounds, bits)
+    total_bits = len(cols) * bits
+    bucket = F.shiftright(F.expr(key), total_bits - bucket_bits)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("long")).alias(f"min_{c}"),
+                 F.max(F.col(c).cast("long")).alias(f"max_{c}")]
+    report = df.groupBy(bucket.alias("bucket")).agg(*aggs)
+    span = None
+    for c in cols:
+        lo, hi = bounds[c]
+        frac = (F.col(f"max_{c}") - F.col(f"min_{c}")) / F.lit(float(max(hi - lo, 1)))
+        span = frac if span is None else span + frac
+    return report.select(
+        "bucket", "n_rows",
+        *[f"{m}_{c}" for c in cols for m in ("min", "max")],
+        F.round(span / len(cols), 6).alias("span_fraction"),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: "str | Path",
+    cols: "list[str]",
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the Z-order layout: range-repartition on the Morton key
+    (sampled balanced boundaries — curve-segment files), sort within
+    partitions by the key, drop the helper column on write.  Footer min/max
+    for EVERY z-ordered column then prunes under box predicates —
+    ``file_stat_ranges`` reads the evidence back."""
+    from pyspark.sql import functions as F
+
+    bounds = fit_zorder_bounds(df, cols)
+    keyed = df.withColumn("_zkey", F.expr(zorder_key_expr(cols, bounds, bits)))
+    out = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    out.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(str(path))

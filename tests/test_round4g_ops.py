@@ -254,3 +254,100 @@ def test_pseudonym_rejects_bad_args(spark):
         pseudonymize(df, ["k"], secret="")
     with pytest.raises(ValueError):
         pseudonymize(df, ["k"], secret="s", length=4)
+
+
+# --------------------------------------------------------------- zorder ----
+
+from jsons_to_schema_spark.sources.layout import (
+    file_stat_ranges,
+    fit_zorder_bounds,
+    write_zordered,
+    zorder_bucket_report,
+    zorder_key_expr,
+)
+
+
+def _morton_py(vals, bounds, bits=16):
+    scaled = []
+    for v, (lo, hi) in zip(vals, bounds):
+        scaled.append(0 if hi == lo else ((v - lo) * ((1 << bits) - 1)) // (hi - lo))
+    out = 0
+    for i, s in enumerate(scaled):
+        for b in range(bits):
+            out |= ((s >> b) & 1) << (b * len(vals) + i)
+    return out
+
+
+def _grid(spark, n=32, parts=1):
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    return spark.createDataFrame(rows, "x long, y long").repartition(parts)
+
+
+def test_zorder_key_hand_computed(spark):
+    df = _grid(spark, 8)
+    bounds = fit_zorder_bounds(df, ["x", "y"])
+    assert bounds == {"x": (0, 7), "y": (0, 7)}
+    got = {
+        (r["x"], r["y"]): r["zk"]
+        for r in df.selectExpr(
+            "x", "y", zorder_key_expr(["x", "y"], bounds) + " AS zk"
+        ).collect()
+    }
+    for x, y in [(0, 0), (1, 0), (0, 1), (7, 7), (3, 5)]:
+        assert got[(x, y)] == _morton_py((x, y), [(0, 7), (0, 7)])
+
+
+def test_zorder_null_dim_groups_separately(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 3)], "x long, y long"
+    )
+    rep = zorder_bucket_report(df, ["x", "y"], bits=8, bucket_bits=2).collect()
+    by_bucket = {r["bucket"]: r["n_rows"] for r in rep}
+    assert by_bucket.get(None) == 2
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    # on a 32x32 uniform grid, every 4-bit prefix bucket must span at most
+    # ~1/4 of EACH dimension (the whole point vs a 1-D sort)
+    rep = zorder_bucket_report(_grid(spark, 32), ["x", "y"], bucket_bits=4).collect()
+    assert len(rep) == 16
+    for r in rep:
+        assert r["n_rows"] == 64  # equal-measure curve segments
+        assert r["max_x"] - r["min_x"] <= 8
+        assert r["max_y"] - r["min_y"] <= 8
+        assert r["span_fraction"] <= 0.26
+
+
+def test_zorder_partition_invariance(spark):
+    a = sorted(
+        tuple(r)
+        for r in zorder_bucket_report(_grid(spark, 16, 1), ["x", "y"]).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in zorder_bucket_report(_grid(spark, 16, 9), ["x", "y"]).collect()
+    )
+    assert a == b
+
+
+def test_zorder_write_prunes_both_columns(spark, tmp_path):
+    out = str(tmp_path / "z")
+    write_zordered(_grid(spark, 32), out, ["x", "y"], n_files=8)
+    # every file's footer must bound BOTH x and y well below the full span
+    for col in ("x", "y"):
+        spans = [hi - lo for lo, hi in file_stat_ranges(out, col)]
+        assert len(spans) >= 4
+        assert sum(spans) / len(spans) <= 20  # vs 31 for a random layout
+
+
+def test_zorder_rejects_bad_args(spark):
+    df = _grid(spark, 4)
+    with pytest.raises(ValueError):
+        zorder_key_expr(["x"], {"x": (0, 3)})
+    with pytest.raises(ValueError):
+        zorder_key_expr(["x", "y"], {"x": (0, 3), "y": (0, 3)}, bits=32)
+    with pytest.raises(ValueError):
+        fit_zorder_bounds(
+            spark.createDataFrame([(None,)], "x long").selectExpr("x", "x AS y"),
+            ["x", "y"],
+        )
