@@ -9231,6 +9231,46 @@ def zorder_bucket_report_events(spark, sf_dir) -> DataFrame:
     return zorder_bucket_report(ev, ["user_id", "event_id"], bits=16, bucket_bits=4)
 
 
+_PAGERANK_EDGES_SQL = """
+WITH x AS (SELECT doc_id, unnest(spans) AS sp FROM read_parquet('__SPANS_GLOB__'))
+SELECT doc_id AS src, sp.media_ref AS dst FROM x WHERE sp.media_ref IS NOT NULL
+UNION ALL
+SELECT sp.media_ref AS src, doc_id AS dst FROM x WHERE sp.media_ref IS NOT NULL
+"""
+
+
+def _pagerank_oracle() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=6, damping_pct=85)
+
+
+@query("pagerank_spans_media", oracle=_pagerank_oracle())
+def pagerank_spans_media(spark, sf_dir) -> DataFrame:
+    """PageRank over the doc ↔ media_ref bipartite graph of the spans
+    corpus (operators.graph.pagerank, 6 iterations, d=0.85): ranks shared
+    media assets and hub documents for curation triage.  EXACT-INTEGER
+    power iteration — ranks live in BIGINT micro-units, contributions are
+    integer divisions, so the fixed-iteration result is bit-identical in
+    both engines with zero floating-point accumulation; per iteration one
+    edges⋈ranks shuffle + one groupBy(dst), ranks eagerly checkpointed so
+    the plan stays constant-size (the connected-components discipline).
+    The oracle is the recurrence itself, unrolled into a generated
+    6-iteration CTE chain (graph.pagerank_oracle_sql) — every node's final
+    rank value-checked, dangling-mass arm exercised structurally (zero
+    here: every node in a bidirectional edge list has out-degree)."""
+    from .operators.graph import pagerank
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = spans.select("doc_id", F.explode("spans").alias("sp")).filter(
+        F.col("sp.media_ref").isNotNull()
+    )
+    fwd = x.select(F.col("doc_id").alias("src"), F.col("sp.media_ref").alias("dst"))
+    rev = x.select(F.col("sp.media_ref").alias("src"), F.col("doc_id").alias("dst"))
+    return pagerank(fwd.union(rev), iterations=6)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

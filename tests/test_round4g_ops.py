@@ -351,3 +351,76 @@ def test_zorder_rejects_bad_args(spark):
             spark.createDataFrame([(None,)], "x long").selectExpr("x", "x AS y"),
             ["x", "y"],
         )
+
+
+# ------------------------------------------------------------- pagerank ----
+
+from jsons_to_schema_spark.operators.graph import pagerank
+
+
+def _pagerank_py(edges, iterations=8, damping_pct=85):
+    edges = sorted(set((s, d) for s, d in edges if s is not None and d is not None))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1_000_000 for v in nodes}
+    teleport = (100 - damping_pct) * 10_000
+    for _ in range(iterations):
+        dm = sum(rank[v] for v in nodes if v not in outdeg) // n
+        inb = {v: 0 for v in nodes}
+        for s, d in edges:
+            inb[d] += rank[s] // outdeg[s]
+        rank = {
+            v: teleport + (damping_pct * (inb[v] + dm)) // 100 for v in nodes
+        }
+    return rank
+
+
+def _pr_edges():
+    # a->b, a->c, b->c, c->a plus dangling sink d (c->d, d has no out-edges)
+    return [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    e = spark.createDataFrame(_pr_edges(), "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(e, iterations=5).collect()}
+    assert got == _pagerank_py(_pr_edges(), iterations=5)
+    # c has two strong in-links; it must outrank the dangling sink
+    assert got["c"] > got["d"]
+
+
+def test_pagerank_ring_is_uniform(spark):
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    e = spark.createDataFrame(ring, "src long, dst long")
+    ranks = {r["node"]: r["rank_micro"] for r in pagerank(e, iterations=4).collect()}
+    assert len(set(ranks.values())) == 1  # symmetry preserved exactly
+
+
+def test_pagerank_dedupes_multi_edges(spark):
+    base = spark.createDataFrame(_pr_edges(), "src string, dst string")
+    doubled = base.union(base)
+    a = sorted(tuple(r) for r in pagerank(base, iterations=3).collect())
+    b = sorted(tuple(r) for r in pagerank(doubled, iterations=3).collect())
+    assert a == b
+
+
+def test_pagerank_partition_invariance(spark):
+    outs = []
+    for parts in (1, 7):
+        e = spark.createDataFrame(
+            _pr_edges(), "src string, dst string"
+        ).repartition(parts)
+        outs.append(sorted(tuple(r) for r in pagerank(e, iterations=4).collect()))
+    assert outs[0] == outs[1]
+
+
+def test_pagerank_rejects_bad_args(spark):
+    e = spark.createDataFrame(_pr_edges(), "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping_pct=0)
+    with pytest.raises(ValueError):
+        pagerank(e.filter("src IS NULL"))
