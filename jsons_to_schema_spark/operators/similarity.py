@@ -1336,3 +1336,74 @@ def embedding_profile(
             ).alias("n_wrong_dim"),
         )
     return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (round-4 wave 37)
+# ---------------------------------------------------------------------------
+
+_RRF_UNIT = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid-retrieval fusion (Cormack & Clarke reciprocal-rank fusion):
+    combine N independent per-query candidate rankings — semantic ANN,
+    keyword/BM25-ish, metadata affinity — into one list without score
+    calibration, using only the RANKS:
+
+        score(q, i) = Σ_lists  1_000_000_000 div (k0 + rank_list(q, i))
+
+    The classic 1/(k0+r) term is QUANTIZED to integer nano-units with
+    integer division, so the fused score is a sum of LONGS — exact,
+    order-free, bit-identical across engines (float RRF sums would differ
+    in low bits by accumulation order).  Missing items contribute nothing
+    (RRF's defining property: no imputation for lists that did not
+    retrieve the item).  Top-k per query by (score DESC, item ASC).
+
+    Returns (query_col, item_col, score_micro: long, n_lists: long,
+    rank: int).  Scale shape: unionAll of the candidate lists → one
+    two-stage hash aggregate on (query, item) → per-query window over the
+    candidate pool (≤ N·list_len rows per query, never corpus-sized).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1 or k0 < 1:
+        raise ValueError(f"rrf_fuse: k and k0 must be >= 1, got k={k} k0={k0}")
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(item_col).alias("_i"),
+            F.expr(f"{_RRF_UNIT} div ({k0} + {rank_col})").cast("long").alias("_t"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = u.groupBy("_q", "_i").agg(
+        F.sum("_t").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("score_micro").desc(), F.col("_i").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_i").alias(item_col),
+            "score_micro",
+            "n_lists",
+            "rank",
+        )
+    )

@@ -9271,6 +9271,86 @@ def pagerank_spans_media(spark, sf_dir) -> DataFrame:
     return pagerank(fwd.union(rev), iterations=6)
 
 
+@query(
+    "hybrid_rrf_embeddings",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, q.qv, q.ql, e.vec_id AS neighbor_id,
+             e.embedding AS ev, e.label AS el
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    sem AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                     CAST(ev AS DOUBLE[])), 6) DESC, neighbor_id) AS r
+      FROM pairs
+    ),
+    met AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               abs(el - ql), neighbor_id) AS r
+      FROM pairs
+    ),
+    u AS (
+      SELECT query_id, neighbor_id, 1000000000 // (60 + r) AS t
+      FROM sem WHERE r <= 20
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000000 // (60 + r) AS t
+      FROM met WHERE r <= 20
+    ),
+    f AS (
+      SELECT query_id, neighbor_id, CAST(sum(t) AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score_micro DESC, neighbor_id) AS rank
+      FROM f
+    )
+    SELECT query_id, neighbor_id, score_micro, n_lists,
+           CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_embeddings(spark, sf_dir) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (similarity.rrf_fuse):
+    for 5 query vectors, fuse (a) the exact cosine top-20
+    (similarity.brute_force_topk — the semantic arm) with (b) a
+    metadata-affinity top-20 (|label distance|, the filtered/keyword arm)
+    into one top-10 per query.  Fusion uses only the RANKS — the classic
+    1/(k0+r), k0=60, quantized to integer nano-units so the fused score is
+    a sum of longs (exact, order-free, engine-identical); items retrieved
+    by both arms carry n_lists=2 and dominate (both arms fire by
+    construction).  The oracle replays both rankings and the quantized
+    fusion — all 50 fused rows value-checked."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    sem = similarity.brute_force_topk(emb, queries_df, k=20)
+    q = F.broadcast(
+        queries_df.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+        )
+    )
+    pairs = q.crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_el"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.abs(F.col("_el") - F.col("_ql")).asc(), F.col("neighbor_id").asc()
+    )
+    met = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return similarity.rrf_fuse([sem, met], k=10, k0=60)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

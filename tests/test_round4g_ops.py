@@ -424,3 +424,69 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank(e, damping_pct=0)
     with pytest.raises(ValueError):
         pagerank(e.filter("src IS NULL"))
+
+
+# ------------------------------------------------------------- rrf_fuse ----
+
+from jsons_to_schema_spark.operators.similarity import rrf_fuse
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id string, rank long"
+    )
+
+
+def test_rrf_hand_computed(spark):
+    a = _ranking(spark, [(1, "x", 1), (1, "y", 2), (1, "z", 3)])
+    b = _ranking(spark, [(1, "y", 1), (1, "w", 2)])
+    got = {
+        r["neighbor_id"]: (r["score_micro"], r["n_lists"], r["rank"])
+        for r in rrf_fuse([a, b], k=4, k0=60).collect()
+    }
+    t = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    exp_scores = {
+        "x": t(1), "y": t(2) + t(1), "z": t(3), "w": t(2),
+    }
+    order = sorted(exp_scores, key=lambda i: (-exp_scores[i], i))
+    for item, (score, n, rank) in got.items():
+        assert score == exp_scores[item]
+        assert rank == order.index(item) + 1
+    assert got["y"][1] == 2  # retrieved by both lists
+    assert got["y"][2] == 1  # consensus item wins
+
+
+def test_rrf_single_list_preserves_order(spark):
+    a = _ranking(spark, [(1, "x", 1), (1, "y", 2), (1, "z", 3)])
+    got = sorted(
+        (r["rank"], r["neighbor_id"]) for r in rrf_fuse([a], k=3).collect()
+    )
+    assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_rrf_tie_breaks_on_item_asc(spark):
+    a = _ranking(spark, [(1, "b", 1), (1, "a", 2)])
+    b = _ranking(spark, [(1, "a", 1), (1, "b", 2)])
+    got = {r["neighbor_id"]: r["rank"] for r in rrf_fuse([a, b], k=2).collect()}
+    assert got == {"a": 1, "b": 2}  # equal scores, lexicographic wins
+
+
+def test_rrf_partition_invariance(spark):
+    rows_a = [(q, f"i{j}", j + 1) for q in (1, 2) for j in range(15)]
+    rows_b = [(q, f"i{j}", 15 - j) for q in (1, 2) for j in range(15)]
+    outs = []
+    for parts in (1, 8):
+        a = _ranking(spark, rows_a).repartition(parts)
+        b = _ranking(spark, rows_b).repartition(parts)
+        outs.append(sorted(tuple(r) for r in rrf_fuse([a, b], k=5).collect()))
+    assert outs[0] == outs[1]
+
+
+def test_rrf_rejects_bad_args(spark):
+    a = _ranking(spark, [(1, "x", 1)])
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k0=0)
