@@ -9405,14 +9405,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (drift_events_value_tdigest demoted for the r4 fifth wave: green r3
     # driver row; drift keeps PSI and the new divergence panel in-window,
     # and the t-digest path is pinned-oracle pytest-checked every CI run)
-    "dedup_minhash_documents",          # MinHash+LSH (campaign mode, r4)
+    # (dedup_minhash_documents demoted for the r4 sixteenth rotation:
+    # green r3 driver row, and the dedup family banks six r3-green rows
+    # (simhash/ngram/semantic/incremental/clusters), all pinned-oracle
+    # pytest-checked at the same sf0.01 every CI run)
     # (dedup_clusters_ngram_documents demoted for the r4 sixth wave: green
     # r3 driver row; the CC fixpoint stays guarded by the recursive-CTE
     # oracle in pytest at the same sf0.01 every CI run)
     # (similarity_ivf_q8_topk_embeddings demoted for the r4 sixth wave:
     # green r3 driver row; the similarity family carries four green-r3
     # rows and all five variants stay pytest-oracled every CI run)
-    "curation_full_documents",          # end-to-end funnel
+    # (curation_full_documents demoted for the r4 sixteenth rotation:
+    # green r3 driver row x2 with curation_documents; the funnel runs
+    # end-to-end in scripts/run_curation.py and pytest every CI run)
     # -- new in r4 (never driver-checked): subword tokenization --
     "subword_token_count_documents",
     # (pack_sequences_subword_documents and chunk_subword_documents demoted
@@ -9430,11 +9435,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (spans_dangling_media_refs demoted: the anti-join referential shape
     # keeps referential_lineitem_dangling_orders in-window and the spans
     # audit covers dangling refs)
-    "spans_single_pass_audit",
+    # (spans_single_pass_audit demoted for the r4 sixteenth rotation:
+    # green r2 driver row; the fused audit IS the flagship the driver's
+    # entry() smoke and bench.py execute every round)
     # (spans_schema_validation_verdicts demoted for the r4-continuation
     # families: V1 validation keeps schema_validation_documents_struct and
     # the fused spans_single_pass_audit in-window)
-    "schema_validation_documents_struct",
+    # (schema_validation_documents_struct demoted for the r4 sixteenth
+    # rotation: green r2 driver row; V1 validation keeps
+    # draft4_keywords_events - the full-vocabulary superset - in-window)
     # (multimodal_media_features demoted: the stub-era features query is
     # superseded by the four real-codec multimodal reps below)
     # (multimodal_resize_real_images demoted for the r4 fifth wave: the
@@ -9466,7 +9475,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pack_sequences_documents",
     # (packing_stats_documents demoted for the r4-continuation families:
     # packing keeps pack_sequences + chunk_documents in-window)
-    "chunk_documents",
+    # (chunk_documents demoted for the r4 sixteenth rotation: the pack
+    # family keeps pack_sequences_documents in-window and chunking stays
+    # oracle-pytest-checked at the same sf0.01 every CI run)
     # (repeated_spans_documents demoted for the r4 tenth wave: its
     # sliding-window distinct-doc-frequency shape is evidenced in-window
     # by heavy_hitters_events_user and the r3-green corpus line-dedup;
@@ -9575,7 +9586,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "level_shift_events",            # changepoint boundary scan
     # -- r4 tenth wave (format keyword extension, never driver-checked) --
     "format_inference_customer",       # Draft-4 format discovery profile
-    "format_violations_customer",    # format violation rows
+    # (format_violations_customer demoted for the r4 sixteenth rotation:
+    # the format family keeps format_inference_customer in-window)
     # -- r4 eleventh wave (new families, never driver-checked) --
     "fingerprint_clusters_customer",   # key-collision value clustering
     "arithmetic_consistency_lineitem", # cross-field invariants
@@ -9587,6 +9599,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "resolve_entities_customer",       # SNM -> lev -> CC -> survivorship
     # -- r4 fifteenth wave (privacy enforcement — first in-window privacy rep) --
     "generalization_search_events",    # k-anon ladder search, chosen combo
+    # -- r4 sixteenth rotation (seventh continuation session): six NEW
+    # never-driver-checked families promoted --
+    "tfidf_top_terms_documents",       # keyword extraction (TF-IDF)
+    "dsir_importance_documents",       # DSIR importance resampling
+    "pseudonymize_customer_orders",    # keyed pseudonymization / governance
+    "zorder_bucket_report_events",     # Z-order Morton layout evidence
+    "pagerank_spans_media",            # graph centrality (exact-int PageRank)
+    "hybrid_rrf_embeddings",           # hybrid retrieval fusion (RRF)
 )
 
 
