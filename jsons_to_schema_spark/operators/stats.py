@@ -2658,3 +2658,131 @@ def pseudonymize(
     for c, dom in mapping.items():
         out = out.withColumn(c, pseudonym_key(F.col(c), dom, secret, length))
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) joinability discovery (round-4 wave 38)
+# ---------------------------------------------------------------------------
+#
+# ``inclusion_profile`` answers "is A ⊆ B" EXACTLY with one distinct-union
+# pass per column pair — right at report scale, corpus-sized at discovery
+# scale (all pairs over wide schemas, 10^12 rows).  The sketch path bounds
+# every column to k hashes: the k MINIMUM md5 values of the column's
+# distinct set (bottom-k / KMV).  Within the shared threshold
+# τ = min(max(S_A), max(S_B)) the two sketches are uniform samples of the
+# SAME hash range, so |L_A ∩ L_B| / |L_A ∪ L_B| estimates Jaccard and
+# |L_A ∩ L_B| / |L_A| estimates containment(A ⊆ B) — standard bottom-k
+# estimators (Cohen & Kaplan), here with md5 so the DuckDB oracle replays
+# the sketch BIT-FOR-BIT (deterministic, no seeds, no error band needed).
+
+
+def kmv_column_sketches(
+    df: DataFrame, columns: "list[str]", k: int = 128, table: str = ""
+) -> DataFrame:
+    """Bottom-k sketch of every listed column in ONE corpus scan:
+    stack → distinct (col, md5) pairs → per-column bottom-k selected in
+    TWO phases — a salted window (16-way parallel bottom-k per column)
+    then a k·16-row final window — so no column ever serializes its full
+    distinct set through one task.  Returns (col, h) with ≤ k rows per
+    column; NULLs carry no hash evidence and are excluded."""
+    if not columns:
+        raise ValueError("kmv_column_sketches: columns must be non-empty")
+    if k < 8:
+        raise ValueError(f"kmv_column_sketches: k must be >= 8, got {k}")
+    from pyspark.sql import Window
+
+    prefix = f"{table}." if table else ""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{prefix}{c}").alias("col"),
+                        F.md5(F.col(c).cast("string")).alias("h"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.h").filter(F.col("h").isNotNull()).distinct()
+    salted = Window.partitionBy(
+        "col", F.crc32(F.col("h")) % 16
+    ).orderBy("h")
+    final = Window.partitionBy("col").orderBy("h")
+    return (
+        stacked.withColumn("_r", F.row_number().over(salted))
+        .filter(F.col("_r") <= k)
+        .withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def joinability_report(sketches: DataFrame, k: int = 128) -> DataFrame:
+    """All-pairs joinability estimates from stacked bottom-k sketches
+    (the output of one or more :func:`kmv_column_sketches`, unioned):
+    for every column pair (col_a < col_b), truncate both sketches at the
+    shared threshold τ = min(max(S_a), max(S_b)) and report
+
+    - ``n_common``      = |L_a ∩ L_b|  (exact over the sketch),
+    - ``est_jaccard``   = n_common / |L_a ∪ L_b|,
+    - ``est_contain_a_in_b`` = n_common / |L_a|  (and symmetrically b in a),
+
+    each round(6) of an exact small-integer ratio — engine-identical.
+    Work is sketch-sized: (n_cols · k) rows joined on hash, never data.
+    Pairs with zero overlap ARE reported (est 0.0) — absence of
+    joinability is the discovery result too."""
+    sk = sketches.localCheckpoint(eager=False)
+    mx = sk.groupBy("col").agg(F.max("h").alias("_mh"))
+    pairs = (
+        mx.alias("a")
+        .join(mx.alias("b"), F.col("a.col") < F.col("b.col"))
+        .select(
+            F.col("a.col").alias("col_a"),
+            F.col("b.col").alias("col_b"),
+            F.least(F.col("a._mh"), F.col("b._mh")).alias("_tau"),
+        )
+    )
+    la = sk.select(F.col("col").alias("col_a"), F.col("h").alias("_ha"))
+    lb = sk.select(F.col("col").alias("col_b"), F.col("h").alias("_hb"))
+    sa = (
+        pairs.join(la, "col_a")
+        .filter(F.col("_ha") <= F.col("_tau"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).alias("_la"))
+    )
+    sb = (
+        pairs.join(lb, "col_b")
+        .filter(F.col("_hb") <= F.col("_tau"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).alias("_lb"))
+    )
+    inter = (
+        pairs.join(la, "col_a")
+        .filter(F.col("_ha") <= F.col("_tau"))
+        .join(lb.withColumnRenamed("_hb", "_ha"), ["col_b", "_ha"])
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    ni = F.coalesce(F.col("_ni"), F.lit(0))
+    nla = F.coalesce(F.col("_la"), F.lit(0))
+    nlb = F.coalesce(F.col("_lb"), F.lit(0))
+
+    def _ratio(num, den):
+        # an empty truncated sketch means zero observed overlap, never NULL
+        return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num / den, 6))
+
+    return (
+        pairs.select("col_a", "col_b")
+        .join(sa, ["col_a", "col_b"], "left")
+        .join(sb, ["col_a", "col_b"], "left")
+        .join(inter, ["col_a", "col_b"], "left")
+        .select(
+            "col_a",
+            "col_b",
+            ni.cast("long").alias("n_common"),
+            _ratio(ni, nla + nlb - ni).alias("est_jaccard"),
+            _ratio(ni, nla).alias("est_contain_a_in_b"),
+            _ratio(ni, nlb).alias("est_contain_b_in_a"),
+        )
+    )

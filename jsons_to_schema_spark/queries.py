@@ -9351,6 +9351,89 @@ def hybrid_rrf_embeddings(spark, sf_dir) -> DataFrame:
     return similarity.rrf_fuse([sem, met], k=10, k0=60)
 
 
+@query(
+    "joinability_kmv_tpch",
+    oracle="""
+    WITH vals AS (
+      SELECT DISTINCT 'customer.c_custkey' AS col,
+             md5(CAST(c_custkey AS VARCHAR)) AS h
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'customer.c_nationkey', md5(CAST(c_nationkey AS VARCHAR))
+      FROM customer WHERE c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'orders.o_custkey', md5(CAST(o_custkey AS VARCHAR))
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'orders.o_orderkey', md5(CAST(o_orderkey AS VARCHAR))
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'lineitem.l_orderkey', md5(CAST(l_orderkey AS VARCHAR))
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'nation.n_nationkey', md5(CAST(n_nationkey AS VARCHAR))
+      FROM nation WHERE n_nationkey IS NOT NULL
+    ),
+    sk AS (SELECT col, h FROM (
+             SELECT col, h,
+                    row_number() OVER (PARTITION BY col ORDER BY h) AS r
+             FROM vals) WHERE r <= 128),
+    mx AS (SELECT col, max(h) AS mh FROM sk GROUP BY 1),
+    pairs AS (SELECT a.col AS col_a, b.col AS col_b,
+                     least(a.mh, b.mh) AS tau
+              FROM mx a JOIN mx b ON a.col < b.col),
+    sa AS (SELECT p.col_a, p.col_b, count(*) AS la FROM pairs p
+           JOIN sk s ON s.col = p.col_a AND s.h <= p.tau GROUP BY 1, 2),
+    sb AS (SELECT p.col_a, p.col_b, count(*) AS lb FROM pairs p
+           JOIN sk s ON s.col = p.col_b AND s.h <= p.tau GROUP BY 1, 2),
+    it AS (SELECT p.col_a, p.col_b, count(*) AS ni FROM pairs p
+           JOIN sk x ON x.col = p.col_a AND x.h <= p.tau
+           JOIN sk y ON y.col = p.col_b AND y.h = x.h GROUP BY 1, 2)
+    SELECT p.col_a, p.col_b,
+           CAST(coalesce(ni, 0) AS BIGINT) AS n_common,
+           CASE WHEN coalesce(la, 0) + coalesce(lb, 0) - coalesce(ni, 0) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE round(coalesce(ni, 0) / CAST(coalesce(la, 0)
+                     + coalesce(lb, 0) - coalesce(ni, 0) AS DOUBLE), 6)
+           END AS est_jaccard,
+           CASE WHEN coalesce(la, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(coalesce(ni, 0) / CAST(la AS DOUBLE), 6)
+           END AS est_contain_a_in_b,
+           CASE WHEN coalesce(lb, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(coalesce(ni, 0) / CAST(lb AS DOUBLE), 6)
+           END AS est_contain_b_in_a
+    FROM pairs p
+    LEFT JOIN sa USING (col_a, col_b)
+    LEFT JOIN sb USING (col_a, col_b)
+    LEFT JOIN it USING (col_a, col_b)
+    """,
+)
+def joinability_kmv_tpch(spark, sf_dir) -> DataFrame:
+    """Joinability DISCOVERY at sketch scale (stats.kmv_column_sketches +
+    joinability_report): six key columns across four TPC-H tables reduce
+    to 128-hash bottom-k (KMV) sketches — one scan per table, two-phase
+    salted bottom-k so no column serializes its distinct set — then
+    all 15 pairs get Jaccard/containment estimates from sketch-sized
+    arithmetic (Cohen-Kaplan bottom-k estimators).  md5 makes the sketch
+    bit-deterministic, so the oracle replays it EXACTLY — no error band
+    needed, unlike HLL.  True foreign keys (o_custkey⊆c_custkey,
+    l_orderkey≈o_orderkey, c_nationkey vs n_nationkey) surface with high
+    containment; unrelated key pairs sit near zero — both arms
+    value-checked across all 15 rows."""
+    sk = None
+    for tbl, cols in (
+        ("customer", ["c_custkey", "c_nationkey"]),
+        ("orders", ["o_custkey", "o_orderkey"]),
+        ("lineitem", ["l_orderkey"]),
+        ("nation", ["n_nationkey"]),
+    ):
+        part = stats.kmv_column_sketches(
+            load_table(spark, sf_dir, tbl), cols, k=128, table=tbl
+        )
+        sk = part if sk is None else sk.unionAll(part)
+    return stats.joinability_report(sk, k=128)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

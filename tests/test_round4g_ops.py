@@ -490,3 +490,70 @@ def test_rrf_rejects_bad_args(spark):
         rrf_fuse([a], k=0)
     with pytest.raises(ValueError):
         rrf_fuse([a], k0=0)
+
+
+# ----------------------------------------------------- kmv joinability ----
+
+from jsons_to_schema_spark.operators.stats import (
+    joinability_report,
+    kmv_column_sketches,
+)
+
+
+def _kmv_py(values, k=128):
+    hs = sorted({hashlib.md5(str(v).encode()).hexdigest() for v in values
+                 if v is not None})
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_python_bottom_k(spark):
+    vals = list(range(500)) + [None, 3, 3]
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(7)
+    got = sorted(
+        r["h"] for r in kmv_column_sketches(df, ["x"], k=64).collect()
+    )
+    assert got == _kmv_py(range(500), k=64)
+
+
+def test_kmv_containment_exact_for_subset(spark):
+    a = spark.createDataFrame([(v,) for v in range(200)], "ka long")
+    b = spark.createDataFrame([(v,) for v in range(400)], "kb long")
+    sk = kmv_column_sketches(a, ["ka"], k=64).unionAll(
+        kmv_column_sketches(b, ["kb"], k=64)
+    )
+    row = joinability_report(sk, k=64).collect()[0]
+    assert row["est_contain_a_in_b" if row["col_a"] == "ka" else "est_contain_b_in_a"] == 1.0
+    assert 0.3 <= row["est_jaccard"] <= 0.7  # true jaccard 0.5
+
+
+def test_kmv_disjoint_sets_report_zero(spark):
+    a = spark.createDataFrame([(v,) for v in range(100)], "ka long")
+    b = spark.createDataFrame([(v,) for v in range(1000, 1100)], "kb long")
+    sk = kmv_column_sketches(a, ["ka"], k=32).unionAll(
+        kmv_column_sketches(b, ["kb"], k=32)
+    )
+    row = joinability_report(sk).collect()[0]
+    assert row["n_common"] == 0
+    assert row["est_jaccard"] == 0.0
+    assert row["est_contain_a_in_b"] == 0.0 and row["est_contain_b_in_a"] == 0.0
+
+
+def test_kmv_partition_invariance(spark):
+    outs = []
+    for parts in (1, 9):
+        a = spark.createDataFrame(
+            [(v, v * 2) for v in range(300)], "x long, y long"
+        ).repartition(parts)
+        sk = kmv_column_sketches(a, ["x", "y"], k=48, table="t")
+        outs.append(
+            sorted(tuple(r) for r in joinability_report(sk, k=48).collect())
+        )
+    assert outs[0] == outs[1]
+
+
+def test_kmv_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        kmv_column_sketches(df, [], k=64)
+    with pytest.raises(ValueError):
+        kmv_column_sketches(df, ["x"], k=2)
