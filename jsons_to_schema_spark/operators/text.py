@@ -1094,3 +1094,92 @@ def dsir_select(
         "log_weight",
         (F.col("lr_micro") >= F.col("_t")).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round-4 wave 39)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact BM25 top-k (Robertson; the Lucene-style +1 idf that never goes
+    negative) — the keyword arm a hybrid retrieval stack fuses with ANN
+    (see similarity.rrf_fuse):
+
+        score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
+                                     (tf + k1·(1 − b + b·|d|/avgdl))
+        idf(t)      = round(ln((N − df + 0.5)/(df + 0.5) + 1), 6)
+
+    with N = |corpus| (token-less docs included), |d| = token count,
+    avgdl = total tokens / N.  EVERY per-term score is quantized to
+    integer micro-units before summing, so the per-(query, doc) score is a
+    sum of LONGS — exact, partition-order-free, engine-identical (the
+    session-wide integer-scoring discipline: DSIR, RRF, PageRank).
+    Top-k per query by (score DESC, doc ASC).
+
+    Scale shape: ONE corpus explode → (doc, term, tf) hash aggregate
+    (lazily pinned); doc lengths AND document frequencies both fold from
+    that aggregate — never a second corpus scan; the query-term list is
+    tiny and broadcasts into the term join; ranking is a per-query window
+    over matched candidates only.  Returns (qid, doc, score_micro, rank).
+    """
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    n_docs = corpus.count()
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    tf = (
+        corpus.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    avgdl = (tf.agg(F.sum("_tf")).collect()[0][0] or 0) / n_docs
+    if avgdl == 0:
+        raise ValueError("bm25_topk: corpus has no tokens")
+    qt = F.broadcast(
+        queries.select(
+            F.col(qid_col), F.explode(tokens(qtext_col)).alias("_t")
+        ).distinct()
+    )
+    idf6 = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(float(avgdl))
+    )
+    term_micro = F.round(
+        F.lit(1_000_000.0) * (idf6 * (F.col("_tf") * F.lit(k1 + 1.0)) / denom)
+    ).cast("long")
+    scored = (
+        qt.join(tf, "_t")
+        .join(dfreq, "_t")
+        .join(dl, id_col)
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(term_micro).alias("score_micro"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

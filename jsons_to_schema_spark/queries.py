@@ -9434,6 +9434,67 @@ def joinability_kmv_tpch(spark, sf_dir) -> DataFrame:
     return stats.joinability_report(sk, k=128)
 
 
+@query(
+    "bm25_topk_documents",
+    oracle="""
+    WITH q(query_id, qtext) AS (VALUES
+      (CAST(0 AS BIGINT), 'table scan filter'),
+      (CAST(1 AS BIGINT), 'hash join merge'),
+      (CAST(2 AS BIGINT), 'window agg sort')),
+    tok AS (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS term
+            FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    ad AS (SELECT sum(tf) / any_value(nn.n) AS avgdl FROM tf, nn),
+    qt AS (SELECT DISTINCT query_id,
+                  unnest(list_filter(string_split(qtext, ' '), t -> t <> ''))
+                  AS term
+           FROM q),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(CAST(round(CAST(1000000.0 AS DOUBLE) * (
+               round(ln((nn.n - dfc + CAST(0.5 AS DOUBLE))
+                        / (dfc + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE)), 6)
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             )) AS BIGINT)) AS score_micro
+      FROM qt JOIN tf USING (term)
+      JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id, nn, ad
+      GROUP BY 1, 2
+    ),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_micro DESC, doc_id) AS rank
+           FROM scored)
+    SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """,
+)
+def bm25_topk_documents(spark, sf_dir) -> DataFrame:
+    """Exact BM25 top-10 (text.bm25_topk, k1=1.2, b=0.75, Lucene-style +1
+    idf) for three keyword queries over the documents corpus — the keyword
+    retrieval arm beside TF-IDF and the RRF fusion.  One corpus explode →
+    (doc, term, tf) aggregate; doc lengths and document frequencies both
+    fold from that aggregate; query terms broadcast.  Every per-term score
+    quantizes to integer micro-units before the per-(query, doc) sum — a
+    sum of longs, exact and engine-identical.  The oracle replays the full
+    scoring pipeline (idf rounding, length normalization, quantization,
+    ranking) with every decimal constant cast to DOUBLE — all 30 rows
+    value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(0, "table scan filter"), (1, "hash join merge"), (2, "window agg sort")],
+        "query_id long, qtext string",
+    )
+    return text.bm25_topk(docs, qs, "text", "doc_id", k=10)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

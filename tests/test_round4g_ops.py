@@ -557,3 +557,93 @@ def test_kmv_rejects_bad_args(spark):
         kmv_column_sketches(df, [], k=64)
     with pytest.raises(ValueError):
         kmv_column_sketches(df, ["x"], k=2)
+
+
+# ----------------------------------------------------------------- bm25 ----
+
+from jsons_to_schema_spark.operators.text import bm25_topk
+
+
+def _bm25_corpus():
+    return [
+        (1, "apple banana apple"),
+        (2, "banana cherry banana cherry"),
+        (3, "apple"),
+        (4, ""),
+        (5, "cherry date elderberry fig grape"),
+    ]
+
+
+def _bm25_py(corpus, query, k1=1.2, b=0.75):
+    docs = {i: [t for t in txt.split(" ") if t] for i, txt in corpus}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    scores = {}
+    for i, toks in docs.items():
+        s = 0
+        for t in sorted(set(query.split(" ")) & set(toks)):
+            tf = toks.count(t)
+            idf = round(math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0), 6)
+            term = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            s += int(round(1e6 * term))
+        if s:
+            scores[i] = s
+    return scores
+
+
+def test_bm25_hand_computed(spark):
+    corpus = spark.createDataFrame(_bm25_corpus(), "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "apple cherry")], "query_id long, qtext string")
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_topk(corpus, qs, "text", "doc_id", k=10).collect()
+    }
+    assert got == _bm25_py(_bm25_corpus(), "apple cherry")
+    # rare term (date's doc has cherry too) and tf weighting sanity:
+    # doc 3 (pure apple, short) must outscore doc 1 (apple diluted)
+    assert got[3] > got[1]
+
+
+def test_bm25_no_match_docs_absent(spark):
+    corpus = spark.createDataFrame(_bm25_corpus(), "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "zebra")], "query_id long, qtext string")
+    assert bm25_topk(corpus, qs, "text", "doc_id").count() == 0
+
+
+def test_bm25_rank_is_deterministic_topk(spark):
+    corpus = spark.createDataFrame(_bm25_corpus(), "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "apple banana cherry")], "query_id long, qtext string"
+    )
+    rows = bm25_topk(corpus, qs, "text", "doc_id", k=2).collect()
+    exp = _bm25_py(_bm25_corpus(), "apple banana cherry")
+    order = sorted(exp, key=lambda d: (-exp[d], d))[:2]
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == order
+
+
+def test_bm25_partition_invariance(spark):
+    outs = []
+    for parts in (1, 8):
+        corpus = spark.createDataFrame(
+            _bm25_corpus(), "doc_id long, text string"
+        ).repartition(parts)
+        qs = spark.createDataFrame(
+            [(0, "apple cherry"), (1, "banana")], "query_id long, qtext string"
+        )
+        outs.append(
+            sorted(tuple(r) for r in bm25_topk(corpus, qs, "text", "doc_id").collect())
+        )
+    assert outs[0] == outs[1]
+
+
+def test_bm25_rejects_bad_args(spark):
+    corpus = spark.createDataFrame(_bm25_corpus(), "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "x")], "query_id long, qtext string")
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, qs, "text", "doc_id", k=0)
+    with pytest.raises(ValueError):
+        bm25_topk(corpus.filter("doc_id < 0"), qs, "text", "doc_id")
