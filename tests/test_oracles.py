@@ -103,12 +103,13 @@ def test_driver_window_covers_dark_families():
         "checkpoint_resume_state",
         "decontam_documents",
         "pack_sequences_documents",
-        "chunk_documents",
-        "spans_single_pass_audit",
-        "schema_validation_documents_struct",
+        # (chunk_documents, spans_single_pass_audit,
+        # schema_validation_documents_struct and dedup_minhash_documents
+        # rotated out in the sixteenth rotation: banked-green rows / the
+        # family keeps another in-window rep; the flagship audit runs via
+        # entry() + bench every round)
         "schema_evolution_ddl",
         "quota_sample_documents",
-        "dedup_minhash_documents",
         # r4 fifth wave: the new families must land in the window
         "asof_events_snapshots",
         "cdc_compact_events",
@@ -131,7 +132,8 @@ def test_driver_window_covers_dark_families():
         "level_shift_events",
         # r4 tenth wave (format keyword extension)
         "format_inference_customer",
-        "format_violations_customer",
+        # (format_violations_customer rotated out in the sixteenth
+        # rotation: format_inference_customer keeps the family)
         # r4 eleventh wave
         "fingerprint_clusters_customer",
         "arithmetic_consistency_lineitem",
@@ -144,5 +146,13 @@ def test_driver_window_covers_dark_families():
         "resolve_entities_customer",
         # r4 fifteenth wave
         "generalization_search_events",
+        # r4 sixteenth rotation (seventh continuation session): six new
+        # never-driver-checked families
+        "tfidf_top_terms_documents",
+        "dsir_importance_documents",
+        "pseudonymize_customer_orders",
+        "zorder_bucket_report_events",
+        "pagerank_spans_media",
+        "hybrid_rrf_embeddings",
     ):
         assert must in window, must
