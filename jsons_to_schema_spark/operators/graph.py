@@ -166,3 +166,99 @@ def pagerank_oracle_sql(
         f" round(rank_micro / {float(_UNIT)!r}, 6) AS rank"
         f" FROM r{iterations}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (round-4 wave 40)
+# ---------------------------------------------------------------------------
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fold a BATCH of new edges into an existing min-label component
+    assignment without re-running CC over the corpus — the daily-ingest
+    move for a 10^12-node dedup campaign (the graph analogue of
+    dedup's incremental MinHash probe):
+
+    1. map each new-edge endpoint to its current label (unknown nodes
+       label themselves);
+    2. contract: distinct (label_a, label_b) pairs with label_a ≠ label_b
+       form the REDUCED graph — bounded by the components the batch
+       touches, never corpus-sized;
+    3. run the full large-star/small-star CC on the reduced graph
+       (dedup.duplicate_clusters — O(log² k) rounds on k touched labels);
+    4. remap: any node whose old label gained a smaller root moves to it;
+       new nodes take their own root.
+
+    Because existing labels are component-minimum ids and new nodes label
+    themselves, the contraction preserves minima EXACTLY:
+    the output equals ``duplicate_clusters(old_pairs ∪ new_pairs)``
+    bit-for-bit (property-tested; the driver oracle recomputes the batch
+    answer from scratch via a recursive CTE).
+
+    Scale shape: one labels⋈batch join per endpoint (batch-sized), the
+    reduced CC (touched-labels-sized), then ONE labels⋈remap join — the
+    corpus labels table shuffles once on the label key, and AQE broadcasts
+    the remap when the batch is small.  Returns (id_col, cluster_col)
+    covering old nodes ∪ new-edge endpoints.
+    """
+    for c, frame, fname in (
+        (id_col, labels, "labels"),
+        (cluster_col, labels, "labels"),
+        (id_a, new_pairs, "new_pairs"),
+        (id_b, new_pairs, "new_pairs"),
+    ):
+        if c not in frame.columns:
+            raise ValueError(
+                f"incremental_components: column {c!r} not in {fname}"
+            )
+    from .dedup import duplicate_clusters
+
+    lab = labels.select(
+        F.col(id_col).alias("_n"), F.col(cluster_col).alias("_l")
+    ).localCheckpoint(eager=False)
+    pairs = new_pairs.select(
+        F.col(id_a).alias("_a"), F.col(id_b).alias("_b")
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    mapped = (
+        pairs.join(lab.withColumnRenamed("_n", "_a"), "_a", "left")
+        .withColumnRenamed("_l", "_la")
+        .join(
+            lab.select(F.col("_n").alias("_b"), F.col("_l").alias("_lb")),
+            "_b",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("_la"), F.col("_a")).alias("_ra"),
+            F.coalesce(F.col("_lb"), F.col("_b")).alias("_rb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    reduced = mapped.filter(F.col("_ra") != F.col("_rb"))
+    # new-edge endpoints unknown to `labels` enter the output as themselves
+    # (or via the remap when their label-root merged)
+    new_nodes = (
+        pairs.select(F.col("_a").alias("_n"))
+        .union(pairs.select(F.col("_b").alias("_n")))
+        .join(lab.select("_n"), "_n", "left_anti")
+        .distinct()
+        .select("_n", F.col("_n").alias("_l"))
+    )
+    universe = lab.unionByName(new_nodes)
+    if reduced.isEmpty():
+        return universe.select(
+            F.col("_n").alias(id_col), F.col("_l").alias(cluster_col)
+        )
+    remap = duplicate_clusters(reduced, id_a="_ra", id_b="_rb").select(
+        F.col("id").alias("_l"), F.col("cluster").alias("_newl")
+    )
+    return universe.join(remap, "_l", "left").select(
+        F.col("_n").alias(id_col),
+        F.coalesce(F.col("_newl"), F.col("_l")).alias(cluster_col),
+    )

@@ -9495,6 +9495,51 @@ def bm25_topk_documents(spark, sf_dir) -> DataFrame:
     return text.bm25_topk(docs, qs, "text", "doc_id", k=10)
 
 
+@query(
+    "incremental_cc_orders",
+    oracle="""
+    WITH RECURSIVE pr AS (
+      SELECT o_custkey AS id_a,
+             100000 + o_orderkey % 997 AS id_b
+      FROM orders WHERE o_orderkey % 11 <= 1
+    ),
+    e(src, dst) AS (
+      SELECT id_a, id_b FROM pr UNION ALL SELECT id_b, id_a FROM pr
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+    )
+    SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+    """,
+)
+def incremental_cc_orders(spark, sf_dir) -> DataFrame:
+    """Incremental connected components (graph.incremental_components):
+    a base bipartite custkey↔bucket graph (even slice, o_orderkey % 11 = 0)
+    is labelled by the full large-star/small-star CC, then the odd slice
+    (% 11 = 1) arrives as a BATCH folded in WITHOUT re-running CC over the
+    corpus — endpoints map to current labels, the label-contracted reduced
+    graph (touched components only) re-clusters, and one remap join moves
+    affected nodes.  Min-label contraction preserves component minima
+    exactly, so the incremental answer must equal the from-scratch batch
+    answer — and the oracle IS that from-scratch answer (recursive-CTE
+    min-label closure over BOTH slices): every node's final cluster
+    value-checked, merges across the two batches guaranteed by the shared
+    bucket space."""
+    from .operators.graph import incremental_components
+
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edge = lambda parity: ords.filter(  # noqa: E731
+        F.col("o_orderkey") % 11 == parity
+    ).select(
+        F.col("o_custkey").alias("id_a"),
+        (F.lit(100000) + F.col("o_orderkey") % 997).alias("id_b"),
+    )
+    labels = dedup.duplicate_clusters(edge(0))
+    return incremental_components(labels, edge(1))
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

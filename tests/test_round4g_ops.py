@@ -647,3 +647,96 @@ def test_bm25_rejects_bad_args(spark):
         bm25_topk(corpus, qs, "text", "doc_id", k=0)
     with pytest.raises(ValueError):
         bm25_topk(corpus.filter("doc_id < 0"), qs, "text", "doc_id")
+
+
+# ----------------------------------------------------- incremental cc ----
+
+from jsons_to_schema_spark.operators.dedup import duplicate_clusters
+from jsons_to_schema_spark.operators.graph import incremental_components
+
+
+def _pairs(spark, rows, parts=1):
+    return spark.createDataFrame(rows, "id_a long, id_b long").repartition(parts)
+
+
+def _cc_py(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for start in adj:
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        root = min(comp)
+        for v in comp:
+            label[v] = root
+    return label
+
+
+def test_incremental_cc_equals_batch(spark):
+    base = [(1, 2), (3, 4), (10, 11), (20, 21)]
+    new = [(2, 3), (11, 30), (40, 41)]  # merge, extend, brand-new component
+    labels = duplicate_clusters(_pairs(spark, base))
+    got = {
+        r["id"]: r["cluster"]
+        for r in incremental_components(labels, _pairs(spark, new)).collect()
+    }
+    assert got == _cc_py(base + new)
+
+
+def test_incremental_cc_chain_of_merges_in_one_batch(spark):
+    # the batch itself chains three existing components through a new node
+    base = [(1, 2), (10, 11), (20, 21)]
+    new = [(2, 99), (99, 10), (99, 20)]
+    labels = duplicate_clusters(_pairs(spark, base))
+    got = {
+        r["id"]: r["cluster"]
+        for r in incremental_components(labels, _pairs(spark, new)).collect()
+    }
+    assert got == _cc_py(base + new)
+    assert set(got.values()) == {1}
+
+
+def test_incremental_cc_no_op_batch_preserves_labels(spark):
+    base = [(1, 2), (3, 4)]
+    labels = duplicate_clusters(_pairs(spark, base))
+    new = [(1, 2), (4, 3)]  # already-known edges, reversed too
+    got = {
+        r["id"]: r["cluster"]
+        for r in incremental_components(labels, _pairs(spark, new)).collect()
+    }
+    assert got == _cc_py(base)
+
+
+def test_incremental_cc_partition_invariance(spark):
+    base = [(i, i + 100) for i in range(0, 40, 2)]
+    new = [(i, i + 1) for i in range(0, 40, 4)]
+    outs = []
+    for parts in (1, 9):
+        labels = duplicate_clusters(_pairs(spark, base, parts))
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in incremental_components(
+                    labels, _pairs(spark, new, parts)
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert dict(outs[0]) == _cc_py(base + new)
+
+
+def test_incremental_cc_rejects_bad_columns(spark):
+    labels = duplicate_clusters(_pairs(spark, [(1, 2)]))
+    with pytest.raises(ValueError):
+        incremental_components(labels, _pairs(spark, [(1, 2)]), id_a="nope")
