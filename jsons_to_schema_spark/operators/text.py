@@ -1183,3 +1183,60 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup stripping (round-4 wave 41)
+# ---------------------------------------------------------------------------
+#
+# Crawled corpora arrive as markup; every downstream signal here (C4 rules,
+# Gopher quality, dedup shingles, BM25) assumes PLAIN TEXT.  This is the
+# trafilatura-lite front step: drop script/style payloads and comments,
+# flatten tags, decode the six entities that dominate real pages, collapse
+# whitespace.  All patterns live in the Java∩RE2∩re dialect (no lookaround,
+# no backrefs; inline (?is) flags only) and are single constants injected
+# into BOTH engines — the PII-scrub contract.
+
+MARKUP_BLOCK_RE = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+MARKUP_COMMENT_RE = r"(?s)<!--.*?-->"
+MARKUP_TAG_RE = r"(?s)<[^>]*>"
+# decode order matters: &amp; LAST, or "&amp;lt;" would double-decode
+MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup_col(col: str | Column) -> Column:
+    """Plain text from a markup column: script/style/comment payloads
+    removed, tags flattened to spaces (block boundaries must not glue
+    words), entities decoded, whitespace runs collapsed, ends trimmed.
+    NULL stays NULL.  One chain of JVM regexp/replace expressions —
+    whole-stage codegen, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, MARKUP_BLOCK_RE, " ")
+    c = F.regexp_replace(c, MARKUP_COMMENT_RE, " ")
+    c = F.regexp_replace(c, MARKUP_TAG_RE, " ")
+    for ent, ch in MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_markup(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Per-document markup stripping with audit counters: returns
+    (id_col, text, n_tags_removed, n_chars_clean) — the counters make a
+    one-pass markup-prevalence report (how much of the corpus was tag
+    overhead) without a second scan."""
+    raw = F.col(col)
+    return df.select(
+        F.col(id_col),
+        strip_markup_col(col).alias("text"),
+        F.when(raw.isNull(), F.lit(None).cast("long")).otherwise(
+            F.regexp_count(raw, F.lit(MARKUP_TAG_RE))
+        ).alias("n_tags_removed"),
+        F.length(strip_markup_col(col)).cast("long").alias("n_chars_clean"),
+    )

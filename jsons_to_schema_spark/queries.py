@@ -9540,6 +9540,67 @@ def incremental_cc_orders(spark, sf_dir) -> DataFrame:
     return incremental_components(labels, edge(1))
 
 
+_MARKUP_PREFIX = (
+    '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p {color:red}</style></head><body><div class=main><p>"
+)
+_MARKUP_SUFFIX = (
+    "</p><br><!-- footer -->&amp;copy 2026 &lt;Corp&gt;&nbsp;&#39;q&quot;"
+    "</div></body></html>"
+)
+
+
+@query(
+    "strip_markup_documents",
+    oracle=f"""
+    WITH wrapped AS (
+      SELECT doc_id, '{_MARKUP_PREFIX}' || text || '{_MARKUP_SUFFIX}' AS raw
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, raw, regexp_replace(raw,
+             '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+           FROM wrapped),
+    s2 AS (SELECT doc_id, raw,
+             regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, raw,
+             regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, raw,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM s3),
+    s5 AS (SELECT doc_id, raw,
+             trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s4)
+    SELECT doc_id, t AS text,
+           CASE WHEN raw IS NULL THEN NULL
+                ELSE CAST(len(regexp_extract_all(raw, '(?s)<[^>]*>'))
+                     AS BIGINT) END AS n_tags_removed,
+           CAST(length(t) AS BIGINT) AS n_chars_clean
+    FROM s5
+    """,
+)
+def strip_markup_documents(spark, sf_dir) -> DataFrame:
+    """Markup stripping (text.strip_markup): every document wrapped in a
+    deterministic HTML shell — script AND style payloads (the script body
+    contains a bare '<' that naive tag-stripping would corrupt), a
+    comment, block tags, and all six supported entities — then stripped
+    back to plain text.  Removal order is the contract: script/style
+    blocks first, comments, then tags flattened to spaces, entities
+    decoded LAST (so decoded '<Corp>' in user text survives), whitespace
+    collapsed.  One chain of codegen regexp/replace expressions, no
+    Python; the oracle replays the identical constants stage by stage —
+    clean text, tag counts, and clean lengths value-checked for all 500
+    docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MARKUP_PREFIX), F.col("text"), F.lit(_MARKUP_SUFFIX)
+        ).alias("raw"),
+    )
+    return text.strip_markup(wrapped, "raw", "doc_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

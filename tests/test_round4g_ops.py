@@ -740,3 +740,46 @@ def test_incremental_cc_rejects_bad_columns(spark):
     labels = duplicate_clusters(_pairs(spark, [(1, 2)]))
     with pytest.raises(ValueError):
         incremental_components(labels, _pairs(spark, [(1, 2)]), id_a="nope")
+
+
+# --------------------------------------------------------- strip_markup ----
+
+from jsons_to_schema_spark.operators.text import strip_markup
+
+
+def test_strip_markup_hand_cases(spark):
+    rows = [
+        (1, "<p>hello <b>world</b></p>"),
+        (2, "<script>var a = 1 < 2;</script>keep"),
+        (3, "<style>p {x:1}</style>body<!-- note -->text"),
+        (4, "a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+        (5, "plain text untouched"),
+        (6, None),
+        (7, "&amp;lt; stays half-decoded"),  # amp decoded LAST, exactly once
+    ]
+    df = spark.createDataFrame(rows, "id long, raw string")
+    got = {r["id"]: (r["text"], r["n_tags_removed"]) for r in
+           strip_markup(df, "raw", "id").collect()}
+    assert got[1] == ("hello world", 4)
+    assert got[2][0] == "keep"  # the bare '<' inside script never leaks
+    assert got[3][0] == "body text"
+    assert got[4] == ('a&b <tag> "q" \'s\' end', 0)
+    assert got[5] == ("plain text untouched", 0)
+    assert got[6] == (None, None)
+    assert got[7][0] == "&lt; stays half-decoded"
+
+
+def test_strip_markup_counts_and_lengths(spark):
+    df = spark.createDataFrame([(1, "<div><p>ab</p></div>")], "id long, raw string")
+    r = strip_markup(df, "raw", "id").collect()[0]
+    assert r["n_tags_removed"] == 4
+    assert r["text"] == "ab" and r["n_chars_clean"] == 2
+
+
+def test_strip_markup_partition_invariance(spark):
+    rows = [(i, f"<p>doc {i} &amp; more</p>") for i in range(40)]
+    outs = []
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "id long, raw string").repartition(parts)
+        outs.append(sorted(tuple(r) for r in strip_markup(df, "raw", "id").collect()))
+    assert outs[0] == outs[1]
