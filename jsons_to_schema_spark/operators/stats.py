@@ -2786,3 +2786,92 @@ def joinability_report(sketches: DataFrame, k: int = 128) -> DataFrame:
             _ratio(ni, nlb).alias("est_contain_b_in_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (round-4 wave 42)
+# ---------------------------------------------------------------------------
+
+
+def ab_test_report(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Welch two-sample comparison of ``metric_col`` between two arms — the
+    experiment-readout primitive (and the gate form of the drift checks:
+    "did the new pipeline version move the metric?").
+
+    Determinism contract: the metric is quantized to 1e-6 (integer
+    micro-units) at the scan, so BOTH moment sums are EXACT integer
+    aggregates (sum as decimal(38,0) — no floating-point accumulation, no
+    partition-order noise); every downstream double then derives from
+    identical operands in an identical expression order, making the full
+    report bit-reproducible across engines.  One conditional-aggregate
+    corpus scan (map-side partial); NULL metrics carry no evidence.
+
+    Returns one row: (n_control, n_treatment, mean_control,
+    mean_treatment, abs_lift, rel_lift, t_stat, dof, significant) with
+    Welch's t, Welch–Satterthwaite dof, and a fixed two-sided 5% gate
+    (|t| > 1.959964 — the normal critical value; at experiment n the t
+    correction is < 1e-3).  rel_lift is NULL when mean_control is 0.
+    """
+    from pyspark.sql import Column as _Col
+
+    v = F.col(metric_col)
+    vm = F.round(v * F.lit(1000000.0)).cast("long")
+    arm = F.col(group_col)
+
+    def _moments(label: str, tag: str) -> "list[_Col]":
+        keep = (arm == F.lit(label)) & v.isNotNull()
+        return [
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_n{tag}"),
+            F.coalesce(
+                F.sum(F.when(keep, vm).otherwise(None).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"_s1{tag}"),
+            F.coalesce(
+                F.sum(
+                    F.when(keep, vm.cast("decimal(38,0)") * vm).otherwise(None)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"_s2{tag}"),
+        ]
+
+    agg = df.agg(*_moments(control, "c"), *_moments(treatment, "t"))
+
+    def _stats(tag: str):
+        n = F.col(f"_n{tag}").cast("double")
+        s1 = F.col(f"_s1{tag}").cast("double")
+        s2 = F.col(f"_s2{tag}").cast("double")
+        mean = s1 / n / F.lit(1000000.0)
+        var = (
+            s2 / F.lit(1e12)
+            - (s1 / F.lit(1000000.0)) * (s1 / F.lit(1000000.0)) / n
+        ) / (n - F.lit(1.0))
+        return n, mean, var
+
+    nc, mc, vc = _stats("c")
+    nt, mt, vt = _stats("t")
+    sec = vc / nc
+    set_ = vt / nt
+    se = F.sqrt(sec + set_)
+    t = (mt - mc) / se
+    dof = (sec + set_) * (sec + set_) / (
+        sec * sec / (nc - F.lit(1.0)) + set_ * set_ / (nt - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("_nc").alias("n_control"),
+        F.col("_nt").alias("n_treatment"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt, 6).alias("mean_treatment"),
+        F.round(mt - mc, 6).alias("abs_lift"),
+        F.when(mc == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round((mt - mc) / mc, 6))
+        .alias("rel_lift"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+        (F.abs(t) > F.lit(1.959964)).alias("significant"),
+    )

@@ -9601,6 +9601,102 @@ def strip_markup_documents(spark, sf_dir) -> DataFrame:
     return text.strip_markup(wrapped, "raw", "doc_id")
 
 
+def _ab_oracle_block(metric_sql: str, label: str) -> str:
+    """One comparison of the ab_test oracle: integer-quantized moment sums
+    (HUGEINT — exact, matching Spark's decimal(38,0)) then the Welch
+    arithmetic in EXACTLY the operator's expression order."""
+    vm = f"CAST(round(({metric_sql}) * 1e6) AS BIGINT)"
+    keep_c = f"event_id % 2 = 0 AND ({metric_sql}) IS NOT NULL"
+    keep_t = f"event_id % 2 = 1 AND ({metric_sql}) IS NOT NULL"
+    return f"""
+    SELECT '{label}' AS comparison, n_control, n_treatment,
+           round(mc, 6) AS mean_control, round(mt, 6) AS mean_treatment,
+           round(mt - mc, 6) AS abs_lift,
+           CASE WHEN mc = 0e0 THEN NULL
+                ELSE round((mt - mc) / mc, 6) END AS rel_lift,
+           round((mt - mc) / sqrt(sec + sett), 6) AS t_stat,
+           round((sec + sett) * (sec + sett)
+                 / (sec * sec / (nc - 1e0) + sett * sett / (nt - 1e0)),
+                 6) AS dof,
+           abs((mt - mc) / sqrt(sec + sett)) > CAST(1.959964 AS DOUBLE)
+             AS significant
+    FROM (
+      SELECT n_control, n_treatment, nc, nt, mc, mt, vc / nc AS sec,
+             vt / nt AS sett
+      FROM (
+        SELECT n_control, n_treatment,
+               CAST(n_control AS DOUBLE) AS nc, CAST(n_treatment AS DOUBLE) AS nt,
+               CAST(s1c AS DOUBLE) / CAST(n_control AS DOUBLE) / 1e6 AS mc,
+               CAST(s1t AS DOUBLE) / CAST(n_treatment AS DOUBLE) / 1e6 AS mt,
+               (CAST(s2c AS DOUBLE) / 1e12
+                - (CAST(s1c AS DOUBLE) / 1e6) * (CAST(s1c AS DOUBLE) / 1e6)
+                  / CAST(n_control AS DOUBLE))
+               / (CAST(n_control AS DOUBLE) - 1e0) AS vc,
+               (CAST(s2t AS DOUBLE) / 1e12
+                - (CAST(s1t AS DOUBLE) / 1e6) * (CAST(s1t AS DOUBLE) / 1e6)
+                  / CAST(n_treatment AS DOUBLE))
+               / (CAST(n_treatment AS DOUBLE) - 1e0) AS vt
+        FROM (
+          SELECT CAST(sum(CASE WHEN {keep_c} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_control,
+                 CAST(sum(CASE WHEN {keep_t} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treatment,
+                 coalesce(sum(CASE WHEN {keep_c}
+                   THEN CAST({vm} AS HUGEINT) END), 0) AS s1c,
+                 coalesce(sum(CASE WHEN {keep_t}
+                   THEN CAST({vm} AS HUGEINT) END), 0) AS s1t,
+                 coalesce(sum(CASE WHEN {keep_c}
+                   THEN CAST({vm} AS HUGEINT) * {vm} END), 0) AS s2c,
+                 coalesce(sum(CASE WHEN {keep_t}
+                   THEN CAST({vm} AS HUGEINT) * {vm} END), 0) AS s2t
+          FROM events
+        )
+      )
+    )
+    """
+
+
+@query(
+    "ab_test_events",
+    oracle=(
+        _ab_oracle_block("value + CASE WHEN event_id % 2 = 1 THEN 5e-1 ELSE 0e0 END",
+                         "planted_lift")
+        + " UNION ALL "
+        + _ab_oracle_block("value", "no_effect")
+    ),
+)
+def ab_test_events(spark, sf_dir) -> DataFrame:
+    """A/B experiment readout (stats.ab_test_report, Welch two-sample):
+    arms = event_id parity over events.value, run twice — once with a
+    planted +0.5 treatment lift (t ≈ 2.2 → significant) and once on the
+    raw metric (the natural parity diff lands at t ≈ 1.7 → NOT
+    significant at the 1.959964 two-sided gate) — both verdict arms fire
+    and every statistic is value-checked.  Determinism: the metric is
+    quantized to integer micro-units at the scan, so both moment sums are
+    EXACT decimal aggregates (no partition-order noise) and the Welch
+    t / Welch–Satterthwaite dof derive from identical doubles in both
+    engines (the oracle replays the operator's expression order, HUGEINT
+    for Spark's decimal(38,0)).  One conditional-aggregate corpus scan
+    per comparison."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    arm = F.when(F.col("event_id") % 2 == 0, F.lit("control")).otherwise(
+        F.lit("treatment")
+    )
+    planted = ev.select(
+        arm.alias("arm"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 2 == 1, F.lit(0.5)).otherwise(F.lit(0.0))
+        ).alias("m"),
+    )
+    plain = ev.select(arm.alias("arm"), F.col("value").alias("m"))
+    r1 = stats.ab_test_report(planted, "arm", "m", "control", "treatment")
+    r2 = stats.ab_test_report(plain, "arm", "m", "control", "treatment")
+    return r1.select(F.lit("planted_lift").alias("comparison"), "*").unionByName(
+        r2.select(F.lit("no_effect").alias("comparison"), "*")
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -783,3 +783,68 @@ def test_strip_markup_partition_invariance(spark):
         df = spark.createDataFrame(rows, "id long, raw string").repartition(parts)
         outs.append(sorted(tuple(r) for r in strip_markup(df, "raw", "id").collect()))
     assert outs[0] == outs[1]
+
+
+# -------------------------------------------------------------- ab_test ----
+
+from jsons_to_schema_spark.operators.stats import ab_test_report
+
+
+def _welch_py(control, treatment):
+    def moments(xs):
+        q = [round(x * 1e6) for x in xs]
+        n = float(len(q))
+        s1, s2 = float(sum(q)), float(sum(v * v for v in q))
+        mean = s1 / n / 1e6
+        var = (s2 / 1e12 - (s1 / 1e6) * (s1 / 1e6) / n) / (n - 1.0)
+        return n, mean, var
+
+    nc, mc, vc = moments(control)
+    nt, mt, vt = moments(treatment)
+    sec, sett = vc / nc, vt / nt
+    t = (mt - mc) / math.sqrt(sec + sett)
+    dof = (sec + sett) ** 2 / (sec * sec / (nc - 1) + sett * sett / (nt - 1))
+    return round(t, 6), round(dof, 6), abs(t) > 1.959964
+
+
+def test_ab_test_hand_computed(spark):
+    control = [10.0, 11.0, 9.5, 10.5, 10.2, 9.8]
+    treatment = [12.0, 12.5, 11.8, 12.2, 13.0, 11.5]
+    rows = [("control", v) for v in control] + [("treatment", v) for v in treatment]
+    df = spark.createDataFrame(rows + [("treatment", None)], "arm string, m double")
+    r = ab_test_report(df, "arm", "m", "control", "treatment").collect()[0]
+    t, dof, sig = _welch_py(control, treatment)
+    assert (r["n_control"], r["n_treatment"]) == (6, 6)  # NULL excluded
+    assert r["t_stat"] == t and r["dof"] == dof and r["significant"] == sig
+    assert sig is True
+    assert r["abs_lift"] == round(
+        sum(treatment) / 6 - sum(control) / 6, 6
+    ) or abs(r["abs_lift"] - (sum(treatment) / 6 - sum(control) / 6)) < 2e-6
+
+
+def test_ab_test_no_effect_not_significant(spark):
+    vals = [float(v % 7) for v in range(200)]
+    rows = [("control" if i % 2 == 0 else "treatment", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "arm string, m double")
+    r = ab_test_report(df, "arm", "m", "control", "treatment").collect()[0]
+    assert r["significant"] is False
+
+
+def test_ab_test_zero_control_mean_rel_lift_null(spark):
+    rows = [("control", 1.0), ("control", -1.0), ("treatment", 3.0),
+            ("treatment", 5.0)]
+    df = spark.createDataFrame(rows, "arm string, m double")
+    r = ab_test_report(df, "arm", "m", "control", "treatment").collect()[0]
+    assert r["mean_control"] == 0.0 and r["rel_lift"] is None
+
+
+def test_ab_test_partition_invariance(spark):
+    rows = [("control" if i % 2 else "treatment", float(i % 13) + (i % 2) * 0.7)
+            for i in range(400)]
+    outs = []
+    for parts in (1, 9):
+        df = spark.createDataFrame(rows, "arm string, m double").repartition(parts)
+        outs.append(
+            tuple(ab_test_report(df, "arm", "m", "control", "treatment").collect()[0])
+        )
+    assert outs[0] == outs[1]
