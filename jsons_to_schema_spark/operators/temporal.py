@@ -678,3 +678,103 @@ def attribution(
     return by_type.select("touch_type", "conversions", "credit").unionByName(
         none_row
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition profile (round-4 wave 43)
+# ---------------------------------------------------------------------------
+
+
+def transition_profile(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered event
+    sequences — the behavioral-sequence profile (what follows what, how
+    often) that sessionize/funnel/attribution all implicitly assume and
+    none of them reports:
+
+    - sequences order by (order_col, state_col) WITHIN each key — the
+      state tie-break makes equal-timestamp rows deterministic (the quota
+      sampler's rule);
+    - adjacent pairs (lag) → one (from_state, to_state) hash aggregate;
+    - p = round(n / Σ_to n, 6) — row probability given the from-state;
+    - keys with a single event contribute nothing; NULL states are real
+      states only if present in the data (no imputation).
+
+    Scale shape: ONE window shuffle keyed on key_col (per-key sequences —
+    a mega-key serializes its own sequence through one task, same caveat
+    as sorted-neighborhood: pre-bound per-key history if keys are
+    heavy-tailed), then a transition-matrix-sized aggregate (states², not
+    corpus).  Returns (from_state, to_state, n, p).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(state_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(order_col),
+            F.col(state_col).alias("_to"),
+            F.lag(F.col(state_col)).over(w).alias("_from"),
+        )
+        .filter(F.col("_from").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_from").alias("from_state"), F.col("_to").alias("to_state")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def anomalous_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    max_p: float = 0.01,
+    min_from_total: int = 50,
+) -> DataFrame:
+    """Row-level complement of :func:`transition_profile`: every observed
+    transition whose conditional probability sits below ``max_p`` — the
+    "this user did something this corpus almost never does" audit.
+    ``min_from_total`` suppresses noise from barely-observed from-states
+    (a 1-observation state makes every transition p=1.0, never rare; a
+    3-observation state makes everything 0.33 — rarity needs a measured
+    base).  Returns (key, order, from_state, to_state, p) — the rows, not
+    the matrix, so the verdict is actionable."""
+    if not 0.0 < max_p < 1.0:
+        raise ValueError(f"anomalous_transitions: max_p must be in (0,1), got {max_p}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).asc(), F.col(state_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(order_col).alias("order_at"),
+            F.col(state_col).alias("to_state"),
+            F.lag(F.col(state_col)).over(w).alias("from_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    prof = transition_profile(df, key_col, order_col, state_col)
+    totals = prof.groupBy("from_state").agg(F.sum("n").alias("_ft"))
+    rare = (
+        prof.join(totals, "from_state")
+        .filter((F.col("p") <= max_p) & (F.col("_ft") >= min_from_total))
+        .select("from_state", "to_state", "p")
+    )
+    return pairs.join(F.broadcast(rare), ["from_state", "to_state"]).select(
+        "key", "order_at", "from_state", "to_state", "p"
+    )

@@ -9697,6 +9697,92 @@ def ab_test_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "transition_profile_events",
+    oracle="""
+    WITH st AS (SELECT user_id, event_id,
+           CASE WHEN event_id % 1009 = 0 THEN 'rare_state'
+                ELSE event_type END AS s
+         FROM events),
+    pr AS (SELECT s AS to_state,
+             lag(s) OVER (PARTITION BY user_id ORDER BY event_id, s)
+               AS from_state
+           FROM st)
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY from_state)
+                        AS DOUBLE), 6) AS p
+    FROM pr WHERE from_state IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def transition_profile_events(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition matrix (temporal.transition_profile)
+    over per-user event sequences ordered by event_id, with a planted
+    'rare_state' on every 1009th event so the matrix carries both common
+    (~0.2) and rare (~0.001) conditional probabilities.  One window
+    shuffle on user_id → a states²-sized aggregate; (order, state)
+    tie-break makes equal-order rows deterministic.  The oracle replays
+    lag + conditional normalization — every cell's count AND probability
+    value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 1009 == 0, F.lit("rare_state"))
+        .otherwise(F.col("event_type"))
+        .alias("s"),
+    )
+    return temporal.transition_profile(st, "user_id", "event_id", "s")
+
+
+@query(
+    "anomalous_transitions_events",
+    oracle="""
+    WITH st AS (SELECT user_id, event_id,
+           CASE WHEN event_id % 1009 = 0 THEN 'rare_state'
+                ELSE event_type END AS s
+         FROM events),
+    pr AS (SELECT user_id AS key, event_id AS order_at, s AS to_state,
+             lag(s) OVER (PARTITION BY user_id ORDER BY event_id, s)
+               AS from_state
+           FROM st),
+    cnt AS (SELECT from_state, to_state, count(*) AS n FROM pr
+            WHERE from_state IS NOT NULL GROUP BY 1, 2),
+    prof AS (SELECT from_state, to_state,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE),
+                     6) AS p,
+               sum(n) OVER (PARTITION BY from_state) AS ft
+             FROM cnt),
+    rare AS (SELECT from_state, to_state, p FROM prof
+             WHERE p <= CAST(0.01 AS DOUBLE) AND ft >= 50)
+    SELECT pr.key, pr.order_at, pr.from_state, pr.to_state, rare.p
+    FROM pr JOIN rare ON pr.from_state = rare.from_state
+                     AND pr.to_state = rare.to_state
+    """,
+)
+def anomalous_transitions_events(spark, sf_dir) -> DataFrame:
+    """Row-level rare-transition audit (temporal.anomalous_transitions,
+    max_p=0.01, min_from_total=50): the planted 'rare_state' rows surface
+    as transitions INTO rare_state (p ≈ 0.001 under well-measured
+    from-states), while transitions OUT of rare_state are correctly
+    SUPPRESSED by the min_from_total floor (its total ≈ 10 observations —
+    a p=0.3 'rarity' from 10 samples is noise, and that arm is exactly
+    what the floor exists for).  Returns the offending rows, not the
+    matrix; oracle replays profile + floor + row join."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 1009 == 0, F.lit("rare_state"))
+        .otherwise(F.col("event_type"))
+        .alias("s"),
+    )
+    return temporal.anomalous_transitions(
+        st, "user_id", "event_id", "s", max_p=0.01, min_from_total=50
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -848,3 +848,76 @@ def test_ab_test_partition_invariance(spark):
             tuple(ab_test_report(df, "arm", "m", "control", "treatment").collect()[0])
         )
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------- transition profile ----
+
+from jsons_to_schema_spark.operators.temporal import (
+    anomalous_transitions,
+    transition_profile,
+)
+
+
+def _seq_rows():
+    # user 1: a->b->a->b->c   user 2: a->b->a->b   user 3: single event
+    return (
+        [(1, i, s) for i, s in enumerate(["a", "b", "a", "b", "c"])]
+        + [(2, i, s) for i, s in enumerate(["a", "b", "a", "b"])]
+        + [(3, 0, "z")]
+    )
+
+
+def test_transition_profile_hand_computed(spark):
+    df = spark.createDataFrame(_seq_rows(), "k long, o long, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_profile(df, "k", "o", "s").collect()
+    }
+    # from a: 4x a->b;  from b: 2x b->a, 1x b->c;  z contributes nothing
+    assert got[("a", "b")] == (4, 1.0)
+    assert got[("b", "a")] == (2, round(2 / 3, 6))
+    assert got[("b", "c")] == (1, round(1 / 3, 6))
+    assert len(got) == 3
+
+
+def test_transition_profile_orders_within_key_only(spark):
+    # same order value, different keys: no cross-key transitions
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "x"), (2, 1, "y")],
+        "k long, o long, s string",
+    )
+    got = {(r["from_state"], r["to_state"]) for r in
+           transition_profile(df, "k", "o", "s").collect()}
+    assert got == {("a", "b"), ("x", "y")}
+
+
+def test_anomalous_transitions_floor_and_threshold(spark):
+    rows = []
+    # 100 users doing a->b (common), 1 user doing a->q (rare), and a
+    # from-state 'tiny' with too few observations to ever be rare
+    for u in range(100):
+        rows += [(u, 0, "a"), (u, 1, "b")]
+    rows += [(900, 0, "a"), (900, 1, "q")]
+    rows += [(901, 0, "tiny"), (901, 1, "weird")]
+    df = spark.createDataFrame(rows, "k long, o long, s string")
+    out = anomalous_transitions(df, "k", "o", "s", max_p=0.02, min_from_total=50)
+    got = [(r["key"], r["from_state"], r["to_state"], r["p"]) for r in out.collect()]
+    assert got == [(900, "a", "q", round(1 / 101, 6))]
+
+
+def test_transition_partition_invariance(spark):
+    outs = []
+    for parts in (1, 9):
+        df = spark.createDataFrame(
+            _seq_rows(), "k long, o long, s string"
+        ).repartition(parts)
+        outs.append(
+            sorted(tuple(r) for r in transition_profile(df, "k", "o", "s").collect())
+        )
+    assert outs[0] == outs[1]
+
+
+def test_anomalous_transitions_rejects_bad_p(spark):
+    df = spark.createDataFrame(_seq_rows(), "k long, o long, s string")
+    with pytest.raises(ValueError):
+        anomalous_transitions(df, "k", "o", "s", max_p=0.0)
