@@ -688,3 +688,94 @@ def level_shift(
             F.col("stat") > F.lit(float(threshold)), F.lit(False)
         ).alias("shifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift (round-4 wave 44)
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift(
+    base: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distribution drift for an embedding column between two snapshots —
+    the vector-space counterpart of the numeric/categorical drift panel
+    (did the encoder, the corpus mix, or an upstream normalization step
+    move the representation?).
+
+    Determinism contract (the session-wide integer discipline): each
+    component quantizes to 1e-6 at the scan, per-dimension sums are EXACT
+    decimal(38,0) aggregates, and
+
+    - ``centroid_cosine``   = cos(centroid_b, centroid_c) computed from
+      the integer sum vectors directly (the n·1e6 scales cancel):
+      dot and norms are exact decimal sums over dimensions, divided once
+      in double — zero FP accumulation anywhere;
+    - ``centroid_shift_l2`` = sqrt(Σ_d q((cb_d − cc_d)²)) with the per-dim
+      squared diff quantized to 1e-12 before the (long) sum.
+
+    One explode → per-dim aggregate per snapshot (dim-sized shuffle, never
+    corpus-sized).  NULL vectors carry no evidence; both snapshots must be
+    dimension-uniform and equal-dimension (raises otherwise — use
+    validate_embeddings for the audit).  Returns one row: (n_base,
+    n_current, dim, centroid_cosine, centroid_shift_l2).
+    """
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col)
+        dims = df.filter(v.isNotNull()).select(
+            F.size(v).alias("_d")
+        ).distinct().collect()
+        if len(dims) != 1:
+            raise ValueError(
+                f"embedding_drift: {tag} snapshot is not dimension-uniform: "
+                f"{sorted(r['_d'] for r in dims)}"
+            )
+        exploded = df.filter(v.isNotNull()).select(
+            F.posexplode(v).alias("_i", "_x")
+        )
+        return exploded.groupBy("_i").agg(
+            F.sum(
+                F.round(F.col("_x").cast("double") * F.lit(1000000.0))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias(f"_s_{tag}")
+        ), int(dims[0]["_d"])
+
+    sb, dim_b = _sums(base, "b")
+    sc, dim_c = _sums(current, "c")
+    if dim_b != dim_c:
+        raise ValueError(
+            f"embedding_drift: dimension mismatch base={dim_b} current={dim_c}"
+        )
+    n_b = base.filter(F.col(vec_col).isNotNull()).count()
+    n_c = current.filter(F.col(vec_col).isNotNull()).count()
+    if n_b == 0 or n_c == 0:
+        raise ValueError("embedding_drift: empty snapshot")
+    j = sb.join(sc, "_i")
+    cb = F.col("_s_b").cast("double") / F.lit(float(n_b)) / F.lit(1000000.0)
+    cc = F.col("_s_c").cast("double") / F.lit(float(n_c)) / F.lit(1000000.0)
+    agg = j.agg(
+        F.sum(F.col("_s_b") * F.col("_s_c")).alias("_dot"),
+        F.sum(F.col("_s_b") * F.col("_s_b")).alias("_nb2"),
+        F.sum(F.col("_s_c") * F.col("_s_c")).alias("_nc2"),
+        F.sum(
+            F.round(F.lit(1e12) * ((cb - cc) * (cb - cc))).cast("long")
+        ).alias("_sh2"),
+    )
+    return agg.select(
+        F.lit(n_b).cast("long").alias("n_base"),
+        F.lit(n_c).cast("long").alias("n_current"),
+        F.lit(dim_b).cast("int").alias("dim"),
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_nb2").cast("double"))
+                * F.sqrt(F.col("_nc2").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("_sh2") / F.lit(1e12)), 6).alias("centroid_shift_l2"),
+    )

@@ -9783,6 +9783,63 @@ def anomalous_transitions_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "embedding_drift_snapshots",
+    oracle="""
+    WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+    c AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * CAST(1.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)) AS e
+          FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+    sb AS (SELECT i, sum(CAST(CAST(round(e[i] * 1e6) AS BIGINT) AS HUGEINT))
+                    AS sb
+           FROM b, unnest(range(1, len(e) + 1)) AS r(i) GROUP BY 1),
+    sc AS (SELECT i, sum(CAST(CAST(round(e[i] * 1e6) AS BIGINT) AS HUGEINT))
+                    AS sc
+           FROM c, unnest(range(1, len(e) + 1)) AS r(i) GROUP BY 1),
+    nn AS (SELECT (SELECT count(*) FROM b) AS nb,
+                  (SELECT count(*) FROM c) AS nc,
+                  (SELECT len(any_value(e)) FROM b) AS dim),
+    j AS (SELECT sb.sb, sc.sc,
+                 CAST(sb.sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS cb,
+                 CAST(sc.sc AS DOUBLE) / CAST(nc AS DOUBLE) / 1e6 AS cc
+          FROM sb JOIN sc USING (i), nn),
+    agg AS (SELECT sum(sb * sc) AS dot, sum(sb * sb) AS nb2,
+                   sum(sc * sc) AS nc2,
+                   sum(CAST(round(1e12 * ((cb - cc) * (cb - cc)))
+                       AS BIGINT)) AS sh2
+            FROM j)
+    SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_current,
+           CAST(dim AS INT) AS dim,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(nb2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE))),
+                 6) AS centroid_cosine,
+           round(sqrt(sh2 / 1e12), 6) AS centroid_shift_l2
+    FROM agg, nn
+    """,
+)
+def embedding_drift_snapshots(spark, sf_dir) -> DataFrame:
+    """Embedding drift (drift.embedding_drift): even vec_ids are the base
+    snapshot; odd vec_ids get a planted affine drift (x·1.1 + 0.05 — a
+    re-scaled encoder plus a bias shift) as the current snapshot.  Every
+    component quantizes to 1e-6 at the scan; per-dim sums are exact
+    decimal aggregates; centroid cosine comes from the integer sum
+    vectors directly (scales cancel) and the L2 shift from per-dim
+    pico-quantized squared diffs — zero floating-point accumulation, so
+    both engines produce the identical report.  The oracle replays
+    quantization, HUGEINT sums, and the final arithmetic — cosine < 1 and
+    shift > 0 by construction, both value-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    cur = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * F.lit(1.1) + F.lit(0.05),
+        ).alias("embedding")
+    )
+    return drift.embedding_drift(base, cur)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

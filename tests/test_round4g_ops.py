@@ -921,3 +921,66 @@ def test_anomalous_transitions_rejects_bad_p(spark):
     df = spark.createDataFrame(_seq_rows(), "k long, o long, s string")
     with pytest.raises(ValueError):
         anomalous_transitions(df, "k", "o", "s", max_p=0.0)
+
+
+# ------------------------------------------------------ embedding drift ----
+
+from jsons_to_schema_spark.operators.drift import embedding_drift
+
+
+def _vec_df(spark, vecs, parts=1):
+    return spark.createDataFrame(
+        [(list(map(float, v)),) for v in vecs], "embedding array<double>"
+    ).repartition(parts)
+
+
+def test_embedding_drift_identical_snapshots(spark):
+    vecs = [[1.0, 0.0, 2.0], [0.5, 1.5, -1.0], [2.0, 2.0, 2.0]]
+    r = embedding_drift(_vec_df(spark, vecs), _vec_df(spark, vecs)).collect()[0]
+    assert r["centroid_cosine"] == 1.0
+    assert r["centroid_shift_l2"] == 0.0
+    assert (r["n_base"], r["n_current"], r["dim"]) == (3, 3, 3)
+
+
+def test_embedding_drift_hand_computed_shift(spark):
+    base = [[1.0, 0.0], [3.0, 0.0]]      # centroid (2, 0)
+    cur = [[0.0, 1.0], [0.0, 3.0]]       # centroid (0, 2)
+    r = embedding_drift(_vec_df(spark, base), _vec_df(spark, cur)).collect()[0]
+    assert r["centroid_cosine"] == 0.0   # orthogonal centroids
+    assert r["centroid_shift_l2"] == round(math.sqrt(8.0), 6)
+
+
+def test_embedding_drift_scale_invariant_cosine(spark):
+    base = [[1.0, 2.0, 3.0], [2.0, 4.0, 6.0]]
+    cur = [[0.5, 1.0, 1.5]]              # same direction, different scale
+    r = embedding_drift(_vec_df(spark, base), _vec_df(spark, cur)).collect()[0]
+    assert r["centroid_cosine"] == 1.0
+    assert r["centroid_shift_l2"] > 0.0
+
+
+def test_embedding_drift_validates_inputs(spark):
+    ok = _vec_df(spark, [[1.0, 2.0]])
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        embedding_drift(ok, ragged)
+    with pytest.raises(ValueError):
+        embedding_drift(ok, _vec_df(spark, [[1.0, 2.0, 3.0]]))
+    with pytest.raises(ValueError):
+        embedding_drift(ok, ok.filter("embedding IS NULL"))
+
+
+def test_embedding_drift_partition_invariance(spark):
+    vecs_a = [[float(i % 5), float(i % 3), 1.0] for i in range(60)]
+    vecs_b = [[float(i % 7), float(i % 2), 0.5] for i in range(40)]
+    outs = []
+    for parts in (1, 9):
+        outs.append(
+            tuple(
+                embedding_drift(
+                    _vec_df(spark, vecs_a, parts), _vec_df(spark, vecs_b, parts)
+                ).collect()[0]
+            )
+        )
+    assert outs[0] == outs[1]
