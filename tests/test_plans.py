@@ -1056,3 +1056,64 @@ def test_round4_continuation_ops_scan_budget_no_python(spark):
     for q in single_scan + lineage_cut:
         plan = audit.executed_plan(q)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wave32_41_ops_scan_budget_no_python(spark):
+    """Seventh-continuation waves: TF-IDF / DSIR / BM25 fold df() and doc
+    lengths from ONE exploded aggregate (one corpus scan each — the
+    lazy-checkpoint pin guarantees re-use); pseudonymize / strip_markup /
+    zorder keys / transitions are pure JVM projections or single-window
+    passes; the model/sketch joins broadcast.  None of it evaluates
+    Python."""
+    from jsons_to_schema_spark.operators import stats as st
+    from jsons_to_schema_spark.operators import temporal as tp
+    from jsons_to_schema_spark.operators import text as tx
+    from jsons_to_schema_spark.sources.layout import zorder_bucket_report
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ev = load_table(spark, SF_ORACLE, "events")
+    cust = load_table(spark, SF_ORACLE, "customer")
+
+    queries = [
+        tx.tfidf_top_terms(docs, "text", "doc_id", k=3, min_df=2),
+        tx.dsir_select(docs, docs.filter("lang = 'en'"), "text", "doc_id"),
+        tx.bm25_topk(
+            docs,
+            spark.createDataFrame([(0, "table scan")], "query_id long, qtext string"),
+            "text",
+            "doc_id",
+        ),
+        tx.strip_markup(docs.selectExpr("doc_id", "text AS raw"), "raw", "doc_id"),
+        st.pseudonymize(cust.select("c_custkey"), {"c_custkey": "k"}, secret="s"),
+        st.ab_test_report(
+            ev.selectExpr(
+                "CASE WHEN event_id % 2 = 0 THEN 'c' ELSE 't' END AS arm",
+                "value AS m",
+            ),
+            "arm", "m", "c", "t",
+        ),
+        zorder_bucket_report(ev, ["user_id", "event_id"], bucket_bits=4),
+        tp.transition_profile(ev, "user_id", "event_id", "event_type"),
+    ]
+    for q in queries:
+        plan = audit.executed_plan(q)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # purely row-local ops must not shuffle at all
+    for q in (
+        st.pseudonymize(cust.select("c_custkey"), {"c_custkey": "k"}, secret="s"),
+        tx.strip_markup(docs.selectExpr("doc_id", "text AS raw"), "raw", "doc_id"),
+    ):
+        assert "Exchange" not in audit.executed_plan(q)
+    # single-scan budget where the operator contract says one corpus scan
+    for q in (
+        st.ab_test_report(
+            ev.selectExpr(
+                "CASE WHEN event_id % 2 = 0 THEN 'c' ELSE 't' END AS arm",
+                "value AS m",
+            ),
+            "arm", "m", "c", "t",
+        ),
+        zorder_bucket_report(ev, ["user_id", "event_id"], bucket_bits=4),
+        tp.transition_profile(ev, "user_id", "event_id", "event_type"),
+    ):
+        assert audit.scan_count(q) == 1, audit.executed_plan(q)[:1200]
