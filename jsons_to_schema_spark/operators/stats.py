@@ -2875,3 +2875,159 @@ def ab_test_report(
         F.round(dof, 6).alias("dof"),
         (F.abs(t) > F.lit(1.959964)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature encoders + winsorization (round-4 wave 45)
+# ---------------------------------------------------------------------------
+#
+# The fit/transform split of fit_quantile_bins, extended to the other three
+# feature-prep staples a training pipeline runs over tabular columns:
+# frequency encoding, smoothed target encoding, and percentile clipping.
+# Fit artifacts are small persistable tables (category-sized / two edges),
+# transforms are broadcast joins or pure projections — nothing corpus-sized
+# ever sits on the driver.  NULL is a REAL category throughout (null-safe
+# grouping and null-safe application — the approx_fd convention).
+
+
+def fit_frequency_encoding(df: DataFrame, col: str) -> DataFrame:
+    """(value, n, freq) per category — freq = round(n / N, 6), N = all
+    rows.  One grouped scan; NULL is a category."""
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("fit_frequency_encoding: empty frame")
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "value",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.lit(float(n_total)), 6).alias("freq"),
+        )
+    )
+
+
+def fit_target_encoding(
+    df: DataFrame,
+    col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed mean-target encoding (the Micci-Barreca estimator):
+
+        enc(c) = (sum_c + m · prior) / (n_c + m)
+
+    with prior = the global target mean and m = ``smoothing`` pseudo-
+    observations pulling rare categories toward it.  Determinism: the
+    target quantizes to integer micro-units, per-category sums are exact
+    decimal aggregates, prior and enc then derive from identical doubles
+    (round 6 on output).  Rows with NULL target carry no evidence; NULL
+    category is a real category.  Returns (value, n, enc) — the
+    persistable fit table ``apply_encoding`` consumes; encode the SERVE
+    set with a fit table built on the TRAIN split only, or the encoding
+    leaks the label."""
+    if smoothing < 0:
+        raise ValueError(f"fit_target_encoding: smoothing must be >= 0, got {smoothing}")
+    t = F.col(target_col)
+    vm = F.round(t * F.lit(1000000.0)).cast("long").cast("decimal(38,0)")
+    per = (
+        df.filter(t.isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.sum(vm).alias("_s1"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(
+        F.sum("_s1").alias("_s"), F.sum("n").alias("_n")
+    ).collect()[0]
+    if not tot["_n"]:
+        raise ValueError("fit_target_encoding: no non-NULL targets")
+    prior = float(tot["_s"]) / float(tot["_n"]) / 1e6
+    enc = (
+        F.col("_s1").cast("double") / F.lit(1000000.0)
+        + F.lit(float(smoothing)) * F.lit(prior)
+    ) / (F.col("n").cast("double") + F.lit(float(smoothing)))
+    return per.select(
+        "value",
+        F.col("n").cast("long").alias("n"),
+        F.round(enc, 6).alias("enc"),
+    )
+
+
+def apply_encoding(
+    df: DataFrame,
+    col: str,
+    fit: DataFrame,
+    out_col: str,
+    enc_col: str = "enc",
+    default: float | None = None,
+) -> DataFrame:
+    """Broadcast the fit table onto the serve frame (null-safe on the
+    category, so NULL categories hit their fitted row).  Categories the
+    fit never saw get ``default`` (pass the fitted prior; None leaves
+    NULL — loud, never silently zero)."""
+    m = F.broadcast(
+        fit.select(F.col("value").alias("_v"), F.col(enc_col).alias("_e"))
+    )
+    joined = df.join(m, F.col(col).eqNullSafe(F.col("_v")), "left")
+    fallback = F.lit(default).cast("double") if default is not None else F.lit(
+        None
+    ).cast("double")
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(F.col("_e"), fallback).alias(out_col),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Percentile clipping: fit round-6 [lower_q, upper_q] edges on the
+    column (one percentile aggregate — the fit_quantile_bins contract:
+    persistable, bit-stable through any writer) and clip with
+    least/greatest (pure projection).  Appends ``{col}_winsorized`` and
+    ``clipped``; NULL passes through unclipped (no evidence)."""
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError(
+            f"winsorize: need 0 <= lower_q < upper_q <= 1, got "
+            f"({lower_q}, {upper_q})"
+        )
+    row = df.agg(
+        F.round(
+            F.expr(f"percentile(cast({col} as double), {lower_q!r})"), 6
+        ).alias("_lo"),
+        F.round(
+            F.expr(f"percentile(cast({col} as double), {upper_q!r})"), 6
+        ).alias("_hi"),
+    ).collect()[0]
+    lo, hi = row["_lo"], row["_hi"]
+    if lo is None:
+        raise ValueError(f"winsorize: column {col} is all NULL")
+    v = F.col(col).cast("double")
+    clipped = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .otherwise(clipped)
+        .alias(f"{col}_winsorized"),
+        F.when(v.isNull(), F.lit(None).cast("boolean"))
+        .otherwise((v < F.lit(lo)) | (v > F.lit(hi)))
+        .alias("clipped"),
+    )
+
+
+def target_prior(df: DataFrame, target_col: str) -> float:
+    """The global mean of a target column under the encoder's exact-sum
+    contract (micro-quantized decimal sums → one double division),
+    round 6 — the ``default`` to hand apply_encoding for unseen
+    categories."""
+    t = F.col(target_col)
+    vm = F.round(t * F.lit(1000000.0)).cast("long").cast("decimal(38,0)")
+    row = df.filter(t.isNotNull()).agg(
+        F.sum(vm).alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).collect()[0]
+    if not row["_n"]:
+        raise ValueError("target_prior: no non-NULL targets")
+    return round(float(row["_s"]) / float(row["_n"]) / 1e6, 6)

@@ -9840,6 +9840,102 @@ def embedding_drift_snapshots(spark, sf_dir) -> DataFrame:
     return drift.embedding_drift(base, cur)
 
 
+@query(
+    "frequency_encoding_events",
+    oracle="""
+    SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST((SELECT count(*) FROM events) AS DOUBLE), 6)
+             AS freq
+    FROM events GROUP BY 1
+    """,
+)
+def frequency_encoding_events(spark, sf_dir) -> DataFrame:
+    """Frequency encoding fit table (stats.fit_frequency_encoding): one
+    grouped scan over event_type; NULL would be a real category.  All
+    category rows value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.fit_frequency_encoding(ev, "event_type")
+
+
+@query(
+    "target_encoding_events",
+    oracle="""
+    WITH train AS (SELECT event_type, value FROM events
+                   WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    per AS (SELECT event_type AS v,
+                   sum(CAST(CAST(round(value * 1e6) AS BIGINT) AS HUGEINT))
+                     AS s1,
+                   count(*) AS n
+            FROM train GROUP BY 1),
+    pri AS (SELECT CAST(sum(s1) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 1e6
+                     AS prior
+            FROM per),
+    fit AS (SELECT v, round((CAST(s1 AS DOUBLE) / 1e6 + 1e1 * prior)
+                            / (CAST(n AS DOUBLE) + 1e1), 6) AS enc
+            FROM per, pri),
+    serve AS (SELECT event_id,
+                     CASE WHEN event_id % 997 = 1 THEN 'unseen_cat'
+                          ELSE event_type END AS cat
+              FROM events WHERE event_id % 2 = 1)
+    SELECT s.event_id, s.cat,
+           coalesce(fit.enc, round(pri.prior, 6)) AS value_encoded
+    FROM serve s LEFT JOIN fit ON s.cat IS NOT DISTINCT FROM fit.v, pri
+    """,
+)
+def target_encoding_events(spark, sf_dir) -> DataFrame:
+    """Smoothed target encoding, fit/transform split (stats.
+    fit_target_encoding m=10 + apply_encoding + target_prior): fit on the
+    even event_id half (category=event_type, target=value), apply to the
+    odd half where every 997th id carries a planted 'unseen_cat' — the
+    unseen arm falls back to the fitted prior (loudly passed as default,
+    never silent zero).  Exact decimal moment sums make prior and every
+    encoding bit-identical across engines; the fit table broadcasts,
+    applied null-safe.  All 5,000 serve rows value-checked, both arms
+    populated."""
+    ev = load_table(spark, sf_dir, "events")
+    train = ev.filter(F.col("event_id") % 2 == 0)
+    fit = stats.fit_target_encoding(train, "event_type", "value", smoothing=10.0)
+    prior = stats.target_prior(train, "value")
+    serve = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        F.when(F.col("event_id") % 997 == 1, F.lit("unseen_cat"))
+        .otherwise(F.col("event_type"))
+        .alias("cat"),
+    )
+    return stats.apply_encoding(
+        serve, "cat", fit, "value_encoded", default=prior
+    )
+
+
+@query(
+    "winsorize_events",
+    oracle="""
+    WITH ed AS (SELECT round(quantile_cont(CAST(value AS DOUBLE),
+                              CAST(0.05 AS DOUBLE)), 6) AS lo,
+                       round(quantile_cont(CAST(value AS DOUBLE),
+                              CAST(0.95 AS DOUBLE)), 6) AS hi
+                FROM events)
+    SELECT event_id, value,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(greatest(CAST(value AS DOUBLE), lo), hi)
+           END AS value_winsorized,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE CAST(value AS DOUBLE) < lo OR CAST(value AS DOUBLE) > hi
+           END AS clipped
+    FROM events, ed
+    """,
+)
+def winsorize_events(spark, sf_dir) -> DataFrame:
+    """Percentile clipping (stats.winsorize at [p05, p95]): round-6
+    persistable edges fitted in one percentile aggregate (the
+    fit_quantile_bins contract), then a pure least/greatest projection —
+    ~10% of rows clip by construction, so both ``clipped`` arms fire.
+    The oracle fits quantile_cont (the percentile-equivalent
+    interpolation) and replays the clip — all 10,000 rows value-checked."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return stats.winsorize(ev, "value", lower_q=0.05, upper_q=0.95)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

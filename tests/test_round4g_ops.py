@@ -984,3 +984,99 @@ def test_embedding_drift_partition_invariance(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+# ------------------------------------------------------ feature encoders ----
+
+from jsons_to_schema_spark.operators.stats import (
+    apply_encoding,
+    fit_frequency_encoding,
+    fit_target_encoding,
+    target_prior,
+    winsorize,
+)
+
+
+def _enc_rows():
+    return [
+        ("a", 10.0), ("a", 12.0), ("a", 14.0),
+        ("b", 100.0),
+        (None, 50.0), (None, 52.0),
+        ("c", None),  # NULL target: no evidence for target encoding
+    ]
+
+
+def test_frequency_encoding_counts_null_category(spark):
+    df = spark.createDataFrame(_enc_rows(), "cat string, y double")
+    got = {r["value"]: (r["n"], r["freq"]) for r in
+           fit_frequency_encoding(df, "cat").collect()}
+    assert got["a"] == (3, round(3 / 7, 6))
+    assert got[None] == (2, round(2 / 7, 6))
+    assert got["c"] == (1, round(1 / 7, 6))
+
+
+def test_target_encoding_hand_computed(spark):
+    df = spark.createDataFrame(_enc_rows(), "cat string, y double")
+    fit = {r["value"]: r["enc"] for r in
+           fit_target_encoding(df, "cat", "y", smoothing=2.0).collect()}
+    vals = {"a": [10.0, 12.0, 14.0], "b": [100.0], None: [50.0, 52.0]}
+    s = sum(sum(v) for v in vals.values())
+    n = sum(len(v) for v in vals.values())
+    prior = s / n
+    for cat, xs in vals.items():
+        exp = (sum(xs) + 2.0 * prior) / (len(xs) + 2.0)
+        assert abs(fit[cat] - exp) < 2e-6, cat
+    assert "c" not in fit  # its only target was NULL
+    # smoothing pulls the singleton hardest toward the prior
+    assert abs(fit["b"] - prior) < abs(100.0 - prior)
+    assert abs(target_prior(df, "y") - round(prior, 6)) < 2e-6
+
+
+def test_apply_encoding_unseen_and_null_safe(spark):
+    df = spark.createDataFrame(_enc_rows(), "cat string, y double")
+    fit = fit_target_encoding(df, "cat", "y", smoothing=2.0)
+    serve = spark.createDataFrame(
+        [("a",), ("zz",), (None,)], "cat string"
+    )
+    got = {r["cat"]: r["enc_out"] for r in
+           apply_encoding(serve, "cat", fit, "enc_out", default=7.5).collect()}
+    fitted = {r["value"]: r["enc"] for r in fit.collect()}
+    assert got["a"] == fitted["a"]
+    assert got[None] == fitted[None]  # NULL category hits its fitted row
+    assert got["zz"] == 7.5           # unseen falls back loudly
+    no_default = apply_encoding(serve, "cat", fit, "enc_out").collect()
+    assert {r["cat"]: r["enc_out"] for r in no_default}["zz"] is None
+
+
+def test_winsorize_hand_computed(spark):
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, v double")
+    out = winsorize(df, "v", 0.10, 0.90).collect()
+    lo = round(1 + 0.10 * 99, 6)   # percentile interpolation on 1..100
+    hi = round(1 + 0.90 * 99, 6)
+    for r in out:
+        assert r["v_winsorized"] == min(max(r["v"], lo), hi)
+        assert r["clipped"] == (r["v"] < lo or r["v"] > hi)
+    assert sum(1 for r in out if r["clipped"]) == 20
+
+
+def test_winsorize_null_passthrough_and_validation(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "i long, v double")
+    got = {r["i"]: (r["v_winsorized"], r["clipped"]) for r in
+           winsorize(df, "v", 0.0, 1.0).collect()}
+    assert got[1] == (None, None)
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
+    with pytest.raises(ValueError):
+        winsorize(df.filter("v IS NULL"), "v")
+
+
+def test_encoders_partition_invariance(spark):
+    rows = [(f"c{i % 11}", float(i % 17)) for i in range(500)]
+    outs = []
+    for parts in (1, 9):
+        df = spark.createDataFrame(rows, "cat string, y double").repartition(parts)
+        fit = fit_target_encoding(df, "cat", "y", smoothing=5.0)
+        outs.append(sorted(tuple(r) for r in fit.collect()))
+    assert outs[0] == outs[1]
