@@ -9936,6 +9936,21 @@ def winsorize_events(spark, sf_dir) -> DataFrame:
     return stats.winsorize(ev, "value", lower_q=0.05, upper_q=0.95)
 
 
+@query("compression_ratio_documents")  # pinned-snapshot oracle (oracle_constants.json)
+def compression_ratio_documents(spark, sf_dir) -> DataFrame:
+    """DEFLATE compression-ratio quality signal (text.compression_ratio,
+    zlib level 6) over every document — the classic cheap junk detector
+    (templated text compresses far below prose; noise sits near 1.0).
+    One Arrow-batched projection, no shuffle, no per-row Python.  The
+    ratio is a pure function of the text bytes — deterministic under any
+    partitioning — so the driver check uses the pinned-snapshot oracle
+    (double-run guard, the LSH/BPE convention); the ordering claims
+    (repeated text < prose < incompressible hex noise) are asserted in
+    tests/test_round4g_ops.py rather than pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compression_ratio(docs, "text", "doc_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -32,6 +32,7 @@ from jsons_to_schema_spark.session import get_spark  # noqa: E402
 
 NAMES = [
     "bpe_vocab_documents",
+    "compression_ratio_documents",
     "dedup_incremental_minhash",
     "dedup_minhash_documents",
     "dedup_semantic_embeddings",

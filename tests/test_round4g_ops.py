@@ -1080,3 +1080,59 @@ def test_encoders_partition_invariance(spark):
         fit = fit_target_encoding(df, "cat", "y", smoothing=5.0)
         outs.append(sorted(tuple(r) for r in fit.collect()))
     assert outs[0] == outs[1]
+
+
+# --------------------------------------------------- compression ratio ----
+
+from jsons_to_schema_spark.operators.text import compression_ratio
+
+
+def test_compression_ratio_orders_junk_prose_noise(spark):
+    import hashlib as _h
+
+    repeated = "spam ham " * 200
+    prose = (
+        "the quick brown fox jumps over a lazy dog while seventeen "
+        "sparrows argue about parquet footers and shuffle partitions "
+    ) * 12
+    noise = "".join(
+        _h.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, repeated), (2, prose), (3, noise), (4, ""), (5, None)],
+        "id long, text string",
+    )
+    got = {r["id"]: r["compression_ratio"] for r in
+           compression_ratio(df, "text", "id").collect()}
+    assert got[1] < got[2] < got[3]
+    assert got[1] < 0.05          # pure repetition collapses
+    assert got[3] > 0.5           # hex noise barely compresses
+    assert got[4] is None and got[5] is None
+
+
+def test_compression_ratio_exact_zlib(spark):
+    import zlib
+
+    s = "abcabcabc some text worth compressing " * 5
+    df = spark.createDataFrame([(1, s)], "id long, text string")
+    r = compression_ratio(df, "text", "id").collect()[0]
+    raw = s.encode()
+    assert r["compression_ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert r["n_chars"] == len(s)
+
+
+def test_compression_ratio_partition_invariance(spark):
+    rows = [(i, f"doc {i} " * (i % 9 + 1)) for i in range(60)]
+    outs = []
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "id long, text string").repartition(parts)
+        outs.append(
+            sorted(tuple(r) for r in compression_ratio(df, "text", "id").collect())
+        )
+    assert outs[0] == outs[1]
+
+
+def test_compression_ratio_rejects_bad_level(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        compression_ratio(df, "text", "id", level=0)
