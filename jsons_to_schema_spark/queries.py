@@ -91,6 +91,23 @@ _JSONL_DOCS_TOKEN = "__JSONL_DOCS__"
 
 
 _FOOTER_DIR_TOKEN = "__FOOTER_AUDIT_DIR__"
+# ';'-delimited CSV export of three events columns (the CSV-ingest fixture;
+# lazily exported, source-fingerprinted — the JSONL convention)
+_CSV_EVENTS_TOKEN = "__CSV_EVENTS__"
+
+
+def _csv_events_path() -> str:
+    from .sources.csvx import export_table_csv
+
+    return str(
+        export_table_csv(
+            "/root/testdata/sf0.01",
+            "events",
+            "event_id",
+            ["event_id", "event_type", "value"],
+            delimiter=";",
+        )
+    )
 
 
 def _footer_audit_dir() -> str:
@@ -149,6 +166,11 @@ def resolve_oracles() -> dict:
         out = {
             name: sql.replace(_SPANS_GLOB_TOKEN, glob).replace(_CATALOG_PQ_TOKEN, cat)
             for name, sql in out.items()
+        }
+    if any(_CSV_EVENTS_TOKEN in sql for sql in out.values()):
+        p = _csv_events_path()
+        out = {
+            name: sql.replace(_CSV_EVENTS_TOKEN, p) for name, sql in out.items()
         }
     if any(_JSONL_DOCS_TOKEN in sql for sql in out.values()):
         p = export_table_jsonl("/root/testdata/sf0.01", "documents", "doc_id")
@@ -9949,6 +9971,42 @@ def compression_ratio_documents(spark, sf_dir) -> DataFrame:
     tests/test_round4g_ops.py rather than pinned."""
     docs = load_table(spark, sf_dir, "documents")
     return text.compression_ratio(docs, "text", "doc_id")
+
+
+@query(
+    "csv_ingest_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_sum_micro
+    FROM read_csv('__CSV_EVENTS__', delim=';', header=true)
+    GROUP BY 1
+    """,
+)
+def csv_ingest_events(spark, sf_dir) -> DataFrame:
+    """CSV ingest with dialect sniffing (sources.csvx): three events
+    columns exported as a ';'-delimited, headered CSV fixture (lazy,
+    source-fingerprinted), then read back with NO options given —
+    sniff_csv_dialect detects the delimiter by quote-aware field-count
+    consistency over a bounded driver-side prefix and the header by the
+    type-disagreement test, and read_csv_inferred hands the dialect to
+    Spark's splittable CSV scan with schema inference.  The aggregate
+    quantizes value to exact integer micro-units (sum of longs — parsing
+    the same decimal strings yields identical doubles in both engines, so
+    quantization is bit-identical).  The oracle reads the SAME bytes with
+    DuckDB's CSV reader under the explicit dialect — per-type counts and
+    exact sums value-checked."""
+    from .sources.csvx import read_csv_inferred
+
+    path = _csv_events_path()
+    df = read_csv_inferred(spark, path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * F.lit(1000000.0)).cast("long")).alias(
+            "value_sum_micro"
+        ),
+    )
 
 
 def _load_constant_oracles() -> None:

@@ -1136,3 +1136,63 @@ def test_compression_ratio_rejects_bad_level(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError):
         compression_ratio(df, "text", "id", level=0)
+
+
+# ------------------------------------------------------------ csv sniff ----
+
+from jsons_to_schema_spark.sources.csvx import (
+    read_csv_inferred,
+    sniff_csv_dialect,
+)
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return p
+
+
+def test_sniff_detects_delimiters(tmp_path):
+    cases = {
+        ",": "a,b,c\n1,2,3\n4,5,6\n",
+        ";": "a;b;c\n1;2;3\n4;5;6\n",
+        "\t": "a\tb\tc\n1\t2\t3\n",
+        "|": "a|b|c\n1|2|3\n",
+    }
+    for delim, content in cases.items():
+        d = sniff_csv_dialect(_write(tmp_path, f"x{ord(delim)}.csv", content))
+        assert d["delimiter"] == delim and d["n_fields"] == 3
+        assert d["header"] is True
+
+
+def test_sniff_quote_aware_and_headerless(tmp_path):
+    # commas inside quotes are payload; ';' is the consistent delimiter
+    p = _write(tmp_path, "q.csv", '1;"x, y";2\n3;"a, b";4\n')
+    d = sniff_csv_dialect(p)
+    assert d["delimiter"] == ";" and d["n_fields"] == 3
+    assert d["header"] is False  # first line is numeric -> data, not header
+
+
+def test_sniff_single_column_fallback(tmp_path):
+    p = _write(tmp_path, "s.csv", "hello\nworld\nagain\n")
+    d = sniff_csv_dialect(p)
+    assert d["n_fields"] == 1
+
+
+def test_read_csv_inferred_roundtrip(spark, tmp_path):
+    p = _write(
+        tmp_path, "t.csv", "id;name;score\n1;alpha;1.5\n2;beta;2.5\n3;gamma;-1.0\n"
+    )
+    df = read_csv_inferred(spark, p)
+    assert df.columns == ["id", "name", "score"]
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -1.0)]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "string", "double",
+    ]
+
+
+def test_sniff_rejects_empty(tmp_path):
+    p = _write(tmp_path, "e.csv", "")
+    with pytest.raises(ValueError):
+        sniff_csv_dialect(p)
