@@ -778,3 +778,218 @@ def anomalous_transitions(
     return pairs.join(F.broadcast(rare), ["from_state", "to_state"]).select(
         "key", "order_at", "from_state", "to_state", "p"
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis — Kaplan-Meier product-limit estimator (round-4 wave 37)
+# ---------------------------------------------------------------------------
+
+def survival_curve(
+    df: DataFrame, duration_col: str, observed_col: str
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate — the churn/retention
+    readout ``cohort_retention`` cannot give once subjects enter at
+    different times and leave the observation window alive: censored
+    subjects (``observed`` false) stay in the risk set up to their
+    duration and then drop out WITHOUT counting as an event, which is
+    exactly the correction naive "share still active after t days"
+    queries get wrong.
+
+    Input contract: ONE row per subject; ``duration_col`` numeric time
+    from the subject's origin to its event or censoring; ``observed_col``
+    boolean (true = the event happened at ``duration``, false = censored
+    there).  Rows with a NULL duration or NULL observed flag carry no
+    risk-set evidence and are excluded (the ``transition_profile``
+    NULL-mask stance).
+
+    Output: one row per distinct duration ``t`` with ``n_risk`` (subjects
+    still at risk just before t), ``n_event``, ``n_censored``, the KM
+    ``survival`` S(t) and the Greenwood standard error ``std_err``.
+
+    Exactness discipline: S(t) = Π(1 − d_i/n_i) is computed in LOG space
+    — per-time term round6(ln((n_i−d_i)/n_i)) summed by an ORDERED
+    cumulative window, then round6(exp(·)) — so the doubles fold in the
+    same order from identical inputs in both correctness engines (the
+    bigram-LM / tfidf idf-rounding rule).  Greenwood terms
+    d/(n·(n−d)) are round(·, 12), not 6: their magnitude is 1e-6..1e-3
+    and a 6-digit grid would zero the sum; 12 keeps them exact on the
+    shared grid while the final ``std_err`` lands on the usual round-6
+    grid.  A time where EVERY at-risk subject dies (d == n) has factor 0:
+    the log term is undefined there, so a cumulative died-out flag pins
+    ``survival`` to exactly 0.0 from that time on (std_err NULL —
+    Greenwood is undefined at S=0).
+
+    Scale shape: the corpus-sized work is ONE map-side-partial grouped
+    count on duration; everything after is windows over the cell table,
+    bounded by DISTINCT durations (calendar-bounded in practice — the
+    ``level_shift`` precedent for a global ordered window over a bounded
+    frame)."""
+    d, o = F.col(duration_col), F.col(observed_col)
+    cells = (
+        df.filter(d.isNotNull() & o.isNotNull())
+        .groupBy(d.alias("t"))
+        .agg(
+            F.sum(F.when(o, 1).otherwise(0)).cast("long").alias("n_event"),
+            F.sum(F.when(o, 0).otherwise(1)).cast("long").alias("n_censored"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at = F.col("n_event") + F.col("n_censored")
+    risk = cells.withColumn(
+        "n_risk",
+        (
+            F.sum(at).over(w_all)
+            - F.coalesce(F.sum(at).over(w_prior), F.lit(0))
+        ).cast("long"),
+    )
+    nr, ne = F.col("n_risk"), F.col("n_event")
+    alive = (nr - ne).cast("double")
+    lg = risk.select(
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(ne < nr, F.round(F.log(alive / nr.cast("double")), 6)).alias("_lt"),
+        F.when(ne >= nr, 1).otherwise(0).alias("_z"),
+        F.when(
+            ne < nr,
+            F.round(ne.cast("double") / (nr.cast("double") * alive), 12),
+        ).alias("_g"),
+    )
+    surv = F.when(F.sum("_z").over(w_cum) > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum("_lt").over(w_cum)), 6)
+    )
+    out = lg.select(
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        surv.alias("survival"),
+        F.sum("_g").over(w_cum).alias("_sg"),
+    )
+    return out.select(
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        "survival",
+        F.when(
+            F.col("survival") > 0,
+            F.round(F.col("survival") * F.sqrt(F.col("_sg")), 6),
+        ).alias("std_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round-4 wave 37)
+# ---------------------------------------------------------------------------
+
+def rfm_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    k: int = 5,
+    asof_us: "int | None" = None,
+) -> DataFrame:
+    """Recency / Frequency / Monetary segmentation — the behavioral
+    profile master-data teams run right after entity resolution: per key,
+    days since last activity, activity count, and exact monetary total,
+    each scored into k quantile buckets and fused into an ``segment``
+    label.  Scores are 1..k with k best: recency is REVERSED (most recent
+    → k) so every score reads "higher is better", the classic RFM
+    convention.
+
+    Exactness: monetary folds as micro-unit longs (the ab_test scan
+    quantization) and only becomes a round-6 double for scoring; recency
+    is an exact integer day floor against ``asof_us`` (given, or the
+    table's own max — a self-as-of report, the ``freshness`` stance);
+    quantile edges are fitted ONCE on the per-key frame (one multi-array
+    percentile aggregate), round-6, and ride into the plan as array
+    literals (``stats.apply_bins`` — strictly-below count, boundary ties
+    fall LOW in both engines).  NULL keys / NULL timestamps carry no
+    evidence and are excluded; NULL amounts count activity but add 0
+    monetary.
+
+    Scale shape: ONE corpus-sized shuffle (the per-key aggregate); the
+    per-key frame is pinned (lazy localCheckpoint — the double-scan sweep
+    rule) because the edge fit and the scored output both read it; the
+    edge row collects k-bounded floats to the driver exactly like every
+    other persisted-model read (IVF centroids, quantile bins)."""
+    from .stats import _epoch_us_col, apply_bins
+
+    if k < 2:
+        raise ValueError("rfm_report: need k >= 2 score buckets")
+    key, amt = F.col(key_col), F.col(amount_col)
+    us = _epoch_us_col(df, ts_col)
+    per = (
+        df.filter(key.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(key.alias("key"))
+        .agg(
+            F.max(us).alias("_last_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.coalesce(F.round(amt * 1e6).cast("long"), F.lit(0))
+            ).alias("_m_micro"),
+        )
+    )
+    # pinned: the frame feeds the asof fold, the edge fit AND the scored
+    # output — unpinned, the corpus aggregate would run three times
+    per = per.localCheckpoint(eager=False)
+    if asof_us is None:
+        asof_row = per.agg(F.max("_last_us").alias("a")).first()
+        asof_val = asof_row["a"] if asof_row is not None else None
+        if asof_val is None:
+            asof_us = 0  # empty input: curve below is empty anyway
+        else:
+            asof_us = int(asof_val)
+    en = per.select(
+        "key",
+        F.floor((F.lit(int(asof_us)) - F.col("_last_us")) / F.lit(86400000000.0))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        F.round(F.col("_m_micro") / 1e6, 6).alias("monetary"),
+    )
+    probs = F.array(*[F.lit(i / k) for i in range(1, k)])
+    edge_row = en.agg(
+        F.percentile(F.col("recency_days").cast("double"), probs).alias("r"),
+        F.percentile(F.col("frequency").cast("double"), probs).alias("f"),
+        F.percentile(F.col("monetary"), probs).alias("m"),
+    ).first()
+    if edge_row is None or edge_row["r"] is None:
+        return en.select(
+            "key", "recency_days", "frequency", "monetary",
+            F.lit(None).cast("long").alias("r_score"),
+            F.lit(None).cast("long").alias("f_score"),
+            F.lit(None).cast("long").alias("m_score"),
+            F.lit(None).cast("string").alias("segment"),
+        )
+
+    def _edges(vals):
+        out, last = [], None
+        for v in vals:
+            r = round(float(v), 6)
+            if last is None or r > last:  # deduped: equal edges collapse
+                out.append(r)
+            last = r
+        return out
+
+    scored = apply_bins(en, "recency_days", _edges(edge_row["r"]), "_rb")
+    scored = apply_bins(scored, "frequency", _edges(edge_row["f"]), "_fb")
+    scored = apply_bins(scored, "monetary", _edges(edge_row["m"]), "_mb")
+    r_s = (F.lit(k) - F.col("_rb")).cast("long")
+    f_s = (F.col("_fb") + 1).cast("long")
+    m_s = (F.col("_mb") + 1).cast("long")
+    return scored.select(
+        "key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        F.concat_ws("-", r_s, f_s, m_s).alias("segment"),
+    )

@@ -10009,6 +10009,156 @@ def csv_ingest_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "survival_users_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    per AS (
+      SELECT CAST(floor((max(us) - min(us)) / 3600000000.0) AS BIGINT) AS t0,
+             max(CASE WHEN rn = 1 AND event_type = 'error'
+                      THEN 1 ELSE 0 END) = 1 AS obs
+      FROM ranked GROUP BY user_id),
+    cells AS (SELECT t0 AS t,
+                     CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_event,
+                     CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_censored
+              FROM per GROUP BY 1),
+    tot AS (SELECT sum(n_event + n_censored) AS n FROM cells),
+    risk AS (SELECT t, n_event, n_censored,
+                    CAST(n - coalesce(sum(n_event + n_censored) OVER
+                      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+             FROM cells, tot),
+    lg AS (SELECT t, n_event, n_censored, n_risk,
+            CASE WHEN n_event < n_risk
+                 THEN round(ln(CAST(n_risk - n_event AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)), 6) END AS lt,
+            CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END AS z,
+            CASE WHEN n_event < n_risk
+                 THEN round(CAST(n_event AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk - n_event AS DOUBLE)), 12)
+            END AS g
+           FROM risk),
+    cum AS (SELECT t, n_risk, n_event, n_censored,
+                   sum(z) OVER w AS zc, sum(lt) OVER w AS sl,
+                   sum(g) OVER w AS sg
+            FROM lg
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+    SELECT t, n_risk, n_event, n_censored,
+           CASE WHEN zc > 0 THEN 0.0 ELSE round(exp(sl), 6) END AS survival,
+           CASE WHEN zc > 0 THEN NULL
+                WHEN round(exp(sl), 6) > 0
+                THEN round(round(exp(sl), 6) * sqrt(sg), 6) END AS std_err
+    FROM cum
+    """,
+)
+def survival_users_events(spark, sf_dir) -> DataFrame:
+    """Kaplan-Meier survival curve (temporal.survival_curve) over per-user
+    lifetimes derived from events: duration = exact integer HOUR floor
+    between a user's first and last event (hours, not days — the sf
+    generator packs lifetimes into ~1 month, day floors would collapse the
+    curve to four times), observed = the user's FINAL event is an 'error'
+    (churned-with-error; the deterministic tie-break is the unique
+    event_id riding inside a struct max, row_number DESC in the oracle).
+    "Every user ever errors" made the naive proxy degenerate — final-event
+    gives ~20% observed, so BOTH arms are populated at sf0.01: users whose
+    last sighting is benign are CENSORED there and stay in the risk set,
+    the correction naive retention queries miss.  Log-space product with
+    per-term round6 + ordered cumulative windows keeps every survival
+    value bit-identical across engines; Greenwood terms round at 12
+    (1e-6-scale magnitudes).  Every curve row — risk set, events,
+    censorings, survival, std_err — value-checked against the full
+    relational replay."""
+    ev = load_table(spark, sf_dir, "events")
+    us = stats._epoch_us_col(ev, "ts")
+    per = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.floor((F.max(us) - F.min(us)) / F.lit(3600000000.0))
+            .cast("long")
+            .alias("duration_hours"),
+            F.max(
+                F.struct(
+                    us.alias("us"),
+                    F.col("event_id").alias("eid"),
+                    (F.col("event_type") == "error").alias("err"),
+                )
+            )["err"].alias("observed"),
+        )
+    )
+    return temporal.survival_curve(per, "duration_hours", "observed")
+
+
+@query(
+    "rfm_orders",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS key,
+             max(epoch_us(o_orderdate)) AS last_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(CAST(round(o_totalprice * 1e6) AS BIGINT) AS HUGEINT))
+               AS m_micro
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY 1),
+    a AS (SELECT max(last_us) AS asof_us FROM per),
+    en AS (SELECT key,
+                  CAST(floor((asof_us - last_us) / 86400000000.0) AS BIGINT)
+                    AS recency_days,
+                  frequency,
+                  round(CAST(m_micro AS DOUBLE) / 1e6, 6) AS monetary
+           FROM per, a),
+    ed AS (SELECT
+      list_sort(list_distinct(list_transform(
+        quantile_cont(CAST(recency_days AS DOUBLE),
+                      [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)))) AS er,
+      list_sort(list_distinct(list_transform(
+        quantile_cont(CAST(frequency AS DOUBLE),
+                      [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)))) AS ef,
+      list_sort(list_distinct(list_transform(
+        quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+        e -> round(e, 6)))) AS em
+      FROM en),
+    sc AS (SELECT key, recency_days, frequency, monetary,
+             5 - len(list_filter(er, e -> e < CAST(recency_days AS DOUBLE)))
+               AS r_score,
+             len(list_filter(ef, e -> e < CAST(frequency AS DOUBLE))) + 1
+               AS f_score,
+             len(list_filter(em, e -> e < monetary)) + 1 AS m_score
+           FROM en, ed)
+    SELECT key, recency_days, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           concat(r_score, '-', f_score, '-', m_score) AS segment
+    FROM sc
+    """,
+)
+def rfm_orders(spark, sf_dir) -> DataFrame:
+    """RFM segmentation (temporal.rfm_report, k=5) over orders per
+    customer: exact integer-day recency against the table's own last
+    order (self-as-of), order counts, micro-unit-exact monetary totals;
+    quantile edges fitted once (round-6, DEDUPED — frequency quantiles
+    tie at small integer counts and a duplicated edge would double-count
+    in the strictly-below assignment), scores 1..5 with recency reversed
+    so higher is better, fused ','-free segment label.  All ~1,000
+    customer rows value-checked against the quantile_cont + list_filter
+    replay."""
+    orders = load_table(spark, sf_dir, "orders")
+    return temporal.rfm_report(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", k=5
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -1196,3 +1196,155 @@ def test_sniff_rejects_empty(tmp_path):
     p = _write(tmp_path, "e.csv", "")
     with pytest.raises(ValueError):
         sniff_csv_dialect(p)
+
+
+# ------------------------------------------- Kaplan-Meier survival curve ----
+
+from jsons_to_schema_spark.operators.temporal import rfm_report, survival_curve
+
+
+def _km_expected(subjects):
+    """Reference KM replay with the operator's exact rounding discipline:
+    per-time round6 log terms, ordered cumulative sum, round6 exp;
+    Greenwood terms round12."""
+    cells = {}
+    for dur, obs in subjects:
+        if dur is None or obs is None:
+            continue
+        e, c = cells.get(dur, (0, 0))
+        cells[dur] = (e + 1, c) if obs else (e, c + 1)
+    total = sum(e + c for e, c in cells.values())
+    out, seen, slog, sg, dead = [], 0, 0.0, 0.0, False
+    for t in sorted(cells):
+        e, c = cells[t]
+        n_risk = total - seen
+        seen += e + c
+        if e >= n_risk:
+            dead = True
+        else:
+            slog += round(math.log((n_risk - e) / n_risk), 6)
+            sg += round(e / (n_risk * (n_risk - e)), 12)
+        surv = 0.0 if dead else round(math.exp(slog), 6)
+        se = round(surv * math.sqrt(sg), 6) if surv > 0 else None
+        out.append((t, n_risk, e, c, surv, se))
+    return out
+
+
+def _subjects():
+    # mixed events and censorings, ties at t=2, no event at t=4
+    return [(1, True), (2, True), (2, False), (3, True), (4, False)]
+
+
+def test_survival_hand_computed(spark):
+    df = spark.createDataFrame(_subjects(), "dur long, obs boolean")
+    got = sorted(tuple(r) for r in survival_curve(df, "dur", "obs").collect())
+    assert got == _km_expected(_subjects())
+    # sanity on the classic numbers: S(1)=4/5, S(2)=.8*3/4, S(3)=.6*1/2
+    by_t = {r[0]: r[4] for r in got}
+    assert abs(by_t[1] - 0.8) < 2e-6
+    assert abs(by_t[2] - 0.6) < 2e-6
+    assert abs(by_t[3] - 0.3) < 2e-6
+    assert by_t[4] == by_t[3]  # censoring-only time leaves S unchanged
+
+
+def test_survival_censored_stay_in_risk_set(spark):
+    # the correction naive retention misses: censored at t=2 still count
+    # in n_risk at t=2 but do NOT drop survival
+    df = spark.createDataFrame(_subjects(), "dur long, obs boolean")
+    rows = {r["t"]: r for r in survival_curve(df, "dur", "obs").collect()}
+    assert rows[2]["n_risk"] == 4 and rows[2]["n_censored"] == 1
+    assert rows[4]["n_event"] == 0 and rows[4]["survival"] > 0
+
+
+def test_survival_extinction_pins_zero(spark):
+    # t=1: n=3 d=1; t=2: n=2 d=2 -> every at-risk subject dies at t=2
+    subj = [(1, True), (2, True), (2, True)]
+    df = spark.createDataFrame(subj, "dur long, obs boolean")
+    rows = {r["t"]: r for r in survival_curve(df, "dur", "obs").collect()}
+    assert rows[2]["survival"] == 0.0 and rows[2]["std_err"] is None
+
+
+def test_survival_nulls_excluded_and_partition_invariance(spark):
+    subj = _subjects() + [(None, True), (5, None)]
+    a = spark.createDataFrame(subj, "dur long, obs boolean")
+    got1 = sorted(tuple(r) for r in survival_curve(a, "dur", "obs").collect())
+    got8 = sorted(
+        tuple(r)
+        for r in survival_curve(a.repartition(8), "dur", "obs").collect()
+    )
+    assert got1 == got8 == _km_expected(_subjects())
+
+
+# ---------------------------------------------------------- RFM report ----
+
+
+def _purchases(spark, parts=1):
+    import datetime as dt
+
+    rows = []
+    # key A: recent, frequent, big spender; key B: stale, rare, small;
+    # key C: middle on all three axes
+    base = dt.datetime(2024, 1, 1)
+    for d, amt in [(98, 50.0), (99, 70.0), (100, 80.0)]:
+        rows.append(("A", base + dt.timedelta(days=d), amt))
+    rows.append(("B", base + dt.timedelta(days=10), 1.0))
+    for d, amt in [(50, 10.0), (60, 12.0)]:
+        rows.append(("C", base + dt.timedelta(days=d), amt))
+    return spark.createDataFrame(
+        rows, "k string, ts timestamp, amt double"
+    ).repartition(parts)
+
+
+def test_rfm_hand_computed(spark):
+    out = {
+        r["key"]: r
+        for r in rfm_report(_purchases(spark), "k", "ts", "amt", k=2).collect()
+    }
+    # as-of = A's last purchase (day 100)
+    assert out["A"]["recency_days"] == 0 and out["B"]["recency_days"] == 90
+    assert out["C"]["recency_days"] == 40
+    assert out["A"]["frequency"] == 3 and out["B"]["frequency"] == 1
+    assert out["A"]["monetary"] == 200.0 and out["C"]["monetary"] == 22.0
+    # k=2 median split: medians r=40, f=2, m=22 — equal-to-edge falls LOW
+    assert out["A"]["segment"] == "2-2-2"  # best on all axes
+    assert out["B"]["segment"] == "1-1-1"  # worst on all axes
+    assert out["C"]["segment"] == "2-1-1"  # at the edge -> low -> r reversed
+    for r in out.values():
+        assert r["segment"] == f"{r['r_score']}-{r['f_score']}-{r['m_score']}"
+
+
+def test_rfm_explicit_asof_shifts_recency_only(spark):
+    import datetime as dt
+
+    asof = int(dt.datetime(2024, 4, 20, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    base = {
+        r["key"]: r
+        for r in rfm_report(_purchases(spark), "k", "ts", "amt", k=2).collect()
+    }
+    shifted = {
+        r["key"]: r
+        for r in rfm_report(
+            _purchases(spark), "k", "ts", "amt", k=2, asof_us=asof
+        ).collect()
+    }
+    for k in base:
+        assert shifted[k]["frequency"] == base[k]["frequency"]
+        assert shifted[k]["monetary"] == base[k]["monetary"]
+        assert shifted[k]["recency_days"] >= base[k]["recency_days"]
+
+
+def test_rfm_partition_invariance(spark):
+    a = sorted(
+        tuple(r)
+        for r in rfm_report(_purchases(spark, 1), "k", "ts", "amt", k=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in rfm_report(_purchases(spark, 7), "k", "ts", "amt", k=3).collect()
+    )
+    assert a == b
+
+
+def test_rfm_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        rfm_report(_purchases(spark), "k", "ts", "amt", k=1)
