@@ -993,3 +993,114 @@ def rfm_report(
         m_s.alias("m_score"),
         F.concat_ws("-", r_s, f_s, m_s).alias("segment"),
     )
+
+
+def disorder_profile(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    block_size: int = 1 << 20,
+    percentiles: "tuple[float, float, float]" = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Event-time disorder audit + watermark advisor: how out-of-order is
+    a feed, measured EXACTLY, without a global sort.
+
+    For every row, lateness = (max event time over all rows whose ingest
+    position ``order_col`` is <= this row's) - this row's event time: the
+    amount a streaming watermark would have had to lag to not drop it.
+    The naive formulation is a running max over the GLOBAL ingest order —
+    an ``Exchange SinglePartition`` window, the one shape this engine
+    plan-asserts against.  The scale-correct re-expression is two-level:
+
+    * rows bucket into contiguous ingest BLOCKS (``floor(order/block)`` —
+      order-preserving, so block ids are monotone in ingest position);
+      the within-block running max is a keyed window (one hash exchange,
+      parallel across blocks);
+    * block-level maxima are a BOUNDED table (n_rows / block_size rows;
+      size ``block_size`` so this stays ~10^6 at the target corpus — the
+      default 2^20 gives 10^6 blocks at 10^12 rows); the
+      exclusive prefix max over it is a window on that bounded table
+      only, broadcast-joined back;
+    * exact global running max = greatest(within-block running max,
+      previous-blocks prefix max) — provably, because blocks partition
+      the ingest prefix.
+
+    The block maxima fold from the SAME keyed window exchange (max of the
+    running max per block), so the corpus is scanned ONCE (ReusedExchange
+    — plan-asserted).  The RANGE window frame (not ROWS) makes ties in
+    ``order_col`` deterministic in both engines; rows with NULL order or
+    NULL timestamp are excluded from the running max (their window
+    position is engine-dependent) and surface in ``n_null`` instead of
+    vanishing.
+
+    Returns ONE row: n_rows, n_null, n_late, late_fraction (round-6),
+    max_late_us, p{50,95,99}_late_us over LATE rows only (exact
+    percentile, round-6; NULL when nothing is late), and
+    ``watermark_seconds`` = ceil(p99 lateness) — the delay that would
+    retain 99% of late rows (0 when nothing is late, never NULL: a clean
+    feed is an answer, not a missing value).
+    """
+    from .stats import _epoch_us_col
+
+    us_raw = _epoch_us_col(df, ts_col)
+    seq = F.col(order_col).cast("long")
+    base = df.select(
+        seq.alias("_seq"),
+        F.when(seq.isNotNull(), us_raw).alias("_us"),
+    )
+    base = base.withColumn(
+        "_blk", F.floor(F.col("_seq") / F.lit(int(block_size))).cast("long")
+    )
+
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("_seq")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win = base.withColumn("_run_in", F.max("_us").over(w_in))
+
+    blk = win.groupBy("_blk").agg(F.max("_run_in").alias("_bmax"))
+    w_blk = (
+        Window.orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded table: n/block_size rows — the single-partition window is
+    # over the aggregate, never the corpus
+    prefix = blk.select(
+        "_blk", F.max("_bmax").over(w_blk).alias("_prev_max")
+    )
+
+    rows = win.join(F.broadcast(prefix), on="_blk", how="left")
+    late = F.when(
+        F.col("_us").isNotNull(),
+        F.greatest(F.col("_run_in"), F.col("_prev_max")) - F.col("_us"),
+    )
+    rows = rows.select(late.alias("_late_us"))
+
+    p50, p95, p99 = percentiles
+    late_only = F.when(F.col("_late_us") > 0, F.col("_late_us"))
+    pct = F.percentile(
+        late_only, F.array(F.lit(p50), F.lit(p95), F.lit(p99))
+    )
+    agg = rows.agg(
+        F.count("_late_us").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("_late_us")).alias("n_null"),
+        F.count(late_only).alias("n_late"),
+        F.max("_late_us").alias("max_late_us"),
+        pct.alias("_pct"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_null",
+        "n_late",
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(F.col("n_late").cast("double") / F.col("n_rows"), 6),
+        ).alias("late_fraction"),
+        "max_late_us",
+        F.round(F.element_at("_pct", 1), 6).alias("p50_late_us"),
+        F.round(F.element_at("_pct", 2), 6).alias("p95_late_us"),
+        F.round(F.element_at("_pct", 3), 6).alias("p99_late_us"),
+        F.coalesce(
+            F.ceil(F.element_at("_pct", 3) / F.lit(1000000.0)), F.lit(0)
+        ).cast("long").alias("watermark_seconds"),
+    )

@@ -31,7 +31,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cdc, dedup, drift, multimodal, resolve, sample, similarity, stats, temporal, text, validate
+from .operators import cdc, dedup, drift, joins, multimodal, resolve, sample, similarity, stats, temporal, text, validate
 from .operators.infer import (
     infer_as_dataframe,
     infer_from_json_column,
@@ -10159,6 +10159,96 @@ def rfm_orders(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "disorder_profile_orders",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS seq,
+             CASE WHEN o_orderkey IS NOT NULL
+                  THEN epoch_us(o_orderdate) END AS us
+      FROM orders),
+    run AS (
+      SELECT us,
+             max(us) OVER (ORDER BY seq
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS rm
+      FROM base),
+    late AS (
+      SELECT CASE WHEN us IS NOT NULL THEN rm - us END AS late_us
+      FROM run)
+    SELECT CAST(count(late_us) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(late_us) AS BIGINT) AS n_null,
+           CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT)
+             AS n_late,
+           CASE WHEN count(late_us) > 0 THEN
+             round(CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS DOUBLE)
+                   / count(late_us), 6) END AS late_fraction,
+           max(late_us) AS max_late_us,
+           round(quantile_cont(CASE WHEN late_us > 0 THEN late_us END,
+                               0.5), 6) AS p50_late_us,
+           round(quantile_cont(CASE WHEN late_us > 0 THEN late_us END,
+                               0.95), 6) AS p95_late_us,
+           round(quantile_cont(CASE WHEN late_us > 0 THEN late_us END,
+                               0.99), 6) AS p99_late_us,
+           coalesce(CAST(ceil(quantile_cont(
+             CASE WHEN late_us > 0 THEN late_us END, 0.99)
+             / 1000000.0) AS BIGINT), 0) AS watermark_seconds
+    FROM late
+    """,
+)
+def disorder_profile_orders(spark, sf_dir) -> DataFrame:
+    """Event-time disorder audit + watermark advisor
+    (temporal.disorder_profile) over orders in o_orderkey ingest order:
+    exact per-row lateness vs the running event-time max WITHOUT a global
+    sort — contiguous ingest blocks get a keyed running-max window, the
+    bounded block-maxima table carries the only ordered (single-partition)
+    window, and the exclusive block-prefix max broadcasts back
+    (greatest(within-block, previous-blocks) is exactly the global running
+    max because blocks partition the ingest prefix).  block_size=1024
+    exercises ~15 blocks at sf0.01 / ~147 at sf0.1; orders is genuinely
+    disordered by orderkey (14,990/15,000 rows late at sf0.01).  Exact
+    percentiles over LATE rows only (round-6) and the ceil-seconds p99
+    watermark recommendation are value-checked against the full
+    running-max window replay."""
+    orders = load_table(spark, sf_dir, "orders")
+    return temporal.disorder_profile(
+        orders, "o_orderdate", "o_orderkey", block_size=1024
+    )
+
+
+@query(
+    "salted_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def salted_join_orders_customer(spark, sf_dir) -> DataFrame:
+    """Skew-mitigated equi-join (joins.salted_join): fact-side hot keys
+    (>= 16 orders per customer: 70 keys at sf0.01) are split across 8
+    deterministic xxhash64 salt sub-keys and the matching dimension rows
+    replicated, so one hot key fans out over 8 tasks instead of pinning
+    one reducer; cold keys join untouched and the union is the result.
+    The driver oracle IS the plain SQL join — the operator's contract
+    (salted result == unsalted join, row for row) is value-checked over
+    all 15,000 joined rows every round.  No CartesianProduct, no per-row
+    Python, deterministic under task retry (hash salt, never rand():
+    tests/test_round4h_ops.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+    )
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return joins.salted_join(
+        fact, dim, "custkey", how="inner", salt=8, hot_threshold=16
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -10262,7 +10352,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # mjpeg_frame_features exercises the same ISO BMFF demux end-to-end)
     "multimodal_mjpeg_frame_features",  # r4: fully real demux→range-read→
     # JPEG-decode (replaces the sha256-stub frame features in the window)
-    "multimodal_real_codec_features",
+    # (multimodal_real_codec_features demoted for the r4 eighth-continuation
+    # wave: mjpeg_frame_features keeps the real-codec family in-window with
+    # the strictly-harder demux→range-read→decode path, and the 280-payload
+    # six-format codec battery stays pinned-oracle pytest-checked every CI
+    # run)
     "constraint_suggestions_events",  # r4: deequ-style suggestion loop
     # (multimodal_frame_plan_from_durations demoted past the window: its
     # synthetic-horizon planner is superseded by multimodal_mp4_frame_plan's
@@ -10343,7 +10437,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # green r3 rows; the temperature-mixing path stays oracle-pytest-
     # checked at the same sf0.01 every CI run)
     "lm_perplexity_documents",      # bigram-LM quality scoring
-    "decontam_semantic_embeddings",  # embedding-space decontamination
+    # (decontam_semantic_embeddings demoted for the r4 eighth-continuation
+    # wave: decontam keeps the n-gram rep decontam_documents in-window, the
+    # embedding-cell machinery is driver-evidenced via the r3-green
+    # dedup_semantic_embeddings, and the semantic variant stays
+    # oracle-pytest-checked at the same sf0.01 every CI run)
+    # -- r4 eighth-continuation wave (new families, never driver-checked) --
+    "disorder_profile_orders",       # event-time disorder / watermark advisor
+    "salted_join_orders_customer",   # skew-salted equi-join == plain join
     "bpe_vocab_documents",           # distributed BPE vocabulary learning
     # (coverage_gaps_events demoted for the r4 ninth wave: the calendar-
     # spine gap shape is evidenced in-window by resample_events_daily,
