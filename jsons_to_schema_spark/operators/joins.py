@@ -136,3 +136,134 @@ def salted_join(
     cold = fact_cold.join(dim_cold, on=key, how=how).select(*out_cols)
     hot = fact_hot.join(dim_hot, on=[key, _SALT], how=how).select(*out_cols)
     return cold.unionByName(hot)
+
+
+# ------------------------------------------------------ interval overlap ----
+
+
+def _interval_us(df: DataFrame, col: str) -> Column:
+    """Normalize a timestamp/date/numeric column to a LONG axis value
+    (epoch microseconds for temporal types, plain cast otherwise) so the
+    bucketing arithmetic is exact integer math in both engines."""
+    dt = dict(df.dtypes).get(col)
+    c = F.col(col)
+    if dt == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    if dt == "timestamp":
+        return F.unix_micros(c)
+    if dt == "date":
+        return F.unix_micros(c.cast("timestamp"))
+    return c.cast("long")
+
+
+def _bucket_explode(
+    df: DataFrame, start: Column, end: Column, bucket_us: int, cap: int
+) -> DataFrame:
+    lo = F.floor(F.col("_s_us") / F.lit(bucket_us)).cast("long")
+    hi = F.floor((F.col("_e_us") - 1) / F.lit(bucket_us)).cast("long")
+    # the cap guard is fused INTO the sequence bound (not a dropped side
+    # column Catalyst would prune away), so it provably evaluates on the
+    # executor before any explosion happens
+    hi_guarded = F.when(
+        hi - lo + F.lit(1) > F.lit(int(cap)),
+        F.raise_error(
+            F.lit(
+                "interval_join: an interval spans more than "
+                f"{cap} buckets (bucket_us={bucket_us}); widen "
+                "bucket_us or raise max_buckets_per_row"
+            )
+        ).cast("long"),
+    ).otherwise(hi)
+    return (
+        df.withColumn("_s_us", start)
+        .withColumn("_e_us", end)
+        .filter(F.col("_e_us") > F.col("_s_us"))  # empty/inverted: no overlap
+        .withColumn("_bkt", F.explode(F.sequence(lo, hi_guarded)))
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: "tuple[str, str]",
+    right_span: "tuple[str, str]",
+    on: "list[str] | None" = None,
+    bucket_us: int = 3_600_000_000,
+    max_buckets_per_row: int = 4_096,
+) -> DataFrame:
+    """Inner join of half-open intervals ``[start, end)`` that OVERLAP,
+    with optional equi-keys ``on`` — the range join Spark lacks as a
+    first-class operator, expressed so it never degenerates into a
+    cross product.
+
+    The naive plan for ``l.join(r, ls < re AND rs < le)`` is a
+    BroadcastNestedLoopJoin or CartesianProduct — O(|L|x|R|) and the
+    single most common scale cliff in hand-written Spark.  The bucketed
+    re-expression: each interval explodes to the coarse time buckets it
+    touches (``floor(t / bucket_us)``), the join becomes an ordinary
+    equi-join on ``on + [bucket]`` (hash-partitioned, AQE/skew eligible,
+    broadcast-able), the true overlap predicate filters inside the
+    matched bucket, and each overlapping pair survives EXACTLY ONCE
+    without any distinct: it is kept only in the bucket containing
+    ``greatest(ls, rs)`` — the overlap's first instant, which lies in
+    exactly one bucket.  Replication cost is span/bucket_us per row,
+    guarded by ``max_buckets_per_row`` via an executor-side
+    ``raise_error`` (no extra pass; a silent explosion would be the
+    real bug).  Empty and inverted intervals match nothing, NULL
+    endpoints match nothing, and touching intervals ([0,10) vs [10,20))
+    do not overlap — all pinned in tests.
+
+    Output columns: ``on`` keys, then left columns, then right columns,
+    plus ``overlap_us`` (exact integer overlap length).  Left/right
+    non-key column names must be disjoint — renamed-by-caller beats
+    silent suffixing.  Timestamp/date endpoint columns are normalized
+    to epoch microseconds; numeric endpoints are used as-is (then
+    ``bucket_us`` is in the same unit).
+    """
+    on = list(on or [])
+    l_cols = [c for c in left.columns if c not in on]
+    r_cols = [c for c in right.columns if c not in on]
+    clash = sorted(set(l_cols) & set(r_cols))
+    if clash:
+        raise ValueError(
+            f"interval_join: rename clashing non-key columns {clash}"
+        )
+    bucket_us = int(bucket_us)
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+
+    ls, le = (_interval_us(left, c) for c in left_span)
+    rs, re_ = (_interval_us(right, c) for c in right_span)
+
+    lx = _bucket_explode(left, ls, le, bucket_us, max_buckets_per_row)
+    lx = lx.select(
+        *on, *l_cols, F.col("_s_us").alias("_ls"), F.col("_e_us").alias("_le"), "_bkt"
+    )
+    rx = _bucket_explode(right, rs, re_, bucket_us, max_buckets_per_row)
+    rx = rx.select(
+        *[F.col(c).alias(f"_r_{c}") for c in on],
+        *r_cols,
+        F.col("_s_us").alias("_rs"),
+        F.col("_e_us").alias("_re"),
+        F.col("_bkt").alias("_r_bkt"),
+    )
+
+    cond = F.col("_bkt") == F.col("_r_bkt")
+    for k in on:
+        cond = cond & (F.col(k) == F.col(f"_r_{k}"))
+    overlap_start = F.greatest(F.col("_ls"), F.col("_rs"))
+    cond = (
+        cond
+        & (F.col("_ls") < F.col("_re"))
+        & (F.col("_rs") < F.col("_le"))
+        # exactly-once: only the bucket holding the overlap's first instant
+        & (F.floor(overlap_start / F.lit(bucket_us)).cast("long") == F.col("_bkt"))
+    )
+    joined = lx.join(rx, cond, "inner")
+    overlap = F.least(F.col("_le"), F.col("_re")) - overlap_start
+    return joined.select(
+        *on, *l_cols, *r_cols, overlap.alias("overlap_us")
+    )

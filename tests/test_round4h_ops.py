@@ -235,3 +235,125 @@ def test_disorder_plan_no_global_sort_over_corpus(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # corpus-side window is keyed by block, not globally sorted
     assert "hashpartitioning(_blk" in plan
+
+
+# -------------------------------------------------------- interval join ----
+
+
+def _brute_overlap(lrows, rrows, keyed=True):
+    """Naive O(n*m) half-open overlap join: (key, id, s, e) tuples."""
+    out = []
+    for lk, lid, ls, le in lrows:
+        if ls is None or le is None or le <= ls:
+            continue
+        for rk, rid, rs, re in rrows:
+            if rs is None or re is None or re <= rs:
+                continue
+            if keyed and lk != rk:
+                continue
+            if ls < re and rs < le:
+                out.append((lk, lid, rid, min(le, re) - max(ls, rs)))
+    return sorted(out)
+
+
+def _ij(spark, lrows, rrows, bucket_us=10, on=True, **kw):
+    from jsons_to_schema_spark.operators.joins import interval_join
+
+    l = spark.createDataFrame(lrows, "k int, lid int, ls long, le long")
+    r = spark.createDataFrame(rrows, "k int, rid int, rs long, re long")
+    got = interval_join(
+        l.repartition(4), r.repartition(3),
+        ("ls", "le"), ("rs", "re"),
+        on=["k"] if on else None, bucket_us=bucket_us, **kw
+    )
+    return sorted(
+        tuple(x) for x in got.select("k", "lid", "rid", "overlap_us").collect()
+    ) if on else got
+
+
+L_EDGE = [
+    (1, 10, 0, 10),     # touches R [10,20) -> NOT overlapping (half-open)
+    (1, 11, 5, 25),     # spans 3 buckets, overlaps two right rows
+    (1, 12, 30, 31),    # sub-bucket sliver
+    (1, 13, 40, 40),    # empty interval: matches nothing
+    (1, 14, 50, 45),    # inverted: matches nothing
+    (1, 15, None, 60),  # NULL endpoint: matches nothing
+    (2, 16, 5, 25),     # same span, different key: no cross-key matches
+]
+R_EDGE = [
+    (1, 20, 10, 20),
+    (1, 21, 0, 100),    # long interval covering everything on key 1
+    (1, 22, 30, 32),
+    (2, 23, 90, 95),
+    (1, 24, 60, None),  # NULL endpoint
+]
+
+
+def test_interval_join_edges_match_brute_force(spark):
+    got = _ij(spark, L_EDGE, R_EDGE, bucket_us=10)
+    assert got == _brute_overlap(L_EDGE, R_EDGE)
+    # exactly-once: no pair appears twice even when sharing many buckets
+    assert len(got) == len(set((k, a, b) for k, a, b, _ in got))
+
+
+def test_interval_join_randomized_vs_brute(spark):
+    import random
+
+    rng = random.Random(42)
+    lrows = [
+        (rng.randrange(3), i, s := rng.randrange(0, 200), s + rng.randrange(0, 60))
+        for i in range(60)
+    ]
+    rrows = [
+        (rng.randrange(3), 100 + i, s := rng.randrange(0, 200), s + rng.randrange(0, 60))
+        for i in range(60)
+    ]
+    for b in (7, 64, 1000):  # sub-span, ~span, and super-span buckets
+        assert _ij(spark, lrows, rrows, bucket_us=b) == _brute_overlap(lrows, rrows)
+
+
+def test_interval_join_span_cap_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception), match="spans more than"):
+        _ij(
+            spark,
+            [(1, 1, 0, 10_000)],
+            [(1, 2, 0, 10)],
+            bucket_us=10,
+            max_buckets_per_row=8,
+        )
+
+
+def test_interval_join_column_contract(spark):
+    from jsons_to_schema_spark.operators.joins import interval_join
+
+    l = spark.createDataFrame([(1, 0, 10)], "k int, s long, e long")
+    r = spark.createDataFrame([(1, 0, 10)], "k int, s long, e long")
+    with pytest.raises(ValueError, match="clashing"):
+        interval_join(l, r, ("s", "e"), ("s", "e"), on=["k"])
+    with pytest.raises(ValueError, match="bucket_us"):
+        interval_join(
+            l,
+            r.selectExpr("k", "s as rs", "e as re"),
+            ("s", "e"),
+            ("rs", "re"),
+            on=["k"],
+            bucket_us=0,
+        )
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The 100-TB property: no CartesianProduct / BroadcastNestedLoopJoin —
+    the overlap join is an equi-join on (key, bucket)."""
+    l = spark.createDataFrame(L_EDGE, "k int, lid int, ls long, le long")
+    r = spark.createDataFrame(R_EDGE, "k int, rid int, rs long, re long")
+    from jsons_to_schema_spark.operators.joins import interval_join
+
+    plan = audit.formatted_plan(
+        interval_join(l, r, ("ls", "le"), ("rs", "re"), on=["k"], bucket_us=10)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
