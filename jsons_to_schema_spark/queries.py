@@ -10300,6 +10300,138 @@ def interval_join_events(spark, sf_dir) -> DataFrame:
     return out.select("user_id", "incident_id", "activity_id", "overlap_us")
 
 
+@query(
+    "roc_auc_events",
+    oracle="""
+    WITH base AS (SELECT value AS s, (event_type = 'purchase') AS y
+                  FROM events
+                  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per AS (SELECT s,
+                   count(*) FILTER (WHERE y) AS np,
+                   count(*) FILTER (WHERE NOT y) AS nn
+            FROM base GROUP BY s),
+    r AS (SELECT np, nn,
+                 coalesce(sum(nn) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS nb
+          FROM per)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST((SELECT count(*) FROM events
+                 WHERE value IS NULL OR event_type IS NULL) AS BIGINT)
+             AS n_null,
+           round(sum(np * (2 * nb + nn))
+                 / (2.0 * sum(np) * sum(nn)), 6) AS auc,
+           round(2.0 * round(sum(np * (2 * nb + nn))
+                 / (2.0 * sum(np) * sum(nn)), 6) - 1.0, 6) AS gini
+    FROM r
+    """,
+)
+def roc_auc_events(spark, sf_dir) -> DataFrame:
+    """Exact tie-aware ROC AUC of `value` as a purchase-propensity score
+    (modeleval.roc_auc).  The oracle is the textbook ranked replay over
+    DISTINCT scores in DuckDB; the Spark side computes the identical
+    integer rank statistic with NO corpus-wide global sort — the
+    two-level bin/score prefix decomposition keeps the only ordered
+    single-partition window on a bounded 1024-row bin table."""
+    from .operators.modeleval import roc_auc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    return roc_auc(ev, "value", "y", lo=0.0, hi=500.0, bins=1 << 10)
+
+
+@query(
+    "calibration_events",
+    oracle="""
+    WITH base AS (
+      SELECT least(greatest(CAST(floor((value / 500.0) / 0.1) AS BIGINT),
+                            0), 9) AS bin,
+             CAST(round(value / 500.0 * 1000000) AS BIGINT) AS sq,
+             (event_type = 'purchase') AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per AS (SELECT bin, count(*) AS n,
+                   CAST(sum(sq) AS BIGINT) AS ssum,
+                   count(*) FILTER (WHERE y) AS n_pos
+            FROM base GROUP BY bin),
+    tot AS (SELECT sum(n) AS t FROM per)
+    SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           round(ssum / 1000000.0 / n, 6) AS mean_pred,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+           round(abs(round(ssum / 1000000.0 / n, 6)
+                     - round(n_pos / CAST(n AS DOUBLE), 6)), 6) AS abs_gap,
+           round((n / CAST(t AS DOUBLE))
+                 * round(abs(round(ssum / 1000000.0 / n, 6)
+                         - round(n_pos / CAST(n AS DOUBLE), 6)), 6), 6)
+             AS ece_contrib
+    FROM per, tot
+    """,
+)
+def calibration_events(spark, sf_dir) -> DataFrame:
+    """Reliability table of the normalized `value` score against the
+    purchase label (modeleval.calibration_table): per-decile n, mean
+    predicted score (micro-unit integer quantized so the mean is
+    bit-identical across engines and partitionings), observed positive
+    rate, |gap|, and ECE contribution.  One grouped aggregate; the
+    grand total rides a broadcast single-row join."""
+    from .operators.modeleval import calibration_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value") / F.lit(500.0)).alias("score"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return calibration_table(ev, "score", "y", lo=0.0, hi=1.0, bins=10)
+
+
+@query(
+    "gains_lift_events",
+    oracle="""
+    WITH base AS (
+      SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+               AS band,
+             (event_type = 'purchase') AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per AS (SELECT band, count(*) AS n,
+                   count(*) FILTER (WHERE y) AS n_pos
+            FROM base GROUP BY band),
+    tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per),
+    cum AS (SELECT band, n, n_pos,
+                   sum(n) OVER (ORDER BY band DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_n,
+                   sum(n_pos) OVER (ORDER BY band DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_pos
+            FROM per)
+    SELECT band, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CASE WHEN tp > 0
+                THEN round(cum_pos / CAST(tp AS DOUBLE), 6) END
+             AS capture_rate,
+           CASE WHEN tp > 0 AND cum_n > 0
+                THEN round((cum_pos / CAST(cum_n AS DOUBLE))
+                           / (tp / CAST(tn AS DOUBLE)), 6) END
+             AS cum_lift
+    FROM cum, tot
+    """,
+)
+def gains_lift_events(spark, sf_dir) -> DataFrame:
+    """Gains/lift by descending score band (modeleval.gains_table):
+    cumulative rows and positives from the top band down, positive
+    capture rate, and cumulative lift vs the base rate.  The ordered
+    cumulative runs over the bounded 10-row band aggregate — never the
+    corpus — and every ratio divides exact integers."""
+    from .operators.modeleval import gains_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return gains_table(ev, "score", "y", lo=0.0, hi=500.0, bands=10)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

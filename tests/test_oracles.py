@@ -113,7 +113,9 @@ def test_driver_window_covers_dark_families():
         # r4 fifth wave: the new families must land in the window
         "asof_events_snapshots",
         "cdc_compact_events",
-        "drift_divergence_events_value",
+        # (drift_divergence_events_value rotated out in the eighth-
+        # continuation wave: drift banked three green r3 driver rows and
+        # the divergence panel rides the same histogram machinery)
         "outliers_events_value",
         # r4 sixth wave
         "null_cooccurrence_events",
