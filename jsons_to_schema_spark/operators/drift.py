@@ -20,7 +20,7 @@ extension point, not the default path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_PROBS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
@@ -778,4 +778,105 @@ def embedding_drift(
             6,
         ).alias("centroid_cosine"),
         F.round(F.sqrt(F.col("_sh2") / F.lit(1e12)), 6).alias("centroid_shift_l2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov — exact, no global sort (wave 39)
+# ---------------------------------------------------------------------------
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Exact two-sample KS statistic between ``col`` in two frames; one
+    output row (n_a, n_b, ks_d round-6, ks_at = the smallest value
+    attaining the supremum).  NULLs are excluded per side.
+
+    Both empirical CDFs are right-continuous step functions jumping only
+    at pooled sample points, so sup|F_a - F_b| is attained at one of the
+    distinct pooled values, evaluated with INCLUSIVE cumulative counts.
+    The supremum search is exact integer arithmetic: maximize
+    |cum_a * n_b - cum_b * n_a| (decimal(38,0) — two 10^12-scale counts
+    multiply past int64) and divide ONCE at the end, so the statistic is
+    bit-identical to an ordered oracle replay under any partitioning.
+
+    No corpus-wide sort: the cumulative decomposes exactly like
+    modeleval.roc_auc — distinct-value fold (one hash shuffle), an
+    order-preserving fixed-width bin coarsening, an exclusive bin-prefix
+    over the BOUNDED bin table (the only single-partition exchange,
+    <= ``bins`` rows), and a keyed within-bin running sum."""
+    if hi <= lo:
+        raise ValueError(f"ks_drift: need lo < hi, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"ks_drift: bins must be >= 1, got {bins}")
+
+    def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        v = F.col(col).cast("double")
+        return df.filter(v.isNotNull()).select(
+            v.alias("_v"), F.lit(ca).alias("_ca"), F.lit(cb).alias("_cb")
+        )
+
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+
+    per = (
+        side(df_a, 1, 0)
+        .unionByName(side(df_b, 0, 1))
+        .withColumn("_bin", binc)
+        .groupBy("_bin", "_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    )
+    bin_tot = per.groupBy("_bin").agg(
+        F.sum("_na").alias("_ba"), F.sum("_nb").alias("_bb")
+    )
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = bin_tot.select(
+        "_bin",
+        F.coalesce(F.sum("_ba").over(w_bins), F.lit(0)).alias("_pa"),
+        F.coalesce(F.sum("_bb").over(w_bins), F.lit(0)).alias("_pb"),
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)  # INCLUSIVE cumulative
+    )
+    tot = per.agg(
+        F.sum("_na").cast("decimal(38,0)").alias("_ta"),
+        F.sum("_nb").cast("decimal(38,0)").alias("_tb"),
+    )
+    cum = (
+        per.withColumn("_cuma", F.sum("_na").over(w_in))
+        .withColumn("_cumb", F.sum("_nb").over(w_in))
+        .join(F.broadcast(bin_prefix), "_bin")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_diff",
+            F.abs(
+                (F.col("_cuma") + F.col("_pa")).cast("decimal(38,0)") * F.col("_tb")
+                - (F.col("_cumb") + F.col("_pb")).cast("decimal(38,0)") * F.col("_ta")
+            ),
+        )
+    )
+    peak = cum.agg(F.max("_diff").alias("_m"))
+    return (
+        cum.join(F.broadcast(peak), F.col("_diff") == F.col("_m"))
+        .agg(
+            F.first("_ta").cast("long").alias("n_a"),
+            F.first("_tb").cast("long").alias("n_b"),
+            F.when(  # one-sided / empty inputs: KS undefined, not 0
+                (F.first("_ta") > 0) & (F.first("_tb") > 0),
+                F.round(
+                    F.max("_m").cast("double")
+                    / (F.first("_ta") * F.first("_tb")).cast("double"),
+                    6,
+                ),
+            ).alias("ks_d"),
+            F.min("_v").alias("ks_at"),
+        )
     )

@@ -10432,6 +10432,148 @@ def gains_lift_events(spark, sf_dir) -> DataFrame:
     return gains_table(ev, "score", "y", lo=0.0, hi=500.0, bands=10)
 
 
+@query(
+    "ks_drift_events_value",
+    oracle="""
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+    u AS (SELECT v, 1 AS ca, 0 AS cb FROM a
+          UNION ALL SELECT v, 0, 1 FROM b),
+    per AS (SELECT v, sum(ca) AS na, sum(cb) AS nb FROM u GROUP BY v),
+    c AS (SELECT v,
+                 sum(na) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_a,
+                 sum(nb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+          FROM per),
+    t AS (SELECT (SELECT count(*) FROM a) AS ta,
+                 (SELECT count(*) FROM b) AS tb),
+    d AS (SELECT v, abs(cum_a * tb - cum_b * ta) AS diff FROM c, t),
+    m AS (SELECT max(diff) AS md FROM d)
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           round(CAST(md AS DOUBLE) / CAST(ta * tb AS DOUBLE), 6) AS ks_d,
+           (SELECT min(v) FROM d WHERE diff = md) AS ks_at
+    FROM t, m
+    """,
+)
+def ks_drift_events_value(spark, sf_dir) -> DataFrame:
+    """Exact two-sample KS statistic between the click and purchase value
+    distributions (drift.ks_drift): sup|F_a - F_b| maximized as the exact
+    integer |cum_a*n_b - cum_b*n_a| and divided once — bit-identical to
+    the DuckDB ordered replay, with NO corpus-wide sort on the Spark side
+    (the roc_auc two-level bin/value prefix decomposition; the only
+    single-partition exchange is the <=1024-row bin table)."""
+    from .operators.drift import ks_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        bins=1 << 10,
+    )
+
+
+@query(
+    "triangles_spans_media",
+    oracle="""
+    WITH x AS (SELECT DISTINCT doc_id, s.media_ref AS m
+               FROM (SELECT doc_id, unnest(spans) AS s
+                     FROM read_parquet('__SPANS_GLOB__'))
+               WHERE s.media_ref IS NOT NULL),
+    e AS (SELECT DISTINCT l.m AS a, r.m AS b
+          FROM x l JOIN x r ON l.doc_id = r.doc_id AND l.m < r.m),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def triangles_spans_media(spark, sf_dir) -> DataFrame:
+    """Per-media triangle counts over the media co-occurrence graph (two
+    media are adjacent iff some document references both) —
+    graph.triangle_counts, the degree-ordered-orientation algorithm whose
+    wedge work is O(sqrt(m)) per vertex even under hub skew.  The oracle
+    is the naive three-way self-join on canonical (a < b) edges DuckDB
+    can afford at sf-test scale; Spark emits each triangle exactly once
+    from its orientation-minimal corner, then explodes the three corners.
+    Co-occurrence edges are bounded per document (spans per doc is
+    schema-bounded), so the edge build is a keyed self-join on doc_id —
+    never all-pairs across the corpus."""
+    from .operators.graph import triangle_counts
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select("doc_id", F.col("sp.media_ref").alias("m"))
+        .distinct()
+    )
+    left = x.alias("l")
+    right = x.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.m") < F.col("r.m")),
+        )
+        .select(F.col("l.m").alias("src"), F.col("r.m").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+@query(
+    "embedding_covariance_profile",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    idx AS (SELECT a.range AS i, b.range AS j
+            FROM range(64) a, range(64) b WHERE a.range <= b.range),
+    s AS (SELECT idx.i, idx.j,
+                 sum(e[idx.i + 1] * e[idx.j + 1]) AS g,
+                 sum(e[idx.i + 1]) AS si,
+                 sum(e[idx.j + 1]) AS sj,
+                 count(*) AS n
+          FROM q, idx GROUP BY idx.i, idx.j)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(g AS DOUBLE) / n
+                  - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+                 / 1000000000000.0, 6) AS cov
+    FROM s
+    """,
+)
+def embedding_covariance_profile(spark, sf_dir) -> DataFrame:
+    """Exact population covariance of the 64-dim embedding column, one row
+    per upper-triangle entry (linalg.embedding_covariance) — the PCA /
+    whitening front-end.  The corpus pass is a single mapInArrow fold
+    producing ONE (n, sums, Gram) partial per Arrow batch in exact int64
+    micro-units (no d^2 row explode, no corpus shuffle); partials combine
+    by decimal(38,0) sums.  The oracle replays the identical quantization
+    and division order in DuckDB, so all 2,080 covariance entries
+    value-match bit-for-bit."""
+    from .operators.linalg import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
