@@ -20,7 +20,7 @@ Scale design (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fp_exact_key, shingles, shingles_from_tokens, tokens
@@ -1155,3 +1155,102 @@ def fuzzy_join(
         "text_b",
         F.levenshtein("text_a", "text_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join — prefix filtering (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    min_jaccard: float,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join over word SETS at threshold t — every
+    pair with J >= t, no false negatives (the lossless counterpart of the
+    MinHash LSH pipeline, for when the campaign needs a guarantee, not a
+    probability).  Tokens are the distinct single-space-split words of
+    ``col`` (matching the corpus line/ngram dialect so oracles replay).
+
+    The scale trick is PREFIX FILTERING (Chaudhuri et al. ICDE'06 /
+    Bayardo et al. WWW'07 AllPairs): order every document's tokens by
+    ascending global document frequency (ties by token); if J(A,B) >= t
+    then A and B MUST share a token inside their first
+    |X| - ceil(t|X|) + 1 tokens under any single consistent total order —
+    so candidates come from an equi-join keyed on PREFIX tokens only.
+    Rarest-first ordering makes prefix tokens the least shared, bounding
+    per-token fan-out exactly where the inverted index would explode; a
+    length filter (t·|A| <= |B| <= |A|/t) prunes at candidate time before
+    any set is touched.  Verification is one keyed join back to the full
+    token-set arrays — exact integer intersection/union sizes.
+
+    Threshold arithmetic guards the float boundary: ceil(t·n) wobbling UP
+    one ulp (0.6 * 5 = 3.0000000000000004) would SHORTEN the prefix and
+    lose pairs, so every ceil takes (t·n − 1e-9) — wobble can only widen
+    the prefix, never break losslessness.
+
+    Shuffles: token-df groupBy, per-doc window (keyed by doc), candidate
+    equi-join on token, verify join on id — all keyed; nothing global,
+    nothing quadratic in corpus size."""
+    if not 0.0 < min_jaccard <= 1.0:
+        raise ValueError(
+            f"jaccard_prefix_join: min_jaccard must be in (0, 1], got {min_jaccard}"
+        )
+    t = float(min_jaccard)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(col), " "), lambda x: x != "")
+            )
+        ).alias("_t"),
+    )
+    dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    sized = toks.join(dfreq, "_t")
+    w_doc = Window.partitionBy("_id").orderBy("_df", "_t")
+    ranked = sized.select(
+        "_id",
+        "_t",
+        F.row_number().over(w_doc).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    prefix_len = F.greatest(
+        F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - F.lit(1e-9)) + 1,
+        F.lit(1),
+    )
+    pref = ranked.filter(F.col("_rn") <= prefix_len).select("_id", "_t", "_n")
+
+    la, ra = pref.alias("l"), pref.alias("r")
+    cand = (
+        la.join(
+            ra,
+            (F.col("l._t") == F.col("r._t"))
+            & (F.col("l._id") < F.col("r._id"))
+            # length filter: |B| in [ceil(t|A|), floor(|A|/t)] (A = smaller)
+            & (
+                F.greatest(F.col("l._n"), F.col("r._n"))
+                <= F.floor(
+                    F.least(F.col("l._n"), F.col("r._n")) / F.lit(t) + F.lit(1e-9)
+                )
+            ),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sets = toks.groupBy("_id").agg(F.collect_set("_t").alias("_tk"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        cand.join(
+            sets.select(F.col("_id").alias("id_a"), F.col("_tk").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("_id").alias("id_b"), F.col("_tk").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("_j", inter / union)
+        .filter(F.col("_j") >= F.lit(t))
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )

@@ -362,3 +362,63 @@ def leakage_safe_split(
     for name, thr in reversed(thresholds):
         expr = F.when(k < F.lit(thr), F.lit(name)).otherwise(expr)
     return labeled.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test splits — deterministic, leakage-safe (wave 40)
+# ---------------------------------------------------------------------------
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: "dict[str, float]",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits by the md5 decision prefix of
+    ``key_col`` — the sampling convention above, so the assignment is
+    deterministic under any partitioning/retry/engine and STABLE under
+    corpus growth (a row's split never changes when rows are added; vital
+    when the eval set must stay frozen across corpus refreshes).
+
+    ``splits`` maps name -> fraction, summing to 1 (±1e-9); INSERTION
+    ORDER is part of the contract — each split owns the hash range
+    [cum_before, cum_before + fraction) at 1/16^8 granularity, and the
+    LAST split absorbs the rounding sliver at the top of the range."""
+    fracs = list(splits.items())
+    if len(fracs) < 2:
+        raise ValueError("assign_splits: need >= 2 splits")
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"assign_splits: fractions must sum to 1, got {total}")
+    if any(f < 0 for _, f in fracs):
+        raise ValueError("assign_splits: negative fraction")
+
+    k = sample_key(F.col(key_col).cast("string"), seed)
+    expr = None
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += frac
+        cond = k < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(fracs[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    splits: "dict[str, float]",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """assign_splits keyed on a GROUP column (exact-dup fingerprint,
+    near-dup cluster id, source domain) instead of the row id: every row
+    of a group lands in the same split BY CONSTRUCTION — the train/test
+    contamination that row-hash splitting commits whenever near-duplicates
+    straddle the boundary cannot happen.  Fractions then apportion GROUPS,
+    not rows (a giant duplicate cluster moves as one unit — that is the
+    point); row-level proportions converge to the fractions when group
+    sizes are not pathological.  One narrow projection, no shuffle, no
+    join — the group key rides each row."""
+    return assign_splits(df, group_col, splits, seed=seed, out_col=out_col)

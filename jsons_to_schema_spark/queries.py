@@ -10574,6 +10574,71 @@ def embedding_covariance_profile(spark, sf_dir) -> DataFrame:
     return embedding_covariance(emb, "embedding", dim=64)
 
 
+@query(
+    "similarity_join_documents",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tk
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.tk, b.tk)) AS i,
+                 len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(i * 1.0 / u, 6) AS jaccard
+    FROM p WHERE u > 0 AND i * 1.0 / u >= 0.95
+    """,
+)
+def similarity_join_documents(spark, sf_dir) -> DataFrame:
+    """EXACT all-pairs Jaccard join at t=0.95 (dedup.jaccard_prefix_join)
+    — prefix filtering over ascending-document-frequency token order, the
+    lossless AllPairs/PPJoin counterpart of the MinHash pipeline.  The
+    oracle is the naive quadratic join DuckDB can afford at sf-test; the
+    Spark side generates candidates ONLY from rarest-first prefix tokens
+    (plus the t-length filter) and must return the identical 1,887 pairs
+    — a missed pair is a prefix-filter correctness bug, not noise."""
+    from .operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, "text", "doc_id", min_jaccard=0.95)
+
+
+@query(
+    "split_assign_documents",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(concat_ws(chr(31), '42', fp)), 1, 8)
+                     < 'cccccccd' THEN 'train'
+                WHEN substring(md5(concat_ws(chr(31), '42', fp)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           fp AS group_key
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          FROM documents)
+    """,
+)
+def split_assign_documents(spark, sf_dir) -> DataFrame:
+    """Leakage-safe train/val/test split (sample.leakage_safe_split,
+    80/10/10): the split decision hashes the exact-duplicate fingerprint
+    (text.fp_exact_key), NOT the row id — identical documents land in the
+    same split BY CONSTRUCTION, so the train/test contamination row-hash
+    splitting commits whenever duplicates straddle the boundary cannot
+    happen.  Deterministic under any partitioning/engine (md5-prefix
+    convention), growth-stable (frozen eval sets survive corpus
+    refreshes), zero shuffles — the group key rides each row."""
+    from .operators.sample import leakage_safe_split
+    from .operators.text import fp_exact_key
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "group_key", fp_exact_key("text")
+    )
+    out = leakage_safe_split(
+        docs, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split", "group_key")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
