@@ -1254,3 +1254,100 @@ def jaccard_prefix_join(
         .filter(F.col("_j") >= F.lit(t))
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
+
+
+def containment_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    col: str,
+    id_col: str,
+    min_containment: float,
+) -> DataFrame:
+    """DIRECTIONAL exact containment join: every pair (a from ``probe``,
+    b from ``corpus``, a != b) with |A∩B| / |A| >= t over word sets — the
+    quote/boilerplate/subset-document detector Jaccard misses (a 10-token
+    notice fully embedded in a 10k-token page has J ≈ 0.001 but
+    containment 1.0).
+
+    Prefix filtering is ASYMMETRIC here (the standard containment-join
+    adaptation): if |A∩B| >= ceil(t·|A|) then ANY |A| − ceil(t·|A|) + 1
+    tokens of A must hit A∩B, so candidates come from joining only A's
+    rarest-df prefix against B's FULL token index; B needs no prefix (its
+    size is unbounded by the predicate — only |B| >= ceil(t·|A|) prunes).
+    Ascending-df order keeps the probe side of the token join on the
+    RAREST tokens, which is what bounds fan-out against the full index;
+    the same 1e-9 ceil guard as jaccard_prefix_join keeps losslessness
+    across float wobble.  All shuffles keyed (token / id); verification
+    is exact integer set arithmetic."""
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError(
+            f"containment_join: min_containment must be in (0, 1], got {min_containment}"
+        )
+    t = float(min_containment)
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.col(col), " "), lambda x: x != "")
+                )
+            ).alias("_t"),
+        )
+
+    ptoks, ctoks = toks(probe), toks(corpus)
+    dfreq = ctoks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # probe-side rank by (corpus df, token); unseen tokens get df 0 — they
+    # sort FIRST, which is correct: a token absent from the corpus index
+    # produces no candidates, but it still shortens nothing (prefix length
+    # is by |A| only)
+    ranked = (
+        ptoks.join(dfreq, "_t", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .select(
+            "_id",
+            "_t",
+            F.row_number()
+            .over(Window.partitionBy("_id").orderBy("_df", "_t"))
+            .alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+        )
+    )
+    need = F.ceil(F.lit(t) * F.col("_n") - F.lit(1e-9))
+    pref = ranked.filter(
+        F.col("_rn") <= F.greatest(F.col("_n") - need + 1, F.lit(1))
+    ).select("_id", "_t", "_n")
+
+    csize = ctoks.groupBy("_id").agg(F.count(F.lit(1)).alias("_nb"))
+    cand = (
+        pref.alias("l")
+        .join(ctoks.alias("r"), F.col("l._t") == F.col("r._t"))
+        .filter(F.col("l._id") != F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+        .join(csize.withColumnRenamed("_id", "id_b"), "id_b")
+        .join(
+            ranked.select("_id", "_n").distinct().withColumnRenamed("_id", "id_a"),
+            "id_a",
+        )
+        .filter(
+            F.col("_nb") >= F.ceil(F.lit(t) * F.col("_n") - F.lit(1e-9))
+        )
+        .select("id_a", "id_b")
+    )
+    psets = ptoks.groupBy("_id").agg(F.collect_set("_t").alias("_tk"))
+    csets = ctoks.groupBy("_id").agg(F.collect_set("_t").alias("_tk"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(
+            psets.select(F.col("_id").alias("id_a"), F.col("_tk").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            csets.select(F.col("_id").alias("id_b"), F.col("_tk").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("_c", inter / F.size("_sa"))
+        .filter(F.col("_c") >= F.lit(t))
+        .select("id_a", "id_b", F.round("_c", 6).alias("containment"))
+    )

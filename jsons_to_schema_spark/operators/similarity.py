@@ -1407,3 +1407,73 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (wave 41)
+# ---------------------------------------------------------------------------
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_pos: int = 1,
+    k_neg: int = 1,
+) -> DataFrame:
+    """Per-query contrastive training pairs: the ``k_pos`` most-similar
+    SAME-label neighbors ('positive') and the ``k_neg`` most-similar
+    DIFFERENT-label neighbors ('hard_negative') — the standard mining
+    step for contrastive/metric learning (hard negatives are the
+    near-misses that actually move the loss; random negatives are free
+    but useless).
+
+    Same scale contract as brute_force_topk: queries broadcast (small by
+    contract — this is the exact baseline; swap the crossJoin for an IVF
+    probe at campaign scale), corpus scanned once, per-(query, role)
+    top-k via a window keyed on the query — never a global sort.  Rows
+    with NULL labels or NULL vectors are excluded on both sides (an
+    unlabeled row can be neither positive nor negative).  Ties break by
+    neighbor_id for full determinism.  Returns (query_id, role,
+    neighbor_id, neighbor_label, cos_sim, rank)."""
+    if k_pos < 1 or k_neg < 1:
+        raise ValueError(
+            f"contrastive_pairs: k_pos/k_neg must be >= 1, got {k_pos}/{k_neg}"
+        )
+    from pyspark.sql import Window
+
+    def clean(df: DataFrame, idn: str, vn: str, ln: str) -> DataFrame:
+        return df.filter(
+            F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+        ).select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(vn),
+            F.col(label_col).alias(ln),
+        )
+
+    q = F.broadcast(clean(queries, "query_id", "_qv", "_ql"))
+    c = clean(corpus, "neighbor_id", "_cv", "neighbor_label")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.when(F.col("_ql") == F.col("neighbor_label"), F.lit("positive"))
+            .otherwise(F.lit("hard_negative"))
+            .alias("role"),
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        (
+            (F.col("role") == "positive") & (F.col("rank") <= k_pos)
+        )
+        | ((F.col("role") == "hard_negative") & (F.col("rank") <= k_neg))
+    )

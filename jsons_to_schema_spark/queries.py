@@ -10639,6 +10639,82 @@ def split_assign_documents(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "split", "group_key")
 
 
+@query(
+    "containment_join_documents",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tk
+               FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT * FROM s WHERE doc_id % 5 = 0 AND len(tk) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.tk, b.tk)) * 1.0 / len(a.tk), 6)
+             AS containment
+    FROM a JOIN s b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / len(a.tk) >= 0.98
+    """,
+)
+def containment_join_documents(spark, sf_dir) -> DataFrame:
+    """Directional containment join at t=0.98 (dedup.containment_join):
+    probe docs (doc_id % 5 = 0) whose word set is >= 98% inside another
+    document's — the quote/boilerplate/subset detector Jaccard misses.
+    Asymmetric prefix filtering: only the probe side prefixes (rarest-df
+    tokens), joined against the full corpus token index; B is pruned by
+    |B| >= ceil(t|A|) alone.  The oracle is the naive directed quadratic
+    join — losslessness means identical pairs."""
+    from .operators.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    return containment_join(probe, docs, "text", "doc_id", min_containment=0.98)
+
+
+@query(
+    "contrastive_pairs_embeddings",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings
+               WHERE vec_id < 8 AND label IS NOT NULL
+                 AND embedding IS NOT NULL),
+    scored AS (
+      SELECT q.query_id,
+             CASE WHEN e.label = q.ql THEN 'positive'
+                  ELSE 'hard_negative' END AS role,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id AND e.label IS NOT NULL
+        AND e.embedding IS NOT NULL),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, role
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, role, neighbor_id, neighbor_label, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM ranked
+    WHERE (role = 'positive' AND rank <= 2)
+       OR (role = 'hard_negative' AND rank <= 2)
+    """,
+)
+def contrastive_pairs_embeddings(spark, sf_dir) -> DataFrame:
+    """Contrastive pair mining (similarity.contrastive_pairs): for each of
+    8 query vectors, the 2 most-similar same-label neighbors (positives)
+    and the 2 most-similar different-label neighbors (hard negatives) —
+    the mining step of metric learning, where near-miss negatives carry
+    the gradient.  Exact cosine, broadcast query side, one corpus scan,
+    per-(query, role) keyed window — value-checked row-for-row against
+    DuckDB's list_cosine_similarity replay."""
+    from .operators.similarity import contrastive_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return contrastive_pairs(
+        emb, emb.filter(F.col("vec_id") < 8), k_pos=2, k_neg=2
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
