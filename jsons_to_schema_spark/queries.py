@@ -10928,8 +10928,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # wave: the drift family banked three green r3 driver rows
     # (exact/PSI/t-digest) and the divergence panel rides the same
     # histogram machinery, pytest-oracled at the same sf0.01 every CI run)
-    "interval_join_events",          # bucketed range join == theta join
-    "outliers_events_value",         # robust MAD outlier rows
+    # (interval_join_events demoted for the seventeenth rotation: the
+    # temporal-join family keeps asof_events_snapshots + cdc_compact in
+    # the window; the bucketed range join is value-checked against the
+    # native theta-join oracle at the same sf0.01 every CI run)
+    # (outliers_events_value demoted for the seventeenth rotation: the
+    # anomaly family keeps metric_anomalies_events + level_shift_events
+    # in-window; the MAD path stays oracle-pytest-checked at sf0.01)
     # -- r4 sixth wave (new families, never driver-checked) --
     "null_cooccurrence_events",      # missingness structure (planted)
     "sequence_integrity_lineitem",   # per-key sequence audit
@@ -10960,20 +10965,27 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # its final stage with all three rule kinds — a strict superset;
     # the standalone query stays oracle-pytest-checked at sf0.01)
     # -- r4 ninth wave (new families, never driver-checked) --
-    "funnel_events",                 # ordered funnel conversion
-    "benford_events",                # Benford first-digit conformance
+    # (funnel_events + benford_events demoted for the seventeenth
+    # rotation: the behavioral family keeps cohort_retention_events +
+    # resample_events_daily in-window and the conformance/anomaly family
+    # keeps metric_anomalies + level_shift; both stay oracle-pytest-
+    # checked at the same sf0.01 every CI run)
     "level_shift_events",            # changepoint boundary scan
     # -- r4 tenth wave (format keyword extension, never driver-checked) --
     "format_inference_customer",       # Draft-4 format discovery profile
     # (format_violations_customer demoted for the r4 sixteenth rotation:
     # the format family keeps format_inference_customer in-window)
     # -- r4 eleventh wave (new families, never driver-checked) --
-    "fingerprint_clusters_customer",   # key-collision value clustering
+    # (fingerprint_clusters_customer demoted for the seventeenth
+    # rotation: the ER family keeps resolve_entities_customer — the
+    # end-to-end funnel that runs clustering as a stage — in-window)
     "arithmetic_consistency_lineitem", # cross-field invariants
     # -- r4 twelfth wave (full Draft-4 keyword vocabulary) --
     "draft4_keywords_events",          # pattern/anyOf/oneOf/dependencies
-    # -- r4 thirteenth wave (join planning, never driver-checked) --
-    "join_explosion_orders_customer",  # pre-join blast-radius profile
+    # (join_explosion_orders_customer demoted for the seventeenth
+    # rotation: the join family keeps salted_join_orders_customer +
+    # asof + cdc in-window; the blast-radius profile stays oracle-
+    # pytest-checked at the same sf0.01 every CI run)
     # -- r4 fourteenth wave (end-to-end entity resolution) --
     "resolve_entities_customer",       # SNM -> lev -> CC -> survivorship
     # -- r4 fifteenth wave (privacy enforcement — first in-window privacy rep) --
@@ -10986,6 +10998,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_bucket_report_events",     # Z-order Morton layout evidence
     "pagerank_spans_media",            # graph centrality (exact-int PageRank)
     "hybrid_rrf_embeddings",           # hybrid retrieval fusion (RRF)
+    # -- seventeenth rotation (ninth continuation session): six NEW
+    # never-driver-checked component families promoted --
+    "roc_auc_events",                  # offline model eval (no-sort AUC)
+    "embedding_covariance_profile",    # exact-int Gram/covariance (PCA)
+    "similarity_join_documents",       # lossless prefix-filter Jaccard join
+    "split_assign_documents",          # leakage-safe train/val/test splits
+    "csv_ingest_events",               # CSV source + dialect sniffing
+    "survival_users_events",           # Kaplan-Meier survival curves
 )
 
 

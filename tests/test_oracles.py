@@ -116,7 +116,12 @@ def test_driver_window_covers_dark_families():
         # (drift_divergence_events_value rotated out in the eighth-
         # continuation wave: drift banked three green r3 driver rows and
         # the divergence panel rides the same histogram machinery)
-        "outliers_events_value",
+        # (outliers_events_value, funnel_events, benford_events,
+        # fingerprint_clusters_customer, join_explosion_orders_customer,
+        # interval_join_events rotated out in the seventeenth rotation:
+        # each family keeps an in-window rep — metric_anomalies +
+        # level_shift (anomaly), cohort_retention + resample (behavioral),
+        # resolve_entities (ER), salted_join + asof + cdc (joins))
         # r4 sixth wave
         "null_cooccurrence_events",
         "sequence_integrity_lineitem",
@@ -129,20 +134,16 @@ def test_driver_window_covers_dark_families():
         "cohort_retention_events",
         "resample_events_daily",
         # r4 ninth wave
-        "funnel_events",
-        "benford_events",
         "level_shift_events",
         # r4 tenth wave (format keyword extension)
         "format_inference_customer",
         # (format_violations_customer rotated out in the sixteenth
         # rotation: format_inference_customer keeps the family)
         # r4 eleventh wave
-        "fingerprint_clusters_customer",
         "arithmetic_consistency_lineitem",
         # r4 twelfth wave
         "draft4_keywords_events",
         # r4 thirteenth wave
-        "join_explosion_orders_customer",
         # r4 fourteenth wave (survivorship_orders rotated out: the
         # resolve funnel runs survivorship as its final stage)
         "resolve_entities_customer",
@@ -156,5 +157,12 @@ def test_driver_window_covers_dark_families():
         "zorder_bucket_report_events",
         "pagerank_spans_media",
         "hybrid_rrf_embeddings",
+        # seventeenth rotation: six new component families
+        "roc_auc_events",
+        "embedding_covariance_profile",
+        "similarity_join_documents",
+        "split_assign_documents",
+        "csv_ingest_events",
+        "survival_users_events",
     ):
         assert must in window, must
