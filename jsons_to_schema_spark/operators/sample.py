@@ -422,3 +422,108 @@ def leakage_safe_split(
     sizes are not pathological.  One narrow projection, no shuffle, no
     join — the group key rides each row."""
     return assign_splits(df, group_col, splits, seed=seed, out_col=out_col)
+
+
+def mixture_waterfill_plan(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    weights_ppm: "dict[str, int]",
+    budget_tokens: int,
+) -> DataFrame:
+    """Token-budget allocation across sources — the mixture PLANNER that
+    turns "train on 30% web, 30% books, 40% rest" into per-source
+    sampling rates when some sources cannot supply their share.
+
+    Exact water-filling: rates r_s = min(1, λ·w_s/T_s) with λ chosen so
+    Σ r_s·T_s = budget.  g(λ) = Σ min(T_s, λ·w_s) is piecewise linear and
+    increasing with breakpoints κ_s = T_s/w_s; sorting sources by κ, the
+    unique λ falls in one segment: λ = (B − Σ_sat T_s) / Σ_unsat w_s.
+    Undersized sources SATURATE at rate 1 and their unmet share spills
+    into the others — the standard fix for naive proportional allocation
+    silently under-delivering the budget.
+
+    Determinism across engines: weights are INTEGER parts-per-million
+    (must sum to 1e6) and token totals are exact longs, so every prefix/
+    suffix sum in the segment search is integer arithmetic; λ and κ are
+    doubles derived from exact ints in a pinned expression order, and the
+    DuckDB oracle replays the identical windows.  All the windowed work
+    runs on the BOUNDED per-source frame (one row per source); the only
+    corpus-sized step is the per-source token groupBy.  Sources absent
+    from ``weights_ppm`` get rate 0 (explicitly excluded, still
+    reported).  Returns (source, tokens_total, weight, rate,
+    planned_tokens, saturated)."""
+    if budget_tokens <= 0:
+        raise ValueError(f"mixture_waterfill_plan: budget must be > 0, got {budget_tokens}")
+    if any(w < 0 for w in weights_ppm.values()):
+        raise ValueError("mixture_waterfill_plan: negative weight")
+    total_w = sum(weights_ppm.values())
+    if total_w != 1_000_000:
+        raise ValueError(
+            f"mixture_waterfill_plan: weights_ppm must sum to 1000000, got {total_w}"
+        )
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights_ppm.items())],
+        "source string, _w long",
+    )
+    tot = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_t"))
+        .join(F.broadcast(wdf), "source", "left")
+        .withColumn("_w", F.coalesce("_w", F.lit(0)))
+    )
+    filled = tot.filter((F.col("_w") > 0) & (F.col("_t") > 0))
+    kappa = (F.col("_t") * F.lit(1_000_000.0)) / F.col("_w")
+    w_ord = Window.orderBy(kappa.asc(), F.col("source"))  # bounded: one row/source
+    seg = (
+        filled.withColumn("_kappa", kappa)
+        .withColumn(
+            "_cumt_prev",
+            F.coalesce(
+                F.sum("_t").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_wsuf",
+            F.sum("_w").over(w_ord.rowsBetween(0, Window.unboundedFollowing)),
+        )
+        .withColumn("_kprev", F.coalesce(F.lag("_kappa").over(w_ord), F.lit(0.0)))
+        .withColumn(
+            "_lam",
+            (F.lit(float(budget_tokens)) - F.col("_cumt_prev"))
+            * F.lit(1_000_000.0)
+            / F.col("_wsuf"),
+        )
+    )
+    lam_row = seg.filter(
+        (F.col("_lam") < F.col("_kappa")) & (F.col("_lam") >= F.col("_kprev"))
+    ).agg(F.min("_lam").alias("_lambda"))  # empty when B >= sum(T): all saturate
+
+    rate_expr = F.when(
+        (F.col("_w") > 0) & (F.col("_t") > 0),
+        F.when(F.col("_lambda").isNull(), F.lit(1.0)).otherwise(
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.col("_lambda") * F.col("_w") / F.lit(1_000_000.0) / F.col("_t"),
+                    6,
+                ),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        tot.crossJoin(F.broadcast(lam_row))
+        .withColumn("rate", rate_expr)
+        .select(
+            "source",
+            F.col("_t").cast("long").alias("tokens_total"),
+            F.round(F.col("_w") / F.lit(1_000_000.0), 6).alias("weight"),
+            "rate",
+            F.round(F.col("rate") * F.col("_t")).cast("long").alias("planned_tokens"),
+            (F.col("rate") == 1.0).alias("saturated"),
+        )
+    )

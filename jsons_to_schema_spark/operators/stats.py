@@ -3031,3 +3031,92 @@ def target_prior(df: DataFrame, target_col: str) -> float:
     if not row["_n"]:
         raise ValueError("target_prior: no non-NULL targets")
     return round(float(row["_s"]) / float(row["_n"]) / 1e6, 6)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles without a global sort (wave 42)
+# ---------------------------------------------------------------------------
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: "list[float]",
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """EXACT type-1 quantiles (value at rank ceil(p·n)) of ``col`` for each
+    p in ``probs`` — one row per prob: (prob, n, rank, value).  The exact
+    counterpart of the t-digest estimates, and the range-partitioner
+    planner: probs = k/N for k in 1..N−1 gives the boundary keys that
+    split the column into N equal-count ranges.
+
+    No corpus-wide sort (the roc_auc/ks_drift decomposition): distinct
+    values fold under one hash shuffle keyed (bin, v); bins are an
+    order-preserving fixed-width coarsening of [lo, hi) (out-of-range
+    clamps to edge bins — safe, any order-preserving coarsening works);
+    the exclusive bin-prefix runs over the BOUNDED bin table (the only
+    single-partition exchange, <= ``bins`` rows) and broadcasts back; the
+    within-bin inclusive cumulative is a keyed window.  Each distinct
+    value then owns the exact GLOBAL rank interval (cum−cnt, cum]; the
+    tiny probs frame broadcasts and each value row tests |probs|
+    intervals — linear in distinct values, never quadratic, never sorted.
+
+    Rank arithmetic guards the float boundary: ceil(p·n − 1e-9), so
+    p = 0.5 over n = 1000 cannot wobble to rank 501.  NULLs are excluded
+    from n (a NULL has no rank)."""
+    if not probs:
+        raise ValueError("exact_quantiles: probs must be non-empty")
+    if any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"exact_quantiles: probs must be in (0, 1], got {probs}")
+    if hi <= lo:
+        raise ValueError(f"exact_quantiles: need lo < hi, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("double")
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+
+    per = (
+        df.filter(v.isNotNull())
+        .select(v.alias("_v"))
+        .withColumn("_bin", binc)
+        .groupBy("_bin", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    bin_tot = per.groupBy("_bin").agg(F.sum("_cnt").alias("_bc"))
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = bin_tot.select(
+        "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(F.sum("_cnt").alias("_n"))
+    spark = df.sparkSession
+    pf = spark.createDataFrame([(float(p),) for p in sorted(probs)], "prob double")
+
+    ranked = (
+        per.withColumn("_cumin", F.sum("_cnt").over(w_in))
+        .join(F.broadcast(bin_prefix), "_bin")
+        .withColumn("_cum", F.col("_cumin") + F.col("_pref"))
+        .crossJoin(F.broadcast(tot))
+    )
+    rank = F.greatest(
+        F.ceil(F.col("prob") * F.col("_n") - F.lit(1e-9)), F.lit(1)
+    )
+    return (
+        ranked.join(
+            F.broadcast(pf),
+            (rank <= F.col("_cum")) & (rank > F.col("_cum") - F.col("_cnt")),
+        )
+        .select(
+            "prob",
+            F.col("_n").cast("long").alias("n"),
+            rank.cast("long").alias("rank"),
+            F.col("_v").alias("value"),
+        )
+    )

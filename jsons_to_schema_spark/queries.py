@@ -10715,6 +10715,123 @@ def contrastive_pairs_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "exact_quantiles_events_value",
+    oracle="""
+    WITH per AS (SELECT value AS v, count(*) AS cnt FROM events
+                 WHERE value IS NOT NULL GROUP BY v),
+    c AS (SELECT v, cnt,
+                 sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM per),
+    t AS (SELECT sum(cnt) AS n FROM per),
+    p AS (SELECT CAST(unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+                      AS DOUBLE) AS prob),
+    r AS (SELECT p.prob, t.n,
+                 CAST(greatest(ceil(p.prob * t.n - 1e-9), 1) AS BIGINT)
+                   AS rank
+          FROM p, t)
+    SELECT r.prob, CAST(r.n AS BIGINT) AS n, r.rank, c.v AS value
+    FROM r JOIN c ON r.rank <= c.cum AND r.rank > c.cum - c.cnt
+    """,
+)
+def exact_quantiles_events_value(spark, sf_dir) -> DataFrame:
+    """EXACT quantiles of events.value at 7 probs (stats.exact_quantiles)
+    — the exact counterpart of the t-digest estimates and the
+    range-partitioner boundary planner, computed with NO global sort:
+    distinct-value fold, bounded bin-prefix (the only single-partition
+    exchange, <=1024 rows), keyed within-bin cumulative; each distinct
+    value owns its exact rank interval and the broadcast probs frame
+    probes those intervals.  Value-checked against DuckDB's ordered
+    replay at every prob."""
+    from .operators.stats import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(
+        ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+        lo=0.0, hi=500.0, bins=1 << 10,
+    )
+
+
+def _mixture_weights_ppm() -> dict:
+    """src0/src1 get 30% each (forcing saturation at the query's budget);
+    the remaining 18 sources share 40% with the ppm remainder spread over
+    the alphabetically-first four — integers summing exactly to 1e6."""
+    rest = [f"src{i}" for i in range(2, 20)]
+    w = {"src0": 300_000, "src1": 300_000}
+    base, rem = divmod(400_000, len(rest))
+    for i, s in enumerate(sorted(rest)):
+        w[s] = base + (1 if i < rem else 0)
+    assert sum(w.values()) == 1_000_000
+    return w
+
+
+def _mixture_oracle() -> str:
+    vals = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_mixture_weights_ppm().items())
+    )
+    return f"""
+    WITH tok AS (SELECT source,
+                        CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS t
+                 FROM documents GROUP BY source),
+    w(source, w) AS (VALUES {vals}),
+    tot AS (SELECT tok.source, tok.t, coalesce(w.w, 0) AS w
+            FROM tok LEFT JOIN w USING (source)),
+    f AS (SELECT *, t * 1000000.0 / w AS kappa
+          FROM tot WHERE w > 0 AND t > 0),
+    seg AS (SELECT *,
+                   coalesce(sum(t) OVER (ORDER BY kappa, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumt_prev,
+                   sum(w) OVER (ORDER BY kappa, source
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS wsuf,
+                   coalesce(lag(kappa) OVER (ORDER BY kappa, source), 0.0)
+                     AS kprev
+            FROM f),
+    lamr AS (SELECT min((12000.0 - cumt_prev) * 1000000.0 / wsuf) AS lam
+             FROM seg
+             WHERE (12000.0 - cumt_prev) * 1000000.0 / wsuf < kappa
+               AND (12000.0 - cumt_prev) * 1000000.0 / wsuf >= kprev),
+    rated AS (SELECT tot.source, tot.t, tot.w,
+                     CASE WHEN tot.w > 0 AND tot.t > 0 THEN
+                       CASE WHEN lamr.lam IS NULL THEN 1.0
+                            ELSE least(1.0, round(lamr.lam * tot.w
+                                       / 1000000.0 / tot.t, 6)) END
+                     ELSE 0.0 END AS rate
+              FROM tot, lamr)
+    SELECT source, t AS tokens_total,
+           round(w / 1000000.0, 6) AS weight, rate,
+           CAST(round(rate * t) AS BIGINT) AS planned_tokens,
+           rate = 1.0 AS saturated
+    FROM rated
+    """
+
+
+@query("mixture_plan_documents", oracle=_mixture_oracle())
+def mixture_plan_documents(spark, sf_dir) -> DataFrame:
+    """Water-filling token-budget mixture plan over the 20 document
+    sources (sample.mixture_waterfill_plan): src0/src1 are weighted 30%
+    each but can only supply ~1.4k tokens, so at the 12k-token budget
+    they SATURATE at rate 1 and their unmet share spills into the 18
+    remaining sources — the correction naive proportional allocation
+    misses (it would silently under-deliver the budget).  Integer ppm
+    weights + exact long token totals make the segment search (bounded
+    per-source frame) integer arithmetic; the oracle replays the
+    identical windows and every per-source rate/planned-token row
+    value-matches."""
+    from .operators.sample import mixture_waterfill_plan
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")),
+    )
+    return mixture_waterfill_plan(
+        docs, "source", "toks", _mixture_weights_ppm(), budget_tokens=12_000
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
