@@ -89,6 +89,18 @@ def _gram_kernel(dim: int):
     return fold, "n long, s array<long>, g array<long>"
 
 
+def _gram_partials(df: DataFrame, col: str, dim: int) -> DataFrame:
+    """The corpus pass alone, unpinned: one (n, s, g) int64 partial row
+    per Arrow batch.  Split out so plan audits can assert the fold shape
+    (MapInArrow, one scan) — embedding_covariance pins this frame before
+    fanning out its three consumers."""
+    base = df.select(F.col(col).alias("_e")).filter(
+        F.col("_e").isNotNull() & (F.size("_e") == dim)
+    )
+    fold, schema = _gram_kernel(dim)
+    return base.mapInArrow(fold, schema)
+
+
 def embedding_covariance(
     df: DataFrame, col: str, dim: int
 ) -> DataFrame:
@@ -104,11 +116,13 @@ def embedding_covariance(
     """
     if dim < 1:
         raise ValueError(f"embedding_covariance: dim must be >= 1, got {dim}")
-    base = df.select(F.col(col).alias("_e")).filter(
-        F.col("_e").isNotNull() & (F.size("_e") == dim)
-    )
-    fold, schema = _gram_kernel(dim)
-    partials = base.mapInArrow(fold, schema)
+    # the partial frame is consumed three times (Gram sums, vector sums,
+    # n); without a pin each branch re-runs the corpus scan + Arrow fold
+    # (measured: 4 parquet scans).  localCheckpoint is safe AND cheap
+    # here: one row per Arrow batch — batch-count-sized, never
+    # corpus-sized.  Plan-audit the UNPINNED _gram_partials (the pin
+    # truncates explain output).
+    partials = _gram_partials(df, col, dim).localCheckpoint(eager=False)
 
     # partial rows are batch-count-sized; explode to (pos, value) and sum
     # as decimal(38,0) — the overflow-proof combine

@@ -405,23 +405,12 @@ def assign_splits(
     return df.withColumn(out_col, expr)
 
 
-def leakage_safe_split(
-    df: DataFrame,
-    group_col: str,
-    splits: "dict[str, float]",
-    seed: int = 42,
-    out_col: str = "split",
-) -> DataFrame:
-    """assign_splits keyed on a GROUP column (exact-dup fingerprint,
-    near-dup cluster id, source domain) instead of the row id: every row
-    of a group lands in the same split BY CONSTRUCTION — the train/test
-    contamination that row-hash splitting commits whenever near-duplicates
-    straddle the boundary cannot happen.  Fractions then apportion GROUPS,
-    not rows (a giant duplicate cluster moves as one unit — that is the
-    point); row-level proportions converge to the fractions when group
-    sizes are not pathological.  One narrow projection, no shuffle, no
-    join — the group key rides each row."""
-    return assign_splits(df, group_col, splits, seed=seed, out_col=out_col)
+# NOTE: keying assign_splits on a GROUP column (exact-dup fingerprint,
+# cluster id, source domain) makes it leakage-safe by construction — every
+# member of the group shares the hash and therefore the split.  For the
+# variant that derives the group from a near-dup PAIR list via connected
+# components, see leakage_safe_split above (wave 30); this module keeps ONE
+# definition of each.
 
 
 def mixture_waterfill_plan(

@@ -10619,21 +10619,23 @@ def similarity_join_documents(spark, sf_dir) -> DataFrame:
     """,
 )
 def split_assign_documents(spark, sf_dir) -> DataFrame:
-    """Leakage-safe train/val/test split (sample.leakage_safe_split,
-    80/10/10): the split decision hashes the exact-duplicate fingerprint
-    (text.fp_exact_key), NOT the row id — identical documents land in the
-    same split BY CONSTRUCTION, so the train/test contamination row-hash
-    splitting commits whenever duplicates straddle the boundary cannot
-    happen.  Deterministic under any partitioning/engine (md5-prefix
-    convention), growth-stable (frozen eval sets survive corpus
-    refreshes), zero shuffles — the group key rides each row."""
-    from .operators.sample import leakage_safe_split
+    """Leakage-safe train/val/test split (sample.assign_splits keyed on a
+    GROUP column, 80/10/10): the split decision hashes the
+    exact-duplicate fingerprint (text.fp_exact_key), NOT the row id —
+    identical documents land in the same split BY CONSTRUCTION, so the
+    train/test contamination row-hash splitting commits whenever
+    duplicates straddle the boundary cannot happen.  (The pair-list /
+    connected-components variant is leakage_safe_split_documents.)
+    Deterministic under any partitioning/engine (md5-prefix convention),
+    growth-stable (frozen eval sets survive corpus refreshes), zero
+    shuffles — the group key rides each row."""
+    from .operators.sample import assign_splits
     from .operators.text import fp_exact_key
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "group_key", fp_exact_key("text")
     )
-    out = leakage_safe_split(
+    out = assign_splits(
         docs, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return out.select("doc_id", "split", "group_key")

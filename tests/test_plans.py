@@ -1117,3 +1117,78 @@ def test_wave32_41_ops_scan_budget_no_python(spark):
         tp.transition_profile(ev, "user_id", "event_id", "event_type"),
     ):
         assert audit.scan_count(q) == 1, audit.executed_plan(q)[:1200]
+
+
+def test_wave39_42_ops_scan_budget_no_python(spark):
+    """Waves 39-42: the bounded-prefix family (AUC, KS, exact quantiles)
+    keeps its single-partition exchange on the <=bins-row bin table only;
+    the similarity/containment joins scan the corpus a bounded number of
+    times with no Cartesian product; splits and the mixture planner are a
+    projection and a per-source aggregate.  Only the covariance fold may
+    evaluate Python — and only as one Arrow-batched MapInArrow, never
+    row-at-a-time."""
+    from jsons_to_schema_spark.operators.dedup import (
+        containment_join,
+        jaccard_prefix_join,
+    )
+    from jsons_to_schema_spark.operators.drift import ks_drift
+    from jsons_to_schema_spark.operators.linalg import embedding_covariance
+    from jsons_to_schema_spark.operators.modeleval import roc_auc
+    from jsons_to_schema_spark.operators.sample import (
+        assign_splits,
+        mixture_waterfill_plan,
+    )
+    from jsons_to_schema_spark.operators.stats import exact_quantiles
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    scored = ev.select("value", (F.col("event_type") == "purchase").alias("y"))
+    toks = docs.withColumn(
+        "toks", F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    )
+
+    no_python = [
+        roc_auc(scored, "value", "y", 0.0, 500.0, bins=64),
+        ks_drift(
+            ev.filter("event_type = 'click'"),
+            ev.filter("event_type = 'purchase'"),
+            "value", 0.0, 500.0, bins=64,
+        ),
+        exact_quantiles(ev, "value", [0.5, 0.9], 0.0, 500.0, bins=64),
+        jaccard_prefix_join(docs, "text", "doc_id", 0.95),
+        containment_join(docs.filter("doc_id % 50 = 0"), docs, "text", "doc_id", 0.98),
+        assign_splits(docs, "doc_id", {"train": 0.9, "test": 0.1}),
+        mixture_waterfill_plan(
+            toks, "source", "toks",
+            {"src0": 500_000, "src1": 500_000}, 1_000,
+        ),
+    ]
+    for q in no_python:
+        plan = audit.executed_plan(q)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    # the bounded-prefix family: every SinglePartition exchange feeds the
+    # bin/probs/bounded frame, never a corpus-keyed hashpartitioning
+    for q in (
+        roc_auc(scored, "value", "y", 0.0, 500.0, bins=64),
+        exact_quantiles(ev, "value", [0.5], 0.0, 500.0, bins=64),
+    ):
+        plan = audit.formatted_plan(q)
+        assert "hashpartitioning(_bin" in plan
+    # splits are a pure projection: zero exchanges
+    assert "Exchange" not in audit.executed_plan(
+        assign_splits(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    )
+    # covariance: Arrow-batched fold, not row Python; the corpus pass
+    # (audited unpinned — embedding_covariance pins it so its three
+    # consumers do NOT re-run the scan, measured 4 scans before) is one
+    # parquet scan feeding one MapInArrow
+    from jsons_to_schema_spark.operators.linalg import _gram_partials
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    part = _gram_partials(emb, "embedding", 64)
+    pplan = audit.executed_plan(part)
+    assert "BatchEvalPython" not in pplan
+    assert audit.scan_count(part) == 1, pplan[:1200]
+    cov = embedding_covariance(emb, "embedding", dim=64)
+    assert "BatchEvalPython" not in audit.executed_plan(cov)

@@ -248,11 +248,15 @@ def test_pca_project_matches_numpy(spark):
 
 
 def test_covariance_plan_no_corpus_shuffle_before_kernel(spark):
+    from jsons_to_schema_spark.operators.linalg import _gram_partials
+
     rng = np.random.default_rng(2)
     mat = rng.normal(0, 1, size=(40, 3)).astype(np.float32)
+    # the corpus pass (audited unpinned — the localCheckpoint pin in
+    # embedding_covariance truncates explain output): Arrow-batched fold,
+    # no shuffle before the kernel, never row-at-a-time Python
+    pplan = audit.formatted_plan(_gram_partials(_emb_df(spark, mat), "embedding", 3))
+    assert "MapInArrow" in pplan or "PythonMapInArrow" in pplan
+    assert "BatchEvalPython" not in pplan
     df = embedding_covariance(_emb_df(spark, mat), "embedding", dim=3)
-    plan = audit.formatted_plan(df)
-    # the fold is Arrow-batched (MapInArrow/PythonMapInArrow), never
-    # row-at-a-time Python
-    assert "BatchEvalPython" not in plan
-    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "BatchEvalPython" not in audit.formatted_plan(df)

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from jsons_to_schema_spark.operators.dedup import jaccard_prefix_join
-from jsons_to_schema_spark.operators.sample import assign_splits, leakage_safe_split
+from jsons_to_schema_spark.operators.sample import assign_splits
 from jsons_to_schema_spark.plans import audit
 
 
@@ -145,14 +145,16 @@ def test_assign_splits_validation(spark):
         assign_splits(df, "k", {"a": 1.5, "b": -0.5})  # negative
 
 
-def test_leakage_safe_split_groups_never_straddle(spark):
-    """Every member of a duplicate group gets the group's split — zero
-    straddle, by construction, under any partitioning."""
+def test_group_keyed_splits_never_straddle(spark):
+    """assign_splits keyed on a GROUP column: every member of a duplicate
+    group gets the group's split — zero straddle, by construction, under
+    any partitioning (the leakage-safe convention; the pair-list CC
+    variant is sample.leakage_safe_split, tested in test_round4f)."""
     rows = [
         (i, f"g{i % 7}") for i in range(140)  # 7 groups, 20 members each
     ]
     df = spark.createDataFrame(rows, "doc_id long, grp string").repartition(6)
-    out = leakage_safe_split(df, "grp", {"train": 0.6, "val": 0.2, "test": 0.2})
+    out = assign_splits(df, "grp", {"train": 0.6, "val": 0.2, "test": 0.2})
     straddle = (
         out.groupBy("grp")
         .agg(F.countDistinct("split").alias("ns"))
