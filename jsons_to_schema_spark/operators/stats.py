@@ -3120,3 +3120,90 @@ def exact_quantiles(
             F.col("_v").alias("value"),
         )
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    probs: "list[float]",
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Per-group EXACT type-1 quantiles — p50/p95/p99 latency per endpoint,
+    length percentiles per source — with NO sort and NO single-partition
+    exchange AT ALL: the grouped variant of exact_quantiles keys every
+    stage by the group, so even the bin-prefix window runs
+    partitionBy(group) (over <= bins rows per group), the shape that
+    scales to any group count.  Returns one row per (group, prob):
+    (group, prob, n, rank, value); groups are whatever distinct values
+    ``group_col`` holds (NULL group is a group like any other); NULL
+    values are excluded from every group's n."""
+    if not probs:
+        raise ValueError("grouped_exact_quantiles: probs must be non-empty")
+    if any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(
+            f"grouped_exact_quantiles: probs must be in (0, 1], got {probs}"
+        )
+    if hi <= lo:
+        raise ValueError(f"grouped_exact_quantiles: need lo < hi, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("double")
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+
+    per = (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col).alias("group"), v.alias("_v"))
+        .withColumn("_bin", binc)
+        .groupBy("group", "_bin", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_bins = (
+        Window.partitionBy("group")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_prefix = (
+        per.groupBy("group", "_bin")
+        .agg(F.sum("_cnt").alias("_bc"))
+        .select(
+            "group",
+            "_bin",
+            F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("group", "_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.groupBy("group").agg(F.sum("_cnt").alias("_n"))
+    spark = df.sparkSession
+    pf = spark.createDataFrame([(float(p),) for p in sorted(probs)], "prob double")
+
+    ranked = (
+        per.withColumn("_cumin", F.sum("_cnt").over(w_in))
+        .join(bin_prefix, ["group", "_bin"])
+        .withColumn("_cum", F.col("_cumin") + F.col("_pref"))
+        .join(tot, "group")
+    )
+    rank = F.greatest(
+        F.ceil(F.col("prob") * F.col("_n") - F.lit(1e-9)), F.lit(1)
+    )
+    return (
+        ranked.join(
+            F.broadcast(pf),
+            (rank <= F.col("_cum")) & (rank > F.col("_cum") - F.col("_cnt")),
+        )
+        .select(
+            "group",
+            "prob",
+            F.col("_n").cast("long").alias("n"),
+            rank.cast("long").alias("rank"),
+            F.col("_v").alias("value"),
+        )
+    )

@@ -10834,6 +10834,76 @@ def mixture_plan_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "grouped_quantiles_events_value",
+    oracle="""
+    WITH per AS (SELECT event_type AS "group", value AS v, count(*) AS cnt
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    c AS (SELECT "group", v, cnt,
+                 sum(cnt) OVER (PARTITION BY "group" ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM per),
+    t AS (SELECT "group", sum(cnt) AS n FROM per GROUP BY 1),
+    p AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS prob),
+    r AS (SELECT t."group", p.prob, t.n,
+                 CAST(greatest(ceil(p.prob * t.n - 1e-9), 1) AS BIGINT)
+                   AS rank
+          FROM p, t)
+    SELECT r."group", r.prob, CAST(r.n AS BIGINT) AS n, r.rank,
+           c.v AS value
+    FROM r JOIN c ON r."group" = c."group"
+                 AND r.rank <= c.cum AND r.rank > c.cum - c.cnt
+    """,
+)
+def grouped_quantiles_events_value(spark, sf_dir) -> DataFrame:
+    """Per-event-type EXACT p50/p95/p99 of value
+    (stats.grouped_exact_quantiles) — the per-key latency-percentile
+    shape, with NO single-partition exchange AT ALL: every stage of the
+    bounded-prefix decomposition (distinct fold, bin prefix, within-bin
+    cumulative, rank-interval probe) is keyed by the group, so the plan
+    scales to any number of groups.  All 15 (group, prob) rows
+    value-checked against DuckDB's per-group ordered replay."""
+    from .operators.stats import grouped_exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_exact_quantiles(
+        ev, "value", "event_type", [0.5, 0.95, 0.99],
+        lo=0.0, hi=500.0, bins=1 << 10,
+    )
+
+
+@query(
+    "compaction_plan_spans",
+    oracle="""
+    WITH f AS (
+      SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+             CAST(sum(row_group_bytes) AS BIGINT) AS bytes
+      FROM (SELECT DISTINCT file_name, row_group_id, row_group_bytes
+            FROM parquet_metadata('__FOOTER_AUDIT_DIR__/*.parquet'))
+      GROUP BY 1
+    )
+    SELECT file_name, bytes,
+           CAST(floor(coalesce(sum(bytes) OVER (ORDER BY bytes DESC,
+                    file_name ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) / 262144.0) AS BIGINT) AS bucket
+    FROM f
+    """,
+)
+def compaction_plan_spans(spark, sf_dir) -> DataFrame:
+    """Next-fit-decreasing compaction assignment over the 33-file audit
+    dir at a 256 KiB target (sources.layout.compaction_plan) — the
+    actionable half of small_files_report: every file lands in the
+    bucket whose rewrite yields ~target-sized outputs, cut where the
+    size-descending running total crosses a target multiple.  Footer
+    bytes come from the same executor-side fan-out as the audit (the
+    driver never opens a footer); the ordering window runs over file
+    METADATA only.  Every (file, bytes, bucket) row value-checked
+    against DuckDB's parquet_metadata replay."""
+    from .sources.layout import compaction_plan
+
+    return compaction_plan(spark, _footer_audit_dir(), 262144)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

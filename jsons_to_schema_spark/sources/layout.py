@@ -387,3 +387,66 @@ def write_zordered(
         else keyed.repartitionByRange("_zkey")
     )
     out.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(str(path))
+
+
+def compaction_plan(spark, path: str | Path, target_bytes: int) -> DataFrame:
+    """Per-file compaction assignment — the actionable half of
+    small_files_report: every parquet file under ``path`` gets a
+    ``bucket`` id such that rewriting each bucket as one output file
+    yields ~``target_bytes`` files (next-fit decreasing: files ordered by
+    descending footer byte size — ties by name — and cut wherever the
+    running total crosses a target multiple; bucket = floor(exclusive
+    cumulative / target)).  A bucket's total can overshoot by at most one
+    file — the standard compaction trade against splitting a file across
+    outputs.
+
+    Scale shape: byte sizes come from the same executor-side footer fan-out
+    as small_files_report (mapInPandas over the path list — the driver
+    never opens a footer); the ordering window runs over FILE METADATA —
+    file-count-sized, the same driver-planning order of magnitude every
+    table format already pays per scan, never corpus data.  Returns one
+    row per file: (file_name, bytes, bucket)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if target_bytes <= 0:
+        raise ValueError("compaction_plan: target_bytes must be > 0")
+    paths = sorted(str(p) for p in Path(path).glob("*.parquet"))
+    if not paths:
+        raise ValueError(f"compaction_plan: no parquet files under {path}")
+    src = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+
+    def read_sizes(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import os
+
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            names, sizes = [], []
+            for p in b["path"]:
+                md = pq.read_metadata(p)
+                names.append(os.path.basename(p))
+                sizes.append(
+                    sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+                )
+            yield pd.DataFrame(
+                {"file_name": names, "bytes": pd.Series(sizes, dtype="int64")}
+            )
+
+    sizes = src.mapInPandas(read_sizes, "file_name string, bytes long")
+    w = Window.orderBy(F.col("bytes").desc(), F.col("file_name")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return sizes.select(
+        "file_name",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / F.lit(float(target_bytes))
+        ).cast("long").alias("bucket"),
+    )
