@@ -333,3 +333,71 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peeling (wave 44)
+# ---------------------------------------------------------------------------
+
+def kcore_members(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Members of the k-core of an undirected simple graph — the maximal
+    subgraph where every vertex keeps degree >= k — with each member's
+    degree INSIDE the core.  The spam/boilerplate community filter for
+    reference graphs: low-core vertices are peripheral, high-core sits in
+    densely duplicated neighborhoods.
+
+    Algorithm: iterative peeling to the greatest fixpoint — drop every
+    vertex with current degree < k, recompute degrees over the surviving
+    subgraph, repeat until no vertex drops.  Each round is one keyed
+    degree aggregate + one semi-join filter over the (shrinking) edge
+    list; the live edge set is localCheckpointed per round so the plan
+    stays constant-size across rounds (the connected-components
+    discipline).  Rounds are bounded by the peeling depth (<= graph
+    degeneracy ladder, tiny in practice); ``max_rounds`` without
+    convergence raises rather than returning a non-fixpoint.  Returns
+    (node, degree) for the k-core; empty frame when the core is empty."""
+    if k < 1:
+        raise ValueError(f"kcore_members: k must be >= 1, got {k}")
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .distinct()
+    )
+    sym = canon.select(F.col("_a").alias("u"), F.col("_b").alias("v")).unionAll(
+        canon.select(F.col("_b").alias("u"), F.col("_a").alias("v"))
+    )
+    live = sym.localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("u")
+        nxt = (
+            live.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        # fixpoint when no directed edge was dropped this round
+        n_live, n_next = live.count(), nxt.count()
+        if n_next == n_live:
+            # degrees over the surviving subgraph ARE >= k by fixpoint
+            return (
+                live.groupBy(F.col("u").alias("node"))
+                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+                .filter(F.col("degree") >= k)
+            )
+        live = nxt
+        if n_next == 0:
+            return live.select(
+                F.col("u").alias("node"), F.lit(0).cast("long").alias("degree")
+            )
+    raise RuntimeError(
+        f"kcore_members: no fixpoint after {max_rounds} rounds — raise max_rounds"
+    )

@@ -3044,6 +3044,7 @@ def exact_quantiles(
     lo: float,
     hi: float,
     bins: int = 1 << 10,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """EXACT type-1 quantiles (value at rank ceil(p·n)) of ``col`` for each
     p in ``probs`` — one row per prob: (prob, n, rank, value).  The exact
@@ -3064,7 +3065,14 @@ def exact_quantiles(
 
     Rank arithmetic guards the float boundary: ceil(p·n − 1e-9), so
     p = 0.5 over n = 1000 cannot wobble to rank 501.  NULLs are excluded
-    from n (a NULL has no rank)."""
+    from n (a NULL has no rank).
+
+    ``weight_col`` switches to WEIGHTED quantiles: n becomes the total
+    integer weight W (positive longs by contract; NULL / non-positive
+    weights excluded with their rows) and the rank-ceil(p·W) value
+    answers mass-weighted questions — "below what length does half the
+    corpus's token mass sit".  Identical plan shape; only the summed
+    quantity changes."""
     if not probs:
         raise ValueError("exact_quantiles: probs must be non-empty")
     if any(not 0.0 < p <= 1.0 for p in probs):
@@ -3078,12 +3086,20 @@ def exact_quantiles(
     raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
     binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
 
+    if weight_col is None:
+        base = df.filter(v.isNotNull()).select(
+            v.alias("_v"), F.lit(1).cast("long").alias("_w")
+        )
+    else:
+        w = F.col(weight_col).cast("long")
+        base = df.filter(v.isNotNull() & w.isNotNull() & (w > 0)).select(
+            v.alias("_v"), w.alias("_w")
+        )
     per = (
-        df.filter(v.isNotNull())
-        .select(v.alias("_v"))
+        base
         .withColumn("_bin", binc)
         .groupBy("_bin", "_v")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(F.sum("_w").alias("_cnt"))
     )
     bin_tot = per.groupBy("_bin").agg(F.sum("_cnt").alias("_bc"))
     w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)

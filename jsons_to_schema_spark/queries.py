@@ -10904,6 +10904,118 @@ def compaction_plan_spans(spark, sf_dir) -> DataFrame:
     return compaction_plan(spark, _footer_audit_dir(), 262144)
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Generated, unrolled peeling replay (the pagerank-oracle pattern):
+    round i keeps vertices with degree >= k over round i-1's surviving
+    symmetric edge set.  ``rounds`` must be >= the Spark side's actual
+    convergence depth — parity fails loudly if not, never silently."""
+    # AS MATERIALIZED is load-bearing: round i references round i-1 three
+    # times (the edge set and both endpoint filters), so default CTE
+    # inlining expands 3^rounds copies of the corpus scan and DuckDB
+    # falls over around 15 rounds; materialization keeps it linear
+    parts = [
+        """
+    WITH x AS MATERIALIZED (SELECT DISTINCT doc_id, s.media_ref AS m
+               FROM (SELECT doc_id, unnest(spans) AS s
+                     FROM read_parquet('__SPANS_GLOB__'))
+               WHERE s.media_ref IS NOT NULL),
+    e0 AS MATERIALIZED (SELECT DISTINCT l.m AS u, r.m AS v
+           FROM x l JOIN x r ON l.doc_id = r.doc_id AND l.m <> r.m)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{i} AS MATERIALIZED (SELECT u FROM e{i-1} GROUP BY u
+             HAVING count(*) >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i-1} e
+             JOIN a{i} p ON e.u = p.u JOIN a{i} q ON e.v = q.u)"""
+        )
+    parts.append(
+        f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY u HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_spans_media", oracle=_kcore_oracle(3, 15))
+def kcore_spans_media(spark, sf_dir) -> DataFrame:
+    """3-core of the media co-occurrence graph (graph.kcore_members):
+    iterative peeling to the greatest fixpoint — each round one keyed
+    degree aggregate + semi-join filter over the shrinking edge list,
+    localCheckpointed so the plan stays constant-size (the CC
+    discipline); raises rather than returning a non-fixpoint.  The
+    oracle is the peeling recurrence unrolled 15 rounds (generated, the
+    pagerank-oracle pattern) — if Spark needed more rounds than the
+    oracle replays, parity fails loudly.  Per-member in-core degrees
+    value-checked."""
+    from .operators.graph import kcore_members
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select("doc_id", F.col("sp.media_ref").alias("m"))
+        .distinct()
+    )
+    left, right = x.alias("l"), x.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.m") < F.col("r.m")),
+        )
+        .select(F.col("l.m").alias("src"), F.col("r.m").alias("dst"))
+        .distinct()
+    )
+    return kcore_members(edges, k=3)
+
+
+@query(
+    "weighted_quantiles_documents",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS w
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    per AS (SELECT v, sum(w) AS cnt FROM base WHERE w > 0 GROUP BY v),
+    c AS (SELECT v, cnt,
+                 sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM per),
+    t AS (SELECT sum(cnt) AS n FROM per),
+    p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS prob),
+    r AS (SELECT p.prob, t.n,
+                 CAST(greatest(ceil(p.prob * t.n - 1e-9), 1) AS BIGINT)
+                   AS rank
+          FROM p, t)
+    SELECT r.prob, CAST(r.n AS BIGINT) AS n, r.rank, c.v AS value
+    FROM r JOIN c ON r.rank <= c.cum AND r.rank > c.cum - c.cnt
+    """,
+)
+def weighted_quantiles_documents(spark, sf_dir) -> DataFrame:
+    """Token-mass-weighted length percentiles (stats.exact_quantiles with
+    weight_col): "below what character length does a quarter / half /
+    three-quarters / 90% of the corpus's TOKEN MASS sit" — the packing /
+    truncation planning question row-count percentiles answer wrongly
+    (long docs dominate mass).  n is the total integer token weight;
+    identical bounded-prefix plan, only the summed quantity changes.
+    All 4 rows value-checked vs the weighted ordered replay."""
+    from .operators.stats import exact_quantiles
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")),
+    )
+    return exact_quantiles(
+        docs, "n_chars", [0.25, 0.5, 0.75, 0.9],
+        lo=0.0, hi=10000.0, bins=1 << 10, weight_col="toks",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
