@@ -401,3 +401,65 @@ def kcore_members(
     raise RuntimeError(
         f"kcore_members: no fixpoint after {max_rounds} rounds — raise max_rounds"
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — fixed-iteration synchronous LPA (wave 45)
+# ---------------------------------------------------------------------------
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community labels by synchronous label propagation: every vertex
+    starts as its own label; each iteration every vertex adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label —
+    the deterministic tie-break that makes fixed-iteration output exact
+    and engine-replayable (free-running LPA with random tie-breaks is
+    neither).  Fixed ``iterations`` IS the contract (the pagerank
+    convention): synchronous LPA can oscillate on bipartite structures,
+    so a convergence loop would be wrong by design.
+
+    Per iteration: one keyed join (symmetric edges ⋈ labels on the
+    neighbor end), one (node, label) count aggregate, one per-node
+    window argmax — all keyed by vertex, nothing global; labels are
+    localCheckpointed each round so the plan stays constant-size (the
+    CC/k-core discipline).  Returns (node, label)."""
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 1, got {iterations}"
+        )
+    from pyspark.sql import Window
+
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .distinct()
+    )
+    sym = (
+        canon.select(F.col("_a").alias("u"), F.col("_b").alias("v"))
+        .unionAll(canon.select(F.col("_b").alias("u"), F.col("_a").alias("v")))
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(iterations):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=True)  # constant-size plan per round
+        )
+    return labels

@@ -11016,6 +11016,132 @@ def weighted_quantiles_documents(spark, sf_dir) -> DataFrame:
     )
 
 
+def _lpa_oracle(iterations: int) -> str:
+    """Unrolled synchronous-LPA replay (MATERIALIZED — each round
+    references the previous twice; the k-core lesson)."""
+    parts = [
+        """
+    WITH x AS MATERIALIZED (SELECT DISTINCT doc_id, s.media_ref AS m
+               FROM (SELECT doc_id, unnest(spans) AS s
+                     FROM read_parquet('__SPANS_GLOB__'))
+               WHERE s.media_ref IS NOT NULL),
+    e AS MATERIALIZED (SELECT DISTINCT l.m AS u, r.m AS v
+           FROM x l JOIN x r ON l.doc_id = r.doc_id AND l.m <> r.m),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (SELECT e.v AS node, l.lbl, count(*) AS c
+             FROM e JOIN l{i-1} l ON e.u = l.node GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (SELECT node, lbl FROM
+             (SELECT node, lbl, row_number() OVER (PARTITION BY node
+                     ORDER BY c DESC, lbl ASC) AS rn FROM c{i})
+             WHERE rn = 1)"""
+        )
+    parts.append(f"""
+    SELECT node, lbl AS label FROM l{iterations}""")
+    return "".join(parts)
+
+
+@query("communities_spans_media", oracle=_lpa_oracle(4))
+def communities_spans_media(spark, sf_dir) -> DataFrame:
+    """Fixed-iteration synchronous label propagation over the media
+    co-occurrence graph (graph.label_propagation, 4 iterations):
+    community labels for curation triage — which media cluster into one
+    asset neighborhood.  Deterministic by construction (most-frequent
+    neighbor label, ties to the SMALLEST — random-tie-break LPA is
+    neither exact nor replayable) with fixed iterations as the contract
+    (sync LPA can oscillate; a convergence loop would be wrong by
+    design).  Per iteration one keyed join + count + per-node window
+    argmax, labels localCheckpointed (the CC/k-core discipline); the
+    oracle replays the recurrence unrolled with MATERIALIZED CTEs.
+    Every node's label value-checked."""
+    from .operators.graph import label_propagation
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select("doc_id", F.col("sp.media_ref").alias("m"))
+        .distinct()
+    )
+    left, right = x.alias("l"), x.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.m") < F.col("r.m")),
+        )
+        .select(F.col("l.m").alias("src"), F.col("r.m").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, iterations=4)
+
+
+def _cdc_blocks() -> list:
+    """32 deterministic 256-byte blocks (sha256 chain) — the synthetic
+    'shared segments' dictionary for the CDC dedup query."""
+    import hashlib
+
+    blocks = []
+    for j in range(32):
+        out = b""
+        seed = f"cdc-block-{j}".encode()
+        while len(out) < 256:
+            seed = hashlib.sha256(seed).digest()
+            out += seed
+        blocks.append(out[:256])
+    return blocks
+
+
+@query("media_chunk_dedup")  # pinned-snapshot oracle (oracle_constants.json)
+def media_chunk_dedup(spark, sf_dir) -> DataFrame:
+    """Content-defined chunking dedup over synthetic media payloads
+    (operators/binchunk): each media asset's payload is 8 blocks drawn
+    deterministically (md5 of (ref, position)) from a 32-block
+    dictionary — the same segments recur across assets at DIFFERENT byte
+    offsets, exactly the sharing whole-payload hashing misses and CDC's
+    shift-invariant boundaries recover.  Payload synthesis is pure
+    Catalyst (binary literals + md5 index — no Python); chunking is one
+    mapInArrow pass; the report is a chunk-hash groupBy.  Deterministic
+    end-to-end → pinned determinism-guarded oracle; shift-invariance and
+    planted-duplicate semantics are pytest-pinned (test_round4o_ops)."""
+    from .operators.binchunk import chunk_dedup_report, content_defined_chunks
+    from .sources.tables import load_media_catalog
+
+    blocks = _cdc_blocks()
+    cat = load_media_catalog(spark, _spans_corpus(spark)).select("media_ref")
+    arr = F.array(*[F.lit(b) for b in blocks])
+    parts = [
+        F.element_at(
+            arr,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", F.col("media_ref"), F.lit(str(i)))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 32
+                + 1
+            ).cast("int"),
+        )
+        for i in range(8)
+    ]
+    payloads = cat.select(
+        "media_ref", F.concat(*parts).alias("payload")
+    )
+    chunks = content_defined_chunks(
+        payloads, "payload", "media_ref", avg_bits=7, min_len=48, max_len=512
+    )
+    return chunk_dedup_report(chunks)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -43,6 +43,7 @@ NAMES = [
     "similarity_ivf_pq_topk_embeddings",
     "drift_events_value_tdigest",
     "schema_infer_spans_tuple_mode",
+    "media_chunk_dedup",
 ]
 
 _DUCK_TYPE = {
