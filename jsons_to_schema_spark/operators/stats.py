@@ -3223,3 +3223,103 @@ def grouped_exact_quantiles(
             F.col("_v").alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested path profile — per-leaf metrics with examples (wave 46)
+# ---------------------------------------------------------------------------
+
+def nested_path_profile(df: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-leaf-path profile of an arbitrarily nested frame: for every
+    scalar leaf (recursing through structs; arrays switch to per-ELEMENT
+    grain via explode) the row count at that grain, NULL count, distinct
+    non-null count, and the ``top_k`` most frequent values with counts —
+    the "what's actually in this column" exploration surface that pairs
+    with schema inference (the schema says string; the profile says 92%
+    'text', 8% 'image', 0.1% NULL).
+
+    Paths: ``a.b`` for struct descent, ``a[].b`` past an array (empty /
+    NULL arrays contribute no element rows — the unnest grain).  Values
+    compare as canonical strings (cast string — engine-identical for the
+    supported leaf types).  Top-k ties break by value ascending, so the
+    output is exact and replayable.
+
+    Scale shape: leaves sharing a grain stack through ONE projection
+    (F.stack — no per-leaf scan); each array level adds one explode
+    projection; metrics are keyed groupBys and the top-k is the
+    two-stage per-path window (WindowGroupLimit).  Returns
+    (path, n, n_null, n_distinct, rank, value, value_count); paths whose
+    values are all NULL keep their aggregate row with NULL rank/value."""
+    from pyspark.sql import Window, types as T
+
+    if top_k < 1:
+        raise ValueError(f"nested_path_profile: top_k must be >= 1, got {top_k}")
+    stacked: list = []
+
+    def stack(frame: DataFrame, pairs: list) -> None:
+        if not pairs:
+            return
+        flat: list = []
+        for p, c in pairs:
+            flat += [F.lit(p), c]
+        stacked.append(
+            frame.select(
+                F.stack(F.lit(len(pairs)), *flat).alias("path", "value")
+            )
+        )
+
+    def process(frame: DataFrame, fields, prefix: str, acc) -> list:
+        pairs = []
+        for f in fields:
+            col = F.col(f.name) if acc is None else acc.getField(f.name)
+            path = f"{prefix}{f.name}"
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                pairs += process(frame, dt.fields, f"{path}.", col)
+            elif isinstance(dt, T.ArrayType):
+                ex = frame.select(F.explode(col).alias("_e"))
+                if isinstance(dt.elementType, T.StructType):
+                    sub = process(
+                        ex, dt.elementType.fields, f"{path}[].", F.col("_e")
+                    )
+                    stack(ex, sub)
+                else:
+                    stack(
+                        ex,
+                        [(f"{path}[]", F.col("_e").cast("string"))],
+                    )
+            else:
+                pairs.append((path, col.cast("string")))
+        return pairs
+
+    stack(df, process(df, df.schema.fields, "", None))
+    if not stacked:
+        raise ValueError("nested_path_profile: frame has no scalar leaves")
+    base = stacked[0]
+    for s in stacked[1:]:
+        base = base.unionByName(s)
+
+    agg = base.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+    w = Window.partitionBy("path").orderBy(
+        F.desc("value_count"), F.asc("value")
+    )
+    tk = (
+        base.filter(F.col("value").isNotNull())
+        .groupBy("path", "value")
+        .agg(F.count(F.lit(1)).alias("value_count"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return agg.join(tk, "path", "left").select(
+        "path",
+        F.col("n").cast("long"),
+        F.col("n_null").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.col("rank").cast("int"),
+        "value",
+        F.col("value_count").cast("long"),
+    )

@@ -11142,6 +11142,51 @@ def media_chunk_dedup(spark, sf_dir) -> DataFrame:
     return chunk_dedup_report(chunks)
 
 
+@query(
+    "path_profile_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, spans FROM read_parquet('__SPANS_GLOB__')),
+    u AS (SELECT unnest(spans) AS s FROM t),
+    base AS (
+      SELECT 'doc_id' AS path, CAST(doc_id AS VARCHAR) AS value FROM t
+      UNION ALL SELECT 'spans[].kind', s.kind FROM u
+      UNION ALL SELECT 'spans[].text', s.text FROM u
+      UNION ALL SELECT 'spans[].media_ref', s.media_ref FROM u
+      UNION ALL SELECT 'spans[].offset', CAST(s.offset AS VARCHAR) FROM u
+    ),
+    agg AS (SELECT path, count(*) AS n,
+                   count(*) - count(value) AS n_null,
+                   count(DISTINCT value) AS n_distinct
+            FROM base GROUP BY path),
+    tk AS (SELECT path, value, c,
+                  row_number() OVER (PARTITION BY path
+                      ORDER BY c DESC, value ASC) AS rank
+           FROM (SELECT path, value, count(*) AS c FROM base
+                 WHERE value IS NOT NULL GROUP BY 1, 2))
+    SELECT a.path, CAST(a.n AS BIGINT) AS n,
+           CAST(a.n_null AS BIGINT) AS n_null,
+           CAST(a.n_distinct AS BIGINT) AS n_distinct,
+           CAST(tk.rank AS INT) AS rank, tk.value,
+           CAST(tk.c AS BIGINT) AS value_count
+    FROM agg a LEFT JOIN tk ON a.path = tk.path AND tk.rank <= 3
+    """,
+)
+def path_profile_spans(spark, sf_dir) -> DataFrame:
+    """Nested path profile of the spans corpus
+    (stats.nested_path_profile): per leaf path — doc_id at row grain,
+    kind/text/media_ref/offset at span-element grain — row count, NULL
+    count, distinct count, and the top-3 values with counts (ties by
+    value, exact).  The exploration surface that pairs with schema
+    inference; leaves sharing a grain stack through ONE projection
+    (F.stack), the element grain adds one explode, top-k is the keyed
+    two-stage window.  All rows value-checked vs the DuckDB unnest
+    replay."""
+    from .operators.stats import nested_path_profile
+
+    df = load_spans(spark, _spans_corpus(spark))
+    return nested_path_profile(df, top_k=3)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
