@@ -1477,3 +1477,71 @@ def contrastive_pairs(
         )
         | ((F.col("role") == "hard_negative") & (F.col("rank") <= k_neg))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation — recall vs probes curve (wave 47)
+# ---------------------------------------------------------------------------
+
+def ivf_recall_report(
+    spark,
+    index_dir,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probes: "tuple[int, ...]" = (1, 2, 4, 8),
+) -> DataFrame:
+    """The recall-vs-probes curve for a persisted IVF index — the number
+    an ANN deployment actually tunes on: for each ``n_probe`` setting,
+    mean recall@k of the index probe against the EXACT brute-force top-k
+    over the same queries, plus the worst single-query recall (tail
+    quality, which the mean hides).  Produces one row per n_probe:
+    (n_probe, k, n_queries, mean_recall, min_recall).
+
+    Deterministic end-to-end (both sides are exact given the pinned
+    index), so the report is driver-pinnable; the semantic floor
+    (recall rising with n_probe, ==1.0 when probing every cell) is
+    pytest-asserted.  Cost shape: ONE brute-force pass for the truth set
+    (queries broadcast), then one partition-pruned probe per n_probe —
+    the probe cost is the quantity under test."""
+    if k < 1:
+        raise ValueError(f"ivf_recall_report: k must be >= 1, got {k}")
+    if not n_probes or any(p < 1 for p in n_probes):
+        raise ValueError(f"ivf_recall_report: bad n_probes {n_probes}")
+
+    truth = (
+        brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # reused once per probe setting
+    )
+    reports = []
+    for np_ in sorted(set(int(p) for p in n_probes)):
+        got = ivf_topk_indexed(
+            spark, index_dir, queries,
+            id_col=id_col, vec_col=vec_col, k=k, n_probe=np_,
+        ).select("query_id", F.col("neighbor_id").alias("_g"))
+        per_q = (
+            truth.join(
+                got,
+                (truth["query_id"] == got["query_id"])
+                & (truth["neighbor_id"] == got["_g"]),
+                "left",
+            )
+            .groupBy(truth["query_id"])
+            .agg((F.count("_g") / F.lit(float(k))).alias("_r"))
+        )
+        reports.append(
+            per_q.agg(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.lit(int(k)).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(F.avg("_r"), 6).alias("mean_recall"),
+                F.round(F.min("_r"), 6).alias("min_recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

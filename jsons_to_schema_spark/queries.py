@@ -11187,6 +11187,36 @@ def path_profile_spans(spark, sf_dir) -> DataFrame:
     return nested_path_profile(df, top_k=3)
 
 
+@query("similarity_recall_report")  # pinned-snapshot oracle (deterministic)
+def similarity_recall_report(spark, sf_dir) -> DataFrame:
+    """Recall-vs-probes curve for the persisted IVF index
+    (similarity.ivf_recall_report): mean and WORST-query recall@10 vs
+    exact brute force at n_probe ∈ {1, 2, 4, 8, 16} — the tuning curve
+    an ANN deployment actually reads, produced by the engine about its
+    own index.  n_probe = 16 probes every cell, so its recall row must
+    be exactly 1.0 (the self-check); deterministic end-to-end given the
+    pinned index → pinned determinism-guarded oracle; the monotone-
+    recall floor is pytest-asserted."""
+    from pathlib import Path
+
+    from .operators.similarity import build_ivf_index, ivf_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 16)
+    idx = (
+        Path(__file__).resolve().parents[1]
+        / ".cache"
+        / f"ivf_{Path(sf_dir).name}_{_source_fingerprint(sf_dir, 'embeddings')}_c16_i2_s42"
+    )
+    if not (idx / "centroids.json").exists():
+        build_ivf_index(emb, idx, n_cells=16, iters=2, seed=42)
+    return ivf_recall_report(
+        spark, idx, emb, queries_df, k=10, n_probes=(1, 2, 4, 8, 16)
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

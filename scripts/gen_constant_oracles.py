@@ -44,6 +44,7 @@ NAMES = [
     "drift_events_value_tdigest",
     "schema_infer_spans_tuple_mode",
     "media_chunk_dedup",
+    "similarity_recall_report",
 ]
 
 _DUCK_TYPE = {
