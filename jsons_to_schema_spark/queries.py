@@ -11459,8 +11459,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # schema_merge_checkpoint_snapshots + schema_evolution_ddl; stays
     # oracle-pytest-checked at the same sf0.01 every CI run)
     # -- r4 eighth wave (new families, never driver-checked) --
-    "frequent_pairs_events",         # market-basket association pairs
-    "cohort_retention_events",       # weekly cohort retention matrix
+    # (frequent_pairs_events + cohort_retention_events demoted for the
+    # eighteenth rotation: the behavioral family keeps
+    # resample_events_daily in-window and both stay oracle-pytest-checked
+    # at the same sf0.01 every CI run; the slots go to two genuinely new
+    # modalities below — exact order statistics and storage-grade CDC)
     "resample_events_daily",         # fixed-grid resample + ffill
     # (survivorship_orders demoted for the r4 fourteenth wave: the
     # end-to-end resolve_entities_customer below runs survivorship as
@@ -11508,6 +11511,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "split_assign_documents",          # leakage-safe train/val/test splits
     "csv_ingest_events",               # CSV source + dialect sniffing
     "survival_users_events",           # Kaplan-Meier survival curves
+    # -- eighteenth rotation: two new modalities --
+    "exact_quantiles_events_value",    # exact no-sort order statistics
+    "media_chunk_dedup",               # storage-grade CDC dedup (pinned)
 )
 
 

@@ -130,8 +130,9 @@ def test_driver_window_covers_dark_families():
         # keeps the order-audit family, skew_report the hot-key family)
         "inclusion_profile_orders_customer",
         # r4 eighth wave
-        "frequent_pairs_events",
-        "cohort_retention_events",
+        # (frequent_pairs_events + cohort_retention_events rotated out in
+        # the eighteenth rotation: behavioral keeps resample; the slots
+        # went to exact order statistics and storage-grade CDC dedup)
         "resample_events_daily",
         # r4 ninth wave
         "level_shift_events",
@@ -164,5 +165,8 @@ def test_driver_window_covers_dark_families():
         "split_assign_documents",
         "csv_ingest_events",
         "survival_users_events",
+        # eighteenth rotation: two new modalities
+        "exact_quantiles_events_value",
+        "media_chunk_dedup",
     ):
         assert must in window, must
