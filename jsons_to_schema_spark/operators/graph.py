@@ -463,3 +463,250 @@ def label_propagation(
             .localCheckpoint(eager=True)  # constant-size plan per round
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances — wave 48
+# ---------------------------------------------------------------------------
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact hop distance from a SEED SET to every reachable vertex of an
+    undirected simple graph — the "how far is this asset from the trusted
+    core" question (seed = verified/canonical media, distance = how many
+    co-occurrence hops a reference sits from them; also the blast-radius
+    probe for a corrupted asset).  Multi-source: distance is the MINIMUM
+    over all seeds, computed in one traversal, not |seeds| traversals.
+
+    Frontier expansion: round r joins the current frontier (nodes first
+    reached at distance r) against the symmetric edge list, anti-joins the
+    already-visited set, and stamps the survivors r+1.  Each round is one
+    keyed join + one anti-join + one distinct over the (shrinking)
+    frontier; visited/frontier are localCheckpointed so the plan stays
+    constant-size across rounds (the CC/k-core discipline).  Terminates
+    when the frontier empties — bounded by graph eccentricity, NOT by the
+    vertex count; ``max_rounds`` without termination raises rather than
+    returning a partial distance map.  Returns (node, dist) for every
+    REACHED vertex (seeds at 0); unreachable vertices are absent, which
+    keeps the output size proportional to the reached region.
+
+    Seeds not present in the edge list still appear at distance 0 — a
+    seed with no edges is trivially reached."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .distinct()
+    )
+    sym = (
+        canon.select(F.col("_a").alias("u"), F.col("_b").alias("v"))
+        .unionAll(canon.select(F.col("_b").alias("u"), F.col("_a").alias("v")))
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).cast("string").alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    visited = visited.localCheckpoint(eager=False)
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.rdd.isEmpty():
+            return visited
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(r).cast("long").alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_distances: frontier still non-empty after {max_rounds} rounds "
+        "— raise max_rounds"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Borůvka minimum spanning forest — wave 48
+# ---------------------------------------------------------------------------
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Minimum spanning FOREST by distributed Borůvka — the similarity
+    backbone: run on a near-duplicate or co-occurrence graph with
+    weight = −similarity, the MSF is the maximum-similarity tree per
+    component, i.e. the minimal edge set that keeps every cluster
+    connected through its strongest links (single-linkage dendrogram
+    edges; cutting it at a threshold IS single-linkage clustering).
+
+    Determinism: edges are totally ordered by (weight, u, v) after
+    canonicalizing u<v, so the MSF is UNIQUE even with duplicate weights
+    — the classic tie-break-total-order argument; Kruskal under the same
+    order produces the identical edge set (pytest parity).
+
+    Per round (Borůvka halves the component count, so ≤ log2(V) rounds):
+      1. one join stamps each edge with its endpoints' current component
+         labels; intra-component edges drop out;
+      2. one per-component window min picks each component's lightest
+         outgoing edge under the total order — those edges join the
+         forest (distinct: both endpoints may pick the same edge);
+      3. the chosen edges form a pointer pseudo-forest on component
+         labels whose only cycles are 2-cycles (mutual lightest choice —
+         a strict total order forces both to pick the SAME edge); the
+         smaller label of each 2-cycle becomes a root, then pointer
+         jumping (parent ← parent[parent], ≤ log rounds each a self-join)
+         contracts every merge tree to its root;
+      4. component labels re-point at the roots.
+    Everything is keyed joins/aggregates over the (shrinking) cross-
+    component edge list; labels and survivors are localCheckpointed so
+    the plan stays constant-size (the CC discipline).  Raises on
+    ``max_rounds`` without a fixpoint instead of returning a partial
+    forest.  Returns (src, dst, weight) with src<dst, exactly
+    V − #components rows."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(
+            a.cast("string").alias("eu"),
+            b.cast("string").alias("ev"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("eu") != F.col("ev"))
+        .filter(F.col("eu").isNotNull() & F.col("ev").isNotNull())
+        .groupBy("eu", "ev")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    comp = (
+        canon.select(F.col("eu").alias("node"))
+        .unionAll(canon.select(F.col("ev").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    live = canon
+    chosen_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        ec = (
+            live.join(
+                comp.select(F.col("node").alias("eu"), F.col("c").alias("cu")),
+                "eu",
+            )
+            .join(
+                comp.select(F.col("node").alias("ev"), F.col("c").alias("cv")),
+                "ev",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if ec.rdd.isEmpty():
+            out = comp.sparkSession.createDataFrame(
+                [], "src string, dst string, weight double"
+            )
+            for p in chosen_parts:
+                out = out.unionAll(p)
+            return out.distinct()
+        sym = ec.select(
+            F.col("cu").alias("c"), F.col("cv").alias("oc"), "w", "eu", "ev"
+        ).unionAll(
+            ec.select(
+                F.col("cv").alias("c"), F.col("cu").alias("oc"), "w", "eu", "ev"
+            )
+        )
+        wmin = Window.partitionBy("c").orderBy(
+            F.asc("w"), F.asc("eu"), F.asc("ev")
+        )
+        picked = (
+            sym.withColumn("_rn", F.row_number().over(wmin))
+            .filter(F.col("_rn") == 1)
+            .select("c", "oc", "w", "eu", "ev")
+            .localCheckpoint(eager=True)
+        )
+        chosen_parts.append(
+            picked.select(
+                F.col("eu").alias("src"),
+                F.col("ev").alias("dst"),
+                F.col("w").alias("weight"),
+            ).distinct()
+        )
+        # pointer graph on component labels: c → oc; only 2-cycles exist
+        parent = picked.select("c", F.col("oc").alias("p"))
+        two = parent.alias("x").join(
+            parent.alias("y"),
+            (F.col("x.p") == F.col("y.c")) & (F.col("y.p") == F.col("x.c")),
+            "left",
+        )
+        parent = two.select(
+            F.col("x.c").alias("c"),
+            F.when(
+                F.col("y.c").isNotNull() & (F.col("x.c") < F.col("x.p")),
+                F.col("x.c"),  # smaller side of a 2-cycle roots itself
+            )
+            .otherwise(F.col("x.p"))
+            .alias("p"),
+        ).localCheckpoint(eager=True)
+        # pointer jumping to the roots (≤ log depth; raises if not done)
+        for _j in range(max_rounds):
+            jumped = (
+                parent.alias("x")
+                .join(
+                    parent.select(
+                        F.col("c").alias("p"), F.col("p").alias("gp")
+                    ).alias("y"),
+                    "p",
+                    "left",
+                )
+                .select(
+                    "c", F.coalesce(F.col("gp"), F.col("p")).alias("p")
+                )
+                .localCheckpoint(eager=True)
+            )
+            if (
+                jumped.alias("n")
+                .join(parent.alias("o"), "c")
+                .filter(F.col("n.p") != F.col("o.p"))
+                .rdd.isEmpty()
+            ):
+                parent = jumped
+                break
+            parent = jumped
+        else:
+            raise RuntimeError("boruvka_msf: pointer jumping did not converge")
+        comp = (
+            comp.join(parent.select(F.col("c"), F.col("p")), "c", "left")
+            .select("node", F.coalesce("p", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        live = (
+            live.join(
+                comp.select(F.col("node").alias("eu"), F.col("c").alias("cu")),
+                "eu",
+            )
+            .join(
+                comp.select(F.col("node").alias("ev"), F.col("c").alias("cv")),
+                "ev",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .select("eu", "ev", "w")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"boruvka_msf: no fixpoint after {max_rounds} rounds — raise max_rounds"
+    )

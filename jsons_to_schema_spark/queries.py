@@ -11217,6 +11217,117 @@ def similarity_recall_report(spark, sf_dir) -> DataFrame:
     )
 
 
+def _bfs_oracle(rounds: int) -> str:
+    """Unrolled multi-source BFS level-set replay (MATERIALIZED — each
+    level references the full visited set; the k-core lesson).  ``rounds``
+    must be >= the true eccentricity from the seed set: a too-small unroll
+    is missing the far rows and parity fails loudly on row count.  Extra
+    rounds are harmless (empty levels)."""
+    parts = [
+        """
+    WITH x AS MATERIALIZED (SELECT DISTINCT doc_id, s.media_ref AS m
+               FROM (SELECT doc_id, unnest(spans) AS s
+                     FROM read_parquet('__SPANS_GLOB__'))
+               WHERE s.media_ref IS NOT NULL),
+    e AS MATERIALIZED (SELECT DISTINCT l.m AS u, r.m AS v
+           FROM x l JOIN x r ON l.doc_id = r.doc_id AND l.m <> r.m),
+    l0 AS MATERIALIZED (SELECT DISTINCT m AS node FROM x ORDER BY m LIMIT 3),
+    v0 AS MATERIALIZED (SELECT node, 0 AS dist FROM l0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{i} AS MATERIALIZED (SELECT DISTINCT e.v AS node
+             FROM e JOIN l{i-1} p ON e.u = p.node
+             WHERE e.v NOT IN (SELECT node FROM v{i-1})),
+    v{i} AS MATERIALIZED (SELECT node, dist FROM v{i-1}
+             UNION ALL SELECT node, {i} AS dist FROM l{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM v{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("bfs_distances_spans_media", oracle=_bfs_oracle(16))
+def bfs_distances_spans_media(spark, sf_dir) -> DataFrame:
+    """Exact hop distances over the media co-occurrence graph from the
+    three lexicographically-smallest media refs (graph.bfs_distances) —
+    the blast-radius / provenance-proximity probe: how many co-occurrence
+    hops every reference sits from a trusted seed set, in ONE multi-source
+    traversal.  Frontier expansion is a keyed join + anti-join per round
+    over localCheckpointed frontiers (the CC discipline), terminating on
+    an empty frontier — bounded by eccentricity, not vertex count;
+    unreachable media are absent by design.  The oracle replays the
+    level-set recurrence unrolled 16 rounds with MATERIALIZED CTEs; a
+    deeper-than-unrolled graph fails parity loudly on row count.  Every
+    (node, dist) row value-checked."""
+    from .operators.graph import bfs_distances
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select("doc_id", F.col("sp.media_ref").alias("m"))
+        .distinct()
+    )
+    left, right = x.alias("l"), x.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.m") < F.col("r.m")),
+        )
+        .select(F.col("l.m").alias("src"), F.col("r.m").alias("dst"))
+        .distinct()
+    )
+    seeds = x.select(F.col("m").alias("node")).distinct().orderBy("node").limit(3)
+    return bfs_distances(edges, seeds)
+
+
+@query("msf_spans_media")  # pinned-snapshot oracle (oracle_constants.json)
+def msf_spans_media(spark, sf_dir) -> DataFrame:
+    """Maximum-similarity spanning forest of the media co-occurrence
+    graph (graph.boruvka_msf with weight = −shared_doc_count): the
+    minimal edge set keeping every media cluster connected through its
+    STRONGEST co-occurrence links — the single-linkage dendrogram edges;
+    thresholding it is single-linkage clustering without re-running the
+    graph.  Distributed Borůvka: per round one per-component window min
+    picks each component's best outgoing edge under the strict total
+    order (weight, src, dst) — which makes the forest UNIQUE, Kruskal-
+    parity-tested — then 2-cycle-broken pointer jumping contracts the
+    merge trees; component count at least halves per round, so rounds ≤
+    log2(V).  Deterministic output (partition-invariance pytest), hence
+    the pinned snapshot; semantic correctness lives in the Kruskal
+    parity tests (tests/test_round4r_ops.py)."""
+    from .operators.graph import boruvka_msf
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select("doc_id", F.col("sp.media_ref").alias("m"))
+        .distinct()
+    )
+    left, right = x.alias("l"), x.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.m") < F.col("r.m")),
+        )
+        .groupBy(F.col("l.m").alias("src"), F.col("r.m").alias("dst"))
+        .agg((-F.count(F.lit(1))).cast("double").alias("weight"))
+    )
+    msf = boruvka_msf(edges)
+    return msf.select(
+        "src", "dst", (-F.col("weight")).cast("long").alias("shared_docs")
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -45,6 +45,7 @@ NAMES = [
     "schema_infer_spans_tuple_mode",
     "media_chunk_dedup",
     "similarity_recall_report",
+    "msf_spans_media",
 ]
 
 _DUCK_TYPE = {
@@ -76,14 +77,28 @@ def snapshot(spark, name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
     spark = get_spark()
-    out = {name: snapshot(spark, name, sf_dir) for name in NAMES}
     path = (
         Path(__file__).resolve().parents[1]
         / "jsons_to_schema_spark"
         / "oracle_constants.json"
     )
+    only = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):
+            only = arg[len("--only="):].split(",")
+    if only:
+        # merge mode: re-pin just the named queries (each still runs the
+        # double-run determinism guard), leave every other pin untouched
+        unknown = sorted(set(only) - set(NAMES))
+        if unknown:
+            raise SystemExit(f"--only names not in NAMES: {unknown}")
+        out = json.loads(path.read_text()) if path.exists() else {}
+        out.update({name: snapshot(spark, name, sf_dir) for name in only})
+    else:
+        out = {name: snapshot(spark, name, sf_dir) for name in NAMES}
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(f"wrote {path} ({sum(len(v['rows']) for v in out.values())} rows)")
 
