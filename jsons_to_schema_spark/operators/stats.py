@@ -3323,3 +3323,124 @@ def nested_path_profile(df: DataFrame, top_k: int = 3) -> DataFrame:
         "value",
         F.col("value_count").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate (Mahalanobis) outliers — wave 49
+# ---------------------------------------------------------------------------
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: "list[str]",
+    threshold: float,
+    id_cols: "list[str]",
+) -> DataFrame:
+    """Rows whose squared Mahalanobis distance from the column-mean under
+    the sample covariance exceeds ``threshold`` — the MULTIVARIATE outlier
+    detector: a row can sit inside every per-column z-band (outlier_report
+    passes it) while its COMBINATION is wildly off-manifold (high price at
+    tiny quantity); Mahalanobis whitens the correlation away and measures
+    that jointly.  Under multivariate normality d² is chi²(d), so
+    thresholds come from chi² quantiles (d=3: 11.34 = 99%, 16.27 = 99.9%).
+
+    d ∈ {2, 3} with the inverse in CLOSED FORM (adjugate / determinant) —
+    the point: the whole statistic stays one declarative expression both
+    engines evaluate identically, no matrix library anywhere.  Higher-d
+    belongs to the linalg/PCA path (embedding_covariance), which holds
+    the d×d object on the driver.
+
+    Determinism contract (the ab_test_report convention): values quantize
+    to integer micro-units at the scan, the d(d+3)/2 moment sums are
+    EXACT decimal(38,0) aggregates, and every downstream double —
+    covariance entries, adjugate, determinant, the quadratic form —
+    derives from identical operands in an identical expression order, so
+    the round-6 distance and the > threshold row SET are bit-reproducible
+    across engines (the oracle replays the same closed form).
+
+    Scale shape: one map-side-partial moment scan (bounded 1-row result,
+    broadcast back by crossJoin), one projection pass scoring every row —
+    no shuffle of corpus-sized data at all.  Rows with any NULL feature
+    carry no evidence and are excluded from both the moments and the
+    scoring.  Raises if the covariance is singular (det ≤ 0): a
+    degenerate feature set needs dropping a column, not a NaN column.
+
+    Output: (*id_cols, *cols, dist2) for rows with round-6 dist2 >
+    threshold."""
+    d = len(cols)
+    if d not in (2, 3):
+        raise ValueError(
+            f"mahalanobis_outliers: closed-form path supports 2 or 3 cols, got {d}"
+        )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    keep = df
+    for c in cols:
+        keep = keep.filter(F.col(c).isNotNull())
+    qs = [
+        F.round(F.col(c) * F.lit(1000000.0)).cast("long").alias(f"_q{i}")
+        for i, c in enumerate(cols)
+    ]
+    base = keep.select(*id_cols, *[F.col(c) for c in cols], *qs)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i in range(d):
+        aggs.append(F.sum(dec(F.col(f"_q{i}"))).alias(f"_s{i}"))
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.sum(dec(F.col(f"_q{i}")) * F.col(f"_q{j}")).alias(f"_s{i}{j}")
+            )
+    mom = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(mom))
+    n = F.col("_n").cast("double")
+    s = [F.col(f"_s{i}").cast("double") for i in range(d)]
+
+    def cov(i: int, j: int):
+        i, j = min(i, j), max(i, j)
+        sij = F.col(f"_s{i}{j}").cast("double")
+        # sample covariance in squared UNITS: micro² / 1e12
+        return (n * sij - s[i] * s[j]) / (n * (n - F.lit(1.0))) / F.lit(1e12)
+
+    z = [
+        F.col(f"_q{i}") / F.lit(1000000.0) - s[i] / n / F.lit(1000000.0)
+        for i in range(d)
+    ]
+    if d == 2:
+        c11, c12, c22 = cov(0, 0), cov(0, 1), cov(1, 1)
+        det = c11 * c22 - c12 * c12
+        quad = (
+            c22 * z[0] * z[0]
+            - F.lit(2.0) * c12 * z[0] * z[1]
+            + c11 * z[1] * z[1]
+        )
+    else:
+        c11, c12, c13 = cov(0, 0), cov(0, 1), cov(0, 2)
+        c22, c23, c33 = cov(1, 1), cov(1, 2), cov(2, 2)
+        det = (
+            c11 * (c22 * c33 - c23 * c23)
+            - c12 * (c12 * c33 - c13 * c23)
+            + c13 * (c12 * c23 - c13 * c22)
+        )
+        a11 = c22 * c33 - c23 * c23
+        a22 = c11 * c33 - c13 * c13
+        a33 = c11 * c22 - c12 * c12
+        a12 = -(c12 * c33 - c13 * c23)
+        a13 = c12 * c23 - c13 * c22
+        a23 = -(c11 * c23 - c12 * c13)
+        quad = (
+            a11 * z[0] * z[0]
+            + a22 * z[1] * z[1]
+            + a33 * z[2] * z[2]
+            + F.lit(2.0)
+            * (a12 * z[0] * z[1] + a13 * z[0] * z[2] + a23 * z[1] * z[2])
+        )
+    guard = F.when(
+        det <= F.lit(0.0),
+        F.raise_error(
+            F.lit("mahalanobis_outliers: singular covariance (det <= 0)")
+        ),
+    ).otherwise(det)
+    dist2 = F.round(quad / guard, 6)
+    return (
+        scored.withColumn("dist2", dist2)
+        .filter(F.col("dist2") > F.lit(float(threshold)))
+        .select(*id_cols, *cols, "dist2")
+    )

@@ -1104,3 +1104,106 @@ def disorder_profile(
             F.ceil(F.element_at("_pct", 3) / F.lit(1000000.0)), F.lit(0)
         ).cast("long").alias("watermark_seconds"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+    lags: "list[int]",
+    agg: str = "avg",
+) -> DataFrame:
+    """Exact per-key autocorrelation (ACF) of the fixed-grid resampled
+    series at the given bucket ``lags`` — the seasonality detector that
+    tells a pipeline "this metric repeats on a 7-bucket cycle" and feeds
+    lag choice for the seasonal anomaly monitor (metric_anomalies'
+    seasonal mode assumes a period; ACF is how you FIND the period).
+
+    Series = the same (key, bucket) cells temporal.resample aggregates
+    (identical bucket arithmetic and round-6 value), gaps simply produce
+    no pair at a given lag — no spine or fill is materialized.  ACF(lag)
+    = Pearson correlation of (x_t, x_{t+lag}) over buckets where both
+    endpoints are observed.
+
+    Determinism contract (the ab_test_report convention): cell values are
+    quantized to integer micro-units at the cell, so all five moment sums
+    are EXACT decimal(38,0) aggregates — no float accumulation, no
+    partition-order noise; the correlation then derives from identical
+    operands in an identical expression order and is round-6
+    reproducible across engines.
+
+    Scale shape: one map-side-partial groupBy collapses the corpus to
+    grid cells; the lag list explodes on the PROBE side only (|lags| ×
+    grid, all bounded); the self-join and moment aggregate are keyed by
+    (key, lag) — nothing global, nothing on the driver.  ACF is NULL
+    when fewer than 2 pairs or either endpoint series is constant.
+
+    Output: (*keys, lag, n_pairs, acf)."""
+    if every_seconds <= 0:
+        raise ValueError("autocorrelation: every_seconds must be positive")
+    if not keys:
+        raise ValueError("autocorrelation: keys must be non-empty")
+    if not lags or any(l <= 0 for l in lags):
+        raise ValueError("autocorrelation: lags must be positive")
+    if agg not in _RESAMPLE_AGGS:
+        raise ValueError(f"autocorrelation: agg must be one of {_RESAMPLE_AGGS}")
+    from .stats import _epoch_us_col
+
+    every_us = every_seconds * 1_000_000
+    us = _epoch_us_col(df, ts_col)
+    bucket = (us - F.pmod(us, F.lit(every_us))).alias("_b")
+    agg_fn = {
+        "avg": lambda c: F.round(F.avg(c), 6),
+        "sum": lambda c: F.round(F.sum(c), 6),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "count": lambda c: F.count(c),
+    }[agg]
+    cells = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(*keys, bucket, F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_b")
+        .agg(agg_fn(F.col("_v")).alias("_val"))
+        .filter(F.col("_val").isNotNull())
+        .select(
+            *keys,
+            "_b",
+            F.round(F.col("_val") * F.lit(1000000.0)).cast("long").alias("_vm"),
+        )
+        # feeds both sides of the lag self-join; without this the corpus
+        # aggregation runs twice (the resample lesson)
+        .localCheckpoint(eager=False)
+    )
+    probe = cells.withColumn(
+        "lag", F.explode(F.array(*[F.lit(int(l)) for l in lags]))
+    ).withColumn("_bj", F.col("_b") + F.col("lag").cast("long") * F.lit(every_us))
+    right = cells.select(
+        *keys, F.col("_b").alias("_bj"), F.col("_vm").alias("_ym")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        probe.join(right, [*keys, "_bj"])
+        .groupBy(*keys, "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(dec(F.col("_vm"))).alias("_sx"),
+            F.sum(dec(F.col("_ym"))).alias("_sy"),
+            F.sum(dec(F.col("_vm")) * F.col("_vm")).alias("_sxx"),
+            F.sum(dec(F.col("_ym")) * F.col("_ym")).alias("_syy"),
+            F.sum(dec(F.col("_vm")) * F.col("_ym")).alias("_sxy"),
+        )
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    acf = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0.0) & (vy > 0.0),
+        F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+    return m.select(
+        *keys, F.col("lag").cast("long").alias("lag"), "n_pairs", acf.alias("acf")
+    )

@@ -11328,6 +11328,149 @@ def msf_spans_media(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "acf_events_value",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS b,
+             CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS vm
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+    p AS (
+      SELECT x.event_type, l.lag, x.vm AS xv, y.vm AS yv
+      FROM cells x CROSS JOIN l
+      JOIN cells y ON y.event_type IS NOT DISTINCT FROM x.event_type
+                  AND y.b = x.b + l.lag * 86400000000
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(xv AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yv AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xv AS HUGEINT) * xv) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yv AS HUGEINT) * yv) AS DOUBLE) AS syy,
+             CAST(sum(CAST(xv AS HUGEINT) * yv) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2 AND n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                THEN round((n_pairs * sxy - sx * sy)
+                     / (sqrt(n_pairs * sxx - sx * sx)
+                        * sqrt(n_pairs * syy - sy * sy)), 6)
+           END AS acf
+    FROM m
+    """,
+)
+def acf_events_value(spark, sf_dir) -> DataFrame:
+    """Per-event-type autocorrelation of the daily mean value at lags
+    1/2/3/7 (temporal.autocorrelation) — the seasonality detector that
+    FINDS the period the seasonal anomaly monitor assumes.  Cell values
+    quantize to integer micro-units so all five moment sums are exact
+    decimal aggregates (the ab_test_report determinism contract); the
+    correlation derives from identical operands in identical expression
+    order and is round-6 value-checked across engines.  One grid-sized
+    lag self-join keyed by (type, lag); the corpus collapses to cells in
+    a single map-side-partial pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.autocorrelation(
+        ev, ["event_type"], "ts", "value", 86400, [1, 2, 3, 7]
+    )
+
+
+@query(
+    "mahalanobis_lineitem",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity, l_extendedprice, l_discount,
+             CAST(round(l_quantity * 1000000.0) AS BIGINT) AS q0,
+             CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS q1,
+             CAST(round(l_discount * 1000000.0) AS BIGINT) AS q2
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(q0 AS HUGEINT)) AS DOUBLE) AS s0,
+             CAST(sum(CAST(q1 AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(q2 AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(q0 AS HUGEINT) * q0) AS DOUBLE) AS s00,
+             CAST(sum(CAST(q0 AS HUGEINT) * q1) AS DOUBLE) AS s01,
+             CAST(sum(CAST(q0 AS HUGEINT) * q2) AS DOUBLE) AS s02,
+             CAST(sum(CAST(q1 AS HUGEINT) * q1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(q1 AS HUGEINT) * q2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(q2 AS HUGEINT) * q2) AS DOUBLE) AS s22
+      FROM src
+    ),
+    c AS (
+      SELECT n, s0, s1, s2,
+             (n * s00 - s0 * s0) / (n * (n - 1.0)) / 1e12 AS c11,
+             (n * s01 - s0 * s1) / (n * (n - 1.0)) / 1e12 AS c12,
+             (n * s02 - s0 * s2) / (n * (n - 1.0)) / 1e12 AS c13,
+             (n * s11 - s1 * s1) / (n * (n - 1.0)) / 1e12 AS c22,
+             (n * s12 - s1 * s2) / (n * (n - 1.0)) / 1e12 AS c23,
+             (n * s22 - s2 * s2) / (n * (n - 1.0)) / 1e12 AS c33
+      FROM m
+    ),
+    a AS (
+      SELECT *,
+             c11 * (c22 * c33 - c23 * c23)
+               - c12 * (c12 * c33 - c13 * c23)
+               + c13 * (c12 * c23 - c13 * c22) AS det,
+             c22 * c33 - c23 * c23 AS a11,
+             c11 * c33 - c13 * c13 AS a22,
+             c11 * c22 - c12 * c12 AS a33,
+             -(c12 * c33 - c13 * c23) AS a12,
+             c12 * c23 - c13 * c22 AS a13,
+             -(c11 * c23 - c12 * c13) AS a23
+      FROM c
+    ),
+    scored AS (
+      SELECT s.l_orderkey, s.l_linenumber,
+             s.l_quantity, s.l_extendedprice, s.l_discount,
+             round((a.a11 * z0 * z0 + a.a22 * z1 * z1 + a.a33 * z2 * z2
+                    + 2.0 * (a.a12 * z0 * z1 + a.a13 * z0 * z2
+                             + a.a23 * z1 * z2)) / a.det, 6) AS dist2
+      FROM (
+        SELECT src.*,
+               src.q0 / 1000000.0 - a.s0 / a.n / 1000000.0 AS z0,
+               src.q1 / 1000000.0 - a.s1 / a.n / 1000000.0 AS z1,
+               src.q2 / 1000000.0 - a.s2 / a.n / 1000000.0 AS z2
+        FROM src CROSS JOIN a
+      ) s CROSS JOIN a
+    )
+    SELECT * FROM scored WHERE dist2 > 8.0
+    """,
+)
+def mahalanobis_lineitem(spark, sf_dir) -> DataFrame:
+    """Joint-distribution outliers over (l_quantity, l_extendedprice,
+    l_discount) above dist² 8.0 — the empirical
+    99.9th percentile on this data; uniform TPC-H marginals have bounded
+    support, so the chi² tail never fires (stats.mahalanobis_outliers) — rows whose COMBINATION is
+    off-manifold even when every per-column z-band passes (the case
+    outlier_report structurally misses).  Closed-form adjugate inverse
+    keeps the whole statistic one declarative expression; micro-unit
+    quantization makes the moment sums exact decimals, so the round-6
+    distance and the flagged row SET are bit-reproducible across engines
+    (one moment scan + one scoring projection, no corpus shuffle).
+    Every flagged row's distance value-checked."""
+    from .operators.stats import mahalanobis_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mahalanobis_outliers(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        8.0,
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
