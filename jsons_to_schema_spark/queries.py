@@ -11666,7 +11666,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # oracle-pytest-checked at the same sf0.01 every CI run)
     # -- r4 eighth-continuation wave (new families, never driver-checked) --
     "disorder_profile_orders",       # event-time disorder / watermark advisor
-    "salted_join_orders_customer",   # skew-salted equi-join == plain join
+    # (salted_join_orders_customer demoted in the nineteenth rotation:
+    # the skew family keeps skew_report_media_refs in-window, the salted
+    # == plain equality stays oracle-pytest-checked at sf0.01, and the
+    # slot funds a never-checked graph-traversal modality)
     "bpe_vocab_documents",           # distributed BPE vocabulary learning
     # (coverage_gaps_events demoted for the r4 ninth wave: the calendar-
     # spine gap shape is evidenced in-window by resample_events_daily,
@@ -11756,7 +11759,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pseudonymize_customer_orders",    # keyed pseudonymization / governance
     "zorder_bucket_report_events",     # Z-order Morton layout evidence
     "pagerank_spans_media",            # graph centrality (exact-int PageRank)
-    "hybrid_rrf_embeddings",           # hybrid retrieval fusion (RRF)
+    # (hybrid_rrf_embeddings demoted in the nineteenth rotation: the
+    # similarity family keeps similarity_join_documents + the covariance
+    # profile in-window; RRF fusion rides the pinned top-k machinery and
+    # stays pytest-checked — the slot funds multivariate outliers)
     # -- seventeenth rotation (ninth continuation session): six NEW
     # never-driver-checked component families promoted --
     "roc_auc_events",                  # offline model eval (no-sort AUC)
@@ -11768,6 +11774,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- eighteenth rotation: two new modalities --
     "exact_quantiles_events_value",    # exact no-sort order statistics
     "media_chunk_dedup",               # storage-grade CDC dedup (pinned)
+    # -- nineteenth rotation: two new wave-48/49 modalities, both with
+    # real mirrored-SQL oracles --
+    "bfs_distances_spans_media",       # multi-source BFS hop distances
+    "mahalanobis_lineitem",            # joint-distribution outliers
 )
 
 

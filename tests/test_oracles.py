@@ -157,7 +157,8 @@ def test_driver_window_covers_dark_families():
         "pseudonymize_customer_orders",
         "zorder_bucket_report_events",
         "pagerank_spans_media",
-        "hybrid_rrf_embeddings",
+        # (hybrid_rrf_embeddings demoted in the nineteenth rotation:
+        # similarity keeps similarity_join + covariance_profile in-window)
         # seventeenth rotation: six new component families
         "roc_auc_events",
         "embedding_covariance_profile",
@@ -168,5 +169,8 @@ def test_driver_window_covers_dark_families():
         # eighteenth rotation: two new modalities
         "exact_quantiles_events_value",
         "media_chunk_dedup",
+        # nineteenth rotation: BFS traversal + multivariate outliers
+        "bfs_distances_spans_media",
+        "mahalanobis_lineitem",
     ):
         assert must in window, must

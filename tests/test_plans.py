@@ -1227,3 +1227,44 @@ def test_wave44_47_ops_no_python_no_cartesian(spark):
     assert "SinglePartition" not in audit.formatted_plan(
         grouped_exact_quantiles(ev, "value", "event_type", [0.5], 0.0, 500.0, bins=32)
     )
+
+
+def test_wave48_49_ops_no_python_no_cartesian(spark):
+    """BFS distances, Borůvka MSF, the ACF profile, and Mahalanobis
+    outliers: keyed joins/aggregates and declarative closed-form math
+    throughout — no row-at-a-time Python anywhere, and the only
+    nested-loop join in any plan is Mahalanobis broadcasting its ONE-ROW
+    moments frame (a Cartesian with a 1-row side is a projection, not a
+    blow-up; asserted as BroadcastNestedLoopJoin, never
+    CartesianProduct)."""
+    import datetime as dt
+
+    from jsons_to_schema_spark.operators.graph import bfs_distances, boruvka_msf
+    from jsons_to_schema_spark.operators.stats import mahalanobis_outliers
+    from jsons_to_schema_spark.operators.temporal import autocorrelation
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 3.0), ("c", "d", 1.5)],
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    ev = load_table(spark, SF_ORACLE, "events")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    frames = [
+        bfs_distances(edges, seeds),
+        boruvka_msf(edges),
+        autocorrelation(ev, ["event_type"], "ts", "value", 86400, [1, 2]),
+        mahalanobis_outliers(
+            li, ["l_quantity", "l_extendedprice", "l_discount"], 8.0,
+            ["l_orderkey", "l_linenumber"],
+        ),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # ACF keeps the corpus fold single-scan: cells are localCheckpointed and
+    # feed both sides of the lag self-join
+    acf = autocorrelation(ev, ["event_type"], "ts", "value", 86400, [1, 2])
+    acf.collect()
+    assert audit.scan_count(acf) <= 1
