@@ -1545,3 +1545,114 @@ def ivf_recall_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension-truncation (Matryoshka) recall report — wave 50
+# ---------------------------------------------------------------------------
+
+def dim_truncation_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dims: "list[int]",
+    full_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of exact cosine top-k computed on the FIRST d dimensions
+    against the full-dimension truth, for each candidate d — the
+    dimensionality-ablation curve a Matryoshka-style deployment reads
+    before shrinking its index (half the dims = half the index bytes and
+    FLOPs; this report says what that costs in recall).  The full_dim row
+    must come out exactly 1.0 — the self-check, same contract as
+    ivf_recall_report's full-probe row.
+
+    ONE corpus scan: the (small, by the brute-force contract) query side
+    is exploded to |dims| slices and broadcast, the corpus crossJoin is
+    shared across all cuts, scoring slices the corpus vector per (query,
+    dim) pair, and ranking windows key by (query, dim).  Cosine is
+    re-normalized over the slice (truncation changes norms — that IS the
+    measurement), rounded to 6 like every similarity oracle, ranked with
+    the deterministic (score desc, neighbor_id) tie-break.  Recall joins
+    the d-cut top-k against the full-dim top-k per query; mean and worst
+    are exact integer match-counts over k·|queries|, rounded at 6.
+
+    Output: (dim, mean_recall, worst_recall) — one row per candidate d
+    (full_dim included automatically)."""
+    if k <= 0:
+        raise ValueError("dim_truncation_report: k must be positive")
+    cuts = sorted(set(int(d) for d in dims) | {int(full_dim)})
+    if any(d <= 0 or d > full_dim for d in cuts):
+        raise ValueError(
+            f"dim_truncation_report: dims must be in (0, {full_dim}]"
+        )
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("dim", F.explode(F.array(*[F.lit(d) for d in cuts])))
+        .select(
+            "query_id",
+            "dim",
+            F.expr("slice(_qv, 1, dim)").alias("_qs"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "dim",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("_qs"), F.expr("slice(_cv, 1, dim)")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "dim", "neighbor_id")
+        # feeds truth AND every cut — without this the crossJoin runs twice
+        .localCheckpoint(eager=False)
+    )
+    truth = ranked.filter(F.col("dim") == full_dim).select(
+        "query_id", F.col("neighbor_id").alias("_tn")
+    )
+    # left join + conditional count so a cut with ZERO truth overlap still
+    # contributes an explicit 0 (a semi-join would silently drop the group
+    # and min() would report the wrong worst_recall)
+    hits = (
+        ranked.alias("r")
+        .join(
+            truth.alias("t"),
+            (F.col("r.query_id") == F.col("t.query_id"))
+            & (F.col("r.neighbor_id") == F.col("t._tn")),
+            "left",
+        )
+        .groupBy(F.col("r.query_id").alias("query_id"), F.col("r.dim").alias("dim"))
+        .agg(
+            F.sum(F.when(F.col("t._tn").isNotNull(), 1).otherwise(0)).alias("_m")
+        )
+    )
+    nq = queries.count()
+    return (
+        hits.groupBy("dim")
+        .agg(
+            F.round(
+                F.sum("_m").cast("double") / F.lit(float(k * nq)), 6
+            ).alias("mean_recall"),
+            F.round(
+                F.min("_m").cast("double") / F.lit(float(k)), 6
+            ).alias("worst_recall"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "mean_recall", "worst_recall")
+    )

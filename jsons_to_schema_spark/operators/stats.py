@@ -3444,3 +3444,90 @@ def mahalanobis_outliers(
         .filter(F.col("dist2") > F.lit(float(threshold)))
         .select(*id_cols, *cols, "dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence / information value — wave 50
+# ---------------------------------------------------------------------------
+
+def woe_iv_profile(
+    df: DataFrame,
+    feature_col: str,
+    target_col,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a binned numeric
+    feature against a binary target — the credit-scoring-style predictive-
+    power screen: WoE(bin) = ln(good-share / bad-share) says which way and
+    how strongly a bin separates the classes, and the IV sum ranks
+    features BEFORE any model exists (rule of thumb: IV < 0.02 useless,
+    > 0.3 strong).  For a curation pipeline this is "does doc length /
+    perplexity / quality score actually predict the reject label".
+
+    Binning is column_histogram's exact contract (identical
+    floor((x−lo)/w) double expression, hi lands in the last bucket,
+    outside/NULL excluded) so the two profiles line up bucket-for-bucket;
+    rows with a NULL target carry no label evidence and are excluded.
+    ``target_col`` may be a column name or a boolean Column expression
+    (true = bad/event class).
+
+    Exactness: bin counts are exact longs, shares are single divisions of
+    exact longs, WoE = ln of their ratio, IV term = (share_good −
+    share_bad)·WoE — identical operands, identical expression order,
+    round-6 reproducible (the ab_test convention).  WoE/IV are NULL for
+    bins empty on either side (no smoothing — a synthetic 0.5 would be an
+    invented observation; callers wanting smoothing can widen bins).
+
+    One conditional-aggregate pass bounded by the bucket count, broadcast
+    spine for empty bins, totals carried on the 1-row moments frame —
+    nothing corpus-sized shuffles.
+
+    Output: (bucket, bucket_lo, bucket_hi, n_good, n_bad, woe, iv_term),
+    one row per bucket."""
+    if n_buckets <= 0 or not hi > lo:
+        raise ValueError("woe_iv_profile: need n_buckets > 0 and hi > lo")
+    w = (hi - lo) / n_buckets
+    c = F.col(feature_col)
+    tgt = F.col(target_col) if isinstance(target_col, str) else target_col
+    bucket = F.least(
+        F.floor((c - F.lit(float(lo))) / F.lit(w)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    base = df.filter(
+        c.isNotNull() & (c >= float(lo)) & (c <= float(hi)) & tgt.isNotNull()
+    ).select(bucket.alias("bucket"), tgt.cast("boolean").alias("_bad"))
+    counts = base.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("_bad"), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_bad"), 1).otherwise(0)).cast("long").alias("n_bad"),
+    )
+    spine = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    binned = spine.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_good", F.lit(0)).cast("long").alias("n_good"),
+        F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_bad"),
+    )
+    totals = binned.agg(
+        F.sum("n_good").cast("long").alias("_tg"),
+        F.sum("n_bad").cast("long").alias("_tb"),
+    )
+    j = binned.crossJoin(F.broadcast(totals))
+    sg = F.col("n_good").cast("double") / F.col("_tg").cast("double")
+    sb = F.col("n_bad").cast("double") / F.col("_tb").cast("double")
+    ok = (
+        (F.col("n_good") > 0)
+        & (F.col("n_bad") > 0)
+        & (F.col("_tg") > 0)
+        & (F.col("_tb") > 0)
+    )
+    woe = F.when(ok, F.log(sg / sb))
+    return j.select(
+        "bucket",
+        (F.lit(float(lo)) + F.col("bucket") * F.lit(w)).alias("bucket_lo"),
+        (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w)).alias("bucket_hi"),
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round(F.when(ok, (sg - sb) * woe), 6).alias("iv_term"),
+    )

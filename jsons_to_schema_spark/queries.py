@@ -11471,6 +11471,122 @@ def mahalanobis_lineitem(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "woe_iv_events",
+    oracle="""
+    WITH base AS (
+      SELECT least(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 9) AS bucket,
+             (event_type = 'error') AS bad
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+        AND event_type IS NOT NULL
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM base GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(10)) AS bucket),
+    binned AS (
+      SELECT s.bucket,
+             coalesce(c.n_good, 0) AS n_good,
+             coalesce(c.n_bad, 0) AS n_bad
+      FROM spine s LEFT JOIN counts c USING (bucket)
+    ),
+    t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+                 CAST(sum(n_bad) AS BIGINT) AS tb
+          FROM binned)
+    SELECT b.bucket,
+           0.0 + b.bucket * 50.0 AS bucket_lo,
+           0.0 + (b.bucket + 1) * 50.0 AS bucket_hi,
+           b.n_good, b.n_bad,
+           CASE WHEN b.n_good > 0 AND b.n_bad > 0 AND t.tg > 0 AND t.tb > 0
+                THEN round(ln((CAST(b.n_good AS DOUBLE) / CAST(t.tg AS DOUBLE))
+                             / (CAST(b.n_bad AS DOUBLE) / CAST(t.tb AS DOUBLE))), 6)
+           END AS woe,
+           CASE WHEN b.n_good > 0 AND b.n_bad > 0 AND t.tg > 0 AND t.tb > 0
+                THEN round((CAST(b.n_good AS DOUBLE) / CAST(t.tg AS DOUBLE)
+                            - CAST(b.n_bad AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                           * ln((CAST(b.n_good AS DOUBLE) / CAST(t.tg AS DOUBLE))
+                               / (CAST(b.n_bad AS DOUBLE) / CAST(t.tb AS DOUBLE))), 6)
+           END AS iv_term
+    FROM binned b CROSS JOIN t
+    """,
+)
+def woe_iv_events(spark, sf_dir) -> DataFrame:
+    """Weight-of-evidence / information-value profile of events.value
+    against the error label (stats.woe_iv_profile, 10 equi-width bins
+    over [0, 500]) — the pre-model predictive-power screen: per-bin WoE
+    says which way a value band separates error from non-error traffic,
+    the IV terms sum to the feature's ranking score.  Identical
+    floor-binning to column_histogram, exact long counts, WoE/IV derived
+    in identical expression order (NULL for one-sided bins — no invented
+    smoothing observations); every bucket row value-checked including
+    the empty-bucket spine rows."""
+    from .operators.stats import woe_iv_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return woe_iv_profile(
+        ev, "value", F.col("event_type") == "error", 0.0, 500.0, 10
+    )
+
+
+@query(
+    "dim_truncation_embeddings",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 16),
+    d AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    scored AS (
+      SELECT q.query_id, d.dim, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+                   CAST(q.qv[1:d.dim] AS DOUBLE[]),
+                   CAST(e.embedding[1:d.dim] AS DOUBLE[])), 6) AS cos_sim
+      FROM q CROSS JOIN d JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, dim
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    top AS (SELECT query_id, dim, neighbor_id FROM ranked WHERE rank <= 10),
+    truth AS (SELECT query_id, neighbor_id FROM top WHERE dim = 64),
+    hits AS (
+      SELECT t.query_id, t.dim,
+             sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS m
+      FROM top t LEFT JOIN truth tr
+        ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(CAST(sum(m) AS DOUBLE) / 160.0, 6) AS mean_recall,
+           round(CAST(min(m) AS DOUBLE) / 10.0, 6) AS worst_recall
+    FROM hits GROUP BY 1
+    """,
+)
+def dim_truncation_embeddings(spark, sf_dir) -> DataFrame:
+    """Matryoshka dimensionality-ablation curve
+    (similarity.dim_truncation_report): recall@10 of exact cosine top-k
+    on the first 8/16/32 dims vs the 64-dim truth over 16 query vectors
+    — what shrinking the index to half/quarter/eighth FLOPs and bytes
+    costs in recall, measured by the engine itself.  One shared
+    crossJoin scan for all cuts (query side exploded to slices and
+    broadcast), (query, dim)-keyed ranking with the deterministic
+    tie-break, zero-overlap cuts counted explicitly; the 64-dim row must
+    come out exactly 1.0 (self-check).  All rows value-checked vs the
+    DuckDB sliced list_cosine_similarity replay."""
+    from .operators.similarity import dim_truncation_report
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 16)
+    return dim_truncation_report(
+        emb, queries_df, k=10, dims=[8, 16, 32], full_dim=64
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
