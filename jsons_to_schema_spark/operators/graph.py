@@ -710,3 +710,141 @@ def boruvka_msf(
     raise RuntimeError(
         f"boruvka_msf: no fixpoint after {max_rounds} rounds — raise max_rounds"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — wave 51
+# ---------------------------------------------------------------------------
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS with exact-integer arithmetic — the bipartite
+    centrality pagerank throws away: on the doc → media graph, HUB score
+    ranks documents that aggregate many authoritative assets and
+    AUTHORITY score ranks media anchored by many strong hub documents —
+    two DIFFERENT curation orderings from one pass (pagerank's projection
+    collapses them into one).
+
+    Semantics (the recurrence IS the contract — the oracle replays it):
+
+    - edges deduplicated; hub side = distinct(src), authority side =
+      distinct(dst) (a node id may appear on both sides; scores are
+      per-side, keyed by the ``side`` output column);
+    - h₀ = a₀ = 1_000_000;
+    - a'ᵢ(v) = Σ_{u→v} hᵢ₋₁(u), then L1-rescale to the side's total mass:
+      aᵢ(v) = a'ᵢ(v) · (N_auth · 1_000_000) div Σ a'ᵢ  (integer division,
+      exact decimal(38,0) product — the rescale replaces float
+      normalization and keeps every iteration bit-replayable);
+    - hᵢ from aᵢ the same way with N_hub.  Floor remainders decay total
+      mass by < N per rescale — bounded, documented (the pagerank
+      convention).
+
+    Scale shape: per iteration two keyed join+aggregate rounds over the
+    pinned edge list; score frames are localCheckpointed per iteration
+    (constant-size plans, the CC discipline); the rescale totals are
+    one-scalar aggregates, never data-sized collects.
+
+    Returns (node, side ∈ {hub, authority}, score_micro, score =
+    round(micro/1e6, 6))."""
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hn = e.select(F.col("_s").alias("node")).distinct().localCheckpoint(eager=False)
+    an = e.select(F.col("_d").alias("node")).distinct().localCheckpoint(eager=False)
+    ns, nd = hn.count(), an.count()
+    if ns == 0:
+        raise ValueError("hits: empty edge list")
+    th, ta = ns * _UNIT, nd * _UNIT
+    h = hn.select("node", F.lit(_UNIT).cast("long").alias("sc"))
+    a = an.select("node", F.lit(_UNIT).cast("long").alias("sc"))
+
+    def _step(scores: DataFrame, out_node: str, in_node: str, target: int):
+        raw = (
+            e.join(scores, e[in_node] == scores["node"])
+            .groupBy(F.col(out_node).alias("node"))
+            .agg(F.sum(F.col("sc").cast("decimal(38,0)")).alias("_raw"))
+        )
+        total = raw.agg(F.sum("_raw").alias("_t")).collect()[0]["_t"]
+        if total is None or int(total) <= 0:
+            raise RuntimeError("hits: zero total mass — degenerate graph")
+        return raw.select(
+            "node",
+            F.expr(
+                f"CAST(CAST(_raw AS DECIMAL(38,0)) * {target} DIV {int(total)} AS BIGINT)"
+            ).alias("sc"),
+        ).localCheckpoint()
+
+    for _ in range(iterations):
+        a = _step(h, "_d", "_s", ta)
+        h = _step(a, "_s", "_d", th)
+    out = h.select(
+        "node", F.lit("hub").alias("side"), F.col("sc").alias("score_micro")
+    ).unionAll(
+        a.select("node", F.lit("authority").alias("side"), F.col("sc").alias("score_micro"))
+    )
+    return out.select(
+        "node",
+        "side",
+        "score_micro",
+        F.round(F.col("score_micro") / F.lit(float(_UNIT)), 6).alias("score"),
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
+    """DuckDB replay of :func:`hits` — the recurrence unrolled into one
+    MATERIALIZED CTE chain (each score frame is referenced twice per
+    round: the join and the rescale total — the k-core inlining lesson).
+    ``edges_sql`` must select columns (src, dst)."""
+    parts = [
+        f"WITH eraw AS ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM eraw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "hn AS MATERIALIZED (SELECT DISTINCT s AS node FROM e)",
+        "an AS MATERIALIZED (SELECT DISTINCT d AS node FROM e)",
+        "cs AS (SELECT count(*) AS n FROM hn)",
+        "cd AS (SELECT count(*) AS n FROM an)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({_UNIT} AS BIGINT) AS sc FROM hn)",
+        f"a0 AS MATERIALIZED (SELECT node, CAST({_UNIT} AS BIGINT) AS sc FROM an)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.d AS node,"
+            f" CAST(sum(h.sc) AS HUGEINT) AS raw"
+            f" FROM e JOIN h{p} h ON e.s = h.node GROUP BY 1)"
+        )
+        parts.append(f"at{i} AS (SELECT sum(raw) AS t FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT ar.node,"
+            f" CAST(ar.raw * (cd.n * {_UNIT}) // at.t AS BIGINT) AS sc"
+            f" FROM ar{i} ar, at{i} at, cd)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.s AS node,"
+            f" CAST(sum(a.sc) AS HUGEINT) AS raw"
+            f" FROM e JOIN a{i} a ON e.d = a.node GROUP BY 1)"
+        )
+        parts.append(f"ht{i} AS (SELECT sum(raw) AS t FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT hr.node,"
+            f" CAST(hr.raw * (cs.n * {_UNIT}) // ht.t AS BIGINT) AS sc"
+            f" FROM hr{i} hr, ht{i} ht, cs)"
+        )
+    body = ", ".join(parts[1:])
+    return (
+        f"{parts[0]}, {body} "
+        f"SELECT node, 'hub' AS side, sc AS score_micro,"
+        f" round(sc / {float(_UNIT)!r}, 6) AS score FROM h{iterations}"
+        f" UNION ALL "
+        f"SELECT node, 'authority' AS side, sc AS score_micro,"
+        f" round(sc / {float(_UNIT)!r}, 6) AS score FROM a{iterations}"
+    )

@@ -1207,3 +1207,120 @@ def autocorrelation(
     return m.select(
         *keys, F.col("lag").cast("long").alias("lag"), "n_pairs", acf.alias("acf")
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    x_col: str,
+    y_col,
+    every_seconds: int,
+    lags: "list[int]",
+    x_agg: str = "avg",
+    y_agg: str = "avg",
+) -> DataFrame:
+    """Exact per-key lead–lag cross-correlation between two metrics of the
+    same stream on the fixed bucket grid: xcorr(lag) = Pearson
+    correlation of (x_t, y_{t+lag}) — positive lags ask "does x LEAD y by
+    lag buckets", negative lags ask the reverse, lag 0 is the
+    contemporaneous correlation.  The causal-direction probe ACF can't
+    answer: "do error spikes precede volume drops, or follow them?"
+
+    Same machinery and determinism contract as :func:`autocorrelation`
+    (identical bucket arithmetic, round-6 cell aggregates quantized to
+    integer micro-units, exact decimal(38,0) moment sums, identical
+    expression order) with one widening: the cell pass aggregates BOTH
+    metrics in one map-side-partial groupBy (``x_agg``/``y_agg`` from the
+    resample vocabulary, so x can be the daily mean while y is the daily
+    row count).  A cell NULL on one side only drops that side's pairs.
+
+    ``lags`` may be any nonempty list of integers (any sign, 0 allowed).
+    Output: (*keys, lag, n_pairs, xcorr) — NULL when fewer than 2 pairs
+    or either paired series is constant.
+
+    ``y_col`` may be a column name or a Column expression (e.g. an
+    indicator)."""
+    if every_seconds <= 0:
+        raise ValueError("cross_correlation: every_seconds must be positive")
+    if not keys:
+        raise ValueError("cross_correlation: keys must be non-empty")
+    if not lags:
+        raise ValueError("cross_correlation: lags must be non-empty")
+    for nm, ag in (("x_agg", x_agg), ("y_agg", y_agg)):
+        if ag not in _RESAMPLE_AGGS:
+            raise ValueError(
+                f"cross_correlation: {nm} must be one of {_RESAMPLE_AGGS}"
+            )
+    from .stats import _epoch_us_col
+
+    every_us = every_seconds * 1_000_000
+    us = _epoch_us_col(df, ts_col)
+    bucket = (us - F.pmod(us, F.lit(every_us))).alias("_b")
+
+    def _fn(ag):
+        return {
+            "avg": lambda c: F.round(F.avg(c), 6),
+            "sum": lambda c: F.round(F.sum(c), 6),
+            "min": lambda c: F.min(c),
+            "max": lambda c: F.max(c),
+            "count": lambda c: F.count(c),
+        }[ag]
+
+    ycol = F.col(y_col) if isinstance(y_col, str) else y_col
+    cells = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*keys, bucket, F.col(x_col).alias("_x"), ycol.alias("_y"))
+        .groupBy(*keys, "_b")
+        .agg(
+            _fn(x_agg)(F.col("_x")).alias("_xv"),
+            _fn(y_agg)(F.col("_y")).alias("_yv"),
+        )
+        .select(
+            *keys,
+            "_b",
+            F.round(F.col("_xv") * F.lit(1000000.0)).cast("long").alias("_xm"),
+            F.round(F.col("_yv") * F.lit(1000000.0)).cast("long").alias("_ym"),
+        )
+        # feeds both sides of the lag join (the autocorrelation lesson)
+        .localCheckpoint(eager=False)
+    )
+    probe = (
+        cells.filter(F.col("_xm").isNotNull())
+        .select(*keys, "_b", "_xm")  # drop _ym: the join supplies the y side
+        .withColumn("lag", F.explode(F.array(*[F.lit(int(l)) for l in lags])))
+        .withColumn(
+            "_bj", F.col("_b") + F.col("lag").cast("long") * F.lit(every_us)
+        )
+    )
+    right = cells.filter(F.col("_ym").isNotNull()).select(
+        *keys, F.col("_b").alias("_bj"), "_ym"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        probe.join(right, [*keys, "_bj"])
+        .groupBy(*keys, "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(dec(F.col("_xm"))).alias("_sx"),
+            F.sum(dec(F.col("_ym"))).alias("_sy"),
+            F.sum(dec(F.col("_xm")) * F.col("_xm")).alias("_sxx"),
+            F.sum(dec(F.col("_ym")) * F.col("_ym")).alias("_syy"),
+            F.sum(dec(F.col("_xm")) * F.col("_ym")).alias("_sxy"),
+        )
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    xc = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0.0) & (vy > 0.0),
+        F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+    return m.select(
+        *keys,
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        xc.alias("xcorr"),
+    )

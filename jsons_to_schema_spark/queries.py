@@ -11587,6 +11587,109 @@ def dim_truncation_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+def _hits_edges_sql() -> str:
+    return (
+        "SELECT doc_id AS src, s.media_ref AS dst "
+        "FROM (SELECT doc_id, unnest(spans) AS s "
+        "FROM read_parquet('__SPANS_GLOB__')) WHERE s.media_ref IS NOT NULL"
+    )
+
+
+def _hits_oracle() -> str:
+    from .operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql(_hits_edges_sql(), iterations=4)
+
+
+@query("hits_spans_media", oracle=_hits_oracle())
+def hits_spans_media(spark, sf_dir) -> DataFrame:
+    """HITS hubs & authorities over the BIPARTITE doc → media graph
+    (graph.hits, 4 fixed iterations) — the two curation orderings
+    pagerank's co-occurrence projection collapses into one: hub score
+    ranks documents aggregating many authoritative assets, authority
+    score ranks media anchored by many strong hub documents.
+    Exact-integer recurrence (decimal product · integer-division L1
+    rescale replaces float normalization), so the oracle replays it
+    verbatim — unrolled MATERIALIZED CTE chain generated from the SAME
+    definition (graph.hits_oracle_sql).  Every (node, side) score
+    value-checked; python-replay parity + partition invariance in
+    tests/test_round4u_ops.py."""
+    from .operators.graph import hits
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    edges = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select(
+            F.col("doc_id").alias("src"), F.col("sp.media_ref").alias("dst")
+        )
+    )
+    return hits(edges, iterations=4)
+
+
+@query(
+    "xcorr_events_value_volume",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS b,
+             CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS xm,
+             CAST(count(value) * 1000000 AS BIGINT) AS ym
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT unnest([-3, -1, 0, 1, 3]) AS lag),
+    p AS (
+      SELECT x.event_type, l.lag, x.xm AS xv, y.ym AS yv
+      FROM cells x CROSS JOIN l
+      JOIN cells y ON y.event_type = x.event_type
+                  AND y.b = x.b + l.lag * 86400000000
+      WHERE x.xm IS NOT NULL AND y.ym IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(xv AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yv AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xv AS HUGEINT) * xv) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yv AS HUGEINT) * yv) AS DOUBLE) AS syy,
+             CAST(sum(CAST(xv AS HUGEINT) * yv) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2 AND n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                THEN round((n_pairs * sxy - sx * sy)
+                     / (sqrt(n_pairs * sxx - sx * sx)
+                        * sqrt(n_pairs * syy - sy * sy)), 6)
+           END AS xcorr
+    FROM m
+    """,
+)
+def xcorr_events_value_volume(spark, sf_dir) -> DataFrame:
+    """Per-event-type lead–lag cross-correlation between the daily mean
+    value and the daily event VOLUME at lags −3/−1/0/+1/+3
+    (temporal.cross_correlation, y_agg='count') — the causal-direction
+    probe ACF can't answer: does the metric move before volume does, or
+    after?  Same exact-decimal-moment determinism contract as
+    acf_events_value, with the count side exact by construction; every
+    (type, lag) row value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.cross_correlation(
+        ev,
+        ["event_type"],
+        "ts",
+        "value",
+        "value",
+        86400,
+        [-3, -1, 0, 1, 3],
+        x_agg="avg",
+        y_agg="count",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
