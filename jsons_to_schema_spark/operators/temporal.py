@@ -1324,3 +1324,126 @@ def cross_correlation(
         "n_pairs",
         xc.alias("xcorr"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition on the fixed bucket grid:
+    value = trend + seasonal + residual, per key — the step AFTER the ACF
+    has found the period: subtract the weekly shape from a daily metric
+    and alert on the residual instead of re-deriving "Mondays are low"
+    every week (the seasonal anomaly monitor's missing fit stage).
+
+    Contract (every step exact-integer until a final round-6 division —
+    the ACF/ab_test determinism discipline):
+
+    - series = temporal.resample grid (avg cells, ffill) quantized to
+      micro-units; leading unfilled gaps stay NULL;
+    - trend = centered moving average over ``period`` buckets (period
+      must be ODD so the window centers; the classical 2×period variant
+      for even periods is out of contract), NULL wherever the window is
+      incomplete (series edges / NULL cells) — never a partial average;
+    - seasonal(p) for position p = bucket_index mod period is the mean
+      detrended value at p minus the GLOBAL mean detrended value (both
+      from exact integer sums over the bounded per-position table;
+      weighted centering — Σ seasonal·count = 0 exactly — rather than the
+      unweighted mean-of-means, which is not exactly representable);
+    - residual = value − trend − seasonal on the micro-unit integers.
+
+    Scale shape: the resample grid collapses the corpus; trend and
+    position are keyed windows over the grid; the seasonal fit is one
+    aggregate to a ≤ period·keys-row table re-joined keyed — nothing
+    global, nothing on the driver.
+
+    Output: (*keys, bucket_us, value, trend, seasonal, residual)."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"seasonal_decompose: period must be odd and >= 3, got {period}"
+        )
+    half = period // 2
+    grid = resample(
+        df, keys, ts_col, value_col, every_seconds, agg="avg", fill="ffill"
+    ).select(
+        *keys,
+        "bucket_us",
+        F.round(F.col("value") * F.lit(1000000.0)).cast("long").alias("_vm"),
+    )
+    wtr = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(-half, half)
+    )
+    wmin = Window.partitionBy(*keys)
+    g = (
+        grid.withColumn("_wsum", F.sum("_vm").over(wtr))
+        .withColumn("_wcnt", F.count("_vm").over(wtr))
+        .withColumn("_mn", F.min("bucket_us").over(wmin))
+        .withColumn(
+            "_idx",
+            ((F.col("bucket_us") - F.col("_mn")) / F.lit(every_seconds * 1_000_000))
+            .cast("long"),
+        )
+        .withColumn("_pos", F.pmod(F.col("_idx"), F.lit(period)).cast("long"))
+        .withColumn(
+            "_trend_m",
+            F.when(
+                (F.col("_wcnt") == period) & F.col("_vm").isNotNull(),
+                F.round(
+                    F.col("_wsum").cast("double") / F.lit(float(period))
+                ).cast("long"),
+            ),
+        )
+        .withColumn("_dm", F.col("_vm") - F.col("_trend_m"))
+        # grid cells feed the seasonal fit AND the output join
+        .localCheckpoint(eager=False)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pos_tab = (
+        g.filter(F.col("_dm").isNotNull())
+        .groupBy(*keys, "_pos")
+        .agg(
+            F.sum(dec(F.col("_dm"))).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("_c"),
+        )
+    )
+    tot = pos_tab.groupBy(*keys).agg(
+        F.sum("_s").alias("_st"), F.sum("_c").cast("long").alias("_ct")
+    )
+    seas = pos_tab.join(tot, keys).select(
+        *keys,
+        "_pos",
+        F.round(
+            (
+                F.col("_s").cast("double") / F.col("_c").cast("double")
+                - F.col("_st").cast("double") / F.col("_ct").cast("double")
+            )
+        ).cast("long").alias("_seas_m"),
+    )
+    out = g.join(seas, [*keys, "_pos"], "left")
+    trend = F.round(F.col("_trend_m") / F.lit(1000000.0), 6)
+    seasonal = F.when(
+        F.col("_trend_m").isNotNull(),
+        F.round(F.col("_seas_m") / F.lit(1000000.0), 6),
+    )
+    residual = F.when(
+        F.col("_trend_m").isNotNull(),
+        F.round(
+            (F.col("_vm") - F.col("_trend_m") - F.col("_seas_m"))
+            / F.lit(1000000.0),
+            6,
+        ),
+    )
+    return out.select(
+        *keys,
+        "bucket_us",
+        F.round(F.col("_vm") / F.lit(1000000.0), 6).alias("value"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        residual.alias("residual"),
+    )

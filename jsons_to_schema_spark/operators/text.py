@@ -1291,3 +1291,118 @@ def compression_ratio(
         F.length(F.col(col)).cast("long").alias("n_chars"),
         compression_ratio_kernel(level)(F.col(col)).alias("compression_ratio"),
     )
+
+
+def ngram_overlap_metrics(
+    pairs: DataFrame,
+    id_cols: "list[str]",
+    cand_col: str,
+    ref_col: str,
+    n_max: int = 2,
+) -> DataFrame:
+    """BLEU/ROUGE-style clipped n-gram overlap between paired texts — the
+    pairwise text metric a pipeline needs wherever two versions of a
+    document meet: candidate vs reference in distillation eval, raw vs
+    cleaned text ("how much content survived the scrubber"), adjacent
+    near-duplicates ("WHAT do these two actually share").  Per pair and
+    per n ∈ 1..n_max:
+
+    - overlap = Σ_g min(count_cand(g), count_ref(g)) — BLEU's CLIPPED
+      match count (a candidate repeating one reference word does not
+      farm precision);
+    - precision = overlap / #cand n-grams (BLEU-style modified
+      precision), recall = overlap / #ref n-grams (ROUGE-n), f1 their
+      harmonic mean — NULL where the denominator side has no n-grams.
+
+    Tokens are the engine's whitespace convention (text.tokens — split
+    on ' ', empties filtered, case preserved); n-grams join tokens with
+    a single space.  Counts are exact longs; the three ratios derive
+    from identical integer operands, round-6 reproducible.
+
+    Scale shape: n-grams explode per side (corpus-token-sized, the
+    shingle cost every dedup operator already pays) into ONE per-(pair,
+    n, gram) count aggregate per side, a keyed full-outer join, and a
+    keyed roll-up back to pairs — everything keyed by the pair id,
+    nothing global.  The pair frame itself comes from the caller (this
+    operator does not choose the pairing).
+
+    Output: (*id_cols, n, cand_ngrams, ref_ngrams, overlap, precision,
+    recall, f1)."""
+    if n_max < 1:
+        raise ValueError(f"ngram_overlap_metrics: n_max must be >= 1, got {n_max}")
+
+    def _grams(col: str):
+        toks = tokens(col)
+        # positions 1 .. size-n+1, one n-gram each (empty when size < n)
+        # sequence(1, 0) DESCENDS in Spark (never empty) — guard short
+        # texts with an explicit empty array instead
+        empty = F.array().cast("array<struct<n:int,gram:string>>")
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_max)),
+                lambda n: F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.struct(
+                            n.cast("int").alias("n"),
+                            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                        ),
+                    ),
+                ).otherwise(empty),
+            )
+        )
+
+    base = pairs.select(*id_cols, _grams(cand_col).alias("_cg"), _grams(ref_col).alias("_rg"))
+
+    def _counts(col: str, out: str):
+        return (
+            base.select(*id_cols, F.explode(col).alias("_g"))
+            .groupBy(*id_cols, F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    cc = _counts("_cg", "_cc")
+    rc = _counts("_rg", "_rc")
+    j = cc.join(rc, [*id_cols, "n", "gram"], "full_outer").select(
+        *id_cols,
+        "n",
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        F.coalesce("_rc", F.lit(0)).alias("_rc"),
+    )
+    per = j.groupBy(*id_cols, "n").agg(
+        F.sum("_cc").cast("long").alias("cand_ngrams"),
+        F.sum("_rc").cast("long").alias("ref_ngrams"),
+        F.sum(F.least(F.col("_cc"), F.col("_rc"))).cast("long").alias("overlap"),
+    )
+    # spine: every (pair, n) appears even when BOTH sides lack n-grams
+    spine = pairs.select(*id_cols).crossJoin(
+        F.broadcast(
+            pairs.sparkSession.range(1, n_max + 1).select(
+                F.col("id").cast("int").alias("n")
+            )
+        )
+    )
+    full = spine.join(per, [*id_cols, "n"], "left").select(
+        *id_cols,
+        F.col("n").cast("long").alias("n"),
+        F.coalesce("cand_ngrams", F.lit(0)).cast("long").alias("cand_ngrams"),
+        F.coalesce("ref_ngrams", F.lit(0)).cast("long").alias("ref_ngrams"),
+        F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+    )
+    p = F.col("overlap").cast("double") / F.col("cand_ngrams").cast("double")
+    r = F.col("overlap").cast("double") / F.col("ref_ngrams").cast("double")
+    prec = F.when(F.col("cand_ngrams") > 0, F.round(p, 6))
+    rec = F.when(F.col("ref_ngrams") > 0, F.round(r, 6))
+    f1 = F.when(
+        (F.col("cand_ngrams") > 0) & (F.col("ref_ngrams") > 0) & (F.col("overlap") > 0),
+        F.round(F.lit(2.0) * p * r / (p + r), 6),
+    ).otherwise(
+        F.when(
+            (F.col("cand_ngrams") > 0) & (F.col("ref_ngrams") > 0), F.lit(0.0)
+        )
+    )
+    return full.select(
+        *id_cols, "n", "cand_ngrams", "ref_ngrams", "overlap",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

@@ -11690,6 +11690,190 @@ def xcorr_events_value_volume(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "seasonal_decompose_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, epoch_us(ts) AS us, value FROM events
+      WHERE ts IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, us - us % 86400000000 AS b,
+             round(avg(value), 6) AS val
+      FROM src GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(b) AS mn, max(b) AS mx FROM cells GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, 86400000000)) AS b
+      FROM spans
+    ),
+    grid AS (
+      SELECT s.event_type, s.b,
+             last_value(c.val IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+      FROM spine s LEFT JOIN cells c
+        ON c.event_type = s.event_type AND c.b = s.b
+    ),
+    q AS (
+      SELECT event_type, b,
+             CAST(round(val * 1000000) AS BIGINT) AS vm
+      FROM grid
+    ),
+    w AS (
+      SELECT event_type, b, vm,
+             sum(vm) OVER win AS wsum,
+             count(vm) OVER win AS wcnt,
+             min(b) OVER (PARTITION BY event_type) AS mnb
+      FROM q
+      WINDOW win AS (PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    t AS (
+      SELECT event_type, b, vm,
+             ((b - mnb) // 86400000000) % 7 AS pos,
+             CASE WHEN wcnt = 7 AND vm IS NOT NULL
+                  THEN CAST(round(CAST(wsum AS DOUBLE) / 7.0) AS BIGINT)
+             END AS tm
+      FROM w
+    ),
+    d AS (SELECT *, vm - tm AS dm FROM t),
+    pt AS (
+      SELECT event_type, pos, sum(dm) AS s, count(*) AS c
+      FROM d WHERE dm IS NOT NULL GROUP BY 1, 2
+    ),
+    tt AS (
+      SELECT event_type, sum(s) AS st, sum(c) AS ct FROM pt GROUP BY 1
+    ),
+    sa AS (
+      SELECT pt.event_type, pt.pos,
+             CAST(round(CAST(pt.s AS DOUBLE) / CAST(pt.c AS DOUBLE)
+                        - CAST(tt.st AS DOUBLE) / CAST(tt.ct AS DOUBLE))
+                  AS BIGINT) AS sm
+      FROM pt JOIN tt ON pt.event_type = tt.event_type
+    )
+    SELECT d.event_type, d.b AS bucket_us,
+           round(d.vm / 1000000.0, 6) AS value,
+           round(d.tm / 1000000.0, 6) AS trend,
+           CASE WHEN d.tm IS NOT NULL
+                THEN round(sa.sm / 1000000.0, 6) END AS seasonal,
+           CASE WHEN d.tm IS NOT NULL
+                THEN round((d.vm - d.tm - sa.sm) / 1000000.0, 6)
+           END AS residual
+    FROM d LEFT JOIN sa
+      ON sa.event_type = d.event_type AND sa.pos = d.pos
+    """,
+)
+def seasonal_decompose_events(spark, sf_dir) -> DataFrame:
+    """Classical additive decomposition of the per-type daily mean value
+    at period 7 (temporal.seasonal_decompose) — the fit stage between
+    "ACF found weekly seasonality" and "alert on the residual": value =
+    centered-MA trend + weighted-centered weekly seasonal + residual,
+    every step exact-integer until the final round-6 division, trend
+    NULL where the 7-bucket window is incomplete (never a partial
+    average).  Every grid row's four components value-checked against
+    the windowed-SQL replay."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.seasonal_decompose(
+        ev, ["event_type"], "ts", "value", 86400, 7
+    )
+
+
+@query(
+    "ngram_overlap_adjacent_documents",
+    oracle="""
+    WITH p AS (
+      SELECT a.doc_id AS pid, a.text AS cand, b.text AS ref
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 200
+    ),
+    nn AS (SELECT unnest([1, 2]) AS n),
+    ct AS (SELECT pid, nn.n AS n,
+                  list_filter(string_split(cand, ' '), x -> x <> '') AS toks
+           FROM p CROSS JOIN nn),
+    rt AS (SELECT pid, nn.n AS n,
+                  list_filter(string_split(ref, ' '), x -> x <> '') AS toks
+           FROM p CROSS JOIN nn),
+    cg AS (
+      SELECT pid, n,
+             unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                    i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+      FROM ct WHERE len(toks) >= n
+    ),
+    rg AS (
+      SELECT pid, n,
+             unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                    i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+      FROM rt WHERE len(toks) >= n
+    ),
+    cc AS (SELECT pid, n, gram, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+    rc AS (SELECT pid, n, gram, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+    j AS (
+      SELECT coalesce(cc.pid, rc.pid) AS pid,
+             coalesce(cc.n, rc.n) AS n,
+             coalesce(cc.c, 0) AS ccnt,
+             coalesce(rc.c, 0) AS rcnt
+      FROM cc FULL OUTER JOIN rc
+        ON cc.pid = rc.pid AND cc.n = rc.n AND cc.gram = rc.gram
+    ),
+    per AS (
+      SELECT pid, n,
+             CAST(sum(ccnt) AS BIGINT) AS cand_ngrams,
+             CAST(sum(rcnt) AS BIGINT) AS ref_ngrams,
+             CAST(sum(least(ccnt, rcnt)) AS BIGINT) AS overlap
+      FROM j GROUP BY 1, 2
+    ),
+    spine AS (SELECT p.pid, nn.n FROM p CROSS JOIN nn),
+    f AS (
+      SELECT s.pid, CAST(s.n AS BIGINT) AS n,
+             coalesce(per.cand_ngrams, 0) AS cand_ngrams,
+             coalesce(per.ref_ngrams, 0) AS ref_ngrams,
+             coalesce(per.overlap, 0) AS overlap
+      FROM spine s LEFT JOIN per ON per.pid = s.pid AND per.n = s.n
+    )
+    SELECT pid, n, cand_ngrams, ref_ngrams, overlap,
+           CASE WHEN cand_ngrams > 0
+                THEN round(CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN ref_ngrams > 0
+                THEN round(CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN cand_ngrams > 0 AND ref_ngrams > 0 THEN
+             CASE WHEN overlap > 0 THEN
+               round(2.0 * (CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE))
+                         * (CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE))
+                     / ((CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE))
+                        + (CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE))), 6)
+             ELSE 0.0 END
+           END AS f1
+    FROM f
+    """,
+)
+def ngram_overlap_adjacent_documents(spark, sf_dir) -> DataFrame:
+    """Clipped n-gram overlap (BLEU-style modified precision, ROUGE-n
+    recall, F1) between each document and its doc_id successor for the
+    first 200 ids (text.ngram_overlap_metrics, n ∈ {1, 2}) — the
+    pairwise metric that says WHAT neighboring documents share, with
+    BLEU's clipping so repetition can't farm matches.  Exact long
+    counts, round-6 ratios from identical integer operands; pairs with
+    an n-gram-less side get explicit spine rows (NULL-denominator
+    contract).  All 400 rows value-checked."""
+    from .operators.text import ngram_overlap_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("pid"), F.col("text").alias("cand")
+    ).filter(F.col("pid") < 200)
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("pid"), F.col("text").alias("ref")
+    )
+    pairs = a.join(b, "pid")
+    return ngram_overlap_metrics(pairs, ["pid"], "cand", "ref", n_max=2)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
