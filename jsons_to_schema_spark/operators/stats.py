@@ -3503,10 +3503,17 @@ def woe_iv_profile(
         F.sum(F.when(F.col("_bad"), 1).otherwise(0)).cast("long").alias("n_bad"),
     )
     spine = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
-    binned = spine.join(F.broadcast(counts), "bucket", "left").select(
-        "bucket",
-        F.coalesce("n_good", F.lit(0)).cast("long").alias("n_good"),
-        F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_bad"),
+    binned = (
+        spine.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_good", F.lit(0)).cast("long").alias("n_good"),
+            F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_bad"),
+        )
+        # feeds BOTH the totals aggregate and the output join — without
+        # this pin the corpus count pass runs twice (plan-audit finding,
+        # the covariance-triple-scan lesson); the frame is bucket-sized
+        .localCheckpoint(eager=False)
     )
     totals = binned.agg(
         F.sum("n_good").cast("long").alias("_tg"),

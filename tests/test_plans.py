@@ -1268,3 +1268,53 @@ def test_wave48_49_ops_no_python_no_cartesian(spark):
     acf = autocorrelation(ev, ["event_type"], "ts", "value", 86400, [1, 2])
     acf.collect()
     assert audit.scan_count(acf) <= 1
+
+
+def test_wave50_52_ops_no_python_no_cartesian(spark):
+    """WoE/IV, dim-truncation recall, HITS, cross-correlation, seasonal
+    decomposition, n-gram overlap: keyed aggregates/joins and broadcast
+    spines throughout — no row-at-a-time Python, no CartesianProduct
+    (the similarity crossJoins broadcast their small query/moment side:
+    BroadcastNestedLoopJoin with a bounded side is a projection)."""
+    from jsons_to_schema_spark.operators.graph import hits
+    from jsons_to_schema_spark.operators.similarity import dim_truncation_report
+    from jsons_to_schema_spark.operators.stats import woe_iv_profile
+    from jsons_to_schema_spark.operators.temporal import (
+        cross_correlation,
+        seasonal_decompose,
+    )
+    from jsons_to_schema_spark.operators.text import ngram_overlap_metrics
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "src string, dst string"
+    )
+    pairs = docs.select(
+        F.col("doc_id").alias("pid"),
+        F.col("text").alias("cand"),
+        F.col("text").alias("ref"),
+    ).limit(50)
+    frames = [
+        woe_iv_profile(ev, "value", F.col("event_type") == "error", 0.0, 500.0, 5),
+        dim_truncation_report(
+            emb, emb.filter(F.col("vec_id") < 4), k=5, dims=[8], full_dim=64
+        ),
+        hits(edges, iterations=2),
+        cross_correlation(
+            ev, ["event_type"], "ts", "value", "value", 86400, [1], y_agg="count"
+        ),
+        seasonal_decompose(ev, ["event_type"], "ts", "value", 86400, 7),
+        ngram_overlap_metrics(pairs, ["pid"], "cand", "ref", 2),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the WoE moment pass reads the corpus once for counts; spine and
+    # totals are bounded broadcast sides
+    woe = woe_iv_profile(ev, "value", F.col("event_type") == "error", 0.0, 500.0, 5)
+    assert audit.scan_count(woe) <= 1
