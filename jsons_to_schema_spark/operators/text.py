@@ -1406,3 +1406,124 @@ def ngram_overlap_metrics(
         *id_cols, "n", "cand_ngrams", "ref_ngrams", "overlap",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def readability_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document — the
+    readability axis of quality filtering (Gopher/C4-style heuristics
+    gate on length and repetition; readability separates fluent prose
+    from keyword soup at equal length).  Pure-Catalyst counting contract,
+    chosen for exact cross-engine replay rather than linguistic
+    perfection (syllable counting without a dictionary is a heuristic in
+    EVERY implementation):
+
+    - words = the engine's whitespace tokens;
+    - sentences = runs of [.!?] (``greatest(count, 1)`` so fragment-only
+      documents divide by one sentence, the classical tools' behavior);
+    - syllables = vowel-letter runs [aeiouyAEIOUY]+ over the raw text
+      (runs never span whitespace, so this is the per-word vowel-group
+      sum marched over the whole document in ONE regexp).
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59;
+    both NULL for word-less documents, round-6 from exact long counts in
+    identical expression order.  One narrow projection — no shuffle, no
+    Python.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch, fk_grade)."""
+    c = F.coalesce(F.col(col), F.lit(""))  # NULL text counts as empty
+    base = df.select(
+        F.col(id_col),
+        token_count(c).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(c, F.lit(r"[aeiouyAEIOUY]+")).cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    has = F.col("n_words") > 0
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            has,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+        ).alias("flesch"),
+        F.when(
+            has,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ),
+        ).alias("fk_grade"),
+    )
+
+
+_SCRIPT_CLASSES = (
+    ("latin", r"[^A-Za-z]"),
+    ("digit", r"[^0-9]"),
+    ("cjk", "[^一-鿿]"),
+    ("cyrillic", "[^Ѐ-ӿ]"),
+    ("arabic", "[^؀-ۿ]"),
+    ("whitespace", r"[^\s]"),
+)
+
+
+def script_profile(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Per-document Unicode script composition — the language-agnostic
+    complement to the n-gram language ID: character counts and ratios
+    for Latin / digits / CJK / Cyrillic / Arabic / whitespace plus the
+    residual ``other`` bucket.  Mixed-script documents (spam, mojibake,
+    bilingual boilerplate) show up as ratio anomalies before any
+    language model sees them.
+
+    Counting is the strip-and-measure idiom (length of the text with
+    everything OUTSIDE the class removed — the quality_features
+    convention), one narrow no-shuffle projection, each ratio a round-6
+    division of exact longs; ``other`` is the exact remainder, so the
+    counts always sum to n_chars.
+
+    Output: (id, n_chars, {script}_chars..., other_chars,
+    {script}_ratio..., other_ratio)."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    counts = [
+        F.length(F.regexp_replace(c, pat, "")).cast("long").alias(f"{name}_chars")
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    base = df.select(F.col(id_col), F.length(c).cast("long").alias("n_chars"), *counts)
+    known = None
+    for name, _ in _SCRIPT_CLASSES:
+        col_ = F.col(f"{name}_chars")
+        known = col_ if known is None else known + col_
+    base = base.withColumn("other_chars", (F.col("n_chars") - known).cast("long"))
+    nz = F.col("n_chars") > 0
+    ratios = [
+        F.when(
+            nz,
+            F.round(
+                F.col(f"{name}_chars").cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            ),
+        ).alias(f"{name}_ratio")
+        for name, _ in _SCRIPT_CLASSES
+    ] + [
+        F.when(
+            nz,
+            F.round(
+                F.col("other_chars").cast("double") / F.col("n_chars").cast("double"),
+                6,
+            ),
+        ).alias("other_ratio")
+    ]
+    return base.select(
+        id_col,
+        "n_chars",
+        *[f"{name}_chars" for name, _ in _SCRIPT_CLASSES],
+        "other_chars",
+        *ratios,
+    )

@@ -11874,6 +11874,93 @@ def ngram_overlap_adjacent_documents(spark, sf_dir) -> DataFrame:
     return ngram_overlap_metrics(pairs, ["pid"], "cand", "ref", n_max=2)
 
 
+@query(
+    "readability_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(coalesce(text, ''),
+                  '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                  '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+             round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   - 15.59, 6)
+           END AS fk_grade
+    FROM base
+    """,
+)
+def readability_documents(spark, sf_dir) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document
+    (text.readability_features) — the readability axis of quality
+    filtering: fluent prose vs keyword soup at equal length.  Counting
+    contract chosen for exact cross-engine replay (whitespace words,
+    [.!?]+ sentence runs with a floor of one, vowel-letter runs as
+    syllables); round-6 scores from exact long counts in identical
+    expression order; one narrow no-shuffle projection.  Every
+    document's five fields value-checked."""
+    from .operators.text import readability_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_features(docs, "text", "doc_id")
+
+
+@query(
+    "script_profile_documents",
+    oracle="""
+    WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) AS latin_chars,
+             CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+             CAST(length(regexp_replace(t, '[^一-鿿]', '', 'g')) AS BIGINT) AS cjk_chars,
+             CAST(length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g')) AS BIGINT) AS cyrillic_chars,
+             CAST(length(regexp_replace(t, '[^؀-ۿ]', '', 'g')) AS BIGINT) AS arabic_chars,
+             CAST(length(regexp_replace(t, '[^\\s]', '', 'g')) AS BIGINT) AS whitespace_chars
+      FROM b
+    )
+    SELECT doc_id, n_chars, latin_chars, digit_chars, cjk_chars,
+           cyrillic_chars, arabic_chars, whitespace_chars,
+           n_chars - (latin_chars + digit_chars + cjk_chars
+                      + cyrillic_chars + arabic_chars + whitespace_chars)
+             AS other_chars,
+           CASE WHEN n_chars > 0 THEN round(CAST(latin_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS latin_ratio,
+           CASE WHEN n_chars > 0 THEN round(CAST(digit_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS digit_ratio,
+           CASE WHEN n_chars > 0 THEN round(CAST(cjk_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS cjk_ratio,
+           CASE WHEN n_chars > 0 THEN round(CAST(cyrillic_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS cyrillic_ratio,
+           CASE WHEN n_chars > 0 THEN round(CAST(arabic_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS arabic_ratio,
+           CASE WHEN n_chars > 0 THEN round(CAST(whitespace_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS whitespace_ratio,
+           CASE WHEN n_chars > 0 THEN round(CAST(n_chars - (latin_chars + digit_chars + cjk_chars + cyrillic_chars + arabic_chars + whitespace_chars) AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS other_ratio
+    FROM c
+    """,
+)
+def script_profile_documents(spark, sf_dir) -> DataFrame:
+    """Unicode script composition per document (text.script_profile) —
+    the language-agnostic complement to n-gram language ID: Latin /
+    digit / CJK / Cyrillic / Arabic / whitespace counts and ratios plus
+    the exact ``other`` remainder (counts always sum to n_chars,
+    pytest-pinned).  Mixed-script anomalies (spam, mojibake, bilingual
+    boilerplate) surface as ratio outliers before any language model
+    runs.  Strip-and-measure counting (the quality_features idiom), one
+    narrow no-shuffle projection; every row value-checked."""
+    from .operators.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return script_profile(docs, "text", "doc_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
