@@ -3538,3 +3538,68 @@ def woe_iv_profile(
         F.round(woe, 6).alias("woe"),
         F.round(F.when(ok, (sg - sb) * woe), 6).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded differentially-private count release — wave 54
+# ---------------------------------------------------------------------------
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float,
+    seed: int = 42,
+) -> DataFrame:
+    """ε-DP histogram release: per-category counts plus Laplace(1/ε)
+    noise — the governance endpoint that completes the privacy toolkit
+    (k-anonymity / l-diversity / t-closeness PROFILE risk; this is the
+    mechanism that lets aggregate counts LEAVE the boundary).  Disjoint
+    categories give the count vector L1 sensitivity 1, so per-cell
+    Laplace(1/ε) yields ε-DP for the whole histogram.
+
+    The noise is SEEDED (md5-prefix uniform — the engine's sampling
+    convention — through the exact Laplace inverse CDF), which is what
+    makes the release deterministic, partition-order-free, and
+    engine-replayable (the oracle recomputes it bit-for-bit).  Treat the
+    seed like a key: with the seed public the mechanism is a
+    reproducibility device, not privacy — the standard trade of every
+    seeded-DP deployment, documented rather than hidden.
+
+    u = (uint32(md5("dp-<seed>" ⊕ category)[:8]) + 0.5) / 16^8 ∈ (0, 1);
+    noise = (1/ε)·ln(2u) for u < 0.5 else −(1/ε)·ln(2(1−u));
+    released = count + round(noise) — integer release, NOT clamped at
+    zero (clamping skews the unbiasedness this mechanism promises;
+    negative small-count releases are the textbook behavior).
+
+    One map-side-partial count pass + a category-sized projection; NULL
+    categories carry no release.  Output: (group value under its own
+    name, n_released, epsilon)."""
+    if not epsilon > 0:
+        raise ValueError(f"dp_noisy_counts: epsilon must be positive, got {epsilon}")
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isNotNull())
+        .groupBy(g)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("\x1f", F.lit(f"dp-{seed}"), g.cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(16**8))
+    b = F.lit(1.0 / float(epsilon))
+    noise = F.when(u < 0.5, b * F.log(F.lit(2.0) * u)).otherwise(
+        -b * F.log(F.lit(2.0) * (F.lit(1.0) - u))
+    )
+    return counts.select(
+        F.col(group_col),
+        (F.col("_n") + F.round(noise).cast("long")).alias("n_released"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

@@ -11961,6 +11961,46 @@ def script_profile_documents(spark, sf_dir) -> DataFrame:
     return script_profile(docs, "text", "doc_id")
 
 
+@query(
+    "dp_release_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    u AS (
+      SELECT event_type, n,
+             (CAST(CAST('0x' || substring(md5(concat_ws(chr(31), 'dp-42',
+                    event_type)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+               / 4294967296.0 AS uu
+      FROM c
+    )
+    SELECT event_type,
+           n + CAST(round(CASE WHEN uu < 0.5
+                               THEN 2.0 * ln(2.0 * uu)
+                               ELSE -(2.0) * ln(2.0 * (1.0 - uu))
+                          END) AS BIGINT) AS n_released,
+           CAST(0.5 AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def dp_release_events(spark, sf_dir) -> DataFrame:
+    """ε-DP release of the per-type event histogram at ε = 0.5
+    (stats.dp_noisy_counts, seed 42) — the governance endpoint that
+    completes the k-anon/l-div/t-closeness toolkit: disjoint categories
+    give the count vector L1 sensitivity 1, so per-cell Laplace(1/ε)
+    noise yields ε-DP for the whole histogram.  The noise is SEEDED
+    (md5-prefix uniform through the exact Laplace inverse CDF), which
+    makes the release deterministic and engine-replayable — treat the
+    seed like a key; with it public this is reproducibility, not
+    privacy (documented trade).  All 5 released rows value-checked
+    against the bit-identical DuckDB replay."""
+    from .operators.stats import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", epsilon=0.5, seed=42)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
