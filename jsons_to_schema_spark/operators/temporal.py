@@ -1447,3 +1447,128 @@ def seasonal_decompose(
         seasonal.alias("seasonal"),
         residual.alias("residual"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend over the fixed bucket grid: slope =
+    the MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i), intercept
+    = the median of (y_i − slope·x_i) — the trend estimate a level shift
+    or a burst of outlier days cannot drag (OLS breaks at one bad day;
+    Theil–Sen tolerates ~29% contamination).  The robust companion to
+    seasonal_decompose's moving-average trend and level_shift's
+    changepoint: "what is the underlying drift, ignoring the incidents".
+
+    Exactness contract: cells are the engine's round-6 avg buckets in
+    micro-units (the ACF convention); each pairwise slope derives from
+    exact integer differences in identical expression order and is
+    rounded at 6; the median is the engine's type-1 order statistic
+    (value at rank ⌈n/2⌉ under (slope, x_i, x_j) total order — the
+    exact_quantiles convention), so both medians are value-replayable.
+    x is the BUCKET INDEX (slope = units per bucket), so irregular
+    gaps weight by time, not by sample count.
+
+    Scale shape: the corpus collapses to grid cells once; the pairwise
+    frame is quadratic IN THE GRID (n·(n−1)/2 per key — the operator is
+    for resampled series, bounded by buckets-per-key, never raw rows),
+    keyed joins and keyed windows throughout.  Keys with fewer than 2
+    cells report NULL slope.
+
+    Output: (*keys, n_points, n_pairs, slope, intercept)."""
+    if every_seconds <= 0:
+        raise ValueError("theil_sen: every_seconds must be positive")
+    if not keys:
+        raise ValueError("theil_sen: keys must be non-empty")
+    from .stats import _epoch_us_col
+
+    every_us = every_seconds * 1_000_000
+    us = _epoch_us_col(df, ts_col)
+    bucket = (us - F.pmod(us, F.lit(every_us))).alias("_b")
+    wmin = Window.partitionBy(*keys)
+    cells = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(*keys, bucket, F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_b")
+        .agg(F.round(F.avg("_v"), 6).alias("_val"))
+        .filter(F.col("_val").isNotNull())
+        .select(
+            *keys,
+            "_b",
+            F.round(F.col("_val") * F.lit(1000000.0)).cast("long").alias("_y"),
+        )
+        .withColumn("_mn", F.min("_b").over(wmin))
+        .withColumn(
+            "_x", ((F.col("_b") - F.col("_mn")) / F.lit(every_us)).cast("long")
+        )
+        .select(*keys, "_x", "_y")
+        # feeds both sides of the pair join AND the intercept pass
+        .localCheckpoint(eager=False)
+    )
+    right = cells.select(
+        *keys, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    )
+    pairs = (
+        cells.join(right, keys)
+        .filter(F.col("_x") < F.col("_x2"))
+        .select(
+            *keys,
+            "_x",
+            F.col("_x2").alias("_xj"),
+            F.round(
+                (F.col("_y2") - F.col("_y")).cast("double")
+                / F.lit(1000000.0)
+                / (F.col("_x2") - F.col("_x")).cast("double"),
+                6,
+            ).alias("_slope"),
+        )
+    )
+    wrank = Window.partitionBy(*keys).orderBy("_slope", "_x", "_xj")
+    ranked = pairs.withColumn("_rn", F.row_number().over(wrank))
+    npairs = pairs.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    med_slope = (
+        ranked.join(npairs, keys)
+        .filter(
+            F.col("_rn")
+            == F.ceil(F.col("n_pairs").cast("double") / 2.0 - 1e-9).cast("long")
+        )
+        .select(*keys, "n_pairs", F.col("_slope").alias("slope"))
+    )
+    resid = cells.join(med_slope, keys).select(
+        *keys,
+        "n_pairs",
+        "slope",
+        F.round(
+            F.col("_y").cast("double") / F.lit(1000000.0)
+            - F.col("slope") * F.col("_x").cast("double"),
+            6,
+        ).alias("_r"),
+        F.col("_x"),
+    )
+    wr = Window.partitionBy(*keys).orderBy("_r", "_x")
+    npts = cells.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    med_int = (
+        resid.withColumn("_rn", F.row_number().over(wr))
+        .join(npts, keys)
+        .filter(
+            F.col("_rn")
+            == F.ceil(F.col("n_points").cast("double") / 2.0 - 1e-9).cast("long")
+        )
+        .select(*keys, "n_points", "n_pairs", "slope", F.col("_r").alias("intercept"))
+    )
+    # keys with a single cell: no pairs — report NULL slope/intercept
+    singles = (
+        npts.filter(F.col("n_points") < 2)
+        .select(
+            *keys,
+            "n_points",
+            F.lit(0).cast("long").alias("n_pairs"),
+            F.lit(None).cast("double").alias("slope"),
+            F.lit(None).cast("double").alias("intercept"),
+        )
+    )
+    return med_int.unionByName(singles)
