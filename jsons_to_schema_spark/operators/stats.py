@@ -3603,3 +3603,153 @@ def dp_noisy_counts(
         (F.col("_n") + F.round(noise).cast("long")).alias("n_released"),
         F.lit(float(epsilon)).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unit-scale mismatch + relationship profile — wave 56
+# ---------------------------------------------------------------------------
+
+def scale_mismatch_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise decade-offset detector across sources for one metric —
+    the cents-vs-dollars / ms-vs-s bug finder: a source whose values
+    arrive in different UNITS passes every schema check and every range
+    check scaled accordingly; what betrays it is the per-source median
+    ORDER OF MAGNITUDE sitting ~k decades away from its peers.
+
+    Per group: median of round-6 log10|value| over nonzero non-NULL
+    values (the type-1 rank median under (mag, value) total order — the
+    exact_quantiles convention, so the statistic replays exactly).
+    Pairs (a < b by group name): decade_offset = round(median_b −
+    median_a) and flagged = |offset| ≥ 1 AND the residual |Δ − offset|
+    ≤ 0.2 — a CLEAN decade shift, not merely a wide distribution (two
+    sources can differ by 1.3 orders for organic reasons; 1.0 ± 0.2 is
+    the unit-bug signature).
+
+    One corpus scan to per-group magnitude cells, keyed rank windows,
+    then a groups² pair join over the BOUNDED group table.  Output:
+    (group_a, group_b, median_mag_a, median_mag_b, decade_offset,
+    flagged)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(value_col)
+    mags = (
+        df.filter(g.isNotNull() & v.isNotNull() & (v != 0))
+        .select(
+            g.alias("grp"),
+            F.round(F.log10(F.abs(v)), 6).alias("_m"),
+        )
+    )
+    wrank = Window.partitionBy("grp").orderBy("_m")
+    cnt = mags.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    med = (
+        mags.withColumn("_rn", F.row_number().over(wrank))
+        .join(cnt, "grp")
+        .filter(
+            F.col("_rn")
+            == F.ceil(F.col("_n").cast("double") / 2.0 - 1e-9).cast("long")
+        )
+        .select("grp", F.col("_m").alias("median_mag"))
+        # bounded group table feeds both sides of the pair join
+        .localCheckpoint(eager=False)
+    )
+    a = med.select(F.col("grp").alias("group_a"), F.col("median_mag").alias("median_mag_a"))
+    b = med.select(F.col("grp").alias("group_b"), F.col("median_mag").alias("median_mag_b"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    delta = F.col("median_mag_b") - F.col("median_mag_a")
+    off = F.round(delta).cast("long")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "median_mag_a",
+        "median_mag_b",
+        off.alias("decade_offset"),
+        (
+            (F.abs(off) >= 1)
+            & (F.abs(delta - off.cast("double")) <= F.lit(0.2))
+        ).alias("flagged"),
+    )
+
+
+def relationship_profile(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+) -> DataFrame:
+    """Join-relationship classification between two key columns — the
+    data-contract primitive behind "orders.customer is N:1 to
+    customer.custkey": counts both tables' key statistics, the exact
+    max fan-out in each direction over the MATCHED keys, and the
+    resulting class (one_to_one / one_to_many / many_to_one /
+    many_to_many), plus unmatched-key counts each side (the referential
+    residue).  A relationship that silently degrades from N:1 to N:M is
+    how join explosions enter a pipeline; this is the check that pins
+    it.
+
+    Shape: two per-key count aggregates, a full-outer join ON THE
+    BOUNDED KEY TABLES, one roll-up row.  NULL keys carry no
+    relationship evidence and are counted separately.
+
+    Output: (n_a, n_b, n_keys_a, n_keys_b, n_matched_keys,
+    max_per_key_a, max_per_key_b, a_unmatched, b_unmatched, null_a,
+    null_b, relationship)."""
+    ka, kb = F.col(key_a), F.col(key_b)
+    ca = (
+        df_a.filter(ka.isNotNull())
+        .groupBy(ka.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_na"))
+    )
+    cb = (
+        df_b.filter(kb.isNotNull())
+        .groupBy(kb.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    )
+    nulls_a = df_a.filter(ka.isNull()).count()
+    nulls_b = df_b.filter(kb.isNull()).count()
+    j = ca.join(cb, "k", "full_outer").select(
+        F.col("_na"), F.col("_nb"),
+        (F.col("_na").isNotNull() & F.col("_nb").isNotNull()).alias("_both"),
+    )
+    agg = j.agg(
+        F.coalesce(F.sum("_na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_nb"), F.lit(0)).cast("long").alias("n_b"),
+        F.count(F.col("_na")).cast("long").alias("n_keys_a"),
+        F.count(F.col("_nb")).cast("long").alias("n_keys_b"),
+        F.sum(F.when(F.col("_both"), 1).otherwise(0)).cast("long").alias("n_matched_keys"),
+        F.coalesce(
+            F.max(F.when(F.col("_both"), F.col("_na"))), F.lit(0)
+        ).cast("long").alias("max_per_key_a"),
+        F.coalesce(
+            F.max(F.when(F.col("_both"), F.col("_nb"))), F.lit(0)
+        ).cast("long").alias("max_per_key_b"),
+        F.sum(F.when(F.col("_nb").isNull(), F.col("_na")).otherwise(0))
+        .cast("long").alias("a_unmatched"),
+        F.sum(F.when(F.col("_na").isNull(), F.col("_nb")).otherwise(0))
+        .cast("long").alias("b_unmatched"),
+    )
+    rel = (
+        F.when(
+            (F.col("max_per_key_a") <= 1) & (F.col("max_per_key_b") <= 1),
+            F.lit("one_to_one"),
+        )
+        .when(
+            (F.col("max_per_key_a") <= 1) & (F.col("max_per_key_b") > 1),
+            F.lit("one_to_many"),
+        )
+        .when(
+            (F.col("max_per_key_a") > 1) & (F.col("max_per_key_b") <= 1),
+            F.lit("many_to_one"),
+        )
+        .otherwise(F.lit("many_to_many"))
+    )
+    return agg.select(
+        "*",
+        F.lit(int(nulls_a)).cast("long").alias("null_a"),
+        F.lit(int(nulls_b)).cast("long").alias("null_b"),
+        rel.alias("relationship"),
+    )

@@ -12066,6 +12066,126 @@ def theil_sen_events(spark, sf_dir) -> DataFrame:
     return temporal.theil_sen(ev, ["event_type"], "ts", "value", 86400)
 
 
+@query(
+    "scale_mismatch_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type AS grp,
+             CASE WHEN event_type = 'error' THEN value * 1000.0
+                  ELSE value END AS v
+      FROM events
+    ),
+    mags AS (
+      SELECT grp, round(log10(abs(v)), 6) AS m
+      FROM src WHERE grp IS NOT NULL AND v IS NOT NULL AND v <> 0
+    ),
+    cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM mags GROUP BY 1),
+    rk AS (SELECT mags.*, row_number() OVER (PARTITION BY grp ORDER BY m)
+                  AS rn FROM mags),
+    med AS (
+      SELECT rk.grp, rk.m AS median_mag
+      FROM rk JOIN cnt ON cnt.grp = rk.grp
+      WHERE rk.rn = CAST(ceil(CAST(cnt.n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    ),
+    p AS (
+      SELECT a.grp AS group_a, b.grp AS group_b,
+             a.median_mag AS median_mag_a, b.median_mag AS median_mag_b,
+             CAST(round(b.median_mag - a.median_mag) AS BIGINT)
+               AS decade_offset
+      FROM med a JOIN med b ON a.grp < b.grp
+    )
+    SELECT group_a, group_b, median_mag_a, median_mag_b, decade_offset,
+           (abs(decade_offset) >= 1
+            AND abs((median_mag_b - median_mag_a)
+                    - CAST(decade_offset AS DOUBLE)) <= 0.2) AS flagged
+    FROM p
+    """,
+)
+def scale_mismatch_events(spark, sf_dir) -> DataFrame:
+    """Unit-scale mismatch detection across event types
+    (stats.scale_mismatch_report) with a PLANTED cents-vs-dollars-style
+    bug: the query scales 'error' values ×1000 before profiling, and the
+    operator must flag exactly the error-vs-peer pairs as clean 3-decade
+    shifts while the organic pairs stay offset 0 — the bug every schema
+    and range check passes, betrayed only by the per-source median order
+    of magnitude.  Type-1 rank medians of round-6 log10 magnitudes
+    (exactly replayable), pairs over the bounded group table.  All 10
+    pair rows value-checked."""
+    from .operators.stats import scale_mismatch_report
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.col("value") * 1000.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return scale_mismatch_report(ev, "event_type", "v")
+
+
+@query(
+    "relationship_orders_customer",
+    oracle="""
+    WITH ca AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+      SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+      FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT na, nb, (na IS NOT NULL AND nb IS NOT NULL) AS bth
+      FROM ca FULL OUTER JOIN cb USING (k)
+    ),
+    agg AS (
+      SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_b,
+             CAST(count(na) AS BIGINT) AS n_keys_a,
+             CAST(count(nb) AS BIGINT) AS n_keys_b,
+             CAST(sum(CASE WHEN bth THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched_keys,
+             CAST(coalesce(max(CASE WHEN bth THEN na END), 0) AS BIGINT)
+               AS max_per_key_a,
+             CAST(coalesce(max(CASE WHEN bth THEN nb END), 0) AS BIGINT)
+               AS max_per_key_b,
+             CAST(sum(CASE WHEN nb IS NULL THEN na ELSE 0 END) AS BIGINT)
+               AS a_unmatched,
+             CAST(sum(CASE WHEN na IS NULL THEN nb ELSE 0 END) AS BIGINT)
+               AS b_unmatched
+      FROM j
+    )
+    SELECT agg.*,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NULL) AS null_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey IS NULL) AS null_b,
+           CASE WHEN max_per_key_a <= 1 AND max_per_key_b <= 1
+                  THEN 'one_to_one'
+                WHEN max_per_key_a <= 1 AND max_per_key_b > 1
+                  THEN 'one_to_many'
+                WHEN max_per_key_a > 1 AND max_per_key_b <= 1
+                  THEN 'many_to_one'
+                ELSE 'many_to_many' END AS relationship
+    FROM agg
+    """,
+)
+def relationship_orders_customer(spark, sf_dir) -> DataFrame:
+    """Join-relationship classification of orders.o_custkey vs
+    customer.c_custkey (stats.relationship_profile) — the data-contract
+    primitive that pins 'orders is N:1 to customer': exact max fan-out
+    per direction over MATCHED keys, unmatched-key residue each side,
+    NULL-key counts, and the class label whose silent degradation
+    (N:1 → N:M via a duplicated dimension row) is how join explosions
+    enter pipelines.  Two per-key aggregates + a full-outer join on
+    bounded key tables + one roll-up row, value-checked field by
+    field."""
+    from .operators.stats import relationship_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return relationship_profile(orders, "o_custkey", customer, "c_custkey")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
