@@ -3753,3 +3753,173 @@ def relationship_profile(
         F.lit(int(nulls_b)).cast("long").alias("null_b"),
         rel.alias("relationship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Median imputer (fit/apply) + MAD robust z-scores — wave 57
+# ---------------------------------------------------------------------------
+
+def fit_imputer(
+    df: DataFrame, value_col: str, group_col: "str | None" = None
+) -> DataFrame:
+    """FIT half of the median-imputer pair: per-group type-1 medians of
+    round-6 values plus ONE global-fallback row (group = NULL) — the
+    persistable 'model' the fit/apply split exports (the
+    fit_quantile_bins pattern), so serving and eval impute with the SAME
+    statistics a training snapshot fit.  The median (not the mean) is
+    the imputation a skewed or outlier-ridden column tolerates.
+
+    Medians are the engine's exact type-1 rank statistic under a
+    (value) total order on round-6 values — replayable, no
+    interpolation ambiguity across engines.  With ``group_col=None``
+    the model is just the global row.
+
+    Output: (group: string nullable, median: double)."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col), 6)
+    base = df.filter(F.col(value_col).isNotNull())
+
+    def _median(frame, keyed: bool):
+        if keyed:
+            w = Window.partitionBy("_g").orderBy("_v")
+            grp = ["_g"]
+        else:
+            w = Window.partitionBy(F.lit(1)).orderBy("_v")
+            grp = []
+        cnt = frame.groupBy(*grp).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        ranked = frame.withColumn("_rn", F.row_number().over(w))
+        joined = ranked.join(cnt, grp) if grp else ranked.crossJoin(F.broadcast(cnt))
+        return joined.filter(
+            F.col("_rn")
+            == F.ceil(F.col("_n").cast("double") / 2.0 - 1e-9).cast("long")
+        )
+
+    glob = (
+        _median(base.select(v.alias("_v")), keyed=False)
+        .select(
+            F.lit(None).cast("string").alias("group"),
+            F.col("_v").alias("median"),
+        )
+    )
+    if group_col is None:
+        return glob
+    per = (
+        _median(
+            base.filter(F.col(group_col).isNotNull()).select(
+                F.col(group_col).cast("string").alias("_g"), v.alias("_v")
+            ),
+            keyed=True,
+        )
+        .select(F.col("_g").alias("group"), F.col("_v").alias("median"))
+    )
+    return per.unionByName(glob)
+
+
+def apply_imputer(
+    df: DataFrame,
+    value_col: str,
+    model: DataFrame,
+    group_col: "str | None" = None,
+    out_col: "str | None" = None,
+    flag_col: str = "imputed",
+) -> DataFrame:
+    """APPLY half: fill NULL ``value_col`` with the fitted group median,
+    falling back to the model's global row for unseen or NULL groups;
+    ``flag_col`` marks the rows that were filled (imputation without
+    provenance poisons downstream drift checks — the flag IS the
+    provenance).  The model is bounded (groups + 1 rows): it broadcasts
+    into one join + one projection, no corpus shuffle.  Rows that stay
+    NULL (no group median AND no global row) keep NULL + flag false."""
+    out_col = out_col or value_col
+    gm = model.filter(F.col("group").isNotNull()).select(
+        F.col("group").alias("_mg"), F.col("median").alias("_gmed")
+    )
+    glob_rows = model.filter(F.col("group").isNull()).select(
+        F.lit(1).alias("_one"), F.col("median").alias("_glob")
+    )
+    v = F.col(value_col)
+    step = df.withColumn("_one", F.lit(1)).join(
+        F.broadcast(glob_rows), "_one", "left"
+    )
+    if group_col is not None:
+        step = step.join(
+            F.broadcast(gm),
+            F.col(group_col).cast("string") == F.col("_mg"),
+            "left",
+        )
+        fill = F.coalesce(F.col("_gmed"), F.col("_glob"))
+    else:
+        fill = F.col("_glob")
+    filled = F.when(v.isNotNull(), v).otherwise(fill)
+    flag = v.isNull() & fill.isNotNull()
+    passthrough = [c for c in df.columns if c != out_col]
+    return step.select(
+        *[F.col(c) for c in passthrough],
+        filled.alias(out_col),
+        flag.alias(flag_col),
+    )
+
+
+def robust_z_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_cols: "list[str]",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Rows whose MODIFIED z-score |0.6745·(x − median)/MAD| exceeds
+    ``threshold`` per group (Iglewicz–Hoaglin; 3.5 is their canonical
+    cut) — the robust counterpart of the mean/std outlier_report: one
+    wild value inflates the std enough to hide ITSELF (masking), while
+    the median and MAD barely move, so robust z catches what classical z
+    provably misses at small n (tested).
+
+    Exactness: both the median and the MAD (median absolute deviation)
+    are type-1 rank statistics on round-6 values under pinned total
+    orders; the score is a round-6 division of those exact operands.
+    Groups with MAD = 0 (over half the values identical) score NULL and
+    are never flagged — a zero denominator is a degenerate group, not an
+    infinite outlier (documented contract).
+
+    Shape: two keyed rank picks + two bounded joins back + one scoring
+    projection; the per-group tables are group-sized throughout.
+    Output: (*id_cols, group_col, value_col, robust_z)."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col), 6)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(*id_cols, F.col(group_col), F.col(value_col), v.alias("_v"))
+
+    def _rank_median(frame, val: str, out: str):
+        w = Window.partitionBy(group_col).orderBy(val)
+        cnt = frame.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .join(cnt, group_col)
+            .filter(
+                F.col("_rn")
+                == F.ceil(F.col("_n").cast("double") / 2.0 - 1e-9).cast("long")
+            )
+            .select(group_col, F.col(val).alias(out))
+        )
+
+    med = _rank_median(base.select(group_col, "_v"), "_v", "_med")
+    with_med = base.join(F.broadcast(med), group_col)
+    dev = with_med.withColumn("_d", F.round(F.abs(F.col("_v") - F.col("_med")), 6))
+    mad = _rank_median(dev.select(group_col, "_d"), "_d", "_mad")
+    scored = dev.join(F.broadcast(mad), group_col).withColumn(
+        "robust_z",
+        F.when(
+            F.col("_mad") > 0,
+            F.round(
+                F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad"), 6
+            ),
+        ),
+    )
+    return scored.filter(
+        F.abs(F.col("robust_z")) > F.lit(float(threshold))
+    ).select(*id_cols, group_col, value_col, "robust_z")

@@ -12186,6 +12186,127 @@ def relationship_orders_customer(spark, sf_dir) -> DataFrame:
     return relationship_profile(orders, "o_custkey", customer, "c_custkey")
 
 
+@query(
+    "impute_events_value",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    base AS (SELECT * FROM src WHERE v IS NOT NULL),
+    pm AS (
+      SELECT g, rv AS m FROM (
+        SELECT event_type AS g, round(v, 6) AS rv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(v, 6)) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base WHERE event_type IS NOT NULL) x
+      WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    ),
+    gm AS (
+      SELECT rv AS m FROM (
+        SELECT round(v, 6) AS rv,
+               row_number() OVER (ORDER BY round(v, 6)) AS rn,
+               count(*) OVER () AS n
+        FROM base) x
+      WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    )
+    SELECT s.event_id, s.event_type,
+           CASE WHEN s.v IS NOT NULL THEN s.v
+                ELSE coalesce(pm.m, gm.m) END AS v,
+           (s.v IS NULL AND coalesce(pm.m, gm.m) IS NOT NULL) AS imputed
+    FROM src s LEFT JOIN pm ON pm.g = s.event_type CROSS JOIN gm
+    """,
+)
+def impute_events_value(spark, sf_dir) -> DataFrame:
+    """Median imputation with provenance (stats.fit_imputer /
+    apply_imputer) over a PLANTED missingness pattern (every 13th
+    event's value nulled identically in both engines): fit per-type
+    type-1 medians plus a global fallback on the surviving rows, fill
+    the holes, and FLAG every filled row — imputation without
+    provenance poisons downstream drift checks.  The model is
+    groups+1 rows broadcast into one join; medians are exact rank
+    statistics on round-6 values.  All 10k rows (fills, flags, and
+    untouched values) value-checked."""
+    from .operators.stats import apply_imputer, fit_imputer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    model = fit_imputer(ev, "v", "event_type")
+    return apply_imputer(ev, "v", model, "event_type")
+
+
+@query(
+    "robust_z_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 997 = 0 THEN value * 50.0
+                  ELSE value END AS v
+      FROM events
+    ),
+    base AS (
+      SELECT event_id, event_type, v, round(v, 6) AS rv FROM src
+      WHERE v IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, rv AS m FROM (
+        SELECT event_type, rv,
+               row_number() OVER (PARTITION BY event_type ORDER BY rv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base) x
+      WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    ),
+    dev AS (
+      SELECT b.event_id, b.event_type, b.v, b.rv, med.m,
+             round(abs(b.rv - med.m), 6) AS d
+      FROM base b JOIN med ON med.event_type = b.event_type
+    ),
+    mad AS (
+      SELECT event_type, d AS mad FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) x
+      WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    ),
+    scored AS (
+      SELECT dev.event_id, dev.event_type, dev.v,
+             CASE WHEN mad.mad > 0
+                  THEN round(0.6745 * (dev.rv - dev.m) / mad.mad, 6)
+             END AS robust_z
+      FROM dev JOIN mad ON mad.event_type = dev.event_type
+    )
+    SELECT * FROM scored WHERE abs(robust_z) > 3.5
+    """,
+)
+def robust_z_events(spark, sf_dir) -> DataFrame:
+    """MAD robust z-score outliers per event type at the canonical
+    Iglewicz–Hoaglin 3.5 cut (stats.robust_z_outliers) over a PLANTED
+    contamination (every 997th event's value ×50, identical in both
+    engines) — the detector that defeats MASKING: the classical
+    mean/std score lets wild values inflate the std enough to hide
+    themselves (pytest-demonstrated); median and MAD barely move.
+    Both statistics are exact type-1 rank picks on round-6 values;
+    every flagged row's score value-checked."""
+    from .operators.stats import robust_z_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 997 == 0, F.col("value") * 50.0)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return robust_z_outliers(ev, "v", "event_type", ["event_id"], 3.5)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
