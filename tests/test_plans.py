@@ -1318,3 +1318,58 @@ def test_wave50_52_ops_no_python_no_cartesian(spark):
     # totals are bounded broadcast sides
     woe = woe_iv_profile(ev, "value", F.col("event_type") == "error", 0.0, 500.0, 5)
     assert audit.scan_count(woe) <= 1
+
+
+def test_wave53_57_ops_no_python_scan_shapes(spark):
+    """Readability/script profiles (pure projections), DP release, Theil–
+    Sen, scale-mismatch, relationship profile, imputer, robust z: no
+    row-at-a-time Python anywhere; the profile projections read the
+    corpus once with no Exchange; the pair joins that look quadratic
+    (Theil–Sen slopes, scale-mismatch decades) run over keyed grids /
+    bounded group tables, never a corpus CartesianProduct."""
+    from jsons_to_schema_spark.operators.stats import (
+        apply_imputer,
+        dp_noisy_counts,
+        fit_imputer,
+        relationship_profile,
+        robust_z_outliers,
+        scale_mismatch_report,
+    )
+    from jsons_to_schema_spark.operators.temporal import theil_sen
+    from jsons_to_schema_spark.operators.text import (
+        readability_features,
+        script_profile,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    customer = load_table(spark, SF_ORACLE, "customer")
+    model = fit_imputer(ev, "value", "event_type")
+    frames = [
+        readability_features(docs, "text", "doc_id"),
+        script_profile(docs, "text", "doc_id"),
+        dp_noisy_counts(ev, "event_type", 0.5),
+        theil_sen(ev, ["event_type"], "ts", "value", 86400),
+        relationship_profile(orders, "o_custkey", customer, "c_custkey"),
+        apply_imputer(ev, "value", model, "event_type"),
+        robust_z_outliers(ev, "value", "event_type", ["event_id"], 3.5),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scale-mismatch's (group_a < group_b) pair join runs over the BOUNDED
+    # median table: nested-loop there is a projection, not a blow-up — but
+    # Python must still be absent
+    sm = scale_mismatch_report(ev, "event_type", "value")
+    plan = audit.executed_plan(sm)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the two text profiles are single-scan, shuffle-free projections
+    for q in (
+        readability_features(docs, "text", "doc_id"),
+        script_profile(docs, "text", "doc_id"),
+    ):
+        q.collect()
+        assert audit.scan_count(q) <= 1
+        assert "Exchange" not in audit.executed_plan(q)
