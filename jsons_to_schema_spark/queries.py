@@ -12307,6 +12307,108 @@ def robust_z_events(spark, sf_dir) -> DataFrame:
     return robust_z_outliers(ev, "v", "event_type", ["event_id"], 3.5)
 
 
+@query(
+    "dedup_pair_overlap_documents",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tk
+               FROM documents WHERE text IS NOT NULL),
+    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.tk, b.tk)) AS i,
+                  len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+           FROM s a JOIN s b ON a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b FROM pr
+              WHERE u > 0 AND i * 1.0 / u >= 0.95),
+    pt AS (SELECT p.id_a, p.id_b, da.text AS cand, db.text AS ref
+           FROM pairs p
+           JOIN documents da ON da.doc_id = p.id_a
+           JOIN documents db ON db.doc_id = p.id_b),
+    nn AS (SELECT unnest([1, 2]) AS n),
+    ct AS (SELECT id_a, id_b, nn.n AS n,
+                  list_filter(string_split(cand, ' '), x -> x <> '') AS toks
+           FROM pt CROSS JOIN nn),
+    rt AS (SELECT id_a, id_b, nn.n AS n,
+                  list_filter(string_split(ref, ' '), x -> x <> '') AS toks
+           FROM pt CROSS JOIN nn),
+    cg AS (SELECT id_a, id_b, n,
+                  unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                         i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+           FROM ct WHERE len(toks) >= n),
+    rg AS (SELECT id_a, id_b, n,
+                  unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                         i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+           FROM rt WHERE len(toks) >= n),
+    cc AS (SELECT id_a, id_b, n, gram, count(*) AS c FROM cg GROUP BY 1,2,3,4),
+    rc AS (SELECT id_a, id_b, n, gram, count(*) AS c FROM rg GROUP BY 1,2,3,4),
+    j AS (SELECT coalesce(cc.id_a, rc.id_a) AS id_a,
+                 coalesce(cc.id_b, rc.id_b) AS id_b,
+                 coalesce(cc.n, rc.n) AS n,
+                 coalesce(cc.c, 0) AS ccnt, coalesce(rc.c, 0) AS rcnt
+          FROM cc FULL OUTER JOIN rc
+            ON cc.id_a = rc.id_a AND cc.id_b = rc.id_b
+           AND cc.n = rc.n AND cc.gram = rc.gram),
+    per AS (SELECT id_a, id_b, n,
+                   CAST(sum(ccnt) AS BIGINT) AS cand_ngrams,
+                   CAST(sum(rcnt) AS BIGINT) AS ref_ngrams,
+                   CAST(sum(least(ccnt, rcnt)) AS BIGINT) AS overlap
+            FROM j GROUP BY 1, 2, 3),
+    spine AS (SELECT p.id_a, p.id_b, nn.n FROM pairs p CROSS JOIN nn),
+    f AS (SELECT s.id_a, s.id_b, CAST(s.n AS BIGINT) AS n,
+                 coalesce(per.cand_ngrams, 0) AS cand_ngrams,
+                 coalesce(per.ref_ngrams, 0) AS ref_ngrams,
+                 coalesce(per.overlap, 0) AS overlap
+          FROM spine s LEFT JOIN per
+            ON per.id_a = s.id_a AND per.id_b = s.id_b AND per.n = s.n)
+    SELECT id_a, id_b, n, cand_ngrams, ref_ngrams, overlap,
+           CASE WHEN cand_ngrams > 0
+                THEN round(CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN ref_ngrams > 0
+                THEN round(CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN cand_ngrams > 0 AND ref_ngrams > 0 THEN
+             CASE WHEN overlap > 0 THEN
+               round(2.0 * (CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE))
+                         * (CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE))
+                     / ((CAST(overlap AS DOUBLE) / CAST(cand_ngrams AS DOUBLE))
+                        + (CAST(overlap AS DOUBLE) / CAST(ref_ngrams AS DOUBLE))), 6)
+             ELSE 0.0 END
+           END AS f1
+    FROM f
+    """,
+)
+def dedup_pair_overlap_documents(spark, sf_dir) -> DataFrame:
+    """Near-duplicate pair EXPLANATIONS — two engine operators composed
+    end-to-end: the exact prefix-filtered Jaccard join finds the t=0.95
+    pairs (dedup.jaccard_prefix_join — the lossless candidate set), then
+    text.ngram_overlap_metrics reports per-pair clipped unigram/bigram
+    precision/recall/F1 — WHAT the flagged pairs actually share, the
+    review surface a dedup decision audit needs (a pair at Jaccard 0.95
+    with bigram F1 0.3 is shuffled boilerplate, not a true near-copy).
+    The oracle replays both stages (quadratic join + list-slicing
+    overlap); every one of the ~3.8k rows value-checked."""
+    from .operators.dedup import jaccard_prefix_join
+    from .operators.text import ngram_overlap_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_join(docs, "text", "doc_id", min_jaccard=0.95).select(
+        "id_a", "id_b"
+    )
+    texts = docs.select("doc_id", "text")
+    pt = (
+        pairs.join(texts.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("text", "cand")
+        .join(
+            texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "text", "ref"
+            ),
+            "id_b",
+        )
+    )
+    return ngram_overlap_metrics(pt, ["id_a", "id_b"], "cand", "ref", n_max=2)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
@@ -12501,12 +12603,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_semantic_embeddings, and the semantic variant stays
     # oracle-pytest-checked at the same sf0.01 every CI run)
     # -- r4 eighth-continuation wave (new families, never driver-checked) --
-    "disorder_profile_orders",       # event-time disorder / watermark advisor
+    # (disorder_profile_orders demoted in the twentieth rotation: the
+    # temporal family keeps asof + cdc + resample + level_shift
+    # in-window; the watermark advisor stays oracle-pytest-checked —
+    # the slot funds the repair/imputation family)
     # (salted_join_orders_customer demoted in the nineteenth rotation:
     # the skew family keeps skew_report_media_refs in-window, the salted
     # == plain equality stays oracle-pytest-checked at sf0.01, and the
     # slot funds a never-checked graph-traversal modality)
-    "bpe_vocab_documents",           # distributed BPE vocabulary learning
+    # (bpe_vocab_documents demoted in the twentieth rotation: the
+    # tokenizer family keeps subword_token_count_documents in-window and
+    # BPE learning stays pinned-oracle pytest-checked — the slot funds
+    # the seasonal fit stage)
     # (coverage_gaps_events demoted for the r4 ninth wave: the calendar-
     # spine gap shape is evidenced in-window by resample_events_daily,
     # whose filled=true rows ARE the coverage gaps on the same per-key
@@ -12592,7 +12700,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # never-driver-checked families promoted --
     "tfidf_top_terms_documents",       # keyword extraction (TF-IDF)
     "dsir_importance_documents",       # DSIR importance resampling
-    "pseudonymize_customer_orders",    # keyed pseudonymization / governance
+    # (pseudonymize_customer_orders demoted in the twentieth rotation:
+    # privacy keeps generalization_search in-window plus the NEW
+    # dp_release mechanism promoted below; pseudonymization stays
+    # oracle-pytest-checked)
     "zorder_bucket_report_events",     # Z-order Morton layout evidence
     "pagerank_spans_media",            # graph centrality (exact-int PageRank)
     # (hybrid_rrf_embeddings demoted in the nineteenth rotation: the
@@ -12614,6 +12725,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # real mirrored-SQL oracles --
     "bfs_distances_spans_media",       # multi-source BFS hop distances
     "mahalanobis_lineitem",            # joint-distribution outliers
+    # -- twentieth rotation: three new wave-52/54/57 modalities --
+    "seasonal_decompose_events",       # seasonal fit (trend+seasonal+residual)
+    "dp_release_events",               # seeded epsilon-DP count release
+    "impute_events_value",             # median imputation with provenance
 )
 
 

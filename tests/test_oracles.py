@@ -154,7 +154,8 @@ def test_driver_window_covers_dark_families():
         # never-driver-checked families
         "tfidf_top_terms_documents",
         "dsir_importance_documents",
-        "pseudonymize_customer_orders",
+        # (pseudonymize_customer_orders demoted in the twentieth rotation:
+        # privacy keeps generalization_search + the new dp_release)
         "zorder_bucket_report_events",
         "pagerank_spans_media",
         # (hybrid_rrf_embeddings demoted in the nineteenth rotation:
@@ -172,5 +173,9 @@ def test_driver_window_covers_dark_families():
         # nineteenth rotation: BFS traversal + multivariate outliers
         "bfs_distances_spans_media",
         "mahalanobis_lineitem",
+        # twentieth rotation: seasonal fit, DP release, imputation
+        "seasonal_decompose_events",
+        "dp_release_events",
+        "impute_events_value",
     ):
         assert must in window, must
