@@ -3923,3 +3923,185 @@ def robust_z_outliers(
     return scored.filter(
         F.abs(F.col("robust_z")) > F.lit(float(threshold))
     ).select(*id_cols, group_col, value_col, "robust_z")
+
+
+# ---------------------------------------------------------------------------
+# Exact concentration + rank correlation — wave 59
+# ---------------------------------------------------------------------------
+
+def _rank_intervals(df: DataFrame, col: str, lo: float, hi: float, bins: int):
+    """Per distinct value of ``col``: (_v, _cnt, _cum) where _cum is the
+    INCLUSIVE global rank end and (_cum − _cnt, _cum] the exact rank
+    interval — the exact_quantiles bounded-prefix decomposition factored
+    for reuse (no corpus-wide sort; the only single-partition exchange is
+    the ≤ bins-row bin table)."""
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("double")
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        df.filter(v.isNotNull())
+        .select(v.alias("_v"))
+        .withColumn("_bin", binc)
+        .groupBy("_bin", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    bin_tot = per.groupBy("_bin").agg(F.sum("_cnt").alias("_bc"))
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = bin_tot.select(
+        "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("_cumin", F.sum("_cnt").over(w_in))
+        .join(F.broadcast(bin_prefix), "_bin")
+        .select("_v", "_cnt", (F.col("_cumin") + F.col("_pref")).alias("_cum"))
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 1 << 10
+) -> DataFrame:
+    """Exact Gini concentration of a non-negative column WITHOUT a global
+    sort — "what share of the corpus's token/byte/spend mass sits in the
+    top slice": 0 = perfectly even, →1 = one row holds everything.  The
+    mixture planner's diagnostic sibling: a corpus whose token mass is
+    Gini-0.8-concentrated in one source is one bad dedup away from
+    collapse.
+
+    Exactness + shape: the rank-weighted sum Σ i·x_(i) needs each value's
+    global rank — which the exact_quantiles bounded-prefix decomposition
+    already yields per DISTINCT value as an interval (a, b]; a tie-run of
+    value v occupies ranks a+1..b, and Σ i over it is (b(b+1) − a(a+1))/2
+    — a closed form, so the whole statistic folds from the distinct-value
+    frame with NO ordering of the corpus anywhere (tie order is provably
+    irrelevant).  Values quantize to micro-units; every sum is
+    decimal(38,0); Gini = (T2 − (n+1)·S)/(n·S) with T2 = 2·Σ i·x, derived
+    in identical expression order, round-6.  Negative values raise (Gini
+    is undefined); an all-zero column yields NULL.
+
+    Output: one row (n, sum_value, gini)."""
+    if hi <= lo:
+        raise ValueError(f"gini_coefficient: need lo < hi, got [{lo}, {hi})")
+    guarded = df.select(
+        F.when(
+            F.col(col) < 0,
+            F.raise_error(F.lit("gini_coefficient: negative values (undefined)")),
+        )
+        .otherwise(F.col(col))
+        .alias(col)
+    )
+    iv = _rank_intervals(guarded, col, lo, hi, bins)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vm = F.round(F.col("_v") * F.lit(1000000.0)).cast("long")
+    b = F.col("_cum")
+    a = F.col("_cum") - F.col("_cnt")
+    # Σ 2i over (a, b] = b(b+1) − a(a+1): always an exact integer product
+    tie_rank2 = dec(b) * (b + F.lit(1)) - dec(a) * (a + F.lit(1))
+    agg = iv.agg(
+        F.sum(dec(F.col("_cnt"))).alias("_nd"),
+        F.sum(dec(vm) * F.col("_cnt")).alias("_s"),
+        F.sum(dec(vm) * tie_rank2).alias("_t2"),
+    )
+    n = F.col("_nd").cast("double")
+    s = F.col("_s").cast("double")
+    t2 = F.col("_t2").cast("double")
+    return agg.select(
+        F.col("_nd").cast("long").alias("n"),
+        F.round(s / F.lit(1000000.0), 6).alias("sum_value"),
+        F.when(
+            s > 0.0,
+            F.round((t2 - (n + F.lit(1.0)) * s) / (n * s), 6),
+        ).alias("gini"),
+    )
+
+
+def spearman_pairs(
+    df: DataFrame,
+    cols: "list[str]",
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """All-pairs Spearman rank correlation — the monotone-association
+    counterpart of correlation_pairs' Pearson: immune to monotone
+    transforms and heavy tails (a single wild row drags Pearson, moves a
+    rank by one).  Listwise contract: rows with a NULL in ANY profiled
+    column are excluded first, so every pair is ranked over the SAME
+    sample (documented; pairwise deletion would rank each pair on a
+    different population).
+
+    Exactness + shape: per column, each distinct value's average tie
+    rank in HALF-UNITS is the exact integer R2 = 2·(rank_start) + cnt −
+    1 = 2·(cum − cnt) + cnt + 1, obtained from the same bounded-prefix
+    rank intervals as exact_quantiles/gini (no corpus sort, no
+    single-partition window over distinct values); the doubled ranks
+    cancel in the correlation, so Spearman = Pearson over exact integer
+    R2 with decimal(38,0) moments in ONE final aggregate for all pairs,
+    round-6 in identical expression order.
+
+    Output: (col_a, col_b, n, spearman) — one row per unordered pair."""
+    if len(cols) < 2:
+        raise ValueError("spearman_pairs: need at least 2 columns")
+    if hi <= lo:
+        raise ValueError(f"spearman_pairs: need lo < hi, got [{lo}, {hi})")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    base = base.localCheckpoint(eager=False)  # feeds one rank join per column
+    joined = base
+    for c in cols:
+        rt = _rank_intervals(base, c, lo, hi, bins).select(
+            F.col("_v").alias(c),
+            (
+                F.lit(2) * (F.col("_cum") - F.col("_cnt"))
+                + F.col("_cnt")
+                + F.lit(1)
+            ).alias(f"_r_{c}"),
+        )
+        joined = joined.join(rt, c)
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        r = F.col(f"_r_{c}")
+        aggs.append(F.sum(dec(r)).alias(f"_s_{c}"))
+        aggs.append(F.sum(dec(r) * r).alias(f"_q_{c}"))
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            aggs.append(
+                F.sum(dec(F.col(f"_r_{ca}")) * F.col(f"_r_{cb}")).alias(
+                    f"_p_{ca}_{cb}"
+                )
+            )
+    m = joined.agg(*aggs)
+    rows = []
+    n = F.col("_n").cast("double")
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            sa, sb = F.col(f"_s_{ca}").cast("double"), F.col(f"_s_{cb}").cast("double")
+            qa, qb = F.col(f"_q_{ca}").cast("double"), F.col(f"_q_{cb}").cast("double")
+            p = F.col(f"_p_{ca}_{cb}").cast("double")
+            va, vb = n * qa - sa * sa, n * qb - sb * sb
+            rho = F.when(
+                (F.col("_n") >= 2) & (va > 0.0) & (vb > 0.0),
+                F.round((n * p - sa * sb) / (F.sqrt(va) * F.sqrt(vb)), 6),
+            )
+            rows.append(
+                F.struct(
+                    F.lit(ca).alias("col_a"),
+                    F.lit(cb).alias("col_b"),
+                    F.col("_n").alias("n"),
+                    rho.alias("spearman"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("_x"))
+        .select("_x.col_a", "_x.col_b", "_x.n", "_x.spearman")
+    )

@@ -12409,6 +12409,125 @@ def dedup_pair_overlap_documents(spark, sf_dir) -> DataFrame:
     return ngram_overlap_metrics(pt, ["id_a", "id_b"], "cand", "ref", n_max=2)
 
 
+@query(
+    "gini_documents_tokens",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      FROM documents WHERE text IS NOT NULL
+    ),
+    o AS (SELECT vm, row_number() OVER (ORDER BY vm) AS i FROM s),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(vm AS HUGEINT)) AS DOUBLE) AS sv,
+             CAST(sum(2 * CAST(i AS HUGEINT) * vm) AS DOUBLE) AS t2
+      FROM o
+    )
+    SELECT n, round(sv / 1000000.0, 6) AS sum_value,
+           CASE WHEN sv > 0
+                THEN round((t2 - (CAST(n AS DOUBLE) + 1.0) * sv)
+                           / (CAST(n AS DOUBLE) * sv), 6)
+           END AS gini
+    FROM agg
+    """,
+)
+def gini_documents_tokens(spark, sf_dir) -> DataFrame:
+    """Exact Gini concentration of the corpus's TOKEN MASS across
+    documents (stats.gini_coefficient) — "is the corpus a handful of
+    giant documents or an even spread", the diagnostic the mixture
+    planner and dedup budget read.  NO global sort anywhere: each
+    distinct token count's exact global rank interval comes from the
+    bounded-prefix decomposition, and Σ rank·value folds through the
+    closed form (b(b+1) − a(a+1))/2 per tie-run — tie order provably
+    irrelevant, everything decimal-exact until one round-6 division.
+    The oracle is the ordered replay; (n, mass, gini) value-checked."""
+    from .operators.stats import gini_coefficient
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        token_count("text").cast("double").alias("v")
+    )
+    return gini_coefficient(docs, "v", 0.0, 4096.0, bins=1 << 10)
+
+
+@query(
+    "spearman_lineitem",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity AS a, l_extendedprice AS b, l_discount AS c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL
+    ),
+    r AS (
+      SELECT
+        2 * (rank() OVER (ORDER BY a)) + (count(*) OVER (PARTITION BY a)) - 1 AS ra,
+        2 * (rank() OVER (ORDER BY b)) + (count(*) OVER (PARTITION BY b)) - 1 AS rb,
+        2 * (rank() OVER (ORDER BY c)) + (count(*) OVER (PARTITION BY c)) - 1 AS rc
+      FROM base
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(ra AS HUGEINT)) AS DOUBLE) AS sa,
+             CAST(sum(CAST(rb AS HUGEINT)) AS DOUBLE) AS sb,
+             CAST(sum(CAST(rc AS HUGEINT)) AS DOUBLE) AS sc,
+             CAST(sum(CAST(ra AS HUGEINT) * ra) AS DOUBLE) AS qa,
+             CAST(sum(CAST(rb AS HUGEINT) * rb) AS DOUBLE) AS qb,
+             CAST(sum(CAST(rc AS HUGEINT) * rc) AS DOUBLE) AS qc,
+             CAST(sum(CAST(ra AS HUGEINT) * rb) AS DOUBLE) AS pab,
+             CAST(sum(CAST(ra AS HUGEINT) * rc) AS DOUBLE) AS pac,
+             CAST(sum(CAST(rb AS HUGEINT) * rc) AS DOUBLE) AS pbc
+      FROM r
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           CASE WHEN n >= 2 AND n * qa - sa * sa > 0 AND n * qb - sb * sb > 0
+                THEN round((n * pab - sa * sb)
+                     / (sqrt(n * qa - sa * sa) * sqrt(n * qb - sb * sb)), 6)
+           END AS spearman
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           CASE WHEN n >= 2 AND n * qa - sa * sa > 0 AND n * qc - sc * sc > 0
+                THEN round((n * pac - sa * sc)
+                     / (sqrt(n * qa - sa * sa) * sqrt(n * qc - sc * sc)), 6)
+           END
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           CASE WHEN n >= 2 AND n * qb - sb * sb > 0 AND n * qc - sc * sc > 0
+                THEN round((n * pbc - sb * sc)
+                     / (sqrt(n * qb - sb * sb) * sqrt(n * qc - sc * sc)), 6)
+           END
+    FROM m
+    """,
+)
+def spearman_lineitem(spark, sf_dir) -> DataFrame:
+    """All-pairs Spearman rank correlation over (l_quantity,
+    l_extendedprice, l_discount) (stats.spearman_pairs) — the monotone
+    association the Pearson panel misses under heavy tails (one wild row
+    drags Pearson, moves a rank by one; pytest-demonstrated).  Listwise
+    sample, exact integer doubled-tie-ranks from the same bounded-prefix
+    machinery as exact_quantiles (no corpus sort, no distinct-value
+    single-partition window), decimal moments, ONE final aggregate for
+    all three pairs.  Value-checked against DuckDB's rank-window
+    replay."""
+    from .operators.stats import spearman_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("l_quantity"),
+        F.col("l_extendedprice").alias("l_extendedprice"),
+        F.col("l_discount").alias("l_discount"),
+    )
+    return spearman_pairs(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        0.0,
+        120000.0,
+        bins=1 << 10,
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
