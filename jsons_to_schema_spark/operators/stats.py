@@ -4105,3 +4105,165 @@ def spearman_pairs(
         m.select(F.explode(F.array(*rows)).alias("_x"))
         .select("_x.col_a", "_x.col_b", "_x.n", "_x.spearman")
     )
+
+
+def grouped_gini(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Per-group exact Gini — "which SOURCE is a monoculture": the
+    concentration diagnostic keyed by source/shard/language, with the
+    grouped_quantiles discipline applied to gini_coefficient's rank
+    decomposition: every stage keys by the group — the bin-prefix window
+    runs partitionBy(group) over ≤ bins rows per group, the within-bin
+    cumulative keys (group, bin) — so the plan has ZERO single-partition
+    exchanges and scales to any group count (plan-pinned).  Same exact
+    arithmetic and NULL/negative contracts as the global operator.
+
+    Output: (group, n, sum_value, gini) — one row per group."""
+    from pyspark.sql import Window
+
+    if hi <= lo:
+        raise ValueError(f"grouped_gini: need lo < hi, got [{lo}, {hi})")
+    g = F.col(group_col)
+    v = F.col(col).cast("double")
+    guarded = F.when(
+        v < 0,
+        F.raise_error(F.lit("grouped_gini: negative values (undefined)")),
+    ).otherwise(v)
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .select(g.alias("_g"), guarded.alias("_v"))
+        .withColumn("_bin", binc)
+        .groupBy("_g", "_bin", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    bin_tot = per.groupBy("_g", "_bin").agg(F.sum("_cnt").alias("_bc"))
+    w_bins = (
+        Window.partitionBy("_g")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_prefix = bin_tot.select(
+        "_g", "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_g", "_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = (
+        per.withColumn("_cumin", F.sum("_cnt").over(w_in))
+        .join(bin_prefix, ["_g", "_bin"])
+        .select("_g", "_v", "_cnt", (F.col("_cumin") + F.col("_pref")).alias("_cum"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vm = F.round(F.col("_v") * F.lit(1000000.0)).cast("long")
+    b = F.col("_cum")
+    a = F.col("_cum") - F.col("_cnt")
+    tie_rank2 = dec(b) * (b + F.lit(1)) - dec(a) * (a + F.lit(1))
+    agg = iv.groupBy("_g").agg(
+        F.sum(dec(F.col("_cnt"))).alias("_nd"),
+        F.sum(dec(vm) * F.col("_cnt")).alias("_s"),
+        F.sum(dec(vm) * tie_rank2).alias("_t2"),
+    )
+    n = F.col("_nd").cast("double")
+    s = F.col("_s").cast("double")
+    t2 = F.col("_t2").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_nd").cast("long").alias("n"),
+        F.round(s / F.lit(1000000.0), 6).alias("sum_value"),
+        F.when(
+            s > 0.0, F.round((t2 - (n + F.lit(1.0)) * s) / (n * s), 6)
+        ).alias("gini"),
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_cols: "list[str]",
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """2-D Pareto front (skyline), both objectives MAXIMIZED: the rows no
+    other row beats in both dimensions with at least one strict — the
+    multi-objective selection operator Spark lacks (quality vs length,
+    value vs recency): a top-k on any single score discards exactly the
+    trade-off candidates the skyline keeps.  Minimize a dimension by
+    negating it at the call site.
+
+    A row survives iff its y equals the max y AT its x (same-x strict-y
+    dominance) AND strictly exceeds the max y over all STRICTLY GREATER
+    x (cross-x dominance: x' > x, y' ≥ y).  Duplicate (x, y) points
+    don't dominate each other (no strict coordinate) and all survive —
+    the standard skyline-with-duplicates contract.
+
+    No global sort: the exclusive cross-x suffix maximum is the
+    bounded-prefix decomposition run in REVERSE — per-bin maxima suffix-
+    folded over the ≤ bins-row bin table, within-bin exclusive suffix
+    max as a keyed window — the exact_quantiles machinery with (sum,
+    asc) swapped for (max, desc).  Only comparisons touch the values
+    (no arithmetic), so parity is exact with no quantization.  NULL in
+    either dimension carries no dominance evidence and is excluded.
+
+    Output: (*id_cols, x_col, y_col) — the surviving rows."""
+    from pyspark.sql import Window
+
+    if hi <= lo:
+        raise ValueError(f"skyline2d: need lo < hi, got [{lo}, {hi})")
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *id_cols, x.alias("_x"), y.alias("_y")
+    )
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_x") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        base.withColumn("_bin", binc)
+        .groupBy("_bin", "_x")
+        .agg(F.max("_y").alias("_my"))
+    )
+    bin_max = per.groupBy("_bin").agg(F.max("_my").alias("_bm"))
+    w_suf = Window.orderBy(F.desc("_bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bin_suffix = bin_max.select(
+        "_bin", F.max("_bm").over(w_suf).alias("_sufbin")
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy(F.desc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fronts = (
+        per.withColumn("_sufin", F.max("_my").over(w_in))
+        .join(F.broadcast(bin_suffix), "_bin")
+        .select(
+            "_x",
+            "_my",
+            F.greatest(
+                F.coalesce("_sufin", F.lit(float("-inf"))),
+                F.coalesce("_sufbin", F.lit(float("-inf"))),
+            ).alias("_m"),
+        )
+        .filter(F.col("_my") > F.col("_m"))
+    )
+    return (
+        base.join(
+            fronts,
+            (base["_x"] == fronts["_x"]) & (base["_y"] == fronts["_my"]),
+            "left_semi",
+        )
+        .select(*id_cols, F.col("_x").alias(x_col), F.col("_y").alias(y_col))
+    )

@@ -12528,6 +12528,94 @@ def spearman_lineitem(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "gini_by_source_documents",
+    oracle="""
+    WITH s AS (
+      SELECT source AS g,
+             CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    o AS (SELECT g, vm,
+                 row_number() OVER (PARTITION BY g ORDER BY vm) AS i
+          FROM s),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(vm AS HUGEINT)) AS DOUBLE) AS sv,
+             CAST(sum(2 * CAST(i AS HUGEINT) * vm) AS DOUBLE) AS t2
+      FROM o GROUP BY 1
+    )
+    SELECT g AS source, n, round(sv / 1000000.0, 6) AS sum_value,
+           CASE WHEN sv > 0
+                THEN round((t2 - (CAST(n AS DOUBLE) + 1.0) * sv)
+                           / (CAST(n AS DOUBLE) * sv), 6)
+           END AS gini
+    FROM agg
+    """,
+)
+def gini_by_source_documents(spark, sf_dir) -> DataFrame:
+    """Per-source token-mass concentration (stats.grouped_gini) — "which
+    SOURCE is a monoculture": the corpus-mixture diagnostic keyed by
+    source, with the grouped_quantiles discipline applied to the Gini
+    rank decomposition — every stage keys by the group, so the plan has
+    ZERO single-partition exchanges (pytest-pinned) and scales to any
+    source count.  All per-source rows value-checked vs the per-group
+    ordered replay."""
+    from .operators.stats import grouped_gini
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("double").alias("v")
+    )
+    return grouped_gini(docs, "v", "source", 0.0, 4096.0, bins=1 << 10)
+
+
+@query(
+    "skyline_lineitem",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DOUBLE) AS x,
+             CAST(l_quantity AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    mx AS (SELECT x, max(y) AS my FROM t GROUP BY x),
+    s AS (SELECT x, my,
+                 max(my) OVER (ORDER BY x DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+          FROM mx),
+    front AS (SELECT x, my FROM s WHERE m IS NULL OR my > m)
+    SELECT t.l_orderkey, t.l_linenumber,
+           t.x AS l_extendedprice, t.y AS l_quantity
+    FROM t JOIN front f ON t.x = f.x AND t.y = f.my
+    """,
+)
+def skyline_lineitem(spark, sf_dir) -> DataFrame:
+    """2-D Pareto front of (l_extendedprice, l_quantity), both maximized
+    (stats.skyline2d) — the rows no other line item beats in both price
+    and quantity: the multi-objective selection a single-score top-k
+    structurally misses.  No global sort: the exclusive cross-x suffix
+    max runs the bounded-prefix decomposition in REVERSE (per-bin maxima
+    suffix-folded over the ≤ bins-row bin table, keyed within-bin
+    windows); only comparisons touch values, so parity is exact with no
+    quantization.  Every front row value-checked vs the windowed
+    staircase replay."""
+    from .operators.stats import skyline2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skyline2d(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+        0.0,
+        120000.0,
+        bins=1 << 10,
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

@@ -1373,3 +1373,30 @@ def test_wave53_57_ops_no_python_scan_shapes(spark):
         q.collect()
         assert audit.scan_count(q) <= 1
         assert "Exchange" not in audit.executed_plan(q)
+
+
+def test_wave58_59_ops_rank_machinery_shapes(spark):
+    """Gini and Spearman ride the exact_quantiles bounded-prefix rank
+    machinery: the ONLY single-partition exchange in either plan is the
+    ≤ bins-row bin-prefix table — the corpus itself is never globally
+    sorted or single-partitioned; no Python, no Cartesian."""
+    from jsons_to_schema_spark.operators.stats import (
+        gini_coefficient,
+        spearman_pairs,
+    )
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    g = gini_coefficient(
+        li.select(F.col("l_extendedprice").alias("v")), "v", 0.0, 120000.0, 256
+    )
+    s = spearman_pairs(
+        li, ["l_quantity", "l_extendedprice"], 0.0, 120000.0, 256
+    )
+    # permitted single-partition exchanges are all BOUNDED-row frames:
+    # one ≤ bins-row bin-prefix table per ranked column, plus the final
+    # one-row aggregate — never the corpus
+    for q, allowed in ((g, 2), (s, 3)):
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("Exchange SinglePartition") <= allowed, plan
