@@ -12616,6 +12616,58 @@ def skyline_lineitem(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "wasserstein_events_value",
+    oracle="""
+    WITH a AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vm
+               FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vm
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    u AS (SELECT vm, 1 AS ca, 0 AS cb FROM a
+          UNION ALL SELECT vm, 0, 1 FROM b),
+    per AS (SELECT vm, sum(ca) AS na, sum(cb) AS nb FROM u GROUP BY vm),
+    c AS (SELECT vm,
+                 sum(na) OVER w AS cum_a,
+                 sum(nb) OVER w AS cum_b,
+                 lead(vm) OVER (ORDER BY vm) AS nxt
+          FROM per
+          WINDOW w AS (ORDER BY vm
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT (SELECT count(*) FROM a) AS ta,
+                 (SELECT count(*) FROM b) AS tb),
+    d AS (SELECT abs(CAST(cum_a AS HUGEINT) * tb
+                     - CAST(cum_b AS HUGEINT) * ta) * (nxt - vm) AS term
+          FROM c, t WHERE nxt IS NOT NULL)
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           round(CAST((SELECT sum(term) FROM d) AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+                 / 1000000.0, 6) AS w1
+    FROM t
+    """,
+)
+def wasserstein_events_value(spark, sf_dir) -> DataFrame:
+    """Exact 1-Wasserstein distance between the click and purchase value
+    distributions (drift.wasserstein_drift) — the drift number in the
+    METRIC'S OWN UNITS ("the distribution moved N value-units"), where
+    KS answers in probability mass and PSI in bits; a pure shift of δ
+    reads exactly δ (pytest-pinned).  The area between the CDF
+    staircases folds as exact integer Σ |cum_a·n_b − cum_b·n_a|·gap in
+    decimal, divided once — bit-identical to the ordered replay, with
+    the ks_drift bin/value prefix decomposition plus a bounded bin-table
+    lead for the successor gap (no corpus sort).  Value-checked."""
+    from .operators.drift import wasserstein_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return wasserstein_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        bins=1 << 10,
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
