@@ -263,3 +263,86 @@ def gains_table(
         capture.alias("capture_rate"),
         lift.alias("cum_lift"),
     )
+
+
+def fit_isotonic(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Isotonic calibration fit by pool-adjacent-violators — the
+    calibrator `calibration_table` only DIAGNOSES: the best monotone map
+    from score to P(label), no bin grid to choose, the standard
+    post-hoc calibration for ranking models whose scores are ordered
+    but not probabilities.
+
+    Distributed/exact split: ONE corpus pass folds (n, Σlabel) per
+    round-6 DISTINCT score (labels binary by contract — cast long, so
+    the pooled means are exact integer fractions); PAV then runs
+    driver-side on the BOUNDED distinct-score table (the
+    apply_bins/IVF persisted-model read pattern — document the score
+    quantization if your score space is genuinely continuous at corpus
+    scale), comparing pooled means as CROSS-MULTIPLIED integers, so the
+    fit is exact and engine-free until the final round-6 per-block
+    mean.  Output blocks are provably monotone (pytest-pinned).
+
+    Output: (block, score_lo, score_hi, n, n_pos, fitted) — one row per
+    PAV block, ascending."""
+    s = F.round(F.col(score_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean").cast("int")
+    cells = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(y).cast("long").alias("_y"),
+        )
+        .orderBy("_s")
+        .collect()
+    )
+    # PAV: merge adjacent blocks while the mean would decrease; means
+    # compared as cross-multiplied exact integers
+    blocks: "list[list]" = []  # [s_lo, s_hi, n, y]
+    for r in cells:
+        blocks.append([r["_s"], r["_s"], r["_n"], r["_y"]])
+        while len(blocks) >= 2:
+            lo2, hi2, n2, y2 = blocks[-1]
+            lo1, hi1, n1, y1 = blocks[-2]
+            if y1 * n2 >= y2 * n1:  # prev mean >= cur mean → violation
+                blocks[-2] = [lo1, hi2, n1 + n2, y1 + y2]
+                blocks.pop()
+            else:
+                break
+    spark = df.sparkSession
+    rows = [
+        (i, b[0], b[1], int(b[2]), int(b[3]), round(b[3] / b[2], 6))
+        for i, b in enumerate(blocks)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "block int, score_lo double, score_hi double, n long, n_pos long, fitted double",
+    )
+
+
+def apply_isotonic(
+    df: DataFrame, score_col: str, model: DataFrame, out_col: str = "calibrated"
+) -> DataFrame:
+    """APPLY half: map each score to its PAV block's fitted probability —
+    step semantics (the block whose [score_lo, score_hi] contains the
+    round-6 score; scores beyond the trained range clamp to the first /
+    last block, the standard isotonic extension).  The model is
+    block-count-bounded: it collects once and rides the plan as a
+    broadcast range join — no corpus shuffle."""
+    edges = model.orderBy("block").collect()
+    if not edges:
+        raise ValueError("apply_isotonic: empty model")
+    s = F.round(F.col(score_col).cast("double"), 6)
+    # count of blocks whose score_lo <= s → block index (clamped)
+    los = F.array(*[F.lit(float(r["score_lo"])) for r in edges])
+    fitted = F.array(*[F.lit(float(r["fitted"])) for r in edges])
+    idx = F.greatest(
+        F.aggregate(
+            los, F.lit(0), lambda acc, b: acc + F.when(b <= s, 1).otherwise(0)
+        )
+        - 1,
+        F.lit(0),
+    )
+    return df.withColumn(
+        out_col, F.when(s.isNotNull(), F.element_at(fitted, idx + 1))
+    )

@@ -1572,3 +1572,100 @@ def theil_sen(
         )
     )
     return med_int.unionByName(singles)
+
+
+def survival_logrank(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank test — the hypothesis test that completes the
+    Kaplan–Meier readout: "are these two survival curves actually
+    different, or is the gap churn noise?"  Same input contract as
+    survival_curve (one row per subject, duration + observed flag, NULLs
+    excluded), plus a group column with EXACTLY two distinct values
+    (raises otherwise — a k-group generalization is a different
+    statistic).
+
+    At each distinct event time t: O₁ accumulates group-1 events, E₁
+    accumulates the null expectation r₁ₜ·dₜ/nₜ, V the hypergeometric
+    variance dₜ·(r₁ₜ/nₜ)(1−r₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1) (0 where nₜ = 1);
+    χ² = (O₁−E₁)²/V, gated at the 5% χ²(1) critical value 3.841459.
+
+    Determinism: risk sets are exact integer suffix counts over the
+    bounded distinct-duration cell table (one corpus-sized grouped count;
+    the survival_curve/level_shift bounded-frame precedent); the E₁/V
+    accumulations are ORDERED cumulative windows over that table, so the
+    double fold happens in duration order from identical operands in
+    both engines — no aggregate-order noise (the survival_curve
+    discipline), round-6 only at the output.
+
+    Output: one row (group_a, group_b, n_a, n_b, o_a, e_a, o_b, e_b,
+    chi2, significant)."""
+    d, o, g = F.col(duration_col), F.col(observed_col), F.col(group_col)
+    base = df.filter(d.isNotNull() & o.isNotNull() & g.isNotNull()).select(
+        d.alias("_t"), o.cast("boolean").alias("_o"), g.cast("string").alias("_g")
+    )
+    groups = [r["_g"] for r in base.select("_g").distinct().orderBy("_g").collect()]
+    if len(groups) != 2:
+        raise ValueError(
+            f"survival_logrank: need exactly 2 groups, got {groups}"
+        )
+    ga, gb = groups
+    cells = base.groupBy("_t").agg(
+        F.sum(F.when((F.col("_g") == ga) & F.col("_o"), 1).otherwise(0))
+        .cast("long").alias("_da"),
+        F.sum(F.when((F.col("_g") == gb) & F.col("_o"), 1).otherwise(0))
+        .cast("long").alias("_db"),
+        F.sum(F.when(F.col("_g") == ga, 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(F.col("_g") == gb, 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    w_pref = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = cells.agg(
+        F.sum("_ca").cast("long").alias("_na"), F.sum("_cb").cast("long").alias("_nb")
+    )
+    risk = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("_ra", F.col("_na") - F.coalesce(F.sum("_ca").over(w_pref), F.lit(0)))
+        .withColumn("_rb", F.col("_nb") - F.coalesce(F.sum("_cb").over(w_pref), F.lit(0)))
+        .filter((F.col("_da") + F.col("_db")) > 0)
+    )
+    dt = (F.col("_da") + F.col("_db")).cast("double")
+    nt = (F.col("_ra") + F.col("_rb")).cast("double")
+    ra = F.col("_ra").cast("double")
+    e_term = ra * dt / nt
+    v_term = F.when(
+        (F.col("_ra") + F.col("_rb")) > 1,
+        dt * (ra / nt) * (F.lit(1.0) - ra / nt)
+        * ((nt - dt) / (nt - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    w_cum = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = (
+        risk.withColumn("_oa", F.sum("_da").over(w_cum))
+        .withColumn("_ob", F.sum("_db").over(w_cum))
+        .withColumn("_ea", F.sum(e_term).over(w_cum))  # ordered double fold
+        .withColumn("_v", F.sum(v_term).over(w_cum))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_t"))))
+        .filter(F.col("_rn") == 1)
+    )
+    oa, ob = F.col("_oa").cast("double"), F.col("_ob").cast("double")
+    ea = F.col("_ea")
+    v = F.col("_v")
+    chi2 = F.when(v > 0.0, (oa - ea) * (oa - ea) / v)
+    # acc already carries _na/_nb from the risk-set crossJoin
+    return acc.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_oa").cast("long").alias("o_a"),
+        F.round(ea, 6).alias("e_a"),
+        F.col("_ob").cast("long").alias("o_b"),
+        F.round(oa + ob - ea, 6).alias("e_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.coalesce(chi2 > F.lit(3.841459), F.lit(False)).alias("significant"),
+    )

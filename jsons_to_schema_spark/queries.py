@@ -12668,6 +12668,150 @@ def wasserstein_events_value(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "logrank_users_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn_last,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) ASC, event_id ASC)
+               AS rn_first
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    per AS (
+      SELECT CAST(floor((max(us) - min(us)) / 3600000000.0) AS BIGINT) AS t,
+             max(CASE WHEN rn_last = 1 AND event_type = 'error'
+                      THEN 1 ELSE 0 END) = 1 AS obs,
+             CASE WHEN max(CASE WHEN rn_first = 1 AND event_type = 'error'
+                                THEN 1 ELSE 0 END) = 1
+                  THEN 'error_start' ELSE 'clean_start' END AS g
+      FROM ranked GROUP BY user_id),
+    cells AS (
+      SELECT t,
+             CAST(sum(CASE WHEN g = 'clean_start' AND obs THEN 1 ELSE 0 END) AS BIGINT) AS da,
+             CAST(sum(CASE WHEN g = 'error_start' AND obs THEN 1 ELSE 0 END) AS BIGINT) AS db,
+             CAST(sum(CASE WHEN g = 'clean_start' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN g = 'error_start' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM per GROUP BY 1),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+    risk AS (
+      SELECT c.*, tot.na, tot.nb,
+             tot.na - coalesce(sum(ca) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ra,
+             tot.nb - coalesce(sum(cb) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+      FROM cells c, tot),
+    ev AS (SELECT * FROM risk WHERE da + db > 0),
+    terms AS (
+      SELECT t, na, nb, da, db,
+             CAST(ra AS DOUBLE) * CAST(da + db AS DOUBLE)
+               / CAST(ra + rb AS DOUBLE) AS et,
+             CASE WHEN ra + rb > 1 THEN
+               CAST(da + db AS DOUBLE)
+               * (CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE))
+               * (1.0 - CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE))
+               * ((CAST(ra + rb AS DOUBLE) - CAST(da + db AS DOUBLE))
+                  / (CAST(ra + rb AS DOUBLE) - 1.0))
+             ELSE 0.0 END AS vt
+      FROM ev),
+    cum AS (
+      SELECT t, na, nb,
+             sum(da) OVER w AS oa, sum(db) OVER w AS ob,
+             sum(et) OVER w AS ea, sum(vt) OVER w AS v,
+             row_number() OVER (ORDER BY t DESC) AS rn
+      FROM terms
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT 'clean_start' AS group_a, 'error_start' AS group_b,
+           na AS n_a, nb AS n_b,
+           CAST(oa AS BIGINT) AS o_a, round(ea, 6) AS e_a,
+           CAST(ob AS BIGINT) AS o_b,
+           round(CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE) - ea, 6) AS e_b,
+           CASE WHEN v > 0 THEN
+             round((CAST(oa AS DOUBLE) - ea) * (CAST(oa AS DOUBLE) - ea) / v, 6)
+           END AS chi2,
+           coalesce(CASE WHEN v > 0 THEN
+             (CAST(oa AS DOUBLE) - ea) * (CAST(oa AS DOUBLE) - ea) / v
+               > 3.841459 END, false) AS significant
+    FROM cum WHERE rn = 1
+    """,
+)
+def logrank_users_events(spark, sf_dir) -> DataFrame:
+    """Two-group log-rank test (temporal.survival_logrank) between users
+    whose FIRST event is an error ('error_start') and the rest
+    ('clean_start'), on the same per-user lifetimes as the Kaplan–Meier
+    query (hour-floor durations, final-event-error observed flag) — the
+    hypothesis test that says whether the two churn curves actually
+    differ.  Exact integer risk sets from prefix windows over the
+    bounded duration table; E/V accumulate through ORDERED cumulative
+    windows so the double fold is bit-identical across engines (the
+    survival_curve discipline).  The single output row value-checked
+    field by field."""
+    from .operators.temporal import survival_logrank
+
+    ev = load_table(spark, sf_dir, "events")
+    us = stats._epoch_us_col(ev, "ts")
+    per = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.floor((F.max(us) - F.min(us)) / F.lit(3600000000.0))
+            .cast("long")
+            .alias("t"),
+            F.max(
+                F.struct(
+                    us.alias("us"),
+                    F.col("event_id").alias("eid"),
+                    (F.col("event_type") == "error").alias("err"),
+                )
+            )["err"].alias("obs"),
+            F.min(
+                F.struct(
+                    us.alias("us"),
+                    F.col("event_id").alias("eid"),
+                    (F.col("event_type") == "error").alias("err"),
+                )
+            )["err"].alias("_first_err"),
+        )
+        .select(
+            "t",
+            "obs",
+            F.when(F.col("_first_err"), F.lit("error_start"))
+            .otherwise(F.lit("clean_start"))
+            .alias("grp"),
+        )
+    )
+    return survival_logrank(per, "t", "obs", "grp")
+
+
+@query("isotonic_calibration_events")  # pinned-snapshot oracle
+def isotonic_calibration_events(spark, sf_dir) -> DataFrame:
+    """Isotonic calibration of P(error | value) by pool-adjacent-
+    violators (modeleval.fit_isotonic): the best monotone map from the
+    value score to the error probability — no bin grid to choose, the
+    standard post-hoc calibrator where calibration_table only
+    diagnoses.  One corpus pass folds exact (n, Σlabel) per round-6
+    distinct score; PAV runs driver-side on the bounded distinct-score
+    table with CROSS-MULTIPLIED integer mean comparisons, so the block
+    table is exact and deterministic (double-run-guarded pin); block
+    monotonicity and brute-PAV parity live in
+    tests/test_round4ae_ops.py."""
+    from .operators.modeleval import fit_isotonic
+
+    ev = load_table(spark, sf_dir, "events")
+    return fit_isotonic(
+        ev.select(
+            F.col("value").alias("score"),
+            (F.col("event_type") == "error").alias("label"),
+        ),
+        "score",
+        "label",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path

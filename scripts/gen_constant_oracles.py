@@ -46,6 +46,7 @@ NAMES = [
     "media_chunk_dedup",
     "similarity_recall_report",
     "msf_spans_media",
+    "isotonic_calibration_events",
 ]
 
 _DUCK_TYPE = {
