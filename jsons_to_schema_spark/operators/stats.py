@@ -4267,3 +4267,227 @@ def skyline2d(
         )
         .select(*id_cols, F.col("_x").alias(x_col), F.col("_y").alias(y_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded Poisson bootstrap + CUPED adjustment — wave 63
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 Σ 1/k!), fixed
+# 9-decimal literals so both engines compare the SAME constants; mass
+# beyond k=8 (~9e-6) collapses into 8 — documented truncation.
+_POIS1_CUM = (
+    0.367879441, 0.735758882, 0.919698603, 0.980988305,
+    0.996323929, 0.999405870, 0.999917320, 0.999990409,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    replicates: int = 32,
+    seed: int = 42,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a column mean via the
+    SEEDED Poisson bootstrap — the error bar every profiling number in
+    this engine lacks: "the mean value is 249.9 ± what?".  Poisson
+    resampling is THE distributed bootstrap (Chamandy et al.): replicate
+    r reweights each row by an independent Poisson(1) draw, so no
+    replicate ever materializes and one pass computes them all.
+
+    Determinism: the draw for (row, replicate) derives from the
+    md5-prefix uniform of (seed, r, row id) through a fixed 9-decimal
+    Poisson(1) inverse-CDF table (mass beyond k=8, ~9e-6, truncates to 8
+    — documented), so every replicate is exact, partition-order-free,
+    and engine-replayable.  Replicate means are exact integer ratios
+    (micro-unit values × integer weights); the CI bounds are type-1 rank
+    picks over the R replicate means (the exact_quantiles convention).
+
+    Scale shape: the corpus explodes ×R (R bounded, default 32 — the
+    honest cost), folds map-side to R (Σw, Σwv) partials, and everything
+    after is R-row arithmetic.  NULL values excluded with their rows.
+
+    Output: one row (n, mean, ci_lo, ci_hi, replicates, alpha)."""
+    if replicates < 4:
+        raise ValueError("bootstrap_mean_ci: need >= 4 replicates")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("bootstrap_mean_ci: alpha must be in (0, 1)")
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        F.round(v * F.lit(1000000.0)).cast("long").alias("_vm"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+    r = F.explode(F.array(*[F.lit(i) for i in range(replicates)])).alias("_r")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(f"boot-{seed}"), F.col("_r").cast("string"), F.col("_id")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    w = F.lit(len(_POIS1_CUM))
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM[k]), F.lit(k)).otherwise(w)
+    reps = (
+        base.select("_vm", "_id", r)
+        .withColumn("_w", w.cast("long"))
+        .groupBy("_r")
+        .agg(
+            F.sum("_w").cast("decimal(38,0)").alias("_sw"),
+            F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_vm")).alias("_swv"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            "_r",
+            F.round(
+                F.col("_swv").cast("double")
+                / F.col("_sw").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("_m"),
+        )
+    )
+    wrank = Window.orderBy("_m", "_r")
+    nrep = reps.agg(F.count(F.lit(1)).cast("long").alias("_nr"))
+    lo_rank = F.greatest(
+        F.ceil(F.lit(alpha / 2.0) * F.col("_nr").cast("double") - F.lit(1e-9)),
+        F.lit(1),
+    ).cast("long")
+    hi_rank = F.greatest(
+        F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("_nr").cast("double") - F.lit(1e-9)),
+        F.lit(1),
+    ).cast("long")
+    ranked = reps.withColumn("_rn", F.row_number().over(wrank)).crossJoin(
+        F.broadcast(nrep)
+    )
+    lo = ranked.filter(F.col("_rn") == lo_rank).select(
+        F.col("_m").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("_rn") == hi_rank).select(
+        F.col("_m").alias("ci_hi")
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("_vm").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean"),
+    )
+    return (
+        overall.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            "mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(int(replicates)).cast("long").alias("replicates"),
+            F.lit(float(alpha)).alias("alpha"),
+        )
+    )
+
+
+def cuped_ab_report(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """CUPED-adjusted Welch comparison — ab_test_report with the variance
+    a PRE-PERIOD covariate explains removed: y′ = y − θ(x − x̄), θ =
+    cov(x, y)/var(x) pooled over both arms, the industry-standard
+    sensitivity boost (same lift, tighter error bars, detectable at a
+    fraction of the sample).
+
+    Everything derives from ONE conditional-aggregate scan of exact
+    quantized moments (n, Σx, Σy, Σxx, Σyy, Σxy per arm as
+    decimal(38,0)) — the adjusted means and variances are algebraic in
+    the joint moments (var(y−θx) = var_y − 2θcov + θ²var_x), so CUPED
+    costs no second pass.  Rows with a NULL metric OR covariate carry no
+    evidence.  All doubles derive from identical operands in identical
+    expression order (the ab_test_report contract), round-6.
+
+    Output: one row (n_control, n_treatment, theta, mean_control_adj,
+    mean_treatment_adj, abs_lift_adj, t_stat_adj, var_reduction_pct,
+    significant)."""
+    y = F.col(metric_col)
+    x = F.col(covariate_col)
+    ym = F.round(y * F.lit(1000000.0)).cast("long")
+    xm = F.round(x * F.lit(1000000.0)).cast("long")
+    arm = F.col(group_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def _moms(label: str, tag: str):
+        keep = (arm == F.lit(label)) & y.isNotNull() & x.isNotNull()
+        z = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_n{tag}"),
+            F.coalesce(F.sum(F.when(keep, dec(xm))), z).alias(f"_sx{tag}"),
+            F.coalesce(F.sum(F.when(keep, dec(ym))), z).alias(f"_sy{tag}"),
+            F.coalesce(F.sum(F.when(keep, dec(xm) * xm)), z).alias(f"_sxx{tag}"),
+            F.coalesce(F.sum(F.when(keep, dec(ym) * ym)), z).alias(f"_syy{tag}"),
+            F.coalesce(F.sum(F.when(keep, dec(xm) * ym)), z).alias(f"_sxy{tag}"),
+        ]
+
+    agg = df.agg(*_moms(control, "c"), *_moms(treatment, "t"))
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    nc, nt = d("_nc"), d("_nt")
+    n = nc + nt
+    sx = d("_sxc") + d("_sxt")
+    sy = d("_syc") + d("_syt")
+    sxx = d("_sxxc") + d("_sxxt")
+    sxy = d("_sxyc") + d("_sxyt")
+    # pooled theta = cov(x, y) / var(x) (units cancel; micro scale cancels)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    def _adj(tag: str):
+        nn = d(f"_n{tag}")
+        mx = d(f"_sx{tag}") / nn / F.lit(1e6)
+        my = d(f"_sy{tag}") / nn / F.lit(1e6)
+        # explicit products, never POWER: pow() can route through
+        # exp/log and lose the cross-engine bit-identity the contract needs
+        var_y = (d(f"_syy{tag}") / F.lit(1e12) - (d(f"_sy{tag}") / F.lit(1e6)) * (d(f"_sy{tag}") / F.lit(1e6)) / nn) / (nn - F.lit(1.0))
+        var_x = (d(f"_sxx{tag}") / F.lit(1e12) - (d(f"_sx{tag}") / F.lit(1e6)) * (d(f"_sx{tag}") / F.lit(1e6)) / nn) / (nn - F.lit(1.0))
+        cov = (d(f"_sxy{tag}") / F.lit(1e12) - (d(f"_sx{tag}") / F.lit(1e6)) * (d(f"_sy{tag}") / F.lit(1e6)) / nn) / (nn - F.lit(1.0))
+        mean_adj = my - theta * (mx - sx / n / F.lit(1e6))
+        var_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+        return nn, my, var_y, mean_adj, var_adj
+
+    nc_, myc, vyc, mac, vac = _adj("c")
+    nt_, myt, vyt, mat, vat = _adj("t")
+    se = F.sqrt(vac / nc_ + vat / nt_)
+    t_adj = (mat - mac) / se
+    var_red = (
+        F.lit(1.0) - (vac + vat) / (vyc + vyt)
+    ) * F.lit(100.0)
+    return agg.select(
+        F.col("_nc").alias("n_control"),
+        F.col("_nt").alias("n_treatment"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mac, 6).alias("mean_control_adj"),
+        F.round(mat, 6).alias("mean_treatment_adj"),
+        F.round(mat - mac, 6).alias("abs_lift_adj"),
+        F.round(t_adj, 6).alias("t_stat_adj"),
+        F.round(var_red, 6).alias("var_reduction_pct"),
+        (F.abs(t_adj) > F.lit(1.959964)).alias("significant"),
+    )
