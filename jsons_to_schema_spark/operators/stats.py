@@ -4491,3 +4491,192 @@ def cuped_ab_report(
         F.round(var_red, 6).alias("var_reduction_pct"),
         (F.abs(t_adj) > F.lit(1.959964)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean + Neyman allocation — wave 64
+# ---------------------------------------------------------------------------
+
+def trimmed_mean(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    trim: float = 0.1,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Per-group exact trimmed mean: drop the lowest and highest
+    floor(trim·n) values, average the rest — the robust center that
+    keeps the metric's units (robust_z SCORES outliers; this SUMMARIZES
+    despite them: mean latency without the timeout spikes, mean doc
+    length without the megadocs).
+
+    Exactness + shape: each distinct value's global rank interval (a, b]
+    comes from the grouped bounded-prefix decomposition (the
+    grouped_gini plan — every stage keyed by group, ZERO single-
+    partition exchanges); the kept mass per value is the interval
+    overlap max(0, min(b, n−k) − max(a, k)) — pure integer arithmetic,
+    tie order provably irrelevant — folded as exact decimal sums with
+    ONE round-6 division.  k = floor(trim·n + 1e-9) (the +1e-9 keeps
+    0.3·10 from flooring to 2).  Groups where trimming empties the
+    sample (n ≤ 2k) report NULL.
+
+    Output: (group, n, n_trimmed_each_side, trimmed_mean)."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trimmed_mean: trim must be in [0, 0.5), got {trim}")
+    if hi <= lo:
+        raise ValueError(f"trimmed_mean: need lo < hi, got [{lo}, {hi})")
+    g = F.col(group_col)
+    v = F.col(col).cast("double")
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .select(g.alias("_g"), v.alias("_v"))
+        .withColumn("_bin", binc)
+        .groupBy("_g", "_bin", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    bin_tot = per.groupBy("_g", "_bin").agg(F.sum("_cnt").alias("_bc"))
+    w_bins = (
+        Window.partitionBy("_g")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_prefix = bin_tot.select(
+        "_g", "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_g", "_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.groupBy("_g").agg(F.sum("_cnt").cast("long").alias("_n"))
+    iv = (
+        per.withColumn("_cumin", F.sum("_cnt").over(w_in))
+        .join(bin_prefix, ["_g", "_bin"])
+        .join(tot, "_g")
+        .select(
+            "_g", "_v", "_cnt", "_n",
+            (F.col("_cumin") + F.col("_pref")).alias("_cum"),
+        )
+    )
+    k = F.floor(F.lit(float(trim)) * F.col("_n").cast("double") + F.lit(1e-9)).cast(
+        "long"
+    )
+    a = F.col("_cum") - F.col("_cnt")
+    b = F.col("_cum")
+    kept = F.greatest(
+        F.least(b, F.col("_n") - k) - F.greatest(a, k), F.lit(0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vm = F.round(F.col("_v") * F.lit(1000000.0)).cast("long")
+    agg = iv.groupBy("_g").agg(
+        F.first("_n").alias("_nn"),
+        F.first(k).alias("_k"),
+        F.sum(dec(kept)).alias("_kc"),
+        F.sum(dec(vm) * kept).alias("_ks"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_nn").alias("n"),
+        F.col("_k").alias("n_trimmed_each_side"),
+        F.when(
+            F.col("_kc") > 0,
+            F.round(
+                F.col("_ks").cast("double")
+                / F.col("_kc").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ),
+        ).alias("trimmed_mean"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Variance-optimal (Neyman) allocation of a sampling budget across
+    strata: sample stratum h in proportion to N_h·s_h — the allocation
+    that minimizes the variance of the stratified mean estimate, vs the
+    proportional allocation quota_sample uses (equal-variance strata are
+    the only case where the two agree).  The planning step BEFORE
+    stratified_sample: "given 10k label budget, how many docs per
+    source".
+
+    Exact arithmetic: per-stratum moments are exact quantized decimals;
+    s_h = sample std from them; integer allocations use the LARGEST-
+    REMAINDER method (floor every share, then hand the leftover units
+    out by descending fractional remainder with the stratum name as the
+    deterministic tie-break) so allocations are integers that sum
+    EXACTLY to the budget (pytest-pinned) and replay in SQL.
+    Single-row strata carry no variance evidence (std undefined) and
+    allocate 0 — documented; a stratum with zero variance likewise
+    needs no sample for its mean.
+
+    One moment scan + strata-table arithmetic.  Output: (stratum, n,
+    std, weight, alloc)."""
+    if budget <= 0:
+        raise ValueError(f"neyman_allocation: budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    g = F.col(stratum_col)
+    v = F.col(value_col)
+    vm = F.round(v * F.lit(1000000.0)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(dec(vm)).alias("_s1"),
+            F.sum(dec(vm) * vm).alias("_s2"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (
+        s2 / F.lit(1e12) - (s1 / F.lit(1e6)) * (s1 / F.lit(1e6)) / n
+    ) / (n - F.lit(1.0))
+    std = F.when(F.col("_n") >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    scored = mom.select(
+        "_g", "_n", F.coalesce(std, F.lit(0.0)).alias("_std")
+    ).withColumn("_w", n * F.col("_std"))
+    wsum = scored.agg(F.sum("_w").alias("_tw"))
+    shared = scored.crossJoin(F.broadcast(wsum)).withColumn(
+        "_share",
+        F.when(F.col("_tw") > 0, F.col("_w") / F.col("_tw")).otherwise(F.lit(0.0)),
+    )
+    exact = F.col("_share") * F.lit(float(budget))
+    base = F.floor(exact + F.lit(1e-9)).cast("long")
+    fl = shared.withColumn("_base", base).withColumn(
+        "_frac", exact - F.col("_base").cast("double")
+    )
+    spent = fl.agg(F.sum("_base").alias("_spent"))
+    w_rem = Window.orderBy(F.desc("_frac"), F.asc("_g"))
+    out = (
+        fl.crossJoin(F.broadcast(spent))
+        .withColumn("_rk", F.row_number().over(w_rem))
+        .withColumn(
+            "alloc",
+            F.col("_base")
+            + F.when(
+                F.col("_rk") <= (F.lit(int(budget)) - F.col("_spent")), 1
+            ).otherwise(0),
+        )
+    )
+    return out.select(
+        F.col("_g").alias(stratum_col),
+        F.col("_n").alias("n"),
+        F.round(F.col("_std"), 6).alias("std"),
+        F.round(F.col("_share"), 6).alias("weight"),
+        F.col("alloc").cast("long").alias("alloc"),
+    )

@@ -12996,6 +12996,99 @@ def cuped_events(spark, sf_dir) -> DataFrame:
     return cuped_ab_report(ev, "arm", "y", "x", "control", "treatment")
 
 
+@query(
+    "trimmed_mean_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS g, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (SELECT g, vm,
+                 row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM s),
+    k AS (SELECT *, CAST(floor(0.1 * n + 1e-9) AS BIGINT) AS k FROM r)
+    SELECT g AS event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+           round(CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                               THEN CAST(vm AS HUGEINT) END) AS DOUBLE)
+                 / sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END)
+                 / 1000000.0, 6) AS trimmed_mean
+    FROM k GROUP BY g
+    """,
+)
+def trimmed_mean_events(spark, sf_dir) -> DataFrame:
+    """Per-type 10% trimmed mean of value (stats.trimmed_mean) — the
+    robust center that keeps the metric's units where robust_z only
+    scores: mean value without the tail spikes.  Kept mass per distinct
+    value is the pure-integer overlap of its exact rank interval with
+    [k+1, n−k] (the grouped bounded-prefix machinery — ZERO single-
+    partition exchanges, tie order provably irrelevant); the floor
+    guard +1e-9 pins k against float wobble (0.3·10 → 3, pytest).
+    All 5 rows value-checked vs the per-group rank replay."""
+    from .operators.stats import trimmed_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return trimmed_mean(
+        ev, "value", "event_type", 0.0, 500.0, trim=0.1, bins=1 << 10
+    )
+
+
+@query(
+    "neyman_allocation_events",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS g, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(vm AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(vm AS HUGEINT) * vm) AS DOUBLE) AS s2
+          FROM q GROUP BY 1),
+    sd AS (SELECT g, n,
+                  CASE WHEN n >= 2 THEN
+                    sqrt(greatest((s2 / 1e12
+                          - (s1 / 1000000.0) * (s1 / 1000000.0)
+                            / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                  ELSE 0.0 END AS std
+           FROM m),
+    w AS (SELECT g, n, std, CAST(n AS DOUBLE) * std AS wgt FROM sd),
+    t AS (SELECT sum(wgt) AS tw FROM w),
+    sh AS (SELECT g, n, std,
+                  CASE WHEN tw > 0 THEN wgt / tw ELSE 0.0 END AS share
+           FROM w, t),
+    fl AS (SELECT *,
+                  CAST(floor(share * 1000.0 + 1e-9) AS BIGINT) AS base,
+                  share * 1000.0 - CAST(CAST(floor(share * 1000.0 + 1e-9)
+                        AS BIGINT) AS DOUBLE) AS frac
+           FROM sh),
+    sp AS (SELECT sum(base) AS spent FROM fl),
+    rk AS (SELECT fl.*, row_number() OVER (ORDER BY frac DESC, g ASC) AS rk
+           FROM fl)
+    SELECT g AS event_type, n, round(std, 6) AS std,
+           round(share, 6) AS weight,
+           CAST(base + CASE WHEN rk <= 1000 - spent THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rk, sp
+    """,
+)
+def neyman_allocation_events(spark, sf_dir) -> DataFrame:
+    """Variance-optimal Neyman allocation of a 1,000-row sampling budget
+    across event types (stats.neyman_allocation) — sample ∝ N_h·s_h,
+    the allocation that minimizes the stratified-mean variance where
+    quota_sample's proportional split is only optimal for equal-variance
+    strata.  Exact quantized moments; integer allocations by the
+    LARGEST-REMAINDER method with the stratum name as deterministic
+    tie-break, summing EXACTLY to the budget (pytest-pinned across
+    budgets 10/97/1234).  All 5 rows value-checked."""
+    from .operators.stats import neyman_allocation
+
+    ev = load_table(spark, sf_dir, "events")
+    return neyman_allocation(ev, "event_type", "value", 1000)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
