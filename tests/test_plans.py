@@ -1400,3 +1400,58 @@ def test_wave58_59_ops_rank_machinery_shapes(spark):
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert plan.count("Exchange SinglePartition") <= allowed, plan
+
+
+def test_wave61_64_ops_no_python_bounded_exchanges(spark):
+    """Wasserstein, log-rank, isotonic apply, bootstrap, CUPED, trimmed
+    mean, Neyman: no row-at-a-time Python anywhere, no CartesianProduct
+    (the bounded 1-row/R-row/strata-row frames broadcast); the grouped
+    trimmed mean inherits grouped_gini's ZERO-single-partition discipline."""
+    from jsons_to_schema_spark.operators.drift import wasserstein_drift
+    from jsons_to_schema_spark.operators.modeleval import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+    from jsons_to_schema_spark.operators.stats import (
+        bootstrap_mean_ci,
+        cuped_ab_report,
+        neyman_allocation,
+        trimmed_mean,
+    )
+    from jsons_to_schema_spark.operators.temporal import survival_logrank
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    arm = F.when(F.col("event_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    iso_model = fit_isotonic(
+        ev.select(F.col("value").alias("s"), (F.col("event_type") == "error").alias("y")),
+        "s",
+        "y",
+    )
+    surv = ev.select(
+        (F.col("event_id") % 50).cast("double").alias("t"),
+        (F.col("event_id") % 3 == 0).alias("obs"),
+        arm.alias("g"),
+    )
+    frames = [
+        wasserstein_drift(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+            "value", 0.0, 500.0, 64,
+        ),
+        survival_logrank(surv, "t", "obs", "g"),
+        apply_isotonic(ev, "value", iso_model),
+        bootstrap_mean_ci(ev, "value", "event_id", replicates=8),
+        cuped_ab_report(
+            ev.select(arm.alias("arm"), F.col("value").alias("y"),
+                      (F.col("value") * 0.5).alias("x")),
+            "arm", "y", "x", "a", "b",
+        ),
+        trimmed_mean(ev, "value", "event_type", 0.0, 500.0, 0.1, 64),
+        neyman_allocation(ev, "event_type", "value", 100),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tm = trimmed_mean(ev, "value", "event_type", 0.0, 500.0, 0.1, 64)
+    assert "SinglePartition" not in audit.formatted_plan(tm)
