@@ -4680,3 +4680,131 @@ def neyman_allocation(
         F.round(F.col("_share"), 6).alias("weight"),
         F.col("alloc").cast("long").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare combinations + mirror columns — wave 65
+# ---------------------------------------------------------------------------
+
+def rare_combinations(
+    df: DataFrame,
+    cols: "list[str]",
+    max_count: int,
+    id_cols: "list[str]",
+) -> DataFrame:
+    """Rows whose CATEGORY COMBINATION occurs at most ``max_count`` times
+    — the composite-typo detector: every individual value is a valid
+    category (enum checks pass) but the tuple is nearly unique
+    ('returnflag=R, linestatus=O' style contradictions, mis-joined
+    dimension rows, fat-fingered pairs).  The single-column rarity check
+    misses these by construction.
+
+    NULL is a REAL category (null-safe grouping via the composite struct
+    — the approx_fd convention): an unusual NULL PATTERN is exactly the
+    kind of rarity this audit exists to surface.  One map-side-partial
+    count on the (bounded-cardinality) combination space + a broadcast-
+    able join back; exact long counts.
+
+    Output: (*id_cols, *cols, combo_count), rarest first is the caller's
+    ORDER BY."""
+    if not cols:
+        raise ValueError("rare_combinations: cols must be non-empty")
+    if max_count < 1:
+        raise ValueError("rare_combinations: max_count must be >= 1")
+    combo = [F.col(c) for c in cols]
+    counts = (
+        df.groupBy(*combo)
+        .agg(F.count(F.lit(1)).cast("long").alias("combo_count"))
+        .filter(F.col("combo_count") <= max_count)
+    )
+    # null-safe equi-join on every combo column (NULL matches NULL); the
+    # counts side is renamed first — it derives from df, and same-lineage
+    # column references are ambiguous in a self-join
+    renamed = counts.select(
+        *[F.col(c).alias(f"_cc_{c}") for c in cols], "combo_count"
+    )
+    cond = None
+    for c in cols:
+        piece = F.col(c).eqNullSafe(F.col(f"_cc_{c}"))
+        cond = piece if cond is None else cond & piece
+    return df.join(F.broadcast(renamed), cond).select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c) for c in cols],
+        F.col("combo_count"),
+    )
+
+
+def mirror_columns_report(
+    df: DataFrame, key_col: str, columns: "list[str] | None" = None
+) -> DataFrame:
+    """Pairs of columns with IDENTICAL content row-for-row — the
+    redundant-column detector (copy-paste ETL, a join that duplicated a
+    field under two names, a 'new' column nobody migrated): profiling
+    treats them as independent signals, models double-weight them, and
+    nobody notices without exactly this check.
+
+    Row alignment rides ``key_col``: each column folds to ONE exact
+    fingerprint Σ uint32(md5(key ⊕ value)[:8]) plus null/total counts —
+    order-free integer sums, so two columns match iff their (sum, n,
+    n_null) triples match (md5 collisions at 2⁻³² per pair of differing
+    rows; the triple check makes a false positive need a SUM collision
+    too — documented, and candidates can be re-verified exactly with
+    one equality join).  NULLs hash as a reserved token so (NULL vs
+    'null'-string) columns don't alias.
+
+    ONE melt scan over (key, column, value-as-string) — adding a column
+    costs no extra pass; the pair comparison runs on the #columns-row
+    fingerprint table.  Values compare as CANONICAL STRINGS (cast) —
+    '1' (int) and '1.0' (double) differ; same-type mirrors are the
+    target.  Output: (col_a, col_b, n, n_null, fingerprint) for each
+    matching pair."""
+    cols = columns or [c for c in df.columns if c != key_col]
+    if len(cols) < 2:
+        raise ValueError("mirror_columns_report: need >= 2 columns")
+    melted = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_x"),
+    ).select("_k", F.col("_x.col").alias("_c"), F.col("_x.val").alias("_v"))
+    token = F.coalesce(F.col("_v"), F.lit("\x00<NULL>\x00"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", F.col("_k"), token)), 1, 8), 16, 10
+    ).cast("long")
+    fp = melted.groupBy("_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("long").alias("_nn"),
+        F.sum(h.cast("decimal(38,0)")).alias("_fp"),
+    )
+    a = fp.select(
+        F.col("_c").alias("col_a"), F.col("_n").alias("_na"),
+        F.col("_nn").alias("_nna"), F.col("_fp").alias("_fpa"),
+    )
+    b = fp.select(
+        F.col("_c").alias("col_b"), F.col("_n").alias("_nb"),
+        F.col("_nn").alias("_nnb"), F.col("_fp").alias("_fpb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("col_a") < F.col("col_b"))
+            & (F.col("_fpa") == F.col("_fpb"))
+            & (F.col("_na") == F.col("_nb"))
+            & (F.col("_nna") == F.col("_nnb")),
+        )
+        .select(
+            "col_a",
+            "col_b",
+            F.col("_na").alias("n"),
+            F.col("_nna").alias("n_null"),
+            F.col("_fpa").cast("string").alias("fingerprint"),
+        )
+    )

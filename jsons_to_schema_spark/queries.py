@@ -13089,6 +13089,104 @@ def neyman_allocation_events(spark, sf_dir) -> DataFrame:
     return neyman_allocation(ev, "event_type", "value", 1000)
 
 
+@query(
+    "rare_combinations_lineitem",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 20011 = 7 THEN 'Q'
+                  ELSE l_returnflag END AS returnflag,
+             l_linestatus
+      FROM lineitem
+    ),
+    c AS (SELECT returnflag, l_linestatus,
+                 CAST(count(*) AS BIGINT) AS combo_count
+          FROM src GROUP BY 1, 2
+          HAVING count(*) <= 5)
+    SELECT s.l_orderkey, s.l_linenumber, s.returnflag, s.l_linestatus,
+           c.combo_count
+    FROM src s JOIN c ON s.returnflag IS NOT DISTINCT FROM c.returnflag
+                     AND s.l_linestatus IS NOT DISTINCT FROM c.l_linestatus
+    """,
+)
+def rare_combinations_lineitem(spark, sf_dir) -> DataFrame:
+    """Composite-rarity audit (stats.rare_combinations) with a PLANTED
+    typo source: l_shipmode is corrupted to 'AIRR' for l_orderkey %
+    20011 == 7 identically in both engines, producing category tuples
+    that are individually plausible but nearly unique — the composite-
+    typo class single-column enum checks pass by construction.  Every
+    flagged row + its combo count value-checked."""
+    from .operators.stats import rare_combinations
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 20011 == 7, F.lit("Q"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("returnflag"),
+        "l_linestatus",
+    )
+    return rare_combinations(
+        li, ["returnflag", "l_linestatus"], 5, ["l_orderkey", "l_linenumber"]
+    )
+
+
+@query(
+    "mirror_columns_lineitem",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey * 10 + l_linenumber AS k,
+             l_returnflag, l_returnflag AS flag_copy,
+             l_linestatus,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber
+      FROM lineitem
+    ),
+    melted AS (
+      SELECT CAST(k AS VARCHAR) AS k, 'l_returnflag' AS c,
+             CAST(l_returnflag AS VARCHAR) AS v FROM src
+      UNION ALL SELECT CAST(k AS VARCHAR), 'flag_copy',
+             CAST(flag_copy AS VARCHAR) FROM src
+      UNION ALL SELECT CAST(k AS VARCHAR), 'l_linestatus',
+             CAST(l_linestatus AS VARCHAR) FROM src
+      UNION ALL SELECT CAST(k AS VARCHAR), 'l_linenumber',
+             CAST(l_linenumber AS VARCHAR) FROM src
+    ),
+    fp AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nn,
+             sum(CAST(CAST('0x' || substring(md5(concat_ws(chr(31), k,
+                   coalesce(v, chr(0) || '<NULL>' || chr(0)))), 1, 8)
+                 AS BIGINT) AS HUGEINT)) AS f
+      FROM melted GROUP BY 1
+    )
+    SELECT a.c AS col_a, b.c AS col_b, a.n, a.nn AS n_null,
+           CAST(a.f AS VARCHAR) AS fingerprint
+    FROM fp a JOIN fp b
+      ON a.c < b.c AND a.f = b.f AND a.n = b.n AND a.nn = b.nn
+    """,
+)
+def mirror_columns_lineitem(spark, sf_dir) -> DataFrame:
+    """Duplicate-column detection (stats.mirror_columns_report) over a
+    frame carrying a PLANTED copy (flag_copy ≡ l_returnflag): each column
+    folds to one order-free exact fingerprint Σ uint32(md5(key ⊕
+    value)) + (n, n_null) in a single melt scan; columns pair iff the
+    full triple matches (a false positive needs an md5 AND a sum
+    collision — documented).  String/integer columns only in this
+    fixture: cross-engine double→string rendering is not part of the
+    contract.  The one detected pair value-checked."""
+    from .operators.stats import mirror_columns_report
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        "l_returnflag",
+        F.col("l_returnflag").alias("flag_copy"),
+        "l_linestatus",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+    )
+    return mirror_columns_report(li, "k")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
