@@ -4808,3 +4808,121 @@ def mirror_columns_report(
             F.col("_fpa").cast("string").alias("fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA + two-proportion z-test — wave 66
+# ---------------------------------------------------------------------------
+
+def anova_report(df: DataFrame, group_col: str, metric_col: str) -> DataFrame:
+    """One-way ANOVA across ALL groups — the k-arm generalization of the
+    Welch pair test: "does the metric differ across sources/arms AT ALL"
+    before pairwise comparisons (running C(k,2) Welch tests uncorrected
+    is the multiple-testing trap this gate exists to prevent).
+
+    Exactness (the ab_test contract): per-group exact quantized moments
+    (n, Σy, Σy²) in ONE conditional-aggregate pass; SSB/SSW derive
+    algebraically from them (SSW = Σ_g (Σy²_g − (Σy_g)²/n_g), SSB =
+    Σ_g (Σy_g)²/n_g − (Σy)²/n — identical operands, identical order,
+    round-6).  Emits the F statistic and effect size η² = SSB/SST;
+    significance gating is the CALLER'S job against F(k−1, n−k) for
+    their k (an F critical value is not a constant, unlike the z/χ²
+    gates elsewhere — documented rather than faked).
+
+    Output: one row (k, n, df_between, df_within, f_stat, eta_sq)."""
+    g = F.col(group_col)
+    y = F.col(metric_col)
+    ym = F.round(y * F.lit(1000000.0)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        df.filter(g.isNotNull() & y.isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(dec(ym)).alias("_s1"),
+            F.sum(dec(ym) * ym).alias("_s2"),
+        )
+    )
+    n_g = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    # per-group pieces in micro^2; ordered fold over the bounded group
+    # table (orderBy group) keeps the double sums engine-identical
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    acc = (
+        per.withColumn("_cw", F.sum(s2 - s1 * s1 / n_g).over(w))
+        .withColumn("_cb", F.sum(s1 * s1 / n_g).over(w))
+        .withColumn("_cn", F.sum("_n").over(w))
+        .withColumn("_cs", F.sum("_s1").over(w))
+        .withColumn("_ck", F.sum(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_g"))))
+        .filter(F.col("_rn") == 1)
+    )
+    n = F.col("_cn").cast("double")
+    k = F.col("_ck").cast("double")
+    ssw = F.col("_cw") / F.lit(1e12)
+    ssb = (F.col("_cb") - F.col("_cs").cast("double") * F.col("_cs").cast("double") / n) / F.lit(1e12)
+    df1 = k - F.lit(1.0)
+    df2 = n - k
+    f_stat = F.when(
+        (df1 > 0) & (df2 > 0) & (ssw > 0), (ssb / df1) / (ssw / df2)
+    )
+    eta = F.when(ssb + ssw > 0, F.round(ssb / (ssb + ssw), 6))
+    return acc.select(
+        F.col("_ck").cast("long").alias("k"),
+        F.col("_cn").cast("long").alias("n"),
+        df1.cast("long").alias("df_between"),
+        df2.cast("long").alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        eta.alias("eta_sq"),
+    )
+
+
+def proportions_ab_report(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-proportion z-test — the conversion-rate counterpart of
+    ab_test_report's continuous Welch test: "did the error/convert/click
+    RATE move", tested with the pooled-proportion z under H₀ p₁ = p₂.
+    Counts are exact longs (nothing to quantize — the one experiment
+    statistic that is exact by nature); every double derives from them
+    in identical expression order, round-6; two-sided 5% gate at
+    1.959964 (the ab_test constant).  ``flag_col`` may be a column name
+    or boolean Column; NULL flags carry no evidence.
+
+    Output: one row (n_control, n_treatment, rate_control,
+    rate_treatment, abs_diff, z_stat, significant)."""
+    arm = F.col(group_col)
+    flag = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast(
+        "boolean"
+    )
+
+    def _cnt(label: str, tag: str):
+        keep = (arm == F.lit(label)) & flag.isNotNull()
+        return [
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_n{tag}"),
+            F.sum(F.when(keep & flag, 1).otherwise(0)).cast("long").alias(f"_x{tag}"),
+        ]
+
+    agg = df.agg(*_cnt(control, "c"), *_cnt(treatment, "t"))
+    nc, nt = F.col("_nc").cast("double"), F.col("_nt").cast("double")
+    xc, xt = F.col("_xc").cast("double"), F.col("_xt").cast("double")
+    pc, pt = xc / nc, xt / nt
+    pool = (xc + xt) / (nc + nt)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nc + F.lit(1.0) / nt))
+    z = F.when(se > 0.0, (pt - pc) / se)
+    return agg.select(
+        F.col("_nc").alias("n_control"),
+        F.col("_nt").alias("n_treatment"),
+        F.round(pc, 6).alias("rate_control"),
+        F.round(pt, 6).alias("rate_treatment"),
+        F.round(pt - pc, 6).alias("abs_diff"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(1.959964), F.lit(False)).alias("significant"),
+    )

@@ -13187,6 +13187,130 @@ def mirror_columns_lineitem(spark, sf_dir) -> DataFrame:
     return mirror_columns_report(li, "k")
 
 
+@query(
+    "anova_events_value",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS g, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(vm AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(vm AS HUGEINT) * vm) AS DOUBLE) AS s2,
+             CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS s1i
+      FROM q GROUP BY 1
+    ),
+    acc AS (
+      SELECT g,
+             sum(s2 - s1 * s1 / CAST(n AS DOUBLE)) OVER w AS cw,
+             sum(s1 * s1 / CAST(n AS DOUBLE)) OVER w AS cb,
+             sum(n) OVER w AS cn,
+             CAST(sum(s1i) OVER w AS DOUBLE) AS cs,
+             sum(1) OVER w AS ck,
+             row_number() OVER (ORDER BY g DESC) AS rn
+      FROM per
+      WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(ck AS BIGINT) AS k, CAST(cn AS BIGINT) AS n,
+           CAST(CAST(ck AS DOUBLE) - 1.0 AS BIGINT) AS df_between,
+           CAST(CAST(cn AS DOUBLE) - CAST(ck AS DOUBLE) AS BIGINT)
+             AS df_within,
+           round(((cb - cs * cs / CAST(cn AS DOUBLE)) / 1e12
+                  / (CAST(ck AS DOUBLE) - 1.0))
+                 / ((cw / 1e12)
+                    / (CAST(cn AS DOUBLE) - CAST(ck AS DOUBLE))), 6)
+             AS f_stat,
+           round(((cb - cs * cs / CAST(cn AS DOUBLE)) / 1e12)
+                 / (((cb - cs * cs / CAST(cn AS DOUBLE)) / 1e12)
+                    + (cw / 1e12)), 6) AS eta_sq
+    FROM acc WHERE rn = 1
+    """,
+)
+def anova_events_value(spark, sf_dir) -> DataFrame:
+    """One-way ANOVA of value across all five event types
+    (stats.anova_report) — the k-arm gate BEFORE pairwise Welch tests
+    (C(k,2) uncorrected pair tests are the multiple-testing trap).
+    Per-group exact quantized moments in one pass; SSB/SSW algebraic in
+    them, accumulated through an ORDERED fold over the bounded group
+    table so the doubles land identically in both engines; emits F and
+    η² (an F critical value is k-dependent — gating is the caller's
+    job, documented rather than faked).  The single row value-checked."""
+    from .operators.stats import anova_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return anova_report(ev, "event_type", "value")
+
+
+@query(
+    "proportions_events",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS arm,
+             (event_type = 'error')
+               OR (event_id % 2 = 1 AND event_id % 25 = 1) AS conv
+      FROM events
+    ),
+    m AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'control' AND conv IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN arm = 'treatment' AND conv IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        CAST(sum(CASE WHEN arm = 'control' AND conv THEN 1 ELSE 0 END)
+             AS BIGINT) AS xc,
+        CAST(sum(CASE WHEN arm = 'treatment' AND conv THEN 1 ELSE 0 END)
+             AS BIGINT) AS xt
+      FROM src
+    )
+    SELECT nc AS n_control, nt AS n_treatment,
+           round(CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS rate_control,
+           round(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS rate_treatment,
+           round(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+                 - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS abs_diff,
+           round((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+                 / sqrt(((CAST(xc AS DOUBLE) + CAST(xt AS DOUBLE))
+                         / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE)))
+                        * (1.0 - (CAST(xc AS DOUBLE) + CAST(xt AS DOUBLE))
+                           / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE)))
+                        * (1.0 / CAST(nc AS DOUBLE)
+                           + 1.0 / CAST(nt AS DOUBLE))), 6) AS z_stat,
+           coalesce(abs((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+                 / sqrt(((CAST(xc AS DOUBLE) + CAST(xt AS DOUBLE))
+                         / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE)))
+                        * (1.0 - (CAST(xc AS DOUBLE) + CAST(xt AS DOUBLE))
+                           / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE)))
+                        * (1.0 / CAST(nc AS DOUBLE)
+                           + 1.0 / CAST(nt AS DOUBLE)))) > 1.959964,
+                 false) AS significant
+    FROM m
+    """,
+)
+def proportions_events(spark, sf_dir) -> DataFrame:
+    """Two-proportion z-test (stats.proportions_ab_report) on parity
+    arms with a PLANTED conversion lift: treatment converts on error
+    OR every 25th odd event id, so the rate moves ~2pp and the pooled
+    z fires — the conversion-rate counterpart of the continuous Welch
+    readout, exact by nature (counts need no quantization).  All seven
+    fields value-checked against the mirrored closed form."""
+    from .operators.stats import proportions_ab_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        (
+            (F.col("event_type") == "error")
+            | ((F.col("event_id") % 2 == 1) & (F.col("event_id") % 25 == 1))
+        ).alias("conv"),
+    )
+    return proportions_ab_report(ev, "arm", "conv", "control", "treatment")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
