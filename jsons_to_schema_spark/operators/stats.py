@@ -4926,3 +4926,127 @@ def proportions_ab_report(
         F.round(z, 6).alias("z_stat"),
         F.coalesce(F.abs(z) > F.lit(1.959964), F.lit(False)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa + capture-recapture — wave 67
+# ---------------------------------------------------------------------------
+
+def cohens_kappa(df: DataFrame, label_a_col: str, label_b_col: str) -> DataFrame:
+    """Inter-annotator agreement corrected for chance — the labeling-
+    pipeline QA number raw percent-agreement fakes: two raters who both
+    answer 'ok' 95% of the time agree 90.5% by luck alone; κ = (p_o −
+    p_e)/(1 − p_e) subtracts exactly that (Landis–Koch: <0.2 slight,
+    >0.8 almost perfect).  Items where EITHER label is NULL (unrated)
+    carry no agreement evidence.
+
+    Exactness: p_o from the exact diagonal count; p_e = Σ_c (n_a(c)/n)·
+    (n_b(c)/n) folded over the bounded label table in LABEL ORDER (the
+    anova ordered-fold discipline) so the double sum is engine-
+    identical; round-6.  Two bounded aggregates + one scalar row; κ
+    NULL when p_e = 1 (both raters constant — agreement is undefined,
+    not perfect).
+
+    Output: one row (n, p_observed, p_expected, kappa)."""
+    a, b = F.col(label_a_col), F.col(label_b_col)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.cast("string").alias("_a"), b.cast("string").alias("_b")
+    )
+    marg = (
+        base.select(F.col("_a").alias("_l"), F.lit(1).alias("_ca"), F.lit(0).alias("_cb"))
+        .unionAll(
+            base.select(F.col("_b").alias("_l"), F.lit(0).alias("_ca"), F.lit(1).alias("_cb"))
+        )
+        .groupBy("_l")
+        .agg(
+            F.sum("_ca").cast("long").alias("_na"),
+            F.sum("_cb").cast("long").alias("_nb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_l").rowsBetween(Window.unboundedPreceding, 0)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("_agree"),
+    )
+    pe_tab = (
+        marg.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_pe",
+            F.sum(
+                (F.col("_na").cast("double") / F.col("_n").cast("double"))
+                * (F.col("_nb").cast("double") / F.col("_n").cast("double"))
+            ).over(w),
+        )
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_l"))))
+        .filter(F.col("_rn") == 1)
+    )
+    po = F.col("_agree").cast("double") / F.col("_n").cast("double")
+    pe = F.col("_pe")
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return pe_tab.select(
+        F.col("_n").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        kappa.alias("kappa"),
+    )
+
+
+def capture_recapture(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """Chapman capture–recapture estimate of the TRUE distinct population
+    from two overlapping samples — "how many unique documents does the
+    whole web source actually have", estimated from two independent
+    crawls the way ecologists count fish: N̂ = (n_a+1)(n_b+1)/(m+1) − 1
+    with m = |A ∩ B| (Chapman's +1s debias the classic Lincoln–Petersen
+    at small overlap).  The estimator the dedup-budget planner wants
+    BEFORE committing to crawl the long tail.
+
+    Exact distinct/overlap counts via one aggregate over the key union
+    (NULL keys carry no identity); the estimate and its standard error
+    √((n_a+1)(n_b+1)(n_a−m)(n_b−m)/((m+1)²(m+2))) derive from exact
+    longs in identical order, round-6; zero overlap yields the estimate
+    with its (huge) SE rather than a fake certainty.
+
+    Output: one row (n_a, n_b, n_overlap, n_est, std_err)."""
+    ka = (
+        df_a.select(F.col(key_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+        .select("_k", F.lit(1).alias("_ia"), F.lit(0).alias("_ib"))
+    )
+    kb = (
+        df_b.select(F.col(key_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+        .select("_k", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+    )
+    agg = (
+        ka.unionAll(kb)
+        .groupBy("_k")
+        .agg(F.max("_ia").alias("_a"), F.max("_ib").alias("_b"))
+        .agg(
+            F.sum("_a").cast("long").alias("_na"),
+            F.sum("_b").cast("long").alias("_nb"),
+            F.sum(F.col("_a") * F.col("_b")).cast("long").alias("_m"),
+        )
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    m = F.col("_m").cast("double")
+    est = (na + F.lit(1.0)) * (nb + F.lit(1.0)) / (m + F.lit(1.0)) - F.lit(1.0)
+    se = F.sqrt(
+        (na + F.lit(1.0)) * (nb + F.lit(1.0)) * (na - m) * (nb - m)
+        / ((m + F.lit(1.0)) * (m + F.lit(1.0)) * (m + F.lit(2.0)))
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_m").alias("n_overlap"),
+        F.round(est, 6).alias("n_est"),
+        F.round(se, 6).alias("std_err"),
+    )

@@ -13311,6 +13311,103 @@ def proportions_events(spark, sf_dir) -> DataFrame:
     return proportions_ab_report(ev, "arm", "conv", "control", "treatment")
 
 
+@query(
+    "kappa_events_raters",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS a,
+             CASE WHEN event_id % 7 = 0 THEN 'click'
+                  ELSE event_type END AS b
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM r
+    ),
+    marg AS (
+      SELECT l AS lbl, sum(ca) AS na, sum(cb) AS nb FROM (
+        SELECT a AS l, 1 AS ca, 0 AS cb FROM r
+        UNION ALL SELECT b, 0, 1 FROM r)
+      GROUP BY 1
+    ),
+    pe AS (
+      SELECT lbl,
+             sum((CAST(na AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * (CAST(nb AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+               OVER (ORDER BY lbl ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cpe,
+             row_number() OVER (ORDER BY lbl DESC) AS rn
+      FROM marg, tot
+    )
+    SELECT tot.n,
+           round(CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+             AS p_observed,
+           round(pe.cpe, 6) AS p_expected,
+           CASE WHEN pe.cpe < 1.0 THEN
+             round((CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                    - pe.cpe) / (1.0 - pe.cpe), 6) END AS kappa
+    FROM tot, pe WHERE pe.rn = 1
+    """,
+)
+def kappa_events_raters(spark, sf_dir) -> DataFrame:
+    """Cohen's kappa (stats.cohens_kappa) between two synthetic raters —
+    rater B relabels every 7th event 'click', identically in both
+    engines — the labeling-QA number raw agreement fakes (independent
+    raters over a skewed label set still agree ~40% by luck;
+    pytest-demonstrated).  Exact diagonal/marginal counts, chance
+    agreement folded in LABEL ORDER over the bounded label table (the
+    anova ordered-fold discipline).  The single row value-checked."""
+    from .operators.stats import cohens_kappa
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("click"))
+        .otherwise(F.col("event_type"))
+        .alias("b"),
+    )
+    return cohens_kappa(ev, "a", "b")
+
+
+@query(
+    "capture_recapture_documents",
+    oracle="""
+    WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 7 < 3),
+    b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 < 2),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS na,
+             (SELECT CAST(count(*) AS BIGINT) FROM b) AS nb,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM a JOIN b USING (doc_id)) AS mm
+    )
+    SELECT na AS n_a, nb AS n_b, mm AS n_overlap,
+           round((CAST(na AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 1.0)
+                 / (CAST(mm AS DOUBLE) + 1.0) - 1.0, 6) AS n_est,
+           round(sqrt((CAST(na AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 1.0)
+                      * (CAST(na AS DOUBLE) - CAST(mm AS DOUBLE))
+                      * (CAST(nb AS DOUBLE) - CAST(mm AS DOUBLE))
+                      / ((CAST(mm AS DOUBLE) + 1.0)
+                         * (CAST(mm AS DOUBLE) + 1.0)
+                         * (CAST(mm AS DOUBLE) + 2.0))), 6) AS std_err
+    FROM m
+    """,
+)
+def capture_recapture_documents(spark, sf_dir) -> DataFrame:
+    """Chapman capture–recapture estimate (stats.capture_recapture) of
+    the documents population from two deterministic overlapping
+    'crawls' (doc_id residue samples, ~43% and ~40%) — the corpus-size
+    estimator a dedup-budget planner wants before crawling the long
+    tail; the estimate must land near the true 500 (it does, within
+    the reported SE).  Exact distinct/overlap counts; estimate and
+    Chapman SE from exact longs in identical order.  Value-checked."""
+    from .operators.stats import capture_recapture
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 7 < 3)
+    b = docs.filter(F.col("doc_id") % 5 < 2)
+    return capture_recapture(a, b, "doc_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
