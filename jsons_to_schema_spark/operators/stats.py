@@ -5050,3 +5050,186 @@ def capture_recapture(
         F.round(est, 6).alias("n_est"),
         F.round(se, 6).alias("std_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based hypothesis tests — wave 68
+# ---------------------------------------------------------------------------
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between two samples — the
+    distribution-free two-sample test: where Welch asks "did the MEAN
+    move" and KS "did the DISTRIBUTION move anywhere", U asks "do draws
+    from B stochastically dominate draws from A" — the right question
+    for skewed metrics whose means are hostage to the tail.
+
+    Exactness: pooled doubled tie-ranks R2 = 2·(cum − cnt) + cnt + 1 per
+    distinct value from the bounded-prefix decomposition (the spearman
+    machinery — no corpus sort); rank sums, U, and the tie-corrected
+    normal variance all fold from exact integers (Σ(t³−t) per tie run is
+    exact decimal); the z statistic divides once, round-6, gated
+    two-sided 5% at 1.959964.  NULLs excluded per side.
+
+    Output: one row (n_a, n_b, u_a, z_stat, significant) — u_a counts
+    (a-wins + ½ties) over all cross pairs; u_b = n_a·n_b − u_a."""
+    if hi <= lo:
+        raise ValueError(f"mann_whitney_u: need lo < hi, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        v = F.col(col).cast("double")
+        return df.filter(v.isNotNull()).select(
+            v.alias("_v"), F.lit(ca).alias("_ca"), F.lit(cb).alias("_cb")
+        )
+
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        side(df_a, 1, 0)
+        .unionByName(side(df_b, 0, 1))
+        .withColumn("_bin", binc)
+        .groupBy("_bin", "_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    )
+    bin_tot = per.groupBy("_bin").agg(F.sum(F.col("_na") + F.col("_nb")).alias("_bc"))
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = bin_tot.select(
+        "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = F.col("_na") + F.col("_nb")
+    iv = (
+        per.withColumn("_cumin", F.sum(t).over(w_in))
+        .join(F.broadcast(bin_prefix), "_bin")
+        .withColumn("_cum", F.col("_cumin") + F.col("_pref"))
+    )
+    r2 = F.lit(2) * (F.col("_cum") - t) + t + F.lit(1)  # doubled avg rank
+    agg = iv.agg(
+        F.sum("_na").cast("long").alias("_ta"),
+        F.sum("_nb").cast("long").alias("_tb"),
+        F.sum(dec(F.col("_na")) * r2).alias("_ra2"),  # 2 × rank sum of A
+        F.sum(dec(t) * t * t - dec(t)).alias("_ties"),  # Σ(t³ − t)
+    )
+    na, nb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+    n = na + nb
+    ra = F.col("_ra2").cast("double") / F.lit(2.0)
+    u_a = ra - na * (na + F.lit(1.0)) / F.lit(2.0)
+    ties = F.col("_ties").cast("double")
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - ties / (n * (n - F.lit(1.0))))
+    )
+    z = F.when(var > 0.0, (u_a - na * nb / F.lit(2.0)) / F.sqrt(var))
+    return agg.select(
+        F.col("_ta").alias("n_a"),
+        F.col("_tb").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(1.959964), F.lit(False)).alias("significant"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Exact Kruskal–Wallis H — the k-group rank ANOVA: the gate
+    anova_report provides for means, asked distribution-free ("do ANY
+    of these sources draw from a shifted distribution"), immune to the
+    heavy tails that inflate SSW.  Same pooled-rank machinery as
+    mann_whitney_u; H carries the standard tie correction 1 −
+    Σ(t³−t)/(n³−n); emits H and df = k−1 with gating documented as the
+    caller's job against χ²(k−1) (the anova convention — k-dependent
+    critical values are not faked as constants).
+
+    Output: one row (k, n, h_stat, df)."""
+    if hi <= lo:
+        raise ValueError(f"kruskal_wallis: need lo < hi, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(col).cast("double")
+    width = (float(hi) - float(lo)) / int(bins)
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .select(g.cast("string").alias("_g"), v.alias("_v"))
+        .withColumn("_bin", binc)
+        .groupBy("_bin", "_v", "_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    pooled = per.groupBy("_bin", "_v").agg(F.sum("_c").alias("_t"))
+    bin_tot = pooled.groupBy("_bin").agg(F.sum("_t").alias("_bc"))
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = bin_tot.select(
+        "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranks = (
+        pooled.withColumn("_cumin", F.sum("_t").over(w_in))
+        .join(F.broadcast(bin_prefix), "_bin")
+        .select(
+            "_bin",
+            "_v",
+            "_t",
+            (
+                F.lit(2) * (F.col("_cumin") + F.col("_pref") - F.col("_t"))
+                + F.col("_t")
+                + F.lit(1)
+            ).alias("_r2"),
+        )
+    )
+    joined = per.join(ranks.select("_bin", "_v", "_r2", "_t"), ["_bin", "_v"])
+    per_g = joined.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("_ng"),
+        F.sum(dec(F.col("_c")) * F.col("_r2")).alias("_rg2"),  # 2 × rank sum
+    )
+    # ordered fold over the bounded group table (the anova discipline)
+    w_acc = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    rg = F.col("_rg2").cast("double") / F.lit(2.0)
+    acc = (
+        per_g.withColumn(
+            "_hsum", F.sum(rg * rg / F.col("_ng").cast("double")).over(w_acc)
+        )
+        .withColumn("_cn", F.sum("_ng").over(w_acc))
+        .withColumn("_ck", F.sum(F.lit(1)).over(w_acc))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_g"))))
+        .filter(F.col("_rn") == 1)
+    )
+    tie_tab = ranks.agg(F.sum(dec(F.col("_t")) * F.col("_t") * F.col("_t") - dec(F.col("_t"))).alias("_ties"))
+    out = acc.crossJoin(F.broadcast(tie_tab))
+    n = F.col("_cn").cast("double")
+    h_raw = F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("_hsum") - F.lit(3.0) * (
+        n + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("_ties").cast("double") / (n * n * n - n)
+    h = F.when(corr > 0.0, h_raw / corr)
+    return out.select(
+        F.col("_ck").cast("long").alias("k"),
+        F.col("_cn").cast("long").alias("n"),
+        F.round(h, 6).alias("h_stat"),
+        (F.col("_ck") - 1).cast("long").alias("df"),
+    )

@@ -13408,6 +13408,126 @@ def capture_recapture_documents(spark, sf_dir) -> DataFrame:
     return capture_recapture(a, b, "doc_id")
 
 
+@query(
+    "mwu_events_value",
+    oracle="""
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+    u AS (SELECT v, 1 AS ca, 0 AS cb FROM a
+          UNION ALL SELECT v, 0, 1 FROM b),
+    per AS (SELECT v, sum(ca) AS na, sum(cb) AS nb FROM u GROUP BY v),
+    c AS (SELECT v, na, nb, na + nb AS t,
+                 sum(na + nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM per),
+    agg AS (
+      SELECT CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb,
+             CAST(sum(CAST(na AS HUGEINT)
+                      * (2 * (cum - t) + t + 1)) AS DOUBLE) AS ra2,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT))
+                  AS DOUBLE) AS ties
+      FROM c
+    )
+    SELECT ta AS n_a, tb AS n_b,
+           round(ra2 / 2.0 - CAST(ta AS DOUBLE)
+                 * (CAST(ta AS DOUBLE) + 1.0) / 2.0, 6) AS u_a,
+           round((ra2 / 2.0 - CAST(ta AS DOUBLE)
+                  * (CAST(ta AS DOUBLE) + 1.0) / 2.0
+                  - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 2.0)
+                 / sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 12.0
+                        * ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE) + 1.0)
+                           - ties / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+                              * (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE) - 1.0)))),
+                 6) AS z_stat,
+           coalesce(abs((ra2 / 2.0 - CAST(ta AS DOUBLE)
+                  * (CAST(ta AS DOUBLE) + 1.0) / 2.0
+                  - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 2.0)
+                 / sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 12.0
+                        * ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE) + 1.0)
+                           - ties / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))
+                              * (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE) - 1.0)))))
+                 > 1.959964, false) AS significant
+    FROM agg
+    """,
+)
+def mwu_events_value(spark, sf_dir) -> DataFrame:
+    """Exact Mann–Whitney U between the click and purchase value
+    distributions (stats.mann_whitney_u) — the distribution-free "does
+    one stochastically dominate" companion to the KS and Wasserstein
+    rows over the same pair: rank sums from the pooled doubled
+    tie-ranks (the spearman bounded-prefix machinery, no corpus sort),
+    tie-corrected normal variance from the exact Σ(t³−t), one round-6
+    division.  The single row value-checked."""
+    from .operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        0.0,
+        500.0,
+        bins=1 << 10,
+    )
+
+
+@query(
+    "kruskal_events_value",
+    oracle="""
+    WITH src AS (SELECT event_type AS g, value AS v FROM events
+                 WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    pooled AS (SELECT v, count(*) AS t FROM src GROUP BY v),
+    rk AS (SELECT v, t,
+                  2 * (sum(t) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t) + t + 1 AS r2
+           FROM pooled),
+    per AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+    per_g AS (
+      SELECT per.g, CAST(sum(per.c) AS BIGINT) AS ng,
+             CAST(sum(CAST(per.c AS HUGEINT) * rk.r2) AS DOUBLE) AS rg2
+      FROM per JOIN rk ON rk.v = per.v GROUP BY 1
+    ),
+    acc AS (
+      SELECT g,
+             sum((rg2 / 2.0) * (rg2 / 2.0) / CAST(ng AS DOUBLE)) OVER w
+               AS hsum,
+             sum(ng) OVER w AS cn,
+             sum(1) OVER w AS ck,
+             row_number() OVER (ORDER BY g DESC) AS rn
+      FROM per_g
+      WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tie AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t
+                            - CAST(t AS HUGEINT)) AS DOUBLE) AS ties
+            FROM pooled)
+    SELECT CAST(ck AS BIGINT) AS k, CAST(cn AS BIGINT) AS n,
+           round((12.0 / (CAST(cn AS DOUBLE) * (CAST(cn AS DOUBLE) + 1.0))
+                  * hsum - 3.0 * (CAST(cn AS DOUBLE) + 1.0))
+                 / (1.0 - ties / (CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE)
+                                  * CAST(cn AS DOUBLE) - CAST(cn AS DOUBLE))),
+                 6) AS h_stat,
+           CAST(ck - 1 AS BIGINT) AS df
+    FROM acc, tie WHERE rn = 1
+    """,
+)
+def kruskal_events_value(spark, sf_dir) -> DataFrame:
+    """Exact Kruskal–Wallis H across all five event types
+    (stats.kruskal_wallis) — the distribution-free k-group gate beside
+    anova_events_value's mean-based F: same pooled-rank machinery as
+    the U test, standard tie correction from the exact Σ(t³−t), H +
+    df emitted with χ²(k−1) gating documented as the caller's job (the
+    anova convention).  The single row value-checked."""
+    from .operators.stats import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "event_type", "value", 0.0, 500.0, bins=1 << 10)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
