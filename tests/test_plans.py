@@ -1455,3 +1455,48 @@ def test_wave61_64_ops_no_python_bounded_exchanges(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     tm = trimmed_mean(ev, "value", "event_type", 0.0, 500.0, 0.1, 64)
     assert "SinglePartition" not in audit.formatted_plan(tm)
+
+
+def test_wave66_68_ops_no_python_ordered_folds(spark):
+    """ANOVA, proportions z, kappa, capture-recapture, Mann-Whitney U,
+    Kruskal-Wallis: exact-moment / exact-rank shapes — no Python, no
+    Cartesian; the rank tests inherit the bounded-prefix discipline
+    (single-partition exchanges only for the ≤ bins-row bin tables and
+    bounded group/label folds)."""
+    from jsons_to_schema_spark.operators.stats import (
+        anova_report,
+        capture_recapture,
+        cohens_kappa,
+        kruskal_wallis,
+        mann_whitney_u,
+        proportions_ab_report,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    arm = F.when(F.col("event_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    frames = [
+        anova_report(ev, "event_type", "value"),
+        proportions_ab_report(
+            ev.select(arm.alias("arm"), (F.col("event_type") == "error").alias("c")),
+            "arm", "c", "a", "b",
+        ),
+        cohens_kappa(
+            ev.select(F.col("event_type").alias("a"), F.col("event_type").alias("b")),
+            "a", "b",
+        ),
+        capture_recapture(
+            ev.filter(F.col("event_id") % 3 == 0),
+            ev.filter(F.col("event_id") % 2 == 0),
+            "event_id",
+        ),
+        mann_whitney_u(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+            "value", 0.0, 500.0, 64,
+        ),
+        kruskal_wallis(ev, "event_type", "value", 0.0, 500.0, 64),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
