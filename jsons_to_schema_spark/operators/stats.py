@@ -5233,3 +5233,128 @@ def kruskal_wallis(
         F.round(h, 6).alias("h_stat"),
         (F.col("_ck") - 1).cast("long").alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded re-randomization test — wave 69
+# ---------------------------------------------------------------------------
+
+def randomization_test(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    id_col: str,
+    permutations: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Randomization-inference p-value for the mean difference — the
+    assumption-free alternative to Welch's t: re-draw the treatment
+    assignment R times under the design's Bernoulli(p̂) coin and ask how
+    often chance alone produces a |mean diff| at least as large as the
+    observed one.  No normality, no variance formula, no asymptotics —
+    the test IS the experiment re-run.
+
+    Design note: the re-draws are Bernoulli with p̂ = n_t/(n_a+n_t)
+    (re-randomization inference, matching a Bernoulli-assigned
+    experiment) rather than fixed-margin permutations — the honest
+    match for hash-assigned arms, documented; fixed-margin permutation
+    needs a distributed sort per draw this test deliberately avoids.
+
+    Determinism: draw (row, r) comes from the md5-prefix uniform of
+    (seed, r, id) — the bootstrap convention — so every permutation is
+    exact and engine-replayable; per-draw arm means are exact integer
+    ratios on round-6 diffs; p = (1 + #{|diff_r| ≥ |diff_obs|})/(R+1)
+    (the add-one keeps p valid).  One corpus × R pass folding map-side
+    to 2R partials.
+
+    Output: one row (n_control, n_treatment, abs_diff_observed,
+    p_value, permutations)."""
+    if permutations < 10:
+        raise ValueError("randomization_test: need >= 10 permutations")
+    y = F.col(metric_col)
+    arm = F.col(group_col)
+    base = df.filter(
+        y.isNotNull() & arm.isin([control, treatment])
+    ).select(
+        F.round(y * F.lit(1000000.0)).cast("long").alias("_ym"),
+        (arm == F.lit(treatment)).alias("_t"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).localCheckpoint(eager=False)  # feeds the observed AND every draw
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    obs = base.agg(
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).cast("long").alias("_nc"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("_nt"),
+        F.sum(F.when(~F.col("_t"), dec(F.col("_ym")))).alias("_sc"),
+        F.sum(F.when(F.col("_t"), dec(F.col("_ym")))).alias("_st"),
+    )
+    o = obs.collect()[0]
+    nc, nt = int(o["_nc"]), int(o["_nt"])
+    if nc == 0 or nt == 0:
+        raise ValueError("randomization_test: both arms must be non-empty")
+    p_hat = nt / (nc + nt)
+    import math as _math
+
+    # half-away rounding (not python's banker's) — matches F.round/SQL round
+    _d_raw = abs(int(o["_st"]) / nt / 1e6 - int(o["_sc"]) / nc / 1e6)
+    d_obs = _math.floor(_d_raw * 1e6 + 0.5) / 1e6
+    r = F.explode(F.array(*[F.lit(i) for i in range(permutations)])).alias("_r")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(f"perm-{seed}"),
+                        F.col("_r").cast("string"),
+                        F.col("_id"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    draws = (
+        base.select("_ym", "_id", r)
+        .withColumn("_pt", u < F.lit(p_hat))
+        .groupBy("_r")
+        .agg(
+            F.sum(F.when(F.col("_pt"), 1).otherwise(0)).cast("long").alias("_dnt"),
+            F.sum(F.when(~F.col("_pt"), 1).otherwise(0)).cast("long").alias("_dnc"),
+            F.sum(F.when(F.col("_pt"), dec(F.col("_ym")))).alias("_dst"),
+            F.sum(F.when(~F.col("_pt"), dec(F.col("_ym")))).alias("_dsc"),
+        )
+        .filter((F.col("_dnt") > 0) & (F.col("_dnc") > 0))
+        .select(
+            F.round(
+                F.abs(
+                    F.col("_dst").cast("double") / F.col("_dnt").cast("double")
+                    - F.col("_dsc").cast("double") / F.col("_dnc").cast("double")
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("_d")
+        )
+    )
+    hits = draws.agg(
+        F.count(F.lit(1)).cast("long").alias("_r_used"),
+        F.sum(F.when(F.col("_d") >= F.lit(d_obs), 1).otherwise(0))
+        .cast("long")
+        .alias("_ge"),
+    )
+    return hits.select(
+        F.lit(nc).cast("long").alias("n_control"),
+        F.lit(nt).cast("long").alias("n_treatment"),
+        F.lit(d_obs).alias("abs_diff_observed"),
+        F.round(
+            (F.lit(1.0) + F.col("_ge").cast("double"))
+            / (F.col("_r_used").cast("double") + F.lit(1.0)),
+            6,
+        ).alias("p_value"),
+        F.col("_r_used").alias("permutations"),
+    )

@@ -1669,3 +1669,58 @@ def survival_logrank(
         F.round(chi2, 6).alias("chi2"),
         F.coalesce(chi2 > F.lit(3.841459), F.lit(False)).alias("significant"),
     )
+
+
+def survival_rmst(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time — the area under the Kaplan–Meier
+    curve up to horizon τ: "expected active time within the first τ
+    units", the estimand that stays meaningful when hazards cross and
+    median survival is undefined (both routine in churn curves).  The
+    scalar summary the full survival_curve table feeds a dashboard.
+
+    Built ON the engine's own KM output (same input contract): RMST =
+    Σ over curve steps of S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ) plus the leading
+    1·min(t₀, τ) segment (S = 1 before the first distinct duration);
+    the fold runs as an ORDERED cumulative window over the bounded
+    curve table (the survival_curve discipline), from the curve's
+    round-6 survival values, round-6 at the end.  τ beyond the last
+    duration extends the final S flat to τ — the standard convention.
+
+    Output: one row (tau, n, rmst)."""
+    if not tau > 0:
+        raise ValueError(f"survival_rmst: tau must be positive, got {tau}")
+    curve = survival_curve(df, duration_col, observed_col)
+    w_lead = Window.orderBy("t")
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tt = F.col("t").cast("double")
+    nxt = F.coalesce(F.lead(tt).over(w_lead), F.lit(float(tau)))
+    seg = F.greatest(
+        F.least(nxt, F.lit(float(tau))) - F.least(tt, F.lit(float(tau))),
+        F.lit(0.0),
+    )
+    first_t = F.first(tt).over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    n_tot = F.first((F.col("n_risk")).cast("long")).over(
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    acc = (
+        curve.withColumn("_seg", F.col("survival") * seg)
+        .withColumn("_cum", F.sum("_seg").over(w_cum))
+        .withColumn("_lead_in", F.least(first_t, F.lit(float(tau))))
+        .withColumn("_n0", n_tot)
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("t"))))
+        .filter(F.col("_rn") == 1)
+    )
+    return acc.select(
+        F.lit(float(tau)).alias("tau"),
+        F.col("_n0").alias("n"),
+        F.round(F.col("_lead_in") + F.col("_cum"), 6).alias("rmst"),
+    )

@@ -13528,6 +13528,189 @@ def kruskal_events_value(spark, sf_dir) -> DataFrame:
     return kruskal_wallis(ev, "event_type", "value", 0.0, 500.0, bins=1 << 10)
 
 
+@query(
+    "randomization_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_id AS id,
+             CASE WHEN event_id % 2 = 0 THEN 'c' ELSE 't' END AS arm,
+             CAST(round((value + CASE WHEN event_id % 2 = 0 THEN 0.0
+                                      ELSE 0.5 END) * 1000000.0) AS BIGINT)
+               AS ym
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT CAST(sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN arm = 't' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN arm = 'c' THEN CAST(ym AS HUGEINT) END)
+                  AS DOUBLE) AS sc,
+             CAST(sum(CASE WHEN arm = 't' THEN CAST(ym AS HUGEINT) END)
+                  AS DOUBLE) AS st
+      FROM src
+    ),
+    dob AS (SELECT nc, nt,
+                   round(abs(st / CAST(nt AS DOUBLE) / 1000000.0
+                             - sc / CAST(nc AS DOUBLE) / 1000000.0), 6)
+                     AS d_obs,
+                   CAST(nt AS DOUBLE) / (CAST(nc AS DOUBLE)
+                                         + CAST(nt AS DOUBLE)) AS p_hat
+            FROM o),
+    reps AS (SELECT unnest(range(40)) AS r),
+    drawn AS (
+      SELECT r,
+             ((CAST(CAST('0x' || substring(md5(concat_ws(chr(31), 'perm-42',
+                    CAST(r AS VARCHAR), CAST(id AS VARCHAR))), 1, 8)
+                   AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0
+              < (SELECT p_hat FROM dob)) AS pt,
+             ym
+      FROM src CROSS JOIN reps
+    ),
+    per AS (
+      SELECT r,
+             CAST(sum(CASE WHEN pt THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
+             CAST(sum(CASE WHEN NOT pt THEN 1 ELSE 0 END) AS BIGINT) AS dnc,
+             CAST(sum(CASE WHEN pt THEN CAST(ym AS HUGEINT) END) AS DOUBLE)
+               AS dst,
+             CAST(sum(CASE WHEN NOT pt THEN CAST(ym AS HUGEINT) END)
+                  AS DOUBLE) AS dsc
+      FROM drawn GROUP BY r
+    ),
+    ds AS (
+      SELECT round(abs(dst / CAST(dnt AS DOUBLE)
+                       - dsc / CAST(dnc AS DOUBLE)) / 1000000.0, 6) AS d
+      FROM per WHERE dnt > 0 AND dnc > 0
+    ),
+    hits AS (
+      SELECT CAST(count(*) AS BIGINT) AS used,
+             CAST(sum(CASE WHEN d >= (SELECT d_obs FROM dob)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ge
+      FROM ds
+    )
+    SELECT dob.nc AS n_control, dob.nt AS n_treatment,
+           dob.d_obs AS abs_diff_observed,
+           round((1.0 + CAST(hits.ge AS DOUBLE))
+                 / (CAST(hits.used AS DOUBLE) + 1.0), 6) AS p_value,
+           hits.used AS permutations
+    FROM dob, hits
+    """,
+)
+def randomization_events(spark, sf_dir) -> DataFrame:
+    """Randomization-inference p-value (stats.randomization_test, 40
+    seeded re-draws) for the ab_test setup's planted +0.5 lift — the
+    assumption-free test that re-runs the experiment under the design's
+    Bernoulli coin instead of trusting a variance formula; the lift
+    survives (p = 1/41, no chance draw matches it).  Draws derive from
+    the md5-prefix uniform (the bootstrap convention), per-draw means
+    are exact integer ratios, and the whole null distribution replays
+    bit-for-bit.  The single row value-checked."""
+    from .operators.stats import randomization_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("t"))
+        .alias("arm"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 2 == 0, F.lit(0.0)).otherwise(F.lit(0.5))
+        ).alias("y"),
+    )
+    return randomization_test(
+        ev, "arm", "y", "c", "t", "event_id", permutations=40, seed=42
+    )
+
+
+@query(
+    "rmst_users_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    per AS (
+      SELECT CAST(floor((max(us) - min(us)) / 3600000000.0) AS BIGINT) AS t0,
+             max(CASE WHEN rn = 1 AND event_type = 'error'
+                      THEN 1 ELSE 0 END) = 1 AS obs
+      FROM ranked GROUP BY user_id),
+    cells AS (SELECT t0 AS t,
+                     CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_event,
+                     CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_censored
+              FROM per GROUP BY 1),
+    tot AS (SELECT sum(n_event + n_censored) AS n FROM cells),
+    risk AS (SELECT t, n_event, n_censored,
+                    CAST(n - coalesce(sum(n_event + n_censored) OVER
+                      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+             FROM cells, tot),
+    lg AS (SELECT t, n_risk,
+            CASE WHEN n_event < n_risk
+                 THEN round(ln(CAST(n_risk - n_event AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE)), 6) END AS lt,
+            CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END AS z
+           FROM risk),
+    cum AS (SELECT t, n_risk,
+                   sum(z) OVER w AS zc, sum(lt) OVER w AS sl
+            FROM lg
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    curve AS (SELECT t, n_risk,
+                     CASE WHEN zc > 0 THEN 0.0
+                          ELSE round(exp(sl), 6) END AS survival
+              FROM cum),
+    seg AS (
+      SELECT CAST(t AS DOUBLE) AS t, n_risk, survival,
+             coalesce(lead(CAST(t AS DOUBLE)) OVER (ORDER BY t), 700.0)
+               AS nxt,
+             first_value(CAST(t AS DOUBLE)) OVER (ORDER BY t) AS t0,
+             first_value(n_risk) OVER (ORDER BY t) AS n0
+      FROM curve
+    )
+    SELECT CAST(700.0 AS DOUBLE) AS tau,
+           CAST(max(n0) AS BIGINT) AS n,
+           round(max(least(t0, 700.0))
+                 + sum(survival * greatest(least(nxt, 700.0)
+                                           - least(t, 700.0), 0.0)), 6)
+             AS rmst
+    FROM seg
+    """,
+)
+def rmst_users_events(spark, sf_dir) -> DataFrame:
+    """Restricted mean survival time at τ = 700 hours
+    (temporal.survival_rmst) over the same per-user lifetimes as the
+    Kaplan–Meier query — 'expected active hours within the first 700',
+    the scalar that stays meaningful when hazards cross and median
+    survival is undefined.  Area under the engine's own round-6 KM
+    steps, folded in duration order (the survival_curve discipline),
+    τ-clamped segments, flat extension past the last duration.  The
+    single row value-checked against the windowed replay."""
+    from .operators.temporal import survival_rmst
+    from .operators import stats as _stats
+
+    ev = load_table(spark, sf_dir, "events")
+    us = _stats._epoch_us_col(ev, "ts")
+    per = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.floor((F.max(us) - F.min(us)) / F.lit(3600000000.0))
+            .cast("long")
+            .alias("t"),
+            F.max(
+                F.struct(
+                    us.alias("us"),
+                    F.col("event_id").alias("eid"),
+                    (F.col("event_type") == "error").alias("err"),
+                )
+            )["err"].alias("obs"),
+        )
+    )
+    return survival_rmst(per, "t", "obs", 700.0)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
