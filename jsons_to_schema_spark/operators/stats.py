@@ -5358,3 +5358,160 @@ def randomization_test(
         ).alias("p_value"),
         F.col("_r_used").alias("permutations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BH-FDR correction + Wilcoxon signed-rank — wave 70
+# ---------------------------------------------------------------------------
+
+def fdr_correct(
+    df: DataFrame,
+    id_cols: "list[str]",
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a table of p-values — the
+    meta-test this engine now needs on its own output: run the drift /
+    rank / proportion tests across 500 metrics and ~25 will clear 5% by
+    chance; BH controls the EXPECTED FALSE DISCOVERY RATE instead
+    (reject ranks 1..k* where k* is the largest k with p₍ₖ₎ ≤ k·α/m).
+    Also emits monotone q-values (q₍ᵢ₎ = min_{j≥i} m·p₍ⱼ₎/j — the
+    smallest α at which test i would be rejected).
+
+    Shape: the p-value table is BOUNDED (#tests rows — the
+    level_shift bounded-frame convention), so the rank, the suffix-min
+    q fold, and the k* threshold are ordered windows over it; ties
+    break by id for a deterministic rank.  NULL p-values are excluded
+    (an unrun test is not evidence).  Exact comparisons: p ≤ k·α/m is
+    evaluated as p·m ≤ k·α in doubles from identical operands.
+
+    Output: (*id_cols, p_value, rank, q_value, rejected)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"fdr_correct: alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import Window
+
+    p = F.col(p_col).cast("double")
+    base = df.filter(p.isNotNull()).select(*id_cols, p.alias("_p"))
+    w_rank = Window.orderBy("_p", *id_cols)
+    m_tab = base.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    ranked = base.withColumn("_rk", F.row_number().over(w_rank)).crossJoin(
+        F.broadcast(m_tab)
+    )
+    raw_q = (
+        F.col("_p")
+        * F.col("_m").cast("double")
+        / F.col("_rk").cast("double")
+    )
+    w_suffix = Window.orderBy(F.desc("_rk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("_rk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    passes = F.when(
+        F.col("_p") * F.col("_m").cast("double")
+        <= F.col("_rk").cast("double") * F.lit(float(alpha)),
+        F.col("_rk"),
+    )
+    out = (
+        ranked.withColumn("_q", F.least(F.min(raw_q).over(w_suffix), F.lit(1.0)))
+        .withColumn("_kstar", F.max(passes).over(w_all))
+    )
+    return out.select(
+        *id_cols,
+        F.col("_p").alias("p_value"),
+        F.col("_rk").cast("long").alias("rank"),
+        F.round(F.col("_q"), 6).alias("q_value"),
+        F.coalesce(
+            F.col("_rk") <= F.col("_kstar"), F.lit(False)
+        ).alias("rejected"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Exact Wilcoxon signed-rank test for PAIRED measurements — the
+    before/after question on the SAME rows (same documents re-scored
+    after a pipeline change), where an unpaired test throws away the
+    pairing and most of the power.  Distribution-free: ranks of |diff|,
+    W⁺ = rank sum of the positive diffs, normal approximation with the
+    standard tie correction.
+
+    Exactness: diffs quantize to round-6 micro-units; zero diffs DROP
+    (the standard convention — a tie carries no direction evidence);
+    |d| ranks are doubled tie-ranks from the bounded-prefix machinery
+    (the spearman/U-test discipline — no corpus sort); W⁺, the null
+    mean n(n+1)/4, and var = n(n+1)(2n+1)/24 − Σ(t³−t)/48 all fold
+    from exact integers; one round-6 division, 5% gate at 1.959964.
+    ``lo``/``hi`` bound |diff| for the binning (order-preserving
+    clamp, any coarsening is correct).
+
+    Output: one row (n_pairs, n_nonzero, w_plus, z_stat,
+    significant)."""
+    if hi <= lo:
+        raise ValueError(f"wilcoxon_signed_rank: need lo < hi, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    b, a = F.col(before_col), F.col(after_col)
+    dm = (
+        F.round(a * F.lit(1000000.0)).cast("long")
+        - F.round(b * F.lit(1000000.0)).cast("long")
+    )
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(dm.alias("_d"))
+    n_pairs = base.count()
+    nz = base.filter(F.col("_d") != 0).select(
+        F.abs(F.col("_d")).alias("_ad"), (F.col("_d") > 0).alias("_pos")
+    )
+    width = (float(hi) - float(lo)) * 1e6 / int(bins)
+    raw = F.floor((F.col("_ad").cast("double") - F.lit(float(lo) * 1e6)) / F.lit(width)).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        nz.withColumn("_bin", binc)
+        .groupBy("_bin", "_ad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_t"),
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("_np"),
+        )
+    )
+    bin_tot = per.groupBy("_bin").agg(F.sum("_t").alias("_bc"))
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bin_prefix = bin_tot.select(
+        "_bin", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0)).alias("_pref")
+    )
+    w_in = (
+        Window.partitionBy("_bin")
+        .orderBy("_ad")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    iv = (
+        per.withColumn("_cumin", F.sum("_t").over(w_in))
+        .join(F.broadcast(bin_prefix), "_bin")
+        .withColumn("_cum", F.col("_cumin") + F.col("_pref"))
+    )
+    r2 = F.lit(2) * (F.col("_cum") - F.col("_t")) + F.col("_t") + F.lit(1)
+    agg = iv.agg(
+        F.sum("_t").cast("long").alias("_n"),
+        F.sum(dec(F.col("_np")) * r2).alias("_wp2"),  # 2 × W+
+        F.sum(dec(F.col("_t")) * F.col("_t") * F.col("_t") - dec(F.col("_t"))).alias("_ties"),
+    )
+    n = F.col("_n").cast("double")
+    wp = F.col("_wp2").cast("double") / F.lit(2.0)
+    mean0 = n * (n + F.lit(1.0)) / F.lit(4.0)
+    var = n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(24.0) - F.col(
+        "_ties"
+    ).cast("double") / F.lit(48.0)
+    z = F.when(var > 0.0, (wp - mean0) / F.sqrt(var))
+    return agg.select(
+        F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
+        F.col("_n").alias("n_nonzero"),
+        F.round(wp, 6).alias("w_plus"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(1.959964), F.lit(False)).alias("significant"),
+    )

@@ -13711,6 +13711,158 @@ def rmst_users_events(spark, sf_dir) -> DataFrame:
     return survival_rmst(per, "t", "obs", 700.0)
 
 
+@query(
+    "fdr_metric_battery",
+    oracle="""
+    WITH t AS (SELECT unnest(range(20)) AS i),
+    ps AS (
+      SELECT 'metric_' || CAST(i AS VARCHAR) AS test,
+             CASE WHEN i % 7 = 3 THEN
+               ((CAST(CAST('0x' || substring(md5(concat_ws(chr(31), 'fdr-42',
+                      CAST(i AS VARCHAR))), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                / 4294967296.0) / 1000.0
+             ELSE
+               (CAST(CAST('0x' || substring(md5(concat_ws(chr(31), 'fdr-42',
+                      CAST(i AS VARCHAR))), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                / 4294967296.0
+             END AS p
+      FROM t
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM ps),
+    rk AS (SELECT ps.*, row_number() OVER (ORDER BY p, test) AS r FROM ps),
+    q AS (
+      SELECT rk.*, m.mm,
+             least(min(p * CAST(m.mm AS DOUBLE) / CAST(r AS DOUBLE))
+                   OVER (ORDER BY r DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   1.0) AS qv,
+             max(CASE WHEN p * CAST(m.mm AS DOUBLE)
+                           <= CAST(r AS DOUBLE) * 0.05 THEN r END)
+               OVER () AS kstar
+      FROM rk, m
+    )
+    SELECT test, p AS p_value, CAST(r AS BIGINT) AS rank,
+           round(qv, 6) AS q_value,
+           coalesce(r <= kstar, false) AS rejected
+    FROM q
+    """,
+)
+def fdr_metric_battery(spark, sf_dir) -> DataFrame:
+    """Benjamini–Hochberg FDR correction (stats.fdr_correct) over a
+    20-test battery of seeded p-values with three PLANTED discoveries
+    (tests i%7==3 get their uniform p divided by 1000, identically in
+    both engines) — the meta-test the engine's own growing test
+    battery needs: naive per-test 5% admits ~1 false discovery per 20
+    metrics; BH rejects exactly the planted trio.  Ranks, monotone
+    q-values, and the k* cutoff all fold over the bounded p-table;
+    every row value-checked."""
+    from .operators.stats import fdr_correct
+
+    spine = spark.range(20).select(
+        F.concat(F.lit("metric_"), F.col("id").cast("string")).alias("test"),
+        F.col("id"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit("fdr-42"), F.col("id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    ps = spine.select(
+        "test",
+        F.when(F.col("id") % 7 == 3, u / F.lit(1000.0)).otherwise(u).alias("p"),
+    )
+    return fdr_correct(ps, ["test"], "p", alpha=0.05)
+
+
+@query(
+    "wilcoxon_events_paired",
+    oracle="""
+    WITH src AS (
+      SELECT value AS b,
+             value + 0.25
+               + (((CAST(CAST('0x' || substring(md5(concat_ws(chr(31),
+                      'pair-42', CAST(event_id AS VARCHAR))), 1, 8)
+                     AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) - 0.5)
+               AS a
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT CAST(round(a * 1000000.0) AS BIGINT)
+             - CAST(round(b * 1000000.0) AS BIGINT) AS dm
+      FROM src
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM d),
+    nz AS (SELECT abs(dm) AS ad, dm > 0 AS pos FROM d WHERE dm <> 0),
+    per AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+            FROM nz GROUP BY 1),
+    c AS (SELECT ad, t, p,
+                 sum(t) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM per),
+    agg AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(CAST(p AS HUGEINT)
+                      * (2 * (cum - t) + t + 1)) AS DOUBLE) AS wp2,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT))
+                  AS DOUBLE) AS ties
+      FROM c
+    )
+    SELECT np.n_pairs, agg.n AS n_nonzero,
+           round(wp2 / 2.0, 6) AS w_plus,
+           round((wp2 / 2.0 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                        - ties / 48.0), 6) AS z_stat,
+           coalesce(abs((wp2 / 2.0 - CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                        - ties / 48.0)) > 1.959964, false) AS significant
+    FROM np, agg
+    """,
+)
+def wilcoxon_events_paired(spark, sf_dir) -> DataFrame:
+    """Exact Wilcoxon signed-rank (stats.wilcoxon_signed_rank) on PAIRED
+    before/after scores: after = value + 0.25 + seeded-uniform noise in
+    [−0.5, 0.5) — the same-row re-scoring scenario where the pairing
+    carries the power an unpaired test throws away; the +0.25 median
+    shift fires decisively.  Round-6 micro diffs, zero-diff drop,
+    doubled tie-ranks from the bounded-prefix machinery, exact tie
+    correction.  The single row value-checked."""
+    from .operators.stats import wilcoxon_signed_rank
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit("pair-42"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("b"),
+        (F.col("value") + F.lit(0.25) + (u - F.lit(0.5))).alias("a"),
+    )
+    return wilcoxon_signed_rank(ev, "b", "a", 0.0, 2.0, bins=1 << 10)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
