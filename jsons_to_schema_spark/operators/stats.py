@@ -4727,7 +4727,10 @@ def rare_combinations(
     for c in cols:
         piece = F.col(c).eqNullSafe(F.col(f"_cc_{c}"))
         cond = piece if cond is None else cond & piece
-    return df.join(F.broadcast(renamed), cond).select(
+    # no forced broadcast: the rare-combo table is usually tiny, but on
+    # high-cardinality column sets MOST combos are rare and the frame is
+    # corpus-shaped — let AQE pick the join strategy (review finding)
+    return df.join(renamed, cond).select(
         *[F.col(c) for c in id_cols],
         *[F.col(c) for c in cols],
         F.col("combo_count"),

@@ -1500,3 +1500,42 @@ def test_wave66_68_ops_no_python_ordered_folds(spark):
         plan = audit.executed_plan(q)
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wave69_70_ops_no_python(spark):
+    """Randomization test, RMST, FDR, signed-rank: seeded-hash draws,
+    ordered folds, and bounded-table windows — no Python, no Cartesian
+    beyond the 1-row broadcast frames."""
+    from jsons_to_schema_spark.operators.stats import (
+        fdr_correct,
+        randomization_test,
+        wilcoxon_signed_rank,
+    )
+    from jsons_to_schema_spark.operators.temporal import survival_rmst
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    arm = F.when(F.col("event_id") % 2 == 0, F.lit("c")).otherwise(F.lit("t"))
+    ps = spark.range(12).select(
+        F.col("id").cast("string").alias("t"),
+        (F.col("id").cast("double") / 20.0 + 0.001).alias("p"),
+    )
+    surv = ev.select(
+        (F.col("event_id") % 30).cast("double").alias("t"),
+        (F.col("event_id") % 4 == 0).alias("obs"),
+    )
+    frames = [
+        randomization_test(
+            ev.select("event_id", arm.alias("arm"), F.col("value").alias("y")),
+            "arm", "y", "c", "t", "event_id", permutations=12,
+        ),
+        survival_rmst(surv, "t", "obs", 20.0),
+        fdr_correct(ps, ["t"], "p"),
+        wilcoxon_signed_rank(
+            ev.select(F.col("value").alias("b"), (F.col("value") * 1.01).alias("a")),
+            "b", "a", 0.0, 10.0, 64,
+        ),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
