@@ -1527,3 +1527,62 @@ def script_profile(df: DataFrame, col: str, id_col: str) -> DataFrame:
         "other_chars",
         *ratios,
     )
+
+
+def novelty_scores(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the cross-corpus inverse of the
+    repetition signals: what share of a document's distinct word
+    k-shingles appears NOWHERE else in the corpus.  Boilerplate and
+    template pages score near 0 (everything they say, the corpus says
+    elsewhere), genuinely original text near 1 — the ranking signal a
+    curation funnel wants BETWEEN exact-dedup (novelty of duplicates is
+    exactly 0 on the duplicated span) and quality scoring (which cannot
+    see other documents at all).
+
+    Shape: one shingle pass (the zip_with kernel — no per-element
+    lambda re-evaluation), per-doc DISTINCT shingles, a corpus document-
+    frequency aggregate over the hashed shingle space, and a keyed join
+    back — the corpus_line_dedup plan shape at shingle grain.  Exact
+    long counts; novelty = n_unique/n_shingles round-6; documents with
+    fewer than k tokens keep a row with zero counts and NULL novelty
+    (no shingle evidence ≠ novelty 0).
+
+    Output: (id, n_shingles, n_unique, novelty)."""
+    if k < 1:
+        raise ValueError(f"novelty_scores: k must be >= 1, got {k}")
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    toks = tokens("_t")
+    sh = (
+        base.select(F.col(id_col), shingles_from_tokens(toks, k).alias("_sh"))
+        .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("_g"))
+    )
+    dfreq = sh.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    per = (
+        sh.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_unique").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )

@@ -13863,6 +13863,120 @@ def wilcoxon_events_paired(spark, sf_dir) -> DataFrame:
     return wilcoxon_signed_rank(ev, "b", "a", 0.0, 2.0, bins=1 << 10)
 
 
+@query(
+    "novelty_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        FROM toks WHERE len(tk) >= 3)
+    ),
+    dfq AS (SELECT gram, count(*) AS c FROM sh GROUP BY 1),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sh JOIN dfq USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_shingles, 0) AS n_shingles,
+           coalesce(per.n_unique, 0) AS n_unique,
+           CASE WHEN coalesce(per.n_shingles, 0) > 0
+                THEN round(CAST(per.n_unique AS DOUBLE)
+                           / CAST(per.n_shingles AS DOUBLE), 6)
+           END AS novelty
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def novelty_documents(spark, sf_dir) -> DataFrame:
+    """Per-document 3-gram novelty (text.novelty_scores) — the share of
+    a document's distinct shingles appearing NOWHERE else: boilerplate
+    scores ~0, original text ~1 — the cross-corpus curation signal that
+    sits between exact dedup and single-doc quality scoring.  One
+    zip_with shingle pass, per-doc distinct, corpus document-frequency
+    aggregate, keyed join back; sub-3-token docs keep a row with NULL
+    novelty (no evidence ≠ novelty 0).  All 500 rows value-checked."""
+    from .operators.text import novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_scores(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "tokenizer_fertility_documents",
+    oracle=None,  # resolved below — needs the pinned vocab inlined
+)
+def tokenizer_fertility_documents(spark, sf_dir) -> DataFrame:
+    """Tokenizer FERTILITY by language (chars per subword token) — the
+    multilingual tokenizer-quality metric: a vocab trained on English
+    spends ~3-5 chars/token there but shatters CJK into near-char
+    pieces; per-language fertility is how a pipeline SEES that before
+    training pays for it.  Composition of two oracled components: the
+    pinned-vocab subword counts (exact recursive-CTE-replayable kernel)
+    rolled up with exact char sums per documents.lang; fertility =
+    Σchars/Σtokens as one round-6 division of exact longs.  All
+    per-lang rows value-checked."""
+    from .operators.subword import subword_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("_chars"),
+        subword_count(F.col("text")).cast("long").alias("_toks"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
+    )
+
+
+ORACLES["tokenizer_fertility_documents"] = " ".join(
+    (
+        _subword_wcounts_prefix()
+        + """
+    , dc AS (
+      SELECT wlist.doc_id, sum(c.n) AS ns
+      FROM wlist JOIN wcounts c ON wlist.w = c.w GROUP BY wlist.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+           CAST(sum(coalesce(dc.ns, 0)) AS BIGINT) AS n_tokens,
+           CASE WHEN sum(coalesce(dc.ns, 0)) > 0
+                THEN round(CAST(sum(length(d.text)) AS DOUBLE)
+                           / CAST(sum(coalesce(dc.ns, 0)) AS DOUBLE), 6)
+           END AS fertility
+    FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+    WHERE d.lang IS NOT NULL AND d.text IS NOT NULL
+    GROUP BY d.lang
+    """
+    ).split()
+)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
