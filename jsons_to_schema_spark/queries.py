@@ -13977,6 +13977,180 @@ ORACLES["tokenizer_fertility_documents"] = " ".join(
 )
 
 
+@query(
+    "dedup_method_agreement_documents",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents WHERE text IS NOT NULL
+    ),
+    exact_flag AS (
+      SELECT doc_id FROM fp
+      WHERE f IN (SELECT f FROM fp GROUP BY f HAVING count(*) > 1)
+    ),
+    s AS (SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                               x -> x <> '')) AS tk
+          FROM documents WHERE text IS NOT NULL),
+    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.tk, b.tk)) AS i,
+                  len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+           FROM s a JOIN s b ON a.doc_id < b.doc_id),
+    jac_flag AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM pr WHERE u > 0 AND i * 1.0 / u >= 0.95
+        UNION ALL
+        SELECT id_b FROM pr WHERE u > 0 AND i * 1.0 / u >= 0.95)
+    ),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_flag) AS ne,
+             (SELECT CAST(count(*) AS BIGINT) FROM jac_flag) AS nj,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM exact_flag JOIN jac_flag USING (doc_id)) AS nb
+    )
+    SELECT ne AS n_exact, nj AS n_jaccard, nb AS n_both,
+           CASE WHEN ne + nj - nb > 0
+                THEN round(CAST(nb AS DOUBLE)
+                           / CAST(ne + nj - nb AS DOUBLE), 6)
+           END AS set_jaccard,
+           CASE WHEN ne > 0
+                THEN round(CAST(nb AS DOUBLE) / CAST(ne AS DOUBLE), 6)
+           END AS exact_covered_by_jaccard
+    FROM m
+    """,
+)
+def dedup_method_agreement_documents(spark, sf_dir) -> DataFrame:
+    """Agreement matrix between two dedup modalities — which documents
+    the EXACT fingerprint flags vs the lossless Jaccard-0.95 join
+    (text.fp_exact_key ∘ dedup.jaccard_prefix_join, both oracled
+    operators composed): exact dups MUST be a subset of Jaccard dups
+    (identical text ⟹ J = 1 — the containment ratio reads 1.0 as a
+    built-in sanity check), and the set-Jaccard between the flag sets
+    says how much extra near-dup mass the fuzzy stage adds.  The
+    dedup-campaign audit: 'what does each stage buy'.  One row
+    value-checked against the dual replay."""
+    from .operators.dedup import jaccard_prefix_join
+    from .operators.text import fp_exact_key
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    fp = docs.select("doc_id", fp_exact_key("text").alias("f"))
+    dup_keys = fp.groupBy("f").count().filter(F.col("count") > 1).select("f")
+    exact_flag = fp.join(dup_keys, "f").select("doc_id")
+    pairs = jaccard_prefix_join(docs, "text", "doc_id", min_jaccard=0.95)
+    jac_flag = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    ne = exact_flag.count()
+    nj = jac_flag.count()
+    nb = exact_flag.join(jac_flag, "doc_id").count()
+    spark_ = docs.sparkSession
+    union = ne + nj - nb
+    return spark_.createDataFrame(
+        [
+            (
+                ne,
+                nj,
+                nb,
+                round(nb / union, 6) if union > 0 else None,
+                round(nb / ne, 6) if ne > 0 else None,
+            )
+        ],
+        "n_exact long, n_jaccard long, n_both long, set_jaccard double, "
+        "exact_covered_by_jaccard double",
+    )
+
+
+@query(
+    "context_fit_documents",
+    oracle=None,  # resolved below — needs the pinned vocab inlined
+)
+def context_fit_documents(spark, sf_dir) -> DataFrame:
+    """Context-window fit report — per candidate window {64, 128, 256}
+    subword tokens: the share of DOCUMENTS that fit whole and the share
+    of TOKEN MASS that survives truncation (min(tokens, T) summed) —
+    the two numbers a context-length decision actually weighs (docs-fit
+    flatters small windows; mass-survives is what training sees).
+    Composition of the pinned-vocab subword counts with exact long
+    arithmetic; every row value-checked via the shared recursive-CTE
+    oracle prelude."""
+    from .operators.subword import subword_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per = docs.select(subword_count(F.col("text")).cast("long").alias("_t"))
+    per = per.localCheckpoint(eager=False)  # feeds all three window rows
+    spine = docs.sparkSession.createDataFrame(
+        [(64,), (128,), (256,)], "window long"
+    )
+    joined = spine.crossJoin(per)
+    return (
+        joined.groupBy("window")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_t") <= F.col("window"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_fit"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.sum(F.least(F.col("_t"), F.col("window")))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .select(
+            "window",
+            "n_docs",
+            "n_docs_fit",
+            F.round(
+                F.col("n_docs_fit").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("docs_fit_share"),
+            "n_tokens",
+            "n_tokens_kept",
+            F.round(
+                F.col("n_tokens_kept").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("tokens_kept_share"),
+        )
+    )
+
+
+ORACLES["context_fit_documents"] = " ".join(
+    (
+        _subword_wcounts_prefix()
+        + """
+    , dc AS (
+      SELECT wlist.doc_id, sum(c.n) AS ns
+      FROM wlist JOIN wcounts c ON wlist.w = c.w GROUP BY wlist.doc_id
+    ),
+    per AS (
+      SELECT d.doc_id, CAST(coalesce(dc.ns, 0) AS BIGINT) AS t
+      FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+      WHERE d.text IS NOT NULL
+    ),
+    w AS (SELECT unnest([64, 128, 256]) AS win)
+    SELECT CAST(win AS BIGINT) AS "window",
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t <= win THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_fit,
+           round(CAST(sum(CASE WHEN t <= win THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS docs_fit_share,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           CAST(sum(least(t, win)) AS BIGINT) AS n_tokens_kept,
+           round(CAST(sum(least(t, win)) AS DOUBLE)
+                 / CAST(sum(t) AS DOUBLE), 6) AS tokens_kept_share
+    FROM per CROSS JOIN w
+    GROUP BY win
+    """
+    ).split()
+)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
