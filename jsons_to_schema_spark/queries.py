@@ -14320,7 +14320,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # discovery family keeps candidate_keys_orders + the IND sweep
     # inclusion_profile_orders_customer in-window; FD confidence stays
     # oracle-pytest-checked at the same sf0.01 every CI run)
-    "datatype_profile_events",      # datatype-consistency analyzer
+    # (datatype_profile_events demoted in the twenty-first rotation:
+    # the profiling family keeps candidate_keys + format_inference +
+    # constraint_suggestions + histogram in-window; the slot funds the
+    # session's statistical-inference family, which had NO window rep)
     # (decontam_bloom_documents demoted for the r4 seventh wave: its
     # results are exact-anti-join-equivalent BY CONSTRUCTION (bitmap
     # prefilter + exact verification), decontam keeps exact + semantic
@@ -14440,7 +14443,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "generalization_search_events",    # k-anon ladder search, chosen combo
     # -- r4 sixteenth rotation (seventh continuation session): six NEW
     # never-driver-checked families promoted --
-    "tfidf_top_terms_documents",       # keyword extraction (TF-IDF)
+    # (tfidf_top_terms_documents demoted in the twenty-first rotation:
+    # text analytics keeps lm_perplexity + subword_token_count in-window
+    # and gains the novelty signal below; TF-IDF stays pytest-oracled)
     "dsir_importance_documents",       # DSIR importance resampling
     # (pseudonymize_customer_orders demoted in the twentieth rotation:
     # privacy keeps generalization_search in-window plus the NEW
@@ -14471,6 +14476,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "seasonal_decompose_events",       # seasonal fit (trend+seasonal+residual)
     "dp_release_events",               # seeded epsilon-DP count release
     "impute_events_value",             # median imputation with provenance
+    # -- twenty-first rotation: the inference + cross-corpus-signal
+    # families from waves 59-71, previously unrepresented --
+    "cuped_events",                    # CUPED-adjusted experiment readout
+    "novelty_documents",               # cross-corpus n-gram novelty
 )
 
 

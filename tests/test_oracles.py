@@ -152,7 +152,8 @@ def test_driver_window_covers_dark_families():
         "generalization_search_events",
         # r4 sixteenth rotation (seventh continuation session): six new
         # never-driver-checked families
-        "tfidf_top_terms_documents",
+        # (tfidf demoted in the twenty-first rotation: text analytics
+        # keeps lm_perplexity + subword + the new novelty signal)
         "dsir_importance_documents",
         # (pseudonymize_customer_orders demoted in the twentieth rotation:
         # privacy keeps generalization_search + the new dp_release)
@@ -177,5 +178,8 @@ def test_driver_window_covers_dark_families():
         "seasonal_decompose_events",
         "dp_release_events",
         "impute_events_value",
+        # twenty-first rotation: inference + cross-corpus signals
+        "cuped_events",
+        "novelty_documents",
     ):
         assert must in window, must
