@@ -5625,3 +5625,96 @@ def effect_size_report(
         F.round(F.lit(2.0) * cles - F.lit(1.0), 6).alias("cliffs_delta"),
         F.round(cles, 6).alias("cles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordinal association — wave 74
+# ---------------------------------------------------------------------------
+
+def ordinal_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Goodman–Kruskal γ and Somers' D for two ORDINAL columns — the
+    association statistic the χ²/Cramér's V sweep cannot give: V sees
+    'priority' and 'severity' as unordered labels and reports only that
+    they are related; γ says the relationship is MONOTONE and in which
+    direction ('higher priority ⇒ higher severity'), from concordant vs
+    discordant pair counts.  Somers' D (B|A) additionally penalizes ties
+    on the dependent side — the asymmetric variant for 'does A predict
+    B'.
+
+    Bounded-cardinality contract (the ordinal use case: ratings,
+    priorities, graded severities): the joint distribution collapses to
+    one (a, b, n) cell table, and ALL pair counting runs as a self-join
+    over that BOUNDED table — C = Σ n_ij·n_i'j' over (i'>i, j'>j),
+    D = over (i'>i, j'<j), ties from the marginals — never over rows.
+    Exact decimal pair counts (they are O(n²) in magnitude — int64
+    overflows at ~10⁹·10⁹); γ = (C−D)/(C+D), D_(b|a) = (C−D)/(C+D+T_b)
+    as round-6 divisions of exact operands.  Ordering is the column's
+    natural SQL order; NULLs on either side carry no pair evidence.
+
+    Output: one row (n, concordant, discordant, ties_a, ties_b, gamma,
+    somers_d_ba)."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=False)  # bounded; feeds three joins
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = cells.alias("x")
+    y = cells.alias("y")
+    conc = (
+        x.join(
+            y,
+            (F.col("y._a") > F.col("x._a")) & (F.col("y._b") > F.col("x._b")),
+        )
+        .agg(F.coalesce(F.sum(dec(F.col("x._n")) * F.col("y._n")), F.lit(0).cast("decimal(38,0)")).alias("_c"))
+    )
+    disc = (
+        x.join(
+            y,
+            (F.col("y._a") > F.col("x._a")) & (F.col("y._b") < F.col("x._b")),
+        )
+        .agg(F.coalesce(F.sum(dec(F.col("x._n")) * F.col("y._n")), F.lit(0).cast("decimal(38,0)")).alias("_d"))
+    )
+    # ties on a (same a, different b) and ties on b (same b, different a),
+    # counted once per unordered pair from the bounded cell table
+    ta = (
+        x.join(
+            y,
+            (F.col("y._a") == F.col("x._a"))
+            & (F.col("y._b") > F.col("x._b")),
+        )
+        .agg(F.coalesce(F.sum(dec(F.col("x._n")) * F.col("y._n")), F.lit(0).cast("decimal(38,0)")).alias("_ta"))
+    )
+    tb = (
+        x.join(
+            y,
+            (F.col("y._b") == F.col("x._b"))
+            & (F.col("y._a") > F.col("x._a")),
+        )
+        .agg(F.coalesce(F.sum(dec(F.col("x._n")) * F.col("y._n")), F.lit(0).cast("decimal(38,0)")).alias("_tb"))
+    )
+    n_tab = cells.agg(F.sum("_n").cast("long").alias("_nn"))
+    j = (
+        n_tab.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    tbd = F.col("_tb").cast("double")
+    gamma = F.when(c + d > 0.0, F.round((c - d) / (c + d), 6))
+    somers = F.when(c + d + tbd > 0.0, F.round((c - d) / (c + d + tbd), 6))
+    return j.select(
+        F.col("_nn").alias("n"),
+        F.col("_c").cast("long").alias("concordant"),
+        F.col("_d").cast("long").alias("discordant"),
+        F.col("_ta").cast("long").alias("ties_a"),
+        F.col("_tb").cast("long").alias("ties_b"),
+        gamma.alias("gamma"),
+        somers.alias("somers_d_ba"),
+    )
