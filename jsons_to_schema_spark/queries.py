@@ -14283,6 +14283,126 @@ def ordinal_lineitem_quantity_price(spark, sf_dir) -> DataFrame:
     return ordinal_association(li, "a", "b")
 
 
+@query(
+    "seasonal_residual_anomalies_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, epoch_us(ts) AS us, value FROM events
+      WHERE ts IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, us - us % 86400000000 AS b,
+             round(avg(value), 6) AS val
+      FROM src GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(b) AS mn, max(b) AS mx FROM cells GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, 86400000000)) AS b
+      FROM spans
+    ),
+    grid AS (
+      SELECT s.event_type, s.b,
+             last_value(c.val IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+      FROM spine s LEFT JOIN cells c
+        ON c.event_type = s.event_type AND c.b = s.b
+    ),
+    q AS (SELECT event_type, b,
+                 CAST(round(val * 1000000) AS BIGINT) AS vm FROM grid),
+    w AS (
+      SELECT event_type, b, vm,
+             sum(vm) OVER win AS wsum, count(vm) OVER win AS wcnt,
+             min(b) OVER (PARTITION BY event_type) AS mnb
+      FROM q
+      WINDOW win AS (PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    t AS (
+      SELECT event_type, b, vm,
+             ((b - mnb) // 86400000000) % 7 AS pos,
+             CASE WHEN wcnt = 7 AND vm IS NOT NULL
+                  THEN CAST(round(CAST(wsum AS DOUBLE) / 7.0) AS BIGINT)
+             END AS tm
+      FROM w
+    ),
+    d AS (SELECT *, vm - tm AS dm FROM t),
+    pt AS (SELECT event_type, pos, sum(dm) AS s, count(*) AS c
+           FROM d WHERE dm IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT event_type, sum(s) AS st, sum(c) AS ct FROM pt GROUP BY 1),
+    sa AS (SELECT pt.event_type, pt.pos,
+                  CAST(round(CAST(pt.s AS DOUBLE) / CAST(pt.c AS DOUBLE)
+                             - CAST(tt.st AS DOUBLE) / CAST(tt.ct AS DOUBLE))
+                       AS BIGINT) AS sm
+           FROM pt JOIN tt ON pt.event_type = tt.event_type),
+    resid AS (
+      SELECT d.event_type, d.b AS bucket_us,
+             round((d.vm - d.tm - sa.sm) / 1000000.0, 6) AS r
+      FROM d JOIN sa ON sa.event_type = d.event_type AND sa.pos = d.pos
+      WHERE d.tm IS NOT NULL
+    ),
+    rv AS (SELECT event_type, bucket_us, r, round(r, 6) AS rr FROM resid),
+    med AS (
+      SELECT event_type, rr AS m FROM (
+        SELECT event_type, rr,
+               row_number() OVER (PARTITION BY event_type ORDER BY rr) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM rv) x
+      WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    ),
+    dev AS (
+      SELECT rv.event_type, rv.bucket_us, rv.r, rv.rr, med.m,
+             round(abs(rv.rr - med.m), 6) AS dd
+      FROM rv JOIN med ON med.event_type = rv.event_type
+    ),
+    mad AS (
+      SELECT event_type, dd AS mad FROM (
+        SELECT event_type, dd,
+               row_number() OVER (PARTITION BY event_type ORDER BY dd) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) x
+      WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0 - 1e-9) AS BIGINT)
+    ),
+    scored AS (
+      SELECT dev.event_type, dev.bucket_us, dev.r AS residual,
+             CASE WHEN mad.mad > 0
+                  THEN round(0.6745 * (dev.rr - dev.m) / mad.mad, 6)
+             END AS robust_z
+      FROM dev JOIN mad ON mad.event_type = dev.event_type
+    )
+    SELECT * FROM scored WHERE abs(robust_z) > 2.5
+    """,
+)
+def seasonal_residual_anomalies_events(spark, sf_dir) -> DataFrame:
+    """The composition the seasonal machinery was built FOR: decompose
+    the per-type daily series (temporal.seasonal_decompose, period 7),
+    then robust-z the RESIDUALS (stats.robust_z_outliers at a 2.5 cut)
+    — alerts that fire on genuinely anomalous days instead of
+    re-discovering 'Mondays are low' every week, with the MAD scoring
+    immune to the very anomalies it hunts.  Two oracled operators
+    composed end-to-end; every flagged (type, day) with its residual
+    and score value-checked against the stitched replay."""
+    from .operators.stats import robust_z_outliers
+    from .operators.temporal import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = seasonal_decompose(ev, ["event_type"], "ts", "value", 86400, 7)
+    resid = dec.filter(F.col("residual").isNotNull()).select(
+        "event_type", "bucket_us", F.col("residual").alias("r")
+    )
+    return robust_z_outliers(
+        resid, "r", "event_type", ["bucket_us"], 2.5
+    ).select(
+        "event_type",
+        "bucket_us",
+        F.col("r").alias("residual"),
+        "robust_z",
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
