@@ -1586,3 +1586,116 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+def collocation_report(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — adjacent word
+    pairs that co-occur far beyond chance (PMI = log₂(n·c(ab) /
+    (c(a)·c(b))) over corpus bigram/unigram counts): natural prose is
+    DENSE with strong collocations, keyword-stuffed spam and shuffled
+    boilerplate are not, and the top of this table is the corpus's
+    phrasebook (entity names, idioms, templates) — the triage view the
+    raw top_bigram counts bury under 'of the'.
+
+    ``min_count`` floors the bigram count (PMI's known pathology:
+    hapax pairs score arbitrarily high); ties in the top-k break by
+    (bigram) for determinism.  Exact long counts; PMI = round-6 log₂ of
+    a ratio of exact integers (n·c_ab and c_a·c_b as exact decimals —
+    identical operands, identical order).  One token pass builds both
+    the unigram and bigram tables (the zip_with shingle kernel); the
+    PMI join is keyed on the two words.
+
+    Output: (bigram, n_pair, n_left, n_right, pmi) — top k by PMI."""
+    if min_count < 1:
+        raise ValueError("collocation_report: min_count must be >= 1")
+    if k < 1:
+        raise ValueError("collocation_report: k must be >= 1")
+    from pyspark.sql import Window
+
+    base = df.select(F.col(text_col).alias("_t")).filter(F.col("_t").isNotNull())
+    toks = tokens("_t")
+    uni = (
+        base.select(F.explode(toks).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cw"))
+        .localCheckpoint(eager=False)  # feeds both ends of the PMI join
+    )
+    n_tab = uni.agg(F.sum("_cw").cast("long").alias("_n"))
+    big = (
+        base.select(F.explode(shingles_from_tokens(toks, 2)).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+        .filter(F.col("_cb") >= min_count)
+        .withColumn("_l", F.split(F.col("_b"), " ").getItem(0))
+        .withColumn("_r", F.split(F.col("_b"), " ").getItem(1))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = (
+        big.join(uni.select(F.col("_w").alias("_l"), F.col("_cw").alias("_cl")), "_l")
+        .join(uni.select(F.col("_w").alias("_r"), F.col("_cw").alias("_cr")), "_r")
+        .crossJoin(F.broadcast(n_tab))
+    )
+    pmi = F.round(
+        F.log2(
+            (dec(F.col("_n")) * F.col("_cb")).cast("double")
+            / (dec(F.col("_cl")) * F.col("_cr")).cast("double")
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return (
+        j.select(
+            F.col("_b").alias("bigram"),
+            F.col("_cb").alias("n_pair"),
+            F.col("_cl").alias("n_left"),
+            F.col("_cr").alias("n_right"),
+            pmi.alias("pmi"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def term_dispersion_report(
+    df: DataFrame, text_col: str, id_col: str, min_tf: int = 10, k: int = 20
+) -> DataFrame:
+    """Top-k BURSTY terms — highest term-frequency-to-document-frequency
+    ratio among terms with tf ≥ ``min_tf``: a term appearing 1,000×
+    inside three documents (burstiness 333) is template/spam/markup
+    residue; the same mass across 800 documents (1.25) is ordinary
+    vocabulary.  The spam-term triage the plain frequency table can't
+    rank — raw tf puts 'the' first, burstiness puts the anomaly first.
+
+    Exact long tf (total occurrences) and df (distinct docs) from one
+    melt pass; burstiness = round-6 tf/df; top-k ties break by term.
+    Output: (term, tf, df, burstiness)."""
+    if min_tf < 1:
+        raise ValueError("term_dispersion_report: min_tf must be >= 1")
+    from pyspark.sql import Window
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_w"))
+    )
+    per = toks.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("_id").cast("long").alias("df"),
+    ).filter(F.col("tf") >= min_tf)
+    w = Window.orderBy(
+        F.desc(F.col("tf").cast("double") / F.col("df").cast("double")),
+        F.asc("_w"),
+    )
+    return (
+        per.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_w").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") / F.col("df").cast("double"), 6)
+            .alias("burstiness"),
+        )
+    )

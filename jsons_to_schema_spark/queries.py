@@ -14403,6 +14403,82 @@ def seasonal_residual_anomalies_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "collocations_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+            FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+    nn AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uni),
+    big AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cb FROM (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+1], ' '))) AS b
+        FROM toks WHERE len(tk) >= 2)
+      GROUP BY 1 HAVING count(*) >= 5
+    ),
+    j AS (
+      SELECT big.b, big.cb, ul.cw AS cl, ur.cw AS cr,
+             round(log2(CAST(CAST(nn.n AS HUGEINT) * big.cb AS DOUBLE)
+                        / CAST(CAST(ul.cw AS HUGEINT) * ur.cw AS DOUBLE)), 6)
+               AS pmi
+      FROM big
+      JOIN uni ul ON ul.w = string_split(big.b, ' ')[1]
+      JOIN uni ur ON ur.w = string_split(big.b, ' ')[2], nn
+    )
+    SELECT b AS bigram, cb AS n_pair, cl AS n_left, cr AS n_right, pmi
+    FROM j QUALIFY row_number() OVER (ORDER BY pmi DESC, b ASC) <= 20
+    """,
+)
+def collocations_documents(spark, sf_dir) -> DataFrame:
+    """Top-20 collocations by PMI over the documents corpus
+    (text.collocation_report, min bigram count 5) — the corpus
+    phrasebook the raw bigram counts bury under 'of the': PMI = log₂ of
+    a ratio of exact integer products (decimal intermediates), hapax
+    pathology floored by min_count, ties broken by bigram for a
+    deterministic top-k.  All 20 rows value-checked."""
+    from .operators.text import collocation_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocation_report(docs, "text", min_count=5, k=20)
+
+
+@query(
+    "bursty_terms_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1 HAVING count(*) >= 10
+    )
+    SELECT w AS term, tf, df,
+           round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+    FROM per
+    QUALIFY row_number() OVER (
+      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, w ASC) <= 20
+    """,
+)
+def bursty_terms_documents(spark, sf_dir) -> DataFrame:
+    """Top-20 BURSTY terms (text.term_dispersion_report, tf ≥ 10) — the
+    spam/template triage the plain frequency table can't rank: raw tf
+    puts function words first, tf/df puts the term that stacks inside
+    few documents first (markup residue, repeated boilerplate tokens).
+    Exact tf/df counts from one melt pass; all 20 rows
+    value-checked."""
+    from .operators.text import term_dispersion_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_dispersion_report(docs, "text", "doc_id", min_tf=10, k=20)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
