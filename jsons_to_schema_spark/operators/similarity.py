@@ -1656,3 +1656,177 @@ def dim_truncation_report(
         )
         .select(F.col("dim").cast("long").alias("dim"), "mean_recall", "worst_recall")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality report — wave 78
+# ---------------------------------------------------------------------------
+
+def cluster_quality_report(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+) -> DataFrame:
+    """Calinski–Harabasz and Davies–Bouldin indices for a labeled vector
+    set — the cluster-quality diagnostics that tell a curation pipeline
+    whether its grouping (SemDeDup cells, source labels, dedup
+    clusters) carries geometric structure or is a random partition: CH
+    is the vector ANOVA (between/within variance ratio — higher =
+    tighter, better-separated), DB the worst-neighbor compactness-to-
+    separation average (lower = better); a random labeling scores
+    CH ≈ 1 and both move sharply on real structure (pytest-pinned both
+    directions).
+
+    Exactness + shape: vectors quantize to micro-units; ONE posexplode
+    pass folds to per-(label, dim) exact integer (n, Σx, Σx²) — the
+    explode is map-side-partially aggregated, so the shuffle carries
+    k·d rows, never corpus·d (the reason embedding_covariance rejects
+    explode — d² terms — does not apply to per-dim sums).  SSW/SSB and
+    the per-cluster scatters are algebraic in those sums; the DB
+    worst-neighbor max runs over the bounded k² centroid-pair table.
+    All doubles derive from exact decimals in identical order, round-6.
+    NULL labels/vectors excluded.
+
+    Output: one row (k, n, calinski_harabasz, davies_bouldin)."""
+    if dim <= 0:
+        raise ValueError(f"cluster_quality_report: dim must be positive, got {dim}")
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = F.col(label_col)
+    base = df.filter(g.isNotNull() & F.col(vec_col).isNotNull()).select(
+        g.cast("string").alias("_g"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+            )
+        ).alias("_d", "_vm"),
+    )
+    cells = base.groupBy("_g", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_vm"))).alias("_s1"),
+        F.sum(dec(F.col("_vm")) * F.col("_vm")).alias("_s2"),
+    ).localCheckpoint(eager=False)  # bounded k·d; feeds several folds
+    # per-cluster: n_g (rows), within scatter Σ_d (s2 − s1²/n)
+    n_g = F.col("_n").cast("double")
+    within_d = F.col("_s2").cast("double") / F.lit(1e12) - (
+        F.col("_s1").cast("double") / F.lit(1e6)
+    ) * (F.col("_s1").cast("double") / F.lit(1e6)) / n_g
+    per_g = (
+        cells.withColumn("_w", within_d)
+        .groupBy("_g")
+        .agg(
+            F.first("_n").alias("_ng"),
+            F.sum("_w").alias("_ssw_g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # global per-dim sums for SSB; rename the derived side first — glob
+    # shares lineage with cells and same-name references are ambiguous
+    # in a self-join (the rare_combinations lesson)
+    glob = (
+        cells.select(
+            F.col("_d").alias("_gd"),
+            F.col("_s1").alias("_gs1"),
+            F.col("_n").alias("_gn"),
+        )
+        .groupBy("_gd")
+        .agg(F.sum("_gs1").alias("_S1"), F.sum(dec(F.col("_gn"))).alias("_N"))
+    )
+    joined_sb = cells.join(glob, cells["_d"] == glob["_gd"])
+    ssb_d = joined_sb.groupBy(cells["_d"]).agg(
+        (
+            F.sum(
+                (cells["_s1"].cast("double") / F.lit(1e6))
+                * (cells["_s1"].cast("double") / F.lit(1e6))
+                / cells["_n"].cast("double")
+            )
+            - (F.first(glob["_S1"].cast("double")) / F.lit(1e6))
+            * (F.first(glob["_S1"].cast("double")) / F.lit(1e6))
+            / F.first(glob["_N"].cast("double"))
+        ).alias("_b")
+    )
+    # ordered folds over bounded tables (the anova discipline)
+    w_g = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    tot_g = (
+        per_g.withColumn("_cssw", F.sum("_ssw_g").over(w_g))
+        .withColumn("_cn", F.sum("_ng").over(w_g))
+        .withColumn("_ck", F.sum(F.lit(1)).over(w_g))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_g"))))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_cssw").alias("_ssw"),
+            F.col("_cn").cast("long").alias("_ntot"),
+            F.col("_ck").cast("long").alias("_k"),
+        )
+    )
+    w_d = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    tot_b = (
+        ssb_d.withColumn("_cb", F.sum("_b").over(w_d))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_d"))))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_cb").alias("_ssb"))
+    )
+    # Davies–Bouldin from centroids + scatters over the bounded k² pairs
+    cent = cells.select(
+        "_g",
+        "_d",
+        (F.col("_s1").cast("double") / F.col("_n").cast("double") / F.lit(1e6)).alias(
+            "_mu"
+        ),
+    )
+    scat = per_g.select(
+        "_g",
+        F.sqrt(
+            F.greatest(F.col("_ssw_g") / F.col("_ng").cast("double"), F.lit(0.0))
+        ).alias("_sc"),
+    )
+    a_, b_ = cent.alias("a"), cent.alias("b")
+    pair_d = (
+        a_.join(
+            b_,
+            (F.col("a._g") < F.col("b._g")) & (F.col("a._d") == F.col("b._d")),
+        )
+        .groupBy(F.col("a._g").alias("_ga"), F.col("b._g").alias("_gb"))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("a._mu") - F.col("b._mu"))
+                    * (F.col("a._mu") - F.col("b._mu"))
+                )
+            ).alias("_m")
+        )
+    )
+    sym = pair_d.select("_ga", "_gb", "_m").unionAll(
+        pair_d.select(F.col("_gb").alias("_ga"), F.col("_ga").alias("_gb"), "_m")
+    )
+    ratio = (
+        sym.join(scat.withColumnRenamed("_g", "_ga").withColumnRenamed("_sc", "_sa"), "_ga")
+        .join(scat.withColumnRenamed("_g", "_gb").withColumnRenamed("_sc", "_sb"), "_gb")
+        .withColumn("_r", (F.col("_sa") + F.col("_sb")) / F.col("_m"))
+        .groupBy("_ga")
+        .agg(F.max("_r").alias("_worst"))
+    )
+    w_db = Window.orderBy("_ga").rowsBetween(Window.unboundedPreceding, 0)
+    db = (
+        ratio.withColumn("_cdb", F.sum("_worst").over(w_db))
+        .withColumn("_ckk", F.sum(F.lit(1)).over(w_db))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.desc("_ga"))))
+        .filter(F.col("_rn") == 1)
+        .select((F.col("_cdb") / F.col("_ckk").cast("double")).alias("_db"))
+    )
+    j = tot_g.crossJoin(F.broadcast(tot_b)).crossJoin(F.broadcast(db))
+    n = F.col("_ntot").cast("double")
+    k = F.col("_k").cast("double")
+    ch = F.when(
+        (F.col("_k") >= 2) & (F.col("_ssw") > 0.0) & (n > k),
+        (F.col("_ssb") / (k - F.lit(1.0))) / (F.col("_ssw") / (n - k)),
+    )
+    return j.select(
+        F.col("_k").alias("k"),
+        F.col("_ntot").alias("n"),
+        F.round(ch, 6).alias("calinski_harabasz"),
+        F.round(F.col("_db"), 6).alias("davies_bouldin"),
+    )

@@ -14554,6 +14554,120 @@ def zipf_documents(spark, sf_dir) -> DataFrame:
     return zipf_report(docs, "text", k=100)
 
 
+@query(
+    "cluster_quality_embeddings",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(vec_id % 4 AS VARCHAR) AS g, embedding AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    idx AS (SELECT unnest(range(64)) AS d),
+    cells AS (
+      SELECT g, d, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(CAST(round(CAST(e[d + 1] AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS HUGEINT)) AS s1,
+             sum(CAST(CAST(round(CAST(e[d + 1] AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS HUGEINT)
+                 * CAST(round(CAST(e[d + 1] AS DOUBLE) * 1000000.0)
+                   AS BIGINT)) AS s2
+      FROM src, idx GROUP BY 1, 2
+    ),
+    per_g AS (
+      SELECT g, max(n) AS ng,
+             sum(CAST(s2 AS DOUBLE) / 1e12
+                 - (CAST(s1 AS DOUBLE) / 1000000.0)
+                   * (CAST(s1 AS DOUBLE) / 1000000.0)
+                   / CAST(n AS DOUBLE)) AS ssw_g
+      FROM cells GROUP BY 1
+    ),
+    gtot AS (SELECT d, sum(s1) AS S1, CAST(sum(n) AS BIGINT) AS N
+             FROM cells GROUP BY 1),
+    ssb_d AS (
+      SELECT c.d,
+             sum((CAST(c.s1 AS DOUBLE) / 1000000.0)
+                 * (CAST(c.s1 AS DOUBLE) / 1000000.0)
+                 / CAST(c.n AS DOUBLE))
+             - (CAST(any_value(gtot.S1) AS DOUBLE) / 1000000.0)
+               * (CAST(any_value(gtot.S1) AS DOUBLE) / 1000000.0)
+               / CAST(any_value(gtot.N) AS DOUBLE) AS b
+      FROM cells c JOIN gtot ON gtot.d = c.d GROUP BY c.d
+    ),
+    tot_g AS (
+      SELECT ssw, ntot, k FROM (
+        SELECT sum(ssw_g) OVER w AS ssw,
+               CAST(sum(ng) OVER w AS BIGINT) AS ntot,
+               CAST(sum(1) OVER w AS BIGINT) AS k,
+               row_number() OVER (ORDER BY g DESC) AS rn
+        FROM per_g
+        WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)) x
+      WHERE rn = 1
+    ),
+    tot_b AS (
+      SELECT ssb FROM (
+        SELECT sum(b) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ssb,
+               row_number() OVER (ORDER BY d DESC) AS rn
+        FROM ssb_d) x
+      WHERE rn = 1
+    ),
+    cent AS (SELECT g, d, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                          / 1000000.0 AS mu FROM cells),
+    scat AS (SELECT g, sqrt(greatest(ssw_g / CAST(ng AS DOUBLE), 0.0))
+                    AS sc FROM per_g),
+    pd AS (
+      SELECT a.g AS ga, b.g AS gb,
+             sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))) AS m
+      FROM cent a JOIN cent b ON a.g < b.g AND a.d = b.d
+      GROUP BY 1, 2
+    ),
+    sym AS (SELECT ga, gb, m FROM pd
+            UNION ALL SELECT gb, ga, m FROM pd),
+    ratio AS (
+      SELECT sym.ga, max((sa.sc + sb.sc) / sym.m) AS worst
+      FROM sym JOIN scat sa ON sa.g = sym.ga
+               JOIN scat sb ON sb.g = sym.gb
+      GROUP BY 1
+    ),
+    db AS (
+      SELECT cdb / CAST(ck AS DOUBLE) AS v FROM (
+        SELECT sum(worst) OVER w AS cdb, sum(1) OVER w AS ck,
+               row_number() OVER (ORDER BY ga DESC) AS rn
+        FROM ratio
+        WINDOW w AS (ORDER BY ga ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)) x
+      WHERE rn = 1
+    )
+    SELECT tot_g.k, tot_g.ntot AS n,
+           CASE WHEN tot_g.k >= 2 AND tot_g.ssw > 0
+                     AND CAST(tot_g.ntot AS DOUBLE) > CAST(tot_g.k AS DOUBLE)
+                THEN round((tot_b.ssb / (CAST(tot_g.k AS DOUBLE) - 1.0))
+                           / (tot_g.ssw / (CAST(tot_g.ntot AS DOUBLE)
+                                           - CAST(tot_g.k AS DOUBLE))), 6)
+           END AS calinski_harabasz,
+           round(db.v, 6) AS davies_bouldin
+    FROM tot_g, tot_b, db
+    """,
+)
+def cluster_quality_embeddings(spark, sf_dir) -> DataFrame:
+    """Calinski–Harabasz + Davies–Bouldin over the embeddings table with
+    labels = vec_id % 4 (similarity.cluster_quality_report) — the
+    NEGATIVE control on purpose: a random partition of a random vector
+    cloud must score CH ≈ 1 and DB high, and this query pins that both
+    engines compute exactly that (the positive direction — separated
+    clusters → CH in the thousands, DB ≈ 0 — is pytest-pinned).  One
+    map-side-partially-aggregated posexplode to per-(label, dim) exact
+    sums (k·d shuffle rows, never corpus·d), bounded k² centroid pairs,
+    ordered folds; the single row value-checked."""
+    from .operators.similarity import cluster_quality_report
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 4).cast("string").alias("g"),
+        F.col("embedding").alias("e"),
+    )
+    return cluster_quality_report(emb, "e", "g", dim=64)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
