@@ -1539,3 +1539,33 @@ def test_wave69_70_ops_no_python(spark):
         plan = audit.executed_plan(q)
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wave75_78_ops_no_python(spark):
+    """Seasonal-residual composition, collocations, dispersion, vocab
+    growth, Zipf, cluster quality: melt/shingle passes + bounded-table
+    folds — no Python, no Cartesian (bounded spines broadcast)."""
+    from jsons_to_schema_spark.operators.similarity import cluster_quality_report
+    from jsons_to_schema_spark.operators.text import (
+        collocation_report,
+        term_dispersion_report,
+        vocab_growth_report,
+        zipf_report,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        (F.col("vec_id") % 3).cast("string").alias("g"),
+        F.col("embedding").alias("e"),
+    )
+    frames = [
+        collocation_report(docs, "text", 5, 10),
+        term_dispersion_report(docs, "text", "doc_id", 10, 10),
+        vocab_growth_report(docs, "text", "doc_id", 5),
+        zipf_report(docs, "text", 20),
+        cluster_quality_report(emb, "e", "g", 64),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
