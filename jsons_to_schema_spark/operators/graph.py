@@ -848,3 +848,88 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
         f"SELECT node, 'authority' AS side, sc AS score_micro,"
         f" round(sc / {float(_UNIT)!r}, 6) AS score FROM a{iterations}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph summary + degree assortativity — wave 79
+# ---------------------------------------------------------------------------
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row structural summary of an undirected simple graph: node and
+    edge counts, density, degree moments, and the DEGREE ASSORTATIVITY
+    coefficient — the Pearson correlation of endpoint degrees over
+    edges, the single number that separates hub-and-spoke reference
+    graphs (r < 0: big assets link to small documents — typical media
+    co-occurrence) from peer-clustered ones (r > 0), and the first thing
+    to check before trusting a community or centrality readout.
+
+    Exactness: degrees are exact longs; assortativity folds the degree
+    pairs of the SYMMETRIZED edge list (each undirected edge contributes
+    both orientations — the standard convention) through exact
+    decimal(38,0) moments with one round-6 division; density and the
+    degree moments likewise.  NULL/self-loop edges drop (simple-graph
+    contract).  Shape: one dedup pass, one degree aggregate, one
+    edge ⋈ degree join per endpoint, one moment fold — all keyed;
+    assortativity is NULL for degree-regular graphs (zero variance).
+
+    Output: one row (n_nodes, n_edges, density, avg_degree, max_degree,
+    assortativity)."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees AND the pair fold
+    )
+    sym = canon.select(F.col("_a").alias("u"), F.col("_b").alias("v")).unionAll(
+        canon.select(F.col("_b").alias("u"), F.col("_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dstats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum("_d").cast("long").alias("_sd"),
+        F.max("_d").alias("_mx"),
+    )
+    pairs = (
+        sym.join(deg.select(F.col("u"), F.col("_d").alias("_du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("_d").alias("_dv")), "v"
+        )
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_m2"),
+        F.sum(dec(F.col("_du"))).alias("_sx"),
+        F.sum(dec(F.col("_dv"))).alias("_sy"),
+        F.sum(dec(F.col("_du")) * F.col("_du")).alias("_sxx"),
+        F.sum(dec(F.col("_dv")) * F.col("_dv")).alias("_syy"),
+        F.sum(dec(F.col("_du")) * F.col("_dv")).alias("_sxy"),
+    )
+    j = dstats.crossJoin(F.broadcast(mom))
+    nn = F.col("_nn").cast("double")
+    m = F.col("_m2").cast("double") / F.lit(2.0)  # undirected edge count
+    n2 = F.col("_m2").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx, vy = n2 * sxx - sx * sx, n2 * syy - sy * sy
+    r = F.when(
+        (vx > 0.0) & (vy > 0.0),
+        F.round((n2 * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+    )
+    return j.select(
+        F.col("_nn").alias("n_nodes"),
+        m.cast("long").alias("n_edges"),
+        F.when(
+            F.col("_nn") >= 2,
+            F.round(
+                F.lit(2.0) * m / (nn * (nn - F.lit(1.0))), 6
+            ),
+        ).alias("density"),
+        F.round(F.col("_sd").cast("double") / nn, 6).alias("avg_degree"),
+        F.col("_mx").alias("max_degree"),
+        r.alias("assortativity"),
+    )

@@ -14668,6 +14668,82 @@ def cluster_quality_embeddings(spark, sf_dir) -> DataFrame:
     return cluster_quality_report(emb, "e", "g", dim=64)
 
 
+@query(
+    "graph_summary_spans_media",
+    oracle="""
+    WITH x AS (SELECT DISTINCT doc_id, s.media_ref AS m
+               FROM (SELECT doc_id, unnest(spans) AS s
+                     FROM read_parquet('__SPANS_GLOB__'))
+               WHERE s.media_ref IS NOT NULL),
+    e AS (SELECT DISTINCT l.m AS a, r.m AS b
+          FROM x l JOIN x r ON l.doc_id = r.doc_id AND l.m < r.m),
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    ds AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                  CAST(sum(d) AS BIGINT) AS sd,
+                  CAST(max(d) AS BIGINT) AS mx
+           FROM deg),
+    pr AS (SELECT du.d AS x, dv.d AS y
+           FROM sym JOIN deg du ON du.u = sym.u
+                    JOIN deg dv ON dv.u = sym.v),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+                 CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+          FROM pr)
+    SELECT ds.nn AS n_nodes,
+           CAST(m.n2 / 2 AS BIGINT) AS n_edges,
+           CASE WHEN ds.nn >= 2 THEN
+             round(2.0 * (CAST(m.n2 AS DOUBLE) / 2.0)
+                   / (CAST(ds.nn AS DOUBLE)
+                      * (CAST(ds.nn AS DOUBLE) - 1.0)), 6)
+           END AS density,
+           round(CAST(ds.sd AS DOUBLE) / CAST(ds.nn AS DOUBLE), 6)
+             AS avg_degree,
+           ds.mx AS max_degree,
+           CASE WHEN CAST(m.n2 AS DOUBLE) * sxx - sx * sx > 0
+                     AND CAST(m.n2 AS DOUBLE) * syy - sy * sy > 0
+                THEN round((CAST(m.n2 AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(m.n2 AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(m.n2 AS DOUBLE) * syy - sy * sy)), 6)
+           END AS assortativity
+    FROM ds, m
+    """,
+)
+def graph_summary_spans_media(spark, sf_dir) -> DataFrame:
+    """Structural summary of the media co-occurrence graph
+    (graph.graph_summary): node/edge counts, density, degree moments,
+    and the degree ASSORTATIVITY — the first thing to check before
+    trusting the pagerank/HITS/community readouts over the same graph
+    (hub-and-spoke r < 0 vs peer-clustered r > 0; star = −1 and
+    regular-graph NULL contracts pytest-pinned).  Exact degrees,
+    decimal moments over the symmetrized edge pairs, one round-6
+    division.  The single row value-checked."""
+    from .operators.graph import graph_summary
+
+    corpus = _spans_corpus(spark)
+    spans = load_spans(spark, corpus)
+    x = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.col("sp.media_ref").isNotNull())
+        .select("doc_id", F.col("sp.media_ref").alias("m"))
+        .distinct()
+    )
+    left, right = x.alias("l"), x.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.m") < F.col("r.m")),
+        )
+        .select(F.col("l.m").alias("src"), F.col("r.m").alias("dst"))
+        .distinct()
+    )
+    return graph_summary(edges)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
