@@ -988,3 +988,123 @@ def wasserstein_drift(
             6,
         ).alias("w1"),
     )
+
+
+def wasserstein_drift_grouped(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1 << 10,
+) -> DataFrame:
+    """Per-group exact 1-Wasserstein drift — the per-key version of
+    wasserstein_drift with the grouped_quantiles discipline: every stage
+    (bin/value fold, bin prefix, within-bin cumulative, successor-gap
+    leads) keys by the group, so the plan has ZERO single-partition
+    exchanges and scales to any number of groups — the "which metric
+    moved, and by how many of its own units" drift panel.
+
+    Same exact arithmetic as the global operator (micro-unit integers,
+    decimal area fold, one division); groups present on only one side
+    report NULL w1 with their counts (no distance without both
+    distributions).  Output: (group, n_a, n_b, w1)."""
+    if hi <= lo:
+        raise ValueError(
+            f"wasserstein_drift_grouped: need lo < hi, got [{lo}, {hi})"
+        )
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, ca: int, cb: int) -> DataFrame:
+        g = F.col(group_col)
+        v = F.col(col).cast("double")
+        return df.filter(g.isNotNull() & v.isNotNull()).select(
+            g.cast("string").alias("_g"),
+            F.round(v * F.lit(1000000.0)).cast("long").alias("_vm"),
+            F.lit(ca).alias("_ca"),
+            F.lit(cb).alias("_cb"),
+        )
+
+    width = (float(hi) - float(lo)) * 1e6 / int(bins)
+    raw = F.floor(
+        (F.col("_vm") - F.lit(float(lo) * 1e6)) / F.lit(width)
+    ).cast("long")
+    binc = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1))
+    per = (
+        side(df_a, 1, 0)
+        .unionByName(side(df_b, 0, 1))
+        .withColumn("_bin", binc)
+        .groupBy("_g", "_bin", "_vm")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    )
+    bin_tot = per.groupBy("_g", "_bin").agg(F.min("_vm").alias("_first"))
+    w_bins = (
+        Window.partitionBy("_g")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lead_bin = Window.partitionBy("_g").orderBy("_bin")
+    bin_meta = bin_tot.select(
+        "_g",
+        "_bin",
+        F.lead("_first").over(w_lead_bin).alias("_nextbin_v"),
+    )
+    w_in = (
+        Window.partitionBy("_g", "_bin")
+        .orderBy("_vm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead_in = Window.partitionBy("_g", "_bin").orderBy("_vm")
+    tot = per.groupBy("_g").agg(
+        F.sum("_na").cast("decimal(38,0)").alias("_ta"),
+        F.sum("_nb").cast("decimal(38,0)").alias("_tb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = F.col("_na") + F.col("_nb")
+    cum = (
+        per.withColumn("_cuma", F.sum("_na").over(w_in))
+        .withColumn("_cumb", F.sum("_nb").over(w_in))
+        .withColumn("_lead", F.lead("_vm").over(w_lead_in))
+        .join(bin_meta, ["_g", "_bin"])
+        .withColumn("_next", F.coalesce(F.col("_lead"), F.col("_nextbin_v")))
+        .filter(F.col("_next").isNotNull())
+        .join(tot, "_g")
+    )
+    # the joint bin prefix (_pref) carries BOTH sides; the CDF gap needs
+    # PER-SIDE prefixes — fold them from per-side bin totals
+    per_side_bins = per.groupBy("_g", "_bin").agg(
+        F.sum("_na").alias("_ba"), F.sum("_nb").alias("_bb")
+    )
+    side_prefix = per_side_bins.select(
+        "_g",
+        "_bin",
+        F.coalesce(F.sum("_ba").over(w_bins), F.lit(0)).alias("_pa"),
+        F.coalesce(F.sum("_bb").over(w_bins), F.lit(0)).alias("_pb"),
+    )
+    cum2 = cum.join(side_prefix, ["_g", "_bin"])
+    term = F.abs(
+        dec(F.col("_cuma") + F.col("_pa")) * F.col("_tb")
+        - dec(F.col("_cumb") + F.col("_pb")) * F.col("_ta")
+    ) * dec(F.col("_next") - F.col("_vm"))
+    area = cum2.groupBy("_g").agg(F.sum(term).alias("_area"))
+    # derive the output from tot (which has EVERY group): a group whose
+    # pooled support is a single distinct value has no successor rows at
+    # all and would otherwise vanish (found by test); its area is 0
+    out = tot.join(area, "_g", "left")
+    both = (F.col("_ta") > 0) & (F.col("_tb") > 0)
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_ta").cast("long").alias("n_a"),
+        F.col("_tb").cast("long").alias("n_b"),
+        F.when(
+            both,
+            F.round(
+                F.coalesce(F.col("_area"), F.lit(0).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.col("_ta").cast("double") * F.col("_tb").cast("double"))
+                / F.lit(1000000.0),
+                6,
+            ),
+        ).alias("w1"),
+    )

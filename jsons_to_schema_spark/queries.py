@@ -14744,6 +14744,83 @@ def graph_summary_spans_media(spark, sf_dir) -> DataFrame:
     return graph_summary(edges)
 
 
+@query(
+    "wasserstein_grouped_events",
+    oracle="""
+    WITH a AS (
+      SELECT event_type AS g, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+      WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type AS g,
+             CAST(round((value + CASE WHEN event_type = 'error'
+                                      THEN 5.0 ELSE 0.0 END)
+                        * 1000000) AS BIGINT) AS vm
+      FROM events
+      WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    u AS (SELECT g, vm, 1 AS ca, 0 AS cb FROM a
+          UNION ALL SELECT g, vm, 0, 1 FROM b),
+    per AS (SELECT g, vm, sum(ca) AS na, sum(cb) AS nb
+            FROM u GROUP BY g, vm),
+    c AS (SELECT g, vm,
+                 sum(na) OVER w AS cum_a, sum(nb) OVER w AS cum_b,
+                 lead(vm) OVER (PARTITION BY g ORDER BY vm) AS nxt
+          FROM per
+          WINDOW w AS (PARTITION BY g ORDER BY vm
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT g,
+                 CAST(sum(na) AS BIGINT) AS ta,
+                 CAST(sum(nb) AS BIGINT) AS tb
+          FROM per GROUP BY g),
+    d AS (SELECT c.g,
+                 abs(CAST(c.cum_a AS HUGEINT) * t.tb
+                     - CAST(c.cum_b AS HUGEINT) * t.ta)
+                 * (c.nxt - c.vm) AS term
+          FROM c JOIN t ON t.g = c.g WHERE c.nxt IS NOT NULL),
+    area AS (SELECT g, sum(term) AS ar FROM d GROUP BY g)
+    SELECT t.g AS event_type, t.ta AS n_a, t.tb AS n_b,
+           CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+             round(CAST(coalesce(area.ar, 0) AS DOUBLE)
+                   / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE))
+                   / 1000000.0, 6)
+           END AS w1
+    FROM t LEFT JOIN area ON area.g = t.g
+    """,
+)
+def wasserstein_grouped_events(spark, sf_dir) -> DataFrame:
+    """Per-type exact 1-Wasserstein drift between two event snapshots
+    (drift.wasserstein_drift_grouped): even-id vs odd-id values with a
+    PLANTED +5.0 shift on 'error' only — the per-key drift panel in the
+    metric's own units: peers read 1.5–4 units (the even/odd sampling
+    noise floor at n≈1000 per side) and error reads 8.6 — the noise
+    floor PLUS the planted 5, exactly the separation a drift triage
+    needs,
+    with every stage keyed by the group (ZERO single-partition
+    exchanges — pytest-pinned; single-support groups report explicit
+    rows, found by test).  All 5 rows value-checked against the
+    per-group ordered replay."""
+    from .operators.drift import wasserstein_drift_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        (
+            F.col("value")
+            + F.when(F.col("event_type") == "error", F.lit(5.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("value"),
+    )
+    return wasserstein_drift_grouped(
+        a, b, "value", "event_type", 0.0, 510.0, bins=1 << 10
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
