@@ -14821,6 +14821,67 @@ def wasserstein_grouped_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "interarrival_users_events",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS k, epoch_us(ts) AS us, event_id AS tb
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT k, us - lag(us) OVER (PARTITION BY k ORDER BY us, tb) AS gap
+      FROM base
+    ),
+    agg AS (
+      SELECT k,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2,
+             CAST(max(gap) AS BIGINT) AS mx
+      FROM g GROUP BY k
+    )
+    SELECT k AS user_id, n_events, n_gaps,
+           CASE WHEN n_gaps >= 1
+                THEN round(s1 / CAST(n_gaps AS DOUBLE) / 1e6, 6)
+           END AS mean_gap_s,
+           CASE WHEN n_gaps >= 2 AND s1 / CAST(n_gaps AS DOUBLE) > 0
+                THEN round(sqrt(greatest((s2 - s1 * s1
+                       / CAST(n_gaps AS DOUBLE))
+                       / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+                     / (s1 / CAST(n_gaps AS DOUBLE)), 6)
+           END AS cv_gap,
+           CASE WHEN n_gaps >= 2 AND s1 / CAST(n_gaps AS DOUBLE) > 0
+                THEN round((sqrt(greatest((s2 - s1 * s1
+                       / CAST(n_gaps AS DOUBLE))
+                       / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+                     / (s1 / CAST(n_gaps AS DOUBLE)) - 1.0)
+                    / (sqrt(greatest((s2 - s1 * s1
+                       / CAST(n_gaps AS DOUBLE))
+                       / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+                     / (s1 / CAST(n_gaps AS DOUBLE)) + 1.0), 6)
+           END AS burstiness,
+           CASE WHEN n_gaps >= 1
+                THEN round(CAST(mx AS DOUBLE) / 1e6, 6)
+           END AS max_gap_s
+    FROM agg
+    """,
+)
+def interarrival_users_events(spark, sf_dir) -> DataFrame:
+    """Per-user inter-arrival burstiness (temporal.interarrival_profile)
+    — the temporal-behavior axis lateness (disorder_profile) and
+    staleness (freshness) don't measure: Goh–Barabási burstiness near
+    −1 betrays scripted metronome traffic, near +1 session-bursty
+    humans (both directions are anomaly signals).  Exact integer
+    microsecond gaps from a keyed (ts, event_id)-ordered lag, decimal
+    moments, round-6 CV/B; degenerate-key NULL contracts pinned.  All
+    150 user rows value-checked."""
+    from .operators.temporal import interarrival_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_profile(ev, "user_id", "ts", "event_id")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
