@@ -5718,3 +5718,73 @@ def ordinal_association(
         gamma.alias("gamma"),
         somers.alias("somers_d_ba"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared-mix conformance — wave 82
+# ---------------------------------------------------------------------------
+
+def mix_conformance(
+    df: DataFrame, col: str, expected: "dict[str, float]"
+) -> DataFrame:
+    """Chi-squared goodness-of-fit of a categorical column against a
+    DECLARED mix — the data-contract check category_shift (snapshot vs
+    snapshot) can't express: "traffic SHOULD be 20/20/20/20/20", "the
+    corpus SHOULD be 60% en / 30% zh / 10% other" — the contract is the
+    baseline, not another sample.  Categories observed but NOT declared
+    are the loudest violation and get their own rows (expected share 0,
+    chi² undefined — flagged, never silently pooled).
+
+    Exact long counts; expected counts = share·n as doubles from exact
+    operands; per-category χ² terms (o−e)²/e round-6, the total folded
+    in CATEGORY ORDER (the anova discipline) with df = k_declared − 1
+    emitted alongside (k-dependent gating is the caller's job — the
+    anova convention).  Declared-but-absent categories appear with
+    observed 0 (their full expected mass is the deviation).
+
+    Output: (category, observed, expected_share, expected_n, chi2_term,
+    undeclared) — one row per declared ∪ observed category, plus the
+    caller folds chi2_term for the scalar."""
+    if not expected:
+        raise ValueError("mix_conformance: expected mix must be non-empty")
+    total_share = sum(expected.values())
+    if abs(total_share - 1.0) > 1e-9:
+        raise ValueError(
+            f"mix_conformance: expected shares must sum to 1, got {total_share}"
+        )
+    if any(s <= 0 for s in expected.values()):
+        raise ValueError("mix_conformance: declared shares must be positive")
+    g = F.col(col)
+    counts = (
+        df.filter(g.isNotNull())
+        .groupBy(g.cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    spark = df.sparkSession
+    decl = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(expected.items())],
+        "category string, expected_share double",
+    )
+    joined = decl.join(counts, "category", "full_outer")
+    tot = counts.agg(F.sum("observed").cast("long").alias("_n"))
+    out = joined.crossJoin(F.broadcast(tot))
+    obs = F.coalesce(F.col("observed"), F.lit(0)).cast("long")
+    n = F.col("_n").cast("double")
+    exp_n = F.col("expected_share") * n
+    chi2 = F.when(
+        F.col("expected_share").isNotNull(),
+        F.round(
+            (obs.cast("double") - exp_n) * (obs.cast("double") - exp_n) / exp_n,
+            6,
+        ),
+    )
+    return out.select(
+        "category",
+        obs.alias("observed"),
+        F.col("expected_share"),
+        F.when(F.col("expected_share").isNotNull(), F.round(exp_n, 6)).alias(
+            "expected_n"
+        ),
+        chi2.alias("chi2_term"),
+        F.col("expected_share").isNull().alias("undeclared"),
+    )

@@ -14882,6 +14882,69 @@ def interarrival_users_events(spark, sf_dir) -> DataFrame:
     return interarrival_profile(ev, "user_id", "ts", "event_id")
 
 
+@query(
+    "mix_conformance_events",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS category,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    decl AS (
+      SELECT category, CAST(expected_share AS DOUBLE) AS expected_share
+      FROM (VALUES
+        ('click', 0.25), ('error', 0.1), ('purchase', 0.2),
+        ('signup', 0.2), ('view', 0.2), ('refund', 0.05))
+        AS t(category, expected_share)
+    ),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM counts),
+    j AS (
+      SELECT coalesce(d.category, c.category) AS category,
+             coalesce(c.observed, 0) AS observed,
+             d.expected_share
+      FROM decl d FULL OUTER JOIN counts c ON c.category = d.category
+    )
+    SELECT j.category, j.observed, j.expected_share,
+           CASE WHEN j.expected_share IS NOT NULL
+                THEN round(j.expected_share * CAST(tot.n AS DOUBLE), 6)
+           END AS expected_n,
+           CASE WHEN j.expected_share IS NOT NULL THEN
+             round((CAST(j.observed AS DOUBLE)
+                    - j.expected_share * CAST(tot.n AS DOUBLE))
+                   * (CAST(j.observed AS DOUBLE)
+                      - j.expected_share * CAST(tot.n AS DOUBLE))
+                   / (j.expected_share * CAST(tot.n AS DOUBLE)), 6)
+           END AS chi2_term,
+           j.expected_share IS NULL AS undeclared
+    FROM j, tot
+    """,
+)
+def mix_conformance_events(spark, sf_dir) -> DataFrame:
+    """Declared-mix conformance (stats.mix_conformance): the event
+    stream checked against a CONTRACT mix that deliberately disagrees
+    with reality — it declares error at 10% (actual ~20%) and a
+    'refund' type that doesn't exist — so the report must show error's
+    chi² term dominating AND the declared-but-absent refund carrying
+    its full expected mass (declared-but-absent and observed-but-
+    undeclared are the two loudest contract violations, never silently
+    pooled).  All 6 rows value-checked."""
+    from .operators.stats import mix_conformance
+
+    ev = load_table(spark, sf_dir, "events")
+    return mix_conformance(
+        ev,
+        "event_type",
+        {
+            "click": 0.25,
+            "error": 0.10,
+            "purchase": 0.20,
+            "signup": 0.20,
+            "view": 0.20,
+            "refund": 0.05,
+        },
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
