@@ -1569,3 +1569,30 @@ def test_wave75_78_ops_no_python(spark):
         plan = audit.executed_plan(q)
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wave80_82_ops_no_python(spark):
+    """Grouped W1 (zero single-partition pinned in its own test),
+    inter-arrival profile, mix conformance: keyed windows/aggregates,
+    bounded spines — no Python, no Cartesian."""
+    from jsons_to_schema_spark.operators.drift import wasserstein_drift_grouped
+    from jsons_to_schema_spark.operators.stats import mix_conformance
+    from jsons_to_schema_spark.operators.temporal import interarrival_profile
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    frames = [
+        wasserstein_drift_grouped(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            "value", "event_type", 0.0, 500.0, 64,
+        ),
+        interarrival_profile(ev, "user_id", "ts", "event_id"),
+        mix_conformance(
+            ev, "event_type",
+            {"click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2},
+        ),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
