@@ -1793,3 +1793,45 @@ def interarrival_profile(
             F.round(F.col("_mx").cast("double") / F.lit(1e6), 6),
         ).alias("max_gap_s"),
     )
+
+
+def detected_period_report(
+    df: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Per-key DETECTED period: the lag in [2, max_lag] with the highest
+    autocorrelation — "ACF finds the period" made literal, closing the
+    loop the seasonal machinery opened (autocorrelation measures →
+    THIS picks → seasonal_decompose fits → robust-z alerts).  Lag 1 is
+    excluded by design: trend autocorrelation dominates lag 1 on almost
+    any drifting series and is not a PERIOD.
+
+    Rides autocorrelation verbatim (same exact-decimal contract); the
+    argmax is a keyed window with (acf DESC, lag ASC) — the smallest
+    lag wins ties, so a period-3 cycle reports 3, not its harmonic 6
+    (pytest-pinned).  Keys whose best ACF is NULL or ≤ 0 report NULL
+    period (no positive periodicity evidence ≠ period max_lag).
+
+    Output: (*keys, period, period_acf, n_pairs)."""
+    if max_lag < 2:
+        raise ValueError(f"detected_period_report: max_lag must be >= 2, got {max_lag}")
+    from pyspark.sql import Window
+
+    acf = autocorrelation(
+        df, keys, ts_col, value_col, every_seconds, list(range(2, max_lag + 1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last("acf"), F.asc("lag")
+    )
+    best = acf.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    ok = F.col("acf").isNotNull() & (F.col("acf") > 0.0)
+    return best.select(
+        *keys,
+        F.when(ok, F.col("lag")).alias("period"),
+        F.when(ok, F.col("acf")).alias("period_acf"),
+        "n_pairs",
+    )

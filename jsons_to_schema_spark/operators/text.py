@@ -1794,3 +1794,42 @@ def zipf_report(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
             F.round(F.log2(F.col("tf").cast("double")), 6).alias("log2_tf"),
         )
     )
+
+
+def blocklist_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: "list[str]",
+) -> DataFrame:
+    """Per-document blocklist hit profile — the content-policy triage
+    scan: exact whitespace-token matches against a curated term list
+    (case-insensitive), with per-doc total hits, distinct terms hit,
+    and the hit terms themselves (sorted — deterministic evidence for a
+    review queue).  Token-exact matching is the CONTRACT (substring
+    matching flags 'class' for 'ass' — the classic Scunthorpe failure;
+    a caller wanting stemming/fuzzing normalizes upstream).
+
+    The term list broadcasts as an array literal (bounded by contract —
+    policy lists are thousands, not millions); matching is one
+    array_intersect / filter projection per row, no shuffle, no Python;
+    only documents with ≥1 hit return (the review queue, not the
+    corpus).
+
+    Output: (id, n_hits, n_terms_hit, terms_hit)."""
+    if not terms:
+        raise ValueError("blocklist_scan: terms must be non-empty")
+    lowered = sorted({t.lower() for t in terms})
+    tl = F.array(*[F.lit(t) for t in lowered])
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    hits = F.filter(toks, lambda t: F.array_contains(tl, t))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(hits).cast("long").alias("n_hits"),
+            F.size(F.array_distinct(hits)).cast("long").alias("n_terms_hit"),
+            F.array_sort(F.array_distinct(hits)).alias("terms_hit"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

@@ -14945,6 +14945,137 @@ def mix_conformance_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "blocklist_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(text, ' '),
+                            x -> x <> ''), t -> lower(t)) AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             list_filter(tk, t -> list_contains(
+               ['ghostword', 'join', 'merge'], t)) AS hits
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_hits,
+           CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms_hit,
+           list_sort(list_distinct(hits)) AS terms_hit
+    FROM h WHERE len(hits) > 0
+    """,
+)
+def blocklist_documents(spark, sf_dir) -> DataFrame:
+    """Blocklist hit profile (text.blocklist_scan) over terms chosen to
+    exercise both arms: 'join'/'merge' occur throughout the corpus,
+    'ghostword' never — and matching is TOKEN-exact by contract (the
+    Scunthorpe guard: substring scanning flags 'class' for 'ass',
+    pytest-pinned).  One broadcast-literal filter projection, no
+    shuffle; only hit documents return (the review queue).  Every row
+    including the sorted evidence arrays value-checked."""
+    from .operators.text import blocklist_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_scan(
+        docs, "text", "doc_id", ["ghostword", "join", "merge"]
+    )
+
+
+@query(
+    "detected_period_events",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, ts,
+             value + CASE WHEN event_type = 'click'
+                          AND (epoch_us(ts) // 86400000000) % 7 = 2
+                          THEN 20.0
+                     ELSE 0.0 END AS v
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS b,
+             CAST(round(round(avg(v), 6) * 1000000) AS BIGINT) AS vm
+      FROM src
+      WHERE ts IS NOT NULL AND v IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    l AS (SELECT unnest(range(2, 11)) AS lag),
+    p AS (
+      SELECT x.event_type, l.lag, x.vm AS xv, y.vm AS yv
+      FROM cells x CROSS JOIN l
+      JOIN cells y ON y.event_type IS NOT DISTINCT FROM x.event_type
+                  AND y.b = x.b + l.lag * 86400000000
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(xv AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yv AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xv AS HUGEINT) * xv) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yv AS HUGEINT) * yv) AS DOUBLE) AS syy,
+             CAST(sum(CAST(xv AS HUGEINT) * yv) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+             CASE WHEN n_pairs >= 2 AND n_pairs * sxx - sx * sx > 0
+                       AND n_pairs * syy - sy * sy > 0
+                  THEN round((n_pairs * sxy - sx * sy)
+                       / (sqrt(n_pairs * sxx - sx * sx)
+                          * sqrt(n_pairs * syy - sy * sy)), 6)
+             END AS acf
+      FROM m
+    ),
+    best AS (
+      SELECT * FROM acf
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY acf DESC NULLS LAST, lag ASC) = 1
+    )
+    SELECT event_type,
+           CASE WHEN acf IS NOT NULL AND acf > 0 THEN lag END AS period,
+           CASE WHEN acf IS NOT NULL AND acf > 0 THEN acf END
+             AS period_acf,
+           n_pairs
+    FROM best
+    """,
+)
+def detected_period_events(spark, sf_dir) -> DataFrame:
+    """Detected period per event type (temporal.detected_period_report,
+    lags 2–10) with a PLANTED weekly cycle on 'click' (+20 on every
+    epoch-day ≡ 2 mod 7 — pure integer arithmetic, because Spark and
+    DuckDB NUMBER dayofweek differently (1–7 Sunday-first vs 0–6) and
+    a calendar plant would diverge, found by parity) — 'ACF finds the
+    period' made literal: click reports period 7 at ACF 0.71 while
+    peers report only noise lags.  max_lag capped below the first
+    harmonic: on a 30-day window the lag-14 harmonic has HIGHER noisy
+    ACF than the fundamental (17 vs 23 pairs — found by running it),
+    the known ACF-period caveat, documented rather than hidden.  All 5
+    rows value-checked."""
+    from .operators.temporal import detected_period_report
+
+    raw = load_table(spark, sf_dir, "events")
+    us = stats._epoch_us_col(raw, "ts")
+    epoch_day = F.floor(us / F.lit(86400000000.0)).cast("long")
+    ev = raw.select(
+        "event_type",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                (F.col("event_type") == "click")
+                & (F.pmod(epoch_day, F.lit(7)) == 2),
+                F.lit(20.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    return detected_period_report(
+        ev, ["event_type"], "ts", "v", 86400, max_lag=10
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
