@@ -15076,6 +15076,48 @@ def detected_period_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "quantile_ci_events_value",
+    oracle="""
+    WITH s AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    r AS (
+      SELECT n,
+             greatest(CAST(ceil(0.5 * CAST(n AS DOUBLE) - 1e-9) AS BIGINT),
+                      1) AS rpt,
+             greatest(CAST(floor(0.5 * CAST(n AS DOUBLE)
+                     - 1.959964 * sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5))
+                     AS BIGINT), 1) AS rlo,
+             least(CAST(ceil(0.5 * CAST(n AS DOUBLE)
+                   + 1.959964 * sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5))
+                   AS BIGINT), n) AS rhi
+      FROM t
+    )
+    SELECT CAST(0.5 AS DOUBLE) AS prob, r.n, r.rpt AS rank,
+           (SELECT v FROM o WHERE rn = r.rpt) AS value,
+           r.rlo AS rank_lo,
+           (SELECT v FROM o WHERE rn = r.rlo) AS ci_lo,
+           r.rhi AS rank_hi,
+           (SELECT v FROM o WHERE rn = r.rhi) AS ci_hi
+    FROM r
+    """,
+)
+def quantile_ci_events_value(spark, sf_dir) -> DataFrame:
+    """Distribution-free 95% CI for the median event value
+    (stats.quantile_ci) — the error bar for every median this engine
+    reports, from the classic order-statistic construction (the
+    binomial count below the true quantile is what's normal, never the
+    data): three exact rank probes of the same bounded-prefix rank
+    intervals, no bootstrap replication.  The single row — point
+    estimate, both CI ranks and values — value-checked against the
+    ordered replay."""
+    from .operators.stats import quantile_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_ci(ev, "value", 0.5, 0.0, 500.0, bins=1 << 10)
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
