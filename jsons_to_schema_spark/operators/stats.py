@@ -5870,3 +5870,56 @@ def quantile_ci(
             "ci_hi",
         )
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    flag_col,
+    group_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group Wilson score interval for a rate — the error bar for
+    every error-rate / conversion / null-rate this engine reports, and
+    specifically NOT the naive Wald interval (p ± z√(p(1−p)/n)), which
+    collapses to zero width at p = 0 or 1 — exactly where rate
+    monitoring matters most ("0 errors in 50 rows" is NOT a 0%-wide
+    certainty; Wilson gives [0, 7.1%]).
+
+    center = (x + z²/2)/(n + z²), half = z·√(p(1−p)/n + z²/4n²)·n/(n+z²)
+    — the standard closed form, computed from exact long counts in
+    identical expression order, round-6.  NULL flags carry no evidence;
+    groups keep a row even at x = 0 or x = n (the whole point).
+
+    Output: (group, n, x, rate, ci_lo, ci_hi)."""
+    g = F.col(group_col)
+    flag = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast(
+        "boolean"
+    )
+    counts = (
+        df.filter(g.isNotNull() & flag.isNotNull())
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("x"),
+        )
+    )
+    zz = F.lit(float(z))
+    n = F.col("n").cast("double")
+    x = F.col("x").cast("double")
+    p = x / n
+    z2 = zz * zz
+    center = (x + z2 / F.lit(2.0)) / (n + z2)
+    half = (
+        zz
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        * n
+        / (n + z2)
+    )
+    return counts.select(
+        group_col,
+        "n",
+        "x",
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("ci_lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("ci_hi"),
+    )

@@ -15118,6 +15118,61 @@ def quantile_ci_events_value(spark, sf_dir) -> DataFrame:
     return quantile_ci(ev, "value", 0.5, 0.0, 500.0, bins=1 << 10)
 
 
+@query(
+    "error_rate_ci_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    )
+    SELECT g AS event_type, n, x,
+           round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           round(greatest(
+             (CAST(x AS DOUBLE) + 1.959964 * 1.959964 / 2.0)
+               / (CAST(n AS DOUBLE) + 1.959964 * 1.959964)
+             - 1.959964
+               * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 1.959964 * 1.959964
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               * CAST(n AS DOUBLE)
+               / (CAST(n AS DOUBLE) + 1.959964 * 1.959964), 0.0), 6)
+             AS ci_lo,
+           round(least(
+             (CAST(x AS DOUBLE) + 1.959964 * 1.959964 / 2.0)
+               / (CAST(n AS DOUBLE) + 1.959964 * 1.959964)
+             + 1.959964
+               * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 1.959964 * 1.959964
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               * CAST(n AS DOUBLE)
+               / (CAST(n AS DOUBLE) + 1.959964 * 1.959964), 1.0), 6)
+             AS ci_hi
+    FROM c
+    """,
+)
+def error_rate_ci_events(spark, sf_dir) -> DataFrame:
+    """Wilson 95% interval per event type for the is-this-an-error rate
+    (stats.proportion_ci) — the deliberately degenerate-by-construction
+    fixture: each type's rate is exactly 0 or exactly 1, where the
+    naive Wald interval collapses to zero width and Wilson keeps honest
+    nonzero uncertainty (the '0 errors in 50 rows ≠ certainty' case,
+    pytest-pinned at [0, 7.1%]).  Exact counts, closed form in
+    identical operand order; all 5 rows value-checked."""
+    from .operators.stats import proportion_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return proportion_ci(
+        ev, F.col("event_type") == "error", "event_type"
+    )
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
