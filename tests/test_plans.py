@@ -1596,3 +1596,25 @@ def test_wave80_82_ops_no_python(spark):
         plan = audit.executed_plan(q)
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wave83_85_ops_no_python(spark):
+    """Blocklist scan, detected period, quantile CI, proportion CI:
+    projections, rank probes, and bounded folds — no Python, no
+    Cartesian beyond broadcast 1-row/rank frames."""
+    from jsons_to_schema_spark.operators.stats import proportion_ci, quantile_ci
+    from jsons_to_schema_spark.operators.temporal import detected_period_report
+    from jsons_to_schema_spark.operators.text import blocklist_scan
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    frames = [
+        blocklist_scan(docs, "text", "doc_id", ["join", "merge"]),
+        detected_period_report(ev, ["event_type"], "ts", "value", 86400, 6),
+        quantile_ci(ev, "value", 0.5, 0.0, 500.0, 64),
+        proportion_ci(ev, F.col("event_type") == "error", "event_type"),
+    ]
+    for q in frames:
+        plan = audit.executed_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
