@@ -5923,3 +5923,65 @@ def proportion_ci(
         F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("ci_lo"),
         F.round(F.least(center + half, F.lit(1.0)), 6).alias("ci_hi"),
     )
+
+
+def correlation_ci(
+    df: DataFrame, col_a: str, col_b: str, z: float = 1.959964
+) -> DataFrame:
+    """Fisher-z confidence interval for a Pearson correlation — the
+    third member of the engine's error-bar trio (quantile_ci for
+    location, proportion_ci for rates, this for association): r alone
+    says nothing about whether 0.3 is real or noise; the Fisher
+    transform z' = atanh(r) is approximately normal with SE 1/√(n−3),
+    and the interval back-transforms through tanh.
+
+    Exactness: r derives from exact quantized decimal moments (the
+    correlation_pairs contract); atanh/tanh are written EXPLICITLY as
+    0.5·ln((1+r)/(1−r)) and (e²ᶻ−1)/(e²ᶻ+1) so both engines evaluate
+    the same ln/exp compositions in the same order (the engine's
+    round-6 guard absorbs last-ulp libm variation, as everywhere ln is
+    already oracled).  Degenerate cases by contract: n < 4 or |r| = 1
+    (atanh diverges) report NULL bounds.
+
+    Output: one row (n, r, ci_lo, ci_hi)."""
+    a = F.col(col_a)
+    b = F.col(col_b)
+    am = F.round(a * F.lit(1000000.0)).cast("long")
+    bm = F.round(b * F.lit(1000000.0)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(am)).alias("_sx"),
+        F.sum(dec(bm)).alias("_sy"),
+        F.sum(dec(am) * am).alias("_sxx"),
+        F.sum(dec(bm) * bm).alias("_syy"),
+        F.sum(dec(am) * bm).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    # the degeneracy gate compares the ROUND-6 r: a perfect line computes
+    # r = 0.999999999999…8 in doubles, slips past |r| < 1, and the
+    # back-transform returns a fake ~1.0-wide bound (found by test)
+    ok = (
+        (F.col("_n") >= 4)
+        & (vx > 0.0)
+        & (vy > 0.0)
+        & (F.abs(F.round(r, 6)) < 1.0)
+    )
+    zf = F.lit(0.5) * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+    se = F.lit(float(z)) / F.sqrt(n - F.lit(3.0))
+
+    def back(zv):
+        e2 = F.exp(F.lit(2.0) * zv)
+        return (e2 - F.lit(1.0)) / (e2 + F.lit(1.0))
+
+    return m.select(
+        F.col("_n").alias("n"),
+        F.when((vx > 0.0) & (vy > 0.0), F.round(r, 6)).alias("r"),
+        F.when(ok, F.round(back(zf - se), 6)).alias("ci_lo"),
+        F.when(ok, F.round(back(zf + se), 6)).alias("ci_hi"),
+    )

@@ -15173,6 +15173,64 @@ def error_rate_ci_events(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "correlation_ci_lineitem",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(round(l_quantity * 1000000.0) AS BIGINT) AS am,
+             CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS bm
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(am AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(bm AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(am AS HUGEINT) * am) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(bm AS HUGEINT) * bm) AS DOUBLE) AS syy,
+             CAST(sum(CAST(am AS HUGEINT) * bm) AS DOUBLE) AS sxy
+      FROM q
+    ),
+    c AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS r,
+             1.959964 / sqrt(CAST(n AS DOUBLE) - 3.0) AS se
+      FROM m
+    ),
+    f AS (
+      SELECT n, r, se,
+             0.5 * ln((1.0 + r) / (1.0 - r)) AS zf,
+             (n >= 4 AND abs(round(r, 6)) < 1.0) AS ok
+      FROM c
+    )
+    SELECT n, round(r, 6) AS r,
+           CASE WHEN ok THEN
+             round((exp(2.0 * (zf - se)) - 1.0)
+                   / (exp(2.0 * (zf - se)) + 1.0), 6) END AS ci_lo,
+           CASE WHEN ok THEN
+             round((exp(2.0 * (zf + se)) - 1.0)
+                   / (exp(2.0 * (zf + se)) + 1.0), 6) END AS ci_hi
+    FROM f
+    """,
+)
+def correlation_ci_lineitem(spark, sf_dir) -> DataFrame:
+    """Fisher-z 95% interval for corr(l_quantity, l_extendedprice)
+    (stats.correlation_ci) — completing the engine's error-bar trio
+    (quantile_ci: location, proportion_ci: rates, this: association):
+    the generator draws the two independently, so the interval must
+    STRADDLE ZERO — the 'is 0.01 real?' reading this CI exists to give.
+    Exact decimal moments; atanh/tanh written explicitly as ln/exp
+    compositions evaluated in identical order; the degeneracy gate
+    compares the ROUND-6 r (a perfect line's double r slips past
+    |r| < 1 — caught by test).  The single row value-checked."""
+    from .operators.stats import correlation_ci
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_ci(li, "l_quantity", "l_extendedprice")
+
+
 def _load_constant_oracles() -> None:
     import json
     from pathlib import Path
