@@ -5985,3 +5985,64 @@ def correlation_ci(
         F.when(ok, F.round(back(zf - se), 6)).alias("ci_lo"),
         F.when(ok, F.round(back(zf + se), 6)).alias("ci_hi"),
     )
+
+
+def grouped_correlation_ci(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group Fisher-z correlation CI — the association error-bar
+    PANEL: which segment's correlation is real and which is a small-n
+    mirage (a segment of 40 rows at r = 0.3 and one of 40,000 at
+    r = 0.03 can be equally (in)significant — the intervals say so,
+    the point estimates lie).  Identical contracts to correlation_ci
+    (exact decimal moments, explicit ln/exp, ROUND-6 degeneracy gate),
+    grouped: one keyed aggregate, group-sized output, nothing global.
+
+    Output: (group, n, r, ci_lo, ci_hi) — one row per group."""
+    g = F.col(group_col)
+    a, b = F.col(col_a), F.col(col_b)
+    am = F.round(a * F.lit(1000000.0)).cast("long")
+    bm = F.round(b * F.lit(1000000.0)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        df.filter(g.isNotNull() & a.isNotNull() & b.isNotNull())
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(dec(am)).alias("_sx"),
+            F.sum(dec(bm)).alias("_sy"),
+            F.sum(dec(am) * am).alias("_sxx"),
+            F.sum(dec(bm) * bm).alias("_syy"),
+            F.sum(dec(am) * bm).alias("_sxy"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    ok = (
+        (F.col("_n") >= 4)
+        & (vx > 0.0)
+        & (vy > 0.0)
+        & (F.abs(F.round(r, 6)) < 1.0)
+    )
+    zf = F.lit(0.5) * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+    se = F.lit(float(z)) / F.sqrt(n - F.lit(3.0))
+
+    def back(zv):
+        e2 = F.exp(F.lit(2.0) * zv)
+        return (e2 - F.lit(1.0)) / (e2 + F.lit(1.0))
+
+    return m.select(
+        group_col,
+        F.col("_n").alias("n"),
+        F.when((vx > 0.0) & (vy > 0.0), F.round(r, 6)).alias("r"),
+        F.when(ok, F.round(back(zf - se), 6)).alias("ci_lo"),
+        F.when(ok, F.round(back(zf + se), 6)).alias("ci_hi"),
+    )

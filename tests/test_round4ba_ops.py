@@ -1,6 +1,8 @@
 """Wave-86 operator tests: Fisher-z correlation CI."""
 
 import math
+
+from pyspark.sql import functions as F
 import random
 
 import pytest
@@ -66,3 +68,33 @@ def test_ci_degenerate_contracts(spark):
     # n < 4
     got2 = _ci(spark, [(1.0, 5.0), (2.0, 3.0), (3.0, 4.0)])
     assert got2["ci_lo"] is None
+
+
+def test_grouped_ci_panel(spark):
+    from jsons_to_schema_spark.operators.stats import grouped_correlation_ci
+
+    rng = random.Random(8603)
+    rows = []
+    # 'real': strong association; 'mirage': weak with tiny n; 'null': none
+    for _ in range(300):
+        x = rng.gauss(0, 1)
+        rows.append(("real", x, 0.8 * x + rng.gauss(0, 0.5)))
+        rows.append(("null", rng.gauss(0, 1), rng.gauss(0, 1)))
+    for _ in range(12):
+        x = rng.gauss(0, 1)
+        rows.append(("mirage", x, 0.3 * x + rng.gauss(0, 1)))
+    df = spark.createDataFrame(rows, "g string, a double, b double").repartition(4)
+    got = {
+        r["g"]: (r["n"], r["r"], r["ci_lo"], r["ci_hi"])
+        for r in grouped_correlation_ci(df, "a", "b", "g").collect()
+    }
+    assert got["real"][2] > 0.7              # decisively positive
+    assert got["null"][2] < 0 < got["null"][3]   # straddles zero
+    assert got["mirage"][2] < 0 < got["mirage"][3]  # small-n: honest doubt
+    # per-group parity vs the ungrouped operator on the slice
+    from jsons_to_schema_spark.operators.stats import correlation_ci
+
+    solo = correlation_ci(
+        df.filter(F.col("g") == "real"), "a", "b"
+    ).collect()[0]
+    assert got["real"] == (solo["n"], solo["r"], solo["ci_lo"], solo["ci_hi"])
