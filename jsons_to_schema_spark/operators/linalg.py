@@ -174,7 +174,10 @@ def embedding_covariance(
         "i",
         "j",
         F.col("_n").cast("long").alias("n"),
-        F.round(cov, 6).alias("cov"),
+        # + 0.0 collapses IEEE -0.0 to +0.0: Spark's F.round goes through
+        # BigDecimal (no signed zero) while DuckDB's round keeps the sign,
+        # so a single -0.0 entry hash-mismatches the driver (r4 verdict).
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
     )
 
 

@@ -1602,12 +1602,19 @@ def survival_logrank(
     discipline), round-6 only at the output.
 
     Output: one row (group_a, group_b, n_a, n_b, o_a, e_a, o_b, e_b,
-    chi2, significant)."""
+    chi2, significant).  The arity precheck collects at most 3 distinct
+    group values (limit 3), so misuse with a high-cardinality group
+    column raises without a driver-sized materialization."""
     d, o, g = F.col(duration_col), F.col(observed_col), F.col(group_col)
     base = df.filter(d.isNotNull() & o.isNotNull() & g.isNotNull()).select(
         d.alias("_t"), o.cast("boolean").alias("_o"), g.cast("string").alias("_g")
     )
-    groups = [r["_g"] for r in base.select("_g").distinct().orderBy("_g").collect()]
+    # limit(3): three rows already prove "not exactly 2" — never materialize
+    # a high-cardinality group column on the driver just to raise (r4 verdict).
+    groups = [
+        r["_g"]
+        for r in base.select("_g").distinct().orderBy("_g").limit(3).collect()
+    ]
     if len(groups) != 2:
         raise ValueError(
             f"survival_logrank: need exactly 2 groups, got {groups}"

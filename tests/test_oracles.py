@@ -31,7 +31,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        r = round(v, 9)
+        if r == 0.0:
+            # Distinguish IEEE signed zeros: Python == treats -0.0 == 0.0 but
+            # the driver's byte-level hash does not, so parity must see the
+            # sign or it cannot predict CORRECTNESS_r{N} (r4 finding 2).
+            return "-0.0" if math.copysign(1.0, r) < 0 else "+0.0"
+        return r
     if hasattr(v, "item"):  # numpy scalars from duckdb
         return _norm(v.item())
     return v
