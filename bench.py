@@ -462,8 +462,34 @@ def main() -> None:
     log(f"[bench] spans corpus n={BENCH_DOCS}")
     corpus = ensure_corpus(BENCH_DOCS)
 
-    probes = await_healthy_host()
-    r = bench_once(CPUS, corpus)
+    # r5 (r4 verdict item 5): BENCH_r04.json got stamped degraded because
+    # the whole bench landed in one bad host phase even after the pre-run
+    # probe gate.  Outer retry: if the MEASUREMENT-TIME probe still reads
+    # degraded, re-run the whole bench up to SPARK_GRAFT_BENCH_RETRIES
+    # extra times (host phases are multi-minute; a fresh JVM in a later
+    # phase usually lands healthy) and emit the best healthy run — or the
+    # fastest run, explicitly degraded-stamped, if none was.
+    bench_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    attempts = []
+    for attempt in range(1 + bench_retries):
+        probes = await_healthy_host()
+        r = bench_once(CPUS, corpus)
+        r["_probes"] = probes
+        r["_degraded"] = bool(
+            probes[-1] < HEALTH_THRESHOLD_GB_S
+            or r["host_memfault_gb_per_sec"] < HEALTH_THRESHOLD_GB_S
+        )
+        attempts.append(r)
+        if not r["_degraded"]:
+            break
+        log(
+            f"[bench] attempt {attempt + 1} measured on a degraded host "
+            f"(memfault {r['host_memfault_gb_per_sec']} GB/s)"
+        )
+    healthy = [a for a in attempts if not a["_degraded"]]
+    pool = healthy or attempts
+    r = min(pool, key=lambda a: a["flagship_s"])
+    probes = r["_probes"]
     out = {
         "metric": "docs_per_sec_unified_validated",
         "value": round(r["n_docs"] / r["flagship_s"], 1),
@@ -478,10 +504,8 @@ def main() -> None:
         # means this line is a HOST record — compare engine changes against
         # the most recent healthy-stamped line instead.
         "host_probe_history_gb_per_sec": probes,
-        "degraded_host": bool(
-            probes[-1] < HEALTH_THRESHOLD_GB_S
-            or r["host_memfault_gb_per_sec"] < HEALTH_THRESHOLD_GB_S
-        ),
+        "degraded_host": r["_degraded"],
+        "bench_attempts": len(attempts),
     }
     print(json.dumps(out))
 

@@ -168,7 +168,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_windows_events",
     "stream_new_category_alerts",
     "pack_sequences_subword_documents",
-    "chunk_subword_documents",
+    "pack_sequences_bpe_documents",  # r5 NEW: learned-BPE budget (item 6)
     "uniqueness_profile_documents",
     "jsonl_quarantine_documents",
     "spans_repair",

@@ -492,3 +492,125 @@ ORACLES["context_fit_documents"] = " ".join(
     """
     ).split()
 )
+
+
+# ---------------------------------------------------------------------------
+# r5 (r4 verdict item 6): the LEARNED BPE vocabulary driving a budget path.
+# bpe.py learned real merges since r4 but nothing consumed them; this wires
+# learn_bpe_vocab -> pack_sequences(tokenizer="bpe") end-to-end and oracles
+# the result with the same recursive-CTE discipline as the pinned-vocab
+# subword family — except the CTE applies merges by RANK (classic BPE
+# inference), not greedy longest-prefix.
+#
+# The merge list below is the sf0.01 learning output (num_merges=40,
+# max_words=10000, lowercase), pinned so the oracle SQL is static; the
+# SPARK side learns live from sf_dir, so any drift in the distributed
+# word-count or the merge fold breaks the driver hash (tests/test_bpe.py
+# asserts pinned == live at sf0.01 as the faster CI tripwire).  Pinning is
+# sf0.01-scoped — the driver's and parity's correctness SF, same
+# convention as the schema constants in queries/schema.py.
+# ---------------------------------------------------------------------------
+
+PINNED_BPE_MERGES_SF001: tuple = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"),
+)
+
+
+def _bpe_merges_values_sql() -> str:
+    return ", ".join(
+        f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(PINNED_BPE_MERGES_SF001)
+    )
+
+
+@query(
+    "pack_sequences_bpe_documents",
+    oracle=None,  # resolved below — needs the pinned merge list inlined
+)
+def pack_sequences_bpe_documents(spark, sf_dir) -> DataFrame:
+    """pack_sequences with the budget in LEARNED-BPE tokens: learn the
+    merge list from THIS corpus (bpe.learn_bpe_vocab — Zipf-bounded
+    distributed word count + deterministic driver fold), then pack 320-
+    token sequences per source shard with bpe_count_udf as the budget
+    meter.  End-to-end this is the real tokenizer-artifact path a training
+    pipeline runs: vocabulary from the data, budgets in that vocabulary's
+    tokens.  The oracle re-derives every per-document count in DuckDB by
+    applying the pinned (sf0.01) merge list rank-by-rank in a recursive
+    CTE — merging one leftmost lowest-rank pair per step, which provably
+    equals the merge-all-occurrences classic encoder because any pair
+    containing a just-created symbol was learned later and so ranks
+    strictly higher."""
+    from ..operators import bpe, pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_vocab(docs, "text", num_merges=40, max_words=10_000)
+    out = pack.pack_sequences(
+        docs, "doc_id", "source", budget=320, tokenizer="bpe", bpe_merges=merges
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "shard", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
+ORACLES["pack_sequences_bpe_documents"] = " ".join(
+    f"""
+    WITH RECURSIVE
+    merges(rank, l, r) AS (
+      SELECT * FROM (VALUES {_bpe_merges_values_sql()}) t(rank, l, r)
+    ),
+    wlist AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS w
+      FROM documents
+    ),
+    words(w) AS (SELECT DISTINCT w FROM wlist),
+    enc(w, syms, it) AS (
+      SELECT w, string_split(w, ''), 0 FROM words
+      UNION ALL
+      SELECT e.w,
+             list_concat(
+               list_concat(e.syms[1:b.i-1], [e.syms[b.i] || e.syms[b.i+1]]),
+               e.syms[b.i+2:len(e.syms)]),
+             e.it + 1
+      FROM enc e
+      JOIN LATERAL (
+        SELECT t.i, m.rank
+        FROM (SELECT unnest(range(1, len(e.syms))) AS i) t(i)
+        JOIN merges m ON m.l = e.syms[t.i] AND m.r = e.syms[t.i+1]
+        ORDER BY m.rank, t.i LIMIT 1
+      ) b ON true
+    ),
+    wcounts AS (
+      SELECT w, CAST(len(syms) AS BIGINT) AS n FROM enc
+      QUALIFY row_number() OVER (PARTITION BY w ORDER BY it DESC) = 1
+    ),
+    dc AS (
+      SELECT wlist.doc_id, sum(c.n) AS ns
+      FROM wlist JOIN wcounts c ON wlist.w = c.w GROUP BY wlist.doc_id
+    ),
+    t AS (
+      SELECT d.doc_id, d.source AS shard,
+             CAST(coalesce(dc.ns, 0) + 1 AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS s
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           shard || '#' || CAST(CAST(floor(s / 320) AS BIGINT) AS VARCHAR)
+             AS seq_id,
+           s % 320 AS seq_offset
+    FROM c
+    """.split()
+)

@@ -79,3 +79,16 @@ def test_word_frequencies_topk_deterministic(spark):
     )
     top = bpe.word_frequencies(df, "text", max_words=2).collect()
     assert [(r["word"], r["n"]) for r in top] == [("aa", 100), ("bb", 50)]
+
+
+def test_pinned_sf001_merges_match_live_learning(spark):
+    """Tripwire for the pack_sequences_bpe_documents oracle: its pinned
+    merge list must equal what learn_bpe_vocab produces at sf0.01 today —
+    if learning (or the corpus) drifts, fail HERE before the driver's
+    hash does."""
+    from jsons_to_schema_spark.operators import bpe
+    from jsons_to_schema_spark.queries.tokenq import PINNED_BPE_MERGES_SF001
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    live = bpe.learn_bpe_vocab(docs, "text", num_merges=40, max_words=10_000)
+    assert tuple(tuple(p) for p in live) == PINNED_BPE_MERGES_SF001
