@@ -156,6 +156,16 @@ def _constant_oracle_sql(spec: dict) -> str:
             return "true" if v else "false"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            # Quote, don't inline: DuckDB unifies a multi-row VALUES column
+            # of bare numeric literals to one DECIMAL type, and the later
+            # DECIMAL->DOUBLE conversion divides an int128 mantissa by a
+            # power of ten in floating point — 1-ulp off for some pins
+            # (found by scripts/exact_sweep.py: drift_events_value_tdigest
+            # base_q read back 35.568561285259726 for a 35.56856128525973
+            # pin).  CAST('<repr>' AS DOUBLE) is a correctly-rounded
+            # string->double parse, so the pin round-trips bit-exactly.
+            return "'" + repr(v) + "'"
         return repr(v)
 
     values = ", ".join(
