@@ -470,8 +470,19 @@ def main() -> None:
     # phase usually lands healthy) and emit the best healthy run — or the
     # fastest run, explicitly degraded-stamped, if none was.
     bench_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    # wall-clock ceiling for the WHOLE retry chain: a missing BENCH_r{N}
+    # line (driver timeout) is strictly worse than a degraded-stamped one,
+    # so stop opening new attempts once the budget is spent
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
     attempts = []
     for attempt in range(1 + bench_retries):
+        if attempt and time.time() - t_start > budget_s - 420:
+            log(
+                f"[bench] retry budget spent ({time.time() - t_start:.0f}s "
+                f"of {budget_s:.0f}s) — emitting best attempt so far"
+            )
+            break
         probes = await_healthy_host()
         r = bench_once(CPUS, corpus)
         r["_probes"] = probes
