@@ -92,3 +92,51 @@ def test_pinned_sf001_merges_match_live_learning(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     live = bpe.learn_bpe_vocab(docs, "text", num_merges=40, max_words=10_000)
     assert tuple(tuple(p) for p in live) == PINNED_BPE_MERGES_SF001
+
+
+def test_single_leftmost_merge_equals_classic_encoder():
+    """The pack_sequences_bpe_documents oracle merges ONE leftmost
+    lowest-rank pair per recursive-CTE step; encode_word merges ALL
+    occurrences of the chosen pair per iteration.  The docstring's proof
+    (a pair containing a just-created symbol was learned later, so no new
+    pair can undercut remaining occurrences of the current best) makes
+    them equal FOR LEARNED merge lists.  Property-check it: learn real
+    merge lists from varied random corpora, then compare both encoders on
+    adversarial words (heavy repetition, overlapping pairs)."""
+    import random
+
+    from jsons_to_schema_spark.operators.bpe import bpe_merges_pure, encode_word
+
+    def encode_single_step(word, ranks):
+        sym = list(word)
+        while len(sym) >= 2:
+            best = None  # (rank, i)
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            i = best[1]
+            sym[i:i + 2] = [sym[i] + sym[i + 1]]
+        return tuple(sym)
+
+    rng = random.Random(42)
+    alphabets = ["ab", "abc", "abcd", "aab"]
+    for trial in range(40):
+        alpha = alphabets[trial % len(alphabets)]
+        words = {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))):
+                rng.randint(1, 9)
+            for _ in range(30)
+        }
+        merges = bpe_merges_pure(words, num_merges=15, min_pair_count=1)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        probes = list(words) + [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 20)))
+            for _ in range(50)
+        ]
+        for w in probes:
+            assert encode_word(w, ranks) == encode_single_step(w, ranks), (
+                w, merges,
+            )
