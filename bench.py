@@ -363,8 +363,11 @@ def bench_once(cpus: int, corpus, skip_queries: bool = False) -> dict:
     return {
         "n_docs": n,
         "flagship_s": flagship_s,
-        "queries": timings,
+        # in-run throttle evidence: spread of the spaced timed runs — the
+        # DIRECT signal that a hypervisor phase hit the measurement window
+        "run_spread": round(max(times) / min(times), 3),
         "host_memfault_gb_per_sec": host_memfault_probe(),
+        "queries": timings,
     }
 
 
@@ -486,9 +489,17 @@ def main() -> None:
         probes = await_healthy_host()
         r = bench_once(CPUS, corpus)
         r["_probes"] = probes
+        # Health verdict (revised r5, from the retry-chain data): the
+        # POST-run probe systematically reads degraded on this box even
+        # when every timed run was fast (e.g. flagship 4.20 s min with a
+        # 0.19 GB/s post-probe right after a healthy 4.3 GB/s pre-probe) —
+        # it measures the hypervisor lazily re-supplying the pages the
+        # benchmark JVM just freed, i.e. an artifact OF the bench, not the
+        # host phase DURING it.  The honest signals are the pre-run probe
+        # (gate) and the in-run spread of the spaced timed runs (direct
+        # throttle evidence); the post-run probe stays in the JSON as data.
         r["_degraded"] = bool(
-            probes[-1] < HEALTH_THRESHOLD_GB_S
-            or r["host_memfault_gb_per_sec"] < HEALTH_THRESHOLD_GB_S
+            probes[-1] < HEALTH_THRESHOLD_GB_S or r["run_spread"] > 2.0
         )
         attempts.append(r)
         if not r["_degraded"]:
@@ -511,10 +522,14 @@ def main() -> None:
         "cpus": CPUS,
         "host_memfault_gb_per_sec": r["host_memfault_gb_per_sec"],
         # health-gate stamp: pre-run probe history (one entry per retry;
-        # the gate waited while < 1.0) + the verdict.  degraded_host=true
-        # means this line is a HOST record — compare engine changes against
-        # the most recent healthy-stamped line instead.
+        # the gate waited while < 1.0), the in-run spread of the spaced
+        # timed runs, and the verdict.  degraded_host=true means this line
+        # is a HOST record — compare engine changes against the most recent
+        # healthy-stamped line instead.  (host_memfault_gb_per_sec is the
+        # POST-run probe — reported as data, excluded from the verdict: it
+        # measures re-supply of pages the bench JVM just freed.)
         "host_probe_history_gb_per_sec": probes,
+        "run_spread": r["run_spread"],
         "degraded_host": r["_degraded"],
         "bench_attempts": len(attempts),
     }
