@@ -476,7 +476,7 @@ def main() -> None:
     # wall-clock ceiling for the WHOLE retry chain: a missing BENCH_r{N}
     # line (driver timeout) is strictly worse than a degraded-stamped one,
     # so stop opening new attempts once the budget is spent
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
     t_start = time.time()
     attempts = []
     for attempt in range(1 + bench_retries):
